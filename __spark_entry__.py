@@ -3,36 +3,352 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Every declared query maps to an operator documented in SURVEY.md §2;
+implementations live in ``node_js_etl_processor_spark/operators/``.
+Queries without an oracle entry (similarity / LSH-dedup families) use
+engine-specific hash functions and get the driver's rows-only check;
+their semantics are asserted in tests/ instead.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from node_js_etl_processor_spark.catalog import load_table
+from node_js_etl_processor_spark.operators import dedup, relational, sessionize, similarity, text
+from node_js_etl_processor_spark.operators.multimodal import q_binary_meta
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
+    return relational.q_agg_pricing(load_table(spark, SMOKE_SF_DIR, "lineitem"))
+
+
+def _q(table_names: list[str], fn) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return fn(*[load_table(spark, sf_dir, t) for t in table_names])
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- group A: reference-operator surface (SURVEY.md §2a/§2b) ---
+        "q_filter_required": _q(["orders"], relational.q_filter_required),
+        "q_clean_project": _q(["customer"], relational.q_clean_project),
+        "q_array_transform": _q(["part"], relational.q_array_transform),
+        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
+        "q_union_sources": _q(["customer"], relational.q_union_sources),
+        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
+        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
+        "q_semi_anti": _q(["customer", "orders"], relational.q_semi_anti),
+        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
+        "q_rollup": _q(["orders"], relational.q_rollup),
+        "q_window_topk": _q(["customer"], relational.q_window_topk),
+        "q_sort_limit": _q(["orders"], relational.q_sort_limit),
+        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
+        "q_date_buckets": _q(["events"], relational.q_date_buckets),
+        "q_json_props": _q(["events"], relational.q_json_props),
+        # --- group B: north-star extensions ---
+        "q_text_stats": _q(["documents"], text.q_text_stats),
+        "q_text_langid": _q(["documents"], text.q_text_langid),
+        "q_text_quality": _q(["documents"], text.q_text_quality),
+        "q_token_count": _q(["documents"], text.q_token_count),
+        "q_fingerprint": _q(["documents"], text.q_fingerprint),
+        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
+        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
+        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
+        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
+        "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
+        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
+        "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
+        "q_sessionize": _q(["events"], sessionize.q_sessionize),
+        "q_binary_meta": _q(["documents"], q_binary_meta),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    fp = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
+    toks = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+    return {
+        "q_filter_required": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+            FROM orders
+            WHERE o_orderpriority IS NOT NULL AND o_orderpriority <> ''
+              AND trim(o_orderpriority) <> ''
+        """,
+        "q_clean_project": """
+            SELECT c_custkey AS custkey,
+                   trim(CAST(c_name AS VARCHAR)) AS name,
+                   CASE WHEN c_mktsegment IS NOT NULL AND c_mktsegment <> ''
+                        THEN trim(CAST(c_mktsegment AS VARCHAR)) END AS segment
+            FROM customer
+        """,
+        "q_array_transform": """
+            WITH w AS (
+              SELECT p_partkey,
+                     list_transform(string_split(p_name, ' '),
+                                    x -> upper(trim(x))) AS words
+              FROM part
+            )
+            SELECT p_partkey AS partkey,
+                   array_to_string(words, ',') AS words_csv,
+                   words[1] AS primary_word,
+                   CAST(len(words) AS BIGINT) AS n_words
+            FROM w
+        """,
+        "q_csv_export_shape": """
+            SELECT c_custkey AS custkey,
+                   coalesce(CAST(c_name AS VARCHAR), '') AS name,
+                   coalesce(CAST(c_mktsegment AS VARCHAR), '') AS segment,
+                   coalesce(printf('%.2f', c_acctbal), '') AS acctbal_str
+            FROM customer
+        """,
+        "q_union_sources": """
+            SELECT c_custkey, c_name, c_nationkey, 'src_1' AS src
+            FROM customer WHERE c_nationkey = 1
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey, 'src_7' AS src
+            FROM customer WHERE c_nationkey = 7
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey, 'src_13' AS src
+            FROM customer WHERE c_nationkey = 13
+        """,
+        "q_count_by_source": """
+            SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus
+        """,
+        "q_join_enrich": """
+            SELECT o_orderkey AS orderkey,
+                   c_name AS customer_name,
+                   n_name AS nation_name,
+                   o_totalprice AS totalprice
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "q_semi_anti": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'P')
+        """,
+        "q_agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   count(*) AS n
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q_window_topk": """
+            SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+                   CAST(rank AS BIGINT) AS rank
+            FROM (
+              SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+              FROM customer
+            )
+            WHERE rank <= 3
+        """,
+        "q_sort_limit": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q_dedup_upsert": """
+            SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_totalprice
+            FROM (
+              SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders
+            )
+            WHERE rn = 1
+        """,
+        "q_date_buckets": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "q_json_props": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events
+        """,
+        "q_text_stats": f"""
+            SELECT lang,
+                   count(*) AS n_docs,
+                   round(avg(length(text)), 4) AS avg_chars,
+                   round(avg(len({toks})), 4) AS avg_tokens,
+                   CAST(sum(len({toks})) AS BIGINT) AS total_tokens
+            FROM documents
+            GROUP BY lang
+        """,
+        "q_text_langid": """
+            WITH scored AS (
+              SELECT lang,
+                (CASE WHEN strpos(' '||text||' ', ' the ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' and ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' of ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' to ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' is ') > 0 THEN 1 ELSE 0 END) AS score_en,
+                (CASE WHEN strpos(' '||text||' ', ' der ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' die ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' und ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' nicht ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' das ') > 0 THEN 1 ELSE 0 END) AS score_de,
+                (CASE WHEN strpos(' '||text||' ', ' le ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' la ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' et ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' les ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' des ') > 0 THEN 1 ELSE 0 END) AS score_fr,
+                (CASE WHEN strpos(' '||text||' ', ' el ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' la ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' los ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' que ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' de ') > 0 THEN 1 ELSE 0 END) AS score_es,
+                (CASE WHEN strpos(' '||text||' ', ' 的 ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' 是 ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' 了 ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' 在 ') > 0 THEN 1 ELSE 0 END
+                +CASE WHEN strpos(' '||text||' ', ' 我 ') > 0 THEN 1 ELSE 0 END) AS score_zh
+              FROM documents
+            ),
+            best AS (
+              SELECT lang,
+                     greatest(score_en, score_de, score_fr, score_es, score_zh) AS best,
+                     score_en, score_de, score_fr, score_es, score_zh
+              FROM scored
+            )
+            SELECT lang,
+                   CASE WHEN best = 0 THEN 'und'
+                        WHEN score_en = best THEN 'en'
+                        WHEN score_de = best THEN 'de'
+                        WHEN score_fr = best THEN 'fr'
+                        WHEN score_es = best THEN 'es'
+                        WHEN score_zh = best THEN 'zh'
+                   END AS pred_lang,
+                   count(*) AS n
+            FROM best
+            GROUP BY 1, 2
+        """,
+        "q_text_quality": f"""
+            WITH f AS (
+              SELECT source,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(len({toks}) AS BIGINT) AS n_tokens,
+                     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_chars,
+                     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_chars
+              FROM documents
+            )
+            SELECT source,
+                   count(*) AS n_docs,
+                   round(avg(n_tokens), 4) AS avg_tokens,
+                   round(avg(CASE WHEN n_tokens > 0
+                                  THEN CAST(alpha_chars AS DOUBLE) / n_tokens END), 4) AS avg_token_len,
+                   round(avg(CASE WHEN n_chars > 0
+                                  THEN CAST(punct_chars AS DOUBLE) / n_chars END), 6) AS avg_punct_ratio
+            FROM f
+            GROUP BY source
+        """,
+        "q_token_count": f"""
+            SELECT doc_id,
+                   CAST(len({toks}) AS BIGINT) AS ws_tokens,
+                   CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS est_bpe_tokens
+            FROM documents
+        """,
+        "q_fingerprint": f"""
+            SELECT {fp} AS fp,
+                   min(doc_id) AS keeper_doc_id,
+                   count(*) AS n_dups
+            FROM documents
+            GROUP BY 1
+        """,
+        "q_dedup_docs": f"""
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents
+            GROUP BY {fp}
+        """,
+        "q_dedup_ngram": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' ')))) AS BIGINT) AS n_shingles,
+                   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens
+            FROM t
+        """,
+        "q_sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ),
+            f AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN prev_ts IS NULL
+                               OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                          THEN 1 ELSE 0 END AS new_s
+              FROM g
+            ),
+            s AS (
+              SELECT user_id, ts, value,
+                     CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+              FROM f
+            )
+            SELECT user_id, session_id,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   epoch_us(min(ts)) AS start_us,
+                   epoch_us(max(ts)) AS end_us
+            FROM s
+            GROUP BY user_id, session_id
+        """,
+        "q_binary_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS content_sha
+            FROM documents
+        """,
+        # rows-only (engine-specific hashing, asserted in tests/):
+        # q_dedup_minhash, q_dedup_simhash, q_dedup_embedding,
+        # q_similarity_topk, q_similarity_ann
+    }

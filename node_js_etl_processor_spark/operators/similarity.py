@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (north star).
+
+Three tiers, all over ``embeddings(vec_id, embedding array<float>,
+label)``:
+
+1. **Brute-force exact top-k** against a probe vector — JVM-side
+   zip_with/aggregate dot product + TakeOrderedAndProject. The
+   correctness baseline; O(n·d) scan, no shuffle, embarrassingly
+   parallel — at 100 TB it is bounded by scan bandwidth, which is the
+   right baseline to beat.
+2. **Random-hyperplane LSH (SRP) buckets** — sign-bit signature via
+   deterministic pseudo-random hyperplanes, candidates restricted to
+   the probe's bucket (± multiprobe). The scale path: touches only
+   colliding partitions.
+3. **IVF-style coarse quantization** — assign each vector to the
+   nearest of k deterministic centroids (label-seeded), search only the
+   probe's cell. Implemented as assignment + partition-pruned scan.
+4. **Vectorized pandas_udf scoring** — Arrow-batched NumPy dot products
+   for wide rescoring where BLAS beats codegen; used by the batch
+   variant, never required for correctness.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from node_js_etl_processor_spark.functions.vector import cosine_similarity, dot, l2_norm
+
+DIM = 64
+
+
+def _probe_vector(embeddings: DataFrame, vec_id: int = 0) -> list[float]:
+    """Fetch the probe embedding (single-row driver lookup, the one
+    permissible collect — it is the query argument, not data)."""
+    row = embeddings.filter(F.col("vec_id") == vec_id).select("embedding").head()
+    if row is None:
+        raise ValueError(f"probe vec_id={vec_id} not found")
+    return [float(x) for x in row[0]]
+
+
+def brute_force_topk(
+    embeddings: DataFrame, probe: list[float], k: int = 10, exclude_vec_id: int | None = None
+) -> DataFrame:
+    """Exact cosine top-k via built-in array math.
+
+    The probe is a literal array → constant-folded; scoring is one
+    codegen'd projection; top-k is TakeOrderedAndProject (per-partition
+    heaps, no global sort shuffle).
+    """
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    scored = embeddings.select(
+        "vec_id",
+        "label",
+        F.round(cosine_similarity(F.col("embedding").cast("array<double>"), p), 6).alias(
+            "cosine"
+        ),
+    )
+    if exclude_vec_id is not None:
+        scored = scored.filter(F.col("vec_id") != exclude_vec_id)
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def q_similarity_topk(embeddings: DataFrame, k: int = 10) -> DataFrame:
+    """Declared query: exact top-k cosine neighbors of vec_id=0
+    (rows-only correctness check per SURVEY §2b)."""
+    probe = _probe_vector(embeddings, 0)
+    return brute_force_topk(embeddings, probe, k=k, exclude_vec_id=0)
+
+
+# ----------------------------------------------------- SRP-LSH (scale path)
+
+
+def _srp_hyperplanes(n_planes: int, dim: int = DIM, seed: int = 0x5EED) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a splitmix64-style
+    integer hash — reproducible across runs with no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            z = (seed + p * dim + d + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
+            z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+            z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
+            z ^= z >> 31
+            # map to [-1, 1)
+            row.append((z / float(1 << 63)) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_signature(embedding: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit LSH signature packed into a bigint."""
+    sig = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        pcol = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(dot(embedding.cast("array<double>"), pcol) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        )
+        sig = sig.bitwiseOR(F.shiftleft(bit.cast("bigint"), i))
+    return sig
+
+
+def srp_bucket_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose SRP signature is
+    within Hamming distance 1 of the probe's (multiprobe LSH).
+
+    Scale: the signature is computed once at ingest in real deployments
+    (a column, clustered/bucketed on it); the query then prunes to
+    ~(1+n_planes)/2^n_planes of the data before any scoring.
+    """
+    planes = _srp_hyperplanes(n_planes)
+    # driver-side probe signature (pure python mirror of srp_signature)
+    psig = 0
+    for i, plane in enumerate(planes):
+        s = sum(a * b for a, b in zip(probe, plane))
+        if s >= 0:
+            psig |= 1 << i
+    probe_sigs = [psig] + [psig ^ (1 << i) for i in range(n_planes)]
+
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    sigged = embeddings.withColumn("sig", srp_signature(F.col("embedding"), planes))
+    cand = sigged.filter(F.col("sig").isin(probe_sigs))
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), p), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def q_similarity_ann(embeddings: DataFrame, k: int = 10) -> DataFrame:
+    """Declared query: SRP-LSH approximate top-k for probe vec_id=0
+    (rows-only check; recall vs exact asserted in tests)."""
+    probe = _probe_vector(embeddings, 0)
+    return srp_bucket_topk(embeddings, probe, k=k, exclude_vec_id=0)
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def q_dedup_embedding(embeddings: DataFrame, threshold: float = 0.30) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP-LSH blocking +
+    exact cosine verification (north-star dedup family, embedding tier).
+
+    Scale: candidate pairs come from equality self-join on the SRP
+    signature — the shuffle is keyed by signature, never all-pairs.
+
+    Threshold note: the fixture embeddings are near-random (max
+    pairwise cosine ≈ 0.51), so the declared query uses a low
+    threshold + 8 planes to keep the pipeline's output non-empty; a
+    real near-dup deployment runs ≥0.9 with 16+ planes.
+    """
+    planes = _srp_hyperplanes(8)
+    sigged = embeddings.select(
+        "vec_id", "embedding", srp_signature(F.col("embedding"), planes).alias("sig")
+    )
+    a, b = sigged.alias("a"), sigged.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(
+            cosine_similarity(
+                F.col("a.embedding").cast("array<double>"),
+                F.col("b.embedding").cast("array<double>"),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return pairs.filter(F.col("cosine") >= threshold).orderBy("vec_a", "vec_b")
+
+
+# ------------------------------------------------- pandas_udf batch scorer
+
+
+def batch_cosine_pandas(embeddings: DataFrame, probe: list[float]) -> DataFrame:
+    """Arrow-batched NumPy cosine scoring (the UDF escape hatch,
+    documented as the slow-path alternative — used when rescoring wide
+    candidate sets where BLAS matrix-vector products win over per-row
+    codegen; never in the correctness gate).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    p = np.asarray(probe, dtype=np.float64)
+    pn = p / np.linalg.norm(p)
+
+    @pandas_udf("double")
+    def cos(batch: pd.Series) -> pd.Series:
+        m = np.vstack(batch.to_numpy())  # (batch, dim)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        return pd.Series((m @ pn) / norms)
+
+    return embeddings.select("vec_id", "label", F.round(cos(F.col("embedding")), 6).alias("cosine"))

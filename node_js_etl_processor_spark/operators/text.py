@@ -1,0 +1,152 @@
+"""Text-analysis operators for training-data pipelines (north star).
+
+Language ID, quality scoring, token counting, and fingerprinting over
+the ``documents`` table. All built-in Column expressions (split /
+regexp / md5 / arithmetic) — no UDFs, so they hold up on a 100 TB
+corpus: every operator is a narrow projection or a partial-aggregated
+groupBy.
+
+The reference has no text operators (SURVEY.md §2a); these implement
+the north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword marker lists for the n-gram/stopword
+#: language-ID heuristic. Deliberately small + deterministic; real
+#: pipelines would swap in fastText-style models via mapInPandas.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "das"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "que", "de"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty tokens removed)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def marker_score(text: Column, markers: tuple[str, ...]) -> Column:
+    """Count of marker words present (padded LIKE containment — identical
+    semantics in Spark and ANSI SQL, which keeps the oracle exact)."""
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    score = F.lit(0)
+    for m in markers:
+        score = score + F.when(padded.contains(f" {m} "), 1).otherwise(0)
+    return score
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / word-shape quality signals."""
+    n_chars = F.length(text).cast("bigint")
+    toks = tokens(text)
+    n_tokens = F.size(toks).cast("bigint")
+    alpha_chars = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("bigint")
+    punct_chars = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("bigint")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.when(n_tokens > 0, (alpha_chars.cast("double") / n_tokens)),
+        "punct_ratio": F.when(n_chars > 0, punct_chars.cast("double") / n_chars),
+    }
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace- and
+    case-normalized text. Stable across engines (md5 is standard), which
+    makes fingerprint-dedup oracle-checkable."""
+    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.md5(normalized)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_text_stats(documents: DataFrame) -> DataFrame:
+    """Per-language corpus statistics (declared query q_text_stats)."""
+    return documents.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.round(F.avg(token_count(F.col("text"))), 4).alias("avg_tokens"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+    )
+
+
+def q_text_langid(documents: DataFrame) -> DataFrame:
+    """Stopword-marker language ID, scored per document, aggregated into
+    a (true lang × predicted lang) confusion count."""
+    doc = documents.select(
+        "doc_id",
+        "lang",
+        *[
+            marker_score(F.col("text"), ms).alias(f"score_{lang}")
+            for lang, ms in LANG_MARKERS.items()
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    # first language (in fixed order) achieving the max score; 'und' if none
+    pred = F.lit("und")
+    for l in reversed(langs):
+        pred = F.when(F.col(f"score_{l}") == best, F.lit(l)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return (
+        doc.withColumn("pred_lang", pred)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_text_quality(documents: DataFrame) -> DataFrame:
+    """Quality-signal scoring, aggregated per source."""
+    qf = quality_features(F.col("text"))
+    scored = documents.select(
+        "source",
+        qf["n_chars"].alias("n_chars"),
+        qf["n_tokens"].alias("n_tokens"),
+        qf["avg_token_len"].alias("avg_token_len"),
+        qf["punct_ratio"].alias("punct_ratio"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("avg_token_len"), 4).alias("avg_token_len"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+    )
+
+
+def q_token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token accounting per document.
+
+    ``est_bpe_tokens`` uses the ~4-chars-per-token heuristic common in
+    LLM data budgeting; exact both engines (integer arithmetic).
+    """
+    return documents.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        # explicit floor: DuckDB casts double→int by rounding, Spark by
+        # truncation, so floor-then-cast is the engine-independent form
+        F.floor((F.length("text") + F.lit(3)) / F.lit(4)).cast("bigint").alias(
+            "est_bpe_tokens"
+        ),
+    )
+
+
+def q_fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprint dedup groups: md5-normalized fingerprint →
+    keeper doc_id + group size (oracle-checkable dedup)."""
+    return (
+        documents.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_dups"))
+    )
