@@ -203,11 +203,16 @@ def batch_cosine_pandas(embeddings: DataFrame, probe: list[float]) -> DataFrame:
     p = np.asarray(probe, dtype=np.float64)
     pn = p / np.linalg.norm(p)
 
-    @pandas_udf("double")
-    def cos(batch: pd.Series) -> pd.Series:
+    def _cos(batch):
         m = np.vstack(batch.to_numpy())  # (batch, dim)
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         return pd.Series((m @ pn) / norms)
+
+    # explicit annotations: this module uses `from __future__ import
+    # annotations`, which stringifies inline hints and breaks Spark's
+    # pandas-UDF eval-type inference
+    _cos.__annotations__ = {"batch": pd.Series, "return": pd.Series}
+    cos = pandas_udf(_cos, "double")
 
     return embeddings.select("vec_id", "label", F.round(cos(F.col("embedding")), 6).alias("cosine"))

@@ -1,0 +1,167 @@
+"""Semantic tests for the LLM-pipeline extension operators (the
+rows-only queries the oracle can't check) + property-based checks."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_js_etl_processor_spark.catalog import load_table
+from node_js_etl_processor_spark.operators import dedup, similarity
+from node_js_etl_processor_spark.operators.multimodal import (
+    DecodeUnavailable,
+    decode_image,
+    documents_as_media,
+    extract_features,
+)
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ------------------------------------------------------------- dedup
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    """Plant near-duplicate docs; LSH must surface them as candidates
+    with high Jaccard."""
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep green forest tonight").split()
+    docs = [
+        (1, " ".join(base)),
+        (2, " ".join(base[:-1] + ["today"])),  # near-dup of 1
+        (3, "completely different content about spark query engines and shuffles"),
+        (4, " ".join(base)),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in dedup.q_dedup_minhash(df).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5
+    assert (1, 3) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash_hamming_zero_for_identical(spark):
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "totally unrelated words appear here instead now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.q_dedup_simhash(df).collect()}
+    assert pairs.get((1, 2)) == 0
+
+
+def test_simhash_deterministic_across_runs(documents):
+    s1 = {(r["doc_id"], r["sig"]) for r in dedup.simhash_signatures(documents).collect()}
+    s2 = {(r["doc_id"], r["sig"]) for r in dedup.simhash_signatures(documents).collect()}
+    assert s1 == s2
+
+
+def test_exact_dedup_count_invariant(documents):
+    """Σ n_copies over dedup groups == total docs (no row lost)."""
+    agg = dedup.q_dedup_docs(documents).agg(F.sum("n_copies")).first()[0]
+    assert agg == documents.count()
+
+
+# ---------------------------------------------------------- similarity
+
+
+def test_brute_force_topk_is_exact(spark, embeddings):
+    """Cross-check the JVM array-math cosine against NumPy on a sample."""
+    import numpy as np
+
+    probe = similarity._probe_vector(embeddings, 0)
+    got = similarity.brute_force_topk(embeddings, probe, k=5, exclude_vec_id=0).collect()
+
+    rows = embeddings.collect()
+    p = np.array(probe)
+    best = sorted(
+        (
+            (
+                float(np.dot(e, p) / (np.linalg.norm(e) * np.linalg.norm(p))),
+                r["vec_id"],
+            )
+            for r in rows
+            if r["vec_id"] != 0
+            for e in [np.array([float(x) for x in r["embedding"]])]
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    assert [r["vec_id"] for r in got] == [vid for _, vid in best]
+    for r, (cos, _) in zip(got, best):
+        assert math.isclose(r["cosine"], round(cos, 6), abs_tol=2e-6)
+
+
+def test_ann_results_subset_of_exact_space(embeddings):
+    """ANN returns valid scored rows; every ANN hit's cosine must equal
+    the exact cosine for that vec_id (same scoring, pruned candidates)."""
+    exact = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.q_similarity_topk(embeddings, k=500).collect()
+    }
+    ann = similarity.q_similarity_ann(embeddings).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert math.isclose(exact[r["vec_id"]], r["cosine"], abs_tol=1e-9)
+
+
+def test_pandas_batch_scorer_agrees_with_jvm(embeddings):
+    probe = similarity._probe_vector(embeddings, 0)
+    jvm = {r["vec_id"]: r["cosine"] for r in similarity.brute_force_topk(embeddings, probe, k=20).collect()}
+    arrow = {
+        r["vec_id"]: r["cosine"]
+        for r in similarity.batch_cosine_pandas(embeddings, probe).collect()
+    }
+    for vid, cos in jvm.items():
+        assert math.isclose(arrow[vid], cos, abs_tol=2e-6)
+
+
+# ---------------------------------------------------------- multimodal
+
+
+def test_media_plumbing_real_decode_stubbed(spark, documents):
+    media = documents_as_media(documents)
+    assert dict(media.dtypes)["payload"] == "binary"
+    with pytest.raises(DecodeUnavailable):
+        decode_image(b"\x89PNG")
+
+
+def test_feature_extraction_mapinpandas(documents):
+    media = documents_as_media(documents.limit(50))
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(r["feature_dim"] == 8 for r in rows)
+    # deterministic: same payload → same feature
+    again = {r["media_id"]: r["feature_l2"] for r in extract_features(media).collect()}
+    for r in rows:
+        assert again[r["media_id"]] == r["feature_l2"]
+
+
+# ---------------------------------------------------- property checks
+
+
+def test_projection_preserves_count(spark, sf_dir):
+    from node_js_etl_processor_spark.operators import relational
+
+    customer = load_table(spark, sf_dir, "customer")
+    assert relational.q_clean_project(customer).count() == customer.count()
+    assert relational.q_csv_export_shape(customer).count() == customer.count()
+
+
+def test_trim_idempotent_on_output(spark, sf_dir):
+    from node_js_etl_processor_spark.operators.relational import q_clean_project
+
+    customer = load_table(spark, sf_dir, "customer")
+    out = q_clean_project(customer)
+    twice = out.select(F.trim("name").alias("name2"), "name")
+    assert twice.filter(F.col("name") != F.col("name2")).count() == 0

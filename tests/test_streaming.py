@@ -1,0 +1,77 @@
+"""Structured Streaming end-to-end tests (file source → memory/parquet
+sink, availableNow trigger so every query terminates)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from node_js_etl_processor_spark.catalog import load_table
+from node_js_etl_processor_spark.streaming.refresh import file_stream_refresh
+from node_js_etl_processor_spark.streaming.sessions import (
+    session_windows,
+    windowed_counts,
+)
+
+
+@pytest.fixture()
+def events_stream(spark, sf_dir, tmp_path):
+    """Replay the events fixture as a file stream with the same schema."""
+    src = str(tmp_path / "events_src")
+    batch = load_table(spark, sf_dir, "events")
+    batch.write.mode("overwrite").parquet(src)
+    return spark.readStream.schema(batch.schema).parquet(src), batch
+
+
+def _run_to_memory(df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_counts_matches_batch(spark, events_stream):
+    stream_df, batch = events_stream
+    _run_to_memory(windowed_counts(stream_df), "win_counts")
+    got = spark.sql("SELECT sum(n_events) AS n FROM win_counts").first()["n"]
+    assert got == batch.count()
+
+
+def test_session_windows_state_bounded(spark, events_stream):
+    stream_df, batch = events_stream
+    _run_to_memory(session_windows(stream_df), "sess")
+    out = spark.table("sess")
+    assert out.count() > 0
+    # every event lands in exactly one session
+    got = spark.sql("SELECT sum(n_events) AS n FROM sess").first()["n"]
+    assert got == batch.count()
+
+
+def test_file_stream_refresh_incremental(spark, tmp_path):
+    """availableNow refresh: first run picks up file 1; second run
+    processes ONLY the newly-landed file (checkpoint-tracked)."""
+    src = tmp_path / "landing"
+    out = str(tmp_path / "staged")
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+
+    row1 = {"name": "A U", "country": "X", "web_pages": ["w"], "domains": ["d"]}
+    row2 = {"name": "B U", "country": "Y", "web_pages": ["w2"], "domains": []}
+    (src / "batch1.json").write_text(json.dumps(row1) + "\n")
+
+    q = file_stream_refresh(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 1
+
+    (src / "batch2.json").write_text(json.dumps(row2) + "\n")
+    q = file_stream_refresh(spark, str(src), out, ckpt)
+    q.awaitTermination(120)
+    staged = spark.read.parquet(out)
+    assert staged.count() == 2  # incremental: batch1 not reprocessed
+    assert {r["name"] for r in staged.collect()} == {"A U", "B U"}
