@@ -57,6 +57,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_topk": _q(["customer"], relational.q_window_topk),
         "q_sort_limit": _q(["orders"], relational.q_sort_limit),
         "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
+        "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
+        "q_cube": _q(["orders"], relational.q_cube),
+        "q_window_lag": _q(["events"], relational.q_window_lag),
+        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
+        "q_string_funcs": _q(["part"], relational.q_string_funcs),
         "q_date_buckets": _q(["events"], relational.q_date_buckets),
         "q_json_props": _q(["events"], relational.q_json_props),
         # --- group B: north-star extensions ---
@@ -193,6 +198,66 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             WHERE rn = 1
+        """,
+        "q_set_ops": """
+            SELECT 'intersect' AS op, custkey FROM (
+              SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+            )
+            UNION ALL
+            SELECT 'except' AS op, custkey FROM (
+              SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              EXCEPT
+              SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+            )
+        """,
+        "q_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_window_lag": """
+            SELECT event_id, user_id,
+                   round(value - lag(value) OVER w, 2) AS delta_prev,
+                   round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING), 2) AS running_sum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "q_scalar_math": """
+            WITH s AS (
+              SELECT year(l_shipdate) AS ship_year,
+                     month(l_shipdate) AS ship_month,
+                     sqrt(l_extendedprice) AS sqrt_price,
+                     ln(l_extendedprice + 1.0) AS ln_price,
+                     ceil(l_discount * 100) AS disc_pct_ceil,
+                     floor(l_tax * 100) AS tax_pct_floor,
+                     abs(l_quantity - 25.0) AS qty_dev
+              FROM lineitem
+            )
+            SELECT ship_year, ship_month,
+                   count(*) AS n,
+                   round(avg(sqrt_price), 4) AS avg_sqrt_price,
+                   round(avg(ln_price), 4) AS avg_ln_price,
+                   round(avg(disc_pct_ceil), 4) AS avg_disc_ceil,
+                   round(avg(tax_pct_floor), 4) AS avg_tax_floor,
+                   round(avg(qty_dev), 4) AS avg_qty_dev
+            FROM s
+            GROUP BY ship_year, ship_month
+        """,
+        "q_string_funcs": r"""
+            SELECT p_partkey AS partkey,
+                   upper(p_name) AS name_upper,
+                   substring(p_name, 1, 4) AS name_prefix,
+                   concat_ws('|', p_brand, p_type) AS brand_type,
+                   lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+                   regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+                   regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+                   CAST(length(p_name) AS BIGINT) AS name_len
+            FROM part
         """,
         "q_date_buckets": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,

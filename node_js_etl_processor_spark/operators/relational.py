@@ -296,6 +296,108 @@ def q_date_buckets(events: DataFrame) -> DataFrame:
     )
 
 
+def q_set_ops(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Set operations beyond union-all (SURVEY §2a gap table): INTERSECT
+    and EXCEPT between building-segment customers and big-order
+    customers, labeled and unioned.
+
+    Scale: both compile to aggregate/join forms on the key column only;
+    the inputs are pruned to one bigint before any exchange.
+    """
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    big = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    both = building.intersect(big).withColumn("op", F.lit("intersect"))
+    only = building.subtract(big).withColumn("op", F.lit("except"))
+    return both.unionByName(only).select("op", "custkey")
+
+
+def q_cube(orders: DataFrame) -> DataFrame:
+    """CUBE aggregation over (status, priority) — all 4 grouping sets.
+
+    Scale: like rollup, a single expand+aggregate; the expand factor
+    (4x) happens before partial aggregation, so the shuffle still
+    carries only group keys.
+    """
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "n", "avg_price")
+    )
+
+
+def q_window_lag(events: DataFrame) -> DataFrame:
+    """lag/lead + running aggregate windows over the event stream:
+    per-user value delta vs previous event and running sum.
+
+    Scale: one shuffle on user_id; both window functions share the
+    same (partition, order) spec so Spark evaluates them in one pass.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_sum"),
+    )
+
+
+def q_scalar_math(lineitem: DataFrame) -> DataFrame:
+    """Math + date scalar-function coverage (SURVEY §2a gap table):
+    year/month extraction, abs/ceil/floor/sqrt/ln, aggregated per
+    ship-month so the result stays small.
+
+    Scale: all scalar exprs fold into the scan projection; single
+    partial-aggregated shuffle on (year, month).
+    """
+    return (
+        lineitem.select(
+            F.year("l_shipdate").alias("ship_year"),
+            F.month("l_shipdate").alias("ship_month"),
+            F.sqrt(F.col("l_extendedprice")).alias("sqrt_price"),
+            F.log(F.col("l_extendedprice") + 1.0).alias("ln_price"),
+            F.ceil(F.col("l_discount") * 100).alias("disc_pct_ceil"),
+            F.floor(F.col("l_tax") * 100).alias("tax_pct_floor"),
+            F.abs(F.col("l_quantity") - 25.0).alias("qty_dev"),
+        )
+        .groupBy("ship_year", "ship_month")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("sqrt_price"), 4).alias("avg_sqrt_price"),
+            F.round(F.avg("ln_price"), 4).alias("avg_ln_price"),
+            F.round(F.avg("disc_pct_ceil"), 4).alias("avg_disc_ceil"),
+            F.round(F.avg("tax_pct_floor"), 4).alias("avg_tax_floor"),
+            F.round(F.avg("qty_dev"), 4).alias("avg_qty_dev"),
+        )
+    )
+
+
+def q_string_funcs(part: DataFrame) -> DataFrame:
+    """String scalar-function coverage: case mapping, substring,
+    concat, padding, replace, regexp extraction.
+
+    Scale: pure projection fused into the scan; no shuffle.
+    """
+    return part.select(
+        F.col("p_partkey").alias("partkey"),
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("name_devoweled"),
+        F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("first_word"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+    )
+
+
 def q_json_props(events: DataFrame) -> DataFrame:
     """JSON scalar extraction from a string column (events.props).
 

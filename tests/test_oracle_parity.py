@@ -18,19 +18,21 @@ ORACLES = entrymod.oracle_sql()
 
 
 def _normalize_cell(v):
+    # stringified so heterogeneous cells (None vs float) stay hashable
+    # and comparable, like the driver's value-hash normalization
     if v is None:
-        return None
+        return "<null>"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        return repr(round(v, 6))
     if hasattr(v, "isoformat"):  # datetime/date
         return v.isoformat()
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
-        return tuple(_normalize_cell(x) for x in v)
-    return v
+        return repr([_normalize_cell(x) for x in v])
+    return repr(v)
 
 
 def _frame_to_multiset(cols, rows):

@@ -1,0 +1,118 @@
+"""Physical-plan audits: the scale properties the engine promises.
+
+Each test pins a Catalyst/Tungsten behavior that would silently regress
+otherwise: predicate pushdown into parquet scans, column pruning,
+broadcast joins for dimensions, shuffle-free narrow pipelines, top-k
+without global sort. These are the 100 TB design invariants from
+SURVEY.md §4 — at sf0.001 the plans are identical in shape.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_js_etl_processor_spark.catalog import load_table
+from node_js_etl_processor_spark.operators import relational
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_agg_pricing_pushdown_and_pruning(spark, sf_dir):
+    df = relational.q_agg_pricing(load_table(spark, sf_dir, "lineitem"))
+    plan = plan_text(df)
+    # predicate reaches the parquet reader
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("\n")[0]
+    # column pruning: unused columns never leave the scan
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    for needed in ("l_quantity", "l_extendedprice", "l_returnflag"):
+        assert needed in read_schema
+    for pruned in ("l_orderkey", "l_partkey", "l_suppkey", "l_comment"):
+        assert pruned not in read_schema
+    # aggregation is partial+final (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_join_enrich_broadcasts_dimension(spark, sf_dir):
+    df = relational.q_join_enrich(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+    plan = plan_text(df)
+    assert "BroadcastHashJoin" in plan  # nation never shuffles the fact side
+
+
+def test_clean_project_is_shuffle_free(spark, sf_dir):
+    df = relational.q_clean_project(load_table(spark, sf_dir, "customer"))
+    plan = plan_text(df)
+    assert "Exchange" not in plan
+    # "*(1)" is the whole-stage-codegen stage marker in simple mode
+    assert "*(1)" in plan_text(df, "simple")
+
+
+def test_sort_limit_avoids_global_sort(spark, sf_dir):
+    df = relational.q_sort_limit(load_table(spark, sf_dir, "orders"))
+    plan = plan_text(df)
+    # top-k compiles to per-partition heaps + driver merge, not a
+    # full sort shuffle
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_window_topk_single_shuffle(spark, sf_dir):
+    df = relational.q_window_topk(load_table(spark, sf_dir, "customer"))
+    plan = plan_text(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    # rank-filter pushes a per-partition group limit below the shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_window_lag_shares_one_window_pass(spark, sf_dir):
+    df = relational.q_window_lag(load_table(spark, sf_dir, "events"))
+    plan = plan_text(df, "simple")
+    # same (partition, order) spec → one Window operator, one exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+
+
+def test_parity_pipeline_is_one_narrow_stage(spark):
+    """The universities transform must stay a single fused scan→filter→
+    project→filter pass — zero exchanges (SURVEY.md §3 EP1)."""
+    from node_js_etl_processor_spark.schemas import UNIVERSITIES_RAW_SCHEMA
+    from node_js_etl_processor_spark.universities import transform_universities
+    from tests.test_universities import RAW_ROWS
+
+    raw = spark.createDataFrame(RAW_ROWS, UNIVERSITIES_RAW_SCHEMA)
+    plan = plan_text(transform_universities(raw))
+    assert "Exchange" not in plan
+
+
+def test_filter_required_pushes_isnotnull(spark, sf_dir):
+    df = relational.q_filter_required(load_table(spark, sf_dir, "orders"))
+    plan = plan_text(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1].split("\n")[0]
+    assert "IsNotNull(o_orderpriority)" in pushed
+
+
+def test_semi_anti_prunes_before_exchange(spark, sf_dir):
+    df = relational.q_semi_anti(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+    plan = plan_text(df)
+    # the orders side reads only the join key + filter column
+    read_schemas = [
+        seg.split("\n")[0] for seg in plan.split("ReadSchema")[1:]
+    ]
+    orders_side = [s for s in read_schemas if "o_custkey" in s]
+    assert orders_side and all("o_totalprice" not in s for s in orders_side)
