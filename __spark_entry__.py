@@ -57,6 +57,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_window_topk": _q(["customer"], relational.q_window_topk),
         "q_sort_limit": _q(["orders"], relational.q_sort_limit),
         "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
+        "q_region_supplier": _q(
+            ["supplier", "nation", "region"], relational.q_region_supplier
+        ),
+        "q_stats_agg": _q(["customer"], relational.q_stats_agg),
+        "q_pivot": _q(["orders"], relational.q_pivot),
+        "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
         "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
         "q_cube": _q(["orders"], relational.q_cube),
         "q_window_lag": _q(["events"], relational.q_window_lag),
@@ -198,6 +204,40 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             )
             WHERE rn = 1
+        """,
+        "q_region_supplier": """
+            SELECT r_name AS region_name,
+                   count(*) AS n_suppliers,
+                   round(avg(s_acctbal), 4) AS avg_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q_stats_agg": """
+            SELECT c_mktsegment,
+                   count(*) AS n,
+                   round(stddev_samp(c_acctbal), 4) AS sd_acctbal,
+                   round(quantile_cont(c_acctbal, 0.5), 4) AS median_acctbal,
+                   round(min(c_acctbal), 2) AS min_acctbal,
+                   round(max(c_acctbal), 2) AS max_acctbal
+            FROM customer
+            GROUP BY c_mktsegment
+        """,
+        "q_pivot": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "q_semi_exists": """
+            SELECT c_custkey, c_name, c_nationkey
+            FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
         """,
         "q_set_ops": """
             SELECT 'intersect' AS op, custkey FROM (

@@ -398,6 +398,76 @@ def q_string_funcs(part: DataFrame) -> DataFrame:
     )
 
 
+def q_region_supplier(
+    supplier: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Dimension-chain enrichment (supplier ⋈ nation ⋈ region) with
+    per-region supplier stats — exercises the full dimension hierarchy.
+
+    Scale: both dimensions broadcast; the supplier fact side never
+    shuffles for the joins, only for the final tiny aggregation.
+    """
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+        )
+    )
+
+
+def q_stats_agg(customer: DataFrame) -> DataFrame:
+    """Statistical aggregates per market segment: stddev, exact median,
+    min/max — the numeric-analysis surface beyond sum/avg/count.
+
+    Scale: percentile is an exact sort-based aggregate (heavier than
+    approx_percentile); at real scale swap to approx_percentile with a
+    documented error bound — exact here because the oracle is exact.
+    """
+    return customer.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_acctbal"),
+        F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("median_acctbal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+    )
+
+
+def q_pivot(orders: DataFrame) -> DataFrame:
+    """Pivot: order counts per priority, order-status values as columns.
+
+    Implemented with an explicit values list — at scale, pivot without
+    values triggers an extra distinct-collection job; declaring the
+    domain keeps it a single pass.
+    """
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+def q_semi_exists(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi join: customers having at least one urgent order
+    (the EXISTS twin of q_semi_anti's NOT EXISTS).
+
+    Scale: semi join shuffles only the pruned key column of orders and
+    stops probing on first match.
+    """
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_nationkey")
+
+
 def q_json_props(events: DataFrame) -> DataFrame:
     """JSON scalar extraction from a string column (events.props).
 
