@@ -23,8 +23,15 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from node_js_etl_processor_spark.catalog import load_table
-from node_js_etl_processor_spark.operators import dedup, relational, sessionize, similarity, text
-from node_js_etl_processor_spark.operators.multimodal import q_binary_meta
+from node_js_etl_processor_spark.operators import (
+    dedup,
+    relational,
+    sessionize,
+    similarity,
+    temporal,
+    text,
+)
+from node_js_etl_processor_spark.operators.multimodal import q_binary_meta, q_multimodal_features
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -70,6 +77,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_string_funcs": _q(["part"], relational.q_string_funcs),
         "q_date_buckets": _q(["events"], relational.q_date_buckets),
         "q_json_props": _q(["events"], relational.q_json_props),
+        "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
+        "q_explode_words": _q(["part"], relational.q_explode_words),
+        "q_percentiles": _q(["lineitem"], relational.q_percentiles),
+        "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
+        "q_approx_distinct": _q(["orders"], relational.q_approx_distinct),
+        "q_sample_hash": _q(["orders"], relational.q_sample_hash),
+        "q_asof_join": _q(["events"], temporal.q_asof_join),
+        "q_range_join": _q(["events"], temporal.q_range_join),
+        "q_window_range": _q(["events"], temporal.q_window_range),
+        "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
         # --- group B: north-star extensions ---
         "q_text_stats": _q(["documents"], text.q_text_stats),
         "q_text_langid": _q(["documents"], text.q_text_langid),
@@ -85,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
         "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_binary_meta": _q(["documents"], q_binary_meta),
+        "q_multimodal_features": _q(["documents"], q_multimodal_features),
     }
 
 
@@ -453,7 +471,90 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha
             FROM documents
         """,
-        # rows-only (engine-specific hashing, asserted in tests/):
-        # q_dedup_minhash, q_dedup_simhash, q_dedup_embedding,
-        # q_similarity_topk, q_similarity_ann
+        "q_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) AS INT) AS g_status,
+                   CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "q_explode_words": """
+            SELECT word, count(*) AS n,
+                   count(DISTINCT p_partkey) AS n_parts
+            FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word FROM part)
+            GROUP BY word
+        """,
+        "q_percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+                   round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "q_distinct_agg": """
+            SELECT o_orderpriority,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   count(DISTINCT o_orderdate) AS n_days,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "q_sample_hash": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders
+            WHERE CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 100 < 10
+        """,
+        "q_asof_join": """
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) AS purchase_us,
+                   epoch_us(c.ts) AS click_us,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                            WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "q_range_join": """
+            SELECT p.event_id, p.user_id,
+                   count(e.user_id) AS n_follow,
+                   CASE WHEN count(e.user_id) = 0 THEN 0.0
+                        ELSE round(sum(e.value), 2) END AS follow_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            LEFT JOIN events e
+              ON e.user_id = p.user_id
+             AND e.ts > p.ts
+             AND e.ts <= p.ts + INTERVAL 5 MINUTE
+            GROUP BY p.event_id, p.user_id
+        """,
+        "q_window_range": """
+            SELECT event_id, user_id,
+                   count(*) OVER w AS n_1h,
+                   round(sum(value) OVER w, 2) AS sum_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """,
+        "q_hypertable_rollup": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS day_bucket,
+                   CASE WHEN grain = 'hour'
+                        THEN strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   END AS hour_bucket,
+                   event_type,
+                   CASE WHEN grain = 'day' THEN 1 ELSE 0 END AS is_day_grain,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events, (VALUES ('day'), ('hour')) g(grain)
+            GROUP BY 1, 2, 3, 4
+        """,
+        # rows-only (engine-specific hashing / sketches / Python kernels,
+        # asserted in tests/): q_dedup_minhash, q_dedup_simhash,
+        # q_dedup_embedding, q_similarity_topk, q_similarity_ann,
+        # q_approx_distinct, q_multimodal_features
     }

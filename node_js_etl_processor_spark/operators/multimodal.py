@@ -129,3 +129,17 @@ def q_binary_meta(documents: DataFrame) -> DataFrame:
         F.octet_length(payload).cast("bigint").alias("n_bytes"),
         F.sha2(payload, 256).alias("content_sha"),
     )
+
+
+def q_multimodal_features(documents: DataFrame) -> DataFrame:
+    """Declared query: full multimodal pipeline — adapt docs to the
+    media schema, run Arrow-batched feature extraction via mapInPandas,
+    return per-media features (rows-only check: the fake decode kernel
+    is engine-side Python; determinism is byte-derived, asserted in
+    tests/).
+
+    Scale: this is the canonical 100 TB media pass — no shuffle at all;
+    each task Arrow-streams its parquet split through the Python worker
+    once, batch size governed by spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    return extract_features(documents_as_media(documents)).orderBy("media_id")

@@ -479,3 +479,115 @@ def q_json_props(events: DataFrame) -> DataFrame:
         F.col("event_id"),
         F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
     )
+
+
+def q_grouping_sets(orders: DataFrame) -> DataFrame:
+    """GROUPING SETS aggregation — per-status, per-priority, and grand
+    totals in ONE pass (the general form of q_rollup/q_cube; the
+    reference has no aggregation machinery at all, SURVEY.md §2a).
+
+    ``grouping()`` indicators disambiguate "null because aggregated
+    over" from "null in the data". Scale: single scan + single shuffle
+    with partial aggregation; the exchange carries one row per (set,
+    key) per map partition.
+    """
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n", "sum_price")
+    )
+
+
+def q_explode_words(part: DataFrame) -> DataFrame:
+    """Explode/unnest (lateral view): flatten part-name word arrays to
+    rows, then aggregate word frequencies — the UNNEST twin of
+    q_array_transform's array-side processing.
+
+    Scale: explode is a narrow op (no shuffle); the only exchange is
+    the final groupBy on the word, with map-side partial counts so the
+    shuffle is bounded by vocabulary size, not corpus size.
+    """
+    words = part.select(
+        "p_partkey", F.explode(F.split(F.col("p_name"), " ")).alias("word")
+    )
+    return words.groupBy("word").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("p_partkey").alias("n_parts"),
+    )
+
+
+def q_percentiles(lineitem: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75/p95) of extended
+    price per return flag — matches DuckDB ``quantile_cont``.
+
+    Scale note: exact percentiles buffer each group's values; at 100 TB
+    swap in ``approx_percentile`` (t-digest sketch, fixed memory,
+    mergeable map-side) — same call shape, documented divergence. The
+    declared query stays exact because the oracle hash-compares values.
+    """
+    pct = F.percentile("l_extendedprice", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    agg = lineitem.groupBy("l_returnflag").agg(pct.alias("p"))
+    return agg.select(
+        "l_returnflag",
+        *[F.round(F.col("p")[i], 4).alias(name) for i, name in enumerate(["p25", "p50", "p75", "p95"])],
+    )
+
+
+def q_distinct_agg(orders: DataFrame) -> DataFrame:
+    """Exact distinct-count aggregation: customers and order-date days
+    per priority (COUNT(DISTINCT) — expand + two-phase aggregate).
+
+    Scale: Catalyst plans multi-distinct via Expand (one row per
+    distinct-column per input row) then partial/final aggs; the shuffle
+    carries (priority, custkey) / (priority, day) pairs. At 100 TB the
+    approx twin below (HLL sketch, constant memory) is the default.
+    """
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderdate").alias("n_days"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def q_approx_distinct(orders: DataFrame) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts per priority —
+    the 100 TB path for cardinality: constant-memory mergeable sketch,
+    shuffle carries one sketch per group per partition instead of every
+    distinct key.
+
+    rows-only correctness check (sketch estimates are engine-specific);
+    tests/ assert ≤5% relative error against the exact counts.
+    """
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+        F.approx_count_distinct("o_orderdate", rsd=0.01).alias("approx_days"),
+    )
+
+
+def q_sample_hash(orders: DataFrame) -> DataFrame:
+    """Deterministic 10% hash-sample of orders: md5 of the key, first 8
+    hex digits mod 100 < 10.
+
+    Unlike ``df.sample`` (partition-order dependent RNG), a key-hash
+    sample is stable across runs, partitionings, and engines — the
+    property a training-data pipeline needs for reproducible holdouts —
+    and it is exactly reproducible in the DuckDB oracle. Scale: pure
+    narrow filter, pushed after the scan, no shuffle.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    return orders.filter(bucket < 10).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )

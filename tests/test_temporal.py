@@ -1,0 +1,132 @@
+"""Semantics tests for the temporal operator family (as-of join, range
+join, time-range window, hypertable rollup) plus the sampling/sketch
+additions — edge cases the sf-fixture differential tests can't pin:
+ties, empty matches, exact band boundaries, sketch error bounds.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from node_js_etl_processor_spark.catalog import load_table
+from node_js_etl_processor_spark.operators import relational, temporal
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ts(seconds: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def test_asof_join_ties_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, 10, _ts(100)), (2, 10, _ts(50)), (3, 20, _ts(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(100), 1.0), (10, _ts(60), 2.0), (20, _ts(99), 9.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in temporal.asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="ts", value_cols=["value"]
+        ).collect()
+    }
+    # tie: right_ts == left_ts is included (>= semantics)
+    assert out[1]["asof_ts"] == _ts(100) and out[1]["asof_value"] == 1.0
+    # latest prior, not just any prior
+    assert out[2]["asof_ts"] is None or out[2]["asof_ts"] <= _ts(50)
+    # user 10 at t=50 has no right row <= 50 → nulls (left-outer)
+    assert out[2]["asof_ts"] is None and out[2]["asof_value"] is None
+    # user 20's only right row is later than the left row → null
+    assert out[3]["asof_ts"] is None
+
+
+def test_range_join_band_boundaries(spark):
+    # purchase at t=0; events at t=0 (self, excluded: strict >),
+    # t=300s (included: inclusive upper bound), t=300.000001s (excluded)
+    rows = [
+        (0, _ts(0), 5, "purchase", 1.0, "{}"),
+        (1, _ts(300), 5, "view", 2.0, "{}"),
+        (2, _ts(300.000001), 5, "view", 4.0, "{}"),
+        (3, _ts(0), 5, "view", 8.0, "{}"),  # same instant: excluded (strict >)
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = temporal.q_range_join(events).collect()
+    assert len(out) == 1
+    assert out[0]["n_follow"] == 1
+    assert out[0]["follow_value"] == 2.0
+
+
+def test_window_range_trailing_hour(spark):
+    rows = [
+        (0, _ts(0), 1, "view", 1.0, "{}"),
+        (1, _ts(3600), 1, "view", 2.0, "{}"),  # exactly 1h later: included
+        (2, _ts(7201), 1, "view", 4.0, "{}"),  # >1h after event 1: only itself
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    out = {r["event_id"]: r for r in temporal.q_window_range(events).collect()}
+    assert out[0]["n_1h"] == 1
+    assert out[1]["n_1h"] == 2 and out[1]["sum_1h"] == 3.0
+    assert out[2]["n_1h"] == 1 and out[2]["sum_1h"] == 4.0
+
+
+def test_hypertable_rollup_grains_consistent(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    out = temporal.q_hypertable_rollup(events)
+    day = out.filter(F.col("is_day_grain") == 1)
+    hour = out.filter(F.col("is_day_grain") == 0)
+    # hour-grain rows must sum to their day-grain parents
+    re_rolled = (
+        hour.groupBy("day_bucket", "event_type")
+        .agg(F.sum("n_events").alias("n_events"))
+        .collect()
+    )
+    day_map = {(r["day_bucket"], r["event_type"]): r["n_events"] for r in day.collect()}
+    for r in re_rolled:
+        assert day_map[(r["day_bucket"], r["event_type"])] == r["n_events"]
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderpriority"]: r["n_customers"]
+        for r in relational.q_distinct_agg(orders).collect()
+    }
+    approx = {
+        r["o_orderpriority"]: r["approx_customers"]
+        for r in relational.q_approx_distinct(orders).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
+
+
+def test_sample_hash_deterministic_and_sized(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    a = sorted(r["o_orderkey"] for r in relational.q_sample_hash(orders).collect())
+    b = sorted(
+        r["o_orderkey"]
+        for r in relational.q_sample_hash(orders.repartition(13)).collect()
+    )
+    assert a == b  # partition-layout independent
+    n = orders.count()
+    assert 0.05 * n < len(a) < 0.15 * n
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    from node_js_etl_processor_spark.operators.multimodal import q_multimodal_features
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    a = [tuple(r) for r in q_multimodal_features(docs).collect()]
+    b = [tuple(r) for r in q_multimodal_features(docs).collect()]
+    assert a == b
+    assert all(r[3] == 8 for r in a)  # feature_dim
