@@ -62,3 +62,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register each table as a temp view for spark.sql use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame, min_per_core_rows: int = 0) -> DataFrame:
+    """Repartition compute-heavy inputs when the scan under-parallelizes.
+
+    Small fixture files arrive as ONE input split, so every narrow
+    per-row operator downstream (shingling, hashing, Arrow-batched
+    Python kernels) would run on a single core regardless of
+    ``local[32]``. Spreading to ``defaultParallelism`` costs one small
+    shuffle of the raw rows and buys full-cluster parallelism for the
+    expensive projection that follows.
+
+    At 100 TB this is a structural no-op: the parquet scan already
+    yields thousands of splits (≥ defaultParallelism), the gate is
+    false, and NO shuffle is added — the helper only repairs the
+    small-input / local-mode edge, it never taxes the scale path.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

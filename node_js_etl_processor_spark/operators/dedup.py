@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from node_js_etl_processor_spark.catalog import spread
 from node_js_etl_processor_spark.operators.text import fingerprint
 
 # ------------------------------------------------------------------ exact
@@ -73,6 +74,7 @@ def minhash_signatures(
 
     Returns (doc_id, h0..h{k-1}).
     """
+    documents = spread(documents)
     sh = documents.select(
         "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("shingle")
     )
@@ -146,6 +148,7 @@ def q_dedup_minhash(documents: DataFrame) -> DataFrame:
     rows-only correctness check (hash functions are engine-specific);
     determinism is guaranteed by seeded xxhash64.
     """
+    documents = spread(documents)
     cands = minhash_candidates(documents)
     sh = documents.select("doc_id", shingles(F.col("text")).alias("sh"))
     return (
@@ -178,6 +181,7 @@ def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
 
     Returns (doc_id, sig bigint); token-less docs get sig=0.
     """
+    documents = spread(documents)
     toks = F.array_distinct(
         F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
     )
@@ -209,10 +213,16 @@ def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFram
     )
 
 
-def q_dedup_simhash(documents: DataFrame) -> DataFrame:
-    """SimHash near-dup candidates: docs whose 16-bit signature bands
-    collide (standard 4-band split of a 64-bit simhash ⇒ finds all pairs
-    within Hamming distance 3 plus band-lucky others).
+def q_dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicate pairs: candidate generation via 16-bit
+    signature bands (4-band split of the 64-bit simhash guarantees
+    every pair within Hamming distance 3 collides in ≥1 band), then
+    verification keeps only pairs with Hamming ≤ ``max_hamming``.
+
+    The Hamming filter runs BEFORE the pair distinct/sort: band
+    collisions on templated corpora are dense (1.2M+ raw collisions on
+    5k fixture docs), but verified near-dups are few — filtering first
+    keeps the shuffle proportional to true duplicates, not collisions.
 
     rows-only check; deterministic via xxhash64.
     """
@@ -245,15 +255,14 @@ def q_dedup_simhash(documents: DataFrame) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            .cast("bigint")
+            .alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return pairs.select(
-        "doc_a", "doc_b", hamming.cast("bigint").alias("hamming")
-    ).orderBy("doc_a", "doc_b")
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 # ------------------------------------------------------- n-gram jaccard
@@ -268,6 +277,7 @@ def q_dedup_ngram(documents: DataFrame) -> DataFrame:
     stats; full pairwise Jaccard lives in q_dedup_minhash's verify
     stage).
     """
+    documents = spread(documents)
     sh = shingles(F.col("text"))
     return documents.select(
         "doc_id",

@@ -95,6 +95,10 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    from node_js_etl_processor_spark.catalog import spread
+
+    media = spread(media)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
