@@ -165,3 +165,22 @@ def test_trim_idempotent_on_output(spark, sf_dir):
     out = q_clean_project(customer)
     twice = out.select(F.trim("name").alias("name2"), "name")
     assert twice.filter(F.col("name") != F.col("name2")).count() == 0
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.functions.skew import salted_count, salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    fact = orders.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice")
+
+    plain = fact.join(customer, "c_custkey").select("o_orderkey", "c_mktsegment")
+    salted = salted_join(
+        fact, customer, key="c_custkey", entropy_col="o_orderkey", n_salts=4
+    ).select("o_orderkey", "c_mktsegment")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+    exact = {r["o_custkey"]: r["n"] for r in fact.groupBy(F.col("c_custkey").alias("o_custkey")).count().withColumnRenamed("count", "n").collect()}
+    got = {r["c_custkey"]: r["n"] for r in salted_count(fact, "c_custkey", "o_orderkey", 4).collect()}
+    assert got == exact

@@ -75,3 +75,57 @@ def test_file_stream_refresh_incremental(spark, tmp_path):
     staged = spark.read.parquet(out)
     assert staged.count() == 2  # incremental: batch1 not reprocessed
     assert {r["name"] for r in staged.collect()} == {"A U", "B U"}
+
+
+def test_stateful_profiles_persist_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-user state must carry over between
+    micro-batches (run 1 seeds state, run 2 on new files continues from
+    the checkpointed totals, not from zero)."""
+    import datetime as dt
+
+    from node_js_etl_processor_spark.streaming.stateful import running_user_profiles
+
+    src = tmp_path / "ev_src"
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    src.mkdir()
+    schema = "user_id long, ts timestamp, value double"
+
+    def land(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    t0 = dt.datetime(2024, 1, 1)
+    land([(1, t0, 10.0), (1, t0 + dt.timedelta(minutes=1), 5.0), (2, t0, 1.0)])
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            running_user_profiles(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # current snapshot = latest emission per user
+        rows = spark.read.parquet(out).collect()
+        best = {}
+        for r in rows:
+            if r["user_id"] not in best or r["lifetime_events"] > best[r["user_id"]]["lifetime_events"]:
+                best[r["user_id"]] = r
+        return best, len(rows)
+
+    got, n_rows = run()
+    assert got[1]["lifetime_events"] == 2 and got[1]["lifetime_value"] == 15.0
+    assert got[2]["lifetime_events"] == 1
+
+    land([(1, t0 + dt.timedelta(hours=1), 2.5)])
+    got, n_rows2 = run()
+    # cumulative across batches via checkpointed state, not batch-local
+    assert got[1]["lifetime_events"] == 3 and got[1]["lifetime_value"] == 17.5
+    assert got[2]["lifetime_events"] == 1
+    assert n_rows2 == n_rows + 1  # only user 1 re-emitted in batch 2
