@@ -116,3 +116,41 @@ def test_semi_anti_prunes_before_exchange(spark, sf_dir):
     ]
     orders_side = [s for s in read_schemas if "o_custkey" in s]
     assert orders_side and all("o_totalprice" not in s for s in orders_side)
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    """The as-of join must compile to union + window — ONE exchange on
+    the key and NO join operator at all (the formulation's entire
+    point; a range self-join would show BroadcastNestedLoopJoin)."""
+    from node_js_etl_processor_spark.operators import temporal
+
+    df = temporal.q_asof_join(load_table(spark, sf_dir, "events"))
+    plan = plan_text(df, "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    from node_js_etl_processor_spark.operators import temporal
+
+    df = temporal.q_range_join(load_table(spark, sf_dir, "events"))
+    plan = plan_text(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_sample_hash_is_narrow(spark, sf_dir):
+    df = relational.q_sample_hash(load_table(spark, sf_dir, "orders"))
+    plan = plan_text(df)
+    assert "Exchange" not in plan
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
+    df = relational.q_grouping_sets(load_table(spark, sf_dir, "orders"))
+    plan = plan_text(df, "simple")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
