@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
         "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
         "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
+        "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
         "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_binary_meta": _q(["documents"], q_binary_meta),
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
@@ -556,5 +557,5 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (engine-specific hashing / sketches / Python kernels,
         # asserted in tests/): q_dedup_minhash, q_dedup_simhash,
         # q_dedup_embedding, q_similarity_topk, q_similarity_ann,
-        # q_approx_distinct, q_multimodal_features
+        # q_similarity_ivf, q_approx_distinct, q_multimodal_features
     }

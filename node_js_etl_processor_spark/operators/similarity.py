@@ -216,3 +216,92 @@ def batch_cosine_pandas(embeddings: DataFrame, probe: list[float]) -> DataFrame:
     cos = pandas_udf(_cos, "double")
 
     return embeddings.select("vec_id", "label", F.round(cos(F.col("embedding")), 6).alias("cosine"))
+
+
+# ------------------------------------------------- IVF coarse quantization
+
+
+def _ivf_centroids(k: int, dim: int = DIM, seed: int = 0xC3) -> list[list[float]]:
+    """Deterministic pseudo-random unit centroids (splitmix64 hash →
+    [-1,1), L2-normalized). A production IVF trains these with k-means
+    over a sample; deterministic centroids keep the declared query
+    reproducible without an RNG or a training job."""
+    cents = []
+    for c in range(k):
+        row = []
+        for d in range(dim):
+            z = (seed + c * dim + d + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
+            z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+            z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
+            z ^= z >> 31
+            row.append((z / float(1 << 63)) - 1.0)
+        norm = math.sqrt(sum(v * v for v in row)) or 1.0
+        cents.append([v / norm for v in row])
+    return cents
+
+
+def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
+    """Assign each vector to its nearest (max cosine) coarse centroid.
+
+    One narrow projection — greatest-of-k dot products against literal
+    centroid arrays, all codegen. At 100 TB the assignment is computed
+    once at ingest and the table is partitioned/clustered BY cell, so a
+    probe reads only its cell's files (partition pruning), ~1/k of the
+    data.
+    """
+    cents = _ivf_centroids(n_cells)
+    emb = F.col("embedding").cast("array<double>")
+    scores = [
+        dot(emb, F.array(*[F.lit(v) for v in c])) / (l2_norm(emb) + F.lit(1e-12))
+        for c in cents
+    ]
+    best = F.lit(0)
+    best_score = scores[0]
+    for i in range(1, n_cells):
+        is_better = scores[i] > best_score
+        best = F.when(is_better, F.lit(i)).otherwise(best)
+        best_score = F.when(is_better, scores[i]).otherwise(best_score)
+    return embeddings.withColumn("cell", best.cast("int"))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe_cells: int = 2,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVF search: score only vectors in the ``n_probe_cells`` cells
+    whose centroids are closest to the probe (driver-side argmax over k
+    centroid dot products — the probe is the query argument).
+    """
+    cents = _ivf_centroids(n_cells)
+    pnorm = math.sqrt(sum(v * v for v in probe)) or 1.0
+    sims = [
+        (i, sum(a * b for a, b in zip(probe, c)) / pnorm) for i, c in enumerate(cents)
+    ]
+    probe_cells = [i for i, _ in sorted(sims, key=lambda t: -t[1])[:n_probe_cells]]
+
+    assigned = ivf_assign(embeddings, n_cells).filter(F.col("cell").isin(probe_cells))
+    if exclude_vec_id is not None:
+        assigned = assigned.filter(F.col("vec_id") != exclude_vec_id)
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        assigned.select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_similarity(F.col("embedding").cast("array<double>"), p), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def q_similarity_ivf(embeddings: DataFrame, k: int = 10) -> DataFrame:
+    """Declared query: IVF coarse-quantized approximate top-k for probe
+    vec_id=0 (rows-only check; recall vs exact asserted in tests)."""
+    probe = _probe_vector(embeddings, 0)
+    return ivf_topk(embeddings, probe, k=k, exclude_vec_id=0)
