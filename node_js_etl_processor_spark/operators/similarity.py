@@ -165,8 +165,10 @@ def q_dedup_embedding(embeddings: DataFrame, threshold: float = 0.30) -> DataFra
     threshold + 8 planes to keep the pipeline's output non-empty; a
     real near-dup deployment runs ≥0.9 with 16+ planes.
     """
+    from node_js_etl_processor_spark.catalog import spread
+
     planes = _srp_hyperplanes(8)
-    sigged = embeddings.select(
+    sigged = spread(embeddings).select(
         "vec_id", "embedding", srp_signature(F.col("embedding"), planes).alias("sig")
     )
     a, b = sigged.alias("a"), sigged.alias("b")
@@ -249,19 +251,21 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
     probe reads only its cell's files (partition pruning), ~1/k of the
     data.
     """
+    from node_js_etl_processor_spark.catalog import spread
+
     cents = _ivf_centroids(n_cells)
     emb = F.col("embedding").cast("array<double>")
-    scores = [
-        dot(emb, F.array(*[F.lit(v) for v in c])) / (l2_norm(emb) + F.lit(1e-12))
-        for c in cents
-    ]
-    best = F.lit(0)
-    best_score = scores[0]
-    for i in range(1, n_cells):
-        is_better = scores[i] > best_score
-        best = F.when(is_better, F.lit(i)).otherwise(best)
-        best_score = F.when(is_better, scores[i]).otherwise(best_score)
-    return embeddings.withColumn("cell", best.cast("int"))
+    # scores materialize into ONE array column before the argmax so each
+    # dot product is evaluated once — a chained-when argmax would inline
+    # every score expression into every comparison (k² blowup)
+    scores = F.array(
+        *[dot(emb, F.array(*[F.lit(v) for v in c])) / (l2_norm(emb) + F.lit(1e-12)) for c in cents]
+    )
+    with_scores = spread(embeddings).withColumn("_scores", scores)
+    return with_scores.withColumn(
+        "cell",
+        (F.array_position(F.col("_scores"), F.array_max(F.col("_scores"))) - 1).cast("int"),
+    ).drop("_scores")
 
 
 def ivf_topk(
