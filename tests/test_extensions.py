@@ -213,3 +213,35 @@ def test_ivf_recall_and_cell_partition(spark, sf_dir):
     # of the search space), and recall@10 with half the cells probed
     # should be non-trivial on near-random fixtures
     assert len(exact & {r["vec_id"] for r in got}) >= 3
+
+
+def test_upsert_snapshot_merge_semantics(spark):
+    from node_js_etl_processor_spark.operators.merge import delete_keys, upsert_snapshot
+
+    schema = "name string, state string, val long, updated_at long"
+    current = spark.createDataFrame(
+        [("A", "X", 1, 100), ("B", "Y", 2, 100), ("C", None, 3, 100)], schema
+    )
+    updates = spark.createDataFrame(
+        [("A", "X", 10, 200),   # newer: replaces
+         ("B", "Y", 20, 100),   # tie: update wins (upsert overwrite)
+         ("D", "Z", 40, 50)],   # new key: insert (even if "older")
+        schema,
+    )
+    got = {
+        (r["name"], r["state"]): (r["val"], r["updated_at"])
+        for r in upsert_snapshot(current, updates, ["name", "state"], "updated_at").collect()
+    }
+    assert got == {
+        ("A", "X"): (10, 200),
+        ("B", "Y"): (20, 100),
+        ("C", None): (3, 100),
+        ("D", "Z"): (40, 50),
+    }
+
+    after_del = delete_keys(
+        upsert_snapshot(current, updates, ["name", "state"], "updated_at"),
+        spark.createDataFrame([("A", "X")], "name string, state string"),
+        ["name", "state"],
+    )
+    assert {r["name"] for r in after_del.collect()} == {"B", "C", "D"}
