@@ -1,0 +1,133 @@
+"""Property-based checks (SURVEY.md §5.4, hypothesis).
+
+The core one is differential: the engine's universities transform vs a
+pure-Python model of the reference's JS semantics (reference
+server.js:65-97) over adversarial generated rows — empty vs whitespace
+vs null fields, null array elements, missing arrays. The alphabet is
+restricted to ASCII space as the only whitespace because Spark ``trim``
+strips only ' ' (a documented divergence from JS ``String.trim`` which
+also strips \\t/\\n/unicode spaces — irrelevant for the upstream data,
+where whitespace is spaces).
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from node_js_etl_processor_spark.schemas import UNIVERSITIES_RAW_SCHEMA
+from node_js_etl_processor_spark.universities import transform_universities
+
+TXT = st.one_of(st.none(), st.text(alphabet=" abX", max_size=6))
+ELEM = st.one_of(st.none(), st.text(alphabet=" dW.", max_size=5))
+ARR = st.one_of(st.none(), st.lists(ELEM, max_size=3))
+ROW = st.fixed_dictionaries(
+    {
+        "name": TXT,
+        "country": TXT,
+        "state-province": TXT,
+        "alpha_two_code": TXT,
+        "domains": ARR,
+        "web_pages": ARR,
+    }
+)
+
+
+def _js_truthy(x):
+    return x is not None and x != ""
+
+
+def _model(rows):
+    """Pure-Python mirror of F1 → P1..P5 → F2 (reference server.js:65-97,
+    with the engine's documented null-element divergence)."""
+    out = []
+    for u in rows:
+        if not (
+            _js_truthy(u["name"])
+            and _js_truthy(u["country"])
+            and isinstance(u["web_pages"], list)
+            and len(u["web_pages"]) > 0
+        ):
+            continue  # F1
+        clean = lambda x: x.strip(" ") if x is not None else None
+        t_or_n = lambda x: clean(x) if _js_truthy(x) else None
+        arr = lambda a: [clean(d) for d in a] if isinstance(a, list) else []
+        d, w = arr(u["domains"]), arr(u["web_pages"])
+        rec = (
+            clean(u["name"]),
+            clean(u["country"]),
+            t_or_n(u["state-province"]),
+            t_or_n(u["alpha_two_code"]),
+            tuple(d),
+            tuple(w),
+            d[0] if d else None,
+            w[0] if w else None,
+        )
+        if rec[0] == "" or rec[1] == "":
+            continue  # F2
+        out.append(rec)
+    return sorted(out, key=repr)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=st.lists(ROW, max_size=12))
+def test_transform_matches_js_model(spark, rows):
+    raw = spark.createDataFrame(
+        [tuple(r[f.name] for f in UNIVERSITIES_RAW_SCHEMA.fields) for r in rows],
+        UNIVERSITIES_RAW_SCHEMA,
+    )
+    got = sorted(
+        (
+            (
+                r["name"],
+                r["country"],
+                r["state_province"],
+                r["alpha_two_code"],
+                tuple(r["domains"]),
+                tuple(r["web_pages"]),
+                r["primary_domain"],
+                r["primary_website"],
+            )
+            for r in transform_universities(raw).collect()
+        ),
+        key=repr,
+    )
+    assert got == _model(rows)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(0, 3)),
+        max_size=8,
+    ),
+    ups=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(0, 3)),
+        max_size=8,
+    ),
+)
+def test_upsert_idempotent_and_key_unique(spark, base, ups):
+    """upsert(upsert(s,u),u) == upsert(s,u); result has unique keys."""
+    from node_js_etl_processor_spark.operators.merge import upsert_snapshot
+
+    schema = "k long, val long, ver long"
+    # make each side internally key-unique (snapshots are), latest ver wins
+    dedup = lambda rows: list({r[0]: r for r in sorted(rows, key=lambda t: t[2])}.values())
+    cur = spark.createDataFrame(dedup(base) or [(99, 0, 0)], schema)
+    upd = spark.createDataFrame(dedup(ups) or [(98, 0, 0)], schema)
+
+    once = upsert_snapshot(cur, upd, ["k"], "ver")
+    twice = upsert_snapshot(once, upd, ["k"], "ver")
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    keys = [t[0] for t in a]
+    assert len(keys) == len(set(keys))
