@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_quality": _q(["documents"], text.q_text_quality),
         "q_token_count": _q(["documents"], text.q_token_count),
         "q_fingerprint": _q(["documents"], text.q_fingerprint),
+        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
         "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
         "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
@@ -557,5 +558,6 @@ def oracle_sql() -> dict[str, str]:
         # rows-only (engine-specific hashing / sketches / Python kernels,
         # asserted in tests/): q_dedup_minhash, q_dedup_simhash,
         # q_dedup_embedding, q_similarity_topk, q_similarity_ann,
-        # q_similarity_ivf, q_approx_distinct, q_multimodal_features
+        # q_similarity_ivf, q_approx_distinct, q_multimodal_features,
+        # q_winnow_fingerprint
     }

@@ -4,12 +4,15 @@ Five dedup families over the ``documents`` table, each scale-designed:
 
 - **exact** — hash-groupBy on the full text (or its md5 fingerprint so
   the shuffle carries 16 bytes, not documents).
-- **MinHash + LSH** — shingle → k minhashes → band buckets →
-  within-bucket candidate pairs. Candidate generation is a self-join on
-  (band, bucket-hash): only colliding docs meet, never the O(n²) cross
-  product. All hashing is ``xxhash64`` (JVM, seeded) — deterministic.
-- **SimHash** — 64-bit signature from token-hash bit voting; near-dups
-  collide on band substrings of the signature.
+- **MinHash + LSH** (Broder, "On the resemblance and containment of
+  documents", 1997; banding per Leskovec/Rajaraman/Ullman MMDS ch.3) —
+  shingle → k minhashes → band buckets → within-bucket candidate
+  pairs. Candidate generation is a self-join on (band, bucket-hash):
+  only colliding docs meet, never the O(n²) cross product. All hashing
+  is ``xxhash64`` (JVM, seeded) — deterministic.
+- **SimHash** (Charikar, "Similarity estimation techniques from
+  rounding algorithms", STOC 2002) — 64-bit signature from token-hash
+  bit voting; near-dups collide on band substrings of the signature.
 - **n-gram Jaccard** — exact Jaccard over shingle sets for candidate
   pairs produced by LSH (verification stage of the standard pipeline).
 - **embedding cosine** — near-dup via random-hyperplane LSH buckets over

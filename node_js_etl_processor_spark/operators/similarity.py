@@ -8,13 +8,16 @@ label)``:
    correctness baseline; O(n·d) scan, no shuffle, embarrassingly
    parallel — at 100 TB it is bounded by scan bandwidth, which is the
    right baseline to beat.
-2. **Random-hyperplane LSH (SRP) buckets** — sign-bit signature via
-   deterministic pseudo-random hyperplanes, candidates restricted to
-   the probe's bucket (± multiprobe). The scale path: touches only
-   colliding partitions.
-3. **IVF-style coarse quantization** — assign each vector to the
-   nearest of k deterministic centroids (label-seeded), search only the
-   probe's cell. Implemented as assignment + partition-pruned scan.
+2. **Random-hyperplane LSH (SRP) buckets** (Charikar STOC 2002 sign-
+   random-projection; multiprobe per Lv et al., VLDB 2007) — sign-bit
+   signature via deterministic pseudo-random hyperplanes, candidates
+   restricted to the probe's bucket (± multiprobe). The scale path:
+   touches only colliding partitions.
+3. **IVF-style coarse quantization** (the inverted-file coarse layer of
+   Jégou et al., "Product quantization for nearest neighbor search",
+   TPAMI 2011) — assign each vector to the nearest of k deterministic
+   centroids, search only the probe's nearest cells. Implemented as
+   assignment + partition-pruned scan.
 4. **Vectorized pandas_udf scoring** — Arrow-batched NumPy dot products
    for wide rescoring where BLAS beats codegen; used by the batch
    variant, never required for correctness.

@@ -150,3 +150,54 @@ def q_fingerprint(documents: DataFrame) -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_dups"))
     )
+
+
+# ------------------------------------------------------------- winnowing
+
+
+def winnow_hashes(text: Column, k: int = 8, w: int = 4) -> Column:
+    """Winnowing fingerprint set (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every character k-gram, then keep the minimum
+    hash of each sliding window of w consecutive gram-hashes — the
+    distinct minima are the document's fingerprint set, guaranteeing
+    any shared substring of length ≥ k+w-1 produces a shared
+    fingerprint.
+
+    ``xxhash64`` per k-gram stands in for the Karp-Rabin rolling hash
+    (same selected-minima semantics; the rolling recurrence is an
+    evaluation-cost optimization that whole-stage codegen does not
+    need at these gram sizes). All array ops are narrow — no shuffle.
+    """
+    t = F.lower(F.regexp_replace(text, r"\s+", " "))
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.xxhash64(F.substr(t, i, F.lit(k))),
+    )
+    n_windows = F.greatest(F.size(grams) - (w - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        )
+    )
+
+
+def q_winnow_fingerprint(documents: DataFrame) -> DataFrame:
+    """Declared query: winnowing document fingerprints — per-doc
+    fingerprint-set size and a set signature (md5 of the sorted minima)
+    under which exact and near-boilerplate duplicates collide.
+
+    rows-only check (xxhash64 is engine-specific); determinism and
+    dup-collision asserted in tests. Scale: one narrow codegen pass;
+    at 100 TB the fingerprint set is computed at ingest and stored,
+    and plagiarism/overlap queries become joins on exploded minima.
+    """
+    from node_js_etl_processor_spark.catalog import spread
+
+    mins = winnow_hashes(F.col("text"))
+    return spread(documents).select(
+        "doc_id",
+        F.size(mins).cast("bigint").alias("n_fingerprints"),
+        F.md5(F.array_join(F.array_sort(mins), ",")).alias("winnow_sig"),
+    )

@@ -245,3 +245,29 @@ def test_upsert_snapshot_merge_semantics(spark):
         ["name", "state"],
     )
     assert {r["name"] for r in after_del.collect()} == {"B", "C", "D"}
+
+
+def test_winnowing_fingerprint_properties(spark):
+    """Winnowing: identical docs share the signature; a doc sharing a
+    long substring shares fingerprints; disjoint docs don't collide."""
+    from node_js_etl_processor_spark.operators.text import q_winnow_fingerprint, winnow_hashes
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    other = "completely different content with zero overlapping character sequences"
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, base + " extra tail"), (3, other)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in q_winnow_fingerprint(docs).collect()}
+    assert out[0]["winnow_sig"] == out[1]["winnow_sig"]  # exact dup collides
+    assert out[0]["winnow_sig"] != out[3]["winnow_sig"]
+    assert all(r["n_fingerprints"] > 0 for r in out.values())
+
+    sets = {
+        r["doc_id"]: set(r["mins"])
+        for r in docs.select("doc_id", winnow_hashes(F.col("text")).alias("mins")).collect()
+    }
+    # shared-substring guarantee: doc 2 extends doc 0, so overlap is high
+    inter = len(sets[0] & sets[2]) / len(sets[0] | sets[2])
+    assert inter > 0.7
+    assert len(sets[0] & sets[3]) == 0
