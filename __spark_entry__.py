@@ -78,6 +78,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_date_buckets": _q(["events"], relational.q_date_buckets),
         "q_json_props": _q(["events"], relational.q_json_props),
         "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
+        "q_unpivot": _q(["orders"], relational.q_unpivot),
+        "q_shipping_priority": _q(
+            ["customer", "orders", "lineitem"], relational.q_shipping_priority
+        ),
         "q_explode_words": _q(["part"], relational.q_explode_words),
         "q_percentiles": _q(["lineitem"], relational.q_percentiles),
         "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
@@ -472,6 +476,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS content_sha
             FROM documents
+        """,
+        "q_unpivot": """
+            WITH wide AS (
+              SELECT o_orderstatus,
+                     CAST(count(*) AS DOUBLE) AS n_orders,
+                     round(sum(o_totalprice), 2) AS sum_price,
+                     round(avg(o_totalprice), 4) AS avg_price
+              FROM orders GROUP BY o_orderstatus
+            )
+            SELECT o_orderstatus, metric, value
+            FROM wide
+            UNPIVOT (value FOR metric IN (n_orders, sum_price, avg_price))
+        """,
+        "q_shipping_priority": """
+            SELECT o_orderkey AS orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   o_orderpriority AS orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, orderkey ASC
+            LIMIT 10
         """,
         "q_grouping_sets": """
             SELECT o_orderstatus, o_orderpriority,

@@ -591,3 +591,65 @@ def q_sample_hash(orders: DataFrame) -> DataFrame:
     return orders.filter(bucket < 10).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
+
+
+def q_unpivot(orders: DataFrame) -> DataFrame:
+    """Unpivot/melt (the inverse of q_pivot): per-status order counts
+    and price sums as (status, metric, value) long-form rows via
+    ``unpivot`` (SQL ``stack``/``UNPIVOT``).
+
+    Scale: unpivot is a narrow Expand (k output rows per input row,
+    no shuffle); the only exchange is the small pre-aggregation.
+    """
+    wide = orders.groupBy("o_orderstatus").agg(
+        F.count("*").cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "sum_price", "avg_price"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def q_shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H Q3 shape: 3-way fact join with selective filters on every
+    side, revenue aggregation, top-10 by revenue — the canonical join-
+    ordering + pushdown + top-k stress query.
+
+    Scale: filters prune each side BEFORE the joins (pushed to scans);
+    customer (filtered to one segment) is far smaller than lineitem, so
+    Catalyst/AQE broadcast it; the final top-k is TakeOrderedAndProject,
+    never a global sort. One shuffle pair for the orders⋈lineitem join
+    keyed on orderkey, one for the aggregation.
+    """
+    cutoff = "1998-06-15"  # mid-range of the fixture's 1995-2001 dates
+    c = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    l = lineitem.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )

@@ -154,3 +154,18 @@ def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
     assert plan.count("Expand") == 1
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_shipping_priority_broadcasts_and_topk(spark, sf_dir):
+    df = relational.q_shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    plan = plan_text(df)
+    assert "BroadcastHashJoin" in plan  # filtered customer never shuffles facts
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+    # date filters reach both fact scans
+    pushed = plan.split("PushedFilters")
+    assert any("o_orderdate" in seg.split("\n")[0] for seg in pushed[1:])
+    assert any("l_shipdate" in seg.split("\n")[0] for seg in pushed[1:])
