@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_props": _q(["events"], relational.q_json_props),
         "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
         "q_unpivot": _q(["orders"], relational.q_unpivot),
+        "q_collect_agg": _q(["orders"], relational.q_collect_agg),
         "q_shipping_priority": _q(
             ["customer", "orders", "lineitem"], relational.q_shipping_priority
         ),
@@ -476,6 +477,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS content_sha
             FROM documents
+        """,
+        "q_collect_agg": """
+            SELECT o_orderpriority,
+                   string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+                   count(DISTINCT o_orderstatus) AS n_statuses
+            FROM orders
+            GROUP BY o_orderpriority
         """,
         "q_unpivot": """
             WITH wide AS (

@@ -653,3 +653,19 @@ def q_shipping_priority(
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
         .limit(10)
     )
+
+
+def q_collect_agg(orders: DataFrame) -> DataFrame:
+    """Collection aggregation: per priority, the sorted distinct set of
+    order statuses (collect_set → array_sort → join) and a status
+    cardinality — exercises set-valued aggregation buffers.
+
+    Scale: collect_set buffers grow with per-group distinct cardinality
+    (3 here); for high-cardinality sets use the salted two-phase
+    pattern (functions/skew.py) or a sketch. Output is flattened to a
+    CSV string so the oracle comparison is engine-neutral.
+    """
+    return orders.groupBy("o_orderpriority").agg(
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
