@@ -155,25 +155,34 @@ def q_fingerprint(documents: DataFrame) -> DataFrame:
 # ------------------------------------------------------------- winnowing
 
 
-def winnow_hashes(text: Column, k: int = 8, w: int = 4) -> Column:
-    """Winnowing fingerprint set (Schleimer, Wilkerson & Aiken,
-    SIGMOD 2003): hash every character k-gram, then keep the minimum
-    hash of each sliding window of w consecutive gram-hashes — the
-    distinct minima are the document's fingerprint set, guaranteeing
-    any shared substring of length ≥ k+w-1 produces a shared
-    fingerprint.
+def gram_hashes(text: Column, k: int = 8) -> Column:
+    """Character k-gram hashes of the whitespace-normalized text.
 
     ``xxhash64`` per k-gram stands in for the Karp-Rabin rolling hash
     (same selected-minima semantics; the rolling recurrence is an
-    evaluation-cost optimization that whole-stage codegen does not
-    need at these gram sizes). All array ops are narrow — no shuffle.
+    evaluation-cost optimization whole-stage codegen does not need at
+    these gram sizes).
     """
     t = F.lower(F.regexp_replace(text, r"\s+", " "))
     n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
-    grams = F.transform(
+    return F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.xxhash64(F.substr(t, i, F.lit(k))),
     )
+
+
+def winnow_minima(grams: Column, w: int = 4) -> Column:
+    """Winnowing selection (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    the distinct minima of every sliding window of ``w`` consecutive
+    gram-hashes — guaranteeing any shared substring of length ≥ k+w-1
+    produces a shared fingerprint.
+
+    CRITICAL eval-cost contract: ``grams`` MUST be a bound column
+    reference (select ``gram_hashes`` into a column first), not an
+    inline expression — an inline expression tree is re-evaluated for
+    EVERY window index inside the lambda, turning the per-doc cost from
+    O(n·w) into O(n²).
+    """
     n_windows = F.greatest(F.size(grams) - (w - 1), F.lit(1))
     return F.array_distinct(
         F.transform(
@@ -195,8 +204,11 @@ def q_winnow_fingerprint(documents: DataFrame) -> DataFrame:
     """
     from node_js_etl_processor_spark.catalog import spread
 
-    mins = winnow_hashes(F.col("text"))
-    return spread(documents).select(
+    grams = spread(documents).select(
+        "doc_id", gram_hashes(F.col("text")).alias("grams")
+    )
+    mins = winnow_minima(F.col("grams"))
+    return grams.select(
         "doc_id",
         F.size(mins).cast("bigint").alias("n_fingerprints"),
         F.md5(F.array_join(F.array_sort(mins), ",")).alias("winnow_sig"),

@@ -250,7 +250,11 @@ def test_upsert_snapshot_merge_semantics(spark):
 def test_winnowing_fingerprint_properties(spark):
     """Winnowing: identical docs share the signature; a doc sharing a
     long substring shares fingerprints; disjoint docs don't collide."""
-    from node_js_etl_processor_spark.operators.text import q_winnow_fingerprint, winnow_hashes
+    from node_js_etl_processor_spark.operators.text import (
+        gram_hashes,
+        q_winnow_fingerprint,
+        winnow_minima,
+    )
 
     base = "the quick brown fox jumps over the lazy dog near the river bank today"
     other = "completely different content with zero overlapping character sequences"
@@ -265,7 +269,9 @@ def test_winnowing_fingerprint_properties(spark):
 
     sets = {
         r["doc_id"]: set(r["mins"])
-        for r in docs.select("doc_id", winnow_hashes(F.col("text")).alias("mins")).collect()
+        for r in docs.select("doc_id", gram_hashes(F.col("text")).alias("grams"))
+        .select("doc_id", winnow_minima(F.col("grams")).alias("mins"))
+        .collect()
     }
     # shared-substring guarantee: doc 2 extends doc 0, so overlap is high
     inter = len(sets[0] & sets[2]) / len(sets[0] | sets[2])
