@@ -54,9 +54,19 @@ def q_dedup_docs(documents: DataFrame) -> DataFrame:
 # ----------------------------------------------------------- minhash + lsh
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as distinct strings."""
-    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as distinct strings.
+
+    Eval-cost contract (same as text.winnow_minima): ``toks`` MUST be a
+    bound column reference, not an inline expression — the lambda below
+    references it once per shingle index, so an inline token expression
+    would re-split the text O(T) times (O(T²) per doc).
+    """
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
@@ -78,8 +88,10 @@ def minhash_signatures(
     Returns (doc_id, h0..h{k-1}).
     """
     documents = spread(documents)
-    sh = documents.select(
-        "doc_id", F.explode(shingles(F.col("text"), shingle_n)).alias("shingle")
+    toked = documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = toked.select(
+        "doc_id",
+        F.explode(shingles_from_tokens(F.col("toks"), shingle_n)).alias("shingle"),
     )
     return sh.groupBy("doc_id").agg(
         *[
@@ -153,7 +165,9 @@ def q_dedup_minhash(documents: DataFrame) -> DataFrame:
     """
     documents = spread(documents)
     cands = minhash_candidates(documents)
-    sh = documents.select("doc_id", shingles(F.col("text")).alias("sh"))
+    sh = documents.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", shingles_from_tokens(F.col("toks")).alias("sh")
+    )
     return (
         cands.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -280,12 +294,9 @@ def q_dedup_ngram(documents: DataFrame) -> DataFrame:
     stats; full pairwise Jaccard lives in q_dedup_minhash's verify
     stage).
     """
-    documents = spread(documents)
-    sh = shingles(F.col("text"))
-    return documents.select(
+    toked = spread(documents).select("doc_id", tokens(F.col("text")).alias("toks"))
+    return toked.select(
         "doc_id",
-        F.size(sh).cast("bigint").alias("n_shingles"),
-        F.size(F.array_distinct(F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")))
-        .cast("bigint")
-        .alias("n_distinct_tokens"),
+        F.size(shingles_from_tokens(F.col("toks"))).cast("bigint").alias("n_shingles"),
+        F.size(F.array_distinct(F.col("toks"))).cast("bigint").alias("n_distinct_tokens"),
     )
