@@ -190,44 +190,42 @@ def q_dedup_minhash(documents: DataFrame) -> DataFrame:
 def simhash_signatures(documents: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document from token xxhash64 bit-voting.
 
-    Plan shape (scale-deliberate): explode distinct tokens → one
-    xxhash64 per token → a single groupBy(doc_id) computing all 64 bit
-    votes as parallel SUM aggregates (map-side partial agg, shuffle
-    carries 64 ints per doc per partition) → signature assembled from
-    the votes with literal shifts. Everything is codegen'd; no UDFs.
+    Plan shape (scale-deliberate): SHUFFLE-FREE. The distinct-token
+    hash array binds to a column (eval-cost contract, see
+    shingles_from_tokens), then each of the 64 bit votes is an O(T)
+    array aggregate over that bound column and the signature is
+    assembled bit-wise — one narrow codegen projection per document,
+    zero exchanges. (The earlier explode → groupBy(64 sums) → join-back
+    formulation paid two shuffles and a join for the same arithmetic.)
 
     Returns (doc_id, sig bigint); token-less docs get sig=0.
     """
-    documents = spread(documents)
-    toks = F.array_distinct(
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    hashed = spread(documents).select(
+        "doc_id",
+        F.transform(F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)).alias(
+            "ht"
+        ),
     )
-    exploded = documents.select("doc_id", F.explode(toks).alias("tok")).withColumn(
-        "h", F.xxhash64("tok")
-    )
-    votes = exploded.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
-                    -1
-                )
-            ).alias(f"b{i}")
-            for i in range(64)
-        ]
+    def _vote(i: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    with_votes = hashed.select(
+        "doc_id",
+        F.array(
+            *[F.aggregate(F.col("ht"), F.lit(0), _vote(i)) for i in range(64)]
+        ).alias("votes"),
     )
     sig = F.lit(0).cast("bigint")
     for i in range(64):
         sig = sig.bitwiseOR(
             F.shiftleft(
-                F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"), i
+                F.when(F.col("votes")[i] > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+                i,
             )
         )
-    sigs = votes.select("doc_id", sig.alias("sig"))
-    return (
-        documents.select("doc_id")
-        .join(sigs, "doc_id", "left")
-        .select("doc_id", F.coalesce("sig", F.lit(0).cast("bigint")).alias("sig"))
-    )
+    return with_votes.select("doc_id", sig.alias("sig"))
 
 
 def q_dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -242,11 +240,47 @@ def q_dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     keeps the shuffle proportional to true duplicates, not collisions.
 
     rows-only check; deterministic via xxhash64.
+
+    Scale design — the band join runs over DISTINCT signatures, not
+    docs: duplicate-heavy corpora put g docs on one signature, and a
+    doc-level self-join materializes C(g,2) identical-sig pairs inside
+    the join (quadratic in group size, exactly where skew is worst).
+    Joining the ~unique signature set sidesteps that blowup; doc pairs
+    are reconstructed afterwards by mapping signatures back to their
+    doc lists — intra-signature groups expand pairs directly from the
+    grouped doc array (linear join, output-bounded expansion).
     """
     sigs = simhash_signatures(documents)
-    banded = sigs.select(
-        "doc_id",
+
+    # signature → sorted member docs (one row per distinct signature)
+    groups = sigs.groupBy("sig").agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+
+    # 1) intra-signature pairs: hamming 0, expanded from each group
+    intra = (
+        groups.filter(F.size("docs") > 1)
+        .select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("docs"),
+                            lambda a: F.transform(
+                                F.col("docs"),
+                                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                            ),
+                        )
+                    ),
+                    lambda p: p["doc_a"] < p["doc_b"],
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b", F.lit(0).cast("bigint").alias("hamming"))
+    )
+
+    # 2) cross-signature pairs: band join over distinct signatures
+    banded = groups.select(
         "sig",
+        "docs",
         F.explode(
             F.array(
                 *[
@@ -260,26 +294,45 @@ def q_dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    ).select("sig", "docs", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
     a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    sig_pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.sig") < F.col("b.sig")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+            F.col("a.docs").alias("docs_a"),
+            F.col("b.docs").alias("docs_b"),
             F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
             .cast("bigint")
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        .dropDuplicates(["sig_a", "sig_b"])  # same sig pair may collide in >1 band
     )
-    return pairs.orderBy("doc_a", "doc_b")
+    cross = sig_pairs.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("docs_a"),
+                    lambda x: F.transform(
+                        F.col("docs_b"),
+                        lambda y: F.struct(
+                            F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p"),
+        "hamming",
+    ).select("p.doc_a", "p.doc_b", "hamming")
+
+    return intra.unionByName(cross).orderBy("doc_a", "doc_b")
 
 
 # ------------------------------------------------------- n-gram jaccard
