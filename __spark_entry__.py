@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
         "q_unpivot": _q(["orders"], relational.q_unpivot),
         "q_collect_agg": _q(["orders"], relational.q_collect_agg),
+        "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
         "q_shipping_priority": _q(
             ["customer", "orders", "lineitem"], relational.q_shipping_priority
         ),
@@ -477,6 +478,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS content_sha
             FROM documents
+        """,
+        "q_window_rank_funcs": """
+            SELECT c_custkey, c_mktsegment,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal DESC, c_custkey ASC)
         """,
         "q_collect_agg": """
             SELECT o_orderpriority,

@@ -669,3 +669,25 @@ def q_collect_agg(orders: DataFrame) -> DataFrame:
         F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias("statuses"),
         F.countDistinct("o_orderstatus").alias("n_statuses"),
     )
+
+
+def q_window_rank_funcs(customer: DataFrame) -> DataFrame:
+    """Ranking-function family over one window spec: rank, dense_rank,
+    percent_rank, ntile(4), cume_dist per market segment by balance.
+
+    Scale: all five share a single (partition, order) spec → ONE
+    Window operator, ONE exchange; adding functions to a shared spec
+    is free.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

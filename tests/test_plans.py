@@ -169,3 +169,38 @@ def test_shipping_priority_broadcasts_and_topk(spark, sf_dir):
     pushed = plan.split("PushedFilters")
     assert any("o_orderdate" in seg.split("\n")[0] for seg in pushed[1:])
     assert any("l_shipdate" in seg.split("\n")[0] for seg in pushed[1:])
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Tables bucketed on the join key must join with ZERO exchanges —
+    the on-disk layout satisfies the distribution requirement (the
+    persistent co-location lever for 100 TB fact-fact joins)."""
+    from node_js_etl_processor_spark.sources.bucketed import read_table, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed(orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+                   "b_orders", ["o_custkey"], n_buckets=4)
+    write_bucketed(customer.select("c_custkey", "c_mktsegment"),
+                   "b_customer", ["c_custkey"], n_buckets=4)
+    try:
+        bo, bc = read_table(spark, "b_orders"), read_table(spark, "b_customer")
+        joined = bo.join(
+            bc.hint("shuffle_merge"), bo.o_custkey == bc.c_custkey
+        ).select("o_orderkey", "c_mktsegment")
+        plan = plan_text(joined)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        # correctness unchanged vs the unbucketed join
+        base = orders.join(customer, orders.o_custkey == customer.c_custkey).count()
+        assert joined.count() == base
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_rank_funcs_share_one_window(spark, sf_dir):
+    df = relational.q_window_rank_funcs(load_table(spark, sf_dir, "customer"))
+    plan = plan_text(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
