@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot": _q(["orders"], relational.q_unpivot),
         "q_collect_agg": _q(["orders"], relational.q_collect_agg),
         "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
+        "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
         "q_shipping_priority": _q(
             ["customer", "orders", "lineitem"], relational.q_shipping_priority
         ),
@@ -478,6 +479,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS content_sha
             FROM documents
+        """,
+        "q_null_safe_join": """
+            WITH keyed AS (
+              SELECT c_custkey,
+                     CASE WHEN c_nationkey < 13 THEN c_nationkey END AS bucket
+              FROM customer
+              WHERE c_custkey % 10 = 0
+            )
+            SELECT a.bucket, count(*) AS n_pairs
+            FROM keyed a
+            JOIN keyed b
+              ON a.bucket IS NOT DISTINCT FROM b.bucket
+             AND a.c_custkey < b.c_custkey
+            GROUP BY a.bucket
         """,
         "q_window_rank_funcs": """
             SELECT c_custkey, c_mktsegment,

@@ -691,3 +691,33 @@ def q_window_rank_funcs(customer: DataFrame) -> DataFrame:
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+def q_null_safe_join(customer: DataFrame) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): pair
+    customers whose nullable "region bucket" matches INCLUDING the
+    null==null case, which a plain equi-join silently drops.
+
+    The bucket derives a nullable key (nation 13+ → null) so the
+    fixture exercises both arms; the input is restricted to every 10th
+    customer because the query's output is pair COUNTS — a self-join's
+    pair volume is quadratic per key group and the unrestricted null
+    group alone would stream ~26M pairs at sf0.1 for no extra semantic
+    coverage. Scale note: eqNullSafe compiles to a regular hash-join
+    key (null hashes to a bucket like any value) — same shuffle shape
+    as ``=``, no nested loop.
+    """
+    keyed = customer.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.when(F.col("c_nationkey") < 13, F.col("c_nationkey")).alias("bucket"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.bucket").eqNullSafe(F.col("b.bucket"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.count("*").alias("n_pairs"))
+    )

@@ -129,3 +129,38 @@ def test_stateful_profiles_persist_across_batches(spark, tmp_path):
     assert got[1]["lifetime_events"] == 3 and got[1]["lifetime_value"] == 17.5
     assert got[2]["lifetime_events"] == 1
     assert n_rows2 == n_rows + 1  # only user 1 re-emitted in batch 2
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream attribution join must equal the equivalent batch
+    join over the same data."""
+    import datetime as dt
+
+    from node_js_etl_processor_spark.streaming.joins import clicks_to_purchases
+
+    schema = "user_id long, ts timestamp, event_id long"
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    clicks = [(1, t0, 100), (1, t0 + 40 * m, 101), (2, t0, 102)]
+    purchases = [(1, t0 + 50 * m, 200), (2, t0 + 31 * m, 201)]
+    # expected: click 101 -> purchase 200 (10 min gap); click 100 is 50
+    # min before 200 (outside 30-min window); user 2's click is 31 min
+    # before purchase 201 (outside); so exactly ONE attributed pair.
+    c_src, p_src = str(tmp_path / "c"), str(tmp_path / "p")
+    spark.createDataFrame(clicks, schema).write.parquet(c_src)
+    spark.createDataFrame(purchases, schema).write.parquet(p_src)
+
+    joined = clicks_to_purchases(
+        spark.readStream.schema(schema).parquet(c_src),
+        spark.readStream.schema(schema).parquet(p_src),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [(r["purchase_id"], r["click_id"]) for r in spark.table("attrib").collect()]
+    assert got == [(200, 101)]
