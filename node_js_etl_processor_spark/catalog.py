@@ -30,9 +30,6 @@ TABLES: tuple[str, ...] = (
     "embeddings",
 )
 
-#: Small dimension tables that should always be broadcast in joins.
-BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation", "supplier"})
-
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
