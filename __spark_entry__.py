@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_collect_agg": _q(["orders"], relational.q_collect_agg),
         "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
         "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
+        "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
+        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
         "q_shipping_priority": _q(
             ["customer", "orders", "lineitem"], relational.q_shipping_priority
         ),
@@ -479,6 +481,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                    sha256(text) AS content_sha
             FROM documents
+        """,
+        "q_argmax_agg": """
+            SELECT c_mktsegment,
+                   arg_max(c_custkey, round(c_acctbal * 1000000) + c_custkey) AS top_custkey,
+                   round(max(c_acctbal), 2) AS top_acctbal,
+                   arg_min(c_custkey, round(c_acctbal * 1000000) + c_custkey) AS bottom_custkey,
+                   round(min(c_acctbal), 2) AS bottom_acctbal
+            FROM customer
+            GROUP BY c_mktsegment
+        """,
+        "q_scalar_subquery": """
+            WITH c AS (
+              SELECT o_orderkey, o_custkey, o_totalprice,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ),
+            a AS (
+              SELECT o_custkey,
+                     CAST(sum(cents) AS BIGINT) AS sum_cents,
+                     count(*) AS n_orders
+              FROM c GROUP BY o_custkey
+            )
+            SELECT o_orderkey, c.o_custkey, o_totalprice, sum_cents, n_orders
+            FROM c JOIN a ON c.o_custkey = a.o_custkey
+            WHERE cents * n_orders > sum_cents
         """,
         "q_null_safe_join": """
             WITH keyed AS (

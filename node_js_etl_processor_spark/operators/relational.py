@@ -721,3 +721,51 @@ def q_null_safe_join(customer: DataFrame) -> DataFrame:
         .groupBy(F.col("a.bucket").alias("bucket"))
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+def q_argmax_agg(customer: DataFrame) -> DataFrame:
+    """Argmax/argmin aggregation (max_by/min_by): per market segment,
+    the customer holding the max and min balance.
+
+    Scale: max_by keeps one (value, arg) pair per group per partition —
+    same partial-aggregation shape as plain max, no sort, no window.
+    Deterministic under ties: the ordering value folds the key into the
+    number (round(acctbal·10⁶) + custkey — exact in doubles up to 2⁵³,
+    and DuckDB's arg_max accepts only scalar ordering keys, so a struct
+    tiebreak is not portable).
+    """
+    by = F.round(F.col("c_acctbal") * 1_000_000) + F.col("c_custkey")
+    return customer.groupBy("c_mktsegment").agg(
+        F.max_by("c_custkey", by).alias("top_custkey"),
+        F.round(F.max("c_acctbal"), 2).alias("top_acctbal"),
+        F.min_by("c_custkey", by).alias("bottom_custkey"),
+        F.round(F.min("c_acctbal"), 2).alias("bottom_acctbal"),
+    )
+
+
+def q_scalar_subquery(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Correlated-subquery pattern: orders priced above their
+    customer's average order value. DataFrame form: the per-customer
+    aggregate (the decorrelated subquery) joins back to the fact —
+    which is exactly how Catalyst decorrelates the SQL form.
+
+    Exactness note: the "above average" comparison runs in integer
+    cents (``price·n > Σprices``) and the aggregate is emitted as
+    (sum_cents, n_orders), NOT a rounded float average — per-group
+    money averages with small denominators land exactly on rounding
+    half-way points, where a 1-ulp summation-order difference between
+    engines flips the rounded digit (observed at sf0.01).
+
+    Scale: two shuffles on o_custkey (agg + join); AQE may demote the
+    small aggregated side to broadcast at runtime.
+    """
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    with_cents = orders.withColumn("cents", cents)
+    per_cust = with_cents.groupBy("o_custkey").agg(
+        F.sum("cents").alias("sum_cents"), F.count("*").alias("n_orders")
+    )
+    return (
+        with_cents.join(per_cust, "o_custkey")
+        .filter(F.col("cents") * F.col("n_orders") > F.col("sum_cents"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "sum_cents", "n_orders")
+    )

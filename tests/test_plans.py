@@ -204,3 +204,20 @@ def test_rank_funcs_share_one_window(spark, sf_dir):
     plan = plan_text(df, "simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Window") == 1
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-partitioned layout must turn an equality filter into a
+    PartitionFilters entry — the scan lists ONLY the matching
+    directory (at 100 TB: the difference between reading one
+    partition and the whole table)."""
+    events = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    events.write.partitionBy("event_type").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = plan_text(back)
+    pf = plan.split("PartitionFilters")[1].split("\n")[0] if "PartitionFilters" in plan else ""
+    assert "event_type" in pf
+    # and the data filter does NOT appear as a post-scan Filter on rows
+    assert back.count() == events.filter(F.col("event_type") == "purchase").count()
