@@ -221,3 +221,18 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert "event_type" in pf
     # and the data filter does NOT appear as a post-scan Filter on rows
     assert back.count() == events.filter(F.col("event_type") == "purchase").count()
+
+
+def test_no_declared_query_uses_nested_loop_or_cartesian(spark, sf_dir):
+    """Global invariant over the WHOLE declared query set: no plan may
+    contain a CartesianProduct or BroadcastNestedLoopJoin — every join
+    in the engine is keyed (equi/bucketed/banded). Guards future
+    queries against accidental theta-join plans."""
+    import __spark_entry__ as entrymod
+
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        plan = plan_text(fn(spark, sf_dir), "simple")
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
