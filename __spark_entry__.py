@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": _q(["documents"], text.q_token_count),
         "q_fingerprint": _q(["documents"], text.q_fingerprint),
         "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
+        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
         "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
         "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
@@ -422,6 +423,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len({toks}) AS BIGINT) AS ws_tokens,
                    CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS est_bpe_tokens
             FROM documents
+        """,
+        "q_corpus_pipeline": f"""
+            WITH quality AS (
+              SELECT doc_id, lang, text,
+                     CAST(len({toks}) AS BIGINT) AS n_tokens,
+                     CASE WHEN length(text) > 0
+                          THEN CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                               / length(text) ELSE 0.0 END AS punct_ratio
+              FROM documents
+            ),
+            filtered AS (
+              SELECT * FROM quality WHERE n_tokens >= 5 AND punct_ratio < 0.2
+            ),
+            keeper AS (
+              SELECT doc_id, lang, text, n_tokens
+              FROM (
+                SELECT *, row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) AS rn
+                FROM filtered
+              ) WHERE rn = 1
+            ),
+            sampled AS (
+              SELECT * FROM keeper
+              WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    % 100 < 50
+            )
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   min(doc_id) AS min_doc_id
+            FROM sampled
+            GROUP BY lang
         """,
         "q_fingerprint": f"""
             SELECT {fp} AS fp,

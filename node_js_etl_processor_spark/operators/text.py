@@ -213,3 +213,43 @@ def q_winnow_fingerprint(documents: DataFrame) -> DataFrame:
         F.size(mins).cast("bigint").alias("n_fingerprints"),
         F.md5(F.array_join(F.array_sort(mins), ",")).alias("winnow_sig"),
     )
+
+
+def q_corpus_pipeline(documents: DataFrame) -> DataFrame:
+    """Capstone composition — the canonical LLM training-data prep
+    pipeline as ONE declared query: quality filter → exact dedup
+    (keep min doc_id per fingerprint) → deterministic 50% hash sample
+    → per-language document/token accounting.
+
+    Each stage is the already-tested operator (quality_features,
+    fingerprint, md5 hash-sampling, token_count) — the point is that
+    they COMPOSE into a single Catalyst plan: filter and projection
+    push into the scan, the dedup window shuffles 16-byte digests, the
+    sample is a narrow filter, and the final aggregation is partial.
+    At 100 TB this plan is two keyed exchanges end to end.
+    """
+    from pyspark.sql.window import Window
+
+    q = quality_features(F.col("text"))
+    filtered = documents.filter(
+        (q["n_tokens"] >= 5) & (F.coalesce(q["punct_ratio"], F.lit(0.0)) < 0.2)
+    )
+    fp = filtered.withColumn("fp", fingerprint(F.col("text")))
+    keeper = (
+        fp.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    sample_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    sampled = keeper.filter(sample_bucket < 50)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
