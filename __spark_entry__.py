@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
+        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
         "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
         "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
         "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
@@ -680,9 +681,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events, (VALUES ('day'), ('hour')) g(grain)
             GROUP BY 1, 2, 3, 4
         """,
-        # rows-only (engine-specific hashing / sketches / Python kernels,
-        # asserted in tests/): q_dedup_minhash, q_dedup_simhash,
-        # q_dedup_embedding, q_similarity_topk, q_similarity_ann,
-        # q_similarity_ivf, q_approx_distinct, q_multimodal_features,
-        # q_winnow_fingerprint
+        # rows-only (engine-specific hashing / sketches / Python kernels /
+        # iterative algorithms, asserted in tests/): q_dedup_minhash,
+        # q_dedup_simhash, q_dedup_clusters, q_dedup_embedding,
+        # q_similarity_topk, q_similarity_ann, q_similarity_ivf,
+        # q_approx_distinct, q_multimodal_features, q_winnow_fingerprint
     }

@@ -400,3 +400,94 @@ def simhash_signatures_numpy(documents: DataFrame, text_col: str = "text") -> Da
         ),
     )
     return hashed.select("doc_id", sig_udf(F.col("ht")).alias("sig"))
+
+
+# ------------------------------------------------- dedup clustering (CC)
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    every node repeatedly takes the minimum label among itself and its
+    neighbors until fixpoint — the component id is the smallest doc_id
+    in the component.
+
+    This is the iterative-algorithm tier of the engine (nothing in one
+    SQL pass computes transitive closure): a driver-side loop of keyed
+    join + min-aggregate rounds, with ``localCheckpoint`` truncating
+    lineage each round so plans don't grow unboundedly. Converges in
+    O(graph diameter) rounds; near-dup graphs are short-diameter by
+    construction (clusters are quasi-cliques), so 3-5 rounds typical.
+    At massive scale swap the inner step for the large-star/small-star
+    formulation (Kiveris et al., "Connected components in MapReduce and
+    beyond", SoCC 2014) — same outer loop.
+
+    Input: edges(doc_a, doc_b); output: (doc_id, component_id) for
+    every doc appearing in at least one edge.
+    """
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neigh = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"), F.col("comp").alias("dst_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("neigh_comp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("neigh_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.select(F.col("doc_id"), F.col("comp").alias("new_comp"))
+            .join(labels, "doc_id")
+            .filter(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("comp").alias("component_id"))
+
+
+def q_dedup_clusters(documents: DataFrame) -> DataFrame:
+    """Declared query: full near-dup clustering — MinHash-LSH candidate
+    pairs → connected components → per-cluster summary (keeper = min
+    doc_id, cluster size). Docs with no near-dup edge are singleton
+    clusters of themselves.
+
+    rows-only check (pairs derive from engine-specific hashing);
+    component correctness is pinned by graph-shape unit tests
+    (chain / star / disjoint) in tests/.
+    """
+    documents = spread(documents)
+    pairs = minhash_candidates(documents)
+    comps = connected_components(pairs)
+    all_docs = documents.select("doc_id").join(
+        comps, "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component_id", F.col("doc_id")).alias("component_id")
+    )
+    return (
+        all_docs.groupBy("component_id")
+        .agg(F.count("*").alias("cluster_size"), F.min("doc_id").alias("keeper_doc_id"))
+        .orderBy("component_id")
+    )

@@ -130,3 +130,26 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     b = [tuple(r) for r in q_multimodal_features(docs).collect()]
     assert a == b
     assert all(r[3] == 8 for r in a)  # feature_dim
+
+
+def test_connected_components_graph_shapes(spark):
+    from node_js_etl_processor_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4, star 10-(11,12,13), disjoint pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["doc_id"]: r["component_id"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_cover_all_docs(spark, sf_dir):
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.dedup import q_dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = q_dedup_clusters(docs)
+    total = clusters.agg(F.sum("cluster_size")).first()[0]
+    assert total == docs.count()  # partition: every doc in exactly one cluster
+    assert clusters.filter(F.col("keeper_doc_id") != F.col("component_id")).count() == 0
