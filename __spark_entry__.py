@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": _q(["documents"], text.q_fingerprint),
         "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
         "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
+        "q_bm25": _q(["documents"], text.q_bm25),
         "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
         "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
@@ -424,6 +425,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len({toks}) AS BIGINT) AS ws_tokens,
                    CAST(floor((length(text) + 3) / 4.0) AS BIGINT) AS est_bpe_tokens
             FROM documents
+        """,
+        "q_bm25": r"""
+            WITH toked AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY doc_id, term
+            ),
+            doclen AS (
+              SELECT doc_id, count(*) AS dl FROM toked GROUP BY doc_id
+            ),
+            stats AS (
+              SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+            ),
+            df AS (
+              SELECT term, count(*) AS df FROM tf
+              WHERE term IN ('hash', 'join', 'vector')
+              GROUP BY term
+            ),
+            idf AS (
+              SELECT term,
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+                     avgdl
+              FROM df CROSS JOIN stats
+            )
+            SELECT tf.doc_id,
+                   round(sum(idf * (tf * 2.2)
+                             / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+            FROM tf
+            JOIN doclen ON tf.doc_id = doclen.doc_id
+            JOIN idf ON tf.term = idf.term
+            WHERE tf.term IN ('hash', 'join', 'vector')
+            GROUP BY tf.doc_id
+            ORDER BY bm25 DESC, tf.doc_id ASC
+            LIMIT 20
         """,
         "q_corpus_pipeline": f"""
             WITH quality AS (

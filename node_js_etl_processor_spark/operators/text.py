@@ -253,3 +253,84 @@ def q_corpus_pipeline(documents: DataFrame) -> DataFrame:
         F.sum(token_count(F.col("text"))).alias("total_tokens"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+#: Fixed query terms for the declared BM25 query (present in fixtures).
+BM25_QUERY_TERMS: tuple[str, ...] = ("hash", "join", "vector")
+
+
+def bm25_scores(
+    documents: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a bag of query
+    terms (Robertson & Zaragoza, "The probabilistic relevance
+    framework: BM25 and beyond", FnTIR 2009).
+
+    Fully relational formulation — no inverted index needed at query
+    time because Spark IS the inverted index builder: explode terms →
+    tf per (doc, term) [one shuffle], df per term + corpus stats
+    [aggregations over the same exploded frame], then a broadcast join
+    of the tiny per-term idf table back onto the tf rows. All
+    intermediates (tf, df, doc length) are exact integers; only the
+    final transcendental scoring is floating point.
+
+    At scale the tf/df tables are computed once at ingest and stored
+    (partitioned by term); the per-query work is then a broadcast
+    lookup + one aggregation over the matching postings.
+    """
+    from node_js_etl_processor_spark.catalog import spread
+
+    toked = spread(documents).select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toked.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    doclen = toked.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    qterms = [t.lower() for t in query_terms]
+    df = (
+        tf.filter(F.col("term").isin(qterms))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = df.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+        "avgdl",
+    )
+    scored = (
+        tf.filter(F.col("term").isin(qterms))
+        .join(doclen, "doc_id")
+        .join(F.broadcast(idf), "term")
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 4).alias("bm25")
+    )
+
+
+def q_bm25(documents: DataFrame) -> DataFrame:
+    """Declared query: BM25 top-20 documents for the fixed query terms
+    (oracle-checked — the formula is pure arithmetic over exact integer
+    tf/df/length inputs, identical in both engines; transcendental
+    outputs don't sit on rounding boundaries the way money ratios do).
+    """
+    return (
+        bm25_scores(documents, BM25_QUERY_TERMS)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
