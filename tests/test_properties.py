@@ -131,3 +131,78 @@ def test_upsert_idempotent_and_key_unique(spark, base, ups):
     assert a == b
     keys = [t[0] for t in a]
     assert len(keys) == len(set(keys))
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    offsets=st.lists(
+        st.tuples(
+            st.integers(0, 3),        # user_id
+            st.integers(0, 10_000),   # seconds offset
+            st.booleans(),            # is_purchase
+        ),
+        max_size=25,
+    )
+)
+def test_asof_join_matches_duckdb_on_random_streams(spark, offsets):
+    """Differential property: the union+window as-of join must agree
+    with DuckDB's native ASOF LEFT JOIN on arbitrary generated event
+    streams (including same-timestamp ties and users with clicks only
+    / purchases only)."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from node_js_etl_processor_spark.operators.temporal import q_asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            t0 + dt.timedelta(seconds=sec),
+            user,
+            "purchase" if is_p else "click",
+            1.0,
+            "{}",
+        )
+        for i, (user, sec, is_p) in enumerate(offsets)
+    ]
+    if not rows:
+        return  # empty frame: pandas types degrade to NULL in DuckDB
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    events = spark.createDataFrame(rows, schema)
+    got = sorted(
+        (r["event_id"], r["user_id"], r["purchase_us"], r["click_us"], r["gap_us"])
+        for r in q_asof_join(events).collect()
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ),
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            SELECT p.event_id, p.user_id,
+                   epoch_us(p.ts) AS purchase_us,
+                   epoch_us(c.ts) AS click_us,
+                   epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                            WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == want
