@@ -429,12 +429,18 @@ def connected_components(
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # seed with round 1 fused in: comp = min(self, neighbors)
     labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("comp", F.col("doc_id"))
+        sym.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
+        .select(F.col("src").alias("doc_id"), "comp")
         .localCheckpoint(eager=True)
     )
+    # convergence via the label-sum invariant: min-propagation is
+    # monotone non-increasing per node, so Σcomp strictly decreases
+    # until fixpoint — one scalar action per round instead of a
+    # changed-rows join+count.
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(max_iterations):
         neigh = (
             sym.join(
@@ -446,7 +452,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dst_comp").alias("neigh_comp"))
         )
-        new_labels = (
+        labels = (
             labels.join(neigh, labels.doc_id == neigh.src, "left")
             .select(
                 labels.doc_id,
@@ -456,15 +462,10 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.select(F.col("doc_id"), F.col("comp").alias("new_comp"))
-            .join(labels, "doc_id")
-            .filter(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("comp")).first()[0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("doc_id", F.col("comp").alias("component_id"))
 
 
