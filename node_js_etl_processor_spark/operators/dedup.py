@@ -79,11 +79,14 @@ def minhash_signatures(
     """k independent minhashes per doc via seeded xxhash64 over the
     exploded shingle set.
 
-    Plan shape (scale-deliberate — same as simhash_signatures): explode
-    shingles once → a single groupBy(doc_id) computing all k MIN
-    aggregates map-side-partial. One shuffle carrying k longs per doc;
-    no per-row expression blowup (the naive k×array_min-over-transform
-    form re-evaluates the shingle array k times and was ~100x slower).
+    Plan shape (scale-deliberate): explode shingles once → a single
+    groupBy(doc_id) computing all k MIN aggregates map-side-partial.
+    One shuffle carrying k longs per doc; no per-row expression blowup
+    (the naive k×array_min-over-transform form re-evaluates the shingle
+    array k times and was ~100x slower). This is the map-side-combine
+    formulation; simhash_signatures shows the narrow shuffle-free
+    alternative — both are valid at scale, the choice turns on whether
+    downstream wants the exploded postings anyway.
 
     Returns (doc_id, h0..h{k-1}).
     """
