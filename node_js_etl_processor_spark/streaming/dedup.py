@@ -1,0 +1,33 @@
+"""Streaming deduplication with watermark-bounded state.
+
+The streaming twin of the batch dedup family (operators/dedup.py):
+incoming events may repeat (at-least-once sources, retried producers),
+and the stream must emit each logical event once without keeping
+unbounded seen-key state.
+
+- ``dedup_events_stream`` — ``dropDuplicatesWithinWatermark``: state
+  for a key is dropped once the watermark passes it, so memory is
+  bounded by (watermark lag × event rate) while still absorbing any
+  duplicate that arrives within the lag. This is the correct semantics
+  for retry-induced duplicates, which arrive close to the original.
+- ``dedup_exact_stream`` — plain ``dropDuplicates`` on the key for
+  comparison; state grows forever (documented anti-pattern at scale,
+  kept for parity with the batch exact-dedup semantics in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def dedup_events_stream(
+    events_stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermark-bounded streaming dedup on ``keys`` (default:
+    event_id). Input must be a streaming DataFrame with a ``ts``
+    timestamp column."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -164,3 +164,36 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     q.awaitTermination(120)
     got = [(r["purchase_id"], r["click_id"]) for r in spark.table("attrib").collect()]
     assert got == [(200, 101)]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicate event_ids landing within the watermark window must be
+    emitted exactly once."""
+    import datetime as dt
+
+    from node_js_etl_processor_spark.streaming.dedup import dedup_events_stream
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, t0, 7, 1.0),
+        (1, t0 + 2 * m, 7, 1.0),   # duplicate (retry 2 min later)
+        (2, t0 + 1 * m, 7, 2.0),
+        (2, t0 + 1 * m, 7, 2.0),   # exact duplicate
+        (3, t0 + 5 * m, 8, 3.0),
+    ]
+    src = str(tmp_path / "dup_src")
+    spark.createDataFrame(rows, schema).write.parquet(src)
+
+    q = (
+        dedup_events_stream(spark.readStream.schema(schema).parquet(src))
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["event_id"] for r in spark.table("dedup_stream").collect())
+    assert got == [1, 2, 3]
