@@ -72,11 +72,23 @@ def spread(df: DataFrame, min_per_core_rows: int = 0) -> DataFrame:
     expensive projection that follows.
 
     At 100 TB this is a structural no-op: the parquet scan already
-    yields thousands of splits (≥ defaultParallelism), the gate is
+    yields thousands of files (≥ defaultParallelism), the gate is
     false, and NO shuffle is added — the helper only repairs the
     small-input / local-mode edge, it never taxes the scale path.
+
+    The gate reads ``df.inputFiles()`` (pure plan metadata — the file
+    list Catalyst already resolved for the scan), never ``df.rdd``:
+    converting to an RDD would force full plan analysis through the
+    deprecated RDD bridge and break the DataFrame-only abstraction.
+    Non-file inputs (in-memory test frames, streaming sources) report
+    no files and pass through untouched — their parallelism is already
+    whatever the upstream exchange chose.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file plans (e.g. streaming) — leave as-is
+        return df
+    if 0 < n_files < target:
         return df.repartition(target)
     return df

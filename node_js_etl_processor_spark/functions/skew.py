@@ -39,7 +39,19 @@ def salted_join(
     deterministic hash of ``entropy_col``. Result is identical to the
     unsalted join (asserted in tests), but hot-key rows spread over
     ``n_salts`` tasks.
+
+    Only ``inner`` and ``left`` joins are supported: in a right/full
+    join an unmatched dim row would survive once per salt replica
+    (n_salts duplicates), which is NOT the unsalted result. For those,
+    salt the dim side's probe instead or fall back to AQE skew
+    handling.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: outer "
+            "joins on the exploded dim side would duplicate unmatched dim "
+            f"rows {n_salts}x"
+        )
     salted_fact = fact.withColumn("_salt", _salt(F.col(entropy_col), n_salts))
     salted_dim = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

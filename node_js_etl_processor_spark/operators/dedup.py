@@ -252,11 +252,19 @@ def q_dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     are reconstructed afterwards by mapping signatures back to their
     doc lists — intra-signature groups expand pairs directly from the
     grouped doc array (linear join, output-bounded expansion).
+
+    Token-less (empty/whitespace-only) documents are EXCLUDED before
+    grouping: they have no features to vote with, so they would all
+    degenerate to sig=0 — on a corpus with many empty docs that is one
+    giant collect_list row and a C(g,2) pair explosion of meaningless
+    "duplicates". A featureless doc has no principled similarity to
+    anything; exact dedup (q_dedup_docs) still groups empty texts.
     """
     # numpy kernel: bit-for-bit equal to simhash_signatures (pinned in
     # tests) and ~4x faster — 64 interpreted array-aggregates lose to
     # one vectorized unpackbits pass (SCALE.md "Python boundaries")
-    sigs = simhash_signatures_numpy(documents)
+    featureful = documents.filter(F.size(tokens(F.col("text"))) > 0)
+    sigs = simhash_signatures_numpy(featureful)
 
     # signature → sorted member docs (one row per distinct signature)
     groups = sigs.groupBy("sig").agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))

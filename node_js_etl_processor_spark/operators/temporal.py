@@ -46,6 +46,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     value_cols: list[str],
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Generic as-of join: for every left row, the latest right row with
     ``right_ts <= left_ts`` within the same ``on`` key (left-outer: left
@@ -57,7 +58,21 @@ def asof_join(
     range-join formulation which shuffles both sides AND explodes
     candidate pairs. Ties (right_ts == left_ts) are included, matching
     DuckDB ``ASOF JOIN ... ON l.ts >= r.ts`` semantics.
+
+    Tie determinism: when several right rows share the same
+    (key, right_ts), which one's ``value_cols`` are emitted depends on
+    partition-internal sort order UNLESS ``right_tiebreak`` names a
+    value column (typically a unique right-side id) — it is then
+    appended to the window order, making the winner the tied row with
+    the LARGEST tiebreak value, deterministically. Callers that emit
+    only ``asof_ts`` (no value columns) are deterministic regardless,
+    since tied rows share the timestamp by definition.
     """
+    if right_tiebreak is not None and right_tiebreak not in value_cols:
+        raise ValueError(
+            f"right_tiebreak {right_tiebreak!r} must be one of value_cols "
+            f"{value_cols!r} so it survives into the window"
+        )
     left_payload = [c for c in left.columns if c != on]
     r = right.select(
         F.col(on),
@@ -74,9 +89,14 @@ def asof_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
     )
     unioned = l.unionByName(r)
+    order = [F.col("_ts"), F.col("_side")]
+    if right_tiebreak is not None:
+        # left rows carry null here; asc_nulls_first keeps them ordered
+        # before any tied right row, which last(ignorenulls) skips anyway
+        order.append(F.col(f"_r_{right_tiebreak}").asc_nulls_first())
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

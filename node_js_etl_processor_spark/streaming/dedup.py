@@ -31,3 +31,19 @@ def dedup_events_stream(
     return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def dedup_exact_stream(
+    events_stream: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Exact streaming dedup via plain ``dropDuplicates`` on ``keys``
+    (default: event_id).
+
+    State-growth warning: without a watermark, the seen-key state grows
+    without bound — every key ever observed stays in the state store
+    forever. Kept for parity with batch exact-dedup semantics (absorbs
+    duplicates arbitrarily far apart); at scale use
+    ``dedup_events_stream``, whose state is bounded by watermark lag.
+    """
+    return events_stream.dropDuplicates(keys or ["event_id"])

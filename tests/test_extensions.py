@@ -288,3 +288,51 @@ def test_simhash_numpy_kernel_equals_jvm(documents):
         for r in dedup.simhash_signatures_numpy(documents).collect()
     }
     assert a == b
+
+
+def test_simhash_excludes_tokenless_docs_no_mega_group(spark):
+    """10k empty/whitespace docs must NOT form one giant sig=0 group:
+    they are featureless, so they are excluded from near-dup pairing
+    entirely, and the normal docs' pair output is unchanged."""
+    normal = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        (3, "totally unrelated words appear here instead now"),
+    ]
+    empties = [(1000 + i, "" if i % 2 == 0 else "   \t  ") for i in range(10_000)]
+    df = spark.createDataFrame(normal + empties, "doc_id long, text string")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.q_dedup_simhash(df).collect()}
+    assert pairs == {(1, 2): 0}
+
+    # same fixture minus the empties gives the identical pair set
+    base = spark.createDataFrame(normal, "doc_id long, text string")
+    base_pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"] for r in dedup.q_dedup_simhash(base).collect()
+    }
+    assert pairs == base_pairs
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    from node_js_etl_processor_spark.functions.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "x")], "k long, payload string")
+    dim = spark.createDataFrame([(1, "d")], "k long, name string")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(fact, dim, key="k", entropy_col="payload", how="right")
+
+
+def test_spread_never_touches_rdd_and_passes_through_memory_frames(spark, sf_dir):
+    """spread() must stay pure-DataFrame: file scans with fewer files
+    than cores get repartitioned; in-memory frames (no input files)
+    pass through untouched."""
+    from node_js_etl_processor_spark.catalog import load_table, spread
+
+    scan = load_table(spark, sf_dir, "documents")
+    assert len(scan.inputFiles()) > 0
+    spread_scan = spread(scan)
+    assert "Exchange" in spread_scan._jdf.queryExecution().toString() or (
+        spread_scan is scan
+    )
+
+    mem = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert spread(mem) is mem

@@ -197,3 +197,27 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r["event_id"] for r in spark.table("dedup_stream").collect())
     assert got == [1, 2, 3]
+
+
+def test_dedup_exact_stream_drops_all_duplicates(spark, tmp_path):
+    """dedup_exact_stream: duplicates are dropped regardless of how far
+    apart they arrive (unbounded state — the documented trade)."""
+    from node_js_etl_processor_spark.streaming.dedup import dedup_exact_stream
+
+    src = str(tmp_path / "dupes_src")
+    rows = [(i % 5, f"2024-01-01 00:0{i % 5}:00") for i in range(20)]
+    batch = spark.createDataFrame(rows, "event_id long, ts_s string").selectExpr(
+        "event_id", "CAST(ts_s AS TIMESTAMP) AS ts"
+    )
+    batch.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        dedup_exact_stream(stream)
+        .writeStream.format("memory")
+        .queryName("exact_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("exact_dedup").count() == 5

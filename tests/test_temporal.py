@@ -153,3 +153,28 @@ def test_dedup_clusters_cover_all_docs(spark, sf_dir):
     total = clusters.agg(F.sum("cluster_size")).first()[0]
     assert total == docs.count()  # partition: every doc in exactly one cluster
     assert clusters.filter(F.col("keeper_doc_id") != F.col("component_id")).count() == 0
+
+
+def test_asof_join_right_tiebreak_deterministic(spark):
+    """Multiple right rows sharing (key, ts): with right_tiebreak set,
+    the winner is the tied row with the largest tiebreak value."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(100))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, _ts(50), 7.0), (10, _ts(50), 3.0), (10, _ts(50), 5.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = temporal.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["value"], right_tiebreak="value",
+    ).collect()
+    assert len(out) == 1 and out[0]["asof_value"] == 7.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="value_cols"):
+        temporal.asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="ts",
+            value_cols=[], right_tiebreak="value",
+        )
