@@ -558,18 +558,38 @@ def q_distinct_agg(orders: DataFrame) -> DataFrame:
     )
 
 
-def q_approx_distinct(orders: DataFrame) -> DataFrame:
+def approx_distinct_sketch(orders: DataFrame) -> DataFrame:
     """HyperLogLog++ approximate distinct counts per priority —
     the 100 TB path for cardinality: constant-memory mergeable sketch,
     shuffle carries one sketch per group per partition instead of every
-    distinct key.
-
-    rows-only correctness check (sketch estimates are engine-specific);
-    tests/ assert ≤5% relative error against the exact counts.
-    """
+    distinct key. Raw estimates are engine-specific (not oracle-able)."""
     return orders.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
         F.approx_count_distinct("o_orderdate", rsd=0.01).alias("approx_days"),
+    )
+
+
+def q_approx_distinct(orders: DataFrame) -> DataFrame:
+    """Declared query: HLL++ sketch VALIDATION form — exact distinct
+    counts per priority plus booleans asserting the sketch estimate
+    landed within 5% relative error of exact.
+
+    The sketch estimate itself is engine-specific, so the
+    deterministic-hashable contract is (exact, within-bound?): the
+    oracle states the exact counts and `TRUE` bounds, and the query
+    only hashes equal if Spark's sketch actually met the bound — the
+    error guarantee becomes the checked value. This deliberately pays
+    the exact-count cost next to the sketch; the pure 100 TB sketch
+    path (no exact twin) is ``approx_distinct_sketch`` above.
+    """
+    exact_c, exact_d = F.countDistinct("o_custkey"), F.countDistinct("o_orderdate")
+    approx_c = F.approx_count_distinct("o_custkey", rsd=0.01)
+    approx_d = F.approx_count_distinct("o_orderdate", rsd=0.01)
+    return orders.groupBy("o_orderpriority").agg(
+        exact_c.alias("n_customers"),
+        exact_d.alias("n_days"),
+        (F.abs(approx_c - exact_c) <= 0.05 * exact_c).alias("customers_within_5pct"),
+        (F.abs(approx_d - exact_d) <= 0.05 * exact_d).alias("days_within_5pct"),
     )
 
 

@@ -155,16 +155,29 @@ def q_fingerprint(documents: DataFrame) -> DataFrame:
 # ------------------------------------------------------------- winnowing
 
 
-def gram_hashes(text: Column, k: int = 8) -> Column:
+def gram_hashes(text: Column, k: int = 8, portable: bool = False) -> Column:
     """Character k-gram hashes of the whitespace-normalized text.
 
     ``xxhash64`` per k-gram stands in for the Karp-Rabin rolling hash
     (same selected-minima semantics; the rolling recurrence is an
     evaluation-cost optimization whole-stage codegen does not need at
     these gram sizes).
+
+    ``portable=True`` swaps xxhash64 for md5 hex strings — an
+    engine-independent hash (md5 is standard everywhere), which makes
+    the winnowing output oracle-checkable against ANSI SQL. Minima are
+    then lexicographic over the fixed-width hex strings: any total
+    order works for winnowing, only agreement between engines matters.
+    The xxhash64 form stays the perf path (8-byte longs vs 32-char
+    strings in the shuffle, ~4x cheaper hashing).
     """
     t = F.lower(F.regexp_replace(text, r"\s+", " "))
     n_grams = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    if portable:
+        return F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.substr(t, i, F.lit(k))),
+        )
     return F.transform(
         F.sequence(F.lit(1), n_grams),
         lambda i: F.xxhash64(F.substr(t, i, F.lit(k))),
@@ -192,20 +205,21 @@ def winnow_minima(grams: Column, w: int = 4) -> Column:
     )
 
 
-def q_winnow_fingerprint(documents: DataFrame) -> DataFrame:
-    """Declared query: winnowing document fingerprints — per-doc
-    fingerprint-set size and a set signature (md5 of the sorted minima)
-    under which exact and near-boilerplate duplicates collide.
+def winnow_fingerprints(documents: DataFrame, portable: bool = False) -> DataFrame:
+    """Winnowing document fingerprints — per-doc fingerprint-set size
+    and a set signature (md5 of the sorted minima) under which exact
+    and near-boilerplate duplicates collide.
 
-    rows-only check (xxhash64 is engine-specific); determinism and
-    dup-collision asserted in tests. Scale: one narrow codegen pass;
-    at 100 TB the fingerprint set is computed at ingest and stored,
-    and plagiarism/overlap queries become joins on exploded minima.
+    Scale: one narrow codegen pass; at 100 TB the fingerprint set is
+    computed at ingest and stored, and plagiarism/overlap queries
+    become joins on exploded minima. ``portable`` selects the gram
+    hash (see gram_hashes): md5 for cross-engine checkability,
+    xxhash64 for throughput.
     """
     from node_js_etl_processor_spark.catalog import spread
 
     grams = spread(documents).select(
-        "doc_id", gram_hashes(F.col("text")).alias("grams")
+        "doc_id", gram_hashes(F.col("text"), portable=portable).alias("grams")
     )
     mins = winnow_minima(F.col("grams"))
     return grams.select(
@@ -213,6 +227,16 @@ def q_winnow_fingerprint(documents: DataFrame) -> DataFrame:
         F.size(mins).cast("bigint").alias("n_fingerprints"),
         F.md5(F.array_join(F.array_sort(mins), ",")).alias("winnow_sig"),
     )
+
+
+def q_winnow_fingerprint(documents: DataFrame) -> DataFrame:
+    """Declared query: winnowing fingerprints in the portable (md5)
+    hash form — fully oracle-checked against DuckDB computing the same
+    grams/windows/minima. The xxhash64 perf path is
+    ``winnow_fingerprints(documents, portable=False)`` (same plan
+    shape, cheaper hash; equivalence of the selection logic is pinned
+    by tests on both forms)."""
+    return winnow_fingerprints(documents, portable=True)
 
 
 def q_corpus_pipeline(documents: DataFrame) -> DataFrame:

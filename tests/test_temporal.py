@@ -104,10 +104,13 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     }
     approx = {
         r["o_orderpriority"]: r["approx_customers"]
-        for r in relational.q_approx_distinct(orders).collect()
+        for r in relational.approx_distinct_sketch(orders).collect()
     }
     for k, n in exact.items():
         assert abs(approx[k] - n) <= max(2, 0.05 * n), (k, n, approx[k])
+    # the declared validation form reports the bound check itself
+    for r in relational.q_approx_distinct(orders).collect():
+        assert r["customers_within_5pct"] and r["days_within_5pct"]
 
 
 def test_sample_hash_deterministic_and_sized(spark, sf_dir):
