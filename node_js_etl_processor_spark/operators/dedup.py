@@ -76,31 +76,45 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
 def minhash_signatures(
     documents: DataFrame, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
-    """k independent minhashes per doc via seeded xxhash64 over the
-    exploded shingle set.
+    """k independent minhashes per doc, SHUFFLE-FREE: shingle strings
+    are hashed ONCE (xxhash64 → long), then each of the k minhash
+    functions is a cheap re-hash of that 8-byte long with the seed —
+    xxhash64(xxhash64(s), i) — and an array_min over the bound hash
+    array. One narrow codegen projection per document, zero exchanges.
 
-    Plan shape (scale-deliberate): explode shingles once → a single
-    groupBy(doc_id) computing all k MIN aggregates map-side-partial.
-    One shuffle carrying k longs per doc; no per-row expression blowup
-    (the naive k×array_min-over-transform form re-evaluates the shingle
-    array k times and was ~100x slower). This is the map-side-combine
-    formulation; simhash_signatures shows the narrow shuffle-free
-    alternative — both are valid at scale, the choice turns on whether
-    downstream wants the exploded postings anyway.
+    Two eval-cost contracts make this the fast form:
+    - the hash array binds to a column first (see shingles_from_tokens)
+      so the k min-passes scan a materialized array instead of
+      re-evaluating the shingle expression k times (that naive inline
+      form was ~100x slower);
+    - the string is hashed once, not k times — the per-seed re-hash
+      touches 8 fixed bytes, so k×|shingle| string hashing collapses
+      to |shingle| + k×8 bytes per shingle.
+
+    The r1 formulation (explode → one groupBy with k map-side-partial
+    MINs) is equally scale-valid — one shuffle carrying k longs per
+    doc — and wins when downstream wants the exploded postings anyway;
+    this narrow form wins when signatures are the only output, which
+    is the LSH pipeline's case.
 
     Returns (doc_id, h0..h{k-1}).
     """
     documents = spread(documents)
     toked = documents.select("doc_id", tokens(F.col("text")).alias("toks"))
     sh = toked.select(
-        "doc_id",
-        F.explode(shingles_from_tokens(F.col("toks"), shingle_n)).alias("shingle"),
+        "doc_id", shingles_from_tokens(F.col("toks"), shingle_n).alias("sh")
     )
-    return sh.groupBy("doc_id").agg(
+    hs = sh.select(
+        "doc_id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs")
+    )
+    return hs.select(
+        "doc_id",
         *[
-            F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+            F.array_min(
+                F.transform(F.col("hs"), lambda h: F.xxhash64(h, F.lit(seed)))
+            ).alias(f"h{seed}")
             for seed in range(num_hashes)
-        ]
+        ],
     )
 
 
@@ -262,9 +276,10 @@ def q_dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     """
     # numpy kernel: bit-for-bit equal to simhash_signatures (pinned in
     # tests) and ~4x faster — 64 interpreted array-aggregates lose to
-    # one vectorized unpackbits pass (SCALE.md "Python boundaries")
-    featureful = documents.filter(F.size(tokens(F.col("text"))) > 0)
-    sigs = simhash_signatures_numpy(featureful)
+    # one vectorized unpackbits pass (SCALE.md "Python boundaries").
+    # drop_tokenless fuses the featureless-doc exclusion into the same
+    # projection that computes the token-hash array (no second pass).
+    sigs = simhash_signatures_numpy(documents, drop_tokenless=True)
 
     # signature → sorted member docs (one row per distinct signature)
     groups = sigs.groupBy("sig").agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
@@ -369,8 +384,15 @@ def q_dedup_ngram(documents: DataFrame) -> DataFrame:
     )
 
 
-def simhash_signatures_numpy(documents: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash_signatures_numpy(
+    documents: DataFrame, text_col: str = "text", drop_tokenless: bool = False
+) -> DataFrame:
     """SimHash signatures with the bit-vote step vectorized in NumPy.
+
+    ``drop_tokenless=True`` filters docs with an empty token-hash array
+    in the same projection (featureless docs would all degenerate to
+    sig=0 — see q_dedup_simhash); default False preserves bit-for-bit
+    parity with ``simhash_signatures`` for the kernel-equality test.
 
     Identical output to ``simhash_signatures`` (asserted in tests):
     token hashing stays JVM-side (xxhash64, deterministic), and only
@@ -410,74 +432,156 @@ def simhash_signatures_numpy(documents: DataFrame, text_col: str = "text") -> Da
             "ht"
         ),
     )
+    if drop_tokenless:
+        hashed = hashed.filter(F.size("ht") > 0)
     return hashed.select("doc_id", sig_udf(F.col("ht")).alias("sig"))
 
 
 # ------------------------------------------------- dedup clustering (CC)
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node u attaches its STRICTLY LARGER
+    neighbors to m = min(N(u) ∪ {u}). Output edges oriented big→small
+    (src > dst)."""
+    sym = e.select("src", "dst").unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round over big→small edges: every node u rewires
+    its smaller neighbors (and itself) to m = min of those neighbors.
+    Orientation (src > dst) is preserved."""
+    mins = e.groupBy("src").agg(F.min("dst").alias("m"))
+    moved = (
+        e.join(mins, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_edge = mins.select("src", F.col("m").alias("dst"))
+    return (
+        moved.unionByName(self_edge)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _unionfind_labels(edge_rows: list) -> list[tuple[int, int]]:
+    """Driver-side union-find (path compression, min-root union) over a
+    SMALL edge list. Root of every tree is the component minimum, so
+    labels come out as (doc_id, component_min)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for a, b in edge_rows:
+        nodes.add(a)
+        nodes.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # larger root under smaller → root stays min
+    return sorted((x, find(x)) for x in nodes)
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame,
+    max_iterations: int = 20,
+    small_graph_threshold: int = 200_000,
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation:
-    every node repeatedly takes the minimum label among itself and its
-    neighbors until fixpoint — the component id is the smallest doc_id
+    """Connected components via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected components in MapReduce
+    and beyond", SoCC 2014) — the component id is the smallest doc_id
     in the component.
 
     This is the iterative-algorithm tier of the engine (nothing in one
-    SQL pass computes transitive closure): a driver-side loop of keyed
-    join + min-aggregate rounds, with ``localCheckpoint`` truncating
-    lineage each round so plans don't grow unboundedly. Converges in
-    O(graph diameter) rounds; near-dup graphs are short-diameter by
-    construction (clusters are quasi-cliques), so 3-5 rounds typical.
-    At massive scale swap the inner step for the large-star/small-star
-    formulation (Kiveris et al., "Connected components in MapReduce and
-    beyond", SoCC 2014) — same outer loop.
+    SQL pass computes transitive closure). Each distributed round
+    rewrites the EDGE SET itself — large-star hangs every node's
+    larger neighbors off its local minimum, small-star contracts the
+    smaller neighbors — so dense near-dup quasi-cliques collapse
+    toward stars in the first round and the per-round join input
+    SHRINKS as the graph contracts. Versus min-label propagation (the
+    r1 formulation), which joined the FULL original edge list every
+    round — O(|E|) per round on exactly the dense clusters dedup
+    graphs are made of — star contraction's per-round cost decays
+    with progress, and rounds are O(log n) worst-case rather than
+    O(diameter). ``localCheckpoint`` truncates lineage each round.
+
+    Hybrid finish: whenever the CURRENT edge set fits
+    ``small_graph_threshold`` (checked before each round, using the
+    count the convergence test needs anyway), the remaining work moves
+    to a driver-side union-find — the same judgment call as
+    broadcasting a small join side. At 100 TB the candidate graph
+    starts with billions of edges, so the star rounds do the heavy
+    contraction distributed; once the contracted graph is a few
+    hundred thousand edges, finishing it locally replaces ~5 more
+    cluster rounds (each a full shuffle barrier) with milliseconds on
+    the driver. Set ``small_graph_threshold=0`` to force pure
+    distributed rounds (used by tests to pin the star algebra).
+
+    Termination of the distributed loop is STRUCTURAL, not
+    potential-based: it exits when the edge set is a star forest
+    (every src appears once, no node is both src and dst), which is
+    exactly the algorithm's fixpoint — each surviving edge then reads
+    (doc, component-min). If ``max_iterations`` is exhausted first, a
+    RuntimeError is raised rather than returning silently-wrong
+    partial labels (ADVICE r1).
 
     Input: edges(doc_a, doc_b); output: (doc_id, component_id) for
     every doc appearing in at least one edge.
     """
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    # seed with round 1 fused in: comp = min(self, neighbors)
-    labels = (
-        sym.groupBy("src")
-        .agg(F.least(F.min("dst"), F.first("src")).alias("comp"))
-        .select(F.col("src").alias("doc_id"), "comp")
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
-    # convergence via the label-sum invariant: min-propagation is
-    # monotone non-increasing per node, so Σcomp strictly decreases
-    # until fixpoint — one scalar action per round instead of a
-    # changed-rows join+count.
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
+    n = e.count()
     for _ in range(max_iterations):
-        neigh = (
-            sym.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"), F.col("comp").alias("dst_comp")
-                ),
-                "dst",
+        if n <= small_graph_threshold:
+            labels = _unionfind_labels([(r[0], r[1]) for r in e.collect()])
+            return spark.createDataFrame(
+                labels, "doc_id long, component_id long"
             )
-            .groupBy("src")
-            .agg(F.min("dst_comp").alias("neigh_comp"))
-        )
-        labels = (
-            labels.join(neigh, labels.doc_id == neigh.src, "left")
-            .select(
-                labels.doc_id,
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("neigh_comp"), F.col("comp"))
-                ).alias("comp"),
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        n, n_src = e.agg(F.count("*"), F.countDistinct("src")).first()
+        if n == n_src:
+            # src-unique; star forest iff no node is both src and dst
+            dangling = (
+                e.select(F.col("dst").alias("src")).join(e, "src", "left_semi").count()
             )
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels.select("doc_id", F.col("comp").alias("component_id"))
+            if dangling == 0:
+                roots = e.select(F.col("dst").alias("doc_id")).distinct().select(
+                    "doc_id", F.col("doc_id").alias("component_id")
+                )
+                return e.select(
+                    F.col("src").alias("doc_id"), F.col("dst").alias("component_id")
+                ).unionByName(roots)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        "rounds — raise max_iterations (labels would be wrong, not "
+        "approximate, so refusing to return them)"
+    )
 
 
 def q_dedup_clusters(documents: DataFrame) -> DataFrame:

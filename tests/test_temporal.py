@@ -143,8 +143,16 @@ def test_connected_components_graph_shapes(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (10, 13), (20, 21)],
         "doc_a long, doc_b long",
     )
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+    # hybrid default (driver union-find finish for a small graph)
     comp = {r["doc_id"]: r["component_id"] for r in connected_components(edges).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 13: 10, 20: 20, 21: 20}
+    assert comp == expect
+    # forced distributed large-star/small-star rounds: same answer
+    comp_dist = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(edges, small_graph_threshold=0).collect()
+    }
+    assert comp_dist == expect
 
 
 def test_dedup_clusters_cover_all_docs(spark, sf_dir):
@@ -181,3 +189,25 @@ def test_asof_join_right_tiebreak_deterministic(spark):
             left, right, on="user_id", left_ts="ts", right_ts="ts",
             value_cols=[], right_tiebreak="value",
         )
+
+
+def test_connected_components_long_chain_and_nonconvergence_guard(spark):
+    """A 60-node chain (diameter 59) must resolve to one component —
+    star contraction needs O(log n) rounds where label propagation
+    needed O(diameter). And exhausting max_iterations must raise, not
+    return wrong labels."""
+    from node_js_etl_processor_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(edges, small_graph_threshold=0).collect()
+    }
+    assert comp == {i: 1 for i in range(1, 61)}
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=1, small_graph_threshold=0)
