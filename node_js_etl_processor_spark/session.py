@@ -57,3 +57,47 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def register_shutdown(spark: SparkSession) -> None:
+    """O9: graceful-shutdown twin of the reference's SIGTERM/SIGINT
+    handlers (server.js:290-298) — stop the SparkSession exactly once
+    on signal or interpreter exit, so executors and the driver JVM are
+    released instead of being killed mid-task.
+
+    Signal handlers stop the session then exit 0 (the reference's
+    process.exit(0)), chaining to any previously-installed Python
+    handler first; the atexit hook covers normal interpreter teardown.
+    Idempotent: repeated delivery stops the session exactly once.
+    """
+    import atexit
+    import signal
+
+    state = {"stopped": False}
+
+    def _stop() -> None:
+        if not state["stopped"]:
+            state["stopped"] = True
+            try:
+                spark.stop()
+            except Exception:
+                pass  # already-dead gateway on teardown is fine
+
+    atexit.register(_stop)
+
+    def _chain(sig: int):
+        prev = signal.getsignal(sig)
+
+        def handler(signum, frame):
+            _stop()
+            if callable(prev) and prev not in (signal.SIG_IGN, signal.SIG_DFL):
+                prev(signum, frame)
+            raise SystemExit(0)
+
+        return handler
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            signal.signal(sig, _chain(sig))
+        except (ValueError, OSError):
+            pass  # non-main thread (e.g. test runner) — atexit still covers

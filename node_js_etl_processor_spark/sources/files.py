@@ -87,3 +87,27 @@ def read_json_array(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_csv_bytes(path: str) -> bytes:
+    """S6: raw byte passthrough of the staged CSV (server.js:181-197
+    serves the file verbatim with text/csv headers — no parse step).
+    Raises FileNotFoundError like the reference's fs.access gate."""
+    with open(path, "rb") as fh:
+        return fh.read()
+
+
+def read_csv_export(spark: SparkSession, path: str) -> DataFrame:
+    """S6 engine twin: read the staged CSV back as a DataFrame with the
+    export's fixed 7-string-column schema (the write side is
+    write_csv_export; together they close the sink/source symmetry).
+    All columns are strings by contract — the export already rendered
+    numbers/nulls to their string forms, so no inference is wanted."""
+    cols = ", ".join(f"`{c}` string" for c in CSV_EXPORT_COLUMNS)
+    return (
+        spark.read.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .schema(cols)
+        .csv(path)
+    )
