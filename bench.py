@@ -8,6 +8,11 @@ Execution is forced with the noop sink (df.write.format("noop")) so
 timings measure the full distributed plan — scan, shuffle, agg — and
 not Python row-transfer via collect(). Queries whose semantics are a
 driver-side result (top-k limits) still run their full plan under noop.
+
+Each query is timed as the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default
+3) measured runs after one untimed warm-up, so round-over-round deltas
+reflect plan changes rather than JIT/GC noise; the total is the sum of
+per-query medians.
 """
 
 from __future__ import annotations
@@ -15,6 +20,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -22,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
 def main() -> None:
@@ -37,11 +44,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()  # warm: JIT + file listing
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
+        runs = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -52,6 +61,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": RUNS,
             }
         )
     )

@@ -581,15 +581,32 @@ def q_approx_distinct(orders: DataFrame) -> DataFrame:
     error guarantee becomes the checked value. This deliberately pays
     the exact-count cost next to the sketch; the pure 100 TB sketch
     path (no exact twin) is ``approx_distinct_sketch`` above.
+
+    Plan shape: exact and approx run as SEPARATE aggregations joined on
+    the group key — mixing approx_count_distinct into the same agg as
+    two COUNT(DISTINCT)s drags the HLL sketch updates through the
+    multi-distinct Expand (3 rows per input row), measured 3.6x slower;
+    split, each agg is a clean partial-aggregated single pass and the
+    join is 5 rows to 5 rows.
     """
-    exact_c, exact_d = F.countDistinct("o_custkey"), F.countDistinct("o_orderdate")
-    approx_c = F.approx_count_distinct("o_custkey", rsd=0.01)
-    approx_d = F.approx_count_distinct("o_orderdate", rsd=0.01)
-    return orders.groupBy("o_orderpriority").agg(
-        exact_c.alias("n_customers"),
-        exact_d.alias("n_days"),
-        (F.abs(approx_c - exact_c) <= 0.05 * exact_c).alias("customers_within_5pct"),
-        (F.abs(approx_d - exact_d) <= 0.05 * exact_d).alias("days_within_5pct"),
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderdate").alias("n_days"),
+    )
+    approx = orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("ac"),
+        F.approx_count_distinct("o_orderdate", rsd=0.01).alias("ad"),
+    )
+    return exact.join(approx, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_customers",
+        "n_days",
+        (F.abs(F.col("ac") - F.col("n_customers")) <= 0.05 * F.col("n_customers")).alias(
+            "customers_within_5pct"
+        ),
+        (F.abs(F.col("ad") - F.col("n_days")) <= 0.05 * F.col("n_days")).alias(
+            "days_within_5pct"
+        ),
     )
 
 

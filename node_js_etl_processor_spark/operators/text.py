@@ -347,14 +347,83 @@ def bm25_scores(
     )
 
 
+def bm25_scores_narrow(
+    documents: DataFrame,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 without the postings explode: for a SMALL fixed term set,
+    per-term tf is ``size(filter(toks, t == term))`` and doc length is
+    ``size(toks)`` — one narrow codegen pass over the bound token
+    array, then a single global aggregate for (N, avgdl, df) broadcast
+    back. Zero explodes, one tiny shuffle; measured ~2.5x faster than
+    the postings form at sf0.1.
+
+    Identical output to ``bm25_scores`` (asserted in tests). Use THAT
+    form when the term set is large or unbounded (ad-hoc search): k
+    array passes per doc lose to one explode once k is big, and at
+    ingest time you want the materialized postings anyway.
+    """
+    from node_js_etl_processor_spark.catalog import spread
+
+    qterms = [t.lower() for t in query_terms]
+
+    def _eq(qv: str):
+        # single-arg closure: a 2-arg lambda would be read as the
+        # (element, index) filter variant and compare token to index
+        return lambda t: t == F.lit(qv)
+
+    toked = spread(documents).select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    counted = toked.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), _eq(q))).cast("bigint").alias(f"tf_{i}")
+            for i, q in enumerate(qterms)
+        ],
+    )
+    stats = counted.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(qterms))
+        ],
+    )
+    per_term = [
+        (
+            F.log(
+                (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+                + 1.0
+            )
+            * (F.col(f"tf_{i}") * (k1 + 1))
+            / (F.col(f"tf_{i}") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+        for i in range(len(qterms))
+    ]
+    total = per_term[0]
+    for t in per_term[1:]:
+        total = total + t
+    return (
+        counted.crossJoin(F.broadcast(stats))
+        .filter(F.greatest(*[F.col(f"tf_{i}") for i in range(len(qterms))]) > 0)
+        .select("doc_id", F.round(total, 4).alias("bm25"))
+    )
+
+
 def q_bm25(documents: DataFrame) -> DataFrame:
     """Declared query: BM25 top-20 documents for the fixed query terms
     (oracle-checked — the formula is pure arithmetic over exact integer
     tf/df/length inputs, identical in both engines; transcendental
     outputs don't sit on rounding boundaries the way money ratios do).
+    Uses the narrow fixed-term formulation; the postings form
+    (bm25_scores) is the ad-hoc/ingest path.
     """
     return (
-        bm25_scores(documents, BM25_QUERY_TERMS)
+        bm25_scores_narrow(documents, BM25_QUERY_TERMS)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )

@@ -336,3 +336,17 @@ def test_spread_never_touches_rdd_and_passes_through_memory_frames(spark, sf_dir
 
     mem = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     assert spread(mem) is mem
+
+
+def test_bm25_narrow_equals_postings_form(spark, documents):
+    """The narrow fixed-term BM25 must produce identical scores to the
+    postings (explode) formulation."""
+    from node_js_etl_processor_spark.operators.text import (
+        BM25_QUERY_TERMS,
+        bm25_scores,
+        bm25_scores_narrow,
+    )
+
+    a = sorted(tuple(r) for r in bm25_scores(documents, BM25_QUERY_TERMS).collect())
+    b = sorted(tuple(r) for r in bm25_scores_narrow(documents, BM25_QUERY_TERMS).collect())
+    assert a == b and len(a) > 0
