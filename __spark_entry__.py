@@ -7,9 +7,13 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-Queries without an oracle entry (similarity / LSH-dedup families) use
-engine-specific hash functions and get the driver's rows-only check;
-their semantics are asserted in tests/ instead.
+58 of 61 queries carry a full DuckDB oracle — including the SRP-LSH /
+IVF similarity family (deterministic hyperplane/centroid constants are
+embedded as SQL literals, so the blocking is cross-checked, not just
+the scores) and the mapInPandas multimodal kernel (byte-deterministic
+fake decode). The 3 remaining rows-only queries (minhash / simhash /
+clusters) are built on engine-specific xxhash64 signatures; their
+semantics are asserted in tests/ instead.
 """
 
 from __future__ import annotations
@@ -130,6 +134,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
     }
+
+
+def _sql_arr(vec: list[float]) -> str:
+    """Render a vector as a DuckDB DOUBLE[] literal."""
+    return "[" + ",".join(repr(float(x)) for x in vec) + "]"
+
+
+def _srp_sig_sql(col: str) -> str:
+    """SRP signature as SQL: same deterministic hyperplanes as
+    similarity._srp_hyperplanes (pure splitmix64 constants — no RNG),
+    so the LSH blocking itself is cross-checked, not just the scores."""
+    from node_js_etl_processor_spark.operators.similarity import _srp_hyperplanes
+
+    terms = [
+        f"(CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]), {_sql_arr(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(_srp_hyperplanes(8))
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _ivf_scores_sql(col: str) -> str:
+    """Per-cell cosine scores against the deterministic IVF centroids
+    as a SQL DOUBLE[] expression (mirrors similarity.ivf_assign)."""
+    from node_js_etl_processor_spark.operators.similarity import _ivf_centroids
+
+    return "[" + ",".join(
+        f"list_dot_product(CAST({col} AS DOUBLE[]), {_sql_arr(c)})"
+        f" / (sqrt(list_dot_product(CAST({col} AS DOUBLE[]), CAST({col} AS DOUBLE[]))) + 1e-12)"
+        for c in _ivf_centroids(8)
+    ) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -774,8 +809,84 @@ def oracle_sql() -> dict[str, str]:
                    md5(array_to_string(list_sort(mins), ',')) AS winnow_sig
             FROM m
         """,
-        # rows-only (engine-specific hashing / sketches / Python kernels /
-        # iterative algorithms, asserted in tests/): q_dedup_minhash,
-        # q_dedup_simhash, q_dedup_clusters, q_dedup_embedding,
-        # q_similarity_ann, q_similarity_ivf, q_multimodal_features
+        "q_dedup_embedding": f"""
+            WITH sigged AS (
+              SELECT vec_id, embedding, {_srp_sig_sql('embedding')} AS sig
+              FROM embeddings
+            ),
+            pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+              FROM sigged a JOIN sigged b ON a.sig = b.sig AND a.vec_id < b.vec_id
+            )
+            SELECT * FROM pairs WHERE cosine >= 0.30
+        """,
+        "q_similarity_ann": f"""
+            WITH sigged AS (
+              SELECT vec_id, label, embedding, {_srp_sig_sql('embedding')} AS sig
+              FROM embeddings
+            ),
+            probe AS (SELECT embedding, sig FROM sigged WHERE vec_id = 0)
+            SELECT s.vec_id, s.label,
+                   round(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                CAST(p.embedding AS DOUBLE[])), 6) AS cosine
+            FROM sigged s, probe p
+            WHERE s.vec_id <> 0
+              AND (s.sig = p.sig OR {" OR ".join(f"s.sig = xor(p.sig, {1 << i})" for i in range(8))})
+            ORDER BY cosine DESC, s.vec_id ASC
+            LIMIT 10
+        """,
+        "q_similarity_ivf": f"""
+            WITH assigned AS (
+              SELECT vec_id, label, embedding,
+                     list_position(s, list_aggregate(s, 'max')) - 1 AS cell
+              FROM (SELECT *, {_ivf_scores_sql('embedding')} AS s FROM embeddings)
+            ),
+            probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            probe_cells AS (
+              SELECT i - 1 AS cell
+              FROM (SELECT unnest({_ivf_scores_sql('(SELECT embedding FROM probe)')}) AS sc,
+                           generate_subscripts({_ivf_scores_sql('(SELECT embedding FROM probe)')}, 1) AS i)
+              ORDER BY sc DESC LIMIT 2
+            )
+            SELECT a.vec_id, a.label,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(p.embedding AS DOUBLE[])), 6) AS cosine
+            FROM assigned a, probe p
+            WHERE a.cell IN (SELECT cell FROM probe_cells) AND a.vec_id <> 0
+            ORDER BY cosine DESC, a.vec_id ASC
+            LIMIT 10
+        """,
+        # the mapInPandas fake-decode kernel is byte-deterministic, so
+        # even the Python-kernel query has a SQL differential oracle
+        "q_multimodal_features": r"""
+            WITH b AS (
+              SELECT doc_id, encode(text) AS blob FROM documents
+            ),
+            bytes AS (
+              SELECT doc_id,
+                     CAST(octet_length(blob) AS BIGINT) AS n_bytes,
+                     list_transform(range(1, octet_length(blob) + 1),
+                                    i -> CAST(('0x' || substring(to_hex(blob), 2*i-1, 2)) AS BIGINT)) AS bs
+              FROM b
+            ),
+            lanes AS (
+              SELECT doc_id, n_bytes,
+                     list_transform(range(0, 8), j ->
+                       (coalesce(list_sum(list_transform(range(j + 1, n_bytes + 1, 8),
+                                                         i -> bs[CAST(i AS INT)])), 0) % 997) / 997.0
+                     ) AS lane
+              FROM bytes
+            )
+            SELECT doc_id AS media_id,
+                   'image' AS modality,
+                   n_bytes,
+                   CAST(8 AS BIGINT) AS feature_dim,
+                   printf('%.6f', sqrt(list_sum(list_transform(lane, v -> v * v)))) AS feature_l2
+            FROM lanes
+        """,
+        # rows-only (engine-specific xxhash64 signatures / iterative
+        # contraction, asserted in tests/): q_dedup_minhash,
+        # q_dedup_simhash, q_dedup_clusters
     }

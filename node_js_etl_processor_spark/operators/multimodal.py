@@ -138,9 +138,11 @@ def q_binary_meta(documents: DataFrame) -> DataFrame:
 def q_multimodal_features(documents: DataFrame) -> DataFrame:
     """Declared query: full multimodal pipeline — adapt docs to the
     media schema, run Arrow-batched feature extraction via mapInPandas,
-    return per-media features (rows-only check: the fake decode kernel
-    is engine-side Python; determinism is byte-derived, asserted in
-    tests/).
+    return per-media features. Fully oracle-checked: the fake decode
+    kernel is byte-deterministic (per-lane byte sums mod 997), so the
+    DuckDB oracle recomputes it from the UTF-8 bytes in SQL — the
+    Python kernel's output is differentially verified, not just
+    row-counted.
 
     Scale: this is the canonical 100 TB media pass — no shuffle at all;
     each task Arrow-streams its parquet split through the Python worker

@@ -148,7 +148,9 @@ def srp_bucket_topk(
 
 def q_similarity_ann(embeddings: DataFrame, k: int = 10) -> DataFrame:
     """Declared query: SRP-LSH approximate top-k for probe vec_id=0
-    (rows-only check; recall vs exact asserted in tests)."""
+    (fully oracle-checked: the deterministic hyperplanes are embedded
+    in the DuckDB SQL, so the multiprobe blocking is differentially
+    verified; recall vs exact additionally asserted in tests)."""
     probe = _probe_vector(embeddings, 0)
     return srp_bucket_topk(embeddings, probe, k=k, exclude_vec_id=0)
 
@@ -158,7 +160,9 @@ def q_similarity_ann(embeddings: DataFrame, k: int = 10) -> DataFrame:
 
 def q_dedup_embedding(embeddings: DataFrame, threshold: float = 0.30) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP-LSH blocking +
-    exact cosine verification (north-star dedup family, embedding tier).
+    exact cosine verification (north-star dedup family, embedding tier;
+    fully oracle-checked — the signature blocking is reproduced in the
+    DuckDB oracle from the same hyperplane constants).
 
     Scale: candidate pairs come from equality self-join on the SRP
     signature — the shuffle is keyed by signature, never all-pairs.
@@ -309,6 +313,8 @@ def ivf_topk(
 
 def q_similarity_ivf(embeddings: DataFrame, k: int = 10) -> DataFrame:
     """Declared query: IVF coarse-quantized approximate top-k for probe
-    vec_id=0 (rows-only check; recall vs exact asserted in tests)."""
+    vec_id=0 (fully oracle-checked: centroid constants embedded in the
+    DuckDB SQL verify cell assignment AND probe-cell pruning; recall vs
+    exact additionally asserted in tests)."""
     probe = _probe_vector(embeddings, 0)
     return ivf_topk(embeddings, probe, k=k, exclude_vec_id=0)
