@@ -350,3 +350,20 @@ def test_bm25_narrow_equals_postings_form(spark, documents):
     a = sorted(tuple(r) for r in bm25_scores(documents, BM25_QUERY_TERMS).collect())
     b = sorted(tuple(r) for r in bm25_scores_narrow(documents, BM25_QUERY_TERMS).collect())
     assert a == b and len(a) > 0
+
+
+def test_fake_feature_numpy_equals_reference(spark):
+    """The vectorized media kernel must match the per-byte reference
+    fold exactly (same lanes, same l2)."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.multimodal import (
+        _fake_feature,
+        _fake_feature_numpy,
+    )
+
+    payloads = [b"", b"\x00", bytes(range(256)) * 37, "héllo wörld 北京".encode(), None]
+    for p in payloads:
+        a = np.asarray(_fake_feature(p))
+        b = np.asarray(_fake_feature_numpy(p))
+        assert np.array_equal(a, b), p

@@ -243,3 +243,37 @@ def test_no_declared_query_uses_nested_loop_or_cartesian(spark, sf_dir):
         ):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_bm25_narrow_no_explode_no_shuffle_before_stats(spark, sf_dir):
+    """The declared BM25 path must stay narrow: no Generate (explode)
+    anywhere, and the only join is the broadcast of the 1-row stats."""
+    from node_js_etl_processor_spark.operators.text import q_bm25
+
+    plan = plan_text(q_bm25(load_table(spark, sf_dir, "documents")))
+    assert "Generate" not in plan  # no explode
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_signatures_shuffle_free(spark, sf_dir):
+    """Signatures are one narrow projection: no Exchange other than the
+    spread() repartition of the under-parallel local scan."""
+    from node_js_etl_processor_spark.operators.dedup import minhash_signatures
+
+    plan = plan_text(minhash_signatures(load_table(spark, sf_dir, "documents")))
+    assert "HashAggregate" not in plan  # no explode+groupBy formulation
+    assert plan.count("Exchange") <= 2  # spread() round-robin only
+
+
+def test_approx_distinct_sketch_not_in_expand(spark, sf_dir):
+    """q_approx_distinct must keep HLL sketches out of the
+    multi-distinct Expand: two separate aggregations joined on the
+    group key (the combined form measured 3.6x slower)."""
+    orders = load_table(spark, sf_dir, "orders")
+    plan = plan_text(relational.q_approx_distinct(orders))
+    # the exact-distinct side has its Expand; the sketch agg must not —
+    # i.e. every Expand section is free of approx_count_distinct
+    for section in plan.split("Expand")[1:]:
+        head = section[:400]
+        assert "approx_count_distinct" not in head
