@@ -118,21 +118,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
         "q_binary_meta": _q(["documents"], q_binary_meta),
         # ---- oracle-paired but outside the 50-entry driver window ----
-        # (each family already has an in-window sibling: semi/anti,
-        # rollup/cube, window topk/lag, collect/approx-distinct; all
-        # four stay under the local DuckDB parity gate in tests/)
+        # (every query below except the last three has a full DuckDB
+        # oracle and stays under the local parity gate in tests/; the
+        # first four each have an in-window family sibling: semi/anti,
+        # rollup/cube, window topk/lag, collect/approx-distinct)
         "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
         "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
         "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
         "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
-        # ---- rows-only: engine-specific hashing / iterative algos ----
-        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
-        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
-        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
         "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
         "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
         "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
+        # ---- rows-only: engine-specific xxhash64 signatures ----
+        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
+        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
+        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
     }
 
 
