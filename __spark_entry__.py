@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
         "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
+        "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
         # ---- rows-only: engine-specific xxhash64 signatures ----
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
@@ -858,6 +859,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.cell IN (SELECT cell FROM probe_cells) AND a.vec_id <> 0
             ORDER BY cosine DESC, a.vec_id ASC
             LIMIT 10
+        """,
+        "q_chunk_documents": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            starts AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks), 1) + 1, 48)) AS start
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+                   CAST(len(toks[start:start+63]) AS BIGINT) AS n_tokens,
+                   md5(array_to_string(toks[start:start+63], ' ')) AS chunk_fp
+            FROM starts
         """,
         # the mapInPandas fake-decode kernel is byte-deterministic, so
         # even the Python-kernel query has a SQL differential oracle

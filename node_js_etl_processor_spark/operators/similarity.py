@@ -171,6 +171,14 @@ def q_dedup_embedding(embeddings: DataFrame, threshold: float = 0.30) -> DataFra
     pairwise cosine ≈ 0.51), so the declared query uses a low
     threshold + 8 planes to keep the pipeline's output non-empty; a
     real near-dup deployment runs ≥0.9 with 16+ planes.
+
+    Plan shape (same trick as q_dedup_simhash): signatures are
+    computed ONCE and grouped — a plain self-join evaluates the
+    8-plane signature projection on BOTH join sides (no exchange to
+    reuse under a broadcast join). Grouping by signature costs one
+    shuffle keyed on sig (bucket-size-bounded, AQE-splittable) and the
+    intra-bucket pair expansion is output-bounded: it materializes
+    exactly the candidate pairs the join would have.
     """
     from node_js_etl_processor_spark.catalog import spread
 
@@ -178,22 +186,39 @@ def q_dedup_embedding(embeddings: DataFrame, threshold: float = 0.30) -> DataFra
     sigged = spread(embeddings).select(
         "vec_id", "embedding", srp_signature(F.col("embedding"), planes).alias("sig")
     )
-    a, b = sigged.alias("a"), sigged.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.sig") == F.col("b.sig")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
+    groups = (
+        sigged.groupBy("sig")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    pairs = groups.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        F.col("ms"),
+                        lambda a: F.transform(
+                            F.col("ms"),
+                            lambda b: F.struct(a.alias("a"), b.alias("b")),
+                        ),
+                    )
+                ),
+                lambda p: p["a"]["vec_id"] < p["b"]["vec_id"],
+            )
+        ).alias("p")
+    )
+    scored = pairs.select(
+        F.col("p.a.vec_id").alias("vec_a"),
+        F.col("p.b.vec_id").alias("vec_b"),
         F.round(
             cosine_similarity(
-                F.col("a.embedding").cast("array<double>"),
-                F.col("b.embedding").cast("array<double>"),
+                F.col("p.a.embedding").cast("array<double>"),
+                F.col("p.b.embedding").cast("array<double>"),
             ),
             6,
         ).alias("cosine"),
     )
-    return pairs.filter(F.col("cosine") >= threshold).orderBy("vec_a", "vec_b")
+    return scored.filter(F.col("cosine") >= threshold).orderBy("vec_a", "vec_b")
 
 
 # ------------------------------------------------- pandas_udf batch scorer

@@ -279,6 +279,54 @@ def q_corpus_pipeline(documents: DataFrame) -> DataFrame:
     )
 
 
+def chunk_documents(
+    documents: DataFrame, chunk_size: int = 64, overlap: int = 16
+) -> DataFrame:
+    """Split documents into fixed-size overlapping token windows — the
+    standard pre-tokenization step of an LLM training pipeline (long
+    documents must become model-context-sized pieces; overlap preserves
+    cross-boundary context).
+
+    Chunk c starts at token index c*stride (stride = chunk_size -
+    overlap) and takes up to chunk_size tokens; starts run while they
+    point at an existing token, so every token lands in ≥1 chunk and a
+    token-less doc yields one empty chunk (kept — downstream quality
+    filters drop it, same as the reference pipeline's always-transform
+    gate).
+
+    Scale: one narrow pass (bound token array → sequence of starts →
+    explode), no shuffle; at 100 TB this is a scan-bound projection
+    whose output feeds the tokenizer, and the explode multiplies rows
+    by ~n_tokens/stride with no data movement.
+    """
+    stride = chunk_size - overlap
+    toked = documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+    with_starts = toked.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(stride))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), chunk_size)
+    return with_starts.select(
+        "doc_id",
+        ((F.col("start") - 1) / stride).cast("bigint").alias("chunk_id"),
+        F.size(chunk).cast("bigint").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def q_chunk_documents(documents: DataFrame) -> DataFrame:
+    """Declared query: 64-token chunks with 16-token overlap, plus a
+    per-chunk exact fingerprint so chunk-level dedup (the usual next
+    stage) is ready to run. Fully oracle-checked."""
+    chunks = chunk_documents(documents)
+    return chunks.select(
+        "doc_id", "chunk_id", "n_tokens", F.md5(F.col("chunk_text")).alias("chunk_fp")
+    )
+
+
 #: Fixed query terms for the declared BM25 query (present in fixtures).
 BM25_QUERY_TERMS: tuple[str, ...] = ("hash", "join", "vector")
 

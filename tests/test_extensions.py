@@ -367,3 +367,39 @@ def test_fake_feature_numpy_equals_reference(spark):
         a = np.asarray(_fake_feature(p))
         b = np.asarray(_fake_feature_numpy(p))
         assert np.array_equal(a, b), p
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token lands in >=1 chunk; consecutive chunks share exactly
+    `overlap` tokens; a token-less doc yields one empty chunk."""
+    from node_js_etl_processor_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, words), (2, "short doc"), (3, "   ")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_size=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # doc 1: 150 tokens, stride 48 -> starts 1,49,97,145 -> 4 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["chunk_id"] for r in c1] == [0, 1, 2, 3]
+    assert [r["n_tokens"] for r in c1] == [64, 64, 54, 6]
+    # overlap: chunk c starts at c*48; chunk 0 covers 1..64, chunk 1 49..112
+    assert c1[0]["chunk_text"].split()[48:] == c1[1]["chunk_text"].split()[:16]
+    # full coverage, in order
+    reconstructed = c1[0]["chunk_text"].split()
+    for r in c1[1:]:
+        reconstructed += r["chunk_text"].split()[16:] if r["n_tokens"] > 16 else []
+    # chunk 3 (6 tokens) is fully inside the overlap tail; coverage via starts
+    covered = set()
+    for r in c1:
+        start = r["chunk_id"] * 48
+        covered.update(range(start, start + r["n_tokens"]))
+    assert covered == set(range(150))
+
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 2
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 0
+    assert by_doc[3][0]["chunk_text"] == ""
