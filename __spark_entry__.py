@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
         "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
+        "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
         # ---- rows-only: engine-specific xxhash64 signatures ----
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
@@ -876,6 +877,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks[start:start+63]) AS BIGINT) AS n_tokens,
                    md5(array_to_string(toks[start:start+63], ' ')) AS chunk_fp
             FROM starts
+        """,
+        "q_pack_chunks": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            starts AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks), 1) + 1, 48)) AS start
+              FROM t
+            ),
+            chunks AS (
+              SELECT doc_id,
+                     CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+                     CAST(len(toks[start:start+63]) AS BIGINT) AS n_tokens
+              FROM starts
+            ),
+            cum AS (
+              SELECT doc_id % 32 AS shard, doc_id, chunk_id, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY doc_id % 32
+                                         ORDER BY doc_id, chunk_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens AS tokens_before
+              FROM chunks
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(tokens_before // 256 AS BIGINT) AS bin_id,
+                   count(*) AS n_chunks,
+                   CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+                   round(CAST(sum(n_tokens) AS DOUBLE) / 256.0, 6) AS fill_ratio
+            FROM cum
+            GROUP BY 1, 2
         """,
         # the mapInPandas fake-decode kernel is byte-deterministic, so
         # even the Python-kernel query has a SQL differential oracle

@@ -327,6 +327,72 @@ def q_chunk_documents(documents: DataFrame) -> DataFrame:
     )
 
 
+def pack_chunks(
+    chunks: DataFrame, budget: int = 256, n_shards: int = 32
+) -> DataFrame:
+    """Concat-and-split sequence packing: assign chunks to fixed
+    token-budget bins — the step after chunking that fills model
+    context windows without padding waste. A chunk goes to the bin its
+    RUNNING token total (before the chunk) falls in, in deterministic
+    (doc_id, chunk_id) order; that is exactly the "concatenate the
+    stream, cut every `budget` tokens" packing big pipelines use
+    (greedy bin packing is iterative; stream-cut is the
+    shuffle-friendly industry form).
+
+    Scale: a single global running sum would serialize on one
+    partition, so packing is SHARDED — the cumulative sum windows over
+    ``doc_id % n_shards`` and bins are (shard, bin-within-shard). Each
+    shard packs independently (embarrassingly parallel, one shuffle on
+    the shard key); at 100 TB n_shards is set so each shard's window
+    state fits an executor.
+    """
+    from pyspark.sql.window import Window
+
+    shard = (F.col("doc_id") % n_shards).cast("bigint")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_cum = chunks.withColumn("shard", shard).select(
+        "shard",
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tokens_before"),
+    )
+    return with_cum.select(
+        "shard",
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.floor(F.col("tokens_before") / budget).cast("bigint").alias("bin_id"),
+    )
+
+
+def q_pack_chunks(documents: DataFrame) -> DataFrame:
+    """Declared query: chunk the corpus (64/16 windows), pack chunks
+    into 256-token bins across 32 shards, and report per-bin fill
+    statistics — bins per shard, tokens per bin, fill ratio. Fully
+    oracle-checked (windows + integer arithmetic, exact both engines).
+    """
+    packed = pack_chunks(chunk_documents(documents))
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .select(
+            "shard",
+            "bin_id",
+            "n_chunks",
+            "bin_tokens",
+            F.round(F.col("bin_tokens") / F.lit(256.0), 6).alias("fill_ratio"),
+        )
+    )
+
+
 #: Fixed query terms for the declared BM25 query (present in fixtures).
 BM25_QUERY_TERMS: tuple[str, ...] = ("hash", "join", "vector")
 

@@ -403,3 +403,26 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 2
     assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 0
     assert by_doc[3][0]["chunk_text"] == ""
+
+
+def test_pack_chunks_budget_and_coverage(spark):
+    """Packing: every chunk lands in exactly one bin; bins are filled
+    in stream order; a bin's starting token offset is bin_id*budget."""
+    from node_js_etl_processor_spark.operators.text import chunk_documents, pack_chunks
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(100))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs)
+    packed = pack_chunks(chunks, budget=128, n_shards=4).collect()
+    assert len(packed) == chunks.count()  # partition of the chunk set
+    # per shard, bins fill monotonically in (doc_id, chunk_id) order
+    by_shard = {}
+    for r in sorted(packed, key=lambda r: (r["shard"], r["doc_id"], r["chunk_id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for rows in by_shard.values():
+        cum = 0
+        for r in rows:
+            assert r["bin_id"] == cum // 128
+            cum += r["n_tokens"]
