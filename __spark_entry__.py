@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-58 of 61 queries carry a full DuckDB oracle — including the SRP-LSH /
+60 of 63 queries carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
 the scores) and the mapInPandas multimodal kernel (byte-deterministic
