@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
         "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
         "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
+        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
+        "q_redact_pii": _q(["documents"], text.q_redact_pii),
         # ---- rows-only: engine-specific xxhash64 signatures ----
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
@@ -909,6 +911,79 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(n_tokens) AS DOUBLE) / 256.0, 6) AS fill_ratio
             FROM cum
             GROUP BY 1, 2
+        """,
+        "q_gopher_rules": """
+            WITH f AS (
+              SELECT source,
+                list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks,
+                string_split(text, chr(10)) AS lines,
+                length(regexp_replace(text, '[^#…]', '', 'g')) AS n_symbols
+              FROM documents
+            ),
+            m AS (
+              SELECT source,
+                CAST(len(toks) AS BIGINT) AS n_words,
+                CASE WHEN len(toks) > 0 THEN
+                  CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE) / len(toks)
+                END AS mwl,
+                CASE WHEN len(toks) > 0 THEN CAST(n_symbols AS DOUBLE) / len(toks) END AS symr,
+                CASE WHEN len(lines) > 0 THEN
+                  CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS DOUBLE) / len(lines)
+                END AS bulr,
+                CASE WHEN len(toks) > 0 THEN
+                  CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+                END AS alpr
+              FROM f
+            ),
+            flags AS (
+              SELECT source,
+                (n_words BETWEEN 5 AND 10000) AS ok_words,
+                coalesce(mwl BETWEEN 2.0 AND 12.0, FALSE) AS ok_wordlen,
+                coalesce(symr <= 0.1, FALSE) AS ok_symbols,
+                coalesce(bulr < 0.3, FALSE) AS ok_bullets,
+                coalesce(alpr >= 0.7, FALSE) AS ok_alpha
+              FROM m
+            )
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(CAST(ok_words AS BIGINT)) AS BIGINT) AS pass_words,
+              CAST(sum(CAST(ok_wordlen AS BIGINT)) AS BIGINT) AS pass_wordlen,
+              CAST(sum(CAST(ok_symbols AS BIGINT)) AS BIGINT) AS pass_symbols,
+              CAST(sum(CAST(ok_bullets AS BIGINT)) AS BIGINT) AS pass_bullets,
+              CAST(sum(CAST(ok_alpha AS BIGINT)) AS BIGINT) AS pass_alpha,
+              CAST(sum(CAST(ok_words AND ok_wordlen AND ok_symbols
+                            AND ok_bullets AND ok_alpha AS BIGINT)) AS BIGINT) AS pass_all
+            FROM flags
+            GROUP BY source
+        """,
+        "q_redact_pii": r"""
+            WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+            s1 AS (
+              SELECT doc_id, t0,
+                regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g') AS t1
+              FROM s0
+            ),
+            s2 AS (
+              SELECT doc_id, t0, t1,
+                regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                               '<IP>', 'g') AS t2
+              FROM s1
+            ),
+            s3 AS (
+              SELECT doc_id, t0, t1, t2,
+                regexp_replace(t2, '\+?[0-9][0-9()\-\. ]{7,}[0-9]',
+                               '<PHONE>', 'g') AS t3
+              FROM s2
+            )
+            SELECT doc_id,
+              CAST(len(string_split_regex(t0,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1 AS BIGINT) AS n_email,
+              CAST(len(string_split_regex(t1,
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) - 1 AS BIGINT) AS n_ipv4,
+              CAST(len(string_split_regex(t2,
+                '\+?[0-9][0-9()\-\. ]{7,}[0-9]')) - 1 AS BIGINT) AS n_phone,
+              md5(t3) AS redacted_fp
+            FROM s3
         """,
         # the mapInPandas fake-decode kernel is byte-deterministic, so
         # even the Python-kernel query has a SQL differential oracle

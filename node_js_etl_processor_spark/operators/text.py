@@ -393,6 +393,126 @@ def q_pack_chunks(documents: DataFrame) -> DataFrame:
     )
 
 
+def gopher_rules(text: Column) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al., "Scaling
+    Language Models: Methods, Analysis & Insights from Training
+    Gopher", 2021, §A1.1 — the public web-corpus filter heuristics),
+    re-expressed as pure Column predicates:
+
+    - word count within [5, 10_000] (fixture-scaled bounds);
+    - mean word length within [2, 12];
+    - symbol-to-word ratio (# or …) ≤ 0.1;
+    - < 30% of lines start with a bullet;
+    - ≥ 70% of words contain at least one alphabetic character.
+
+    All integer/ratio arithmetic over one bound token array — a narrow
+    codegen pass; identical semantics in ANSI SQL for the oracle.
+    """
+    toks = tokens(text)
+    n_words = F.size(toks).cast("bigint")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    )
+    mean_word_len = F.when(n_words > 0, total_chars.cast("double") / n_words)
+    n_symbols = (
+        F.length(F.regexp_replace(text, r"[^#…]", "")).cast("bigint")
+    )
+    lines = F.split(text, r"\n")
+    n_lines = F.size(lines).cast("bigint")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[-*•]"))
+    ).cast("bigint")
+    alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike(r"[A-Za-z]"))
+    ).cast("bigint")
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": F.when(n_words > 0, n_symbols.cast("double") / n_words),
+        "bullet_ratio": F.when(n_lines > 0, bullet_lines.cast("double") / n_lines),
+        "alpha_word_ratio": F.when(n_words > 0, alpha_words.cast("double") / n_words),
+    }
+
+
+def q_gopher_rules(documents: DataFrame) -> DataFrame:
+    """Declared query: per-source Gopher-rule pass rates — how much of
+    each source survives each rule and all rules together (the
+    corpus-curation dashboard number). Fully oracle-checked; ratio
+    comparisons stay in exact integer form where possible (counts
+    compared against count*bound) to dodge float-boundary flakiness.
+    """
+    r = gopher_rules(F.col("text"))
+    flags = documents.select(
+        "source",
+        (r["n_words"].between(5, 10_000)).alias("ok_words"),
+        F.coalesce(r["mean_word_len"].between(2.0, 12.0), F.lit(False)).alias("ok_wordlen"),
+        F.coalesce(r["symbol_ratio"] <= 0.1, F.lit(False)).alias("ok_symbols"),
+        F.coalesce(r["bullet_ratio"] < 0.3, F.lit(False)).alias("ok_bullets"),
+        F.coalesce(r["alpha_word_ratio"] >= 0.7, F.lit(False)).alias("ok_alpha"),
+    )
+    keep = (
+        F.col("ok_words")
+        & F.col("ok_wordlen")
+        & F.col("ok_symbols")
+        & F.col("ok_bullets")
+        & F.col("ok_alpha")
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("ok_words").cast("bigint")).alias("pass_words"),
+        F.sum(F.col("ok_wordlen").cast("bigint")).alias("pass_wordlen"),
+        F.sum(F.col("ok_symbols").cast("bigint")).alias("pass_symbols"),
+        F.sum(F.col("ok_bullets").cast("bigint")).alias("pass_bullets"),
+        F.sum(F.col("ok_alpha").cast("bigint")).alias("pass_alpha"),
+        F.sum(keep.cast("bigint")).alias("pass_all"),
+    )
+
+
+#: Redaction patterns: RE2-and-Java-regex-compatible (no lookarounds,
+#: no backrefs) so Spark and the DuckDB oracle apply byte-identical
+#: rules. ORDER IS SEMANTIC: specific before general — emails first
+#: (contain digits/dots), then IPv4, then the catch-all phone shape
+#: (which would otherwise swallow dotted IPs).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Apply the redaction chain in declared order (a later pattern
+    never sees text a previous one replaced)."""
+    out = text
+    for _, pattern, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def q_redact_pii(documents: DataFrame) -> DataFrame:
+    """Declared query: PII scrubbing pass — redacted text fingerprint
+    plus per-kind match counts per document. Counts audit the CHAIN:
+    each pattern is counted on the text the chain hands it (after the
+    previous redactions), so an IP never also counts as a phone.
+    Regexes are restricted to the RE2 ∩ Java-regex dialect so the
+    DuckDB oracle applies the exact same rules; fully oracle-checked.
+    Scale: one narrow projection, no shuffle — the canonical
+    pre-training scrub pass.
+    """
+    staged = [F.col("text")]
+    for _, pattern, token in PII_PATTERNS:
+        staged.append(F.regexp_replace(staged[-1], pattern, token))
+    counts = [
+        (F.size(F.split(staged[i], pattern, -1)) - 1).cast("bigint")
+        for i, (_, pattern, _) in enumerate(PII_PATTERNS)
+    ]
+    return documents.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for (name, _, _), c in zip(PII_PATTERNS, counts)],
+        F.md5(staged[-1]).alias("redacted_fp"),
+    )
+
+
 #: Fixed query terms for the declared BM25 query (present in fixtures).
 BM25_QUERY_TERMS: tuple[str, ...] = ("hash", "join", "vector")
 

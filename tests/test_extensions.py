@@ -426,3 +426,47 @@ def test_pack_chunks_budget_and_coverage(spark):
         for r in rows:
             assert r["bin_id"] == cum // 128
             cum += r["n_tokens"]
+
+
+def test_gopher_rules_flag_semantics(spark):
+    """Each rule fires on the document engineered to violate it."""
+    from node_js_etl_processor_spark.operators.text import q_gopher_rules
+
+    good = "The quick brown fox jumps over the lazy dog near the river bank"
+    docs = [
+        (1, "s1", good),
+        (2, "s1", "too short"),  # < 5 words
+        (3, "s1", "### ## # " * 20),  # symbol-heavy, no alpha words
+        (4, "s1", "\n".join("- bullet item here" for _ in range(10))),  # all bullets
+        (5, "s1", " ".join("a" for _ in range(30))),  # mean word len 1 < 2
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    row = q_gopher_rules(df).collect()[0]
+    assert row["n_docs"] == 5
+    assert row["pass_all"] == 1  # only the good doc survives everything
+    assert row["pass_words"] == 4  # doc 2 fails the word-count rule
+    assert row["pass_wordlen"] <= 4  # doc 5 fails mean word length
+
+
+def test_redact_pii_counts_and_fingerprint(spark):
+    from node_js_etl_processor_spark.operators.text import q_redact_pii, redact_pii
+    from pyspark.sql import functions as F
+
+    docs = [
+        (1, "contact alice@example.com or bob.smith@corp.co.uk today"),
+        (2, "call +1 (555) 123-4567 or 020 7946 0958 now"),
+        (3, "server at 192.168.0.1 responded"),
+        (4, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in q_redact_pii(df).collect()}
+    assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 0
+    assert out[2]["n_phone"] == 2
+    assert out[3]["n_ipv4"] == 1
+    assert out[4]["n_email"] == out[4]["n_phone"] == out[4]["n_ipv4"] == 0
+
+    red = {r["doc_id"]: r["red"] for r in df.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()}
+    assert red[1] == "contact <EMAIL> or <EMAIL> today"
+    assert "<PHONE>" in red[2] and "555" not in red[2]
+    assert red[3] == "server at <IP> responded"
+    assert red[4] == docs[3][1]
