@@ -172,13 +172,17 @@ def q_dedup_embedding(embeddings: DataFrame, threshold: float = 0.30) -> DataFra
     threshold + 8 planes to keep the pipeline's output non-empty; a
     real near-dup deployment runs ≥0.9 with 16+ planes.
 
-    Plan shape (same trick as q_dedup_simhash): signatures are
-    computed ONCE and grouped — a plain self-join evaluates the
-    8-plane signature projection on BOTH join sides (no exchange to
-    reuse under a broadcast join). Grouping by signature costs one
-    shuffle keyed on sig (bucket-size-bounded, AQE-splittable) and the
-    intra-bucket pair expansion is output-bounded: it materializes
-    exactly the candidate pairs the join would have.
+    Plan shape: signature-keyed equi-self-join. Candidate pairs come
+    from ``a.join(b, "sig")`` with a ``vec_id`` ordering filter — ONE
+    shuffle keyed on sig, and a skewed bucket is split at runtime by
+    AQE's skew-join handling. No row ever holds more than two
+    embeddings. (An earlier formulation grouped
+    ``collect_list(struct(vec_id, embedding))`` per signature to avoid
+    evaluating the signature projection on both join sides; with only
+    2^planes buckets a single grouped row then holds ~1/2^planes of
+    the corpus's vectors — an executor-OOM at scale that AQE cannot
+    split, so the join form wins even at 2× signature-projection
+    cost.)
     """
     from node_js_etl_processor_spark.catalog import spread
 
@@ -186,34 +190,16 @@ def q_dedup_embedding(embeddings: DataFrame, threshold: float = 0.30) -> DataFra
     sigged = spread(embeddings).select(
         "vec_id", "embedding", srp_signature(F.col("embedding"), planes).alias("sig")
     )
-    groups = (
-        sigged.groupBy("sig")
-        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    pairs = groups.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        F.col("ms"),
-                        lambda a: F.transform(
-                            F.col("ms"),
-                            lambda b: F.struct(a.alias("a"), b.alias("b")),
-                        ),
-                    )
-                ),
-                lambda p: p["a"]["vec_id"] < p["b"]["vec_id"],
-            )
-        ).alias("p")
-    )
+    a = sigged.alias("a")
+    b = sigged.alias("b")
+    pairs = a.join(b, "sig").filter(F.col("a.vec_id") < F.col("b.vec_id"))
     scored = pairs.select(
-        F.col("p.a.vec_id").alias("vec_a"),
-        F.col("p.b.vec_id").alias("vec_b"),
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
         F.round(
             cosine_similarity(
-                F.col("p.a.embedding").cast("array<double>"),
-                F.col("p.b.embedding").cast("array<double>"),
+                F.col("a.embedding").cast("array<double>"),
+                F.col("b.embedding").cast("array<double>"),
             ),
             6,
         ).alias("cosine"),
