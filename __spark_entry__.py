@@ -971,7 +971,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             s3 AS (
               SELECT doc_id, t0, t1, t2,
-                regexp_replace(t2, '\+?[0-9][0-9()\-\. ]{7,}[0-9]',
+                regexp_replace(t2, '(?:\+[0-9][0-9()\-\. ]{5,16}[0-9]|\(?[0-9]{3,4}\)?[\-\. ]?[0-9]{3,4}[\-\. ][0-9]{4}|\b[0-9]{7,15}\b)',
                                '<PHONE>', 'g') AS t3
               FROM s2
             )
@@ -981,7 +981,7 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(string_split_regex(t1,
                 '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) - 1 AS BIGINT) AS n_ipv4,
               CAST(len(string_split_regex(t2,
-                '\+?[0-9][0-9()\-\. ]{7,}[0-9]')) - 1 AS BIGINT) AS n_phone,
+                '(?:\+[0-9][0-9()\-\. ]{5,16}[0-9]|\(?[0-9]{3,4}\)?[\-\. ]?[0-9]{3,4}[\-\. ][0-9]{4}|\b[0-9]{7,15}\b)')) - 1 AS BIGINT) AS n_phone,
               md5(t3) AS redacted_fp
             FROM s3
         """,

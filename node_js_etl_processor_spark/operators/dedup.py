@@ -97,10 +97,18 @@ def minhash_signatures(
     this narrow form wins when signatures are the only output, which
     is the LSH pipeline's case.
 
+    Token-less (empty/whitespace-only) docs are EXCLUDED, mirroring
+    q_dedup_simhash's drop_tokenless: their shingle set degenerates to
+    [""], so g such docs share every band bucket and produce C(g,2)
+    meaningless candidate pairs per band. Exact dedup (q_dedup_docs)
+    still groups empty texts.
+
     Returns (doc_id, h0..h{k-1}).
     """
     documents = spread(documents)
-    toked = documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+    toked = documents.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
     sh = toked.select(
         "doc_id", shingles_from_tokens(F.col("toks"), shingle_n).alias("sh")
     )
@@ -560,8 +568,11 @@ def connected_components(
     for _ in range(max_iterations):
         if n <= small_graph_threshold:
             labels = _unionfind_labels([(r[0], r[1]) for r in e.collect()])
+            # schema follows the input's node type so string/int doc ids
+            # behave identically on the driver path and the star rounds
+            node_type = dict(e.dtypes)["src"]
             return spark.createDataFrame(
-                labels, "doc_id long, component_id long"
+                labels, f"doc_id {node_type}, component_id {node_type}"
             )
         e = _small_star(_large_star(e)).localCheckpoint(eager=True)
         n, n_src = e.agg(F.count("*"), F.countDistinct("src")).first()

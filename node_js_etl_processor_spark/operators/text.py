@@ -471,12 +471,20 @@ def q_gopher_rules(documents: DataFrame) -> DataFrame:
 #: Redaction patterns: RE2-and-Java-regex-compatible (no lookarounds,
 #: no backrefs) so Spark and the DuckDB oracle apply byte-identical
 #: rules. ORDER IS SEMANTIC: specific before general — emails first
-#: (contain digits/dots), then IPv4, then the catch-all phone shape
-#: (which would otherwise swallow dotted IPs).
+#: (contain digits/dots), then IPv4, then phones. The phone pattern
+#: accepts three shapes rather than any 7+-char digit/filler run (which
+#: over-matched ISO dates and date ranges): an international +-prefixed
+#: run, a 3-3-4 separator-grouped number, or a bare 7–15 digit run.
+#: ISO dates ("2024-01-01") group digits 4-2-2 and never reach 7
+#: consecutive digits, so they survive.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
-    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]", "<PHONE>"),
+    (
+        "phone",
+        r"(?:\+[0-9][0-9()\-\. ]{5,16}[0-9]|\(?[0-9]{3,4}\)?[\-\. ]?[0-9]{3,4}[\-\. ][0-9]{4}|\b[0-9]{7,15}\b)",
+        "<PHONE>",
+    ),
 )
 
 

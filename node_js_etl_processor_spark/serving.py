@@ -127,7 +127,10 @@ class _Handler(BaseHTTPRequestHandler):
                 try:
                     with open(self.json_path, encoding="utf-8") as fh:
                         rows = json.load(fh)
-                except FileNotFoundError:
+                # the reference catches JSON.parse failures in the same
+                # try/catch as fs.access (server.js:200-219): an
+                # unparseable staged file gets the 404 envelope too
+                except (FileNotFoundError, json.JSONDecodeError):
                     self._send(404, {
                         "error": "Data file not found. Please run the ETL process first.",
                         "suggestion": "Try calling /api/refresh to generate the data",

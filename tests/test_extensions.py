@@ -457,6 +457,7 @@ def test_redact_pii_counts_and_fingerprint(spark):
         (2, "call +1 (555) 123-4567 or 020 7946 0958 now"),
         (3, "server at 192.168.0.1 responded"),
         (4, "clean text with no identifiers at all"),
+        (5, "from 2024-01-01 to 2025-12-31 (see section 1.2.3) id 12345678901"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {r["doc_id"]: r for r in q_redact_pii(df).collect()}
@@ -464,9 +465,12 @@ def test_redact_pii_counts_and_fingerprint(spark):
     assert out[2]["n_phone"] == 2
     assert out[3]["n_ipv4"] == 1
     assert out[4]["n_email"] == out[4]["n_phone"] == out[4]["n_ipv4"] == 0
+    # dates and dotted section numbers are NOT phones; a bare 11-digit run is
+    assert out[5]["n_phone"] == 1 and out[5]["n_ipv4"] == 0
 
     red = {r["doc_id"]: r["red"] for r in df.select("doc_id", redact_pii(F.col("text")).alias("red")).collect()}
     assert red[1] == "contact <EMAIL> or <EMAIL> today"
     assert "<PHONE>" in red[2] and "555" not in red[2]
     assert red[3] == "server at <IP> responded"
     assert red[4] == docs[3][1]
+    assert red[5] == "from 2024-01-01 to 2025-12-31 (see section 1.2.3) id <PHONE>"

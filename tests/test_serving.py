@@ -81,6 +81,22 @@ def test_json_endpoint_serves_a2_envelope(staged):
         httpd.shutdown()
 
 
+def test_json_endpoint_unparseable_file_gets_404_envelope(staged):
+    # reference parity: JSON.parse failure lands in the same catch as
+    # a missing file (server.js:200-219) -> 404 {error, suggestion}
+    p, json_path, csv_path = staged
+    with open(json_path, "w", encoding="utf-8") as fh:
+        fh.write("{not json")
+    httpd, port = serve(json_path, csv_path)
+    try:
+        status, _, body = _get(port, "/api/universities/json")
+        assert status == 404
+        env = json.loads(body)
+        assert set(env) == {"error", "suggestion"}
+    finally:
+        httpd.shutdown()
+
+
 def test_csv_passthrough_and_missing_404(staged, tmp_path):
     p, json_path, csv_path = staged
     httpd, port = serve(json_path, csv_path)

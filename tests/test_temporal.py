@@ -155,6 +155,24 @@ def test_connected_components_graph_shapes(spark):
     assert comp_dist == expect
 
 
+def test_connected_components_string_ids_both_paths(spark):
+    # the driver union-find finish derives its schema from the input's
+    # node type, so string doc ids behave identically on both paths
+    from node_js_etl_processor_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "doc_a string, doc_b string"
+    )
+    expect = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    comp = {r["doc_id"]: r["component_id"] for r in connected_components(edges).collect()}
+    assert comp == expect
+    comp_dist = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(edges, small_graph_threshold=0).collect()
+    }
+    assert comp_dist == expect
+
+
 def test_dedup_clusters_cover_all_docs(spark, sf_dir):
     from node_js_etl_processor_spark.catalog import load_table
     from node_js_etl_processor_spark.operators.dedup import q_dedup_clusters
