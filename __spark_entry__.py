@@ -7,13 +7,15 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-60 of 63 queries carry a full DuckDB oracle — including the SRP-LSH /
+ALL 65 queries carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
-the scores) and the mapInPandas multimodal kernel (byte-deterministic
-fake decode). The 3 remaining rows-only queries (minhash / simhash /
-clusters) are built on engine-specific xxhash64 signatures; their
-semantics are asserted in tests/ instead.
+the scores), the mapInPandas multimodal kernel (byte-deterministic
+fake decode), and — since r3 — the minhash / simhash / clusters dedup
+trio, declared in portable md5-derived hash forms the oracle rebuilds
+bit-for-bit (universal-LCG minhash permutations, 64 simhash vote sums,
+a recursive-CTE closure for components); xxhash64 variants remain as
+the perf path.
 """
 
 from __future__ import annotations
@@ -54,11 +56,16 @@ def _q(table_names: list[str], fn) -> Callable[[SparkSession, str], DataFrame]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared queries, ORDERED BY CHECKABILITY: the driver records
-    correctness rows for the first 50 entries, so the 50 highest-value
-    oracle-paired queries come first, then the remaining oracle-paired
-    queries (still covered by tests/test_oracle_parity.py locally),
-    then the rows-only set (engine-specific hashing / sketches /
-    iterative algorithms, semantics asserted in tests/)."""
+    correctness rows for the first 50 entries. All 65 queries are
+    oracle-paired; entries outside the window are still covered by the
+    full local parity gate (tests/test_oracle_parity.py). r3 rotation:
+    the 11 queries that had never had a driver row — the whole
+    LLM-pipeline tail (embedding dedup, ANN, IVF, multimodal, chunking,
+    packing, Gopher, PII) plus the newly oracle-paired dedup trio
+    (minhash/simhash/clusters) — moved INTO the window; 11 relational
+    queries green in BOTH r1 and r2 (string/scalar/cube/lag/unpivot/
+    collect/null-safe/argmax/subquery/explode/set-ops) moved out. With
+    r1+r2 history, every query has driver evidence from some round."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
         # reference-operator surface (SURVEY.md §2a/§2b)
@@ -80,22 +87,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q_stats_agg": _q(["customer"], relational.q_stats_agg),
         "q_pivot": _q(["orders"], relational.q_pivot),
-        "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
-        "q_cube": _q(["orders"], relational.q_cube),
-        "q_window_lag": _q(["events"], relational.q_window_lag),
-        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
-        "q_string_funcs": _q(["part"], relational.q_string_funcs),
         "q_date_buckets": _q(["events"], relational.q_date_buckets),
         "q_json_props": _q(["events"], relational.q_json_props),
-        "q_unpivot": _q(["orders"], relational.q_unpivot),
-        "q_collect_agg": _q(["orders"], relational.q_collect_agg),
-        "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
-        "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
-        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
         "q_shipping_priority": _q(
             ["customer", "orders", "lineitem"], relational.q_shipping_priority
         ),
-        "q_explode_words": _q(["part"], relational.q_explode_words),
         "q_percentiles": _q(["lineitem"], relational.q_percentiles),
         "q_approx_distinct": _q(["orders"], relational.q_approx_distinct),
         "q_sample_hash": _q(["orders"], relational.q_sample_hash),
@@ -117,15 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
         "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
         "q_binary_meta": _q(["documents"], q_binary_meta),
-        # ---- oracle-paired but outside the 50-entry driver window ----
-        # (every query below except the last three has a full DuckDB
-        # oracle and stays under the local parity gate in tests/; the
-        # first four each have an in-window family sibling: semi/anti,
-        # rollup/cube, window topk/lag, collect/approx-distinct)
-        "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
-        "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
-        "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
-        "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
+        # LLM-pipeline tail + dedup trio, rotated into the window in r3
         "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
         "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
         "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
@@ -134,10 +122,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
         "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
         "q_redact_pii": _q(["documents"], text.q_redact_pii),
-        # ---- rows-only: engine-specific xxhash64 signatures ----
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
         "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
+        # ---- oracle-paired but outside the 50-entry driver window ----
+        # (all covered by the local parity gate in tests/; every one is
+        # multi-round driver-green — the first four from r1, the other
+        # eleven from both r1 and r2 — and each has an in-window family
+        # sibling exercising the same operator class)
+        "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
+        "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
+        "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
+        "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
+        "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
+        "q_cube": _q(["orders"], relational.q_cube),
+        "q_window_lag": _q(["events"], relational.q_window_lag),
+        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
+        "q_string_funcs": _q(["part"], relational.q_string_funcs),
+        "q_unpivot": _q(["orders"], relational.q_unpivot),
+        "q_collect_agg": _q(["orders"], relational.q_collect_agg),
+        "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
+        "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
+        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
+        "q_explode_words": _q(["part"], relational.q_explode_words),
     }
 
 
@@ -170,6 +177,97 @@ def _ivf_scores_sql(col: str) -> str:
         f" / (sqrt(list_dot_product(CAST({col} AS DOUBLE[]), CAST({col} AS DOUBLE[]))) + 1e-12)"
         for c in _ivf_centroids(8)
     ) + "]"
+
+
+def _minhash_cands_cte() -> str:
+    """Portable MinHash-LSH candidate pairs as a CTE chain (mirrors
+    dedup.minhash_candidates(portable=True): 31-bit md5-derived
+    hash-once shingle hashes, 32 universal-LCG per-seed minima, 8 md5
+    band buckets, bucket equi-join; the (a,b) constants come from the
+    same minhash_lcg_consts the Spark side embeds). Ends with
+    shing(doc_id, sh) and cands(doc_a, doc_b)."""
+    from node_js_etl_processor_spark.operators.dedup import P31, minhash_lcg_consts
+
+    seed_rows = ", ".join(
+        f"({s}, {a}::BIGINT, {b}::BIGINT)"
+        for s, (a, b) in enumerate(minhash_lcg_consts(32))
+    )
+    return rf"""
+            toked AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+              FROM documents
+            ),
+            shing AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 3, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+3], ' '))) AS sh
+              FROM toked WHERE len(toks) > 0
+            ),
+            hs AS (
+              SELECT doc_id,
+                     list_transform(sh, s ->
+                       ('0x' || substr(md5(s), 9, 8))::BIGINT & 2147483647) AS hs
+              FROM shing
+            ),
+            seeds(seed, a, b) AS (VALUES {seed_rows}),
+            minh AS (
+              SELECT u.doc_id, t.seed AS seed,
+                     min((t.a * u.h + t.b) % {P31}) AS mh
+              FROM (SELECT doc_id, unnest(hs) AS h FROM hs) u
+              CROSS JOIN seeds t
+              GROUP BY u.doc_id, t.seed
+            ),
+            sig AS (
+              SELECT doc_id, list(mh ORDER BY seed) AS ms FROM minh GROUP BY doc_id
+            ),
+            buckets AS (
+              SELECT doc_id, b.band AS band,
+                     md5(array_to_string(ms[b.band*4+1 : b.band*4+4], ',')) AS bucket
+              FROM sig CROSS JOIN (SELECT range AS band FROM range(8)) b
+            ),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM buckets a JOIN buckets b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+            )"""
+
+
+def _simhash_sigs_cte() -> str:
+    """Portable SimHash signatures as a CTE chain (mirrors
+    dedup.simhash_signatures_numpy(portable=True, drop_tokenless=True):
+    per-distinct-token md5-derived 64-bit hash, 64 bit-vote sums,
+    signature assembled as UBIGINT). Ends with sigs(doc_id, sig)."""
+    votes = ",\n                     ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    sig = "\n                     + ".join(
+        f"CASE WHEN v{i} > 0 THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END"
+        for i in range(64)
+    )
+    return rf"""
+            toked AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+              FROM documents
+            ),
+            th AS (
+              SELECT DISTINCT u.doc_id, ('0x' || substr(md5(u.tok), 1, 16))::UBIGINT AS h
+              FROM (SELECT doc_id, unnest(toks) AS tok
+                    FROM toked WHERE len(toks) > 0) u
+            ),
+            votes AS (
+              SELECT doc_id,
+                     {votes}
+              FROM th GROUP BY doc_id
+            ),
+            sigs AS (
+              SELECT doc_id,
+                     ({sig}) AS sig
+              FROM votes
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1013,7 +1111,70 @@ def oracle_sql() -> dict[str, str]:
                    printf('%.6f', sqrt(list_sum(list_transform(lane, v -> v * v)))) AS feature_l2
             FROM lanes
         """,
-        # rows-only (engine-specific xxhash64 signatures / iterative
-        # contraction, asserted in tests/): q_dedup_minhash,
-        # q_dedup_simhash, q_dedup_clusters
+        # the three dedup pipelines are declared in their portable md5
+        # hash forms, so LSH blocking, Hamming verify, and the cluster
+        # closure are all differentially checked (xxhash64 = perf path)
+        "q_dedup_minhash": f"""
+            WITH {_minhash_cands_cte()}
+            SELECT c.doc_a, c.doc_b,
+                   round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                         / len(list_distinct(sa.sh || sb.sh)), 6) AS jaccard
+            FROM cands c
+            JOIN shing sa ON sa.doc_id = c.doc_a
+            JOIN shing sb ON sb.doc_id = c.doc_b
+        """,
+        "q_dedup_simhash": f"""
+            WITH {_simhash_sigs_cte()},
+            intra AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, 0::BIGINT AS hamming
+              FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.doc_id < b.doc_id
+            ),
+            banded AS (
+              SELECT DISTINCT sig, b.band AS band,
+                     ((sig >> (b.band * 16)) & 65535::UBIGINT) AS chunk
+              FROM sigs CROSS JOIN (SELECT range AS band FROM range(4)) b
+            ),
+            sp AS (
+              SELECT DISTINCT a.sig AS sig_a, b.sig AS sig_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.chunk = b.chunk AND a.sig < b.sig
+              WHERE bit_count(xor(a.sig, b.sig)) <= 3
+            ),
+            crossp AS (
+              SELECT least(x.doc_id, y.doc_id) AS doc_a,
+                     greatest(x.doc_id, y.doc_id) AS doc_b,
+                     CAST(bit_count(xor(p.sig_a, p.sig_b)) AS BIGINT) AS hamming
+              FROM sp p
+              JOIN sigs x ON x.sig = p.sig_a
+              JOIN sigs y ON y.sig = p.sig_b
+            )
+            SELECT doc_a, doc_b, hamming FROM intra
+            UNION ALL
+            SELECT doc_a, doc_b, hamming FROM crossp
+        """,
+        "q_dedup_clusters": f"""
+            WITH RECURSIVE {_minhash_cands_cte()},
+            edges2 AS (
+              SELECT doc_a AS a, doc_b AS b FROM cands
+              UNION
+              SELECT doc_b AS a, doc_a AS b FROM cands
+            ),
+            reach(d, r) AS (
+              SELECT a, a FROM edges2
+              UNION
+              SELECT e.a, reach.r FROM edges2 e JOIN reach ON e.b = reach.d
+            ),
+            cc AS (
+              SELECT d AS doc_id, min(r) AS component_id FROM reach GROUP BY d
+            ),
+            alld AS (
+              SELECT d.doc_id, coalesce(cc.component_id, d.doc_id) AS component_id
+              FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+            )
+            SELECT component_id,
+                   count(*) AS cluster_size,
+                   min(doc_id) AS keeper_doc_id
+            FROM alld
+            GROUP BY component_id
+        """,
     }

@@ -73,8 +73,48 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     )
 
 
+def portable_hash64(col: Column) -> Column:
+    """md5-derived 64-bit hash with IDENTICAL bits in Spark and ANSI
+    SQL: the first 16 hex chars of md5 read as an unsigned 64-bit
+    value, re-expressed in bigint two's complement. The oracle side is
+    ``('0x' || substr(md5(x),1,16))::UBIGINT`` — cross-engine equality
+    is pinned by the dedup oracle suite. xxhash64 stays the perf path
+    (one hash vs md5+conv), same winnowing precedent as
+    text.gram_hashes(portable=True).
+    """
+    hx = F.md5(col)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint")
+    # (hi << 32) | lo assembles the unsigned value's two's-complement
+    # bits directly — shiftleft is a bit op, exempt from ANSI overflow
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+#: Mersenne prime 2^31 - 1: the modulus of the portable minhash LCG
+#: family. Products a*h stay under 2^62, so the arithmetic is exact
+#: (and ANSI-overflow-safe) in 64-bit integers in BOTH engines.
+P31 = 2147483647
+
+
+def minhash_lcg_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the portable minhash family
+    h_seed(x) = (a*x + b) mod P31 — the classic universal linear-
+    congruential permutation family (Broder 1997 uses exactly such
+    per-seed linear permutations). Derived from the same splitmix64
+    mix used for SRP hyperplanes; embedded as literals in both the
+    Spark expressions and the DuckDB oracle SQL."""
+    consts = []
+    for seed in range(num_hashes):
+        z = (seed + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        z ^= z >> 31
+        consts.append(((z % (P31 - 1)) + 1, (z >> 32) % P31))
+    return consts
+
+
 def minhash_signatures(
-    documents: DataFrame, num_hashes: int = 32, shingle_n: int = 3
+    documents: DataFrame, num_hashes: int = 32, shingle_n: int = 3, portable: bool = False
 ) -> DataFrame:
     """k independent minhashes per doc, SHUFFLE-FREE: shingle strings
     are hashed ONCE (xxhash64 → long), then each of the k minhash
@@ -103,6 +143,14 @@ def minhash_signatures(
     meaningless candidate pairs per band. Exact dedup (q_dedup_docs)
     still groups empty texts.
 
+    ``portable=True`` swaps the xxhash64 family for an engine-neutral
+    one — hash-once: low 31 bits of the md5-derived ``portable_hash64``
+    per shingle, then each seed's minhash is the min of the universal
+    LCG permutation (a*h + b) mod P31 (see minhash_lcg_consts). This
+    puts the whole LSH pipeline under the DuckDB oracle gate at
+    ~xxhash64 cost: one md5 per shingle, then pure 64-bit arithmetic
+    for all k min-passes.
+
     Returns (doc_id, h0..h{k-1}).
     """
     documents = spread(documents)
@@ -112,18 +160,42 @@ def minhash_signatures(
     sh = toked.select(
         "doc_id", shingles_from_tokens(F.col("toks"), shingle_n).alias("sh")
     )
-    hs = sh.select(
-        "doc_id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs")
-    )
-    return hs.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(F.col("hs"), lambda h: F.xxhash64(h, F.lit(seed)))
-            ).alias(f"h{seed}")
+    if portable:
+        # low 31 bits of portable_hash64 == bits of md5 chars 9..16
+        # masked to 31 — one md5 + one conv per shingle
+        hs = sh.select(
+            "doc_id",
+            F.transform(
+                F.col("sh"),
+                lambda s: F.conv(F.substring(F.md5(s), 9, 8), 16, 10)
+                .cast("bigint")
+                .bitwiseAND(F.lit(0x7FFFFFFF)),
+            ).alias("hs"),
+        )
+        # factory closures, NOT default-arg lambdas: F.transform
+        # dispatches on the lambda's positional arity, so a default
+        # parameter would silently turn it into the (element, index)
+        # two-arg form and bind the array index instead of the constant
+        def _perm(a: int, b: int):
+            return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(P31)
+
+        mins = [
+            F.array_min(F.transform(F.col("hs"), _perm(a, b))).alias(f"h{seed}")
+            for seed, (a, b) in enumerate(minhash_lcg_consts(num_hashes))
+        ]
+    else:
+        hs = sh.select(
+            "doc_id", F.transform(F.col("sh"), lambda s: F.xxhash64(s)).alias("hs")
+        )
+
+        def _rehash(seed: int):
+            return lambda h: F.xxhash64(h, F.lit(seed))
+
+        mins = [
+            F.array_min(F.transform(F.col("hs"), _rehash(seed))).alias(f"h{seed}")
             for seed in range(num_hashes)
-        ],
-    )
+        ]
+    return hs.select("doc_id", *mins)
 
 
 def minhash_candidates(
@@ -131,6 +203,7 @@ def minhash_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 (band, bucket).
 
@@ -139,23 +212,27 @@ def minhash_candidates(
     bucket). Only bucket collisions are joined; the exchange is keyed
     on the bucket hash, so skew is bounded by bucket size, and AQE's
     skew-join splits oversized buckets. Pairs are deduped min/max.
+
+    ``portable`` selects the hash family (see minhash_signatures); the
+    band bucket is then md5 of the comma-joined row minima, which the
+    DuckDB oracle reproduces verbatim.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(documents, num_hashes, shingle_n)
+    sig = minhash_signatures(documents, num_hashes, shingle_n, portable=portable)
+
+    def _bucket(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col(f"h{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
+        )
+        return F.md5(joined) if portable else F.xxhash64(joined)
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"h{i}").cast("string")
-                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                        ],
-                    )
-                ).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), _bucket(b).alias("bucket"))
             for b in range(bands)
         ]
     )
@@ -185,11 +262,15 @@ def q_dedup_minhash(documents: DataFrame) -> DataFrame:
     """MinHash-LSH near-dup summary: candidate pairs + their exact
     shingle-Jaccard (verification stage fused in).
 
-    rows-only correctness check (hash functions are engine-specific);
-    determinism is guaranteed by seeded xxhash64.
+    Declared in the PORTABLE (md5) hash form, so the ENTIRE pipeline —
+    shingling, hash-once signatures, banded buckets, candidate join,
+    Jaccard verify — is differentially checked against a DuckDB oracle
+    computing the same md5 family. ``minhash_candidates(docs,
+    portable=False)`` is the xxhash64 perf path (same plan shape;
+    equivalence of the LSH selection logic pinned by unit tests).
     """
     documents = spread(documents)
-    cands = minhash_candidates(documents)
+    cands = minhash_candidates(documents, portable=True)
     sh = documents.select("doc_id", tokens(F.col("text")).alias("toks")).select(
         "doc_id", shingles_from_tokens(F.col("toks")).alias("sh")
     )
@@ -264,7 +345,10 @@ def q_dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     5k fixture docs), but verified near-dups are few — filtering first
     keeps the shuffle proportional to true duplicates, not collisions.
 
-    rows-only check; deterministic via xxhash64.
+    Declared in the PORTABLE (md5-derived 64-bit) token-hash form, so
+    signatures, banding, Hamming verify and pair expansion are all
+    differentially checked against a DuckDB oracle rebuilding the same
+    bit votes; ``portable=False`` (xxhash64) is the perf path.
 
     Scale design — the band join runs over DISTINCT signatures, not
     docs: duplicate-heavy corpora put g docs on one signature, and a
@@ -287,7 +371,7 @@ def q_dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     # one vectorized unpackbits pass (SCALE.md "Python boundaries").
     # drop_tokenless fuses the featureless-doc exclusion into the same
     # projection that computes the token-hash array (no second pass).
-    sigs = simhash_signatures_numpy(documents, drop_tokenless=True)
+    sigs = simhash_signatures_numpy(documents, drop_tokenless=True, portable=True)
 
     # signature → sorted member docs (one row per distinct signature)
     groups = sigs.groupBy("sig").agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
@@ -393,7 +477,10 @@ def q_dedup_ngram(documents: DataFrame) -> DataFrame:
 
 
 def simhash_signatures_numpy(
-    documents: DataFrame, text_col: str = "text", drop_tokenless: bool = False
+    documents: DataFrame,
+    text_col: str = "text",
+    drop_tokenless: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash signatures with the bit-vote step vectorized in NumPy.
 
@@ -402,8 +489,14 @@ def simhash_signatures_numpy(
     sig=0 — see q_dedup_simhash); default False preserves bit-for-bit
     parity with ``simhash_signatures`` for the kernel-equality test.
 
+    ``portable=True`` swaps the per-token xxhash64 for the md5-derived
+    ``portable_hash64`` — same 64-bit width and bit conventions, so the
+    SAME numpy voting kernel serves both paths and the portable
+    signatures are reproducible in the DuckDB oracle
+    (``('0x'||substr(md5(t),1,16))::UBIGINT`` + 64 vote sums).
+
     Identical output to ``simhash_signatures`` (asserted in tests):
-    token hashing stays JVM-side (xxhash64, deterministic), and only
+    token hashing stays JVM-side (xxhash64/md5, deterministic), and only
     the 64-way bit voting — 64 interpreted higher-order aggregates in
     the pure-JVM form — moves to an Arrow-batched pandas_udf doing one
     ``np.unpackbits`` + column sum per document. This is the documented
@@ -434,12 +527,21 @@ def simhash_signatures_numpy(
     _sig.__annotations__ = {"ht_series": pd.Series, "return": pd.Series}
     sig_udf = pandas_udf(_sig, "bigint")
 
-    hashed = spread(documents).select(
-        "doc_id",
-        F.transform(F.array_distinct(tokens(F.col(text_col))), lambda t: F.xxhash64(t)).alias(
-            "ht"
-        ),
-    )
+    toks_arr = F.array_distinct(tokens(F.col(text_col)))
+    if portable:
+        # nested transforms: the inner md5 array materializes once, so
+        # the outer hex→int64 lambda's two substr/conv references read
+        # the element instead of re-hashing the token (portable_hash64
+        # inlined would evaluate md5 twice per token)
+        ht = F.transform(
+            F.transform(toks_arr, lambda t: F.md5(t)),
+            lambda h: F.shiftleft(
+                F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), 32
+            ).bitwiseOR(F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")),
+        )
+    else:
+        ht = F.transform(toks_arr, lambda t: F.xxhash64(t))
+    hashed = spread(documents).select("doc_id", ht.alias("ht"))
     if drop_tokenless:
         hashed = hashed.filter(F.size("ht") > 0)
     return hashed.select("doc_id", sig_udf(F.col("ht")).alias("sig"))
@@ -601,12 +703,15 @@ def q_dedup_clusters(documents: DataFrame) -> DataFrame:
     doc_id, cluster size). Docs with no near-dup edge are singleton
     clusters of themselves.
 
-    rows-only check (pairs derive from engine-specific hashing);
-    component correctness is pinned by graph-shape unit tests
+    Declared over the PORTABLE minhash candidate pairs, so the full
+    chain — LSH blocking, connected components, cluster summary — is
+    differentially checked against a DuckDB oracle (portable md5
+    candidates + a recursive-CTE reachability closure); component
+    correctness is additionally pinned by graph-shape unit tests
     (chain / star / disjoint) in tests/.
     """
     documents = spread(documents)
-    pairs = minhash_candidates(documents)
+    pairs = minhash_candidates(documents, portable=True)
     comps = connected_components(pairs)
     all_docs = documents.select("doc_id").join(
         comps, "doc_id", "left"
