@@ -105,32 +105,27 @@ def srp_signature(embedding: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
-def srp_bucket_topk(
-    embeddings: DataFrame,
-    probe: list[float],
-    k: int = 10,
-    n_planes: int = 8,
-    exclude_vec_id: int | None = None,
-) -> DataFrame:
-    """Approximate top-k: score only vectors whose SRP signature is
-    within Hamming distance 1 of the probe's (multiprobe LSH).
-
-    Scale: the signature is computed once at ingest in real deployments
-    (a column, clustered/bucketed on it); the query then prunes to
-    ~(1+n_planes)/2^n_planes of the data before any scoring.
-    """
+def probe_signature_set(probe: list[float], n_planes: int = 8) -> list[int]:
+    """Multiprobe signature set for a probe vector: its SRP signature
+    plus every 1-bit flip (Lv et al. multiprobe LSH) — driver-side
+    pure-python mirror of srp_signature; the probe is the query
+    argument, not data."""
     planes = _srp_hyperplanes(n_planes)
-    # driver-side probe signature (pure python mirror of srp_signature)
     psig = 0
     for i, plane in enumerate(planes):
         s = sum(a * b for a, b in zip(probe, plane))
         if s >= 0:
             psig |= 1 << i
-    probe_sigs = [psig] + [psig ^ (1 << i) for i in range(n_planes)]
+    return [psig] + [psig ^ (1 << i) for i in range(n_planes)]
 
+
+def score_topk(
+    cand: DataFrame, probe: list[float], k: int = 10, exclude_vec_id: int | None = None
+) -> DataFrame:
+    """Exact cosine scoring + top-k over a candidate frame: literal
+    probe array (constant-folded), codegen'd projection,
+    TakeOrderedAndProject — shared tail of every similarity query."""
     p = F.array(*[F.lit(float(x)) for x in probe])
-    sigged = embeddings.withColumn("sig", srp_signature(F.col("embedding"), planes))
-    cand = sigged.filter(F.col("sig").isin(probe_sigs))
     if exclude_vec_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_vec_id)
     return (
@@ -144,6 +139,28 @@ def srp_bucket_topk(
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def srp_bucket_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Approximate top-k: score only vectors whose SRP signature is
+    within Hamming distance 1 of the probe's (multiprobe LSH).
+
+    Scale: the signature is computed once at ingest in real deployments
+    (sources/similarity_layout.py materializes exactly that layout);
+    the query then prunes to ~(1+n_planes)/2^n_planes of the data
+    before any scoring.
+    """
+    planes = _srp_hyperplanes(n_planes)
+    probe_sigs = probe_signature_set(probe, n_planes)
+    sigged = embeddings.withColumn("sig", srp_signature(F.col("embedding"), planes))
+    cand = sigged.filter(F.col("sig").isin(probe_sigs))
+    return score_topk(cand, probe, k=k, exclude_vec_id=exclude_vec_id)
 
 
 def q_similarity_ann(embeddings: DataFrame, k: int = 10) -> DataFrame:
@@ -267,7 +284,8 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
     centroid arrays, all codegen. At 100 TB the assignment is computed
     once at ingest and the table is partitioned/clustered BY cell, so a
     probe reads only its cell's files (partition pruning), ~1/k of the
-    data.
+    data — sources/similarity_layout.py materializes that layout and
+    its probe readers are plan-tested for pruning.
     """
     from node_js_etl_processor_spark.catalog import spread
 
@@ -298,28 +316,22 @@ def ivf_topk(
     whose centroids are closest to the probe (driver-side argmax over k
     centroid dot products — the probe is the query argument).
     """
+    probe_cells = probe_cell_set(probe, n_cells, n_probe_cells)
+    assigned = ivf_assign(embeddings, n_cells).filter(F.col("cell").isin(probe_cells))
+    return score_topk(assigned, probe, k=k, exclude_vec_id=exclude_vec_id)
+
+
+def probe_cell_set(
+    probe: list[float], n_cells: int = 8, n_probe_cells: int = 2
+) -> list[int]:
+    """The ``n_probe_cells`` IVF cells whose centroids are closest to
+    the probe (driver-side — mirrors ivf_assign's max-cosine rule)."""
     cents = _ivf_centroids(n_cells)
     pnorm = math.sqrt(sum(v * v for v in probe)) or 1.0
     sims = [
         (i, sum(a * b for a, b in zip(probe, c)) / pnorm) for i, c in enumerate(cents)
     ]
-    probe_cells = [i for i, _ in sorted(sims, key=lambda t: -t[1])[:n_probe_cells]]
-
-    assigned = ivf_assign(embeddings, n_cells).filter(F.col("cell").isin(probe_cells))
-    if exclude_vec_id is not None:
-        assigned = assigned.filter(F.col("vec_id") != exclude_vec_id)
-    p = F.array(*[F.lit(float(x)) for x in probe])
-    return (
-        assigned.select(
-            "vec_id",
-            "label",
-            F.round(
-                cosine_similarity(F.col("embedding").cast("array<double>"), p), 6
-            ).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    return [i for i, _ in sorted(sims, key=lambda t: -t[1])[:n_probe_cells]]
 
 
 def q_similarity_ivf(embeddings: DataFrame, k: int = 10) -> DataFrame:

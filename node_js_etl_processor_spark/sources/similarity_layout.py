@@ -1,0 +1,94 @@
+"""Ingest-time similarity layouts: SRP-signature- and IVF-cell-
+partitioned embedding tables.
+
+The ANN/IVF operators (operators/similarity.py) document that at scale
+the signature/cell is computed ONCE at ingest and the table is laid
+out so a probe reads only its buckets' files. This module makes that
+story executable instead of prose:
+
+- ``write_ann_layout`` materializes the embeddings with their SRP
+  signature and IVF cell precomputed, Hive-directory-partitioned by
+  each key (``by_sig/sig=<s>/``, ``by_cell/cell=<c>/``);
+- ``ann_probe`` / ``ivf_probe`` read the layout back and filter on the
+  partition column, so the multiprobe signature set (resp. probe
+  cells) becomes a PartitionFilters entry on the scan — the file
+  listing itself is restricted to the matching directories
+  (plan-tested in tests/test_similarity_layout.py).
+
+At 100 TB with 8 planes: 256 signature directories of ~0.4% of the
+corpus each; a multiprobe-1 probe reads 9 of them (~3.5% of the data,
+and — just as important at that scale — ~3.5% of the file listing).
+The same layout doubles as the pre-partitioned input for
+q_dedup_embedding-style signature self-joins.
+
+The partitioned write itself is one narrow projection plus a
+hash-partitioned shuffle write — exactly the ingest-side cost the
+ANN docstrings assume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from node_js_etl_processor_spark.operators.similarity import (
+    _srp_hyperplanes,
+    ivf_assign,
+    probe_cell_set,
+    probe_signature_set,
+    score_topk,
+    srp_signature,
+)
+
+
+def write_ann_layout(
+    embeddings: DataFrame, path: str, n_planes: int = 8, n_cells: int = 8
+) -> None:
+    """Materialize both similarity layouts under ``path``.
+
+    ``repartition(key)`` before ``partitionBy(key)`` keeps the write to
+    one file per directory per shuffle partition instead of one file
+    per (input-partition × key) — at scale the difference between
+    O(dirs) and O(tasks × dirs) small files.
+    """
+    planes = _srp_hyperplanes(n_planes)
+    sigged = embeddings.withColumn("sig", srp_signature(F.col("embedding"), planes))
+    sigged.repartition("sig").write.mode("overwrite").partitionBy("sig").parquet(
+        f"{path}/by_sig"
+    )
+    celled = ivf_assign(embeddings, n_cells)
+    celled.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/by_cell"
+    )
+
+
+def ann_probe(
+    spark: SparkSession,
+    path: str,
+    probe: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """Multiprobe SRP top-k over the materialized layout: the probe's
+    signature set is computed driver-side and applied as a partition
+    filter — no signature recomputation, no full scan."""
+    probe_sigs = probe_signature_set(probe, n_planes)
+    cand = spark.read.parquet(f"{path}/by_sig").filter(F.col("sig").isin(probe_sigs))
+    return score_topk(cand, probe, k=k, exclude_vec_id=exclude_vec_id)
+
+
+def ivf_probe(
+    spark: SparkSession,
+    path: str,
+    probe: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe_cells: int = 2,
+    exclude_vec_id: int | None = None,
+) -> DataFrame:
+    """IVF top-k over the materialized layout: nearest probe cells
+    chosen driver-side, applied as a partition filter."""
+    cells = probe_cell_set(probe, n_cells, n_probe_cells)
+    cand = spark.read.parquet(f"{path}/by_cell").filter(F.col("cell").isin(cells))
+    return score_topk(cand, probe, k=k, exclude_vec_id=exclude_vec_id)

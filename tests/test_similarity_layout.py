@@ -1,0 +1,100 @@
+"""Ingest-time similarity layout: the materialized SRP/IVF partition
+layout must (a) return exactly the same top-k as the on-the-fly
+operators and (b) prune the scan to the probe's partitions — the
+executable form of the ANN "computed at ingest, partition-pruned"
+scale story."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from node_js_etl_processor_spark.catalog import load_table
+from node_js_etl_processor_spark.operators.similarity import (
+    _probe_vector,
+    _srp_hyperplanes,
+    ivf_topk,
+    probe_cell_set,
+    probe_signature_set,
+    srp_bucket_topk,
+    srp_signature,
+)
+from node_js_etl_processor_spark.sources.similarity_layout import (
+    ann_probe,
+    ivf_probe,
+    write_ann_layout,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_ann_layout_matches_and_prunes(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "sim")
+    write_ann_layout(emb, path)
+    probe = _probe_vector(emb, 0)
+
+    got = [tuple(r) for r in ann_probe(spark, path, probe, k=10, exclude_vec_id=0).collect()]
+    want = [tuple(r) for r in srp_bucket_topk(emb, probe, k=10, exclude_vec_id=0).collect()]
+    assert got == want and len(got) > 0
+
+    # the multiprobe signature set must arrive as a PartitionFilters
+    # entry (directory pruning), NOT a post-scan row filter, and the
+    # scan must not re-read/recompute signatures (sig is a partition
+    # column, absent from ReadSchema)
+    probe_sigs = probe_signature_set(probe)
+    cand = spark.read.parquet(f"{path}/by_sig").filter(F.col("sig").isin(probe_sigs))
+    plan = _plan(cand)
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "sig" in pf
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    assert "sig" not in read_schema
+
+    # pruning selects a strict subset of the data: exactly the vectors
+    # whose ingest-time signature is in the probe set
+    planes = _srp_hyperplanes(8)
+    sigged = emb.withColumn("s", srp_signature(F.col("embedding"), planes))
+    expected_n = sigged.filter(F.col("s").isin(probe_sigs)).count()
+    assert cand.count() == expected_n < emb.count()
+
+
+def test_ivf_layout_matches_and_prunes(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "sim")
+    write_ann_layout(emb, path)
+    probe = _probe_vector(emb, 0)
+
+    got = [tuple(r) for r in ivf_probe(spark, path, probe, k=10, exclude_vec_id=0).collect()]
+    want = [tuple(r) for r in ivf_topk(emb, probe, k=10, exclude_vec_id=0).collect()]
+    assert got == want and len(got) > 0
+
+    cells = probe_cell_set(probe)
+    cand = spark.read.parquet(f"{path}/by_cell").filter(F.col("cell").isin(cells))
+    plan = _plan(cand)
+    pf = plan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "cell" in pf
+    # 2 of 8 cells probed → strictly fewer rows than the table
+    assert 0 < cand.count() < emb.count()
+
+
+def test_layout_write_is_one_file_per_partition_dir(spark, sf_dir, tmp_path):
+    # repartition(key) before partitionBy(key) bounds the small-file
+    # count at O(directories), not O(tasks × directories)
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "sim")
+    write_ann_layout(emb, path)
+    import glob
+
+    for sub, key in (("by_sig", "sig"), ("by_cell", "cell")):
+        dirs = glob.glob(f"{path}/{sub}/{key}=*")
+        assert len(dirs) > 1
+        for d in dirs:
+            files = glob.glob(f"{d}/*.parquet")
+            assert len(files) == 1, f"{d} has {len(files)} files"
