@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 65 queries carry a full DuckDB oracle — including the SRP-LSH /
+ALL 66 queries carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
 the scores), the mapInPandas multimodal kernel (byte-deterministic
@@ -56,7 +56,7 @@ def _q(table_names: list[str], fn) -> Callable[[SparkSession, str], DataFrame]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared queries, ORDERED BY CHECKABILITY: the driver records
-    correctness rows for the first 50 entries. All 65 queries are
+    correctness rows for the first 50 entries. All 66 queries are
     oracle-paired; entries outside the window are still covered by the
     full local parity gate (tests/test_oracle_parity.py). r3 rotation:
     the 11 queries that had never had a driver row — the whole
@@ -85,7 +85,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_region_supplier": _q(
             ["supplier", "nation", "region"], relational.q_region_supplier
         ),
-        "q_stats_agg": _q(["customer"], relational.q_stats_agg),
         "q_pivot": _q(["orders"], relational.q_pivot),
         "q_date_buckets": _q(["events"], relational.q_date_buckets),
         "q_json_props": _q(["events"], relational.q_json_props),
@@ -120,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
         "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
         "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
+        "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
         "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
         "q_redact_pii": _q(["documents"], text.q_redact_pii),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # eleven from both r1 and r2 — and each has an in-window family
         # sibling exercising the same operator class)
         "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
+        "q_stats_agg": _q(["customer"], relational.q_stats_agg),
         "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
         "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
         "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
@@ -1009,6 +1010,51 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(n_tokens) AS DOUBLE) / 256.0, 6) AS fill_ratio
             FROM cum
             GROUP BY 1, 2
+        """,
+        "q_chunk_pack_pipeline": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            starts AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks), 1) + 1, 48)) AS start
+              FROM t
+            ),
+            chunks AS (
+              SELECT doc_id,
+                     CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+                     CAST(len(toks[start:start+63]) AS BIGINT) AS n_tokens,
+                     md5(array_to_string(toks[start:start+63], ' ')) AS chunk_fp
+              FROM starts
+            ),
+            dedup AS (
+              SELECT doc_id, chunk_id, n_tokens FROM (
+                SELECT doc_id, chunk_id, n_tokens,
+                       row_number() OVER (PARTITION BY chunk_fp
+                                          ORDER BY doc_id, chunk_id) AS rn
+                FROM chunks
+              ) WHERE rn = 1
+            ),
+            cum AS (
+              SELECT doc_id % 32 AS shard, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY doc_id % 32
+                                         ORDER BY doc_id, chunk_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens AS tokens_before
+              FROM dedup
+            ),
+            binned AS (
+              SELECT shard, n_tokens, tokens_before // 256 AS bin_id FROM cum
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   count(*) AS n_chunks,
+                   CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(CAST(sum(n_tokens) AS DOUBLE)
+                         / (count(DISTINCT bin_id) * 256.0), 6) AS avg_fill
+            FROM binned
+            GROUP BY shard
         """,
         "q_gopher_rules": """
             WITH f AS (

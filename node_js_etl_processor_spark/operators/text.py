@@ -393,6 +393,46 @@ def q_pack_chunks(documents: DataFrame) -> DataFrame:
     )
 
 
+def q_chunk_pack_pipeline(documents: DataFrame) -> DataFrame:
+    """End-to-end chunk→dedup→pack capstone as ONE composed plan: chunk
+    the corpus (64/16 token windows), drop duplicate chunks by exact
+    md5 fingerprint (keeper = smallest (doc_id, chunk_id)), pack the
+    survivors into 256-token bins over 32 shards, and report per-shard
+    packing stats. Fully oracle-checked.
+
+    This is the actual training-data path the engine advertises, with
+    no materialization boundary between stages: Catalyst compiles the
+    whole thing to the narrow chunk explode plus exactly TWO keyed
+    exchanges — chunk_fp for the dedup window, shard for the packing
+    window; the final per-shard aggregation (and its distinct count)
+    reuses the shard partitioning, so it adds no exchange
+    (plan-pinned in tests/test_plans.py).
+    """
+    from pyspark.sql.window import Window
+
+    chunks = chunk_documents(documents).withColumn(
+        "chunk_fp", F.md5(F.col("chunk_text"))
+    )
+    keeper = (
+        chunks.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "chunk_text", "chunk_fp")
+    )
+    packed = pack_chunks(keeper)
+    n_bins = F.count_distinct(F.col("bin_id"))
+    return packed.groupBy("shard").agg(
+        F.count("*").alias("n_chunks"),
+        n_bins.cast("bigint").alias("n_bins"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / (n_bins * F.lit(256.0)), 6).alias("avg_fill"),
+    )
+
+
 def gopher_rules(text: Column) -> dict[str, Column]:
     """Gopher-style document quality rules (Rae et al., "Scaling
     Language Models: Methods, Analysis & Insights from Training

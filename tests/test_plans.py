@@ -199,6 +199,18 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS b_customer")
 
 
+def test_chunk_pack_pipeline_two_exchanges(spark, sf_dir):
+    """The chunk→dedup→pack capstone must compile to the narrow chunk
+    explode plus exactly TWO keyed exchanges (chunk_fp dedup window,
+    shard packing window) — the per-shard aggregation and its distinct
+    bin count must reuse the shard partitioning, not add a third."""
+    from node_js_etl_processor_spark.operators import text
+
+    df = text.q_chunk_pack_pipeline(load_table(spark, sf_dir, "documents"))
+    plan = plan_text(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_rank_funcs_share_one_window(spark, sf_dir):
     df = relational.q_window_rank_funcs(load_table(spark, sf_dir, "customer"))
     plan = plan_text(df, "simple")
