@@ -221,3 +221,105 @@ def test_dedup_exact_stream_drops_all_duplicates(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.table("exact_dedup").count() == 5
+
+
+def test_stream_stream_join_matches_batch_on_events(spark, sf_dir, tmp_path):
+    """Differential: clicks_to_purchases over the events fixture must
+    attribute exactly the same (purchase, click) pairs as the
+    equivalent batch join with the same key + time-range predicate."""
+    from pyspark.sql import functions as F
+
+    from node_js_etl_processor_spark.streaming.joins import clicks_to_purchases
+
+    events = load_table(spark, sf_dir, "events")
+    c_src, p_src = str(tmp_path / "clicks"), str(tmp_path / "purchases")
+    cols = ["user_id", "ts", "event_id"]
+    events.filter(F.col("event_type") == "click").select(cols).write.parquet(c_src)
+    events.filter(F.col("event_type") == "purchase").select(cols).write.parquet(p_src)
+    schema = "user_id long, ts timestamp, event_id long"
+
+    q = (
+        clicks_to_purchases(
+            spark.readStream.schema(schema).parquet(c_src),
+            spark.readStream.schema(schema).parquet(p_src),
+        )
+        .writeStream.format("memory")
+        .queryName("attrib_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["purchase_id"], r["click_id"]) for r in spark.table("attrib_events").collect()
+    )
+
+    cb = spark.read.parquet(c_src).selectExpr(
+        "user_id AS c_user", "ts AS click_ts", "event_id AS click_id"
+    )
+    pb = spark.read.parquet(p_src).selectExpr(
+        "user_id AS p_user", "ts AS purchase_ts", "event_id AS purchase_id"
+    )
+    expected = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in cb.join(
+            pb,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")),
+        ).collect()
+    )
+    assert len(got) > 0
+    assert got == expected
+
+
+def test_running_profiles_match_batch_aggregate(spark, sf_dir, tmp_path):
+    """Differential: the applyInPandasWithState running profiles, taken
+    at their final per-user emission (max lifetime_events — the
+    documented snapshot rule), must equal the plain batch aggregate
+    over the same events."""
+    from pyspark.sql import functions as F
+
+    from node_js_etl_processor_spark.streaming.stateful import running_user_profiles
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_profiles")
+    events.select("user_id", "ts", "value").write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(
+        src
+    )
+    q = (
+        running_user_profiles(stream)
+        .writeStream.format("memory")
+        .queryName("profiles_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    snap = {
+        r["user_id"]: (r["latest"]["lifetime_events"], r["latest"]["lifetime_value"], r["latest"]["last_seen_us"])
+        for r in spark.table("profiles_events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.struct("lifetime_events", "lifetime_value", "last_seen_us")
+            ).alias("latest")
+        )
+        .collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["total"], r["last_us"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        )
+        .collect()
+    }
+    assert set(snap) == set(expected)
+    for uid in expected:
+        assert snap[uid][0] == expected[uid][0], uid
+        assert abs(snap[uid][1] - expected[uid][1]) < 1e-6, uid
+        assert snap[uid][2] == expected[uid][2], uid
