@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 66 queries carry a full DuckDB oracle — including the SRP-LSH /
+ALL 67 queries carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
 the scores), the mapInPandas multimodal kernel (byte-deterministic
@@ -56,7 +56,7 @@ def _q(table_names: list[str], fn) -> Callable[[SparkSession, str], DataFrame]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared queries, ORDERED BY CHECKABILITY: the driver records
-    correctness rows for the first 50 entries. All 66 queries are
+    correctness rows for the first 50 entries. All 67 queries are
     oracle-paired; entries outside the window are still covered by the
     full local parity gate (tests/test_oracle_parity.py). r3 rotation:
     the 11 queries that had never had a driver row — the whole
@@ -146,6 +146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
         "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
         "q_explode_words": _q(["part"], relational.q_explode_words),
+        # new in r3 (no driver history yet — rotate into the window
+        # next round): Gopher repetition filters
+        "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
     }
 
 
@@ -1010,6 +1013,43 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(sum(n_tokens) AS DOUBLE) / 256.0, 6) AS fill_ratio
             FROM cum
             GROUP BY 1, 2
+        """,
+        "q_repetition_rules": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+              FROM documents
+            ),
+            line_stats AS (
+              SELECT doc_id,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CASE WHEN len(lines) > 0 THEN
+                       CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                     END AS dup_line_frac
+              FROM base
+            ),
+            bg AS (
+              SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bg
+              FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                    FROM base WHERE len(toks) >= 2)
+            ),
+            top AS (
+              SELECT doc_id, max(c) AS top_bg
+              FROM (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg)
+              WHERE c >= 2
+              GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   round(s.dup_line_frac, 6) AS dup_line_frac,
+                   round(CASE WHEN s.n_tokens >= 2
+                              THEN CAST(t.top_bg * 2 AS DOUBLE) / s.n_tokens END,
+                         6) AS top_bigram_frac,
+                   (coalesce(s.dup_line_frac <= 0.3, TRUE)
+                    AND coalesce(CASE WHEN s.n_tokens >= 2
+                                      THEN CAST(t.top_bg * 2 AS DOUBLE) / s.n_tokens END
+                                 <= 0.2, TRUE)) AS keep
+            FROM line_stats s LEFT JOIN top t ON s.doc_id = t.doc_id
         """,
         "q_chunk_pack_pipeline": r"""
             WITH t AS (

@@ -508,6 +508,88 @@ def q_gopher_rules(documents: DataFrame) -> DataFrame:
     )
 
 
+def q_repetition_rules(documents: DataFrame) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 §A1.1, the
+    "repetitious text" half q_gopher_rules doesn't cover), per doc:
+
+    - ``dup_line_frac`` — fraction of non-empty lines that are repeats
+      of an earlier-seen line value (1 - distinct/total); null when the
+      doc has no non-empty lines;
+    - ``top_bigram_frac`` — fraction of tokens covered by the most
+      frequent REPEATED word bigram (count*2 / n_tokens, the
+      token-fraction form of Gopher's most-common-n-gram rule); null
+      when no bigram occurs twice — a doc whose bigrams are all unique
+      has no repetition, and counting a count-1 bigram would reject
+      every document under 10 tokens;
+    - ``keep`` — dup_line_frac ≤ 0.3 AND top_bigram_frac ≤ 0.2, with
+      nulls passing (a doc with no lines/bigrams has no repetition
+      evidence against it).
+
+    Plan shape: line stats are one narrow pass (array_distinct over a
+    bound line array — O(lines) per doc). The bigram mode is NOT
+    computed with a per-element array scan (O(n²) per doc — web docs
+    hit thousands of tokens): bigrams explode to (doc_id, bigram) and
+    two partial-aggregated groupBys find the per-doc max count — the
+    scale-correct heavy-hitter form, exchanges keyed on doc_id. Fully
+    oracle-checked.
+    """
+    from node_js_etl_processor_spark.catalog import spread
+
+    base = spread(documents).select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        F.filter(
+            F.split(F.col("text"), r"\n"), lambda l: F.trim(l) != ""
+        ).alias("lines"),
+    )
+    n_lines = F.size("lines").cast("bigint")
+    line_stats = base.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.when(
+            n_lines > 0,
+            (n_lines - F.size(F.array_distinct("lines"))).cast("double") / n_lines,
+        ).alias("dup_line_frac"),
+    )
+    bigrams = (
+        base.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat(
+                        F.element_at(F.col("toks"), i + 1),
+                        F.lit(" "),
+                        F.element_at(F.col("toks"), i + 2),
+                    ),
+                )
+            ).alias("bg"),
+        )
+    )
+    top = (
+        bigrams.groupBy("doc_id", "bg")
+        .count()
+        .filter(F.col("count") >= 2)
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bg"))
+    )
+    joined = line_stats.join(top, "doc_id", "left")
+    top_frac = F.when(
+        F.col("n_tokens") >= 2,
+        (F.col("top_bg") * 2).cast("double") / F.col("n_tokens"),
+    )
+    return joined.select(
+        "doc_id",
+        F.round(F.col("dup_line_frac"), 6).alias("dup_line_frac"),
+        F.round(top_frac, 6).alias("top_bigram_frac"),
+        (
+            F.coalesce(F.col("dup_line_frac") <= 0.3, F.lit(True))
+            & F.coalesce(top_frac <= 0.2, F.lit(True))
+        ).alias("keep"),
+    )
+
+
 #: Redaction patterns: RE2-and-Java-regex-compatible (no lookarounds,
 #: no backrefs) so Spark and the DuckDB oracle apply byte-identical
 #: rules. ORDER IS SEMANTIC: specific before general — emails first

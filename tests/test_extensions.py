@@ -474,3 +474,27 @@ def test_redact_pii_counts_and_fingerprint(spark):
     assert red[3] == "server at <IP> responded"
     assert red[4] == docs[3][1]
     assert red[5] == "from 2024-01-01 to 2025-12-31 (see section 1.2.3) id <PHONE>"
+
+
+def test_repetition_rules_planted_cases(spark):
+    from node_js_etl_processor_spark.operators.text import q_repetition_rules
+
+    docs = [
+        # unique lines, diverse bigrams -> keep
+        (1, "alpha beta gamma\ndelta epsilon zeta\neta theta iota"),
+        # same line 4x: dup_line_frac = 0.75 -> reject
+        (2, "spam line\nspam line\nspam line\nspam line"),
+        # one bigram repeated: "buy now" covers most tokens -> reject
+        (3, "buy now buy now buy now buy now buy now"),
+        # no lines / no tokens: null fracs pass (no repetition evidence)
+        (4, "   \n  \n"),
+        # single token: no bigrams, one line -> keep
+        (5, "hello"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in q_repetition_rules(df).collect()}
+    assert out[1]["keep"] and out[1]["dup_line_frac"] == 0.0
+    assert not out[2]["keep"] and out[2]["dup_line_frac"] == 0.75
+    assert not out[3]["keep"] and out[3]["top_bigram_frac"] > 0.2
+    assert out[4]["keep"] and out[4]["dup_line_frac"] is None
+    assert out[5]["keep"] and out[5]["top_bigram_frac"] is None
