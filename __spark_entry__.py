@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 67 queries carry a full DuckDB oracle — including the SRP-LSH /
+ALL 68 queries carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
 the scores), the mapInPandas multimodal kernel (byte-deterministic
@@ -56,7 +56,7 @@ def _q(table_names: list[str], fn) -> Callable[[SparkSession, str], DataFrame]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared queries, ORDERED BY CHECKABILITY: the driver records
-    correctness rows for the first 50 entries. All 67 queries are
+    correctness rows for the first 50 entries. All 68 queries are
     oracle-paired; entries outside the window are still covered by the
     full local parity gate (tests/test_oracle_parity.py). r3 rotation:
     the 11 queries that had never had a driver row — the whole
@@ -147,8 +147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
         "q_explode_words": _q(["part"], relational.q_explode_words),
         # new in r3 (no driver history yet — rotate into the window
-        # next round): Gopher repetition filters
+        # next round): Gopher repetition filters, decontamination
         "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
+        "q_decontaminate": _q(["documents"], text.q_decontaminate),
     }
 
 
@@ -1050,6 +1051,38 @@ def oracle_sql() -> dict[str, str]:
                                       THEN CAST(t.top_bg * 2 AS DOUBLE) / s.n_tokens END
                                  <= 0.2, TRUE)) AS keep
             FROM line_stats s LEFT JOIN top t ON s.doc_id = t.doc_id
+        """,
+        "q_decontaminate": r"""
+            WITH toked AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, source, (doc_id % 50 = 0) AS is_eval,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 8, 0) + 1),
+                       i -> array_to_string(toks[i+1:i+8], ' '))) AS gs
+              FROM toked WHERE len(toks) > 0
+            ),
+            ev AS (
+              SELECT DISTINCT g
+              FROM (SELECT unnest(gs) AS g FROM grams WHERE is_eval)
+            ),
+            hits AS (
+              SELECT DISTINCT t.doc_id
+              FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE NOT is_eval) t
+              JOIN ev USING (g)
+            )
+            SELECT g.source,
+                   count(*) AS n_train_docs,
+                   CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_contaminated,
+                   round(CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS contamination_rate
+            FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+            WHERE NOT g.is_eval
+            GROUP BY g.source
         """,
         "q_chunk_pack_pipeline": r"""
             WITH t AS (

@@ -590,6 +590,67 @@ def q_repetition_rules(documents: DataFrame) -> DataFrame:
     )
 
 
+def q_decontaminate(
+    documents: DataFrame, ngram: int = 8, eval_mod: int = 50
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any ``ngram``-token shingle with a held-out eval set — the standard
+    n-gram-overlap test-set hygiene step of a pre-training pipeline
+    (the eval set here is the deterministic ``doc_id % eval_mod == 0``
+    slice of the corpus, standing in for an external benchmark table).
+    Output: per-source training-doc counts, contaminated counts, and
+    the contamination rate. Fully oracle-checked.
+
+    Scale shape: the eval side of a real pipeline is megabytes against
+    terabytes of training data, so its distinct shingle set is
+    BROADCAST and contaminated doc_ids come from a broadcast semi-join
+    probe — the training side is one narrow explode with no shuffle
+    for candidate generation; only the final per-source aggregation
+    exchanges. Token-less docs are excluded on both sides (their
+    shingle set degenerates to [""], which would cross-contaminate).
+    Shingles join as strings here for oracle checkability; at 100 TB
+    hash them first (xxhash64, 8 bytes vs ~50-char strings in the
+    broadcast set).
+    """
+    from node_js_etl_processor_spark.catalog import spread
+    from node_js_etl_processor_spark.operators.dedup import shingles_from_tokens
+
+    toked = (
+        spread(documents)
+        .select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    grams = toked.select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % eval_mod == 0).alias("is_eval"),
+        shingles_from_tokens(F.col("toks"), ngram).alias("gs"),
+    )
+    eval_grams = (
+        grams.filter("is_eval").select(F.explode("gs").alias("g")).distinct()
+    )
+    train = grams.filter(~F.col("is_eval"))
+    contaminated = (
+        train.select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    flagged = train.select("doc_id", "source").join(contaminated, "doc_id", "left")
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_train_docs"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(False)).cast("bigint")).alias(
+            "n_contaminated"
+        ),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(False)).cast("bigint"))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("contamination_rate"),
+    )
+
+
 #: Redaction patterns: RE2-and-Java-regex-compatible (no lookarounds,
 #: no backrefs) so Spark and the DuckDB oracle apply byte-identical
 #: rules. ORDER IS SEMANTIC: specific before general — emails first

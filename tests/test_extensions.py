@@ -498,3 +498,33 @@ def test_repetition_rules_planted_cases(spark):
     assert not out[3]["keep"] and out[3]["top_bigram_frac"] > 0.2
     assert out[4]["keep"] and out[4]["dup_line_frac"] is None
     assert out[5]["keep"] and out[5]["top_bigram_frac"] is None
+
+
+def test_decontaminate_planted_overlap(spark):
+    from node_js_etl_processor_spark.operators.text import q_decontaminate
+
+    eval_text = "zero one two three four five six seven eight nine"
+    docs = [
+        # doc_id 0 -> eval set (doc_id % 50 == 0)
+        (0, "benchmarks", eval_text),
+        # contains the eval 8-gram "zero one ... seven" verbatim
+        (1, "web", "prefix zero one two three four five six seven suffix"),
+        # clean
+        (2, "web", "completely disjoint tokens with no overlap at all here"),
+        # short doc, no 8-token run shared
+        (3, "web", "zero one two"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in q_decontaminate(df).collect()}
+    assert out["web"]["n_train_docs"] == 3
+    assert out["web"]["n_contaminated"] == 1
+    assert "benchmarks" not in out  # eval slice is not training data
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.text import q_decontaminate
+
+    df = q_decontaminate(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
