@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 68 queries carry a full DuckDB oracle — including the SRP-LSH /
+ALL 69 queries carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
 the scores), the mapInPandas multimodal kernel (byte-deterministic
@@ -56,7 +56,7 @@ def _q(table_names: list[str], fn) -> Callable[[SparkSession, str], DataFrame]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared queries, ORDERED BY CHECKABILITY: the driver records
-    correctness rows for the first 50 entries. All 68 queries are
+    correctness rows for the first 50 entries. All 69 queries are
     oracle-paired; entries outside the window are still covered by the
     full local parity gate (tests/test_oracle_parity.py). r3 rotation:
     the 11 queries that had never had a driver row — the whole
@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round): Gopher repetition filters, decontamination
         "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
         "q_decontaminate": _q(["documents"], text.q_decontaminate),
+        "q_source_mix": _q(["documents"], text.q_source_mix),
     }
 
 
@@ -1051,6 +1052,21 @@ def oracle_sql() -> dict[str, str]:
                                       THEN CAST(t.top_bg * 2 AS DOUBLE) / s.n_tokens END
                                  <= 0.2, TRUE)) AS keep
             FROM line_stats s LEFT JOIN top t ON s.doc_id = t.doc_id
+        """,
+        "q_source_mix": f"""
+            WITH agg AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len({toks})) AS BIGINT) AS src_tokens
+              FROM documents GROUP BY source
+            )
+            SELECT source, n_docs, src_tokens,
+                   round(CAST(src_tokens AS DOUBLE)
+                         / CAST(sum(src_tokens) OVER () AS DOUBLE), 6) AS token_share,
+                   CASE WHEN src_tokens > 0 THEN
+                     round((CAST(sum(src_tokens) OVER () AS DOUBLE) / count(*) OVER ())
+                           / src_tokens, 6)
+                   END AS mix_weight
+            FROM agg
         """,
         "q_decontaminate": r"""
             WITH toked AS (

@@ -651,6 +651,40 @@ def q_decontaminate(
     )
 
 
+def q_source_mix(documents: DataFrame) -> DataFrame:
+    """Data-mixing accounting: per-source document/token counts, each
+    source's token share, and the sampling weight that would rebalance
+    the corpus to a UNIFORM token budget across sources — the mixture-
+    weights step of assembling a training mix. Fully oracle-checked.
+
+    Scale shape: one partial-aggregated groupBy over the corpus; the
+    global-total window then runs over the AGGREGATED frame (one row
+    per source — dozens, not documents), so the empty-partition window
+    is deliberate and bounded, never over raw data.
+    """
+    from pyspark.sql.window import Window
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    agg = spread(documents).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("src_tokens"),
+    )
+    w = Window.partitionBy()
+    tot = F.sum("src_tokens").over(w)
+    n_src = F.count("*").over(w)
+    return agg.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.round(F.col("src_tokens") / tot.cast("double"), 6).alias("token_share"),
+        F.when(
+            F.col("src_tokens") > 0,
+            F.round((tot.cast("double") / n_src) / F.col("src_tokens"), 6),
+        ).alias("mix_weight"),
+    )
+
+
 #: Redaction patterns: RE2-and-Java-regex-compatible (no lookarounds,
 #: no backrefs) so Spark and the DuckDB oracle apply byte-identical
 #: rules. ORDER IS SEMANTIC: specific before general — emails first
