@@ -591,7 +591,7 @@ def q_repetition_rules(documents: DataFrame) -> DataFrame:
 
 
 def q_decontaminate(
-    documents: DataFrame, ngram: int = 8, eval_mod: int = 50
+    documents: DataFrame, ngram: int = 8, eval_mod: int = 50, hashed: bool = False
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents that share
     any ``ngram``-token shingle with a held-out eval set — the standard
@@ -608,9 +608,12 @@ def q_decontaminate(
     for candidate generation; only the final per-source aggregation
     exchanges. Token-less docs are excluded on both sides (their
     shingle set degenerates to [""], which would cross-contaminate).
-    Shingles join as strings here for oracle checkability; at 100 TB
-    hash them first (xxhash64, 8 bytes vs ~50-char strings in the
-    broadcast set).
+    The declared form joins shingles as STRINGS so the DuckDB oracle
+    replays the join verbatim; ``hashed=True`` is the ingest-scale
+    path — both sides keyed on xxhash64(g) (8-byte keys in the
+    broadcast set and the probe, same plan) at a ~1e-7 whole-corpus
+    false-positive probability. Output equality of the two forms on
+    the fixtures is unit-tested.
     """
     from node_js_etl_processor_spark.catalog import spread
     from node_js_etl_processor_spark.operators.dedup import shingles_from_tokens
@@ -620,11 +623,14 @@ def q_decontaminate(
         .select("doc_id", "source", tokens(F.col("text")).alias("toks"))
         .filter(F.size("toks") > 0)
     )
+    gs = shingles_from_tokens(F.col("toks"), ngram)
+    if hashed:
+        gs = F.transform(gs, lambda g: F.xxhash64(g))
     grams = toked.select(
         "doc_id",
         "source",
         (F.col("doc_id") % eval_mod == 0).alias("is_eval"),
-        shingles_from_tokens(F.col("toks"), ngram).alias("gs"),
+        gs.alias("gs"),
     )
     eval_grams = (
         grams.filter("is_eval").select(F.explode("gs").alias("g")).distinct()

@@ -528,3 +528,13 @@ def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
     df = q_decontaminate(load_table(spark, sf_dir, "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_decontaminate_hashed_path_equals_declared(spark, sf_dir):
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.text import q_decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sorted(map(tuple, q_decontaminate(docs).collect()))
+    b = sorted(map(tuple, q_decontaminate(docs, hashed=True).collect()))
+    assert a == b
