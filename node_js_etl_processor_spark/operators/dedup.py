@@ -350,108 +350,97 @@ def q_dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     differentially checked against a DuckDB oracle rebuilding the same
     bit votes; ``portable=False`` (xxhash64) is the perf path.
 
-    Scale design — the band join runs over DISTINCT signatures, not
-    docs: duplicate-heavy corpora put g docs on one signature, and a
-    doc-level self-join materializes C(g,2) identical-sig pairs inside
-    the join (quadratic in group size, exactly where skew is worst).
-    Joining the ~unique signature set sidesteps that blowup; doc pairs
-    are reconstructed afterwards by mapping signatures back to their
-    doc lists — intra-signature groups expand pairs directly from the
-    grouped doc array (linear join, output-bounded expansion).
+    Scale design — ALL pair expansion is keyed joins (r3): the
+    signature frame is materialized ONCE (localCheckpoint — the batch
+    stand-in for the ingest-time signature column the layout story
+    assumes; 16 bytes/row, and it keeps the Arrow kernel from
+    re-running on every join branch). Intra-signature (hamming-0)
+    pairs come from a sig-keyed equi-self-join; cross-signature
+    candidates from a band join over DISTINCT signatures (duplicate-
+    heavy corpora put g docs on one signature — banding distinct sigs
+    keeps that join tiny); doc pairs are reconstructed by joining the
+    surviving sig pairs back to the signature frame on each side. No
+    row ever holds more than two doc ids (the earlier collect_list
+    doc-array form put an entire signature group in one row — the
+    same AQE-unsplittable mega-row family q_dedup_embedding dropped —
+    and measured 28% slower at sf0.1).
 
     Token-less (empty/whitespace-only) documents are EXCLUDED before
-    grouping: they have no features to vote with, so they would all
-    degenerate to sig=0 — on a corpus with many empty docs that is one
-    giant collect_list row and a C(g,2) pair explosion of meaningless
-    "duplicates". A featureless doc has no principled similarity to
-    anything; exact dedup (q_dedup_docs) still groups empty texts.
+    signature computation: they have no features to vote with, so they
+    would all degenerate to sig=0 and a C(g,2) pair explosion of
+    meaningless "duplicates". A featureless doc has no principled
+    similarity to anything; exact dedup (q_dedup_docs) still groups
+    empty texts.
     """
     # numpy kernel: bit-for-bit equal to simhash_signatures (pinned in
     # tests) and ~4x faster — 64 interpreted array-aggregates lose to
     # one vectorized unpackbits pass (SCALE.md "Python boundaries").
     # drop_tokenless fuses the featureless-doc exclusion into the same
     # projection that computes the token-hash array (no second pass).
-    sigs = simhash_signatures_numpy(documents, drop_tokenless=True, portable=True)
+    sigs = simhash_signatures_numpy(
+        documents, drop_tokenless=True, portable=True
+    ).localCheckpoint(eager=True)
 
-    # signature → sorted member docs (one row per distinct signature)
-    groups = sigs.groupBy("sig").agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-
-    # 1) intra-signature pairs: hamming 0, expanded from each group
-    intra = (
-        groups.filter(F.size("docs") > 1)
-        .select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("docs"),
-                            lambda a: F.transform(
-                                F.col("docs"),
-                                lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-                            ),
-                        )
-                    ),
-                    lambda p: p["doc_a"] < p["doc_b"],
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b", F.lit(0).cast("bigint").alias("hamming"))
+    # 1) intra-signature pairs: hamming 0 via sig-keyed self-join
+    a, b = sigs.alias("a"), sigs.alias("b")
+    intra = a.join(
+        b, (F.col("a.sig") == F.col("b.sig")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.lit(0).cast("bigint").alias("hamming"),
     )
 
     # 2) cross-signature pairs: band join over distinct signatures
-    banded = groups.select(
-        "sig",
-        "docs",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("sig"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("chunk"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select("sig", "docs", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
-    a, b = banded.alias("a"), banded.alias("b")
+    banded = (
+        sigs.select("sig")
+        .distinct()
+        .select(
+            "sig",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bb).alias("band"),
+                            F.shiftright(F.col("sig"), bb * 16)
+                            .bitwiseAND(F.lit(0xFFFF))
+                            .alias("chunk"),
+                        )
+                        for bb in range(4)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("sig", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    )
+    x, y = banded.alias("x"), banded.alias("y")
     sig_pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.sig") < F.col("b.sig")),
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.sig") < F.col("y.sig")),
         )
         .select(
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-            F.col("a.docs").alias("docs_a"),
-            F.col("b.docs").alias("docs_b"),
-            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+            F.bit_count(F.col("x.sig").bitwiseXOR(F.col("y.sig")))
             .cast("bigint")
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["sig_a", "sig_b"])  # same sig pair may collide in >1 band
     )
-    cross = sig_pairs.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("docs_a"),
-                    lambda x: F.transform(
-                        F.col("docs_b"),
-                        lambda y: F.struct(
-                            F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p"),
-        "hamming",
-    ).select("p.doc_a", "p.doc_b", "hamming")
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    cross = (
+        sig_pairs.join(sa, F.col("sig_a") == F.col("sa.sig"))
+        .join(sb, F.col("sig_b") == F.col("sb.sig"))
+        .select(
+            F.least(F.col("sa.doc_id"), F.col("sb.doc_id")).alias("doc_a"),
+            F.greatest(F.col("sa.doc_id"), F.col("sb.doc_id")).alias("doc_b"),
+            "hamming",
+        )
+    )
 
     return intra.unionByName(cross).orderBy("doc_a", "doc_b")
 
