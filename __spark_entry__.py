@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
         "q_decontaminate": _q(["documents"], text.q_decontaminate),
         "q_source_mix": _q(["documents"], text.q_source_mix),
+        "q_semdedup": _q(["embeddings"], similarity.q_semdedup),
     }
 
 
@@ -930,6 +931,27 @@ def oracle_sql() -> dict[str, str]:
               FROM sigged a JOIN sigged b ON a.sig = b.sig AND a.vec_id < b.vec_id
             )
             SELECT * FROM pairs WHERE cosine >= 0.30
+        """,
+        "q_semdedup": f"""
+            WITH assigned AS (
+              SELECT vec_id, embedding,
+                     list_position(s, list_aggregate(s, 'max')) - 1 AS cell
+              FROM (SELECT *, {_ivf_scores_sql('embedding')} AS s FROM embeddings)
+            ),
+            hits AS (
+              SELECT a.cell AS cell, b.vec_id AS vec_id, a.vec_id AS dup_of,
+                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+              FROM assigned a JOIN assigned b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cosine DESC, dup_of ASC) AS rn
+              FROM hits WHERE cosine >= 0.30
+            )
+            SELECT vec_id, cell, dup_of, cosine
+            FROM ranked WHERE rn = 1 ORDER BY vec_id
         """,
         "q_similarity_ann": f"""
             WITH sigged AS (

@@ -224,6 +224,64 @@ def q_dedup_embedding(embeddings: DataFrame, threshold: float = 0.30) -> DataFra
     return scored.filter(F.col("cosine") >= threshold).orderBy("vec_a", "vec_b")
 
 
+def q_semdedup(
+    embeddings: DataFrame, threshold: float = 0.30, n_cells: int = 8
+) -> DataFrame:
+    """Semantic deduplication, cluster-then-cosine form (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", 2023): assign every embedding to its nearest coarse
+    centroid, then compare pairs only WITHIN a cluster — a vector is a
+    semantic duplicate when some lower-id cluster-mate has cosine ≥
+    threshold. Output: one row per duplicate with its cluster, the
+    kept twin it duplicates (highest-cosine lower-id mate, ties →
+    lowest id), and the cosine. Fully oracle-checked — the DuckDB SQL
+    rebuilds cell assignment from the same centroid constants.
+
+    Complements ``q_dedup_embedding``: SRP blocking finds near-
+    IDENTICAL vectors (signature equality ≈ tiny angle); SemDeDup's
+    cluster blocking finds semantic redundancy at a coarser radius —
+    the training-data curation setting where whole clusters of
+    near-synonymous documents get thinned.
+
+    Scale: ONE shuffle keyed on cell for the self-join (AQE splits a
+    hot cell), one window exchange keyed on the dup's vec_id. In
+    production n_cells grows ~√n (k-means-trained centroids — see
+    ``kmeans_step`` — not the deterministic seeds used here for
+    reproducibility), so per-cell membership stays bounded and the
+    pair count never approaches all-pairs. No row ever holds more
+    than two embeddings.
+    """
+    from pyspark.sql.window import Window
+
+    assigned = ivf_assign(embeddings, n_cells).select("vec_id", "embedding", "cell")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    scored = (
+        a.join(b, "cell")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            "cell",
+            F.col("b.vec_id").alias("vec_id"),
+            F.col("a.vec_id").alias("dup_of"),
+            F.round(
+                cosine_similarity(
+                    F.col("a.embedding").cast("array<double>"),
+                    F.col("b.embedding").cast("array<double>"),
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("dup_of").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "dup_of", "cosine")
+        .orderBy("vec_id")
+    )
+
+
 # ------------------------------------------------- pandas_udf batch scorer
 
 

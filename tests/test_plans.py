@@ -289,3 +289,16 @@ def test_approx_distinct_sketch_not_in_expand(spark, sf_dir):
     for section in plan.split("Expand")[1:]:
         head = section[:400]
         assert "approx_count_distinct" not in head
+
+
+def test_semdedup_cell_keyed_join_no_collect(spark, sf_dir):
+    """q_semdedup's candidate pairs must come from a cell-keyed
+    equi-join (AQE-splittable), never a cartesian product or a
+    collect_list-per-cell mega-row."""
+    from node_js_etl_processor_spark.operators.similarity import q_semdedup
+
+    plan = plan_text(q_semdedup(load_table(spark, sf_dir, "embeddings")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "collect_list" not in plan
+    assert "cell" in plan  # join keyed on the cluster id
