@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _q(["documents"], text.q_decontaminate),
         "q_source_mix": _q(["documents"], text.q_source_mix),
         "q_semdedup": _q(["embeddings"], similarity.q_semdedup),
+        "q_c4_rules": _q(["documents"], text.q_c4_rules),
     }
 
 
@@ -1207,6 +1208,31 @@ def oracle_sql() -> dict[str, str]:
               CAST(sum(CAST(ok_alpha AS BIGINT)) AS BIGINT) AS pass_alpha,
               CAST(sum(CAST(ok_words AND ok_wordlen AND ok_symbols
                             AND ok_bullets AND ok_alpha AS BIGINT)) AS BIGINT) AS pass_all
+            FROM flags
+            GROUP BY source
+        """,
+        "q_c4_rules": r"""
+            WITH flags AS (
+              SELECT source,
+                (lang = 'en') AS ok_lang,
+                (len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) >= 30)
+                  AS ok_words,
+                (len(list_filter(string_split(text, chr(10)),
+                     l -> regexp_matches(trim(l), '[.!?"”]$')
+                          AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                              t -> t <> '')) >= 5)) >= 1) AS ok_lines,
+                (NOT contains(text, '{')) AS ok_brace,
+                (NOT contains(lower(text), 'lorem ipsum')) AS ok_lorem
+              FROM documents
+            )
+            SELECT source, count(*) AS n_docs,
+              CAST(sum(CAST(ok_lang AS BIGINT)) AS BIGINT) AS pass_lang,
+              CAST(sum(CAST(ok_words AS BIGINT)) AS BIGINT) AS pass_words,
+              CAST(sum(CAST(ok_lines AS BIGINT)) AS BIGINT) AS pass_lines,
+              CAST(sum(CAST(ok_brace AS BIGINT)) AS BIGINT) AS pass_brace,
+              CAST(sum(CAST(ok_lorem AS BIGINT)) AS BIGINT) AS pass_lorem,
+              CAST(sum(CAST(ok_lang AND ok_words AND ok_lines
+                            AND ok_brace AND ok_lorem AS BIGINT)) AS BIGINT) AS pass_all
             FROM flags
             GROUP BY source
         """,

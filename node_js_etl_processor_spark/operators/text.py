@@ -590,6 +590,71 @@ def q_repetition_rules(documents: DataFrame) -> DataFrame:
     )
 
 
+def c4_kept_lines(text: Column, min_line_words: int = 5) -> Column:
+    """C4's line-level retention rule (Raffel et al., "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", JMLR 2020, §2.2): keep a line only when it ends in a
+    terminal punctuation mark and has at least ``min_line_words``
+    words. Pure Column lambda over the split-lines array — narrow, no
+    shuffle."""
+    lines = F.split(text, r"\n")
+    return F.filter(
+        lines,
+        lambda l: F.trim(l).rlike(r'[.!?"”]$')
+        & (F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda t: t != "")) >= min_line_words),
+    )
+
+
+def q_c4_rules(documents: DataFrame) -> DataFrame:
+    """Declared query: per-source C4 cleaning pass rates (Raffel et
+    al. 2020 §2.2) — the other canonical public web-corpus filter next
+    to ``q_gopher_rules``:
+
+    - ``pass_lang``: language gate (C4 keeps langdetect-en ≥ 0.99;
+      here the corpus's ``lang`` column stands in for the detector —
+      ``q_text_langid`` is the from-scratch detector twin);
+    - ``pass_words``: ≥ 30 words (C4 drops short pages; threshold
+      fixture-scaled);
+    - ``pass_lines``: ≥ 1 line surviving the terminal-punctuation +
+      ≥ 5-word line rule (the line-level C4 filter — the synthetic
+      corpus is single-line unpunctuated word soup, so this column is
+      honestly 0 here; the rule itself is pinned by unit tests on
+      crafted multi-line docs);
+    - ``pass_brace`` / ``pass_lorem``: no '{' and no 'lorem ipsum'
+      (C4's code/boilerplate tells);
+    - ``pass_all``: conjunction.
+
+    One narrow projection + partial agg — same shape and scale story
+    as q_gopher_rules. Fully oracle-checked.
+    """
+    text = F.col("text")
+    toks = tokens(text)
+    flags = documents.select(
+        "source",
+        (F.col("lang") == "en").alias("ok_lang"),
+        (F.size(toks) >= 30).alias("ok_words"),
+        (F.size(c4_kept_lines(text)) >= 1).alias("ok_lines"),
+        (~text.contains("{")).alias("ok_brace"),
+        (~F.lower(text).contains("lorem ipsum")).alias("ok_lorem"),
+    )
+    keep = (
+        F.col("ok_lang")
+        & F.col("ok_words")
+        & F.col("ok_lines")
+        & F.col("ok_brace")
+        & F.col("ok_lorem")
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("ok_lang").cast("bigint")).alias("pass_lang"),
+        F.sum(F.col("ok_words").cast("bigint")).alias("pass_words"),
+        F.sum(F.col("ok_lines").cast("bigint")).alias("pass_lines"),
+        F.sum(F.col("ok_brace").cast("bigint")).alias("pass_brace"),
+        F.sum(F.col("ok_lorem").cast("bigint")).alias("pass_lorem"),
+        F.sum(keep.cast("bigint")).alias("pass_all"),
+    )
+
+
 def q_decontaminate(
     documents: DataFrame, ngram: int = 8, eval_mod: int = 50, hashed: bool = False
 ) -> DataFrame:

@@ -538,3 +538,39 @@ def test_decontaminate_hashed_path_equals_declared(spark, sf_dir):
     a = sorted(map(tuple, q_decontaminate(docs).collect()))
     b = sorted(map(tuple, q_decontaminate(docs, hashed=True).collect()))
     assert a == b
+
+
+def test_c4_rules_line_filter_semantics(spark):
+    """The C4 line rule (terminal punctuation + >=5 words) fires on
+    crafted multi-line docs — the synthetic corpus can't exercise it,
+    so this pins the rule itself."""
+    from node_js_etl_processor_spark.operators.text import c4_kept_lines, q_c4_rules
+
+    good = (
+        "This is a proper english sentence with enough words.\n"
+        "Another fine line that also ends with punctuation!\n"
+        "short one."
+    )
+    docs = [
+        (1, "s1", "en", good),  # 2 kept lines (3rd is <5 words)
+        (2, "s1", "en", "no terminal punctuation on this line at all"),
+        (3, "s1", "de", good),  # fails lang gate only
+        (4, "s1", "en", "Code sample { return 1; } with a brace in it."),
+        (5, "s1", "en", "Lorem Ipsum dolor sit amet filler text here."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, lang string, text string")
+    kept = {
+        r["doc_id"]: r["k"]
+        for r in df.select(
+            "doc_id", F.size(c4_kept_lines(F.col("text"))).alias("k")
+        ).collect()
+    }
+    assert kept == {1: 2, 2: 0, 3: 2, 4: 1, 5: 1}
+    row = q_c4_rules(df).collect()[0]
+    assert row["n_docs"] == 5
+    assert row["pass_lang"] == 4   # doc 3 is 'de'
+    assert row["pass_lines"] == 4  # doc 2 has no kept line
+    assert row["pass_brace"] == 4  # doc 4
+    assert row["pass_lorem"] == 4  # doc 5
+    assert row["pass_words"] == 0  # all crafted docs are < 30 words
+    assert row["pass_all"] == 0
