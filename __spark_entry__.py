@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_source_mix": _q(["documents"], text.q_source_mix),
         "q_semdedup": _q(["embeddings"], similarity.q_semdedup),
         "q_c4_rules": _q(["documents"], text.q_c4_rules),
+        "q_span_dedup": _q(["documents"], text.q_span_dedup),
     }
 
 
@@ -1235,6 +1236,32 @@ def oracle_sql() -> dict[str, str]:
                             AND ok_brace AND ok_lorem AS BIGINT)) AS BIGINT) AS pass_all
             FROM flags
             GROUP BY source
+        """,
+        "q_span_dedup": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+              FROM t, unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS u(i)
+            ),
+            dupg AS (
+              SELECT g FROM (SELECT DISTINCT g, doc_id FROM grams)
+              GROUP BY g HAVING count(*) > 1
+            ),
+            per_doc AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_spans,
+                     CAST(sum(CASE WHEN g IN (SELECT g FROM dupg) THEN 1 ELSE 0 END)
+                          AS BIGINT) AS dup_spans
+              FROM grams GROUP BY doc_id
+            )
+            SELECT doc_id, n_spans, dup_spans,
+                   round(CAST(dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac,
+                   (dup_spans * 100 <= n_spans * 5) AS keep
+            FROM per_doc
         """,
         "q_redact_pii": r"""
             WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),

@@ -756,6 +756,74 @@ def q_source_mix(documents: DataFrame) -> DataFrame:
     )
 
 
+def span_positions(toks: Column, n: int = 5) -> Column:
+    """All ``n``-token spans of a document IN POSITION ORDER, with
+    multiplicity (unlike ``dedup.shingles_from_tokens``, which
+    dedups) — the unit of account for duplicated-span fractions.
+    Empty when the doc has fewer than ``n`` tokens.
+
+    Eval-cost contract (same as winnow_minima): ``toks`` MUST be a
+    bound column reference — the lambda references it once per span.
+    """
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def q_span_dedup(
+    documents: DataFrame, n: int = 5, max_dup_pct: int = 5, hashed: bool = False
+) -> DataFrame:
+    """Duplicated-span accounting (the document-level proxy for Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022, whose ExactSubstr pass removes ≥50-token spans shared
+    across documents — span length fixture-scaled to 5): per doc, the
+    fraction of its n-token span POSITIONS whose span text also occurs
+    in some OTHER document. ``keep`` drops docs whose corpus-shared
+    span mass exceeds ``max_dup_pct`` percent — compared in exact
+    integer form (dup*100 <= n*pct), never on the rounded float.
+    Fully oracle-checked.
+
+    Scale shape: narrow span explode → one exchange keyed on the span
+    for the distinct-doc count → shuffle join back on the span →
+    per-doc aggregation (one exchange keyed on doc_id). The shared-
+    span side is NOT broadcast (unlike decontamination's megabyte eval
+    set, the cross-doc duplicate-span set grows with the corpus).
+    Declared form joins span STRINGS so the oracle replays the join
+    verbatim; ``hashed=True`` is the ingest-scale path — 8-byte
+    xxhash64 keys in both aggregations and the join (same plan, ~1e-7
+    whole-corpus false-positive probability); output equality of the
+    two forms is unit-tested.
+    """
+    from node_js_etl_processor_spark.catalog import spread
+
+    toked = spread(documents).select("doc_id", tokens(F.col("text")).alias("toks"))
+    gcol = span_positions(F.col("toks"), n)
+    if hashed:
+        gcol = F.transform(gcol, lambda g: F.xxhash64(g))
+    pos = toked.select("doc_id", F.explode(gcol).alias("g"))
+    dup_spans = (
+        pos.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .count()
+        .filter(F.col("count") > 1)
+        .select("g", F.lit(True).alias("dup"))
+    )
+    marked = pos.join(dup_spans, "g", "left")
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.coalesce(F.col("dup"), F.lit(False)).cast("bigint")).alias("dup_spans"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "dup_spans",
+        F.round(F.col("dup_spans").cast("double") / F.col("n_spans"), 6).alias("dup_frac"),
+        (F.col("dup_spans") * 100 <= F.col("n_spans") * max_dup_pct).alias("keep"),
+    )
+
+
 #: Redaction patterns: RE2-and-Java-regex-compatible (no lookarounds,
 #: no backrefs) so Spark and the DuckDB oracle apply byte-identical
 #: rules. ORDER IS SEMANTIC: specific before general — emails first

@@ -574,3 +574,25 @@ def test_c4_rules_line_filter_semantics(spark):
     assert row["pass_lorem"] == 4  # doc 5
     assert row["pass_words"] == 0  # all crafted docs are < 30 words
     assert row["pass_all"] == 0
+
+
+def test_span_dedup_planted_and_hashed_equivalence(spark):
+    """A planted shared 5-gram is counted at every position in every
+    doc that holds it; the xxhash64 scale path returns identical rows."""
+    from node_js_etl_processor_spark.operators.text import q_span_dedup
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = [
+        (1, f"{shared} one two three four five six"),       # spans 1..7, 1 dup
+        (2, f"zero {shared} seven eight nine ten eleven"),  # dup at position 2
+        (3, "totally unique words without any overlap at all here"),
+        (4, "tiny doc"),                                    # <5 tokens: no row
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in q_span_dedup(df).collect()}
+    assert 4 not in rows
+    assert rows[1]["dup_spans"] == 1 and rows[2]["dup_spans"] == 1
+    assert rows[3]["dup_spans"] == 0 and rows[3]["keep"]
+    assert not rows[1]["keep"]  # 1/7 > 5%
+    hashed = {tuple(r) for r in q_span_dedup(df, hashed=True).collect()}
+    assert hashed == {tuple(r) for r in rows.values()}
