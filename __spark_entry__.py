@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semdedup": _q(["embeddings"], similarity.q_semdedup),
         "q_c4_rules": _q(["documents"], text.q_c4_rules),
         "q_span_dedup": _q(["documents"], text.q_span_dedup),
+        "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
     }
 
 
@@ -1262,6 +1263,45 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac,
                    (dup_spans * 100 <= n_spans * 5) AS keep
             FROM per_doc
+        """,
+        "q_quality_classifier": r"""
+            WITH f AS (
+              SELECT doc_id, source,
+                CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                     t -> t <> '')) AS BIGINT) AS n_tokens,
+                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+                  AS alpha_chars,
+                CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+                  AS punct_chars,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                (CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
+                 + CASE WHEN contains(' ' || text || ' ', ' a ') THEN 1 ELSE 0 END
+                 + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END
+                 + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
+                 + CASE WHEN contains(' ' || text || ' ', ' to ') THEN 1 ELSE 0 END
+                 + CASE WHEN contains(' ' || text || ' ', ' in ') THEN 1 ELSE 0 END)
+                  AS stop_hits
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, source,
+                -- every literal is ::DOUBLE: DuckDB otherwise parses 0.02
+                -- as DECIMAL and evaluates exactly, drifting 1 ulp from
+                -- Spark's double chain (flips half-way round() digits)
+                ((((-3.0::DOUBLE + 0.02::DOUBLE * n_tokens)
+                   + 0.6::DOUBLE * stop_hits)
+                  + 0.25::DOUBLE * coalesce(CASE WHEN n_tokens > 0
+                      THEN CAST(alpha_chars AS DOUBLE) / n_tokens END, 0.0::DOUBLE))
+                  + (-8.0::DOUBLE) * coalesce(CASE WHEN n_chars > 0
+                      THEN CAST(punct_chars AS DOUBLE) / n_chars END, 0.0::DOUBLE))
+                  AS logit
+              FROM f
+            )
+            SELECT doc_id, source,
+                   logit,
+                   round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+                   (logit >= 0) AS keep
+            FROM s
         """,
         "q_redact_pii": r"""
             WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),

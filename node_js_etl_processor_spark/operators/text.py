@@ -824,6 +824,68 @@ def q_span_dedup(
     )
 
 
+#: Fixed quality-classifier parameters: (bias, w_tokens, w_stopwords,
+#: w_alpha_len, w_punct) and the stopword marker vocabulary. Stands in
+#: for trained fastText/logreg weights — inference is the engine's
+#: job; training happens offline.
+QUALITY_CLF_WEIGHTS = (-3.0, 0.02, 0.6, 0.25, -8.0)
+QUALITY_CLF_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def q_quality_classifier(documents: DataFrame) -> DataFrame:
+    """Model-based quality scoring, the classifier-filter stage of a
+    pre-training pipeline (the role fastText quality classifiers play
+    in CCNet/LLaMA-style curation; cf. Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    2020): per-doc linear-model inference over engine-computed
+    features — token count, stopword marker hits, alphabetic chars per
+    token, punctuation ratio — with FIXED public weights. Outputs the
+    logit, the sigmoid score, and the keep decision. Fully
+    oracle-checked.
+
+    Determinism contract: the logit is a left-associated chain of
+    IEEE-double ops evaluated in the SAME order in Spark and the
+    DuckDB oracle (identical inputs → identical bit patterns), and
+    ``keep`` compares the UNROUNDED logit against 0 — never a rounded
+    float. Only the reported ``score`` passes through exp(), rounded
+    to 6 digits.
+
+    Scale: one narrow projection, no shuffle, no UDF — classifier
+    inference stays inside whole-stage codegen. Output is per-doc
+    (the downstream filter consumes it as a column), so there is no
+    float aggregation to order-sensitively drift.
+    """
+    text = F.col("text")
+    feats = quality_features(text)
+    bias, w_tok, w_stop, w_alen, w_punct = QUALITY_CLF_WEIGHTS
+    stop_hits = marker_score(text, QUALITY_CLF_STOPWORDS)
+    atl = F.coalesce(feats["avg_token_len"], F.lit(0.0))
+    pr = F.coalesce(feats["punct_ratio"], F.lit(0.0))
+    logit = (
+        (
+            (
+                (F.lit(bias) + F.lit(w_tok) * feats["n_tokens"])
+                + F.lit(w_stop) * stop_hits
+            )
+            + F.lit(w_alen) * atl
+        )
+        + F.lit(w_punct) * pr
+    )
+    # the logit is emitted UNROUNDED: the per-row double chain is
+    # bit-identical across engines, while engine-side round() semantics
+    # DIVERGE exactly on the .xxxxxx5 decimal boundaries the a/(4n)
+    # term produces (Spark rounds the binary expansion, DuckDB rounds
+    # value*1e6 — same double, different 6th digit); the driver's
+    # comparator rounds both sides in one place instead
+    return documents.select(
+        "doc_id",
+        "source",
+        logit.alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+        (logit >= 0).alias("keep"),
+    )
+
+
 #: Redaction patterns: RE2-and-Java-regex-compatible (no lookarounds,
 #: no backrefs) so Spark and the DuckDB oracle apply byte-identical
 #: rules. ORDER IS SEMANTIC: specific before general — emails first

@@ -596,3 +596,19 @@ def test_span_dedup_planted_and_hashed_equivalence(spark):
     assert not rows[1]["keep"]  # 1/7 > 5%
     hashed = {tuple(r) for r in q_span_dedup(df, hashed=True).collect()}
     assert hashed == {tuple(r) for r in rows.values()}
+
+
+def test_quality_classifier_semantics(spark):
+    """Stopword-rich English scores above the keep threshold; symbol
+    soup scores below; keep compares the unrounded logit against 0."""
+    from node_js_etl_processor_spark.operators.text import q_quality_classifier
+
+    docs = [
+        (1, "s1", "the cat sat on a mat and looked to the stars in the night " * 6),
+        (2, "s1", "@@@ ### %%% !!! ??? ;;; ::: ,,, ... " * 5),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    rows = {r["doc_id"]: r for r in q_quality_classifier(df).collect()}
+    assert rows[1]["keep"] and rows[1]["logit"] > 0
+    assert not rows[2]["keep"] and rows[2]["logit"] < 0
+    assert 0.0 < rows[2]["score"] < 0.5 < rows[1]["score"] < 1.0
