@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_c4_rules": _q(["documents"], text.q_c4_rules),
         "q_span_dedup": _q(["documents"], text.q_span_dedup),
         "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
+        "q_stratified_split": _q(["documents"], text.q_stratified_split),
     }
 
 
@@ -1263,6 +1264,20 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac,
                    (dup_spans * 100 <= n_spans * 5) AS keep
             FROM per_doc
+        """,
+        "q_stratified_split": f"""
+            WITH s AS (
+              SELECT source,
+                CASE WHEN ('0x' || substr({fp}, 1, 8))::BIGINT * 100
+                          < 90 * 4294967296 THEN 'train' ELSE 'val' END AS split,
+                CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                     t -> t <> '')) AS BIGINT) AS n_toks
+              FROM documents
+            )
+            SELECT source, split,
+                   count(*) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens
+            FROM s GROUP BY source, split
         """,
         "q_quality_classifier": r"""
             WITH f AS (

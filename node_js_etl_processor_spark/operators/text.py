@@ -824,6 +824,44 @@ def q_span_dedup(
     )
 
 
+def split_assign(text: Column, val_pct: int = 10) -> Column:
+    """Deterministic CONTENT-hash split assignment: the first 8 hex
+    chars of the normalized-text md5 fingerprint, read as a uint32
+    bucket, send ``val_pct`` percent of content to 'val'. Keying the
+    split on the fingerprint (not the doc_id) means byte-identical
+    duplicates can never straddle the train/val boundary — the split-
+    leakage guard of a training pipeline. The threshold compares in
+    exact integer form (bucket*100 < (100-val_pct)*2^32), never on a
+    float fraction."""
+    bucket = F.conv(F.substring(fingerprint(text), 1, 8), 16, 10).cast("bigint")
+    return F.when(
+        bucket * 100 < F.lit((100 - val_pct) * 4294967296), F.lit("train")
+    ).otherwise(F.lit("val"))
+
+
+def q_stratified_split(documents: DataFrame, val_pct: int = 10) -> DataFrame:
+    """Declared query: per-(source, split) document and token counts
+    for a deterministic 90/10 content-hash train/val split — the
+    holdout-carving step of corpus assembly, stratified so every
+    source is represented in both splits. Fully oracle-checked.
+
+    Scale: one narrow projection (md5 + integer compare, no RNG, no
+    sort) + one partially-aggregated groupBy — the same one-exchange
+    shape as q_count_by_source. A reshuffle-free re-run assigns every
+    document to the same split on any cluster size, which is the
+    property that matters for resumable 100 TB ingest.
+    """
+    per = documents.select(
+        "source",
+        split_assign(F.col("text"), val_pct).alias("split"),
+        token_count(F.col("text")).alias("n_toks"),
+    )
+    return per.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+    )
+
+
 #: Fixed quality-classifier parameters: (bias, w_tokens, w_stopwords,
 #: w_alpha_len, w_punct) and the stopword marker vocabulary. Stands in
 #: for trained fastText/logreg weights — inference is the engine's

@@ -612,3 +612,22 @@ def test_quality_classifier_semantics(spark):
     assert rows[1]["keep"] and rows[1]["logit"] > 0
     assert not rows[2]["keep"] and rows[2]["logit"] < 0
     assert 0.0 < rows[2]["score"] < 0.5 < rows[1]["score"] < 1.0
+
+
+def test_stratified_split_deterministic_and_leakproof(spark):
+    """Exact duplicate content always lands in the same split, and the
+    val share is near the requested 10% on the corpus fixture."""
+    from node_js_etl_processor_spark.operators.text import q_stratified_split, split_assign
+
+    docs = [(i, "s1", f"unique words number {i} plus filler text") for i in range(200)]
+    docs += [(1000, "s2", docs[0][2]), (1001, "s2", docs[1][2])]  # dups of 0,1
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    assign = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", split_assign(F.col("text")).alias("s")).collect()
+    }
+    assert assign[1000] == assign[0] and assign[1001] == assign[1]  # content-keyed
+    agg = q_stratified_split(df).collect()
+    val = sum(r["n_docs"] for r in agg if r["split"] == "val")
+    assert 0.02 < val / 202 < 0.25  # ~10% with small-sample slack
+    assert q_stratified_split(df).collect() == agg  # deterministic re-run
