@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_span_dedup": _q(["documents"], text.q_span_dedup),
         "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
         "q_stratified_split": _q(["documents"], text.q_stratified_split),
+        "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
     }
 
 
@@ -188,6 +189,48 @@ def _ivf_scores_sql(col: str) -> str:
         f" / (sqrt(list_dot_product(CAST({col} AS DOUBLE[]), CAST({col} AS DOUBLE[]))) + 1e-12)"
         for c in _ivf_centroids(8)
     ) + "]"
+
+
+def _kmeans_step_sql() -> str:
+    """One Lloyd iteration as SQL, mirroring similarity.kmeans_step
+    term for term: quantized int64 per-dim sums (order-free), then an
+    order-pinned left-associated float chain for the shift."""
+    from node_js_etl_processor_spark.operators.similarity import (
+        DIM,
+        KMEANS_QUANT,
+        _ivf_centroids,
+    )
+
+    q = f"{float(KMEANS_QUANT)!r}::DOUBLE"
+    sum_cols = ",\n                     ".join(
+        f"CAST(sum(CAST(floor(CAST(embedding[{d + 1}] AS DOUBLE) * {q}) AS BIGINT))"
+        f" AS BIGINT) AS s{d}"
+        for d in range(DIM)
+    )
+    cents = "[" + ",".join(_sql_arr(c) for c in _ivf_centroids(8)) + "]"
+    sq = "0.0::DOUBLE"
+    for d in range(DIM):
+        term = (
+            f"(CAST(s{d} AS DOUBLE) / (CAST(n_vectors AS DOUBLE) * {q})"
+            f" - cents[cell + 1][{d + 1}])"
+        )
+        sq = f"({sq} + ({term} * {term}))"
+    return f"""
+            WITH assigned AS (
+              SELECT vec_id, embedding,
+                     list_position(s, list_aggregate(s, 'max')) - 1 AS cell
+              FROM (SELECT *, {_ivf_scores_sql("embedding")} AS s FROM embeddings)
+            ),
+            agg AS (
+              SELECT cell, count(*) AS n_vectors,
+                     {sum_cols}
+              FROM assigned GROUP BY cell
+            ),
+            c AS (SELECT {cents} AS cents)
+            SELECT cell, n_vectors, round(sqrt({sq}), 6) AS shift
+            FROM agg, c
+            ORDER BY cell
+        """
 
 
 def _minhash_cands_cte() -> str:
@@ -1265,6 +1308,7 @@ def oracle_sql() -> dict[str, str]:
                    (dup_spans * 100 <= n_spans * 5) AS keep
             FROM per_doc
         """,
+        "q_kmeans_step": _kmeans_step_sql(),
         "q_stratified_split": f"""
             WITH s AS (
               SELECT source,

@@ -282,6 +282,72 @@ def q_semdedup(
     )
 
 
+# ----------------------------------------------------- k-means (Lloyd step)
+
+#: Fixed-point quantum for the Lloyd-step accumulators: member values
+#: are floored to integer units of 2^-20 BEFORE summing, so the
+#: distributed reduction is pure int64 addition — associative, hence
+#: bit-identical on any partitioning/engine. Summing raw doubles
+#: instead would make the result depend on partial-agg order (the
+#: classic distributed-float nondeterminism).
+KMEANS_QUANT = 1 << 20
+
+
+def kmeans_step(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus
+    (Lloyd, "Least squares quantization in PCM", IEEE Trans. Inf.
+    Theory 1982 — the training loop behind IVF coarse quantizers and
+    SemDeDup cluster maps): assign every vector to its nearest current
+    centroid, then compute per-cell member counts and the L2 shift
+    between each old centroid and its members' mean. A driver loop
+    feeding each round's means back in IS k-means; one step is the
+    engine-side unit of work, and keeping it a declared query makes
+    the iterative path oracle-checkable (a full loop is not
+    SQL-expressible).
+
+    Scale: assignment is the same narrow codegen projection as
+    ``ivf_assign``; the reduction is ONE partially-aggregated groupBy
+    — 64 quantized int64 sums + a count per cell, so each executor
+    ships n_cells × 65 longs regardless of data size. The mean/shift
+    arithmetic runs on the 8-row aggregated frame in a FIXED
+    left-associated chain, so every float op is order-pinned and the
+    DuckDB oracle reproduces it bit-for-bit.
+    """
+    assigned = ivf_assign(embeddings, n_cells)
+    sums = [
+        F.sum(
+            F.floor(F.col("embedding")[d].cast("double") * F.lit(float(KMEANS_QUANT))).cast(
+                "bigint"
+            )
+        ).alias(f"s{d}")
+        for d in range(DIM)
+    ]
+    agg = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"), *sums)
+    cents = _ivf_centroids(n_cells)
+    cent_arr = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+    sq = F.lit(0.0)
+    for d in range(DIM):
+        mean_d = F.col(f"s{d}").cast("double") / (
+            F.col("n_vectors").cast("double") * F.lit(float(KMEANS_QUANT))
+        )
+        diff = mean_d - F.element_at(F.element_at(cent_arr, F.col("cell") + 1), d + 1)
+        sq = sq + diff * diff
+    return agg.select(
+        "cell",
+        "n_vectors",
+        F.round(F.sqrt(sq), 6).alias("shift"),
+    ).orderBy("cell")
+
+
+def q_kmeans_step(embeddings: DataFrame) -> DataFrame:
+    """Declared query: one Lloyd iteration from the deterministic seed
+    centroids — per-cell member counts and centroid shift. Fully
+    oracle-checked (quantized int sums make the reduction order-free;
+    the float tail is an order-pinned chain both engines evaluate
+    identically)."""
+    return kmeans_step(embeddings)
+
+
 # ------------------------------------------------- pandas_udf batch scorer
 
 
