@@ -43,6 +43,7 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, fn in entrymod.queries().items():
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
         runs = []
@@ -51,6 +52,10 @@ def main() -> None:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 3)
+        # min/max across measured runs: lets a reader separate contention
+        # noise (wide spread) from real plan regressions (tight spread at
+        # a higher median) straight from the artifact
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -60,6 +65,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
                 "runs_per_query": RUNS,
             }

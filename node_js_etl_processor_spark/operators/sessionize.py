@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.timeutil import epoch_us_fn
+
 GAP_MINUTES = 30
 
 
@@ -24,7 +26,7 @@ def sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
     w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # exact integer microsecond gap — float epoch seconds would risk
     # boundary flips vs the SQL oracle's date_diff
-    us = F.unix_micros(F.col("ts"))
+    us = epoch_us_fn(events)("ts")
     gap_us = us - F.lag(us).over(w_user)
     new_session = F.when(
         gap_us.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), F.lit(1)
@@ -40,6 +42,7 @@ def sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
 def q_sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
     """Declared query: per-session rollup (user_id, session_id,
     n_events, sum_value, start/end timestamps)."""
+    eus = epoch_us_fn(events)
     return (
         sessionize(events, gap_minutes)
         .groupBy("user_id", "session_id")
@@ -48,7 +51,8 @@ def q_sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame
             F.round(F.sum("value"), 2).alias("sum_value"),
             # epoch-micros bigints: exact integers, immune to cross-engine
             # timestamp precision/rendering differences in the value hash
-            F.unix_micros(F.min("ts")).alias("start_us"),
-            F.unix_micros(F.max("ts")).alias("end_us"),
+            # (min/max commute with the monotone epoch conversion)
+            F.min(eus("ts")).alias("start_us"),
+            F.max(eus("ts")).alias("end_us"),
         )
     )

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.timeutil import epoch_us_fn
+
 #: 5-minute band width for the range join, in microseconds.
 BAND_US = 300_000_000
 
@@ -126,6 +128,7 @@ def q_asof_join(events: DataFrame) -> DataFrame:
     emitted (not its id), so multiple clicks sharing one timestamp
     cannot produce nondeterministic output.
     """
+    eus = epoch_us_fn(events)
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
@@ -136,9 +139,9 @@ def q_asof_join(events: DataFrame) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("purchase_us"),
-        F.unix_micros("asof_ts").alias("click_us"),
-        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_us"),
+        eus("ts").alias("purchase_us"),
+        eus("asof_ts").alias("click_us"),
+        (eus("ts") - eus("asof_ts")).alias("gap_us"),
     )
 
 
@@ -154,13 +157,14 @@ def q_range_join(events: DataFrame) -> DataFrame:
     with zero counts via a final left join back to the purchase set
     (cheap: keyed by event_id).
     """
+    eus = epoch_us_fn(events)
     ev = events.select(
         "user_id",
-        F.unix_micros("ts").alias("e_us"),
+        eus("ts").alias("e_us"),
         "value",
     ).withColumn("bucket", F.floor(F.col("e_us") / BAND_US))
     purchases = events.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", F.unix_micros("ts").alias("p_us")
+        "event_id", "user_id", eus("ts").alias("p_us")
     )
     probes = purchases.withColumn(
         "bucket",
@@ -194,9 +198,10 @@ def q_window_range(events: DataFrame) -> DataFrame:
     sliding two-pointer pass inside each sorted partition (Spark's
     RANGE frame implementation), O(n) per key.
     """
+    eus = epoch_us_fn(events)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        .orderBy(eus("ts"))
         .rangeBetween(-HOUR_US, 0)
     )
     return events.select(

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from ..functions.timeutil import ensure_instant
+
 
 def dedup_events_stream(
     events_stream: DataFrame,
@@ -28,6 +30,7 @@ def dedup_events_stream(
     """Watermark-bounded streaming dedup on ``keys`` (default:
     event_id). Input must be a streaming DataFrame with a ``ts``
     timestamp column."""
+    events_stream = ensure_instant(events_stream)
     return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )

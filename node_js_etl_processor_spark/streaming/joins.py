@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import ensure_instant
+
 
 def clicks_to_purchases(
     clicks: DataFrame,
@@ -35,6 +37,8 @@ def clicks_to_purchases(
     (purchase watermark − window) can never match again and is dropped
     from the store.
     """
+    clicks = ensure_instant(clicks)
+    purchases = ensure_instant(purchases)
     c = (
         clicks.withWatermark("ts", watermark)
         .select(

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import ensure_instant
+
 
 def windowed_counts(
     events: DataFrame,
@@ -30,6 +32,7 @@ def windowed_counts(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Tumbling-window event counts with late-data watermark."""
+    events = ensure_instant(events)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration), F.col("event_type"))
@@ -52,6 +55,7 @@ def session_windows(
     """Gap-based session aggregation via the native session_window —
     state-store backed, watermark-bounded (the scalable form of the
     batch lag/cumsum sessionizer)."""
+    events = ensure_instant(events)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.col("user_id"), F.session_window("ts", gap))

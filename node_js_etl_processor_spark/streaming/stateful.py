@@ -84,10 +84,10 @@ def running_user_profiles(events_stream: DataFrame) -> DataFrame:
     checkpoint recovery — the downstream consumer takes the max
     lifetime_events per user for the current snapshot.
     """
-    from pyspark.sql import functions as F
+    from ..functions.timeutil import epoch_us_fn
 
     prepared = events_stream.select(
-        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+        "user_id", epoch_us_fn(events_stream)("ts").alias("ts_us"), "value"
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
         _update_profile,

@@ -280,6 +280,7 @@ def test_running_profiles_match_batch_aggregate(spark, sf_dir, tmp_path):
     over the same events."""
     from pyspark.sql import functions as F
 
+    from node_js_etl_processor_spark.functions.timeutil import epoch_us_fn
     from node_js_etl_processor_spark.streaming.stateful import running_user_profiles
 
     events = load_table(spark, sf_dir, "events")
@@ -314,7 +315,7 @@ def test_running_profiles_match_batch_aggregate(spark, sf_dir, tmp_path):
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum("value"), 2).alias("total"),
-            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.max(epoch_us_fn(events)("ts")).alias("last_us"),
         )
         .collect()
     }
