@@ -224,8 +224,11 @@ def q_dedup_embedding(embeddings: DataFrame, threshold: float = 0.30) -> DataFra
     return scored.filter(F.col("cosine") >= threshold).orderBy("vec_a", "vec_b")
 
 
-def q_semdedup(
-    embeddings: DataFrame, threshold: float = 0.30, n_cells: int = 8
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.30,
+    n_cells: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Semantic deduplication, cluster-then-cosine form (Abbas et al.,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -234,8 +237,7 @@ def q_semdedup(
     semantic duplicate when some lower-id cluster-mate has cosine ≥
     threshold. Output: one row per duplicate with its cluster, the
     kept twin it duplicates (highest-cosine lower-id mate, ties →
-    lowest id), and the cosine. Fully oracle-checked — the DuckDB SQL
-    rebuilds cell assignment from the same centroid constants.
+    lowest id), and the cosine.
 
     Complements ``q_dedup_embedding``: SRP blocking finds near-
     IDENTICAL vectors (signature equality ≈ tiny angle); SemDeDup's
@@ -243,17 +245,29 @@ def q_semdedup(
     the training-data curation setting where whole clusters of
     near-synonymous documents get thinned.
 
+    Cell-count discipline (the thing that keeps this off the quadratic
+    cliff): within-cell pair generation is O(Σ per-cell n²), sound only
+    while per-cell membership stays bounded — so n_cells must grow ~√n.
+    ``centroids`` takes a trained quantizer (``kmeans_train`` output —
+    the production path). With NEITHER ``centroids`` nor ``n_cells``
+    given, the operator counts the corpus and auto-sizes
+    ``n_cells = max(8, ceil(√n))`` (one count job — parameters, not
+    data). An EXPLICIT fixed ``n_cells`` is the reproducible declared-
+    query form; it pins blocking for the oracle and is fixture-scale
+    only.
+
     Scale: ONE shuffle keyed on cell for the self-join (AQE splits a
-    hot cell), one window exchange keyed on the dup's vec_id. In
-    production n_cells grows ~√n (k-means-trained centroids — see
-    ``kmeans_step`` — not the deterministic seeds used here for
-    reproducibility), so per-cell membership stays bounded and the
-    pair count never approaches all-pairs. No row ever holds more
-    than two embeddings.
+    hot cell), one window exchange keyed on the dup's vec_id. No row
+    ever holds more than two embeddings.
     """
     from pyspark.sql.window import Window
 
-    assigned = ivf_assign(embeddings, n_cells).select("vec_id", "embedding", "cell")
+    if centroids is None and n_cells is None:
+        n = embeddings.count()
+        n_cells = max(8, math.isqrt(max(n - 1, 0)) + 1)
+    assigned = ivf_assign(embeddings, n_cells or 8, centroids=centroids).select(
+        "vec_id", "embedding", "cell"
+    )
     a = assigned.alias("a")
     b = assigned.alias("b")
     scored = (
@@ -282,6 +296,17 @@ def q_semdedup(
     )
 
 
+def q_semdedup(embeddings: DataFrame, threshold: float = 0.30) -> DataFrame:
+    """Declared query: SemDeDup over the fixture with the FIXED
+    8-seed-centroid blocking — fully oracle-checked (the DuckDB SQL
+    rebuilds cell assignment from the same centroid constants; a
+    trained or auto-sized quantizer would not be SQL-reproducible).
+    Production entry points are ``semdedup(centroids=kmeans_train(...))``
+    or the auto-sized default — see ``semdedup``'s docstring for why
+    fixed-k is fixture-scale only."""
+    return semdedup(embeddings, threshold=threshold, n_cells=8)
+
+
 # ----------------------------------------------------- k-means (Lloyd step)
 
 #: Fixed-point quantum for the Lloyd-step accumulators: member values
@@ -293,27 +318,12 @@ def q_semdedup(
 KMEANS_QUANT = 1 << 20
 
 
-def kmeans_step(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
-    """One Lloyd iteration of k-means over the embedding corpus
-    (Lloyd, "Least squares quantization in PCM", IEEE Trans. Inf.
-    Theory 1982 — the training loop behind IVF coarse quantizers and
-    SemDeDup cluster maps): assign every vector to its nearest current
-    centroid, then compute per-cell member counts and the L2 shift
-    between each old centroid and its members' mean. A driver loop
-    feeding each round's means back in IS k-means; one step is the
-    engine-side unit of work, and keeping it a declared query makes
-    the iterative path oracle-checkable (a full loop is not
-    SQL-expressible).
-
-    Scale: assignment is the same narrow codegen projection as
-    ``ivf_assign``; the reduction is ONE partially-aggregated groupBy
-    — 64 quantized int64 sums + a count per cell, so each executor
-    ships n_cells × 65 longs regardless of data size. The mean/shift
-    arithmetic runs on the 8-row aggregated frame in a FIXED
-    left-associated chain, so every float op is order-pinned and the
-    DuckDB oracle reproduces it bit-for-bit.
-    """
-    assigned = ivf_assign(embeddings, n_cells)
+def _kmeans_partials_jvm(
+    embeddings: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Per-cell quantized partial sums via pure Column expressions —
+    the reference form the Arrow kernel is pinned against."""
+    assigned = ivf_assign(embeddings, centroids=centroids)
     sums = [
         F.sum(
             F.floor(F.col("embedding")[d].cast("double") * F.lit(float(KMEANS_QUANT))).cast(
@@ -322,20 +332,141 @@ def kmeans_step(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
         ).alias(f"s{d}")
         for d in range(DIM)
     ]
-    agg = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"), *sums)
-    cents = _ivf_centroids(n_cells)
-    cent_arr = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
-    sq = F.lit(0.0)
-    for d in range(DIM):
-        mean_d = F.col(f"s{d}").cast("double") / (
-            F.col("n_vectors").cast("double") * F.lit(float(KMEANS_QUANT))
+    return assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"), *sums)
+
+
+def _kmeans_partials_numpy(
+    embeddings: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Arrow-batched twin of ``_kmeans_partials_jvm``: one mapInPandas
+    pass fuses centroid assignment and the quantized per-cell reduction,
+    emitting ≤ n_cells partial rows PER BATCH (cell, count, 64 int64
+    sums); a tiny keyed groupBy then merges the partials.
+
+    Bit-for-bit parity with the JVM form is engineered, not hoped for:
+
+    - dot products / norms are computed with ``cumsum`` along the dim
+      axis — the same LEFT-TO-RIGHT sequential float addition as the
+      JVM ``aggregate(zip_with(...), acc + v)`` fold (a BLAS ``@`` or
+      pairwise ``sum`` would differ in the last ulp and could flip a
+      near-tie argmax);
+    - the argmax tie rule is first-max on both sides (``np.argmax`` ↔
+      ``array_position(scores, array_max(scores))``);
+    - the per-cell reduction is exact int64 scatter-add of
+      ``floor(float64(x) * 2^20)`` — associative, so batch boundaries
+      and partitioning cannot change it.
+
+    A test pins JVM == numpy on the fixture. This is the hot path: the
+    JVM form evaluates k interpreted higher-order-function aggregates
+    per row (the suite's slowest query at 6.4 s/sf0.1); the kernel
+    replaces that with vectorized NumPy over Arrow batches.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    cmat = np.asarray(centroids, dtype=np.float64)  # (k, DIM)
+    k = cmat.shape[0]
+    # cell is int32 to match ivf_assign's `cast("int")` exactly — the
+    # declared query's output schema must not change with the kernel
+    out_schema = StructType(
+        [StructField("cell", IntegerType(), False), StructField("n_vectors", LongType(), False)]
+        + [StructField(f"s{d}", LongType(), False) for d in range(DIM)]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)  # (n, DIM)
+            # sequential-order sums via cumsum: bit-identical to the
+            # JVM left fold, still vectorized across the batch axis
+            norms = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+            scores = np.empty((m.shape[0], k), dtype=np.float64)
+            for i in range(k):
+                scores[:, i] = np.cumsum(m * cmat[i], axis=1)[:, -1] / (norms + 1e-12)
+            cell = scores.argmax(axis=1)
+            floored = np.floor(m * float(KMEANS_QUANT)).astype(np.int64)
+            acc = np.zeros((k, DIM), dtype=np.int64)
+            np.add.at(acc, cell, floored)
+            counts = np.bincount(cell, minlength=k).astype(np.int64)
+            live = np.flatnonzero(counts)
+            out = {"cell": live.astype(np.int32), "n_vectors": counts[live]}
+            for d in range(DIM):
+                out[f"s{d}"] = acc[live, d]
+            yield pd.DataFrame(out)
+
+    return (
+        spread(embeddings)
+        .select("embedding")
+        .mapInPandas(partials, schema=out_schema)
+        .groupBy("cell")
+        .agg(
+            F.sum("n_vectors").alias("n_vectors"),
+            *[F.sum(f"s{d}").alias(f"s{d}") for d in range(DIM)],
         )
-        diff = mean_d - F.element_at(F.element_at(cent_arr, F.col("cell") + 1), d + 1)
-        sq = sq + diff * diff
+    )
+
+
+def kmeans_step(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    use_arrow_kernel: bool = True,
+) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus
+    (Lloyd, "Least squares quantization in PCM", IEEE Trans. Inf.
+    Theory 1982 — the training loop behind IVF coarse quantizers and
+    SemDeDup cluster maps): assign every vector to its nearest current
+    centroid, then compute per-cell member counts and the L2 shift
+    between each old centroid and its members' mean. ``kmeans_train``
+    is the driver loop feeding each round's means back in; one step is
+    the engine-side unit of work, and keeping it a declared query makes
+    the iterative path oracle-checkable (a full loop is not
+    SQL-expressible).
+
+    ``centroids`` defaults to the deterministic seeds (the declared
+    query's reproducible form); pass a trained list to iterate.
+
+    Scale: assignment + reduction run fused in ONE Arrow-batched
+    mapInPandas pass (``_kmeans_partials_numpy``; ``use_arrow_kernel=
+    False`` selects the pure-Column reference form, pinned equal by
+    test) — each executor ships ≤ n_cells × 65 longs per batch
+    regardless of data size. The mean/shift arithmetic runs on the
+    n_cells-row aggregated frame in a FIXED left-associated chain, so
+    every float op is order-pinned and the DuckDB oracle reproduces it
+    bit-for-bit.
+    """
+    cents = centroids if centroids is not None else _ivf_centroids(n_cells)
+    make = _kmeans_partials_numpy if use_arrow_kernel else _kmeans_partials_jvm
+    agg = make(embeddings, cents)
+    # the old-centroid lookup appears ONCE in the plan (one element_at
+    # on one 8×64 literal array) — an earlier form nested that literal
+    # once PER DIMENSION and the 64× re-inlined constant tree cost
+    # ~5 s of analysis/codegen per run (the data itself is k rows here)
+    cent_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+    means = F.array(
+        *[
+            F.col(f"s{d}").cast("double")
+            / (F.col("n_vectors").cast("double") * F.lit(float(KMEANS_QUANT)))
+            for d in range(DIM)
+        ]
+    )
+    # left fold, acc + diff² in dimension order: the exact float-op
+    # sequence of the previous chained form and of the DuckDB oracle
+    sq = F.aggregate(
+        F.zip_with(
+            means,
+            F.element_at(cent_arr, F.col("cell") + 1),
+            lambda m, c: (m - c) * (m - c),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
     return agg.select(
-        "cell",
-        "n_vectors",
-        F.round(F.sqrt(sq), 6).alias("shift"),
+        "cell", "n_vectors", F.round(F.sqrt(sq), 6).alias("shift")
     ).orderBy("cell")
 
 
@@ -346,6 +477,44 @@ def q_kmeans_step(embeddings: DataFrame) -> DataFrame:
     the float tail is an order-pinned chain both engines evaluate
     identically)."""
     return kmeans_step(embeddings)
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    max_iters: int = 10,
+    tol: float = 1e-3,
+) -> list[list[float]]:
+    """Full k-means training loop: iterate Lloyd steps from the
+    deterministic seeds until the largest per-centroid shift drops
+    below ``tol`` (or ``max_iters``). Returns the trained centroids —
+    the input ``semdedup`` / ``ivf_assign`` / ``kmeans_step`` accept as
+    ``centroids=``, closing the "production trains these" loop.
+
+    Driver-side cost per iteration: collecting the n_cells × 66
+    aggregated frame (parameters, not data — the one permissible
+    collect). Cluster-side cost per iteration: one fused Arrow pass +
+    one tiny keyed groupBy, identical to ``kmeans_step``. Empty cells
+    keep their previous centroid (the standard Lloyd convention).
+    """
+    cents = [list(c) for c in _ivf_centroids(n_cells)]
+    for _ in range(max_iters):
+        rows = _kmeans_partials_numpy(embeddings, cents).collect()
+        shift = 0.0
+        new_cents = [list(c) for c in cents]
+        for r in rows:
+            cell = int(r["cell"])
+            n = float(r["n_vectors"]) * float(KMEANS_QUANT)
+            mean = [float(r[f"s{d}"]) / n for d in range(DIM)]
+            shift = max(
+                shift,
+                math.sqrt(sum((m - o) ** 2 for m, o in zip(mean, cents[cell]))),
+            )
+            new_cents[cell] = mean
+        cents = new_cents
+        if shift < tol:
+            break
+    return cents
 
 
 # ------------------------------------------------- pandas_udf batch scorer
@@ -385,8 +554,10 @@ def batch_cosine_pandas(embeddings: DataFrame, probe: list[float]) -> DataFrame:
 def _ivf_centroids(k: int, dim: int = DIM, seed: int = 0xC3) -> list[list[float]]:
     """Deterministic pseudo-random unit centroids (splitmix64 hash →
     [-1,1), L2-normalized). A production IVF trains these with k-means
-    over a sample; deterministic centroids keep the declared query
-    reproducible without an RNG or a training job."""
+    (``kmeans_train`` in this module — its output plugs into
+    ``ivf_assign``/``semdedup``/``kmeans_step`` via ``centroids=``);
+    deterministic seed centroids keep the declared queries reproducible
+    without an RNG, and seed the training loop itself."""
     cents = []
     for c in range(k):
         row = []
@@ -401,8 +572,16 @@ def _ivf_centroids(k: int, dim: int = DIM, seed: int = 0xC3) -> list[list[float]
     return cents
 
 
-def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
+def ivf_assign(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
     """Assign each vector to its nearest (max cosine) coarse centroid.
+
+    ``centroids`` defaults to the deterministic seeds (reproducible
+    declared-query form); pass ``kmeans_train`` output for a trained
+    quantizer.
 
     One narrow projection — greatest-of-k dot products against literal
     centroid arrays, all codegen. At 100 TB the assignment is computed
@@ -413,7 +592,7 @@ def ivf_assign(embeddings: DataFrame, n_cells: int = 8) -> DataFrame:
     """
     from node_js_etl_processor_spark.catalog import spread
 
-    cents = _ivf_centroids(n_cells)
+    cents = centroids if centroids is not None else _ivf_centroids(n_cells)
     emb = F.col("embedding").cast("array<double>")
     # scores materialize into ONE array column before the argmax so each
     # dot product is evaluated once — a chained-when argmax would inline

@@ -1,0 +1,94 @@
+"""K-means training loop + Arrow-kernel parity (similarity module).
+
+The Lloyd-step hot path runs as a fused mapInPandas kernel
+(`_kmeans_partials_numpy`); the pure-Column form
+(`_kmeans_partials_jvm`) is the bit-for-bit reference these tests pin
+it against. `kmeans_train` is the driver loop whose output plugs into
+`semdedup`/`ivf_assign` as a trained quantizer.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from node_js_etl_processor_spark.catalog import load_table
+from node_js_etl_processor_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_kmeans_arrow_kernel_equals_jvm(embeddings):
+    """The fused Arrow kernel must be bit-for-bit identical to the
+    pure-Column reference: same cells, same counts, and EXACT equality
+    on every quantized int64 sum (the cumsum-ordered dots make even the
+    assignment argmax tie-stable across the two implementations)."""
+    cents = sim._ivf_centroids(8)
+    jvm = {
+        r["cell"]: tuple(r)
+        for r in sim._kmeans_partials_jvm(embeddings, cents).collect()
+    }
+    npk = {
+        r["cell"]: tuple(r)
+        for r in sim._kmeans_partials_numpy(embeddings, cents).collect()
+    }
+    assert jvm.keys() == npk.keys()
+    for cell in jvm:
+        assert jvm[cell] == npk[cell], f"cell {cell} partials differ"
+
+
+def test_kmeans_step_kernel_flag_equivalent(embeddings):
+    """The declared step (Arrow kernel) equals the pure-Column step
+    row-for-row, shift included."""
+    fast = [tuple(r) for r in sim.kmeans_step(embeddings).collect()]
+    ref = [tuple(r) for r in sim.kmeans_step(embeddings, use_arrow_kernel=False).collect()]
+    assert fast == ref
+
+
+def test_kmeans_train_converges_and_improves(embeddings):
+    """The driver loop must terminate, return k full-dimension
+    centroids, and actually descend: a step from the TRAINED centroids
+    must shift less than the first step from the seeds."""
+    cents = sim.kmeans_train(embeddings, n_cells=8, max_iters=5, tol=1e-4)
+    assert len(cents) == 8 and all(len(c) == sim.DIM for c in cents)
+    assert all(all(math.isfinite(v) for v in c) for c in cents)
+    seed_shift = max(
+        r["shift"] for r in sim.kmeans_step(embeddings).collect()
+    )
+    trained_shift = max(
+        r["shift"] for r in sim.kmeans_step(embeddings, centroids=cents).collect()
+    )
+    assert trained_shift < seed_shift
+
+
+def test_semdedup_accepts_trained_centroids(embeddings):
+    """The production path — semdedup over a kmeans_train quantizer —
+    must run end-to-end, keep the declared schema, only emit pairs at
+    or above threshold, and be deterministic across invocations."""
+    cents = sim.kmeans_train(embeddings, n_cells=8, max_iters=3, tol=1e-4)
+    out = sim.semdedup(embeddings, threshold=0.2, centroids=cents)
+    rows = out.collect()
+    assert out.columns == ["vec_id", "cell", "dup_of", "cosine"]
+    assert all(r["cosine"] >= 0.2 for r in rows)
+    assert all(r["dup_of"] < r["vec_id"] for r in rows)
+    again = sim.semdedup(embeddings, threshold=0.2, centroids=cents).collect()
+    assert rows == again
+
+
+def test_semdedup_auto_sizes_cells(embeddings):
+    """With neither centroids nor n_cells, semdedup must auto-size the
+    cell count to ~sqrt(n) — the guard that keeps within-cell pair
+    generation off the quadratic cliff at scale."""
+    n = embeddings.count()
+    expected_cells = max(8, math.isqrt(max(n - 1, 0)) + 1)
+    out = sim.semdedup(embeddings, threshold=0.2)
+    cells = [r["cell"] for r in out.select("cell").distinct().collect()]
+    assert all(0 <= c < expected_cells for c in cells)
+    # the declared fixed-8 form must find at least as many dups as the
+    # finer auto-sized blocking (coarser cells => superset of pairs)
+    fixed = sim.semdedup(embeddings, threshold=0.2, n_cells=8).count()
+    assert out.count() <= fixed
