@@ -77,7 +77,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_array_transform": _q(["part"], relational.q_array_transform),
         "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
         "q_union_sources": _q(["customer"], relational.q_union_sources),
-        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
         "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
         "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
         "q_rollup": _q(["orders"], relational.q_rollup),
@@ -100,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
         "q_stratified_split": _q(["documents"], text.q_stratified_split),
         "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
+        # r5-new: the full curation capstone (gate→chunk→dedup→pack)
+        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
         # north-star extensions with full oracles
         "q_text_stats": _q(["documents"], text.q_text_stats),
         "q_text_langid": _q(["documents"], text.q_text_langid),
@@ -144,6 +145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semi_anti": _q(["customer", "orders"], relational.q_semi_anti),
         "q_sort_limit": _q(["orders"], relational.q_sort_limit),
         "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
+        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
         "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
         "q_stats_agg": _q(["customer"], relational.q_stats_agg),
         "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
@@ -1216,6 +1218,96 @@ def oracle_sql() -> dict[str, str]:
                          / (count(DISTINCT bin_id) * 256.0), 6) AS avg_fill
             FROM binned
             GROUP BY shard
+        """,
+        "q_curation_pipeline": r"""
+            WITH m AS (
+              SELECT doc_id, text, lang,
+                list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks,
+                string_split(text, chr(10)) AS lines,
+                length(regexp_replace(text, '[^#…]', '', 'g')) AS n_symbols,
+                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)
+                  AS alpha_chars,
+                CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT)
+                  AS punct_chars,
+                CAST(length(text) AS BIGINT) AS n_chars,
+                (CASE WHEN contains(' ' || text || ' ', ' the ') THEN 1 ELSE 0 END
+                 + CASE WHEN contains(' ' || text || ' ', ' a ') THEN 1 ELSE 0 END
+                 + CASE WHEN contains(' ' || text || ' ', ' of ') THEN 1 ELSE 0 END
+                 + CASE WHEN contains(' ' || text || ' ', ' and ') THEN 1 ELSE 0 END
+                 + CASE WHEN contains(' ' || text || ' ', ' to ') THEN 1 ELSE 0 END
+                 + CASE WHEN contains(' ' || text || ' ', ' in ') THEN 1 ELSE 0 END)
+                  AS stop_hits
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, toks,
+                ((len(toks) BETWEEN 5 AND 10000)
+                 AND coalesce((CASE WHEN len(toks) > 0 THEN
+                       CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+                            AS DOUBLE) / len(toks) END) BETWEEN 2.0 AND 12.0, FALSE)
+                 AND coalesce((CASE WHEN len(toks) > 0 THEN
+                       CAST(n_symbols AS DOUBLE) / len(toks) END) <= 0.1, FALSE)
+                 AND coalesce((CASE WHEN len(lines) > 0 THEN
+                       CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]')))
+                            AS DOUBLE) / len(lines) END) < 0.3, FALSE)
+                 AND coalesce((CASE WHEN len(toks) > 0 THEN
+                       CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                            AS DOUBLE) / len(toks) END) >= 0.7, FALSE)) AS gopher_ok,
+                ((lang = 'en') AND (len(toks) >= 30)
+                 AND (NOT contains(text, '{'))
+                 AND (NOT contains(lower(text), 'lorem ipsum'))) AS c4_ok,
+                (((((-3.0::DOUBLE + 0.02::DOUBLE * len(toks))
+                    + 0.6::DOUBLE * stop_hits)
+                   + 0.25::DOUBLE * coalesce(CASE WHEN len(toks) > 0
+                       THEN CAST(alpha_chars AS DOUBLE) / len(toks) END, 0.0::DOUBLE))
+                   + (-8.0::DOUBLE) * coalesce(CASE WHEN n_chars > 0
+                       THEN CAST(punct_chars AS DOUBLE) / n_chars END, 0.0::DOUBLE))
+                  >= 0) AS clf_ok
+              FROM m
+            ),
+            kept AS (
+              SELECT doc_id, toks FROM g WHERE gopher_ok AND c4_ok AND clf_ok
+            ),
+            starts AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(len(toks), 1) + 1, 48)) AS start
+              FROM kept
+            ),
+            chunks AS (
+              SELECT doc_id,
+                     CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+                     CAST(len(toks[start:start+63]) AS BIGINT) AS n_tokens,
+                     md5(array_to_string(toks[start:start+63], ' ')) AS chunk_fp
+              FROM starts
+            ),
+            dedup AS (
+              SELECT doc_id, chunk_id, n_tokens FROM (
+                SELECT doc_id, chunk_id, n_tokens,
+                       row_number() OVER (PARTITION BY chunk_fp
+                                          ORDER BY doc_id, chunk_id) AS rn
+                FROM chunks
+              ) WHERE rn = 1
+            ),
+            cum AS (
+              SELECT doc_id, doc_id % 32 AS shard, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY doc_id % 32
+                                         ORDER BY doc_id, chunk_id
+                                         ROWS UNBOUNDED PRECEDING) - n_tokens AS tokens_before
+              FROM dedup
+            ),
+            binned AS (
+              SELECT shard, doc_id, n_tokens, tokens_before // 256 AS bin_id FROM cum
+            )
+            SELECT CAST(shard AS BIGINT) AS shard,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   count(*) AS n_chunks,
+                   CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   round(CAST(sum(n_tokens) AS DOUBLE)
+                         / ((max(bin_id) + 1) * 256.0), 6) AS avg_fill
+            FROM binned
+            GROUP BY shard
+            ORDER BY shard
         """,
         "q_gopher_rules": """
             WITH f AS (

@@ -870,6 +870,30 @@ QUALITY_CLF_WEIGHTS = (-3.0, 0.02, 0.6, 0.25, -8.0)
 QUALITY_CLF_STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 
+def quality_logit(text: Column) -> Column:
+    """The fixed-weight linear-model logit over engine-computed
+    features — the shared inference expression of
+    ``q_quality_classifier`` and the curation capstone. The chain is
+    LEFT-ASSOCIATED and order-pinned: identical IEEE-double op
+    sequence in Spark and the DuckDB oracle (see
+    q_quality_classifier's determinism contract)."""
+    feats = quality_features(text)
+    bias, w_tok, w_stop, w_alen, w_punct = QUALITY_CLF_WEIGHTS
+    stop_hits = marker_score(text, QUALITY_CLF_STOPWORDS)
+    atl = F.coalesce(feats["avg_token_len"], F.lit(0.0))
+    pr = F.coalesce(feats["punct_ratio"], F.lit(0.0))
+    return (
+        (
+            (
+                (F.lit(bias) + F.lit(w_tok) * feats["n_tokens"])
+                + F.lit(w_stop) * stop_hits
+            )
+            + F.lit(w_alen) * atl
+        )
+        + F.lit(w_punct) * pr
+    )
+
+
 def q_quality_classifier(documents: DataFrame) -> DataFrame:
     """Model-based quality scoring, the classifier-filter stage of a
     pre-training pipeline (the role fastText quality classifiers play
@@ -893,22 +917,7 @@ def q_quality_classifier(documents: DataFrame) -> DataFrame:
     (the downstream filter consumes it as a column), so there is no
     float aggregation to order-sensitively drift.
     """
-    text = F.col("text")
-    feats = quality_features(text)
-    bias, w_tok, w_stop, w_alen, w_punct = QUALITY_CLF_WEIGHTS
-    stop_hits = marker_score(text, QUALITY_CLF_STOPWORDS)
-    atl = F.coalesce(feats["avg_token_len"], F.lit(0.0))
-    pr = F.coalesce(feats["punct_ratio"], F.lit(0.0))
-    logit = (
-        (
-            (
-                (F.lit(bias) + F.lit(w_tok) * feats["n_tokens"])
-                + F.lit(w_stop) * stop_hits
-            )
-            + F.lit(w_alen) * atl
-        )
-        + F.lit(w_punct) * pr
-    )
+    logit = quality_logit(F.col("text"))
     # the logit is emitted UNROUNDED: the per-row double chain is
     # bit-identical across engines, while engine-side round() semantics
     # DIVERGE exactly on the .xxxxxx5 decimal boundaries the a/(4n)
@@ -1124,4 +1133,89 @@ def q_bm25(documents: DataFrame) -> DataFrame:
         bm25_scores_narrow(documents, BM25_QUERY_TERMS)
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
+    )
+
+
+# ------------------------------------------- curation capstone (filter→pack)
+
+
+def curation_keep(text: Column, lang: Column) -> Column:
+    """The combined quality gate of the curation capstone — Gopher
+    document rules (Rae et al. 2021 §A1.1) ∧ C4 page rules (Raffel et
+    al. 2020 §2.2, minus the line-retention rule: the synthetic corpus
+    is single-line word soup and that rule alone would empty the
+    pipeline — it stays covered standalone by ``q_c4_rules`` and unit
+    tests) ∧ the fixed-weight classifier at logit ≥ 0. One narrow
+    boolean expression; every sub-rule is the exact expression its
+    standalone query uses."""
+    r = gopher_rules(text)
+    gopher_ok = (
+        r["n_words"].between(5, 10_000)
+        & F.coalesce(r["mean_word_len"].between(2.0, 12.0), F.lit(False))
+        & F.coalesce(r["symbol_ratio"] <= 0.1, F.lit(False))
+        & F.coalesce(r["bullet_ratio"] < 0.3, F.lit(False))
+        & F.coalesce(r["alpha_word_ratio"] >= 0.7, F.lit(False))
+    )
+    c4_ok = (
+        (lang == "en")
+        & (F.size(tokens(text)) >= 30)
+        & ~text.contains("{")
+        & ~F.lower(text).contains("lorem ipsum")
+    )
+    return gopher_ok & c4_ok & (quality_logit(text) >= 0)
+
+
+def q_curation_pipeline(documents: DataFrame) -> DataFrame:
+    """THE end-to-end training-data path, as ONE composed plan:
+    quality-gate (Gopher ∧ C4 ∧ classifier — ``curation_keep``) →
+    64/16 token chunking → exact chunk dedup by md5 fingerprint
+    (keeper = smallest (doc_id, chunk_id)) → 256-token/32-shard
+    sequence packing → per-shard packing stats with the surviving
+    document count. Fully oracle-checked.
+
+    Every stage exists standalone (q_gopher_rules / q_c4_rules /
+    q_quality_classifier / q_chunk_documents / q_chunk_pack_pipeline);
+    this query is their composition with no materialization boundary —
+    what a user actually runs nightly over a crawl drop.
+
+    Scale shape: the three gates fuse into the scan as one narrow
+    boolean projection (a doc that fails is never chunked — the
+    filter runs BEFORE the explode multiplies rows), then exactly TWO
+    keyed exchanges: chunk_fp for the dedup window, shard for the
+    packing window; the final per-shard aggregation reuses the shard
+    partitioning (plan-pinned in tests/test_plans.py).
+    """
+    from pyspark.sql.window import Window
+
+    kept = documents.filter(curation_keep(F.col("text"), F.col("lang"))).select(
+        "doc_id", "text"
+    )
+    chunks = chunk_documents(kept).withColumn("chunk_fp", F.md5(F.col("chunk_text")))
+    survivors = (
+        chunks.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("chunk_fp").orderBy("doc_id", "chunk_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn", "chunk_text", "chunk_fp")
+    )
+    packed = pack_chunks(survivors)
+    # bin_id is a running floor(cum_tokens/budget) — monotone from 0
+    # within each shard — so the bin count is max(bin_id)+1 WITHOUT a
+    # distinct: two different count_distincts in one agg would force an
+    # Expand plan with an extra (shard,bin,doc,gid) exchange; one
+    # distinct (n_docs) planned alone reuses the shard partitioning
+    n_bins = F.max("bin_id") + F.lit(1)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count_distinct(F.col("doc_id")).cast("bigint").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            n_bins.cast("bigint").alias("n_bins"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_tokens") / (n_bins * F.lit(256.0)), 6).alias("avg_fill"),
+        )
+        .orderBy("shard")
     )

@@ -19,7 +19,9 @@ At 100 TB with 8 planes: 256 signature directories of ~0.4% of the
 corpus each; a multiprobe-1 probe reads 9 of them (~3.5% of the data,
 and — just as important at that scale — ~3.5% of the file listing).
 The same layout doubles as the pre-partitioned input for
-q_dedup_embedding-style signature self-joins.
+signature-keyed dedup self-joins — ``dedup_embedding_from_layout``
+below is that consumer (pair-identical to ``q_dedup_embedding``,
+zero signature recomputation; both facts plan/value-tested).
 
 The partitioned write itself is one narrow projection plus a
 hash-partitioned shuffle write — exactly the ingest-side cost the
@@ -76,6 +78,41 @@ def ann_probe(
     probe_sigs = probe_signature_set(probe, n_planes)
     cand = spark.read.parquet(f"{path}/by_sig").filter(F.col("sig").isin(probe_sigs))
     return score_topk(cand, probe, k=k, exclude_vec_id=exclude_vec_id)
+
+
+def dedup_embedding_from_layout(
+    spark: SparkSession, path: str, threshold: float = 0.30
+) -> DataFrame:
+    """Embedding near-dup pairs fed from the materialized ``by_sig``
+    layout — the ingest-time form of ``q_dedup_embedding``: the SRP
+    signature column is READ, never recomputed (plan-tested: no
+    hyperplane dot-product expressions anywhere in the plan), and
+    because the layout was written repartitioned BY sig, the
+    sig-keyed self-join's rows arrive already colocated.
+
+    At 100 TB this is the difference between 2× evaluating an
+    n_planes×DIM projection over the corpus per dedup run and reading
+    a precomputed bigint — the layout is written once at ingest and
+    amortized over every probe AND every dedup sweep.
+    """
+    from node_js_etl_processor_spark.functions.vector import cosine_similarity
+
+    sigged = spark.read.parquet(f"{path}/by_sig").select("vec_id", "embedding", "sig")
+    a = sigged.alias("a")
+    b = sigged.alias("b")
+    pairs = a.join(b, "sig").filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    scored = pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        F.round(
+            cosine_similarity(
+                F.col("a.embedding").cast("array<double>"),
+                F.col("b.embedding").cast("array<double>"),
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    return scored.filter(F.col("cosine") >= threshold).orderBy("vec_a", "vec_b")
 
 
 def ivf_probe(

@@ -211,6 +211,25 @@ def test_chunk_pack_pipeline_two_exchanges(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
+def test_curation_pipeline_two_exchanges_filter_before_explode(spark, sf_dir):
+    """The full curation capstone (gate→chunk→dedup→pack) must keep the
+    chunk_pack shape — exactly TWO keyed exchanges — AND evaluate the
+    quality gate BEFORE the chunk explode multiplies rows (a doc that
+    fails the gate must never be chunked: at 100 TB the gate drops most
+    of the crawl, so filter-then-explode vs explode-then-filter is the
+    difference between chunking the corpus and chunking the keep-set)."""
+    from node_js_etl_processor_spark.operators import text
+
+    df = text.q_curation_pipeline(load_table(spark, sf_dir, "documents"))
+    plan = plan_text(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the gate Filter sits below Generate (explode) in the plan tree:
+    # rendered top-down, Generate must appear before the lang gate
+    gen = plan.index("Generate explode")
+    gate = plan.index("lorem ipsum")  # unmistakable gate-predicate text
+    assert gen < gate, "quality gate must run under (before) the explode"
+
+
 def test_rank_funcs_share_one_window(spark, sf_dir):
     df = relational.q_window_rank_funcs(load_table(spark, sf_dir, "customer"))
     plan = plan_text(df, "simple")

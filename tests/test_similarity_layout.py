@@ -98,3 +98,33 @@ def test_layout_write_is_one_file_per_partition_dir(spark, sf_dir, tmp_path):
         for d in dirs:
             files = glob.glob(f"{d}/*.parquet")
             assert len(files) == 1, f"{d} has {len(files)} files"
+
+
+def test_dedup_embedding_from_layout_matches_and_skips_recompute(
+    spark, sf_dir, tmp_path
+):
+    """The layout-fed dedup must return exactly the on-the-fly
+    q_dedup_embedding pairs, and its plan must contain NO signature
+    recomputation — the sig arrives from the partition directory
+    (absent from ReadSchema), and no hyperplane aggregate expressions
+    appear anywhere in the plan."""
+    from node_js_etl_processor_spark.operators.similarity import q_dedup_embedding
+    from node_js_etl_processor_spark.sources.similarity_layout import (
+        dedup_embedding_from_layout,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "sim")
+    write_ann_layout(emb, path)
+
+    got = [tuple(r) for r in dedup_embedding_from_layout(spark, path).collect()]
+    want = [tuple(r) for r in q_dedup_embedding(emb).collect()]
+    assert got == want and len(got) > 0
+
+    plan = _plan(dedup_embedding_from_layout(spark, path))
+    # sig is served by the directory layout, not read or recomputed
+    for read_schema in plan.split("ReadSchema:")[1:]:
+        assert "sig" not in read_schema.split("\n")[0]
+    # the srp projection would show up as shiftleft over aggregate()
+    # folds; the only aggregate() allowed here is the cosine scoring
+    assert "shiftleft" not in plan
