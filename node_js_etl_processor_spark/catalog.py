@@ -37,10 +37,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and convert with exact
-        # integer division (ns→µs; `div`, not `/`, because float division
-        # on epoch-nanos loses precision beyond 2^53).
+        # events.ts arrives as parquet TIMESTAMP(NANOS) in some driver
+        # datasets (Spark's vectorized reader rejects it: read nanos as
+        # long, convert with exact integer division — `div`, not `/`,
+        # because float division on epoch-nanos loses precision beyond
+        # 2^53) and as TIMESTAMP(MICROS) isAdjustedToUTC=false in others
+        # (r4+: reads as TIMESTAMP_NTZ — no conversion here; all epoch
+        # math dispatches through functions/timeutil.py). The dtype gate
+        # below keeps both shapes correct.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         from pyspark.sql import functions as F

@@ -614,22 +614,31 @@ def ivf_topk(
     n_cells: int = 8,
     n_probe_cells: int = 2,
     exclude_vec_id: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF search: score only vectors in the ``n_probe_cells`` cells
     whose centroids are closest to the probe (driver-side argmax over k
     centroid dot products — the probe is the query argument).
+    ``centroids`` takes a trained quantizer (``kmeans_train``); both
+    the assignment and the probe-cell choice use the same set.
     """
-    probe_cells = probe_cell_set(probe, n_cells, n_probe_cells)
-    assigned = ivf_assign(embeddings, n_cells).filter(F.col("cell").isin(probe_cells))
+    probe_cells = probe_cell_set(probe, n_cells, n_probe_cells, centroids=centroids)
+    assigned = ivf_assign(embeddings, n_cells, centroids=centroids).filter(
+        F.col("cell").isin(probe_cells)
+    )
     return score_topk(assigned, probe, k=k, exclude_vec_id=exclude_vec_id)
 
 
 def probe_cell_set(
-    probe: list[float], n_cells: int = 8, n_probe_cells: int = 2
+    probe: list[float],
+    n_cells: int = 8,
+    n_probe_cells: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> list[int]:
     """The ``n_probe_cells`` IVF cells whose centroids are closest to
-    the probe (driver-side — mirrors ivf_assign's max-cosine rule)."""
-    cents = _ivf_centroids(n_cells)
+    the probe (driver-side — mirrors ivf_assign's max-cosine rule).
+    ``centroids`` must match what the data side was assigned with."""
+    cents = centroids if centroids is not None else _ivf_centroids(n_cells)
     pnorm = math.sqrt(sum(v * v for v in probe)) or 1.0
     sims = [
         (i, sum(a * b for a, b in zip(probe, c)) / pnorm) for i, c in enumerate(cents)

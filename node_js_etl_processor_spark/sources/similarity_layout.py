@@ -44,9 +44,20 @@ from node_js_etl_processor_spark.operators.similarity import (
 
 
 def write_ann_layout(
-    embeddings: DataFrame, path: str, n_planes: int = 8, n_cells: int = 8
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
 ) -> None:
     """Materialize both similarity layouts under ``path``.
+
+    ``centroids`` takes a trained coarse quantizer
+    (``operators.similarity.kmeans_train`` output) for the by_cell
+    layout — the production ingest path; the deterministic seeds remain
+    the default for reproducible fixtures. Probes must use the SAME
+    centroids (``ivf_probe(..., centroids=...)``), or cell choice and
+    layout disagree.
 
     ``repartition(key)`` before ``partitionBy(key)`` keeps the write to
     one file per directory per shuffle partition instead of one file
@@ -58,7 +69,7 @@ def write_ann_layout(
     sigged.repartition("sig").write.mode("overwrite").partitionBy("sig").parquet(
         f"{path}/by_sig"
     )
-    celled = ivf_assign(embeddings, n_cells)
+    celled = ivf_assign(embeddings, n_cells, centroids=centroids)
     celled.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/by_cell"
     )
@@ -123,9 +134,11 @@ def ivf_probe(
     n_cells: int = 8,
     n_probe_cells: int = 2,
     exclude_vec_id: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF top-k over the materialized layout: nearest probe cells
-    chosen driver-side, applied as a partition filter."""
-    cells = probe_cell_set(probe, n_cells, n_probe_cells)
+    chosen driver-side, applied as a partition filter. Pass the SAME
+    ``centroids`` the layout was written with (trained or seeds)."""
+    cells = probe_cell_set(probe, n_cells, n_probe_cells, centroids=centroids)
     cand = spark.read.parquet(f"{path}/by_cell").filter(F.col("cell").isin(cells))
     return score_topk(cand, probe, k=k, exclude_vec_id=exclude_vec_id)

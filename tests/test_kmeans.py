@@ -92,3 +92,40 @@ def test_semdedup_auto_sizes_cells(embeddings):
     # finer auto-sized blocking (coarser cells => superset of pairs)
     fixed = sim.semdedup(embeddings, threshold=0.2, n_cells=8).count()
     assert out.count() <= fixed
+
+
+def test_trained_centroids_thread_through_ivf_and_layout(
+    spark, sf_dir, embeddings, tmp_path
+):
+    """A trained quantizer must produce IDENTICAL results via the
+    on-the-fly path and the materialized layout path (write with
+    centroids → probe with the same centroids), and a mismatched
+    probe/layout centroid set is the caller's bug the docstrings warn
+    about — here we only pin the matched path."""
+    from node_js_etl_processor_spark.operators.similarity import (
+        _probe_vector,
+        ivf_topk,
+    )
+    from node_js_etl_processor_spark.sources.similarity_layout import (
+        ivf_probe,
+        write_ann_layout,
+    )
+
+    cents = sim.kmeans_train(embeddings, n_cells=8, max_iters=3, tol=1e-4)
+    path = str(tmp_path / "sim_trained")
+    write_ann_layout(embeddings, path, centroids=cents)
+    probe = _probe_vector(embeddings, 0)
+
+    got = [
+        tuple(r)
+        for r in ivf_probe(
+            spark, path, probe, k=10, exclude_vec_id=0, centroids=cents
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in ivf_topk(
+            embeddings, probe, k=10, exclude_vec_id=0, centroids=cents
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
