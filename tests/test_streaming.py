@@ -324,3 +324,40 @@ def test_running_profiles_match_batch_aggregate(spark, sf_dir, tmp_path):
         assert snap[uid][0] == expected[uid][0], uid
         assert abs(snap[uid][1] - expected[uid][1]) < 1e-6, uid
         assert snap[uid][2] == expected[uid][2], uid
+
+
+def test_curation_chunk_stream_matches_batch_prefix(spark, sf_dir, tmp_path):
+    """The streaming curation prefix (gate → chunk → fingerprint) must
+    emit exactly the rows the batch capstone's prefix produces on the
+    same documents — stateless ops are batch/stream invariant."""
+    from pyspark.sql import functions as F
+
+    from node_js_etl_processor_spark.operators.text import (
+        chunk_documents,
+        curation_keep,
+    )
+    from node_js_etl_processor_spark.streaming.curation import curation_chunk_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+
+    q = (
+        curation_chunk_stream(stream)
+        .writeStream.format("memory")
+        .queryName("curation_chunks")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in spark.table("curation_chunks").collect())
+    batch = chunk_documents(
+        docs.filter(curation_keep(F.col("text"), F.col("lang"))).select(
+            "doc_id", "text"
+        )
+    ).withColumn("chunk_fp", F.md5(F.col("chunk_text")))
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(got) > 0
