@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 76 queries (count as of r5 — grep ``def queries`` below for the
+ALL 77 queries (count as of r5 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -147,6 +147,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sort_limit": _q(["orders"], relational.q_sort_limit),
         "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
         "q_count_by_source": _q(["orders"], relational.q_count_by_source),
+        # r5-new: the decontamination scale path (8-byte portable-hash
+        # keys) under its own oracle — rotate into the window next round
+        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
         "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
         "q_stats_agg": _q(["customer"], relational.q_stats_agg),
         "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
@@ -1154,6 +1157,39 @@ def oracle_sql() -> dict[str, str]:
                      list_distinct(list_transform(
                        range(0, greatest(len(toks) - 8, 0) + 1),
                        i -> array_to_string(toks[i+1:i+8], ' '))) AS gs
+              FROM toked WHERE len(toks) > 0
+            ),
+            ev AS (
+              SELECT DISTINCT g
+              FROM (SELECT unnest(gs) AS g FROM grams WHERE is_eval)
+            ),
+            hits AS (
+              SELECT DISTINCT t.doc_id
+              FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE NOT is_eval) t
+              JOIN ev USING (g)
+            )
+            SELECT g.source,
+                   count(*) AS n_train_docs,
+                   CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_contaminated,
+                   round(CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                         / count(*), 6) AS contamination_rate
+            FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+            WHERE NOT g.is_eval
+            GROUP BY g.source
+        """,
+        "q_decontaminate_hashed": r"""
+            WITH toked AS (
+              SELECT doc_id, source,
+                     list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id, source, (doc_id % 50 = 0) AS is_eval,
+                     list_distinct(list_transform(
+                       range(0, greatest(len(toks) - 8, 0) + 1),
+                       i -> ('0x' || substr(md5(array_to_string(toks[i+1:i+8], ' ')),
+                                            1, 16))::UBIGINT)) AS gs
               FROM toked WHERE len(toks) > 0
             ),
             ev AS (

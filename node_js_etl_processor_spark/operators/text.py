@@ -656,7 +656,11 @@ def q_c4_rules(documents: DataFrame) -> DataFrame:
 
 
 def q_decontaminate(
-    documents: DataFrame, ngram: int = 8, eval_mod: int = 50, hashed: bool = False
+    documents: DataFrame,
+    ngram: int = 8,
+    eval_mod: int = 50,
+    hashed: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: flag training documents that share
     any ``ngram``-token shingle with a held-out eval set — the standard
@@ -678,10 +682,17 @@ def q_decontaminate(
     path — both sides keyed on xxhash64(g) (8-byte keys in the
     broadcast set and the probe, same plan) at a ~1e-7 whole-corpus
     false-positive probability. Output equality of the two forms on
-    the fixtures is unit-tested.
+    the fixtures is unit-tested; ``hashed=True, portable=True`` swaps
+    xxhash64 for the md5-derived ``portable_hash64`` so the hashed
+    join is ALSO driver-gated against a DuckDB oracle that hashes the
+    same way (``q_decontaminate_hashed`` — the minhash-portability
+    precedent applied to the decontamination scale path).
     """
     from node_js_etl_processor_spark.catalog import spread
-    from node_js_etl_processor_spark.operators.dedup import shingles_from_tokens
+    from node_js_etl_processor_spark.operators.dedup import (
+        portable_hash64,
+        shingles_from_tokens,
+    )
 
     toked = (
         spread(documents)
@@ -690,7 +701,8 @@ def q_decontaminate(
     )
     gs = shingles_from_tokens(F.col("toks"), ngram)
     if hashed:
-        gs = F.transform(gs, lambda g: F.xxhash64(g))
+        hash_fn = portable_hash64 if portable else F.xxhash64
+        gs = F.transform(gs, lambda g: hash_fn(g))
     grams = toked.select(
         "doc_id",
         "source",
@@ -720,6 +732,19 @@ def q_decontaminate(
             6,
         ).alias("contamination_rate"),
     )
+
+
+def q_decontaminate_hashed(documents: DataFrame) -> DataFrame:
+    """Declared query: the decontamination SCALE path under the oracle
+    gate — both join sides keyed on the md5-derived ``portable_hash64``
+    of each 8-token shingle (8-byte keys, the ingest-scale form) with a
+    DuckDB oracle that hashes the same grams the same way
+    (``('0x'||substr(md5(g),1,16))::UBIGINT``) before ITS join. Same
+    plan shape as ``q_decontaminate`` (broadcast distinct eval hashes +
+    left-semi probe); output must equal the string form unless a hash
+    collision fires (none on the fixtures — and a collision would
+    surface as a count diff here, which is the point of gating it)."""
+    return q_decontaminate(documents, hashed=True, portable=True)
 
 
 def q_source_mix(documents: DataFrame) -> DataFrame:

@@ -228,6 +228,12 @@ def test_curation_pipeline_two_exchanges_filter_before_explode(spark, sf_dir):
     gen = plan.index("Generate explode")
     gate = plan.index("lorem ipsum")  # unmistakable gate-predicate text
     assert gen < gate, "quality gate must run under (before) the explode"
+    # column pruning reaches the scan: only the gate/chunk inputs are
+    # read (source and n_chars never leave the parquet footer)
+    fplan = plan_text(df)
+    read_schema = fplan.split("ReadSchema:")[1].split("\n")[0]
+    assert "text" in read_schema and "lang" in read_schema
+    assert "source" not in read_schema and "n_chars" not in read_schema
 
 
 def test_rank_funcs_share_one_window(spark, sf_dir):
