@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 77 queries (count as of r5 — grep ``def queries`` below for the
+ALL 79 queries (count as of r5 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -38,7 +38,12 @@ from node_js_etl_processor_spark.operators import (
     temporal,
     text,
 )
-from node_js_etl_processor_spark.operators.multimodal import q_binary_meta, q_multimodal_features
+from node_js_etl_processor_spark.operators.multimodal import (
+    q_binary_meta,
+    q_frame_sample,
+    q_media_resize,
+    q_multimodal_features,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
@@ -147,9 +152,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sort_limit": _q(["orders"], relational.q_sort_limit),
         "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
         "q_count_by_source": _q(["orders"], relational.q_count_by_source),
-        # r5-new: the decontamination scale path (8-byte portable-hash
-        # keys) under its own oracle — rotate into the window next round
+        # r5-new, rotate into the window next round: the decontamination
+        # scale path (8-byte portable-hash keys) and the resize /
+        # frame-sample multimodal passes, each under its own oracle
         "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
+        "q_media_resize": _q(["documents"], q_media_resize),
+        "q_frame_sample": _q(["documents"], q_frame_sample),
         "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
         "q_stats_agg": _q(["customer"], relational.q_stats_agg),
         "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
@@ -1551,6 +1559,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 AS BIGINT) AS feature_dim,
                    printf('%.6f', sqrt(list_sum(list_transform(lane, v -> v * v)))) AS feature_l2
             FROM lanes
+        """,
+        "q_media_resize": r"""
+            WITH b AS (
+              SELECT doc_id, encode(text) AS blob FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     lower(to_hex(blob)) AS hx,
+                     CAST(octet_length(blob) AS BIGINT) AS n_bytes
+              FROM b
+            ),
+            s AS (
+              SELECT doc_id, n_bytes,
+                     CASE WHEN n_bytes > 0 THEN
+                       array_to_string(list_transform(range(0, 64),
+                         j -> substring(hx, 2 * CAST((j * n_bytes) // 64 AS INT) + 1, 2)), '')
+                     ELSE '' END AS sampled_hex
+              FROM h
+            )
+            SELECT doc_id AS media_id,
+                   'image' AS modality,
+                   n_bytes,
+                   CAST(CASE WHEN n_bytes > 0 THEN 64 ELSE 0 END AS BIGINT) AS out_bytes,
+                   md5(sampled_hex) AS resized_sha
+            FROM s
+            ORDER BY media_id
+        """,
+        "q_frame_sample": r"""
+            WITH b AS (
+              SELECT doc_id, encode(text) AS blob FROM documents
+            ),
+            h AS (
+              SELECT doc_id,
+                     lower(to_hex(blob)) AS hx,
+                     CAST(octet_length(blob) AS BIGINT) AS n_bytes
+              FROM b
+            ),
+            frames AS (
+              SELECT doc_id, hx, n_bytes,
+                     unnest(range(0, (n_bytes + 255) // 256, 2)) AS frame_no
+              FROM h
+            )
+            SELECT doc_id AS media_id,
+                   CAST(frame_no AS BIGINT) AS frame_no,
+                   CAST(least(256, n_bytes - frame_no * 256) AS BIGINT) AS frame_bytes,
+                   md5(substring(hx, 2 * CAST(frame_no * 256 AS INT) + 1,
+                                 2 * CAST(least(256, n_bytes - frame_no * 256) AS INT)))
+                     AS frame_sha
+            FROM frames
+            ORDER BY media_id, frame_no
         """,
         # the three dedup pipelines are declared in their portable md5
         # hash forms, so LSH blocking, Hamming verify, and the cluster

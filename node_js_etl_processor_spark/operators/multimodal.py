@@ -136,6 +136,129 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+#: Output schema of the byte-raster resize pass.
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("modality", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("out_bytes", LongType(), False),
+        StructField("resized_sha", StringType(), False),
+    ]
+)
+
+#: Output schema of the frame-sampling pass (one row per sampled frame).
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_no", LongType(), False),
+        StructField("frame_bytes", LongType(), False),
+        StructField("frame_sha", StringType(), False),
+    ]
+)
+
+#: Fixed fake-resize output length / fake frame stride (bytes).
+RESIZE_OUT_LEN = 64
+FRAME_SIZE = 256
+FRAME_STEP = 2  # sample every 2nd frame
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """STUB: real resize requires a decoded raster (Pillow/opencv —
+    absent here)."""
+    raise DecodeUnavailable("image resize requires Pillow/opencv; not in container")
+
+
+def resize_media(media: DataFrame, out_len: int = RESIZE_OUT_LEN) -> DataFrame:
+    """Arrow-batched 'resize' over binary payloads — the distribution
+    pattern of a real thumbnail/rescale pass (mapInPandas, no shuffle,
+    blob column streamed once per task). The kernel is the
+    deterministic fake: nearest-neighbor downsample of the payload
+    treated as a 1-D byte raster — sampled position j is
+    ``floor(j·n/out_len)`` — emitting the md5 of the sampled bytes'
+    lowercase hex (a digest travels, not the thumbnail, so the
+    oracle can recompute it in SQL byte for byte). Real codec resize
+    is ``resize_image`` (DecodeUnavailable).
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_id": [], "modality": [], "n_bytes": [], "out_bytes": [], "resized_sha": []}
+            for mid, mod, payload in zip(pdf["media_id"], pdf["modality"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n = len(b)
+                sampled = (
+                    "".join(f"{b[(j * n) // out_len]:02x}" for j in range(out_len))
+                    if n > 0
+                    else ""
+                )
+                out["media_id"].append(mid)
+                out["modality"].append(mod)
+                out["n_bytes"].append(n)
+                out["out_bytes"].append(out_len if n > 0 else 0)
+                out["resized_sha"].append(hashlib.md5(sampled.encode()).hexdigest())
+            yield pd.DataFrame(out)
+
+    return spread(media).mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_size: int = FRAME_SIZE, step: int = FRAME_STEP
+) -> DataFrame:
+    """Arrow-batched frame sampling — the video-pipeline pattern (one
+    input row explodes into one row per sampled frame, all inside the
+    Python worker: no Spark-side explode of blob columns). The fake
+    'frames' are fixed ``frame_size``-byte strides of the payload and
+    every ``step``-th frame is kept, emitting per-frame byte length +
+    md5-of-hex digest; a real kernel would decode containers/keyframes
+    (ffmpeg — DecodeUnavailable here) with the same batch shape.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    def run(batches):
+        for pdf in batches:
+            out = {"media_id": [], "frame_no": [], "frame_bytes": [], "frame_sha": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n = len(b)
+                n_frames = (n + frame_size - 1) // frame_size
+                for f in range(0, n_frames, step):
+                    chunk = b[f * frame_size : (f + 1) * frame_size]
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(f)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_sha"].append(
+                        hashlib.md5(chunk.hex().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return spread(media).mapInPandas(run, FRAME_SCHEMA)
+
+
+def q_media_resize(documents: DataFrame) -> DataFrame:
+    """Declared query: byte-raster 'resize' digest per media row over
+    the docs-as-media fixture. Fully oracle-checked — the DuckDB SQL
+    reproduces the nearest-neighbor sampling positions and the
+    md5-of-lowercase-hex digest from the same UTF-8 bytes."""
+    return resize_media(documents_as_media(documents)).orderBy("media_id")
+
+
+def q_frame_sample(documents: DataFrame) -> DataFrame:
+    """Declared query: every-2nd-256-byte-frame sampling with per-frame
+    digests over the docs-as-media fixture. Fully oracle-checked (frame
+    boundaries + digests recomputed in SQL)."""
+    return sample_frames(documents_as_media(documents)).orderBy("media_id", "frame_no")
+
+
 def q_binary_meta(documents: DataFrame) -> DataFrame:
     """Declared query: metadata-only pass over binary payloads —
     byte length + content digest, computed JVM-side (oracle-checked).

@@ -631,3 +631,47 @@ def test_stratified_split_deterministic_and_leakproof(spark):
     val = sum(r["n_docs"] for r in agg if r["split"] == "val")
     assert 0.02 < val / 202 < 0.25  # ~10% with small-sample slack
     assert q_stratified_split(df).collect() == agg  # deterministic re-run
+
+
+def test_resize_and_frame_kernels_on_crafted_bytes(spark):
+    """Pin the fake resize/frame-sample kernels on hand-computable
+    payloads: exact sampling positions, frame boundaries, and the
+    None-payload edge."""
+    import hashlib
+
+    from node_js_etl_processor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+        sample_frames,
+    )
+
+    rows = [
+        # 4 bytes: resize positions floor(j*4/64) hit byte 0 16x, 1 16x...
+        (1, "image", None, bytes([10, 20, 30, 40]), None, 4),
+        # empty payload
+        (2, "image", None, b"", None, 0),
+        # None payload
+        (3, "image", None, None, None, None),
+        # 600 bytes -> frames 0,1,2 (256,256,88); sampled: 0 and 2
+        (4, "video", None, bytes(range(256)) * 2 + bytes(88), None, 600),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    rz = {r["media_id"]: r for r in resize_media(media).collect()}
+    expect_hex = "".join(f"{[10,20,30,40][(j*4)//64]:02x}" for j in range(64))
+    assert rz[1]["resized_sha"] == hashlib.md5(expect_hex.encode()).hexdigest()
+    assert rz[1]["out_bytes"] == 64
+    empty_sha = hashlib.md5(b"").hexdigest()
+    assert rz[2]["out_bytes"] == 0 and rz[2]["resized_sha"] == empty_sha
+    assert rz[3]["out_bytes"] == 0 and rz[3]["resized_sha"] == empty_sha
+
+    fr = sorted(
+        (r["media_id"], r["frame_no"], r["frame_bytes"])
+        for r in sample_frames(media).collect()
+    )
+    # media 4: frames 0 (256 bytes) and 2 (88 bytes); frame 1 skipped.
+    # media 1: one 4-byte frame; media 2/3: no frames.
+    assert fr == [(1, 0, 4), (4, 0, 256), (4, 2, 88)]
+    payload4 = bytes(range(256)) * 2 + bytes(88)
+    shas = {(r["media_id"], r["frame_no"]): r["frame_sha"] for r in sample_frames(media).collect()}
+    assert shas[(4, 2)] == hashlib.md5(payload4[512:].hex().encode()).hexdigest()
