@@ -484,6 +484,7 @@ def kmeans_train(
     n_cells: int = 8,
     max_iters: int = 10,
     tol: float = 1e-3,
+    sample_fraction: float | None = None,
 ) -> list[list[float]]:
     """Full k-means training loop: iterate Lloyd steps from the
     deterministic seeds until the largest per-centroid shift drops
@@ -491,12 +492,21 @@ def kmeans_train(
     the input ``semdedup`` / ``ivf_assign`` / ``kmeans_step`` accept as
     ``centroids=``, closing the "production trains these" loop.
 
+    ``sample_fraction`` trains on a seeded Bernoulli sample — the
+    standard 100 TB pattern: a coarse quantizer only needs enough
+    vectors per centroid to estimate means (IVF training in Jégou et
+    al. 2011 uses a corpus subsample), so training reads ~fraction of
+    the data per iteration while ASSIGNMENT still runs over everything.
+
     Driver-side cost per iteration: collecting the n_cells × 66
     aggregated frame (parameters, not data — the one permissible
     collect). Cluster-side cost per iteration: one fused Arrow pass +
     one tiny keyed groupBy, identical to ``kmeans_step``. Empty cells
     keep their previous centroid (the standard Lloyd convention).
     """
+    if sample_fraction is not None:
+        # seeded sample: deterministic for a fixed input partitioning
+        embeddings = embeddings.sample(fraction=sample_fraction, seed=0x5EED)
     cents = [list(c) for c in _ivf_centroids(n_cells)]
     for _ in range(max_iters):
         rows = _kmeans_partials_numpy(embeddings, cents).collect()

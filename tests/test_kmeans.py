@@ -129,3 +129,19 @@ def test_trained_centroids_thread_through_ivf_and_layout(
         ).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_kmeans_train_on_sample(embeddings):
+    """Sampled training (the 100 TB pattern) must converge to a usable
+    quantizer: full-dim finite centroids whose one-step shift from the
+    FULL corpus is below the seeds' shift (the sample estimates the
+    same means)."""
+    cents = sim.kmeans_train(
+        embeddings, n_cells=8, max_iters=3, tol=1e-4, sample_fraction=0.5
+    )
+    assert len(cents) == 8 and all(len(c) == sim.DIM for c in cents)
+    seed_shift = max(r["shift"] for r in sim.kmeans_step(embeddings).collect())
+    sampled_shift = max(
+        r["shift"] for r in sim.kmeans_step(embeddings, centroids=cents).collect()
+    )
+    assert sampled_shift < seed_shift
