@@ -68,13 +68,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the 9 r3-new LLM-pipeline queries that had never had a driver row
     (repetition/C4 rules, decontamination, source mix, SemDeDup, span
     dedup, quality classifier, stratified split, k-means step) moved
-    INTO the window; 9 queries green in BOTH r3 and r4
-    (region_supplier, pivot, sample_hash, semi_anti, sort_limit,
-    shipping_priority, percentiles, approx_distinct, hypertable_rollup)
-    moved out. The four temporal queries broken by r4's TIMESTAMP_NTZ
-    testdata (asof/range/window_range/sessionize) STAY in the window so
-    the fix gets driver evidence. With r1-r4 history, every query has
-    driver evidence from some round."""
+    INTO the window, as did all six r5-new queries (curation capstone,
+    hashed decontamination, media resize, frame sample — plus the
+    capstone's siblings were already in); 12 queries green in BOTH r3
+    and r4 (region_supplier, pivot, sample_hash, semi_anti, sort_limit,
+    shipping_priority, percentiles, approx_distinct, hypertable_rollup,
+    union_sources, rollup, window_topk, count_by_source) moved out.
+    The four temporal queries broken by r4's TIMESTAMP_NTZ testdata
+    (asof/range/window_range/sessionize) STAY in the window so the fix
+    gets driver evidence. Invariant this rotation restores: EVERY query
+    in the registry either has driver evidence from r1-r4 or sits in
+    this round's window."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
         # reference-operator surface (SURVEY.md §2a/§2b)
@@ -82,11 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clean_project": _q(["customer"], relational.q_clean_project),
         "q_array_transform": _q(["part"], relational.q_array_transform),
         "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
-        "q_union_sources": _q(["customer"], relational.q_union_sources),
         "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
         "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
-        "q_rollup": _q(["orders"], relational.q_rollup),
-        "q_window_topk": _q(["customer"], relational.q_window_topk),
         "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
         "q_date_buckets": _q(["events"], relational.q_date_buckets),
         "q_json_props": _q(["events"], relational.q_json_props),
@@ -105,8 +106,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
         "q_stratified_split": _q(["documents"], text.q_stratified_split),
         "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
-        # r5-new: the full curation capstone (gate→chunk→dedup→pack)
+        # r5-new: the full curation capstone (gate→chunk→dedup→pack),
+        # the hashed decontamination scale path, and the multimodal
+        # resize / frame-sample passes
         "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
+        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
+        "q_media_resize": _q(["documents"], q_media_resize),
+        "q_frame_sample": _q(["documents"], q_frame_sample),
         # north-star extensions with full oracles
         "q_text_stats": _q(["documents"], text.q_text_stats),
         "q_text_langid": _q(["documents"], text.q_text_langid),
@@ -152,12 +158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sort_limit": _q(["orders"], relational.q_sort_limit),
         "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
         "q_count_by_source": _q(["orders"], relational.q_count_by_source),
-        # r5-new, rotate into the window next round: the decontamination
-        # scale path (8-byte portable-hash keys) and the resize /
-        # frame-sample multimodal passes, each under its own oracle
-        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
-        "q_media_resize": _q(["documents"], q_media_resize),
-        "q_frame_sample": _q(["documents"], q_frame_sample),
+        "q_union_sources": _q(["customer"], relational.q_union_sources),
+        "q_rollup": _q(["orders"], relational.q_rollup),
+        "q_window_topk": _q(["customer"], relational.q_window_topk),
         "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
         "q_stats_agg": _q(["customer"], relational.q_stats_agg),
         "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
