@@ -70,7 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dedup, quality classifier, stratified split, k-means step) moved
     INTO the window, as did all six r5-new queries (curation capstone,
     hashed decontamination, media resize, frame sample — plus the
-    capstone's siblings were already in); 12 queries green in BOTH r3
+    capstone's siblings were already in); 13 queries green in BOTH r3
     and r4 (region_supplier, pivot, sample_hash, semi_anti, sort_limit,
     shipping_priority, percentiles, approx_distinct, hypertable_rollup,
     union_sources, rollup, window_topk, count_by_source) moved out.
