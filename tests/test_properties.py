@@ -206,3 +206,78 @@ def test_asof_join_matches_duckdb_on_random_streams(spark, offsets):
     )
     con.close()
     assert got == want
+
+
+# --------------------------------------------- chunk / pack invariants
+
+WORD = st.text(alphabet="abc", min_size=1, max_size=3)
+DOC = st.lists(WORD, min_size=0, max_size=40)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=st.lists(DOC, min_size=1, max_size=8))
+def test_chunking_covers_every_token_and_respects_bounds(spark, docs):
+    """Chunk invariants for arbitrary corpora: (a) every chunk has
+    1..chunk_size tokens (token-less docs yield exactly one empty
+    chunk), (b) concatenating each doc's stride-aligned chunk prefixes
+    reconstructs the document exactly — i.e. every token is covered,
+    in order, with the declared overlap."""
+    from node_js_etl_processor_spark.operators.text import chunk_documents
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_size=8, overlap=2).collect()
+
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(len(docs)))
+    for i, d in enumerate(docs):
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        if not d:
+            assert len(chunks) == 1 and chunks[0]["n_tokens"] == 0
+            continue
+        # stride-aligned prefix (first stride tokens of every chunk but
+        # the last, full last chunk) reconstructs the document
+        stride = 8 - 2
+        rebuilt: list[str] = []
+        for c in chunks[:-1]:
+            rebuilt.extend(c["chunk_text"].split(" ")[:stride])
+        rebuilt.extend(chunks[-1]["chunk_text"].split(" ") if chunks[-1]["n_tokens"] else [])
+        assert rebuilt == d, f"doc {i}: {rebuilt} != {d}"
+        assert all(1 <= c["n_tokens"] <= 8 for c in chunks)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=st.lists(st.lists(WORD, min_size=1, max_size=30), min_size=1, max_size=10))
+def test_packing_preserves_tokens_and_cuts_on_budget(spark, docs):
+    """Packing invariants: token totals are preserved, bin ids are a
+    contiguous 0..max range per shard, and every bin's tokens-before
+    start lies in [bin_id*budget, (bin_id+1)*budget) — the stream-cut
+    rule (a chunk goes to the bin its RUNNING total falls in, so a bin
+    may overflow its budget by at most one chunk, never leave a gap)."""
+    from node_js_etl_processor_spark.operators.text import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    rows = [(i, " ".join(d)) for i, d in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_size=8, overlap=2)
+    packed = pack_chunks(chunks, budget=10, n_shards=4).collect()
+
+    assert sum(r["n_tokens"] for r in packed) == sum(
+        r["n_tokens"] for r in chunks.collect()
+    )
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs = sorted(rs, key=lambda r: (r["doc_id"], r["chunk_id"]))
+        bins = [r["bin_id"] for r in rs]
+        assert bins == sorted(bins), "bin ids must be nondecreasing in pack order"
+        assert set(bins) == set(range(max(bins) + 1)), "bin ids contiguous from 0"
+        running = 0
+        for r in rs:
+            assert r["bin_id"] == running // 10
+            running += r["n_tokens"]
