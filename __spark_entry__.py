@@ -64,21 +64,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared queries, ORDERED BY CHECKABILITY: the driver records
     correctness rows for the first 50 entries. ALL queries are
     oracle-paired; entries outside the window are still covered by the
-    full local parity gate (tests/test_oracle_parity.py). r5 rotation:
-    the 9 r3-new LLM-pipeline queries that had never had a driver row
-    (repetition/C4 rules, decontamination, source mix, SemDeDup, span
-    dedup, quality classifier, stratified split, k-means step) moved
-    INTO the window, as did all six r5-new queries (curation capstone,
-    hashed decontamination, media resize, frame sample — plus the
-    capstone's siblings were already in); 13 queries green in BOTH r3
-    and r4 (region_supplier, pivot, sample_hash, semi_anti, sort_limit,
-    shipping_priority, percentiles, approx_distinct, hypertable_rollup,
-    union_sources, rollup, window_topk, count_by_source) moved out.
-    The four temporal queries broken by r4's TIMESTAMP_NTZ testdata
-    (asof/range/window_range/sessionize) STAY in the window so the fix
-    gets driver evidence. Invariant this rotation restores: EVERY query
-    in the registry either has driver evidence from r1-r4 or sits in
-    this round's window."""
+    full local parity gate (tests/test_oracle_parity.py). r6 rotation:
+    the 16 relational/window/scalar queries whose last driver row was
+    r1/r2 (semi_exists, grouping_sets, distinct_agg, window_rank_funcs,
+    set_ops, cube, window_lag, scalar_math, string_funcs, stats_agg,
+    explode_words, unpivot, collect_agg, null_safe_join, argmax_agg,
+    scalar_subquery) moved INTO the window — r4 proved environment
+    drift alone can break long-green queries, and 3-4 rounds without a
+    driver row was the weakest link in the evidence chain. 16 r5-green
+    LLM-family queries moved out (repetition/C4 rules, decontaminate,
+    source mix, semdedup, span dedup, quality classifier, stratified
+    split, kmeans step, text stats/langid/quality, token count,
+    fingerprint, winnow, corpus pipeline). The four r5-new queries
+    (curation capstone, hashed decontamination, media resize, frame
+    sample) STAY in — each has only one green row. Invariant after
+    this rotation: every out-of-window query's latest driver row is
+    r4 or r5; nothing is older than one rotation cycle."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
         # reference-operator surface (SURVEY.md §2a/§2b)
@@ -95,32 +96,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": _q(["events"], temporal.q_range_join),
         "q_window_range": _q(["events"], temporal.q_window_range),
         "q_sessionize": _q(["events"], sessionize.q_sessionize),
-        # r3-new LLM-pipeline queries, rotated into the window in r5
-        # (zero driver evidence before this round)
-        "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
-        "q_decontaminate": _q(["documents"], text.q_decontaminate),
-        "q_source_mix": _q(["documents"], text.q_source_mix),
-        "q_semdedup": _q(["embeddings"], similarity.q_semdedup),
-        "q_c4_rules": _q(["documents"], text.q_c4_rules),
-        "q_span_dedup": _q(["documents"], text.q_span_dedup),
-        "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
-        "q_stratified_split": _q(["documents"], text.q_stratified_split),
-        "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
+        # r1/r2-stale relational/window/scalar family, rotated INTO the
+        # window in r6 (last driver rows were r1/r2 — refresh evidence)
+        "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
+        "q_stats_agg": _q(["customer"], relational.q_stats_agg),
+        "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
+        "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
+        "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
+        "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
+        "q_cube": _q(["orders"], relational.q_cube),
+        "q_window_lag": _q(["events"], relational.q_window_lag),
+        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
+        "q_string_funcs": _q(["part"], relational.q_string_funcs),
+        "q_unpivot": _q(["orders"], relational.q_unpivot),
+        "q_collect_agg": _q(["orders"], relational.q_collect_agg),
+        "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
+        "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
+        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
+        "q_explode_words": _q(["part"], relational.q_explode_words),
         # r5-new: the full curation capstone (gate→chunk→dedup→pack),
         # the hashed decontamination scale path, and the multimodal
-        # resize / frame-sample passes
+        # resize / frame-sample passes (one green row each — stay in)
         "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
         "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
         "q_media_resize": _q(["documents"], q_media_resize),
         "q_frame_sample": _q(["documents"], q_frame_sample),
         # north-star extensions with full oracles
-        "q_text_stats": _q(["documents"], text.q_text_stats),
-        "q_text_langid": _q(["documents"], text.q_text_langid),
-        "q_text_quality": _q(["documents"], text.q_text_quality),
-        "q_token_count": _q(["documents"], text.q_token_count),
-        "q_fingerprint": _q(["documents"], text.q_fingerprint),
-        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
-        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
         "q_bm25": _q(["documents"], text.q_bm25),
         "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
         "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
@@ -141,9 +142,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
         # ---- oracle-paired but outside the 50-entry driver window ----
         # (all covered by the local parity gate in tests/; every one is
-        # multi-round driver-green — r1/r2 for the relational tail,
-        # r3+r4 for the nine rotated out in r5 — and each has an
-        # in-window family sibling exercising the same operator class)
+        # driver-green no older than r4 — r4 for the relational batch
+        # rotated out in r5, r5 for the LLM family rotated out in r6 —
+        # and each has an in-window family sibling exercising the same
+        # operator class)
+        "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
+        "q_decontaminate": _q(["documents"], text.q_decontaminate),
+        "q_source_mix": _q(["documents"], text.q_source_mix),
+        "q_semdedup": _q(["embeddings"], similarity.q_semdedup),
+        "q_c4_rules": _q(["documents"], text.q_c4_rules),
+        "q_span_dedup": _q(["documents"], text.q_span_dedup),
+        "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
+        "q_stratified_split": _q(["documents"], text.q_stratified_split),
+        "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
+        "q_text_stats": _q(["documents"], text.q_text_stats),
+        "q_text_langid": _q(["documents"], text.q_text_langid),
+        "q_text_quality": _q(["documents"], text.q_text_quality),
+        "q_token_count": _q(["documents"], text.q_token_count),
+        "q_fingerprint": _q(["documents"], text.q_fingerprint),
+        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
+        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
         "q_region_supplier": _q(
             ["supplier", "nation", "region"], relational.q_region_supplier
         ),
@@ -161,22 +179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_union_sources": _q(["customer"], relational.q_union_sources),
         "q_rollup": _q(["orders"], relational.q_rollup),
         "q_window_topk": _q(["customer"], relational.q_window_topk),
-        "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
-        "q_stats_agg": _q(["customer"], relational.q_stats_agg),
-        "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
-        "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
-        "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
-        "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
-        "q_cube": _q(["orders"], relational.q_cube),
-        "q_window_lag": _q(["events"], relational.q_window_lag),
-        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
-        "q_string_funcs": _q(["part"], relational.q_string_funcs),
-        "q_unpivot": _q(["orders"], relational.q_unpivot),
-        "q_collect_agg": _q(["orders"], relational.q_collect_agg),
-        "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
-        "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
-        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
-        "q_explode_words": _q(["part"], relational.q_explode_words),
     }
 
 
@@ -1585,7 +1587,7 @@ def oracle_sql() -> dict[str, str]:
                    'image' AS modality,
                    n_bytes,
                    CAST(CASE WHEN n_bytes > 0 THEN 64 ELSE 0 END AS BIGINT) AS out_bytes,
-                   md5(sampled_hex) AS resized_sha
+                   md5(sampled_hex) AS resized_md5
             FROM s
             ORDER BY media_id
         """,
@@ -1609,7 +1611,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(256, n_bytes - frame_no * 256) AS BIGINT) AS frame_bytes,
                    md5(substring(hx, 2 * CAST(frame_no * 256 AS INT) + 1,
                                  2 * CAST(least(256, n_bytes - frame_no * 256) AS INT)))
-                     AS frame_sha
+                     AS frame_md5
             FROM frames
             ORDER BY media_id, frame_no
         """,

@@ -26,6 +26,13 @@ from pyspark.sql.types import TimestampNTZType
 _NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
+def _quote(name: str) -> str:
+    """Backtick-quote a column name for interpolation into SQL text,
+    so names that aren't bare identifiers (dots, spaces, reserved
+    words) parse as a single column reference."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def is_ntz(df: DataFrame, col: str) -> bool:
     """True if ``df[col]`` is TIMESTAMP_NTZ."""
     return isinstance(df.schema[col].dataType, TimestampNTZType)
@@ -39,7 +46,7 @@ def epoch_us_fn(df: DataFrame, ts_col: str = "ts") -> Callable[[str], Column]:
     """
     if is_ntz(df, ts_col):
         return lambda name: F.expr(
-            f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {name})"
+            f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {_quote(name)})"
         )
     return lambda name: F.unix_micros(F.col(name))
 
@@ -60,7 +67,7 @@ def ensure_instant(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
             df = df.withColumn(
                 c,
                 F.timestamp_micros(
-                    F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {c})")
+                    F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {_quote(c)})")
                 ),
             )
     return df

@@ -143,7 +143,7 @@ RESIZE_SCHEMA = StructType(
         StructField("modality", StringType(), False),
         StructField("n_bytes", LongType(), True),
         StructField("out_bytes", LongType(), False),
-        StructField("resized_sha", StringType(), False),
+        StructField("resized_md5", StringType(), False),
     ]
 )
 
@@ -153,7 +153,7 @@ FRAME_SCHEMA = StructType(
         StructField("media_id", LongType(), False),
         StructField("frame_no", LongType(), False),
         StructField("frame_bytes", LongType(), False),
-        StructField("frame_sha", StringType(), False),
+        StructField("frame_md5", StringType(), False),
     ]
 )
 
@@ -175,10 +175,12 @@ def resize_media(media: DataFrame, out_len: int = RESIZE_OUT_LEN) -> DataFrame:
     blob column streamed once per task). The kernel is the
     deterministic fake: nearest-neighbor downsample of the payload
     treated as a 1-D byte raster — sampled position j is
-    ``floor(j·n/out_len)`` — emitting the md5 of the sampled bytes'
-    lowercase hex (a digest travels, not the thumbnail, so the
-    oracle can recompute it in SQL byte for byte). Real codec resize
-    is ``resize_image`` (DecodeUnavailable).
+    ``floor(j·n/out_len)`` — emitting the MD5 of the sampled bytes'
+    lowercase hex (the ``resized_md5`` field; a digest travels, not
+    the thumbnail, so the oracle can recompute it in SQL byte for
+    byte). A NULL payload yields NULL ``n_bytes`` (octet_length(NULL)
+    semantics, pinned against the oracle) and the empty-string digest.
+    Real codec resize is ``resize_image`` (DecodeUnavailable).
     """
     import hashlib
 
@@ -188,7 +190,7 @@ def resize_media(media: DataFrame, out_len: int = RESIZE_OUT_LEN) -> DataFrame:
 
     def run(batches):
         for pdf in batches:
-            out = {"media_id": [], "modality": [], "n_bytes": [], "out_bytes": [], "resized_sha": []}
+            out = {"media_id": [], "modality": [], "n_bytes": [], "out_bytes": [], "resized_md5": []}
             for mid, mod, payload in zip(pdf["media_id"], pdf["modality"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 n = len(b)
@@ -199,9 +201,11 @@ def resize_media(media: DataFrame, out_len: int = RESIZE_OUT_LEN) -> DataFrame:
                 )
                 out["media_id"].append(mid)
                 out["modality"].append(mod)
-                out["n_bytes"].append(n)
+                # NULL payload stays NULL n_bytes (octet_length(NULL)
+                # semantics — matches the SQL oracle); empty payload is 0
+                out["n_bytes"].append(None if payload is None else n)
                 out["out_bytes"].append(out_len if n > 0 else 0)
-                out["resized_sha"].append(hashlib.md5(sampled.encode()).hexdigest())
+                out["resized_md5"].append(hashlib.md5(sampled.encode()).hexdigest())
             yield pd.DataFrame(out)
 
     return spread(media).mapInPandas(run, RESIZE_SCHEMA)
@@ -226,7 +230,7 @@ def sample_frames(
 
     def run(batches):
         for pdf in batches:
-            out = {"media_id": [], "frame_no": [], "frame_bytes": [], "frame_sha": []}
+            out = {"media_id": [], "frame_no": [], "frame_bytes": [], "frame_md5": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 n = len(b)
@@ -236,7 +240,7 @@ def sample_frames(
                     out["media_id"].append(mid)
                     out["frame_no"].append(f)
                     out["frame_bytes"].append(len(chunk))
-                    out["frame_sha"].append(
+                    out["frame_md5"].append(
                         hashlib.md5(chunk.hex().encode()).hexdigest()
                     )
             yield pd.DataFrame(out)

@@ -275,6 +275,8 @@ def semdedup(
     if centroids is None and n_cells is None:
         n = embeddings.count()
         n_cells = max(8, math.isqrt(max(n - 1, 0)) + 1)
+    if n_cells is not None and n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
     assigned = ivf_assign(embeddings, n_cells or 8, centroids=centroids).select(
         "vec_id", "embedding", "cell"
     )
@@ -495,6 +497,7 @@ def kmeans_train(
     max_iters: int = 10,
     tol: float = 1e-3,
     sample_fraction: float | None = None,
+    use_arrow_kernel: bool = True,
 ) -> list[list[float]]:
     """Full k-means training loop: iterate Lloyd steps from the
     deterministic seeds until the largest per-centroid shift drops
@@ -517,9 +520,13 @@ def kmeans_train(
     if sample_fraction is not None:
         # seeded sample: deterministic for a fixed input partitioning
         embeddings = embeddings.sample(fraction=sample_fraction, seed=0x5EED)
+    # use_arrow_kernel=False routes through the pinned JVM reference
+    # path (same quantized int64 partials) — a debugging escape hatch
+    # for isolating Arrow-kernel parity issues
+    partials = _kmeans_partials_numpy if use_arrow_kernel else _kmeans_partials_jvm
     cents = [list(c) for c in _ivf_centroids(n_cells)]
     for _ in range(max_iters):
-        rows = _kmeans_partials_numpy(embeddings, cents).collect()
+        rows = partials(embeddings, cents).collect()
         shift = 0.0
         new_cents = [list(c) for c in cents]
         for r in rows:

@@ -659,11 +659,15 @@ def test_resize_and_frame_kernels_on_crafted_bytes(spark):
 
     rz = {r["media_id"]: r for r in resize_media(media).collect()}
     expect_hex = "".join(f"{[10,20,30,40][(j*4)//64]:02x}" for j in range(64))
-    assert rz[1]["resized_sha"] == hashlib.md5(expect_hex.encode()).hexdigest()
+    assert rz[1]["resized_md5"] == hashlib.md5(expect_hex.encode()).hexdigest()
     assert rz[1]["out_bytes"] == 64
     empty_sha = hashlib.md5(b"").hexdigest()
-    assert rz[2]["out_bytes"] == 0 and rz[2]["resized_sha"] == empty_sha
-    assert rz[3]["out_bytes"] == 0 and rz[3]["resized_sha"] == empty_sha
+    assert rz[2]["out_bytes"] == 0 and rz[2]["resized_md5"] == empty_sha
+    assert rz[2]["n_bytes"] == 0
+    assert rz[3]["out_bytes"] == 0 and rz[3]["resized_md5"] == empty_sha
+    # NULL payload -> NULL n_bytes (octet_length(NULL) semantics,
+    # aligned with the q_media_resize oracle), not coerced to 0
+    assert rz[3]["n_bytes"] is None
 
     fr = sorted(
         (r["media_id"], r["frame_no"], r["frame_bytes"])
@@ -673,5 +677,5 @@ def test_resize_and_frame_kernels_on_crafted_bytes(spark):
     # media 1: one 4-byte frame; media 2/3: no frames.
     assert fr == [(1, 0, 4), (4, 0, 256), (4, 2, 88)]
     payload4 = bytes(range(256)) * 2 + bytes(88)
-    shas = {(r["media_id"], r["frame_no"]): r["frame_sha"] for r in sample_frames(media).collect()}
+    shas = {(r["media_id"], r["frame_no"]): r["frame_md5"] for r in sample_frames(media).collect()}
     assert shas[(4, 2)] == hashlib.md5(payload4[512:].hex().encode()).hexdigest()

@@ -327,3 +327,66 @@ def test_semdedup_cell_keyed_join_no_collect(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "collect_list" not in plan
     assert "cell" in plan  # join keyed on the cluster id
+
+
+def _generate_outer_flags(plan: str) -> list[bool]:
+    """Extract the `outer` flag of every Generate node in a logical
+    plan string: `Generate explode(x), [idx,] <outer>, [out#n]`."""
+    import re
+
+    flags = []
+    for line in plan.splitlines():
+        m = re.search(
+            r"Generate \w+\(.*\)(?:, \[[\d, ]*\])?, (true|false), \[[^\[\]]*\]\s*$",
+            line,
+        )
+        if m:
+            flags.append(m.group(1) == "true")
+    return flags
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        pytest.param(lambda s, d: __import__(
+            "node_js_etl_processor_spark.operators.text", fromlist=["x"]
+        ).q_decontaminate(load_table(s, d, "documents")), id="decontaminate"),
+        pytest.param(lambda s, d: __import__(
+            "node_js_etl_processor_spark.operators.text", fromlist=["x"]
+        ).q_decontaminate_hashed(load_table(s, d, "documents")), id="decontaminate_hashed"),
+        pytest.param(lambda s, d: __import__(
+            "node_js_etl_processor_spark.operators.text", fromlist=["x"]
+        ).q_repetition_rules(load_table(s, d, "documents")), id="repetition_rules"),
+        pytest.param(lambda s, d: __import__(
+            "node_js_etl_processor_spark.operators.text", fromlist=["x"]
+        ).q_span_dedup(load_table(s, d, "documents")), id="span_dedup"),
+        pytest.param(lambda s, d: __import__(
+            "node_js_etl_processor_spark.operators.text", fromlist=["x"]
+        ).bm25_scores(load_table(s, d, "documents"), ("spark", "data")), id="bm25_exploded"),
+        pytest.param(lambda s, d: __import__(
+            "node_js_etl_processor_spark.operators.text", fromlist=["x"]
+        ).q_chunk_documents(load_table(s, d, "documents")), id="chunk_documents"),
+    ],
+)
+def test_no_inferred_generate_filter(spark, sf_dir, build):
+    """Guard for the r5 InferFiltersFromGenerate dodge (BENCH.md lesson
+    #6): plain `explode` lets Catalyst clone the generator's array
+    expression into a pushed-down `size(...) > 0` pre-filter BELOW the
+    tokenizing projection, re-tokenizing every document once per output
+    row (measured 3x on q_decontaminate). The fix is `explode_outer` +
+    isNotNull at text.py's explode sites; this test fails if any site
+    reverts to plain explode (outer=false in the optimized plan) or a
+    Spark upgrade re-infers the quadratic filter."""
+    df = build(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    flags = _generate_outer_flags(plan)
+    assert flags, f"expected at least one Generate node:\n{plan}"
+    assert all(flags), f"non-outer Generate reintroduces the inferred filter:\n{plan}"
+    # belt-and-braces: the quadratic's signature is the generator's
+    # own HOF expression cloned inside a size() comparison — the
+    # deliberate corpus filters are size(<tokenize>) with NO transform
+    import re
+
+    assert not re.search(r"size\(array_distinct\(transform\(", plan), (
+        "inferred size(shingles) filter found below Generate:\n" + plan
+    )
