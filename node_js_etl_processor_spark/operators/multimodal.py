@@ -72,8 +72,85 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
 
 
 def decode_image(payload: bytes) -> object:
-    """STUB: real image decode requires Pillow/opencv (absent here)."""
-    raise DecodeUnavailable("image decode requires Pillow/opencv; not in container")
+    """Decode an image payload to an H×W×3 uint8 raster. Real for
+    uncompressed 24-bit BMP (pure stdlib+numpy — see ``decode_bmp``);
+    every other format needs Pillow/opencv (absent here)."""
+    if payload is not None and payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise DecodeUnavailable("non-BMP decode requires Pillow/opencv; not in container")
+
+
+# ------------------------------------------------- stdlib BMP raster path
+#
+# The container has no codec libraries, but uncompressed 24-bit BMP
+# (BITMAPINFOHEADER, BI_RGB) is simple enough to en/decode with struct
+# + numpy alone — giving the resize kernel a REAL pixel grid to operate
+# on instead of only the byte-raster fake. Layout: 14-byte file header,
+# 40-byte info header, bottom-up rows of BGR triplets padded to 4-byte
+# multiples. (Format reference: the public BITMAPFILEHEADER /
+# BITMAPINFOHEADER layout.)
+
+_BMP_FILE_HEADER = "<2sIHHI"  # magic, file size, res1, res2, pixel offset
+_BMP_INFO_HEADER = "<IiiHHIIiiII"  # size, w, h, planes, bpp, comp, imgsize, ...
+
+
+def encode_bmp(pixels: "object") -> bytes:
+    """Encode an H×W×3 uint8 RGB array as an uncompressed 24-bit BMP
+    (bottom-up, BI_RGB, rows padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    # BGR order, bottom row first, per-row padding
+    bgr = arr[::-1, :, ::-1]
+    rows = b"".join(bgr[r].tobytes() + b"\x00" * pad for r in range(h))
+    img_size = len(rows)
+    offset = 14 + 40
+    header = struct.pack(_BMP_FILE_HEADER, b"BM", offset + img_size, 0, 0, offset)
+    info = struct.pack(_BMP_INFO_HEADER, 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + info + rows
+
+
+def decode_bmp(payload: bytes) -> "object":
+    """Decode an uncompressed 24-bit BMP into an H×W×3 uint8 RGB array.
+    Raises DecodeUnavailable for any other BMP flavor (compressed,
+    paletted, top-down with other depths) — those need a real codec."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:2] != b"BM":
+        raise DecodeUnavailable("not a BMP payload")
+    magic, _fsize, _r1, _r2, offset = struct.unpack_from(_BMP_FILE_HEADER, payload, 0)
+    hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if hdr_size < 40 or bpp != 24 or comp != 0:
+        raise DecodeUnavailable(f"unsupported BMP flavor (bpp={bpp}, comp={comp})")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    raster = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    rows = raster.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def resize_raster(pixels: "object", out_w: int, out_h: int) -> "object":
+    """Nearest-neighbor resize of an H×W×3 raster: source index for
+    destination i is floor(i·src/dst) — the same sampling convention as
+    the 1-D byte-raster fake, applied per axis."""
+    import numpy as np
+
+    arr = np.asarray(pixels)
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys][:, xs]
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -164,9 +241,49 @@ FRAME_STEP = 2  # sample every 2nd frame
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """STUB: real resize requires a decoded raster (Pillow/opencv —
-    absent here)."""
-    raise DecodeUnavailable("image resize requires Pillow/opencv; not in container")
+    """Real image resize: decode → nearest-neighbor over the pixel
+    grid → re-encode. Works end-to-end for uncompressed 24-bit BMP
+    (stdlib struct + numpy — no codec libraries needed); any other
+    format raises DecodeUnavailable (Pillow/opencv absent here)."""
+    return encode_bmp(resize_raster(decode_image(payload), width, height))
+
+
+def resize_media_bmp(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Distributed REAL resize over BMP payloads: the same mapInPandas
+    batch shape as ``resize_media``, but the kernel decodes an actual
+    pixel grid, nearest-neighbor-resamples it, and re-encodes — the
+    honest version of the thumbnail pass for the one format this
+    container can decode. Emits output dims + md5 of the resized BMP
+    bytes (digests travel, not thumbnails)."""
+    import hashlib
+
+    import pandas as pd
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("out_w", LongType(), False),
+            StructField("out_h", LongType(), False),
+            StructField("out_bytes", LongType(), False),
+            StructField("resized_md5", StringType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "out_w", "out_h", "out_bytes", "resized_md5")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                resized = resize_image(bytes(payload), width, height)
+                out["media_id"].append(mid)
+                out["out_w"].append(width)
+                out["out_h"].append(height)
+                out["out_bytes"].append(len(resized))
+                out["resized_md5"].append(hashlib.md5(resized).hexdigest())
+            yield pd.DataFrame(out)
+
+    return spread(media).mapInPandas(run, schema)
 
 
 def resize_media(media: DataFrame, out_len: int = RESIZE_OUT_LEN) -> DataFrame:
