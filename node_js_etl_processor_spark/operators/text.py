@@ -1244,12 +1244,29 @@ def q_curation_pipeline(documents: DataFrame) -> DataFrame:
     packing window; the final per-shard aggregation reuses the shard
     partitioning (plan-pinned in tests/test_plans.py).
     """
-    from pyspark.sql.window import Window
-
     kept = documents.filter(curation_keep(F.col("text"), F.col("lang"))).select(
         "doc_id", "text"
     )
     chunks = chunk_documents(kept).withColumn("chunk_fp", F.md5(F.col("chunk_text")))
+    return curation_compact(chunks)
+
+
+def curation_compact(chunks: DataFrame) -> DataFrame:
+    """The dedup+pack SUFFIX of the curation capstone, over an
+    already-gated-and-chunked frame (doc_id, chunk_id, n_tokens,
+    chunk_text, chunk_fp): exact chunk dedup by fingerprint (keeper =
+    smallest (doc_id, chunk_id)), 256-token/32-shard packing, per-shard
+    stats. Shared verbatim by ``q_curation_pipeline`` (batch, fused
+    with the gate+chunk prefix) and ``streaming.curation.
+    compact_landing_zone`` (the batch-compact half of the incremental-
+    ingest split) — equality of the two paths on the same documents is
+    by construction, and pinned by test anyway.
+
+    Scale shape: the capstone's TWO keyed exchanges both live here —
+    chunk_fp for the dedup window, shard for the packing window; the
+    final per-shard aggregation reuses the shard partitioning."""
+    from pyspark.sql.window import Window
+
     survivors = (
         chunks.withColumn(
             "rn",

@@ -26,10 +26,10 @@ output == batch output of the same prefix on the same rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.text import chunk_documents, curation_keep
+from ..operators.text import chunk_documents, curation_compact, curation_keep
 
 
 def curation_chunk_stream(documents_stream: DataFrame) -> DataFrame:
@@ -46,3 +46,23 @@ def curation_chunk_stream(documents_stream: DataFrame) -> DataFrame:
     ).select("doc_id", "text")
     chunks = chunk_documents(kept)
     return chunks.withColumn("chunk_fp", F.md5(F.col("chunk_text")))
+
+
+def compact_landing_zone(spark: SparkSession, path: str) -> DataFrame:
+    """The batch-compact half of the incremental-ingest split: run the
+    capstone's dedup+pack suffix (``operators.text.curation_compact``
+    — the same code object the batch capstone composes) over the
+    chunk landing zone ``curation_chunk_stream`` appended to.
+
+    ``stream N docs → compact`` equals ``q_curation_pipeline`` on the
+    same N docs: the streaming prefix is the capstone's stateless
+    prefix verbatim, and this suffix is shared — so the only possible
+    divergence is rows lost/duplicated by the sink itself, which the
+    equality test would surface (exactly-once parquet append is the
+    checkpointed default).
+
+    Scale note: the landing zone accumulates crawl drops append-only;
+    compaction reads ONLY (doc_id, chunk_id, n_tokens, chunk_fp) —
+    column pruning keeps chunk_text, the dominant bytes, out of the
+    dedup shuffle entirely."""
+    return curation_compact(spark.read.parquet(path))

@@ -361,3 +361,51 @@ def test_curation_chunk_stream_matches_batch_prefix(spark, sf_dir, tmp_path):
     ).withColumn("chunk_fp", F.md5(F.col("chunk_text")))
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want and len(got) > 0
+
+
+def test_compact_landing_zone_equals_batch_capstone(spark, sf_dir, tmp_path):
+    """Incremental-ingest / batch-compact split, end to end: stream the
+    documents through the curation chunk prefix into a parquet landing
+    zone, then compact_landing_zone must reproduce q_curation_pipeline
+    on the same documents exactly (shared suffix + stateless prefix =>
+    only a lossy sink could diverge)."""
+    from pyspark.sql import functions as F
+
+    from node_js_etl_processor_spark.operators.text import q_curation_pipeline
+    from node_js_etl_processor_spark.streaming.curation import (
+        compact_landing_zone,
+        curation_chunk_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "docs_src")
+    zone = str(tmp_path / "landing_zone")
+    ckpt = str(tmp_path / "ckpt")
+    docs.write.parquet(src)
+
+    q = (
+        curation_chunk_stream(spark.readStream.schema(docs.schema).parquet(src))
+        .writeStream.format("parquet")
+        .option("path", zone)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(tuple(r) for r in compact_landing_zone(spark, zone).collect())
+    want = sorted(tuple(r) for r in q_curation_pipeline(docs).collect())
+    assert got == want and len(got) > 0
+
+    # compaction's dedup shuffle never carries chunk_text (the dominant
+    # bytes): column pruning must drop it from the landing-zone scan
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        compact_landing_zone(spark, zone).explain("formatted")
+    plan = buf.getvalue()
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "chunk_text" not in read_schema
