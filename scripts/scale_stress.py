@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Synthetic 10x scale stress for the dedup/similarity family + skew demo.
+
+Builds a ~50k-doc / ~20k-vector corpus by explode-multiplying the
+sf0.1 fixtures REPLICA_N times into tmp parquet, then times the heavy
+dedup/similarity queries at 1x and 10x and reports the wall-time
+ratio. The 100 TB claims elsewhere are plan-shape arguments; this
+script turns one scaling point into a measurement so constant-factor
+surprises (band-bucket skew, per-cell quadratics) show up as a
+super-linear ratio.
+
+Corpus construction keeps the DUPLICATE STRUCTURE linear in the
+multiplier — the point is to scale the input, not the output:
+
+- documents: replica i gets doc_id + i*1e9 and every token prefixed
+  with "r{letter_i}" (one regexp pass; the tag is ALPHABETIC so the
+  multiplied docs still pass alpha-word quality gates — a digit tag
+  silently empties the curation pipeline and the 10x point measures
+  nothing). Within a replica the corpus is isomorphic to the original
+  (identical shingle/dup structure); across replicas no shingle ever
+  matches, so candidate pairs scale exactly linearly.
+- embeddings: replica i gets vec_id + i*1e9 and the vector rotated by
+  i lanes — different directions per replica, so cross-replica
+  cosines stay spread like the original corpus rather than collapsing
+  onto duplicate rays.
+
+The SKEW corpus additionally reassigns 50% of all documents to one
+hot source ("src_hot") to demonstrate the skew tooling
+(functions/skew.py) where it matters: per-task shuffle row counts for
+a source-keyed exchange, unsalted vs salted.
+
+Usage: python scripts/scale_stress.py [--replicas N] [--runs N]
+Writes one JSON document to stdout; SCALE.md records the round's
+numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+REPLICA_KEY = 1_000_000_000
+
+
+def multiply_documents(docs: DataFrame, replicas: int) -> DataFrame:
+    """Explode-multiply with per-replica token prefixes (see module
+    docstring for why this keeps dup structure linear)."""
+    if replicas > 26:
+        raise ValueError("letter-tagged replicas support at most 26")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+    out = docs.select("*", rep)
+    tag = F.concat(F.lit("r"), F.chr(F.col("rep") + F.lit(97)))  # ra, rb, ...
+    text = F.regexp_replace(F.col("text"), r"(\S+)", F.concat(tag, F.lit("$1")))
+    # regexp_replace interpolates $1; the replica tag must come via
+    # concat so each replica writes a distinct literal-free plan
+    return out.select(
+        (F.col("doc_id") + F.col("rep").cast("bigint") * REPLICA_KEY).alias("doc_id"),
+        text.alias("text"),
+        "lang",
+        "source",
+        F.length(text).cast("bigint").alias("n_chars"),
+    )
+
+
+def multiply_embeddings(emb: DataFrame, replicas: int) -> DataFrame:
+    rep = F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+    out = emb.select("*", rep)
+    dim = 64
+    rotated = F.concat(
+        F.expr(f"slice(embedding, rep % {dim} + 1, {dim} - rep % {dim})"),
+        F.expr(f"slice(embedding, 1, rep % {dim})"),
+    )
+    return out.select(
+        (F.col("vec_id") + F.col("rep").cast("bigint") * REPLICA_KEY).alias("vec_id"),
+        rotated.alias("embedding"),
+    )
+
+
+def skew_sources(docs: DataFrame) -> DataFrame:
+    """Reassign 50% of documents (even doc_id) to one hot source."""
+    return docs.withColumn(
+        "source",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("src_hot")).otherwise(F.col("source")),
+    )
+
+
+def timed(df_fn, runs: int) -> float:
+    df_fn().write.format("noop").mode("overwrite").save()  # warm
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df_fn().write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    return round(statistics.median(times), 3)
+
+
+def per_task_rows(df: DataFrame, keys: list[str], n_parts: int = 32) -> list[int]:
+    """Rows landing in each shuffle partition for a keys-keyed
+    exchange — the direct measure of task skew for that shuffle."""
+    counts = (
+        df.repartition(n_parts, *[F.col(k) for k in keys])
+        .select(F.spark_partition_id().alias("pid"))
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    by_pid = {r["pid"]: r["count"] for r in counts}
+    return [by_pid.get(i, 0) for i in range(n_parts)]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=2)
+    args = ap.parse_args()
+
+    from node_js_etl_processor_spark.operators import dedup, similarity, text
+    from node_js_etl_processor_spark.functions.skew import _salt, salted_count
+    from node_js_etl_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_stress", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb1 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    tmp = tempfile.mkdtemp(prefix="scale_stress_")
+    docs_path = os.path.join(tmp, "documents_10x")
+    emb_path = os.path.join(tmp, "embeddings_10x")
+    skew_path = os.path.join(tmp, "documents_10x_skew")
+    multiply_documents(docs1, args.replicas).repartition(32).write.parquet(docs_path)
+    multiply_embeddings(emb1, args.replicas).repartition(32).write.parquet(emb_path)
+    skew_sources(spark.read.parquet(docs_path)).write.parquet(skew_path)
+    docs10 = spark.read.parquet(docs_path)
+    emb10 = spark.read.parquet(emb_path)
+    docsk = spark.read.parquet(skew_path)
+
+    queries = {
+        "q_dedup_minhash": (lambda: dedup.q_dedup_minhash(docs1),
+                            lambda: dedup.q_dedup_minhash(docs10)),
+        "q_dedup_simhash": (lambda: dedup.q_dedup_simhash(docs1),
+                            lambda: dedup.q_dedup_simhash(docs10)),
+        "q_dedup_clusters": (lambda: dedup.q_dedup_clusters(docs1),
+                             lambda: dedup.q_dedup_clusters(docs10)),
+        # auto-sized blocking (the scale path): n_cells grows ~sqrt(n)
+        # at BOTH points, so the ratio measures the engine, not a
+        # fixture-pinned parameter cliff
+        "semdedup_auto": (lambda: similarity.semdedup(emb1),
+                          lambda: similarity.semdedup(emb10)),
+        "q_curation_pipeline": (lambda: text.q_curation_pipeline(docs1),
+                                lambda: text.q_curation_pipeline(docs10)),
+    }
+
+    results = {}
+    for name, (f1, f10) in queries.items():
+        t1 = timed(f1, args.runs)
+        t10 = timed(f10, args.runs)
+        r1, r10 = f1().count(), f10().count()
+        results[name] = {
+            "sec_1x": t1,
+            f"sec_{args.replicas}x": t10,
+            "ratio": round(t10 / t1, 2) if t1 > 0 else None,
+            "rows_1x": r1,
+            f"rows_{args.replicas}x": r10,
+            "rows_ratio": round(r10 / r1, 2) if r1 > 0 else None,
+        }
+        print(f"[{name}] 1x={t1}s {args.replicas}x={t10}s "
+              f"ratio={results[name]['ratio']} rows {r1}->{r10}", file=sys.stderr)
+
+    # ---- skew demo: source-keyed shuffle, 50% of rows on one key ----
+    uniform = per_task_rows(docs10, ["source"])
+    hot = per_task_rows(docsk, ["source"])
+    salted = per_task_rows(
+        docsk.withColumn("_salt", _salt(F.col("doc_id"), 8)), ["source", "_salt"]
+    )
+
+    def task_stats(parts: list[int]) -> dict:
+        """max/mean over ALL task slots (empty slots are idle tasks —
+        the wasted parallelism IS the skew cost) + the hot task's share
+        of total rows (what fraction of the stage one task processes)."""
+        mean = sum(parts) / len(parts)
+        return {
+            "max_rows": max(parts),
+            "max_over_mean": round(max(parts) / mean, 2),
+            "max_share": round(max(parts) / sum(parts), 3),
+        }
+
+    # equivalence on the skewed corpus: salted_count == plain groupBy
+    plain = {r["source"]: r["n"] for r in
+             docsk.groupBy("source").agg(F.count("*").cast("bigint").alias("n")).collect()}
+    salted_res = {r["source"]: r["n"] for r in
+                  salted_count(docsk, "source", "doc_id", 8).collect()}
+    assert plain == salted_res, "salted_count must equal plain groupBy count"
+
+    skew = {
+        "uniform": task_stats(uniform),
+        "hot": task_stats(hot),
+        "hot_salted": task_stats(salted),
+        "salted_count_equals_plain": True,
+    }
+    print(f"[skew] uniform={skew['uniform']} hot={skew['hot']} "
+          f"salted={skew['hot_salted']}", file=sys.stderr)
+
+    print(json.dumps({
+        "replicas": args.replicas,
+        "runs": args.runs,
+        "n_docs_1x": docs1.count(),
+        "n_vecs_1x": emb1.count(),
+        "queries": results,
+        "skew": skew,
+    }, indent=1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
