@@ -737,3 +737,42 @@ def test_bmp_roundtrip_and_real_resize(spark):
     assert row["out_w"] == 2 and row["out_h"] == 2
     assert row["out_bytes"] == len(expect)
     assert row["resized_md5"] == hashlib.md5(expect).hexdigest()
+
+
+def test_scale_stress_corpus_builder_invariants(spark):
+    """The 10x stress corpus builder (scripts/scale_stress.py) must
+    keep dup structure LINEAR in the multiplier: replica copies of
+    identical docs stay identical within a replica, nothing matches
+    across replicas, tags stay alphabetic (quality gates must still
+    pass — a digit tag empties the curation pipeline)."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from scripts.scale_stress import multiply_documents, multiply_embeddings
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en", "s0", 16), (2, "alpha beta gamma", "en", "s0", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in multiply_documents(docs, 3).collect()}
+    assert len(out) == 6  # distinct ids across replicas
+    # within-replica: identical inputs stay identical
+    assert out[1]["text"] == out[2]["text"]
+    assert out[1_000_000_001]["text"] == out[1_000_000_002]["text"]
+    # across replicas: no token in common
+    toks0 = set(out[1]["text"].split())
+    toks1 = set(out[1_000_000_001]["text"].split())
+    assert toks0.isdisjoint(toks1)
+    # tags alphabetic only (gates would drop digit-bearing words)
+    assert all(re.fullmatch(r"[A-Za-z]+", t) for t in toks0 | toks1)
+    # n_chars recomputed against the tagged text
+    assert out[1]["n_chars"] == len(out[1]["text"])
+
+    emb = spark.createDataFrame(
+        [(0, [float(i) for i in range(64)])], "vec_id long, embedding array<double>"
+    )
+    rows = {r["vec_id"]: r["embedding"] for r in multiply_embeddings(emb, 3).collect()}
+    base = rows[0]
+    assert rows[1_000_000_000] == base[1:] + base[:1]  # rotation by replica
+    assert rows[2_000_000_000] == base[2:] + base[:2]
