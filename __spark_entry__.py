@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 79 queries (count as of r5 — grep ``def queries`` below for the
+ALL 80 queries (count as of r6 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -77,9 +77,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     split, kmeans step, text stats/langid/quality, token count,
     fingerprint, winnow, corpus pipeline). The four r5-new queries
     (curation capstone, hashed decontamination, media resize, frame
-    sample) STAY in — each has only one green row. Invariant after
-    this rotation: every out-of-window query's latest driver row is
-    r4 or r5; nothing is older than one rotation cycle."""
+    sample) STAY in — each has only one green row. The r6-new
+    q_lm_perplexity enters the window with q_binary_meta (green r2+r5)
+    moving out to make room. Invariant after this rotation: every
+    out-of-window query's latest driver row is r4 or r5; nothing is
+    older than one rotation cycle."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
         # reference-operator surface (SURVEY.md §2a/§2b)
@@ -126,7 +128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
         "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
         "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
-        "q_binary_meta": _q(["documents"], q_binary_meta),
+        # r6-new: CCNet-style perplexity bucketing (unigram corpus LM)
+        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
         # LLM-pipeline tail + dedup trio, rotated into the window in r3
         "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
         "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
@@ -162,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fingerprint": _q(["documents"], text.q_fingerprint),
         "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
         "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
+        "q_binary_meta": _q(["documents"], q_binary_meta),
         "q_region_supplier": _q(
             ["supplier", "nation", "region"], relational.q_region_supplier
         ),
@@ -1467,6 +1471,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_toks) AS BIGINT) AS n_tokens
             FROM s GROUP BY source, split
+        """,
+        "q_lm_perplexity": r"""
+            WITH toked AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(text, '\s+'),
+                                        t -> t <> '')) AS tok
+              FROM documents
+            ),
+            vocab AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+              FROM toked GROUP BY tok
+            ),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+            per_doc AS (
+              SELECT t.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     round(avg(ln(CAST(tot.total AS DOUBLE) / v.cnt)), 6)
+                       AS avg_nll
+              FROM toked t JOIN vocab v USING (tok) CROSS JOIN tot
+              GROUP BY t.doc_id
+            )
+            SELECT doc_id, n_tokens, avg_nll,
+                   round(exp(avg_nll), 4) AS perplexity,
+                   CAST(ntile(3) OVER (ORDER BY avg_nll ASC, doc_id ASC)
+                        AS BIGINT) AS ppl_bucket
+            FROM per_doc
         """,
         "q_quality_classifier": r"""
             WITH f AS (

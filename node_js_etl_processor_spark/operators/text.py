@@ -986,6 +986,78 @@ def q_quality_classifier(documents: DataFrame) -> DataFrame:
     )
 
 
+def q_lm_perplexity(documents: DataFrame, buckets: int = 3) -> DataFrame:
+    """CCNet-style LM perplexity filter (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    2020 — the perplexity-bucketing stage): score every document by
+    its mean negative log-likelihood under a unigram LM estimated from
+    the corpus itself, then split the corpus into ``buckets``
+    perplexity tiers (ntile over the per-doc score; bucket 1 = head /
+    most-predictable, highest bucket = tail). CCNet scores against an
+    external KenLM; a corpus-self unigram model is the same pipeline
+    shape with the LM-estimation pass fused in, and is exactly
+    oracle-reproducible. Token-less documents have no likelihood and
+    are excluded (same as the oracle). Fully oracle-checked.
+
+    Determinism contract: nll per token is one ln() on an exact
+    cnt/total rational (identical expression both engines; BM25
+    precedent for cross-engine ln agreement at 6-digit rounding);
+    per-doc aggregation rounds avg(nll) to 6 digits, and the ntile
+    orders by (rounded avg_nll, doc_id) so the tie order is total.
+
+    Scale shape: ONE explode of the corpus feeds both the vocab count
+    and the scoring join — token-keyed exchanges throughout (the
+    vocab side reuses its own grouping partitioning for the join; at
+    real scale AQE demotes it to broadcast when the vocabulary is
+    small). The corpus total is a 1-row broadcast. The ntile window
+    is the one global-order step, but it runs over the AGGREGATED
+    per-doc frame (n_docs rows, not tokens) — same judgment as
+    q_source_mix's global window.
+    """
+    from pyspark.sql.window import Window
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    # explode_outer + isNotNull: see q_decontaminate — plain explode
+    # lets InferFiltersFromGenerate clone the tokenizer into a pushed
+    # size() filter that re-tokenizes per element
+    toked = (
+        spread(documents)
+        .select("doc_id", F.explode_outer(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    vocab = toked.groupBy("tok").agg(F.count("*").cast("bigint").alias("cnt"))
+    # corpus total via a global window over the AGGREGATED vocab frame
+    # (vocab-size rows) — a separate .agg() would re-scan and
+    # re-tokenize the whole corpus a third time just for one scalar
+    total = F.sum("cnt").over(Window.partitionBy()).cast("bigint")
+    probs = vocab.select(
+        "tok",
+        F.log(total.cast("double") / F.col("cnt")).alias("nll"),
+    )
+    # broadcast the VOCAB side explicitly: post-explode row estimates
+    # mislead Catalyst into building on the corpus-token side here. A
+    # web-scale vocabulary is capped/top-k in practice (CCNet caps its
+    # LM vocab) which keeps this side broadcastable; uncapped, drop
+    # the hint and the token-keyed shuffle join takes over
+    per_doc = (
+        toked.join(F.broadcast(probs), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
+        )
+    )
+    w = Window.orderBy(F.col("avg_nll").asc(), F.col("doc_id").asc())
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "avg_nll",
+        F.round(F.exp(F.col("avg_nll")), 4).alias("perplexity"),
+        F.ntile(buckets).over(w).cast("bigint").alias("ppl_bucket"),
+    )
+
+
 #: Redaction patterns: RE2-and-Java-regex-compatible (no lookarounds,
 #: no backrefs) so Spark and the DuckDB oracle apply byte-identical
 #: rules. ORDER IS SEMANTIC: specific before general — emails first

@@ -366,6 +366,9 @@ def _generate_outer_flags(plan: str) -> list[bool]:
         pytest.param(lambda s, d: __import__(
             "node_js_etl_processor_spark.operators.text", fromlist=["x"]
         ).q_chunk_documents(load_table(s, d, "documents")), id="chunk_documents"),
+        pytest.param(lambda s, d: __import__(
+            "node_js_etl_processor_spark.operators.text", fromlist=["x"]
+        ).q_lm_perplexity(load_table(s, d, "documents")), id="lm_perplexity"),
     ],
 )
 def test_no_inferred_generate_filter(spark, sf_dir, build):
@@ -390,3 +393,19 @@ def test_no_inferred_generate_filter(spark, sf_dir, build):
     assert not re.search(r"size\(array_distinct\(transform\(", plan), (
         "inferred size(shingles) filter found below Generate:\n" + plan
     )
+
+
+def test_lm_perplexity_scan_and_broadcast_discipline(spark, sf_dir):
+    """q_lm_perplexity: the corpus must be scanned at most twice (doc
+    tokens + vocab; the corpus-total scalar comes from a global window
+    over the AGGREGATED vocab frame, never a third scan+tokenize), and
+    the scoring join must build on the VOCAB side — post-explode
+    estimates otherwise mislead Catalyst into broadcasting the corpus
+    token stream (BuildLeft)."""
+    from node_js_etl_processor_spark.operators.text import q_lm_perplexity
+
+    df = q_lm_perplexity(load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") <= 2
+    assert "BuildLeft" not in plan  # never broadcast the corpus side
+    assert "BroadcastHashJoin" in plan  # vocab side broadcast, hinted
