@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 80 queries (count as of r6 — grep ``def queries`` below for the
+ALL 82 queries (count as of r6 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -77,11 +77,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     split, kmeans step, text stats/langid/quality, token count,
     fingerprint, winnow, corpus pipeline). The four r5-new queries
     (curation capstone, hashed decontamination, media resize, frame
-    sample) STAY in — each has only one green row. The r6-new
-    q_lm_perplexity enters the window with q_binary_meta (green r2+r5)
-    moving out to make room. Invariant after this rotation: every
-    out-of-window query's latest driver row is r4 or r5; nothing is
-    older than one rotation cycle."""
+    sample) STAY in — each has only one green row. The three r6-new
+    queries (q_lm_perplexity, q_pq_encode, q_pq_topk) enter the
+    window with q_binary_meta, q_dedup_docs and q_dedup_ngram (all
+    green r5) moving out to make room. Invariant after this rotation:
+    every out-of-window query's latest driver row is r4 or r5;
+    nothing is older than one rotation cycle."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
         # reference-operator surface (SURVEY.md §2a/§2b)
@@ -125,11 +126,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_frame_sample": _q(["documents"], q_frame_sample),
         # north-star extensions with full oracles
         "q_bm25": _q(["documents"], text.q_bm25),
-        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
-        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
         "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
         # r6-new: CCNet-style perplexity bucketing (unigram corpus LM)
+        # + product-quantization encode / ADC search (Jégou 2011)
         "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
+        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
+        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
         # LLM-pipeline tail + dedup trio, rotated into the window in r3
         "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
         "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
@@ -166,6 +168,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
         "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
         "q_binary_meta": _q(["documents"], q_binary_meta),
+        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
+        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
         "q_region_supplier": _q(
             ["supplier", "nation", "region"], relational.q_region_supplier
         ),
@@ -215,6 +219,43 @@ def _ivf_scores_sql(col: str) -> str:
         f" / (sqrt(list_dot_product(CAST({col} AS DOUBLE[]), CAST({col} AS DOUBLE[]))) + 1e-12)"
         for c in _ivf_centroids(8)
     ) + "]"
+
+
+def _pq_code_sql(col: str, s: int) -> str:
+    """PQ code of subspace ``s`` as SQL: distance list against the
+    same codebook literals in the same argmin-equivalent form as
+    similarity._pq_sub_dists (dot·(-2) + ||c||², first-min tie), so
+    the encoding is cross-checked bit for bit."""
+    from node_js_etl_processor_spark.operators.similarity import (
+        PQ_SUB_DIM,
+        _pq_codebooks,
+    )
+
+    cb = _pq_codebooks()[s]
+    lo = s * PQ_SUB_DIM + 1
+    sub = f"(CAST({col} AS DOUBLE[]))[{lo}:{lo + PQ_SUB_DIM - 1}]"
+    dists = "[" + ",".join(
+        f"(list_dot_product({sub}, {_sql_arr(c)}) * -2.0"
+        f" + {float(sum(v * v for v in c))!r})"
+        for c in cb
+    ) + "]"
+    return f"(list_position({dists}, list_min({dists})) - 1)"
+
+
+def _pq_adc_sql(probe_col: str, s: int) -> str:
+    """ADC contribution of subspace ``s``: <probe_s, codebook[code_s]>
+    — the codebook as a SQL list-of-lists literal indexed by the code
+    (1-based), the probe sliced from the probe CTE row."""
+    from node_js_etl_processor_spark.operators.similarity import (
+        PQ_SUB_DIM,
+        _pq_codebooks,
+    )
+
+    cb = _pq_codebooks()[s]
+    lo = s * PQ_SUB_DIM + 1
+    p_sub = f"(CAST({probe_col} AS DOUBLE[]))[{lo}:{lo + PQ_SUB_DIM - 1}]"
+    cb_lit = "[" + ",".join(_sql_arr(c) for c in cb) + "]"
+    return f"list_dot_product({p_sub}, ({cb_lit})[c{s} + 1])"
 
 
 def _kmeans_step_sql() -> str:
@@ -958,6 +999,33 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS days_within_5pct
             FROM orders
             GROUP BY o_orderpriority
+        """,
+        "q_pq_encode": f"""
+            SELECT vec_id,
+                   CAST({" + ".join(
+                       f"(CAST({_pq_code_sql('embedding', s)} AS BIGINT)"
+                       f" * {1 << (4 * s)})"
+                       for s in range(8)
+                   )} AS BIGINT) AS pq_code
+            FROM embeddings
+        """,
+        "q_pq_topk": f"""
+            WITH probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            coded AS (
+              SELECT vec_id,
+                     {", ".join(
+                         f"{_pq_code_sql('embedding', s)} AS c{s}"
+                         for s in range(8)
+                     )}
+              FROM embeddings WHERE vec_id <> 0
+            )
+            SELECT coded.vec_id,
+                   round({" + ".join(
+                       _pq_adc_sql("p.embedding", s) for s in range(8)
+                   )}, 6) AS adc_dot
+            FROM coded, probe p
+            ORDER BY adc_dot DESC, coded.vec_id ASC
+            LIMIT 10
         """,
         "q_similarity_topk": """
             WITH probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0)

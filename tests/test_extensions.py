@@ -776,3 +776,45 @@ def test_scale_stress_corpus_builder_invariants(spark):
     base = rows[0]
     assert rows[1_000_000_000] == base[1:] + base[:1]  # rotation by replica
     assert rows[2_000_000_000] == base[2:] + base[:2]
+
+
+def test_pq_encoding_and_adc_on_crafted_vectors(spark):
+    """Pin the PQ kernels on a hand-built case: a vector assembled
+    from one exact codeword per subspace must encode to exactly those
+    code indexes (distance 0), the packed form must be the 4-bit
+    concatenation, and the ADC score must equal the Python lut sum."""
+    from node_js_etl_processor_spark.operators.similarity import (
+        PQ_SUB_DIM,
+        _pq_codebooks,
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    cbs = _pq_codebooks()
+    want_codes = [3, 0, 15, 7, 1, 9, 12, 5]
+    vec = [v for s, j in enumerate(want_codes) for v in cbs[s][j]]
+    other = [v for s in range(8) for v in cbs[s][8]]  # codes all 8
+    emb = spark.createDataFrame(
+        [(1, vec, "a"), (2, other, "b")],
+        "vec_id long, embedding array<double>, label string",
+    )
+
+    got = {r["vec_id"]: r for r in pq_encode(emb).collect()}
+    assert list(got[1]["codes"]) == want_codes
+    assert list(got[2]["codes"]) == [8] * 8
+    assert got[1]["pq_code"] == sum(c << (4 * s) for s, c in enumerate(want_codes))
+
+    probe = [0.25] * (PQ_SUB_DIM * 8)
+    top = {r["vec_id"]: r["adc_dot"] for r in pq_adc_topk(emb, probe, k=2).collect()}
+    for vid, codes in ((1, want_codes), (2, [8] * 8)):
+        expect = 0.0
+        for s, j in enumerate(codes):
+            acc = 0.0
+            for a, b in zip(probe[s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM], cbs[s][j]):
+                acc += a * b
+            expect += acc
+        assert abs(top[vid] - round(expect, 6)) < 1e-9
+
+    # determinism: identical re-run
+    again = {r["vec_id"]: r["pq_code"] for r in pq_encode(emb).collect()}
+    assert again == {k: r["pq_code"] for k, r in got.items()}

@@ -409,3 +409,22 @@ def test_lm_perplexity_scan_and_broadcast_discipline(spark, sf_dir):
     assert plan.count("Scan parquet") <= 2
     assert "BuildLeft" not in plan  # never broadcast the corpus side
     assert "BroadcastHashJoin" in plan  # vocab side broadcast, hinted
+
+
+def test_pq_encode_narrow_and_topk_no_global_sort(spark, sf_dir):
+    """PQ: encoding must be ONE narrow codegen projection (no
+    aggregate, no keyed exchange — the only Exchange allowed is
+    spread()'s round-robin), and ADC top-k must compile to
+    TakeOrderedAndProject, never a range-partitioned global sort."""
+    from node_js_etl_processor_spark.operators.similarity import (
+        q_pq_encode,
+        q_pq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p1 = q_pq_encode(emb)._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("Exchange") <= 1  # spread() only
+    assert "HashAggregate" not in p1
+    p2 = q_pq_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p2
+    assert "rangepartitioning" not in p2
