@@ -748,8 +748,9 @@ def pq_encode(
 
     cbs = codebooks if codebooks is not None else _pq_codebooks()
     emb = F.col("embedding").cast("array<double>")
+    in_cols = embeddings.columns
     with_d = spread(embeddings).select(
-        "vec_id",
+        "*",
         *[
             _pq_sub_dists(
                 F.slice(emb, s * PQ_SUB_DIM + 1, PQ_SUB_DIM), cbs[s]
@@ -770,7 +771,7 @@ def pq_encode(
     for s in range(1, len(cbs)):
         packed = packed + codes[s].cast("bigint") * F.lit(1 << (4 * s)).cast("bigint")
     return with_d.select(
-        "vec_id",
+        *in_cols,
         F.array(*codes).alias("codes"),
         packed.alias("pq_code"),
     )
@@ -792,6 +793,29 @@ def pq_adc_topk(
     column — the 100 TB read is codes only.
     """
     cbs = codebooks if codebooks is not None else _pq_codebooks()
+    encoded = pq_encode(embeddings, codebooks=cbs)
+    if exclude_vec_id is not None:
+        encoded = encoded.filter(F.col("vec_id") != exclude_vec_id)
+    adc = pq_adc_score(F.col("codes"), probe, codebooks=cbs)
+    return (
+        encoded.select("vec_id", F.round(adc, 6).alias("adc_dot"))
+        .orderBy(F.col("adc_dot").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def pq_adc_score(
+    codes: Column,
+    probe: list[float],
+    codebooks: list[list[list[float]]] | None = None,
+) -> Column:
+    """The ADC score expression for a ``codes`` array column:
+    Σ_s lut[s][code_s] with lut[s][j] = <probe_s, c_sj> computed
+    driver-side (8×16 doubles — parameters, not data) and embedded as
+    literal arrays; a left-associated chain the oracle replays in the
+    same order. Shared by ``pq_adc_topk`` (inline encode) and the
+    layout probe (stored codes — the scan never touches embeddings)."""
+    cbs = codebooks if codebooks is not None else _pq_codebooks()
     luts = []
     for s, cb in enumerate(cbs):
         p_sub = probe[s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM]
@@ -802,22 +826,15 @@ def pq_adc_topk(
                 acc += a * b
             lut.append(acc)
         luts.append(lut)
-    encoded = pq_encode(embeddings, codebooks=cbs)
-    if exclude_vec_id is not None:
-        encoded = encoded.filter(F.col("vec_id") != exclude_vec_id)
     adc = F.element_at(
-        F.array(*[F.lit(v) for v in luts[0]]), F.element_at(F.col("codes"), 1) + 1
+        F.array(*[F.lit(v) for v in luts[0]]), F.element_at(codes, 1) + 1
     )
-    for s in range(1, len(cbs)):
+    for s in range(1, len(luts)):
         adc = adc + F.element_at(
             F.array(*[F.lit(v) for v in luts[s]]),
-            F.element_at(F.col("codes"), s + 1) + 1,
+            F.element_at(codes, s + 1) + 1,
         )
-    return (
-        encoded.select("vec_id", F.round(adc, 6).alias("adc_dot"))
-        .orderBy(F.col("adc_dot").desc(), F.col("vec_id").asc())
-        .limit(k)
-    )
+    return adc
 
 
 def q_pq_encode(embeddings: DataFrame) -> DataFrame:

@@ -7,13 +7,18 @@ out so a probe reads only its buckets' files. This module makes that
 story executable instead of prose:
 
 - ``write_ann_layout`` materializes the embeddings with their SRP
-  signature and IVF cell precomputed, Hive-directory-partitioned by
-  each key (``by_sig/sig=<s>/``, ``by_cell/cell=<c>/``);
+  signature, IVF cell AND PQ codes precomputed (the by_cell side is
+  the IVFADC layout of Jégou et al. 2011 §V), Hive-directory-
+  partitioned by each key (``by_sig/sig=<s>/``, ``by_cell/cell=<c>/``);
 - ``ann_probe`` / ``ivf_probe`` read the layout back and filter on the
   partition column, so the multiprobe signature set (resp. probe
   cells) becomes a PartitionFilters entry on the scan — the file
   listing itself is restricted to the matching directories
-  (plan-tested in tests/test_similarity_layout.py).
+  (plan-tested in tests/test_similarity_layout.py);
+- ``ivfpq_probe`` is the IVFADC consumer: partition-pruned cells,
+  ADC scoring from the STORED codes (the scan reads (vec_id, codes)
+  only — the embedding column never deserializes; plan-tested), and
+  an optional exact-rescore tail over the ADC shortlist.
 
 At 100 TB with 8 planes: 256 signature directories of ~0.4% of the
 corpus each; a multiprobe-1 probe reads 9 of them (~3.5% of the data,
@@ -36,6 +41,8 @@ from pyspark.sql import functions as F
 from node_js_etl_processor_spark.operators.similarity import (
     _srp_hyperplanes,
     ivf_assign,
+    pq_adc_score,
+    pq_encode,
     probe_cell_set,
     probe_signature_set,
     score_topk,
@@ -69,7 +76,12 @@ def write_ann_layout(
     sigged.repartition("sig").write.mode("overwrite").partitionBy("sig").parquet(
         f"{path}/by_sig"
     )
-    celled = ivf_assign(embeddings, n_cells, centroids=centroids)
+    # by_cell carries the PQ codes too — the IVFADC layout (Jégou et
+    # al. 2011 §V): coarse cell for pruning, 4-bit codes for scoring.
+    # Both quantizations are one fused narrow projection at ingest;
+    # an ADC probe then reads (vec_id, codes) from the matching cell
+    # directories only and never deserializes the embedding column.
+    celled = pq_encode(ivf_assign(embeddings, n_cells, centroids=centroids))
     celled.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/by_cell"
     )
@@ -142,3 +154,48 @@ def ivf_probe(
     cells = probe_cell_set(probe, n_cells, n_probe_cells, centroids=centroids)
     cand = spark.read.parquet(f"{path}/by_cell").filter(F.col("cell").isin(cells))
     return score_topk(cand, probe, k=k, exclude_vec_id=exclude_vec_id)
+
+
+def ivfpq_probe(
+    spark: SparkSession,
+    path: str,
+    probe: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe_cells: int = 2,
+    rescore: int | None = None,
+    exclude_vec_id: int | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVFADC search over the materialized layout (Jégou et al. 2011
+    §V): coarse cells prune the file listing (partition filter), then
+    candidates are scored by ADC from the STORED codes — the scan
+    reads (vec_id, codes) only, never the embedding column
+    (plan-tested), so the probe's byte cost is ~4 bytes/vector of the
+    probed cells regardless of dimensionality.
+
+    ``rescore=R`` adds the standard exact-rescore tail: the top R·k
+    ADC candidates (ids only) are joined back to the layout — same
+    partition filter — and exactly cosine-scored; accuracy of the
+    final top-k then depends on ADC only through shortlist membership.
+    """
+    cells = probe_cell_set(probe, n_cells, n_probe_cells, centroids=centroids)
+    layout = spark.read.parquet(f"{path}/by_cell").filter(F.col("cell").isin(cells))
+    cand = layout.select("vec_id", "codes")
+    if exclude_vec_id is not None:
+        cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    adc = cand.select(
+        "vec_id",
+        F.round(pq_adc_score(F.col("codes"), probe), 6).alias("adc_dot"),
+    )
+    if rescore is None:
+        return adc.orderBy(F.col("adc_dot").desc(), F.col("vec_id").asc()).limit(k)
+    shortlist = (
+        adc.orderBy(F.col("adc_dot").desc(), F.col("vec_id").asc())
+        .limit(rescore * k)
+        .select("vec_id")
+    )
+    exact_side = layout.select("vec_id", "embedding", "label").join(
+        F.broadcast(shortlist), "vec_id", "left_semi"
+    )
+    return score_topk(exact_side, probe, k=k, exclude_vec_id=exclude_vec_id)

@@ -128,3 +128,55 @@ def test_dedup_embedding_from_layout_matches_and_skips_recompute(
     # the srp projection would show up as shiftleft over aggregate()
     # folds; the only aggregate() allowed here is the cosine scoring
     assert "shiftleft" not in plan
+
+
+def test_ivfpq_probe_adc_codes_only_scan(spark, sf_dir, tmp_path):
+    """IVFADC over the layout: (a) ADC results from STORED codes equal
+    the inline encode+score path restricted to the same cells; (b) the
+    ADC scan reads (vec_id, codes) only — the embedding column must be
+    absent from ReadSchema (the 4-bytes-per-vector read IS the
+    operator's point) and the cell filter must be a PartitionFilters
+    entry; (c) exact rescore returns the true cosine order of the ADC
+    shortlist."""
+    from node_js_etl_processor_spark.operators.similarity import (
+        ivf_assign,
+        pq_adc_topk,
+        score_topk,
+    )
+    from node_js_etl_processor_spark.sources.similarity_layout import ivfpq_probe
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "sim")
+    write_ann_layout(emb, path)
+    probe = _probe_vector(emb, 0)
+
+    cells = probe_cell_set(probe, 8, 2)
+    inline_cand = ivf_assign(emb, 8).filter(F.col("cell").isin(cells)).drop("cell")
+    want = [
+        tuple(r)
+        for r in pq_adc_topk(inline_cand, probe, k=10, exclude_vec_id=0).collect()
+    ]
+    got_df = ivfpq_probe(spark, path, probe, k=10, exclude_vec_id=0)
+    got = [tuple(r) for r in got_df.collect()]
+    assert got == want and len(got) == 10
+
+    plan = _plan(got_df)
+    scan = plan.split("Scan parquet")[-1]  # the detail block, not the tree line
+    read_schema = scan.split("ReadSchema:")[1].split("\n")[0]
+    assert "codes" in read_schema and "embedding" not in read_schema
+    pf = scan.split("PartitionFilters:")[1].split("\n")[0]
+    assert "cell" in pf
+
+    # rescore tail: big enough shortlist ⇒ exact top-k of the probed
+    # cells, identical to the embedding-scoring layout probe
+    rescored = [
+        tuple(r)
+        for r in ivfpq_probe(
+            spark, path, probe, k=10, rescore=20, exclude_vec_id=0
+        ).collect()
+    ]
+    exact = [
+        tuple(r)
+        for r in ivf_probe(spark, path, probe, k=10, exclude_vec_id=0).collect()
+    ]
+    assert rescored == exact
