@@ -335,6 +335,7 @@ def _kmeans_partials_jvm(
 ) -> DataFrame:
     """Per-cell quantized partial sums via pure Column expressions —
     the reference form the Arrow kernel is pinned against."""
+    dim = len(centroids[0])
     assigned = ivf_assign(embeddings, centroids=centroids)
     sums = [
         F.sum(
@@ -342,7 +343,7 @@ def _kmeans_partials_jvm(
                 "bigint"
             )
         ).alias(f"s{d}")
-        for d in range(DIM)
+        for d in range(dim)
     ]
     return assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"), *sums)
 
@@ -379,13 +380,13 @@ def _kmeans_partials_numpy(
 
     from node_js_etl_processor_spark.catalog import spread
 
-    cmat = np.asarray(centroids, dtype=np.float64)  # (k, DIM)
-    k = cmat.shape[0]
+    cmat = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+    k, dim = cmat.shape
     # cell is int32 to match ivf_assign's `cast("int")` exactly — the
     # declared query's output schema must not change with the kernel
     out_schema = StructType(
         [StructField("cell", IntegerType(), False), StructField("n_vectors", LongType(), False)]
-        + [StructField(f"s{d}", LongType(), False) for d in range(DIM)]
+        + [StructField(f"s{d}", LongType(), False) for d in range(dim)]
     )
 
     def partials(batches):
@@ -401,12 +402,12 @@ def _kmeans_partials_numpy(
                 scores[:, i] = np.cumsum(m * cmat[i], axis=1)[:, -1] / (norms + 1e-12)
             cell = scores.argmax(axis=1)
             floored = np.floor(m * float(KMEANS_QUANT)).astype(np.int64)
-            acc = np.zeros((k, DIM), dtype=np.int64)
+            acc = np.zeros((k, dim), dtype=np.int64)
             np.add.at(acc, cell, floored)
             counts = np.bincount(cell, minlength=k).astype(np.int64)
             live = np.flatnonzero(counts)
             out = {"cell": live.astype(np.int32), "n_vectors": counts[live]}
-            for d in range(DIM):
+            for d in range(dim):
                 out[f"s{d}"] = acc[live, d]
             yield pd.DataFrame(out)
 
@@ -417,7 +418,7 @@ def _kmeans_partials_numpy(
         .groupBy("cell")
         .agg(
             F.sum("n_vectors").alias("n_vectors"),
-            *[F.sum(f"s{d}").alias(f"s{d}") for d in range(DIM)],
+            *[F.sum(f"s{d}").alias(f"s{d}") for d in range(dim)],
         )
     )
 
@@ -463,7 +464,7 @@ def kmeans_step(
         *[
             F.col(f"s{d}").cast("double")
             / (F.col("n_vectors").cast("double") * F.lit(float(KMEANS_QUANT)))
-            for d in range(DIM)
+            for d in range(len(cents[0]))
         ]
     )
     # left fold, acc + diff² in dimension order: the exact float-op
@@ -498,6 +499,7 @@ def kmeans_train(
     tol: float = 1e-3,
     sample_fraction: float | None = None,
     use_arrow_kernel: bool = True,
+    init_centroids: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Full k-means training loop: iterate Lloyd steps from the
     deterministic seeds until the largest per-centroid shift drops
@@ -524,7 +526,11 @@ def kmeans_train(
     # path (same quantized int64 partials) — a debugging escape hatch
     # for isolating Arrow-kernel parity issues
     partials = _kmeans_partials_numpy if use_arrow_kernel else _kmeans_partials_jvm
-    cents = [list(c) for c in _ivf_centroids(n_cells)]
+    cents = [
+        list(c) for c in (init_centroids if init_centroids is not None
+                          else _ivf_centroids(n_cells))
+    ]
+    dim = len(cents[0])
     for _ in range(max_iters):
         rows = partials(embeddings, cents).collect()
         shift = 0.0
@@ -532,7 +538,7 @@ def kmeans_train(
         for r in rows:
             cell = int(r["cell"])
             n = float(r["n_vectors"]) * float(KMEANS_QUANT)
-            mean = [float(r[f"s{d}"]) / n for d in range(DIM)]
+            mean = [float(r[f"s{d}"]) / n for d in range(dim)]
             shift = max(
                 shift,
                 math.sqrt(sum((m - o) ** 2 for m, o in zip(mean, cents[cell]))),
@@ -852,3 +858,50 @@ def q_pq_topk(embeddings: DataFrame, k: int = 10) -> DataFrame:
     AND the ADC arithmetic are differentially verified."""
     probe = _probe_vector(embeddings, 0)
     return pq_adc_topk(embeddings, probe, k=k, exclude_vec_id=0)
+
+
+def pq_train(
+    embeddings: DataFrame,
+    n_sub: int = PQ_N_SUB,
+    k: int = PQ_K,
+    max_iters: int = 10,
+    tol: float = 1e-3,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Train the per-subspace PQ codebooks: one ``kmeans_train`` run
+    over each sliced subspace (the module's Lloyd machinery, now
+    dim-generic), seeded from the deterministic codebooks — the
+    production path Jégou et al. 2011 §III describes, with the same
+    subsample option as IVF training.
+
+    Honesty note on the objective: this module's quantizer assigns by
+    COSINE (spherical k-means), while PQ's canonical training is
+    Euclidean; on roughly-unit-norm embedding slices the two
+    objectives nearly coincide, and the ENCODING rule stays exactly
+    Euclidean argmin regardless (``pq_encode``) — training only moves
+    the codewords. The quantization-error test pins that trained
+    codebooks beat the deterministic seeds on the fixture.
+
+    Cost: n_sub × (one narrow pass + one k×(sub_dim+1) collect) per
+    iteration — parameters, not data; at 100 TB train on
+    ``sample_fraction`` like any coarse quantizer.
+    """
+    emb = F.col("embedding").cast("array<double>")
+    seeds = _pq_codebooks(n_sub, k)
+    cbs = []
+    for s in range(n_sub):
+        sub = embeddings.select(
+            "vec_id",
+            F.slice(emb, s * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("embedding"),
+        )
+        cbs.append(
+            kmeans_train(
+                sub,
+                n_cells=k,
+                max_iters=max_iters,
+                tol=tol,
+                sample_fraction=sample_fraction,
+                init_centroids=seeds[s],
+            )
+        )
+    return cbs

@@ -145,3 +145,42 @@ def test_kmeans_train_on_sample(embeddings):
         r["shift"] for r in sim.kmeans_step(embeddings, centroids=cents).collect()
     )
     assert sampled_shift < seed_shift
+
+
+def test_pq_train_reduces_quantization_error(spark, sf_dir):
+    """Trained PQ codebooks must reconstruct the corpus better than
+    the deterministic seeds (lower total squared quantization error),
+    and must thread through pq_encode end-to-end."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.similarity import (
+        PQ_SUB_DIM,
+        _pq_codebooks,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = _pq_codebooks()
+    trained = pq_train(emb, max_iters=5)
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+
+    def total_sqerr(cbs):
+        codes = {r["vec_id"]: list(r["codes"])
+                 for r in pq_encode(emb, codebooks=cbs).collect()}
+        err = 0.0
+        for vid, v in vecs.items():
+            recon = np.concatenate([np.asarray(cbs[s][j])
+                                    for s, j in enumerate(codes[vid])])
+            err += float(((v - recon) ** 2).sum())
+        return err
+
+    e_seed, e_trained = total_sqerr(seeds), total_sqerr(trained)
+    assert e_trained < e_seed
+    # every trained codebook keeps the right geometry
+    assert len(trained) == 8 and all(
+        len(cb) == 16 and all(len(c) == PQ_SUB_DIM for c in cb) for cb in trained
+    )
