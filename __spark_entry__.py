@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 82 queries (count as of r6 — grep ``def queries`` below for the
+ALL 83 queries (count as of r6 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -77,10 +77,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     split, kmeans step, text stats/langid/quality, token count,
     fingerprint, winnow, corpus pipeline). The four r5-new queries
     (curation capstone, hashed decontamination, media resize, frame
-    sample) STAY in — each has only one green row. The three r6-new
-    queries (q_lm_perplexity, q_pq_encode, q_pq_topk) enter the
-    window with q_binary_meta, q_dedup_docs and q_dedup_ngram (all
-    green r5) moving out to make room. Invariant after this rotation:
+    sample) STAY in — each has only one green row. The four r6-new
+    queries (q_lm_perplexity, q_pq_encode, q_pq_topk,
+    q_weighted_sample) enter the window with q_binary_meta,
+    q_dedup_docs, q_dedup_ngram and q_redact_pii (all green r5)
+    moving out to make room. Invariant after this rotation:
     every out-of-window query's latest driver row is r4 or r5;
     nothing is older than one rotation cycle."""
     return {
@@ -141,7 +142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
         "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
         "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
-        "q_redact_pii": _q(["documents"], text.q_redact_pii),
+        # r6-new: temperature-weighted deterministic corpus sampler
+        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
         "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
@@ -170,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_binary_meta": _q(["documents"], q_binary_meta),
         "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
         "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
+        "q_redact_pii": _q(["documents"], text.q_redact_pii),
         "q_region_supplier": _q(
             ["supplier", "nation", "region"], relational.q_region_supplier
         ),
@@ -1230,6 +1233,50 @@ def oracle_sql() -> dict[str, str]:
                            / src_tokens, 6)
                    END AS mix_weight
             FROM agg
+        """,
+        "q_weighted_sample": f"""
+            WITH agg AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len({toks})) AS BIGINT) AS src_tokens
+              FROM documents GROUP BY source
+            ),
+            s1 AS (
+              SELECT source, n_docs, src_tokens,
+                     CAST(src_tokens AS DOUBLE)
+                       / CAST(sum(src_tokens) OVER () AS DOUBLE) AS share
+              FROM agg
+            ),
+            s2 AS (
+              SELECT *, pow(share, 0.7) AS powed FROM s1
+            ),
+            rates AS (
+              SELECT source, n_docs, src_tokens,
+                     CASE WHEN src_tokens > 0 THEN
+                       round(least(1.0,
+                         0.5 * powed / sum(powed) OVER () / share), 6)
+                     ELSE 0.0 END AS sample_rate
+              FROM s2
+            ),
+            per_doc AS (
+              SELECT source,
+                     ('0x' || substr({fp}, 1, 8))::BIGINT AS bucket,
+                     CAST(len({toks}) AS BIGINT) AS n_toks
+              FROM documents
+            )
+            SELECT p.source,
+                   CAST(min(r.n_docs) AS BIGINT) AS n_docs,
+                   CAST(min(r.src_tokens) AS BIGINT) AS src_tokens,
+                   min(r.sample_rate) AS sample_rate,
+                   CAST(sum(CASE WHEN CAST(p.bucket AS DOUBLE)
+                                      < r.sample_rate * 4294967296.0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+                   CAST(sum(CASE WHEN CAST(p.bucket AS DOUBLE)
+                                      < r.sample_rate * 4294967296.0
+                                 THEN p.n_toks ELSE 0 END) AS BIGINT)
+                     AS sampled_tokens
+            FROM per_doc p JOIN rates r USING (source)
+            GROUP BY p.source
+            ORDER BY p.source
         """,
         "q_decontaminate": r"""
             WITH toked AS (

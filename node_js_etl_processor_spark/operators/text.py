@@ -803,6 +803,90 @@ def q_source_mix(documents: DataFrame) -> DataFrame:
     )
 
 
+def q_weighted_sample(
+    documents: DataFrame, temperature: float = 0.7, budget_frac: float = 0.5
+) -> DataFrame:
+    """Temperature-weighted corpus sampling, executed: compute each
+    source's token share, rescale shares by ``share^T`` (the
+    exponent-smoothing mixing knob — T<1 flattens the distribution
+    toward uniform, upweighting small sources; T=1 is proportional;
+    cf. the α-smoothed multilingual sampling rule of Conneau &
+    Lample, NeurIPS 2019, α=0.7 here), size each source's token
+    budget to ``budget_frac`` of the corpus, and then actually SAMPLE
+    documents with a deterministic
+    content-hash Bernoulli at the per-source rate. Output: per-source
+    target rate and realized doc/token counts. Fully oracle-checked.
+
+    Complements ``q_source_mix`` (which reports uniform-rebalance
+    weights but samples nothing): this is the operator that turns mix
+    weights into a concrete keep-set. Content-hash sampling (same
+    md5-bucket device as ``split_assign``) keeps byte-identical
+    duplicates together and makes the sample reshuffle-free
+    reproducible — rerun on any cluster size selects the same docs.
+
+    Determinism contract: the rate is rounded to 6 digits in both
+    engines BEFORE the keep comparison (pow/window-sum drift lives
+    beyond 1e-12; the decision boundary moves identically on both
+    sides), and the comparison is hash-bucket < rate·2^32 on exact
+    uint32 buckets.
+
+    Scale shape: one partial-aggregated groupBy builds the per-source
+    frame; the share/pow/normalize windows run over that AGGREGATED
+    frame (one row per source); the tiny rate table broadcasts back
+    onto the corpus for the keep decision; one final partial agg.
+    """
+    from pyspark.sql.window import Window
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    agg = spread(documents).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("src_tokens"),
+    )
+    w = Window.partitionBy()
+    share = F.col("src_tokens").cast("double") / F.sum("src_tokens").over(w)
+    s1 = agg.select("source", "n_docs", "src_tokens", share.alias("share"))
+    powed = F.pow(F.col("share"), float(temperature))
+    s2 = s1.select("*", powed.alias("powed"))
+    rate = F.when(
+        F.col("src_tokens") > 0,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac) * F.col("powed") / F.sum("powed").over(w)
+                / F.col("share"),
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    rates = s2.select("source", "n_docs", "src_tokens", rate.alias("sample_rate"))
+
+    bucket = F.conv(F.substring(fingerprint(F.col("text")), 1, 8), 16, 10).cast(
+        "bigint"
+    )
+    per_doc = documents.select(
+        "source",
+        bucket.alias("bucket"),
+        token_count(F.col("text")).alias("n_toks"),
+    )
+    joined = per_doc.join(F.broadcast(rates), "source")
+    kept = (F.col("bucket").cast("double")
+            < F.col("sample_rate") * F.lit(4294967296.0))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.first("n_docs").alias("n_docs"),
+            F.first("src_tokens").alias("src_tokens"),
+            F.first("sample_rate").alias("sample_rate"),
+            F.sum(kept.cast("bigint")).alias("n_sampled"),
+            F.sum(F.when(kept, F.col("n_toks")).otherwise(F.lit(0))).alias(
+                "sampled_tokens"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def span_positions(toks: Column, n: int = 5) -> Column:
     """All ``n``-token spans of a document IN POSITION ORDER, with
     multiplicity (unlike ``dedup.shingles_from_tokens``, which

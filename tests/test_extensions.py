@@ -818,3 +818,39 @@ def test_pq_encoding_and_adc_on_crafted_vectors(spark):
     # determinism: identical re-run
     again = {r["vec_id"]: r["pq_code"] for r in pq_encode(emb).collect()}
     assert again == {k: r["pq_code"] for k, r in got.items()}
+
+
+def test_weighted_sample_temperature_behavior(spark):
+    """Temperature semantics of q_weighted_sample: at T=1 every source
+    gets exactly the budget fraction as its rate (proportional
+    sampling); at T<1 smaller sources get strictly higher rates than
+    bigger ones (the upweighting the knob exists for); identical texts
+    always sample identically (content-hash keyed)."""
+    from node_js_etl_processor_spark.operators.text import q_weighted_sample
+
+    rows = []
+    did = 0
+    for i in range(40):  # big source: 40 docs x 8 tokens
+        rows.append((did, "tok%d a b c d e f g" % i, "en", "big", 0)); did += 1
+    for i in range(5):  # small source: 5 docs x 8 tokens
+        rows.append((did, "s%d h i j k l m n" % i, "en", "small", 0)); did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    t1 = {r["source"]: r["sample_rate"] for r in q_weighted_sample(docs, temperature=1.0).collect()}
+    assert t1["big"] == t1["small"] == 0.5
+
+    t07 = {r["source"]: r["sample_rate"] for r in q_weighted_sample(docs).collect()}
+    assert t07["small"] > t07["big"]
+
+    # dup texts share the bucket: duplicate the whole small source and
+    # the kept doc count must exactly double
+    dup = docs.union(
+        docs.filter(F.col("source") == "small").withColumn(
+            "doc_id", F.col("doc_id") + 1000
+        )
+    )
+    base = {r["source"]: r["n_sampled"] for r in q_weighted_sample(docs, temperature=1.0).collect()}
+    doubled = {r["source"]: r["n_sampled"] for r in q_weighted_sample(dup, temperature=1.0).collect()}
+    assert doubled["small"] == 2 * base["small"]
