@@ -738,6 +738,7 @@ def _pq_sub_dists(sub: Column, cb: list[list[float]]) -> Column:
 def pq_encode(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]] | None = None,
+    use_arrow_kernel: bool = True,
 ) -> DataFrame:
     """Encode every embedding to its PQ codes: per subspace, the index
     of the nearest codeword (first-min tie rule — identical in Spark's
@@ -746,10 +747,87 @@ def pq_encode(
     ``codes`` array (ADC scoring consumes it) plus the packed 4-bit
     ``pq_code`` bigint — the compact form a layout would store.
 
-    Scale: one narrow codegen projection, no shuffle, no UDF; at
-    ingest the (vec_id, pq_code) table is 12 bytes/row and replaces
-    the raw vectors for candidate generation.
+    Two kernels, the k-means precedent applied to encoding: the
+    default is an Arrow mapInPandas pass (``use_arrow_kernel=False``
+    selects the pure-Column reference form, pinned bit-identical by
+    test) — the Column form evaluates n_sub×k interpreted
+    higher-order dot folds per row (HOFs never reach codegen), which
+    made inline encode the suite's slowest step; the numpy kernel
+    vectorizes the same arithmetic in the same order (cumsum-ordered
+    dots, (dot·-2)+‖c‖² distance form, first-min argmin).
+
+    Scale: one narrow pass either way, no shuffle; at ingest the
+    (vec_id, pq_code) table is 12 bytes/row and replaces the raw
+    vectors for candidate generation.
     """
+    if use_arrow_kernel:
+        return _pq_encode_numpy(embeddings, codebooks)
+    return _pq_encode_jvm(embeddings, codebooks)
+
+
+def _pq_encode_numpy(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Arrow-batched twin of ``_pq_encode_jvm`` — bit-for-bit parity
+    engineered the same way as ``_kmeans_partials_numpy``: per-dim
+    dot products via cumsum (the JVM left fold), distances as
+    ``(dot * -2.0) + cc`` in that exact op order, first-min argmin
+    (np.argmin ↔ array_position of array_min)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    cbs = codebooks if codebooks is not None else _pq_codebooks()
+    cmats = [np.asarray(cb, dtype=np.float64) for cb in cbs]
+    ccs = [np.array([float(sum(v * v for v in c)) for c in cb]) for cb in cbs]
+    n_sub = len(cbs)
+    out_schema = StructType(
+        list(embeddings.schema.fields)
+        + [
+            StructField("codes", ArrayType(IntegerType(), False), False),
+            StructField("pq_code", LongType(), False),
+        ]
+    )
+    in_cols = embeddings.columns
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((m.shape[0], n_sub), dtype=np.int64)
+            for s in range(n_sub):
+                sub = m[:, s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM]
+                k = cmats[s].shape[0]
+                d = np.empty((m.shape[0], k), dtype=np.float64)
+                for j in range(k):
+                    dot_j = np.cumsum(sub * cmats[s][j], axis=1)[:, -1]
+                    d[:, j] = (dot_j * -2.0) + ccs[s][j]
+                codes[:, s] = d.argmin(axis=1)  # first-min, same tie rule
+            packed = (codes << (4 * np.arange(n_sub))).sum(axis=1)
+            out = pdf[in_cols].copy()
+            out["codes"] = [row.astype(np.int32) for row in codes]
+            out["pq_code"] = packed
+            yield out
+
+    return spread(embeddings).mapInPandas(encode, out_schema)
+
+
+def _pq_encode_jvm(
+    embeddings: DataFrame,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Pure-Column reference form of the PQ encoding (the expression
+    the DuckDB oracle mirrors term for term)."""
     from node_js_etl_processor_spark.catalog import spread
 
     cbs = codebooks if codebooks is not None else _pq_codebooks()

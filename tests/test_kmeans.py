@@ -184,3 +184,28 @@ def test_pq_train_reduces_quantization_error(spark, sf_dir):
     assert len(trained) == 8 and all(
         len(cb) == 16 and all(len(c) == PQ_SUB_DIM for c in cb) for cb in trained
     )
+
+
+def test_pq_encode_kernels_bit_identical(spark, sf_dir):
+    """The Arrow PQ-encode kernel must be BIT-IDENTICAL to the
+    pure-Column reference form on the fixture — same codes, same
+    packed values — for both the deterministic seed codebooks and a
+    trained set (the kmeans-kernel parity discipline applied to
+    encoding)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for cbs in (None, pq_train(emb, max_iters=2)):
+        a = sorted(
+            (r["vec_id"], tuple(r["codes"]), r["pq_code"])
+            for r in pq_encode(emb, codebooks=cbs, use_arrow_kernel=True).collect()
+        )
+        b = sorted(
+            (r["vec_id"], tuple(r["codes"]), r["pq_code"])
+            for r in pq_encode(emb, codebooks=cbs, use_arrow_kernel=False).collect()
+        )
+        assert a == b and len(a) > 0
