@@ -161,6 +161,17 @@ def main() -> None:
                           lambda: similarity.semdedup(emb10)),
         "q_curation_pipeline": (lambda: text.q_curation_pipeline(docs1),
                                 lambda: text.q_curation_pipeline(docs10)),
+        # r6-new operators: LM perplexity (two corpus passes + bcast
+        # vocab join), temperature sampler (aggregated-frame windows),
+        # PQ encode (Arrow kernel) and inline-ADC top-k
+        "q_lm_perplexity": (lambda: text.q_lm_perplexity(docs1),
+                            lambda: text.q_lm_perplexity(docs10)),
+        "q_weighted_sample": (lambda: text.q_weighted_sample(docs1),
+                              lambda: text.q_weighted_sample(docs10)),
+        "q_pq_encode": (lambda: similarity.q_pq_encode(emb1),
+                        lambda: similarity.q_pq_encode(emb10)),
+        "q_pq_topk": (lambda: similarity.q_pq_topk(emb1),
+                      lambda: similarity.q_pq_topk(emb10)),
     }
 
     results = {}
