@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 83 queries (count as of r6 — grep ``def queries`` below for the
+ALL 84 queries (count as of r6 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -77,11 +77,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     split, kmeans step, text stats/langid/quality, token count,
     fingerprint, winnow, corpus pipeline). The four r5-new queries
     (curation capstone, hashed decontamination, media resize, frame
-    sample) STAY in — each has only one green row. The four r6-new
-    queries (q_lm_perplexity, q_pq_encode, q_pq_topk,
+    sample) STAY in — each has only one green row. The five r6-new
+    queries (q_lm_perplexity, q_pq_encode, q_pq_topk, q_ivfpq_topk,
     q_weighted_sample) enter the window with q_binary_meta,
-    q_dedup_docs, q_dedup_ngram and q_redact_pii (all green r5)
-    moving out to make room. Invariant after this rotation:
+    q_dedup_docs, q_dedup_ngram, q_redact_pii and q_gopher_rules
+    (all green r5) moving out to make room. Invariant after this rotation:
     every out-of-window query's latest driver row is r4 or r5;
     nothing is older than one rotation cycle."""
     return {
@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
         "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
         "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
+        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
         # LLM-pipeline tail + dedup trio, rotated into the window in r3
         "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
         "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
@@ -141,7 +142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
         "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
         "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
-        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
         # r6-new: temperature-weighted deterministic corpus sampler
         "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
         "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
         "q_redact_pii": _q(["documents"], text.q_redact_pii),
+        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
         "q_region_supplier": _q(
             ["supplier", "nation", "region"], relational.q_region_supplier
         ),
@@ -1021,6 +1022,36 @@ def oracle_sql() -> dict[str, str]:
                          for s in range(8)
                      )}
               FROM embeddings WHERE vec_id <> 0
+            )
+            SELECT coded.vec_id,
+                   round({" + ".join(
+                       _pq_adc_sql("p.embedding", s) for s in range(8)
+                   )}, 6) AS adc_dot
+            FROM coded, probe p
+            ORDER BY adc_dot DESC, coded.vec_id ASC
+            LIMIT 10
+        """,
+        "q_ivfpq_topk": f"""
+            WITH assigned AS (
+              SELECT vec_id, embedding,
+                     list_position(s, list_aggregate(s, 'max')) - 1 AS cell
+              FROM (SELECT *, {_ivf_scores_sql('embedding')} AS s FROM embeddings)
+            ),
+            probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            probe_cells AS (
+              SELECT i - 1 AS cell
+              FROM (SELECT unnest({_ivf_scores_sql('(SELECT embedding FROM probe)')}) AS sc,
+                           generate_subscripts({_ivf_scores_sql('(SELECT embedding FROM probe)')}, 1) AS i)
+              ORDER BY sc DESC LIMIT 2
+            ),
+            coded AS (
+              SELECT vec_id,
+                     {", ".join(
+                         f"{_pq_code_sql('embedding', s)} AS c{s}"
+                         for s in range(8)
+                     )}
+              FROM assigned
+              WHERE cell IN (SELECT cell FROM probe_cells) AND vec_id <> 0
             )
             SELECT coded.vec_id,
                    round({" + ".join(

@@ -983,3 +983,20 @@ def pq_train(
             )
         )
     return cbs
+
+
+def q_ivfpq_topk(embeddings: DataFrame, k: int = 10) -> DataFrame:
+    """Declared query: the full inline IVFADC composition (Jégou et
+    al. 2011 §V) under the oracle gate — coarse IVF cells prune the
+    corpus to the probe's 2 nearest cells, then ADC scores the
+    survivors from their PQ codes. Fully oracle-checked: the DuckDB
+    SQL re-derives cell assignment, probe-cell choice, per-subspace
+    code assignment AND the ADC sum from the same centroid/codebook
+    literals, so every stage of the composition is differentially
+    verified in one query. The layout-fed production form is
+    ``sources.similarity_layout.ivfpq_probe`` (stored codes,
+    partition-pruned, codes-only scan)."""
+    probe = _probe_vector(embeddings, 0)
+    cells = probe_cell_set(probe, 8, 2)
+    cand = ivf_assign(embeddings, 8).filter(F.col("cell").isin(cells)).drop("cell")
+    return pq_adc_topk(cand, probe, k=k, exclude_vec_id=0)
