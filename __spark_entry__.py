@@ -64,95 +64,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared queries, ORDERED BY CHECKABILITY: the driver records
     correctness rows for the first 50 entries. ALL queries are
     oracle-paired; entries outside the window are still covered by the
-    full local parity gate (tests/test_oracle_parity.py). r6 rotation:
-    the 16 relational/window/scalar queries whose last driver row was
-    r1/r2 (semi_exists, grouping_sets, distinct_agg, window_rank_funcs,
-    set_ops, cube, window_lag, scalar_math, string_funcs, stats_agg,
-    explode_words, unpivot, collect_agg, null_safe_join, argmax_agg,
-    scalar_subquery) moved INTO the window — r4 proved environment
-    drift alone can break long-green queries, and 3-4 rounds without a
-    driver row was the weakest link in the evidence chain. 16 r5-green
-    LLM-family queries moved out (repetition/C4 rules, decontaminate,
-    source mix, semdedup, span dedup, quality classifier, stratified
-    split, kmeans step, text stats/langid/quality, token count,
-    fingerprint, winnow, corpus pipeline). The four r5-new queries
-    (curation capstone, hashed decontamination, media resize, frame
-    sample) STAY in — each has only one green row. The five r6-new
-    queries (q_lm_perplexity, q_pq_encode, q_pq_topk, q_ivfpq_topk,
-    q_weighted_sample) enter the window with q_binary_meta,
-    q_dedup_docs, q_dedup_ngram, q_redact_pii and q_gopher_rules
-    (all green r5) moving out to make room. Invariant after this rotation:
-    every out-of-window query's latest driver row is r4 or r5;
-    nothing is older than one rotation cycle."""
+    full local parity gate (tests/test_oracle_parity.py). r7 rotation:
+    ALL 34 out-of-window queries were stale (13 last green r4 — the
+    relational batch rotated out in r5 — and 21 last green r5 — the
+    LLM family rotated out in r6), and 34 + the must-stay queries fit
+    the 50-slot window, so every stale query rotates IN this round.
+    Staying in: the five r6-new queries (q_lm_perplexity, q_pq_encode,
+    q_pq_topk, q_ivfpq_topk, q_weighted_sample — q_ivfpq_topk switches
+    to residual encoding in r7 and needs a green row for the new form)
+    plus 11 diverse r6-green anchors, one per operator family
+    (q_agg_pricing, q_join_enrich, q_asof_join, q_sessionize,
+    q_curation_pipeline, q_bm25, q_similarity_topk, q_dedup_minhash,
+    q_dedup_clusters, q_chunk_pack_pipeline, q_multimodal_features).
+    34 r6-green queries move out. Invariant after this rotation:
+    every query's latest driver row is r6 or r7 — nothing older than
+    one rotation cycle, and the full registry alternates r-even/r-odd
+    halves from here on."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
-        # reference-operator surface (SURVEY.md §2a/§2b)
-        "q_filter_required": _q(["orders"], relational.q_filter_required),
-        "q_clean_project": _q(["customer"], relational.q_clean_project),
-        "q_array_transform": _q(["part"], relational.q_array_transform),
-        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
-        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
-        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
-        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
-        "q_date_buckets": _q(["events"], relational.q_date_buckets),
-        "q_json_props": _q(["events"], relational.q_json_props),
-        "q_asof_join": _q(["events"], temporal.q_asof_join),
-        "q_range_join": _q(["events"], temporal.q_range_join),
-        "q_window_range": _q(["events"], temporal.q_window_range),
-        "q_sessionize": _q(["events"], sessionize.q_sessionize),
-        # r1/r2-stale relational/window/scalar family, rotated INTO the
-        # window in r6 (last driver rows were r1/r2 — refresh evidence)
-        "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
-        "q_stats_agg": _q(["customer"], relational.q_stats_agg),
-        "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
-        "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
-        "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
-        "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
-        "q_cube": _q(["orders"], relational.q_cube),
-        "q_window_lag": _q(["events"], relational.q_window_lag),
-        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
-        "q_string_funcs": _q(["part"], relational.q_string_funcs),
-        "q_unpivot": _q(["orders"], relational.q_unpivot),
-        "q_collect_agg": _q(["orders"], relational.q_collect_agg),
-        "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
-        "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
-        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
-        "q_explode_words": _q(["part"], relational.q_explode_words),
-        # r5-new: the full curation capstone (gate→chunk→dedup→pack),
-        # the hashed decontamination scale path, and the multimodal
-        # resize / frame-sample passes (one green row each — stay in)
-        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
-        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
-        "q_media_resize": _q(["documents"], q_media_resize),
-        "q_frame_sample": _q(["documents"], q_frame_sample),
-        # north-star extensions with full oracles
-        "q_bm25": _q(["documents"], text.q_bm25),
-        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
-        # r6-new: CCNet-style perplexity bucketing (unigram corpus LM)
-        # + product-quantization encode / ADC search (Jégou 2011)
-        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
-        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
-        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
-        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
-        # LLM-pipeline tail + dedup trio, rotated into the window in r3
-        "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
-        "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
-        "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
-        "q_multimodal_features": _q(["documents"], q_multimodal_features),
-        "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
-        "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
-        "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
-        # r6-new: temperature-weighted deterministic corpus sampler
-        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
-        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
-        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
-        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
-        # ---- oracle-paired but outside the 50-entry driver window ----
-        # (all covered by the local parity gate in tests/; every one is
-        # driver-green no older than r4 — r4 for the relational batch
-        # rotated out in r5, r5 for the LLM family rotated out in r6 —
-        # and each has an in-window family sibling exercising the same
-        # operator class)
+        # r4-stale relational batch, rotated back IN (last rows r4)
+        "q_union_sources": _q(["customer"], relational.q_union_sources),
+        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
+        "q_semi_anti": _q(["customer", "orders"], relational.q_semi_anti),
+        "q_rollup": _q(["orders"], relational.q_rollup),
+        "q_window_topk": _q(["customer"], relational.q_window_topk),
+        "q_sort_limit": _q(["orders"], relational.q_sort_limit),
+        "q_region_supplier": _q(
+            ["supplier", "nation", "region"], relational.q_region_supplier
+        ),
+        "q_pivot": _q(["orders"], relational.q_pivot),
+        "q_shipping_priority": _q(
+            ["customer", "orders", "lineitem"], relational.q_shipping_priority
+        ),
+        "q_percentiles": _q(["lineitem"], relational.q_percentiles),
+        "q_sample_hash": _q(["orders"], relational.q_sample_hash),
+        "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
+        "q_approx_distinct": _q(["orders"], relational.q_approx_distinct),
+        # r5-stale LLM/text/similarity family, rotated back IN (last r5)
         "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
         "q_decontaminate": _q(["documents"], text.q_decontaminate),
         "q_source_mix": _q(["documents"], text.q_source_mix),
@@ -174,23 +122,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
         "q_redact_pii": _q(["documents"], text.q_redact_pii),
         "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
-        "q_region_supplier": _q(
-            ["supplier", "nation", "region"], relational.q_region_supplier
-        ),
-        "q_pivot": _q(["orders"], relational.q_pivot),
-        "q_shipping_priority": _q(
-            ["customer", "orders", "lineitem"], relational.q_shipping_priority
-        ),
-        "q_percentiles": _q(["lineitem"], relational.q_percentiles),
-        "q_approx_distinct": _q(["orders"], relational.q_approx_distinct),
-        "q_sample_hash": _q(["orders"], relational.q_sample_hash),
-        "q_semi_anti": _q(["customer", "orders"], relational.q_semi_anti),
-        "q_sort_limit": _q(["orders"], relational.q_sort_limit),
-        "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
-        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
-        "q_union_sources": _q(["customer"], relational.q_union_sources),
-        "q_rollup": _q(["orders"], relational.q_rollup),
-        "q_window_topk": _q(["customer"], relational.q_window_topk),
+        # r6-new queries, staying in for a second driver row —
+        # q_ivfpq_topk carries the r7 residual-encoding form
+        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
+        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
+        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
+        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
+        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
+        # r6-green anchors, one per operator family
+        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
+        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
+        "q_asof_join": _q(["events"], temporal.q_asof_join),
+        "q_sessionize": _q(["events"], sessionize.q_sessionize),
+        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
+        "q_bm25": _q(["documents"], text.q_bm25),
+        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
+        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
+        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
+        "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
+        "q_multimodal_features": _q(["documents"], q_multimodal_features),
+        # ---- oracle-paired but outside the 50-entry driver window ----
+        # (all green r6; covered every round by the local parity gate
+        # in tests/test_oracle_parity.py)
+        "q_filter_required": _q(["orders"], relational.q_filter_required),
+        "q_clean_project": _q(["customer"], relational.q_clean_project),
+        "q_array_transform": _q(["part"], relational.q_array_transform),
+        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
+        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
+        "q_date_buckets": _q(["events"], relational.q_date_buckets),
+        "q_json_props": _q(["events"], relational.q_json_props),
+        "q_range_join": _q(["events"], temporal.q_range_join),
+        "q_window_range": _q(["events"], temporal.q_window_range),
+        "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
+        "q_stats_agg": _q(["customer"], relational.q_stats_agg),
+        "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
+        "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
+        "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
+        "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
+        "q_cube": _q(["orders"], relational.q_cube),
+        "q_window_lag": _q(["events"], relational.q_window_lag),
+        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
+        "q_string_funcs": _q(["part"], relational.q_string_funcs),
+        "q_unpivot": _q(["orders"], relational.q_unpivot),
+        "q_collect_agg": _q(["orders"], relational.q_collect_agg),
+        "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
+        "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
+        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
+        "q_explode_words": _q(["part"], relational.q_explode_words),
+        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
+        "q_media_resize": _q(["documents"], q_media_resize),
+        "q_frame_sample": _q(["documents"], q_frame_sample),
+        "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
+        "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
+        "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
+        "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
+        "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
+        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
     }
 
 
