@@ -212,17 +212,18 @@ def _ivf_scores_sql(col: str) -> str:
     ) + "]"
 
 
-def _pq_code_sql(col: str, s: int) -> str:
+def _pq_code_sql(col: str, s: int, codebooks=None) -> str:
     """PQ code of subspace ``s`` as SQL: distance list against the
     same codebook literals in the same argmin-equivalent form as
     similarity._pq_sub_dists (dot·(-2) + ||c||², first-min tie), so
-    the encoding is cross-checked bit for bit."""
+    the encoding is cross-checked bit for bit. ``codebooks`` selects
+    the quantizer (flat default; residual for the IVFADC oracle)."""
     from node_js_etl_processor_spark.operators.similarity import (
         PQ_SUB_DIM,
         _pq_codebooks,
     )
 
-    cb = _pq_codebooks()[s]
+    cb = (codebooks if codebooks is not None else _pq_codebooks())[s]
     lo = s * PQ_SUB_DIM + 1
     sub = f"(CAST({col} AS DOUBLE[]))[{lo}:{lo + PQ_SUB_DIM - 1}]"
     dists = "[" + ",".join(
@@ -233,20 +234,32 @@ def _pq_code_sql(col: str, s: int) -> str:
     return f"(list_position({dists}, list_min({dists})) - 1)"
 
 
-def _pq_adc_sql(probe_col: str, s: int) -> str:
+def _pq_adc_sql(probe_col: str, s: int, codebooks=None) -> str:
     """ADC contribution of subspace ``s``: <probe_s, codebook[code_s]>
     — the codebook as a SQL list-of-lists literal indexed by the code
-    (1-based), the probe sliced from the probe CTE row."""
+    (1-based), the probe sliced from the probe CTE row. The probe is
+    NOT residualized in the IVFADC oracle — the residual decomposition
+    moves the centroid term into _ivfpq_cell_const_sql instead,
+    mirroring similarity.ivfpq_adc_topk."""
     from node_js_etl_processor_spark.operators.similarity import (
         PQ_SUB_DIM,
         _pq_codebooks,
     )
 
-    cb = _pq_codebooks()[s]
+    cb = (codebooks if codebooks is not None else _pq_codebooks())[s]
     lo = s * PQ_SUB_DIM + 1
     p_sub = f"(CAST({probe_col} AS DOUBLE[]))[{lo}:{lo + PQ_SUB_DIM - 1}]"
     cb_lit = "[" + ",".join(_sql_arr(c) for c in cb) + "]"
     return f"list_dot_product({p_sub}, ({cb_lit})[c{s} + 1])"
+
+
+def _ivf_cents_sql() -> str:
+    """The 8 deterministic IVF centroids as one SQL list-of-lists
+    literal (indexed by cell+1 for residual subtraction and the ADC
+    cell constant)."""
+    from node_js_etl_processor_spark.operators.similarity import _ivf_centroids
+
+    return "[" + ",".join(_sql_arr(c) for c in _ivf_centroids(8)) + "]"
 
 
 def _kmeans_step_sql() -> str:
@@ -383,6 +396,11 @@ def _simhash_sigs_cte() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from node_js_etl_processor_spark.operators.similarity import (
+        _pq_residual_codebooks,
+    )
+
+    _RESID_CBS = _pq_residual_codebooks()
     fp = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
     toks = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
     return {
@@ -1018,6 +1036,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY adc_dot DESC, coded.vec_id ASC
             LIMIT 10
         """,
+        # Residual IVFADC (Jégou 2011 §V): the oracle re-derives the
+        # residual r = y − centroid(cell) elementwise, encodes r with
+        # the RESIDUAL codebook literals, and scores
+        # <probe, centroid(cell)> + Σ_s lut_s[code_s] — every stage of
+        # similarity.ivfpq_adc_topk differentially verified.
         "q_ivfpq_topk": f"""
             WITH assigned AS (
               SELECT vec_id, embedding,
@@ -1031,18 +1054,27 @@ def oracle_sql() -> dict[str, str]:
                            generate_subscripts({_ivf_scores_sql('(SELECT embedding FROM probe)')}, 1) AS i)
               ORDER BY sc DESC LIMIT 2
             ),
-            coded AS (
-              SELECT vec_id,
-                     {", ".join(
-                         f"{_pq_code_sql('embedding', s)} AS c{s}"
-                         for s in range(8)
-                     )}
+            resid AS (
+              SELECT vec_id, cell,
+                     list_transform(range(1, 65), i ->
+                         (CAST(embedding AS DOUBLE[]))[i]
+                         - ({_ivf_cents_sql()})[cell + 1][i]) AS r
               FROM assigned
               WHERE cell IN (SELECT cell FROM probe_cells) AND vec_id <> 0
+            ),
+            coded AS (
+              SELECT vec_id, cell,
+                     {", ".join(
+                         f"{_pq_code_sql('r', s, _RESID_CBS)} AS c{s}"
+                         for s in range(8)
+                     )}
+              FROM resid
             )
             SELECT coded.vec_id,
-                   round({" + ".join(
-                       _pq_adc_sql("p.embedding", s) for s in range(8)
+                   round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                          ({_ivf_cents_sql()})[coded.cell + 1])
+                         + {" + ".join(
+                       _pq_adc_sql("p.embedding", s, _RESID_CBS) for s in range(8)
                    )}, 6) AS adc_dot
             FROM coded, probe p
             ORDER BY adc_dot DESC, coded.vec_id ASC

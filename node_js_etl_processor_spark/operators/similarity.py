@@ -138,10 +138,12 @@ def score_topk(
     p = F.array(*[F.lit(float(x)) for x in probe])
     if exclude_vec_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_vec_id)
+    # label is passed through when present, not required — layouts
+    # written from a bare (vec_id, embedding) frame score fine
+    id_cols = ["vec_id"] + (["label"] if "label" in cand.columns else [])
     return (
         cand.select(
-            "vec_id",
-            "label",
+            *id_cols,
             F.round(
                 cosine_similarity(F.col("embedding").cast("array<double>"), p), 6
             ).alias("cosine"),
@@ -706,18 +708,55 @@ PQ_SUB_DIM = DIM // PQ_N_SUB
 PQ_K = 16
 
 
+def _pq_geometry(n_sub: int, k: int, sub_dim: int | None = None) -> int:
+    """Validate PQ geometry and return the derived sub_dim. Non-default
+    shapes fail LOUDLY here instead of silently truncating dimensions
+    (n_sub·sub_dim must tile DIM exactly) or overflowing the 4-bit
+    nibbles of the packed pq_code (k must fit a nibble)."""
+    if sub_dim is None:
+        sub_dim = DIM // n_sub
+    if n_sub * sub_dim != DIM:
+        raise ValueError(
+            f"PQ geometry n_sub={n_sub} × sub_dim={sub_dim} != DIM={DIM}"
+        )
+    if k > 16:
+        raise ValueError(f"PQ k={k} > 16 overflows the 4-bit packed pq_code")
+    return sub_dim
+
+
 def _pq_codebooks(
-    n_sub: int = PQ_N_SUB, k: int = PQ_K, sub_dim: int = PQ_SUB_DIM
+    n_sub: int = PQ_N_SUB, k: int = PQ_K, sub_dim: int | None = None, seed: int = 0xD7
 ) -> list[list[list[float]]]:
     """Deterministic per-subspace codebooks (the splitmix64 generator
     behind _ivf_centroids, one distinct seed per subspace). Production
     PQ trains each subspace codebook with k-means over the sliced
     corpus (Jégou, Douze & Schmid, "Product quantization for nearest
     neighbor search", TPAMI 2011 §III) — the deterministic seeds keep
-    the declared queries reproducible, same judgment as IVF."""
+    the declared queries reproducible, same judgment as IVF.
+    sub_dim is DERIVED from n_sub (and validated) unless given."""
+    sub_dim = _pq_geometry(n_sub, k, sub_dim)
     return [
-        _ivf_centroids(k, dim=sub_dim, seed=0xD7 + 131 * s) for s in range(n_sub)
+        _ivf_centroids(k, dim=sub_dim, seed=seed + 131 * s) for s in range(n_sub)
     ]
+
+
+def _pq_residual_codebooks(
+    n_sub: int = PQ_N_SUB, k: int = PQ_K
+) -> list[list[list[float]]]:
+    """Deterministic codebooks for the RESIDUAL quantizer of the IVFADC
+    path (Jégou et al. 2011 §V: the product quantizer encodes
+    y − q₁(y), not y, and is shared across all inverted lists). A
+    distinct seed base keeps them independent of the flat-PQ codebooks;
+    production trains them on actual residuals via ``ivfpq_train``."""
+    return _pq_codebooks(n_sub, k, seed=0xE3)
+
+
+def _pq_cb_geometry(cbs: list[list[list[float]]]) -> tuple[int, int]:
+    """(n_sub, sub_dim) of a codebook set, validated against DIM and
+    the nibble packing — every consumer derives slicing from the
+    codebooks themselves, never from module constants."""
+    sub_dim = _pq_geometry(len(cbs), max(len(cb) for cb in cbs), len(cbs[0][0]))
+    return len(cbs), sub_dim
 
 
 def _pq_sub_dists(sub: Column, cb: list[list[float]]) -> Column:
@@ -739,6 +778,7 @@ def pq_encode(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]] | None = None,
     use_arrow_kernel: bool = True,
+    residual_centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Encode every embedding to its PQ codes: per subspace, the index
     of the nearest codeword (first-min tie rule — identical in Spark's
@@ -759,21 +799,29 @@ def pq_encode(
     Scale: one narrow pass either way, no shuffle; at ingest the
     (vec_id, pq_code) table is 12 bytes/row and replaces the raw
     vectors for candidate generation.
+
+    ``residual_centroids`` selects the IVFADC form (Jégou et al. 2011
+    §V): the input must carry a ``cell`` column (``ivf_assign``) and
+    the kernel encodes ``y − centroid[cell]`` instead of ``y`` — the
+    subtraction is fused into the same narrow pass, still no shuffle.
     """
     if use_arrow_kernel:
-        return _pq_encode_numpy(embeddings, codebooks)
-    return _pq_encode_jvm(embeddings, codebooks)
+        return _pq_encode_numpy(embeddings, codebooks, residual_centroids)
+    return _pq_encode_jvm(embeddings, codebooks, residual_centroids)
 
 
 def _pq_encode_numpy(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]] | None = None,
+    residual_centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Arrow-batched twin of ``_pq_encode_jvm`` — bit-for-bit parity
     engineered the same way as ``_kmeans_partials_numpy``: per-dim
     dot products via cumsum (the JVM left fold), distances as
     ``(dot * -2.0) + cc`` in that exact op order, first-min argmin
-    (np.argmin ↔ array_position of array_min)."""
+    (np.argmin ↔ array_position of array_min). The optional residual
+    subtraction is a single elementwise IEEE subtract — identical in
+    numpy, zip_with and the oracle's list_transform."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
@@ -787,9 +835,14 @@ def _pq_encode_numpy(
     from node_js_etl_processor_spark.catalog import spread
 
     cbs = codebooks if codebooks is not None else _pq_codebooks()
+    n_sub, sub_dim = _pq_cb_geometry(cbs)
     cmats = [np.asarray(cb, dtype=np.float64) for cb in cbs]
     ccs = [np.array([float(sum(v * v for v in c)) for c in cb]) for cb in cbs]
-    n_sub = len(cbs)
+    rcents = (
+        np.asarray(residual_centroids, dtype=np.float64)
+        if residual_centroids is not None
+        else None
+    )
     out_schema = StructType(
         list(embeddings.schema.fields)
         + [
@@ -804,9 +857,11 @@ def _pq_encode_numpy(
             if not len(pdf):
                 continue
             m = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if rcents is not None:
+                m = m - rcents[pdf["cell"].to_numpy()]
             codes = np.empty((m.shape[0], n_sub), dtype=np.int64)
             for s in range(n_sub):
-                sub = m[:, s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM]
+                sub = m[:, s * sub_dim : (s + 1) * sub_dim]
                 k = cmats[s].shape[0]
                 d = np.empty((m.shape[0], k), dtype=np.float64)
                 for j in range(k):
@@ -825,21 +880,30 @@ def _pq_encode_numpy(
 def _pq_encode_jvm(
     embeddings: DataFrame,
     codebooks: list[list[list[float]]] | None = None,
+    residual_centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Pure-Column reference form of the PQ encoding (the expression
     the DuckDB oracle mirrors term for term)."""
     from node_js_etl_processor_spark.catalog import spread
 
     cbs = codebooks if codebooks is not None else _pq_codebooks()
+    n_sub, sub_dim = _pq_cb_geometry(cbs)
     emb = F.col("embedding").cast("array<double>")
+    if residual_centroids is not None:
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(v)) for v in c]) for c in residual_centroids]
+        )
+        emb = F.zip_with(
+            emb, F.element_at(cent_arr, F.col("cell") + 1), lambda a, b: a - b
+        )
     in_cols = embeddings.columns
     with_d = spread(embeddings).select(
         "*",
         *[
             _pq_sub_dists(
-                F.slice(emb, s * PQ_SUB_DIM + 1, PQ_SUB_DIM), cbs[s]
+                F.slice(emb, s * sub_dim + 1, sub_dim), cbs[s]
             ).alias(f"_d{s}")
-            for s in range(len(cbs))
+            for s in range(n_sub)
         ],
     )
     # distances bound to columns first: array_position references its
@@ -900,9 +964,10 @@ def pq_adc_score(
     same order. Shared by ``pq_adc_topk`` (inline encode) and the
     layout probe (stored codes — the scan never touches embeddings)."""
     cbs = codebooks if codebooks is not None else _pq_codebooks()
+    _, sub_dim = _pq_cb_geometry(cbs)
     luts = []
     for s, cb in enumerate(cbs):
-        p_sub = probe[s * PQ_SUB_DIM : (s + 1) * PQ_SUB_DIM]
+        p_sub = probe[s * sub_dim : (s + 1) * sub_dim]
         lut = []
         for c in cb:
             acc = 0.0
@@ -965,12 +1030,13 @@ def pq_train(
     ``sample_fraction`` like any coarse quantizer.
     """
     emb = F.col("embedding").cast("array<double>")
+    sub_dim = _pq_geometry(n_sub, k)
     seeds = _pq_codebooks(n_sub, k)
     cbs = []
     for s in range(n_sub):
         sub = embeddings.select(
             "vec_id",
-            F.slice(emb, s * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("embedding"),
+            F.slice(emb, s * sub_dim + 1, sub_dim).alias("embedding"),
         )
         cbs.append(
             kmeans_train(
@@ -985,18 +1051,140 @@ def pq_train(
     return cbs
 
 
+def ivfpq_encode(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+    use_arrow_kernel: bool = True,
+) -> DataFrame:
+    """IVFADC ingest encoding (Jégou et al. 2011 §V): assign each
+    vector to its coarse cell, then PQ-encode the RESIDUAL
+    ``y − centroid(cell)`` with a residual codebook shared across all
+    cells (§V: "the same product quantizer is used for all the
+    inverted lists"). Residuals concentrate near the origin, so a
+    fixed codebook budget spends its codewords on the distribution
+    that actually remains after coarse quantization — that is what
+    keeps ADC recall up as cells shrink at scale.
+
+    One fused narrow pass: cell argmax + subtract + encode, no
+    shuffle. Output = input columns + cell + codes + pq_code."""
+    cents = centroids if centroids is not None else _ivf_centroids(n_cells)
+    assigned = ivf_assign(embeddings, n_cells, centroids=cents)
+    return pq_encode(
+        assigned,
+        codebooks=codebooks if codebooks is not None else _pq_residual_codebooks(),
+        use_arrow_kernel=use_arrow_kernel,
+        residual_centroids=cents,
+    )
+
+
+def ivfpq_cell_const(
+    probe: list[float], centroids: list[list[float]]
+) -> Column:
+    """The per-cell constant of the residual ADC dot decomposition:
+    <x, y> ≈ <x, c_cell + q₂(y − c_cell)> = <x, c_cell> + Σ_s lut_s.
+    Computed driver-side (k doubles — parameters, not data), embedded
+    as a literal array indexed by the row's ``cell`` column; the
+    Python left fold matches list_dot_product, same contract as the
+    ADC luts."""
+    consts = []
+    for c in centroids:
+        acc = 0.0
+        for a, b in zip(probe, c):
+            acc += a * b
+        consts.append(acc)
+    return F.element_at(F.array(*[F.lit(v) for v in consts]), F.col("cell") + 1)
+
+
+def ivfpq_adc_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe_cells: int = 2,
+    exclude_vec_id: int | None = None,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Inline IVFADC search (Jégou et al. 2011 §V, residual form):
+    coarse cells prune the corpus to the probe's nearest cells, then
+    each survivor is scored from its residual codes as
+    <probe, centroid(cell)> + Σ_s lut_s[code_s] with
+    lut_s[j] = <probe_s, residual_codebook_s[j]> — the probe stays
+    unquantized and is NOT residualized (the decomposition moves the
+    centroid term out instead, so one shared lut serves every cell).
+    The layout-fed production twin is
+    ``sources.similarity_layout.ivfpq_probe`` (stored codes)."""
+    cents = centroids if centroids is not None else _ivf_centroids(n_cells)
+    cbs = codebooks if codebooks is not None else _pq_residual_codebooks()
+    cells = probe_cell_set(probe, n_cells, n_probe_cells, centroids=cents)
+    enc = ivfpq_encode(
+        embeddings, n_cells, centroids=cents, codebooks=cbs
+    ).filter(F.col("cell").isin(cells))
+    if exclude_vec_id is not None:
+        enc = enc.filter(F.col("vec_id") != exclude_vec_id)
+    adc = ivfpq_cell_const(probe, cents) + pq_adc_score(
+        F.col("codes"), probe, codebooks=cbs
+    )
+    return (
+        enc.select("vec_id", F.round(adc, 6).alias("adc_dot"))
+        .orderBy(F.col("adc_dot").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def ivfpq_train(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    n_sub: int = PQ_N_SUB,
+    k: int = PQ_K,
+    max_iters: int = 10,
+    tol: float = 1e-3,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Train the residual codebooks the way Jégou et al. 2011 §V
+    prescribes: coarse-assign the (sub)corpus, materialize the
+    residuals ``y − centroid(cell)``, and run per-subspace k-means
+    over THEM (via ``pq_train``) — codewords land where residuals
+    live, not where raw vectors do. Cost is pq_train's (narrow passes
+    + parameter-sized collects); subsample at scale like any
+    quantizer training."""
+    cents = centroids if centroids is not None else _ivf_centroids(n_cells)
+    cent_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
+    resid = ivf_assign(embeddings, n_cells, centroids=cents).select(
+        "vec_id",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.element_at(cent_arr, F.col("cell") + 1),
+            lambda a, b: a - b,
+        ).alias("embedding"),
+    )
+    return pq_train(
+        resid,
+        n_sub=n_sub,
+        k=k,
+        max_iters=max_iters,
+        tol=tol,
+        sample_fraction=sample_fraction,
+    )
+
+
 def q_ivfpq_topk(embeddings: DataFrame, k: int = 10) -> DataFrame:
     """Declared query: the full inline IVFADC composition (Jégou et
     al. 2011 §V) under the oracle gate — coarse IVF cells prune the
     corpus to the probe's 2 nearest cells, then ADC scores the
-    survivors from their PQ codes. Fully oracle-checked: the DuckDB
-    SQL re-derives cell assignment, probe-cell choice, per-subspace
-    code assignment AND the ADC sum from the same centroid/codebook
-    literals, so every stage of the composition is differentially
-    verified in one query. The layout-fed production form is
-    ``sources.similarity_layout.ivfpq_probe`` (stored codes,
+    survivors from the PQ codes of their RESIDUALS
+    ``y − centroid(cell)`` (the published §V form; r6 shipped a
+    raw-vector variant) via the per-cell-constant decomposition of
+    ``ivfpq_adc_topk``. Fully oracle-checked: the DuckDB SQL
+    re-derives cell assignment, probe-cell choice, the residual
+    arithmetic, per-subspace code assignment AND the ADC sum from the
+    same centroid/codebook literals, so every stage of the
+    composition is differentially verified in one query. The
+    layout-fed production form is
+    ``sources.similarity_layout.ivfpq_probe`` (stored residual codes,
     partition-pruned, codes-only scan)."""
     probe = _probe_vector(embeddings, 0)
-    cells = probe_cell_set(probe, 8, 2)
-    cand = ivf_assign(embeddings, 8).filter(F.col("cell").isin(cells)).drop("cell")
-    return pq_adc_topk(cand, probe, k=k, exclude_vec_id=0)
+    return ivfpq_adc_topk(embeddings, probe, k=k, exclude_vec_id=0)

@@ -39,10 +39,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from node_js_etl_processor_spark.operators.similarity import (
+    _ivf_centroids,
+    _pq_residual_codebooks,
     _srp_hyperplanes,
-    ivf_assign,
+    ivfpq_cell_const,
+    ivfpq_encode,
     pq_adc_score,
-    pq_encode,
     probe_cell_set,
     probe_signature_set,
     score_topk,
@@ -56,6 +58,7 @@ def write_ann_layout(
     n_planes: int = 8,
     n_cells: int = 8,
     centroids: list[list[float]] | None = None,
+    pq_codebooks: list[list[list[float]]] | None = None,
 ) -> None:
     """Materialize both similarity layouts under ``path``.
 
@@ -77,11 +80,16 @@ def write_ann_layout(
         f"{path}/by_sig"
     )
     # by_cell carries the PQ codes too — the IVFADC layout (Jégou et
-    # al. 2011 §V): coarse cell for pruning, 4-bit codes for scoring.
-    # Both quantizations are one fused narrow projection at ingest;
-    # an ADC probe then reads (vec_id, codes) from the matching cell
-    # directories only and never deserializes the embedding column.
-    celled = pq_encode(ivf_assign(embeddings, n_cells, centroids=centroids))
+    # al. 2011 §V): coarse cell for pruning, 4-bit RESIDUAL codes
+    # (y − centroid(cell), the published §V form — pass trained
+    # ``pq_codebooks`` from ``ivfpq_train`` in production) for
+    # scoring. Both quantizations are one fused narrow projection at
+    # ingest; an ADC probe then reads (vec_id, codes) from the
+    # matching cell directories only and never deserializes the
+    # embedding column.
+    celled = ivfpq_encode(
+        embeddings, n_cells, centroids=centroids, codebooks=pq_codebooks
+    )
     celled.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(
         f"{path}/by_cell"
     )
@@ -166,28 +174,39 @@ def ivfpq_probe(
     rescore: int | None = None,
     exclude_vec_id: int | None = None,
     centroids: list[list[float]] | None = None,
+    pq_codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVFADC search over the materialized layout (Jégou et al. 2011
     §V): coarse cells prune the file listing (partition filter), then
-    candidates are scored by ADC from the STORED codes — the scan
-    reads (vec_id, codes) only, never the embedding column
-    (plan-tested), so the probe's byte cost is ~4 bytes/vector of the
-    probed cells regardless of dimensionality.
+    candidates are scored by ADC from the STORED residual codes —
+    score = <probe, centroid(cell)> + Σ_s lut_s[code_s], the residual
+    decomposition of ``operators.similarity.ivfpq_adc_topk`` (cell is
+    the partition column, read from directory names, not file bytes).
+    The scan reads (vec_id, cell, codes) only, never the embedding
+    column (plan-tested), so the probe's byte cost is ~4 bytes/vector
+    of the probed cells regardless of dimensionality.
+
+    Pass the SAME ``centroids`` / ``pq_codebooks`` the layout was
+    written with (``write_ann_layout``), or codes and luts disagree.
 
     ``rescore=R`` adds the standard exact-rescore tail: the top R·k
     ADC candidates (ids only) are joined back to the layout — same
     partition filter — and exactly cosine-scored; accuracy of the
     final top-k then depends on ADC only through shortlist membership.
+    The rescore side selects every layout column except the code
+    columns, so layouts without a label column work too.
     """
-    cells = probe_cell_set(probe, n_cells, n_probe_cells, centroids=centroids)
+    cents = centroids if centroids is not None else _ivf_centroids(n_cells)
+    cells = probe_cell_set(probe, n_cells, n_probe_cells, centroids=cents)
     layout = spark.read.parquet(f"{path}/by_cell").filter(F.col("cell").isin(cells))
-    cand = layout.select("vec_id", "codes")
+    cand = layout.select("vec_id", "cell", "codes")
     if exclude_vec_id is not None:
         cand = cand.filter(F.col("vec_id") != exclude_vec_id)
-    adc = cand.select(
-        "vec_id",
-        F.round(pq_adc_score(F.col("codes"), probe), 6).alias("adc_dot"),
+    cbs = pq_codebooks if pq_codebooks is not None else _pq_residual_codebooks()
+    adc_expr = ivfpq_cell_const(probe, cents) + pq_adc_score(
+        F.col("codes"), probe, codebooks=cbs
     )
+    adc = cand.select("vec_id", F.round(adc_expr, 6).alias("adc_dot"))
     if rescore is None:
         return adc.orderBy(F.col("adc_dot").desc(), F.col("vec_id").asc()).limit(k)
     shortlist = (
@@ -195,7 +214,8 @@ def ivfpq_probe(
         .limit(rescore * k)
         .select("vec_id")
     )
-    exact_side = layout.select("vec_id", "embedding", "label").join(
+    exact_cols = [c for c in layout.columns if c not in ("codes", "pq_code", "cell")]
+    exact_side = layout.select(*exact_cols).join(
         F.broadcast(shortlist), "vec_id", "left_semi"
     )
     return score_topk(exact_side, probe, k=k, exclude_vec_id=exclude_vec_id)

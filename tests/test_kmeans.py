@@ -209,3 +209,150 @@ def test_pq_encode_kernels_bit_identical(spark, sf_dir):
             for r in pq_encode(emb, codebooks=cbs, use_arrow_kernel=False).collect()
         )
         assert a == b and len(a) > 0
+
+
+def test_pq_geometry_fails_loudly():
+    """Non-default PQ geometry must raise, never silently truncate
+    dimensions or overflow the 4-bit nibble packing."""
+    import pytest
+
+    from node_js_etl_processor_spark.operators.similarity import (
+        DIM,
+        _pq_cb_geometry,
+        _pq_codebooks,
+    )
+
+    # valid alternate geometry: sub_dim derived as DIM // n_sub
+    cbs = _pq_codebooks(n_sub=4, k=16)
+    assert _pq_cb_geometry(cbs) == (4, DIM // 4)
+    with pytest.raises(ValueError, match="4-bit"):
+        _pq_codebooks(n_sub=8, k=32)  # overflows the nibble packing
+    with pytest.raises(ValueError, match="DIM"):
+        _pq_codebooks(n_sub=7)  # 7 does not tile 64
+    with pytest.raises(ValueError, match="DIM"):
+        _pq_codebooks(n_sub=8, sub_dim=4)  # explicit non-tiling sub_dim
+
+
+def test_ivfpq_encode_kernels_bit_identical(spark, sf_dir):
+    """The residual (IVFADC) encode path must keep the Arrow-kernel /
+    pure-Column bit parity: same cells, same residual codes, same
+    packed values — seed AND trained residual codebooks."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for cbs in (None, ivfpq_train(emb, max_iters=2)):
+        a = sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"]), r["pq_code"])
+            for r in ivfpq_encode(emb, codebooks=cbs, use_arrow_kernel=True).collect()
+        )
+        b = sorted(
+            (r["vec_id"], r["cell"], tuple(r["codes"]), r["pq_code"])
+            for r in ivfpq_encode(emb, codebooks=cbs, use_arrow_kernel=False).collect()
+        )
+        assert a == b and len(a) > 0
+
+
+def test_ivfpq_residual_reconstruction_beats_raw(spark, sf_dir):
+    """The §V mechanism on the fixture: with trained quantizers, the
+    residual form's reconstruction centroid(cell) + q₂(y − centroid)
+    must have LOWER total squared error than the raw form's q₂(y) —
+    residual variance ≤ raw variance, so a trained codebook spends its
+    codewords better. (The fixture embeddings are near-uniform random,
+    so the effect is real but small here — ~6% measured; the RECALL
+    consequence needs clustered data, covered by the next test.)"""
+    import numpy as np
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.similarity import (
+        ivfpq_encode,
+        ivfpq_train,
+        kmeans_train,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    cents = kmeans_train(emb, 8, max_iters=5)
+    cbs_flat = pq_train(emb, max_iters=5)
+    cbs_resid = ivfpq_train(emb, centroids=cents, max_iters=5)
+    vecs = {r["vec_id"]: np.array(r["embedding"], float) for r in emb.collect()}
+    cmat = np.asarray(cents)
+
+    e_resid = 0.0
+    for r in ivfpq_encode(emb, centroids=cents, codebooks=cbs_resid).collect():
+        recon = cmat[r["cell"]] + np.concatenate(
+            [np.asarray(cbs_resid[s][j]) for s, j in enumerate(r["codes"])]
+        )
+        e_resid += float(((vecs[r["vec_id"]] - recon) ** 2).sum())
+    e_raw = 0.0
+    for r in pq_encode(emb, codebooks=cbs_flat).collect():
+        recon = np.concatenate(
+            [np.asarray(cbs_flat[s][j]) for s, j in enumerate(r["codes"])]
+        )
+        e_raw += float(((vecs[r["vec_id"]] - recon) ** 2).sum())
+    assert e_resid < e_raw, (e_resid, e_raw)
+
+
+def test_ivfpq_residual_recall_beats_raw_on_clustered(spark):
+    """The recall consequence of §V, in the regime it targets: on
+    CLUSTERED data (where a coarse quantizer actually removes
+    variance — the 100 TB embedding-corpus case), trained residual ADC
+    must beat trained raw-vector ADC (the r6 variant) at recall@10
+    against the exact scan of the same probed cells. Deterministic:
+    fixed-seed generator, fixed probes; measured 28/80 vs 22/80."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from node_js_etl_processor_spark.operators.similarity import (
+        _probe_vector,
+        ivf_assign,
+        ivfpq_adc_topk,
+        ivfpq_train,
+        kmeans_train,
+        pq_adc_topk,
+        pq_train,
+        probe_cell_set,
+        score_topk,
+    )
+
+    rng = np.random.default_rng(0x5EED)
+    centers = rng.normal(size=(8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[np.arange(400) % 8] + 0.05 * rng.normal(size=(400, 64))
+    cl = spark.createDataFrame(
+        [(int(i), [float(x) for x in pts[i]], "c") for i in range(400)],
+        "vec_id int, embedding array<double>, label string",
+    ).cache()
+    cents = kmeans_train(cl, 8, max_iters=5)
+    cbs_flat = pq_train(cl, max_iters=5)
+    cbs_resid = ivfpq_train(cl, centroids=cents, max_iters=5)
+
+    raw_hits = resid_hits = 0
+    for pid in range(8):
+        probe = _probe_vector(cl, pid)
+        cells = probe_cell_set(probe, 8, 2, centroids=cents)
+        masked = ivf_assign(cl, 8, centroids=cents).filter(F.col("cell").isin(cells))
+        exact = {
+            r["vec_id"]
+            for r in score_topk(masked, probe, k=10, exclude_vec_id=pid).collect()
+        }
+        raw = {
+            r["vec_id"]
+            for r in pq_adc_topk(
+                masked.drop("cell"), probe, k=10, exclude_vec_id=pid, codebooks=cbs_flat
+            ).collect()
+        }
+        resid = {
+            r["vec_id"]
+            for r in ivfpq_adc_topk(
+                cl, probe, k=10, exclude_vec_id=pid, centroids=cents, codebooks=cbs_resid
+            ).collect()
+        }
+        raw_hits += len(raw & exact)
+        resid_hits += len(resid & exact)
+    assert resid_hits > raw_hits, (resid_hits, raw_hits)
+    assert resid_hits >= 24  # ≥0.3 mean recall@10 — non-trivial floor

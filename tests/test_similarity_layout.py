@@ -131,16 +131,16 @@ def test_dedup_embedding_from_layout_matches_and_skips_recompute(
 
 
 def test_ivfpq_probe_adc_codes_only_scan(spark, sf_dir, tmp_path):
-    """IVFADC over the layout: (a) ADC results from STORED codes equal
-    the inline encode+score path restricted to the same cells; (b) the
-    ADC scan reads (vec_id, codes) only — the embedding column must be
-    absent from ReadSchema (the 4-bytes-per-vector read IS the
-    operator's point) and the cell filter must be a PartitionFilters
-    entry; (c) exact rescore returns the true cosine order of the ADC
-    shortlist."""
+    """IVFADC over the layout: (a) ADC results from STORED residual
+    codes equal the inline residual encode+score path
+    (ivfpq_adc_topk); (b) the ADC scan reads (vec_id, codes) only —
+    the embedding column must be absent from ReadSchema (the
+    4-bytes-per-vector read IS the operator's point) and the cell
+    filter must be a PartitionFilters entry (cell itself comes from
+    directory names, not file bytes); (c) exact rescore returns the
+    true cosine order of the ADC shortlist."""
     from node_js_etl_processor_spark.operators.similarity import (
-        ivf_assign,
-        pq_adc_topk,
+        ivfpq_adc_topk,
         score_topk,
     )
     from node_js_etl_processor_spark.sources.similarity_layout import ivfpq_probe
@@ -150,11 +150,9 @@ def test_ivfpq_probe_adc_codes_only_scan(spark, sf_dir, tmp_path):
     write_ann_layout(emb, path)
     probe = _probe_vector(emb, 0)
 
-    cells = probe_cell_set(probe, 8, 2)
-    inline_cand = ivf_assign(emb, 8).filter(F.col("cell").isin(cells)).drop("cell")
     want = [
         tuple(r)
-        for r in pq_adc_topk(inline_cand, probe, k=10, exclude_vec_id=0).collect()
+        for r in ivfpq_adc_topk(emb, probe, k=10, exclude_vec_id=0).collect()
     ]
     got_df = ivfpq_probe(spark, path, probe, k=10, exclude_vec_id=0)
     got = [tuple(r) for r in got_df.collect()]
@@ -180,3 +178,48 @@ def test_ivfpq_probe_adc_codes_only_scan(spark, sf_dir, tmp_path):
         for r in ivf_probe(spark, path, probe, k=10, exclude_vec_id=0).collect()
     ]
     assert rescored == exact
+
+
+def test_ivfpq_probe_recall_gate(spark, sf_dir, tmp_path):
+    """Recall@10 gate for the production ANN path (stored residual
+    codes → ADC → optional exact rescore), END TO END against the full
+    exact scan — so cell-pruning loss is included, unlike the
+    ADC-quality tests. Deterministic (seed quantizers, fixed probes):
+    measured 12/80 ADC-only and 23/80 with rescore=4 on the fixture.
+    Gates: rescore must strictly improve on ADC-only (the shortlist
+    mechanism works), and both must clear non-trivial floors. The
+    cell-pruning ceiling (exact scoring of the probed cells) is what
+    rescore converges to — pinned by test_ivfpq_probe_adc_codes_only_
+    scan; numbers recorded in SCALE.md."""
+    from node_js_etl_processor_spark.operators.similarity import (
+        _probe_vector,
+        brute_force_topk,
+    )
+    from node_js_etl_processor_spark.sources.similarity_layout import ivfpq_probe
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    path = str(tmp_path / "sim")
+    write_ann_layout(emb, path)
+
+    adc_hits = rescore_hits = 0
+    for pid in (0, 7, 23, 41, 77, 101, 150, 200):
+        probe = _probe_vector(emb, pid)
+        exact = {
+            r["vec_id"]
+            for r in brute_force_topk(emb, probe, k=10, exclude_vec_id=pid).collect()
+        }
+        adc = {
+            r["vec_id"]
+            for r in ivfpq_probe(spark, path, probe, k=10, exclude_vec_id=pid).collect()
+        }
+        rescored = {
+            r["vec_id"]
+            for r in ivfpq_probe(
+                spark, path, probe, k=10, rescore=4, exclude_vec_id=pid
+            ).collect()
+        }
+        adc_hits += len(adc & exact)
+        rescore_hits += len(rescored & exact)
+    assert rescore_hits > adc_hits, (rescore_hits, adc_hits)
+    assert adc_hits >= 10, adc_hits
+    assert rescore_hits >= 20, rescore_hits
