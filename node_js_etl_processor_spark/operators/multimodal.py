@@ -73,11 +73,17 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
 
 def decode_image(payload: bytes) -> object:
     """Decode an image payload to an H×W×3 uint8 raster. Real for
-    uncompressed 24-bit BMP (pure stdlib+numpy — see ``decode_bmp``);
-    every other format needs Pillow/opencv (absent here)."""
+    uncompressed 24-bit BMP (pure stdlib+numpy — see ``decode_bmp``)
+    and non-interlaced 8-bit RGB/RGBA PNG (stdlib zlib + unfilter —
+    see ``decode_png``); every other format needs Pillow/opencv
+    (absent here)."""
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
-    raise DecodeUnavailable("non-BMP decode requires Pillow/opencv; not in container")
+    if payload is not None and payload[:8] == _PNG_SIG:
+        return decode_png(payload)
+    raise DecodeUnavailable(
+        "non-BMP/PNG decode requires Pillow/opencv; not in container"
+    )
 
 
 # ------------------------------------------------- stdlib BMP raster path
@@ -125,6 +131,8 @@ def decode_bmp(payload: bytes) -> "object":
 
     if payload is None or payload[:2] != b"BM":
         raise DecodeUnavailable("not a BMP payload")
+    if len(payload) < 14 + 40:
+        raise DecodeUnavailable("truncated BMP header")
     magic, _fsize, _r1, _r2, offset = struct.unpack_from(_BMP_FILE_HEADER, payload, 0)
     hdr_size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
     if hdr_size < 40 or bpp != 24 or comp != 0:
@@ -133,11 +141,164 @@ def decode_bmp(payload: bytes) -> "object":
     h = abs(h)
     row_bytes = w * 3
     stride = row_bytes + ((-row_bytes) % 4)
+    # bound-check geometry against the actual payload BEFORE touching
+    # the raster: a corrupt blob must fail as DecodeUnavailable (one
+    # skippable record), not as an opaque executor numpy/struct error
+    # that kills the whole distributed pass
+    if w <= 0 or h <= 0 or offset < 54 or offset > len(payload):
+        raise DecodeUnavailable(
+            f"corrupt BMP geometry (w={w}, h={h}, offset={offset})"
+        )
+    if offset + stride * h > len(payload):
+        raise DecodeUnavailable(
+            f"BMP raster exceeds payload ({stride * h} bytes at {offset}, "
+            f"payload {len(payload)})"
+        )
     raster = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
     rows = raster.reshape(h, stride)[:, :row_bytes].reshape(h, w, 3)
     if bottom_up:
         rows = rows[::-1]
     return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
+# ------------------------------------------------- stdlib PNG raster path
+#
+# PNG's container is stdlib-decodable too: zlib inflate + the five
+# per-scanline filters (PNG spec §9, public W3C/RFC 2083 layout).
+# Supported flavor: non-interlaced 8-bit truecolor (RGB) and
+# truecolor-alpha (RGBA, alpha dropped to keep the H×W×3 raster
+# contract); everything else (palette, 16-bit, interlace) raises
+# DecodeUnavailable like any other unsupported codec flavor.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """Yield (type, data) chunks, bounds-checked — corrupt lengths
+    raise DecodeUnavailable, never a slice/struct error."""
+    import struct
+
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        if length > len(payload) - pos - 12:
+            raise DecodeUnavailable("corrupt PNG chunk length")
+        yield ctype, payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IEND":
+            return
+    raise DecodeUnavailable("PNG ended without IEND")
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, nch: int) -> "object":
+    """Reverse the per-scanline PNG filters (types 0–4: None, Sub, Up,
+    Average, Paeth) into an H×W×nch uint8 array. Sub/Paeth are
+    sequential along x, so rows decode with a per-pixel loop — fine at
+    kernel-batch scale; the distributed form batches rows per task."""
+    import numpy as np
+
+    stride = w * nch
+    if len(raw) != h * (stride + 1):
+        raise DecodeUnavailable(
+            f"PNG raster size mismatch ({len(raw)} != {h * (stride + 1)})"
+        )
+    out = np.zeros((h, stride), dtype=np.int32)
+    raw_arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1).astype(np.int32)
+    for y in range(h):
+        ftype, row = raw_arr[y, 0], raw_arr[y, 1:].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for x in range(nch, stride):
+                row[x] = (row[x] + row[x - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            row = (row + prev) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = row[x - nch] if x >= nch else 0
+                row[x] = (row[x] + (a + prev[x]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = row[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (row[x] + pred) & 0xFF
+        else:
+            raise DecodeUnavailable(f"unknown PNG filter type {ftype}")
+        out[y] = row
+    return out.astype(np.uint8).reshape(h, w, nch)
+
+
+def decode_png(payload: bytes) -> "object":
+    """Decode a non-interlaced 8-bit RGB/RGBA PNG into an H×W×3 uint8
+    RGB array (alpha dropped). Pure stdlib zlib + numpy; any other
+    flavor raises DecodeUnavailable."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or payload[:8] != _PNG_SIG:
+        raise DecodeUnavailable("not a PNG payload")
+    w = h = None
+    nch = 0
+    idat = b""
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            if len(data) != 13:
+                raise DecodeUnavailable("corrupt PNG IHDR")
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or color not in (2, 6) or interlace != 0 or comp != 0:
+                raise DecodeUnavailable(
+                    f"unsupported PNG flavor (depth={depth}, color={color}, "
+                    f"interlace={interlace})"
+                )
+            nch = 3 if color == 2 else 4
+            if w <= 0 or h <= 0 or w * h > 1 << 28:
+                raise DecodeUnavailable(f"corrupt PNG geometry (w={w}, h={h})")
+        elif ctype == b"IDAT":
+            idat += data
+    if w is None or not idat:
+        raise DecodeUnavailable("PNG missing IHDR or IDAT")
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise DecodeUnavailable(f"PNG inflate failed: {e}") from e
+    return _png_unfilter(raw, h, w, nch)[:, :, :3].copy()
+
+
+def encode_png(pixels: "object") -> bytes:
+    """Encode an H×W×3 uint8 RGB array as a non-interlaced 8-bit
+    truecolor PNG (filter 0 scanlines, one zlib stream)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 def resize_raster(pixels: "object", out_w: int, out_h: int) -> "object":
@@ -242,10 +403,14 @@ FRAME_STEP = 2  # sample every 2nd frame
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Real image resize: decode → nearest-neighbor over the pixel
-    grid → re-encode. Works end-to-end for uncompressed 24-bit BMP
-    (stdlib struct + numpy — no codec libraries needed); any other
-    format raises DecodeUnavailable (Pillow/opencv absent here)."""
-    return encode_bmp(resize_raster(decode_image(payload), width, height))
+    grid → re-encode in the SOURCE format. Works end-to-end for
+    uncompressed 24-bit BMP and non-interlaced 8-bit RGB/RGBA PNG
+    (stdlib struct/zlib + numpy — no codec libraries needed); any
+    other format raises DecodeUnavailable (Pillow/opencv absent)."""
+    raster = resize_raster(decode_image(payload), width, height)
+    if payload[:8] == _PNG_SIG:
+        return encode_png(raster)
+    return encode_bmp(raster)
 
 
 def resize_media_bmp(media: DataFrame, width: int, height: int) -> DataFrame:

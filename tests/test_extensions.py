@@ -854,3 +854,138 @@ def test_weighted_sample_temperature_behavior(spark):
     base = {r["source"]: r["n_sampled"] for r in q_weighted_sample(docs, temperature=1.0).collect()}
     doubled = {r["source"]: r["n_sampled"] for r in q_weighted_sample(dup, temperature=1.0).collect()}
     assert doubled["small"] == 2 * base["small"]
+
+
+def test_png_roundtrip_filters_and_resize(spark):
+    """The stdlib PNG path (zlib inflate + scanline unfilter): encode a
+    deterministic raster as filter-0 truecolor PNG and decode it back
+    bit-exactly; decode hand-filtered IDAT streams for every filter
+    type (Sub/Up/Average/Paeth applied forward in the test, reversed
+    by the decoder); RGBA drops alpha; resize_image re-encodes PNG as
+    PNG; corrupt payloads (bad chunk length, bad geometry, truncated
+    zlib) and corrupt BMPs (raster past payload end) all fail as
+    DecodeUnavailable — one skippable record, not an executor crash."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        DecodeUnavailable,
+        _PNG_SIG,
+        decode_bmp,
+        decode_image,
+        decode_png,
+        encode_bmp,
+        encode_png,
+        resize_image,
+        resize_media_bmp,
+    )
+
+    px = np.zeros((5, 4, 3), dtype=np.uint8)
+    for y in range(5):
+        for x in range(4):
+            px[y, x] = (y * 37 % 256, x * 61 % 256, (y * 10 + x) % 256)
+
+    png = encode_png(px)
+    assert png[:8] == _PNG_SIG
+    assert np.array_equal(decode_png(png), px)
+    assert np.array_equal(decode_image(png), px)  # dispatch by signature
+
+    # hand-filter the raster with each filter type; decoder must invert
+    def chunk(ctype, data):
+        body = ctype + data
+        return struct.pack(">I", len(data)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF
+        )
+
+    def forward_filter(arr, ftype, nch=3):
+        h, w, _ = arr.shape
+        stride = w * nch
+        flat = arr.reshape(h, stride).astype(np.int32)
+        out = b""
+        for y in range(h):
+            row = flat[y]
+            prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+            f = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = row[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:  # 4 — Paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f[x] = (row[x] - pred) & 0xFF
+            out += bytes([ftype]) + f.astype(np.uint8).tobytes()
+        return out
+
+    ihdr = struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0)
+    for ftype in (1, 2, 3, 4):
+        raw = forward_filter(px, ftype)
+        payload = (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(payload), px), f"filter {ftype}"
+
+    # RGBA input decodes with alpha dropped
+    rgba = np.dstack([px, np.full((5, 4), 200, dtype=np.uint8)])
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(5))
+    ihdr_a = struct.pack(">IIBBBBB", 4, 5, 8, 6, 0, 0, 0)
+    payload = (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr_a)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(payload), px)
+
+    # resize_image keeps the source container format
+    small = resize_image(png, 2, 2)
+    assert small[:8] == _PNG_SIG
+    assert np.array_equal(decode_png(small), px[[0, 2]][:, [0, 2]])
+
+    # the distributed pass takes PNGs through the same kernel
+    media = spark.createDataFrame(
+        [(9, "image", "image/png", png, None, len(png))], MEDIA_SCHEMA
+    )
+    row = resize_media_bmp(media, 2, 2).collect()[0]
+    assert row["out_bytes"] == len(small)
+
+    # corrupt payloads fail honestly, never with slice/zlib/numpy errors
+    bad_len = _PNG_SIG + struct.pack(">I", 1 << 30) + b"IHDRxxxx"
+    for bad in (
+        bad_len,
+        _PNG_SIG + chunk(b"IHDR", b"\x00" * 5),  # short IHDR
+        _PNG_SIG + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", b"xx") + chunk(b"IEND", b""),  # palette PNG
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"notzlib")
+        + chunk(b"IEND", b""),  # broken stream
+        _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""),  # no IDAT
+    ):
+        with _pytest.raises(DecodeUnavailable):
+            decode_png(bad)
+
+    # corrupt BMP geometry is bounded-checked the same way
+    good_bmp = encode_bmp(px)
+    with _pytest.raises(DecodeUnavailable):
+        decode_bmp(good_bmp[:30])  # truncated header
+    huge_w = bytearray(good_bmp)
+    struct.pack_into("<i", huge_w, 18, 1 << 24)  # width far past payload
+    with _pytest.raises(DecodeUnavailable):
+        decode_bmp(bytes(huge_w))
+    neg_w = bytearray(good_bmp)
+    struct.pack_into("<i", neg_w, 18, -4)
+    with _pytest.raises(DecodeUnavailable):
+        decode_bmp(bytes(neg_w))
