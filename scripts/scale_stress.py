@@ -174,6 +174,49 @@ def main() -> None:
                       lambda: similarity.q_pq_topk(emb10)),
     }
 
+    # ---- landing-zone compaction (batch half of the ingest split):
+    # build the zone with the capstone's exact stateless prefix (gate →
+    # chunk → fp, the same expressions curation_chunk_stream runs) at
+    # both scales, then time the compact suffix over each
+    from node_js_etl_processor_spark.operators.text import (
+        chunk_documents,
+        curation_keep,
+    )
+    from node_js_etl_processor_spark.streaming.curation import compact_landing_zone
+
+    def build_zone(docs: DataFrame, path: str) -> None:
+        kept = docs.filter(curation_keep(F.col("text"), F.col("lang"))).select(
+            "doc_id", "text"
+        )
+        chunk_documents(kept).withColumn(
+            "chunk_fp", F.md5(F.col("chunk_text"))
+        ).write.parquet(path)
+
+    zone1 = os.path.join(tmp, "zone_1x")
+    zone10 = os.path.join(tmp, "zone_10x")
+    build_zone(docs1, zone1)
+    build_zone(docs10, zone10)
+    queries["compact_landing_zone"] = (
+        lambda: compact_landing_zone(spark, zone1),
+        lambda: compact_landing_zone(spark, zone10),
+    )
+
+    # ---- production ANN layout: stored-residual-code IVFADC probe ----
+    from node_js_etl_processor_spark.sources.similarity_layout import (
+        ivfpq_probe,
+        write_ann_layout,
+    )
+
+    lay1 = os.path.join(tmp, "ann_1x")
+    lay10 = os.path.join(tmp, "ann_10x")
+    write_ann_layout(emb1, lay1)
+    write_ann_layout(emb10, lay10)
+    probe = similarity._probe_vector(emb1, 0)
+    queries["ivfpq_probe_layout"] = (
+        lambda: ivfpq_probe(spark, lay1, probe, k=10, exclude_vec_id=0),
+        lambda: ivfpq_probe(spark, lay10, probe, k=10, exclude_vec_id=0),
+    )
+
     results = {}
     for name, (f1, f10) in queries.items():
         t1 = timed(f1, args.runs)
@@ -189,6 +232,50 @@ def main() -> None:
         }
         print(f"[{name}] 1x={t1}s {args.replicas}x={t10}s "
               f"ratio={results[name]['ratio']} rows {r1}->{r10}", file=sys.stderr)
+
+    # ---- measured scan volume for the IVFADC probe (the ~4 bytes/
+    # vector claim): per-column compressed bytes from the parquet
+    # footers of the PROBED cell directories vs the whole layout —
+    # partition pruning bounds the file set, column pruning bounds the
+    # bytes within it to (vec_id, codes)
+    import glob as globmod
+
+    import duckdb
+
+    def col_bytes(files: list[str]) -> dict[str, int]:
+        con = duckdb.connect()
+        tot: dict[str, int] = {}
+        for f in files:
+            for path_in_schema, sz in con.execute(
+                "SELECT path_in_schema, total_compressed_size"
+                " FROM parquet_metadata(?)", [f]
+            ).fetchall():
+                root = path_in_schema.split(".")[0]
+                tot[root] = tot.get(root, 0) + int(sz)
+        con.close()
+        return tot
+
+    cells = similarity.probe_cell_set(probe, 8, 2)
+    probed_files = [
+        f for c in cells for f in globmod.glob(f"{lay10}/by_cell/cell={c}/*.parquet")
+    ]
+    all_files = globmod.glob(f"{lay10}/by_cell/cell=*/*.parquet")
+    probed = col_bytes(probed_files)
+    full = col_bytes(all_files)
+    n_probed = spark.read.parquet(f"{lay10}/by_cell").filter(
+        F.col("cell").isin(cells)
+    ).count()
+    adc_read = probed.get("vec_id", 0) + probed.get("codes", 0)
+    scan = {
+        "probed_cells": cells,
+        "n_probed_vectors": n_probed,
+        "adc_read_bytes": adc_read,
+        "adc_bytes_per_vector": round(adc_read / n_probed, 2) if n_probed else None,
+        "probed_all_columns_bytes": sum(probed.values()),
+        "layout_all_columns_bytes": sum(full.values()),
+        "read_fraction_of_layout": round(adc_read / sum(full.values()), 4),
+    }
+    print(f"[ivfpq_scan] {scan}", file=sys.stderr)
 
     # ---- skew demo: source-keyed shuffle, 50% of rows on one key ----
     uniform = per_task_rows(docs10, ["source"])
@@ -230,6 +317,7 @@ def main() -> None:
         "n_docs_1x": docs1.count(),
         "n_vecs_1x": emb1.count(),
         "queries": results,
+        "ivfpq_scan": scan,
         "skew": skew,
     }, indent=1))
     spark.stop()
