@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 84 queries (count as of r6 — grep ``def queries`` below for the
+ALL 85 queries (count as of r7 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -71,15 +71,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the 50-slot window, so every stale query rotates IN this round.
     Staying in: the five r6-new queries (q_lm_perplexity, q_pq_encode,
     q_pq_topk, q_ivfpq_topk, q_weighted_sample — q_ivfpq_topk switches
-    to residual encoding in r7 and needs a green row for the new form)
-    plus 11 diverse r6-green anchors, one per operator family
-    (q_agg_pricing, q_join_enrich, q_asof_join, q_sessionize,
-    q_curation_pipeline, q_bm25, q_similarity_topk, q_dedup_minhash,
-    q_dedup_clusters, q_chunk_pack_pipeline, q_multimodal_features).
-    34 r6-green queries move out. Invariant after this rotation:
-    every query's latest driver row is r6 or r7 — nothing older than
-    one rotation cycle, and the full registry alternates r-even/r-odd
-    halves from here on."""
+    to residual encoding in r7 and needs a green row for the new
+    form), the r7-new q_ivfpq_rescore, plus 10 diverse r6-green
+    anchors, one per operator family (q_agg_pricing, q_join_enrich,
+    q_asof_join, q_sessionize, q_curation_pipeline, q_bm25,
+    q_similarity_topk, q_dedup_minhash, q_dedup_clusters,
+    q_multimodal_features). 35 r6-green queries move out (registry is
+    85 since r7). Invariant after this rotation: every query's latest
+    driver row is r6 or r7 — nothing older than one rotation cycle,
+    and the full registry alternates r-even/r-odd halves from here
+    on."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
         # r4-stale relational batch, rotated back IN (last rows r4)
@@ -128,6 +129,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
         "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
         "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
+        # r7-new: the ADC→exact-rescore tail under the oracle gate —
+        # the last stage of the production ANN path to get one
+        "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
         "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         # r6-green anchors, one per operator family
         "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
@@ -139,7 +143,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
         "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
-        "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
         # ---- oracle-paired but outside the 50-entry driver window ----
         # (all green r6; covered every round by the local parity gate
@@ -177,6 +180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
         "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
         "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
+        "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
     }
 
@@ -1078,6 +1082,58 @@ def oracle_sql() -> dict[str, str]:
                    )}, 6) AS adc_dot
             FROM coded, probe p
             ORDER BY adc_dot DESC, coded.vec_id ASC
+            LIMIT 10
+        """,
+        # IVFADC + exact rescore: same residual chain, then the rounded
+        # ADC ordering picks a 3k shortlist (vec_id tiebreak) and ONLY
+        # the shortlist is exactly cosine-scored — mirrors
+        # similarity.ivfpq_rescore_topk stage for stage.
+        "q_ivfpq_rescore": f"""
+            WITH assigned AS (
+              SELECT vec_id, embedding,
+                     list_position(s, list_aggregate(s, 'max')) - 1 AS cell
+              FROM (SELECT *, {_ivf_scores_sql('embedding')} AS s FROM embeddings)
+            ),
+            probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            probe_cells AS (
+              SELECT i - 1 AS cell
+              FROM (SELECT unnest({_ivf_scores_sql('(SELECT embedding FROM probe)')}) AS sc,
+                           generate_subscripts({_ivf_scores_sql('(SELECT embedding FROM probe)')}, 1) AS i)
+              ORDER BY sc DESC LIMIT 2
+            ),
+            resid AS (
+              SELECT vec_id, cell,
+                     list_transform(range(1, 65), i ->
+                         (CAST(embedding AS DOUBLE[]))[i]
+                         - ({_ivf_cents_sql()})[cell + 1][i]) AS r
+              FROM assigned
+              WHERE cell IN (SELECT cell FROM probe_cells) AND vec_id <> 0
+            ),
+            coded AS (
+              SELECT vec_id, cell,
+                     {", ".join(
+                         f"{_pq_code_sql('r', s, _RESID_CBS)} AS c{s}"
+                         for s in range(8)
+                     )}
+              FROM resid
+            ),
+            short AS (
+              SELECT coded.vec_id,
+                     round(list_dot_product(CAST(p.embedding AS DOUBLE[]),
+                                            ({_ivf_cents_sql()})[coded.cell + 1])
+                           + {" + ".join(
+                         _pq_adc_sql("p.embedding", s, _RESID_CBS) for s in range(8)
+                     )}, 6) AS adc_dot
+              FROM coded, probe p
+              ORDER BY adc_dot DESC, coded.vec_id ASC
+              LIMIT 30
+            )
+            SELECT e.vec_id, e.label,
+                   round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                CAST(p.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings e
+            JOIN short USING (vec_id), probe p
+            ORDER BY cosine DESC, e.vec_id ASC
             LIMIT 10
         """,
         "q_similarity_topk": """

@@ -1134,6 +1134,65 @@ def ivfpq_adc_topk(
     )
 
 
+def ivfpq_rescore_topk(
+    embeddings: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    rescore: int = 3,
+    n_cells: int = 8,
+    n_probe_cells: int = 2,
+    exclude_vec_id: int | None = None,
+    centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """The full IVFADC+rescore pipeline inline (Jégou et al. 2011 §V
+    plus the standard exact-rescore tail): residual-ADC ranks the
+    probed cells' candidates from codes, the top ``rescore·k`` ids
+    form a shortlist (ties broken by vec_id — deterministic in both
+    engines), and only the shortlist is exactly cosine-scored. The
+    layout-fed twin is ``sources.similarity_layout.ivfpq_probe(...,
+    rescore=R)``; this inline form exists so the DuckDB oracle can
+    differentially verify the WHOLE chain — cells, residuals, codes,
+    ADC ordering, shortlist membership AND the exact rescore — in one
+    declared query.
+
+    Scale shape: the ADC stage reads codes only; the rescore stage
+    re-reads embeddings for ≤ R·k rows via a broadcast semi-join —
+    at 100 TB the exact-scoring cost is bounded by the shortlist
+    size, not the corpus."""
+    cents = centroids if centroids is not None else _ivf_centroids(n_cells)
+    cbs = codebooks if codebooks is not None else _pq_residual_codebooks()
+    cells = probe_cell_set(probe, n_cells, n_probe_cells, centroids=cents)
+    enc = ivfpq_encode(
+        embeddings, n_cells, centroids=cents, codebooks=cbs
+    ).filter(F.col("cell").isin(cells))
+    if exclude_vec_id is not None:
+        enc = enc.filter(F.col("vec_id") != exclude_vec_id)
+    adc = ivfpq_cell_const(probe, cents) + pq_adc_score(
+        F.col("codes"), probe, codebooks=cbs
+    )
+    shortlist = (
+        enc.select("vec_id", F.round(adc, 6).alias("adc_dot"))
+        .orderBy(F.col("adc_dot").desc(), F.col("vec_id").asc())
+        .limit(rescore * k)
+        .select("vec_id")
+    )
+    cand = enc.join(F.broadcast(shortlist), "vec_id", "left_semi")
+    return score_topk(cand, probe, k=k)
+
+
+def q_ivfpq_rescore(embeddings: DataFrame, k: int = 10) -> DataFrame:
+    """Declared query: IVFADC with exact rescore for probe vec_id=0 —
+    ADC shortlist of 3·k from residual codes, exact cosine over the
+    shortlist only. Fully oracle-checked end to end (the SQL replays
+    cells → residuals → codes → rounded-ADC ordering → LIMIT 3k →
+    exact cosine), closing the one stage of the production ANN path
+    (``ivfpq_probe(..., rescore=R)``) that r6 left outside the
+    differential gate."""
+    probe = _probe_vector(embeddings, 0)
+    return ivfpq_rescore_topk(embeddings, probe, k=k, rescore=3, exclude_vec_id=0)
+
+
 def ivfpq_train(
     embeddings: DataFrame,
     n_cells: int = 8,
