@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 85 queries (count as of r7 — grep ``def queries`` below for the
+ALL 86 queries (count as of r7 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -72,12 +72,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staying in: the five r6-new queries (q_lm_perplexity, q_pq_encode,
     q_pq_topk, q_ivfpq_topk, q_weighted_sample — q_ivfpq_topk switches
     to residual encoding in r7 and needs a green row for the new
-    form), the r7-new q_ivfpq_rescore, plus 10 diverse r6-green
-    anchors, one per operator family (q_agg_pricing, q_join_enrich,
-    q_asof_join, q_sessionize, q_curation_pipeline, q_bm25,
-    q_similarity_topk, q_dedup_minhash, q_dedup_clusters,
-    q_multimodal_features). 35 r6-green queries move out (registry is
-    85 since r7). Invariant after this rotation: every query's latest
+    form), the r7-new q_ivfpq_rescore and q_html_extract, plus 9
+    diverse r6-green anchors, one per operator family (q_agg_pricing,
+    q_join_enrich, q_asof_join, q_sessionize, q_curation_pipeline,
+    q_bm25, q_dedup_minhash, q_dedup_clusters,
+    q_multimodal_features). 36 r6-green queries move out (registry is
+    86 since r7). Invariant after this rotation: every query's latest
     driver row is r6 or r7 — nothing older than one rotation cycle,
     and the full registry alternates r-even/r-odd halves from here
     on."""
@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r7-new: the ADC→exact-rescore tail under the oracle gate —
         # the last stage of the production ANN path to get one
         "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
+        # r7-new: HTML boilerplate-strip / text extraction roundtrip
+        "q_html_extract": _q(["documents"], text.q_html_extract),
         "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         # r6-green anchors, one per operator family
         "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
@@ -140,7 +142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
         "q_bm25": _q(["documents"], text.q_bm25),
-        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
         "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
@@ -175,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
         "q_media_resize": _q(["documents"], q_media_resize),
         "q_frame_sample": _q(["documents"], q_frame_sample),
+        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
         "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
         "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
         "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
@@ -1931,5 +1933,52 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_doc_id
             FROM alld
             GROUP BY component_id
+        """,
+        # HTML extraction roundtrip: rebuild the exact page wrap_html
+        # builds (escape order &, <, >) and replay html_extract's
+        # chain — script/style elision, comment removal, tag→space,
+        # entity decode (&amp; last), whitespace collapse. Java regex
+        # and RE2 agree on every construct used.
+        "q_html_extract": r"""
+            WITH page AS (
+              SELECT doc_id,
+                     '<html><head><title>doc</title>'
+                     || '<script type="text/javascript">if (a && b < 3) { go("x"); }</script>'
+                     || '<style>p { color: #333; }</style></head>'
+                     || '<body><h1>DOC ' || CAST(doc_id AS VARCHAR)
+                     || '</h1><!-- crawler: drop this --><p>'
+                     || replace(replace(replace(text, '&', '&amp;'),
+                                        '<', '&lt;'), '>', '&gt;')
+                     || '</p><div class="footer">SOURCE&nbsp;' || source
+                     || '</div></body></html>' AS html
+              FROM documents
+            ),
+            ext AS (
+              SELECT doc_id, html,
+                trim(regexp_replace(
+                  replace(
+                    replace(replace(replace(replace(replace(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(
+                              regexp_replace(html,
+                                '<head[^>]*>.*?</head>', ' ', 'gis'),
+                              '<script[^>]*>.*?</script>', ' ', 'gis'),
+                            '<style[^>]*>.*?</style>', ' ', 'gis'),
+                          '<!--.*?-->', ' ', 'gs'),
+                        '<[^>]+>', ' ', 'g'),
+                      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                      '&#39;', ''''), '&nbsp;', ' '),
+                    '&amp;', '&'),
+                  '\s+', ' ', 'g')) AS extracted
+              FROM page
+            )
+            SELECT doc_id,
+                   md5(extracted) AS text_md5,
+                   CAST(length(html) AS BIGINT) AS n_html_chars,
+                   CAST(length(extracted) AS BIGINT) AS n_text_chars,
+                   round(length(extracted) / length(html), 6) AS text_ratio
+            FROM ext
         """,
     }

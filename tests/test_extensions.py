@@ -989,3 +989,50 @@ def test_png_roundtrip_filters_and_resize(spark):
     struct.pack_into("<i", neg_w, 18, -4)
     with _pytest.raises(DecodeUnavailable):
         decode_bmp(bytes(neg_w))
+
+
+def test_html_extract_roundtrip_semantics(spark):
+    """html_extract must recover exactly 'DOC {id} {text} SOURCE {src}'
+    from wrap_html pages — including text containing markup-significant
+    characters (&, <, >, quotes, entity look-alikes) that the escape/
+    decode chain must round-trip, with whitespace runs collapsed; and
+    it must strip script/style CONTENT, not just their tags."""
+    from pyspark.sql import functions as F
+
+    from node_js_etl_processor_spark.operators.text import (
+        html_extract,
+        wrap_html,
+    )
+
+    cases = [
+        (1, "plain words only", "web"),
+        (2, "a < b && b > c", "crawl"),   # raw markup chars
+        (3, "pre &amp; literal &lt;tag&gt; text", "web"),  # entity look-alikes
+        (4, 'quotes "double" and \'single\' stay', "news"),
+        (5, "runs   of\twhitespace\ncollapse", "web"),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r["ext"]
+        for r in df.select(
+            "doc_id",
+            html_extract(
+                wrap_html(F.col("doc_id"), F.col("text"), F.col("source"))
+            ).alias("ext"),
+        ).collect()
+    }
+    import re
+
+    for doc_id, text, source in cases:
+        collapsed = re.sub(r"\s+", " ", text)
+        expect = f"DOC {doc_id} {collapsed} SOURCE {source}"
+        assert out[doc_id] == expect, (out[doc_id], expect)
+
+    # script/style content must vanish even when it contains text-y words
+    page = (
+        "<html><script>var visible = 'leaky text';</script>"
+        "<style>body::after { content: 'style text'; }</style>"
+        "<p>kept</p></html>"
+    )
+    got = spark.range(1).select(html_extract(F.lit(page)).alias("e")).head()["e"]
+    assert got == "kept", got
