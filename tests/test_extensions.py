@@ -1036,3 +1036,29 @@ def test_html_extract_roundtrip_semantics(spark):
     )
     got = spark.range(1).select(html_extract(F.lit(page)).alias("e")).head()["e"]
     assert got == "kept", got
+
+
+def test_normalize_url_rules(spark):
+    """Each normalize_url rule on crafted URLs: case-folded scheme+host
+    (path case preserved), www/default-port/fragment/tracking-param/
+    trailing-slash stripping, http→https fold — all collapsing to one
+    canonical form; a non-tracking param survives."""
+    from pyspark.sql import functions as F
+
+    from node_js_etl_processor_spark.operators.text import normalize_url
+
+    same = [
+        "HTTP://WWW.News.Example.com:80/Docs/page-3?utm_source=a&utm_campaign=b#frag",
+        "https://news.example.com/Docs/page-3/",
+        "http://www.news.example.com:443/Docs/page-3",
+        "https://News.example.com/Docs/page-3#x",
+    ]
+    df = spark.createDataFrame([(u,) for u in same], "u string")
+    got = {r["n"] for r in df.select(normalize_url(F.col("u")).alias("n")).collect()}
+    assert got == {"https://news.example.com/Docs/page-3"}, got
+
+    keep = spark.createDataFrame(
+        [("https://web.example.com/a?page=2&fbclid=zz",)], "u string"
+    )
+    got = keep.select(normalize_url(F.col("u")).alias("n")).head()["n"]
+    assert got == "https://web.example.com/a?page=2", got
