@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 87 queries (count as of r7 — grep ``def queries`` below for the
+ALL 88 queries (count as of r7 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -72,12 +72,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staying in: the five r6-new queries (q_lm_perplexity, q_pq_encode,
     q_pq_topk, q_ivfpq_topk, q_weighted_sample — q_ivfpq_topk switches
     to residual encoding in r7 and needs a green row for the new
-    form), the r7-new q_ivfpq_rescore, q_html_extract and
-    q_url_dedup, plus 8 diverse r6-green anchors, one per operator
-    family (q_agg_pricing, q_join_enrich, q_asof_join,
-    q_curation_pipeline, q_bm25, q_dedup_minhash, q_dedup_clusters,
-    q_multimodal_features). 37 r6-green queries move out (registry is
-    87 since r7). Invariant after this rotation: every query's latest
+    form), the r7-new q_ivfpq_rescore, q_html_extract, q_url_dedup
+    and q_corpus_stats, plus 7 diverse r6-green anchors, one per
+    operator family (q_agg_pricing, q_join_enrich, q_asof_join,
+    q_curation_pipeline, q_dedup_minhash, q_dedup_clusters,
+    q_multimodal_features). 38 r6-green queries move out (registry is
+    88 since r7). Invariant after this rotation: every query's latest
     driver row is r6 or r7 — nothing older than one rotation cycle,
     and the full registry alternates r-even/r-odd halves from here
     on."""
@@ -136,13 +136,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + URL-normalization dedup (the crawl-frontier key)
         "q_html_extract": _q(["documents"], text.q_html_extract),
         "q_url_dedup": _q(["documents"], text.q_url_dedup),
+        "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
         "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         # r6-green anchors, one per operator family
         "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
         "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
         "q_asof_join": _q(["events"], temporal.q_asof_join),
         "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
-        "q_bm25": _q(["documents"], text.q_bm25),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
         "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
         "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
         "q_sessionize": _q(["events"], sessionize.q_sessionize),
+        "q_bm25": _q(["documents"], text.q_bm25),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
     }
 
@@ -2025,5 +2026,32 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS keeper_doc_id
             FROM n6
             GROUP BY s
+        """,
+        # dataset-card stats: same whitespace tokenization as the
+        # token-count oracle; exact interpolated percentiles
+        # (quantile_cont == Spark percentile); share window over the
+        # aggregated frame
+        "q_corpus_stats": f"""
+            WITH per_doc AS (
+              SELECT source, lang,
+                     CAST(len({toks}) AS BIGINT) AS n_tokens,
+                     CAST(length(text) AS BIGINT) AS n_chars
+              FROM documents
+            ),
+            agg AS (
+              SELECT source,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                     CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                     round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+                     round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens
+              FROM per_doc
+              GROUP BY source
+            )
+            SELECT *,
+                   round(total_tokens / sum(total_tokens) OVER (), 6)
+                     AS token_share
+            FROM agg
         """,
     }

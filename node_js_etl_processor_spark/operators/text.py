@@ -1646,3 +1646,40 @@ def q_url_dedup(documents: DataFrame) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+# ------------------------------------------------------- dataset stats card
+
+
+def q_corpus_stats(documents: DataFrame) -> DataFrame:
+    """Declared query: the dataset-card stats block — per-source doc/
+    token/char totals, language breadth, exact interpolated token
+    percentiles (p50/p90, matching DuckDB quantile_cont — at 100 TB
+    swap approx_percentile's t-digest, same call shape), and each
+    source's share of corpus tokens. Two stages, both cheap: one
+    narrow per-doc projection + one keyed aggregation; the share
+    window runs over the k-row AGGREGATED frame only (the module's
+    aggregated-frame-window discipline). Fully oracle-checked."""
+    from pyspark.sql.window import Window
+
+    per_doc = documents.select(
+        "source",
+        "lang",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.round(F.percentile("n_tokens", F.lit(0.5)), 4).alias("p50_tokens"),
+        F.round(F.percentile("n_tokens", F.lit(0.9)), 4).alias("p90_tokens"),
+    )
+    return agg.withColumn(
+        "token_share",
+        F.round(
+            F.col("total_tokens") / F.sum("total_tokens").over(Window.partitionBy()),
+            6,
+        ),
+    )
