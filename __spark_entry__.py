@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 88 queries (count as of r7 — grep ``def queries`` below for the
+ALL 89 queries (count as of r7 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -72,12 +72,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staying in: the five r6-new queries (q_lm_perplexity, q_pq_encode,
     q_pq_topk, q_ivfpq_topk, q_weighted_sample — q_ivfpq_topk switches
     to residual encoding in r7 and needs a green row for the new
-    form), the r7-new q_ivfpq_rescore, q_html_extract, q_url_dedup
-    and q_corpus_stats, plus 7 diverse r6-green anchors, one per
-    operator family (q_agg_pricing, q_join_enrich, q_asof_join,
+    form), the r7-new q_ivfpq_rescore, q_html_extract, q_url_dedup,
+    q_corpus_stats and q_lm_bigram_perplexity, plus 6 diverse
+    r6-green anchors (q_agg_pricing, q_asof_join,
     q_curation_pipeline, q_dedup_minhash, q_dedup_clusters,
-    q_multimodal_features). 38 r6-green queries move out (registry is
-    88 since r7). Invariant after this rotation: every query's latest
+    q_multimodal_features). 39 r6-green queries move out (registry is
+    89 since r7). Invariant after this rotation: every query's latest
     driver row is r6 or r7 — nothing older than one rotation cycle,
     and the full registry alternates r-even/r-odd halves from here
     on."""
@@ -137,10 +137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_html_extract": _q(["documents"], text.q_html_extract),
         "q_url_dedup": _q(["documents"], text.q_url_dedup),
         "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
+        "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
         "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         # r6-green anchors, one per operator family
         "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
-        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
         "q_asof_join": _q(["events"], temporal.q_asof_join),
         "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
         "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_bm25": _q(["documents"], text.q_bm25),
+        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
     }
 
@@ -2053,5 +2054,73 @@ def oracle_sql() -> dict[str, str]:
                    round(total_tokens / sum(total_tokens) OVER (), 6)
                      AS token_share
             FROM agg
+        """,
+        # bigram-interpolated LM: counts + float chain replayed in the
+        # same op order as text.q_lm_bigram_perplexity
+        "q_lm_bigram_perplexity": f"""
+            WITH tk AS (SELECT doc_id, {toks} AS t FROM documents),
+            ne AS (SELECT * FROM tk WHERE len(t) > 0),
+            uc AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS uc
+              FROM (SELECT unnest(t) AS tok FROM ne)
+              GROUP BY tok
+            ),
+            up AS (
+              SELECT tok,
+                     CAST(uc AS DOUBLE)
+                     / (SELECT CAST(sum(uc) AS DOUBLE) FROM uc) AS p_uni
+              FROM uc
+            ),
+            bg AS (
+              SELECT doc_id,
+                     struct_extract(b, 'w1') AS w1,
+                     struct_extract(b, 'w2') AS w2
+              FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS b
+                FROM ne
+              )
+            ),
+            bc AS (
+              SELECT w1, w2, CAST(count(*) AS BIGINT) AS bc
+              FROM bg GROUP BY w1, w2
+            ),
+            hist AS (
+              SELECT w1, CAST(sum(bc) AS BIGINT) AS hc FROM bc GROUP BY w1
+            ),
+            bprob AS (
+              SELECT bc.w1, bc.w2,
+                     -ln(0.7 * (CAST(bc.bc AS DOUBLE) / CAST(hist.hc AS DOUBLE))
+                         + 0.3 * up.p_uni) AS nll
+              FROM bc
+              JOIN hist ON bc.w1 = hist.w1
+              JOIN up ON bc.w2 = up.tok
+            ),
+            big_doc AS (
+              SELECT bg.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_bigrams,
+                     sum(nll) AS sum_nll
+              FROM bg JOIN bprob ON bg.w1 = bprob.w1 AND bg.w2 = bprob.w2
+              GROUP BY bg.doc_id
+            ),
+            firsts AS (
+              SELECT ne.doc_id, t[1] AS tok,
+                     CAST(len(t) AS BIGINT) AS n_tokens
+              FROM ne
+            ),
+            per_doc AS (
+              SELECT f.doc_id, f.n_tokens,
+                     round((-ln(up.p_uni) + coalesce(bd.sum_nll, 0.0))
+                           / CAST(f.n_tokens AS DOUBLE), 6) AS avg_nll
+              FROM firsts f
+              JOIN up ON f.tok = up.tok
+              LEFT JOIN big_doc bd ON f.doc_id = bd.doc_id
+            )
+            SELECT doc_id, n_tokens, avg_nll,
+                   round(exp(avg_nll), 4) AS perplexity,
+                   CAST(ntile(3) OVER (ORDER BY avg_nll ASC, doc_id ASC)
+                        AS BIGINT) AS ppl_bucket
+            FROM per_doc
         """,
     }

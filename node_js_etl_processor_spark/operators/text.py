@@ -1683,3 +1683,116 @@ def q_corpus_stats(documents: DataFrame) -> DataFrame:
             6,
         ),
     )
+
+
+def q_lm_bigram_perplexity(documents: DataFrame, buckets: int = 3) -> DataFrame:
+    """Declared query: interpolated BIGRAM LM perplexity bucketing —
+    one model order closer to CCNet's KenLM than ``q_lm_perplexity``:
+
+        p(w_i | w_{i-1}) = 0.7·c(w_{i-1} w_i)/c(w_{i-1}·)
+                         + 0.3·c(w_i)/T      (Jelinek-Mercer
+                                              interpolation, fixed λ)
+
+    with the document's FIRST token scored by the unigram term alone
+    (no history), so every token contributes exactly one nll term and
+    per-doc avg_nll is Σnll / n_tokens. Token-less documents are
+    excluded (no likelihood), single-token documents score on the
+    unigram term only. Fully oracle-checked: DuckDB rebuilds bigram /
+    history / unigram counts and replays the same float expression in
+    the same operation order (ulp-level sum-order noise sits ~7
+    orders below the 6-digit rounding).
+
+    Scale shape: bigrams come from ONE per-row array transform —
+    never a token-level self-join or a token-frame window sort. Three
+    keyed aggregations (bigram, history, unigram — the latter two
+    vocabulary-sized), probability tables broadcast into the scoring
+    joins (CCNet caps its LM vocab, keeping these broadcastable; drop
+    the hints at uncapped scale and keyed shuffles take over), and
+    the ntile runs over the aggregated per-doc frame only.
+    """
+    from pyspark.sql.window import Window
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    arr = tokens(F.col("text"))
+    docs_t = spread(documents).select("doc_id", arr.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    bg_arr = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("toks"), i).alias("w1"),
+            F.element_at(F.col("toks"), i + 1).alias("w2"),
+        ),
+    )
+    # explode_outer + null-filter: the InferFiltersFromGenerate guard
+    # (see q_lm_perplexity) — single-token docs yield a null bigram row
+    # here and are re-joined via their first token below
+    big = (
+        docs_t.select("doc_id", F.explode_outer(bg_arr).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    uni = (
+        docs_t.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("uc"))
+    )
+    total = F.sum("uc").over(Window.partitionBy()).cast("double")
+    uniprob = uni.select(
+        "tok", (F.col("uc").cast("double") / total).alias("p_uni")
+    )
+    bcnt = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("bc"))
+    hist = bcnt.groupBy("w1").agg(F.sum("bc").cast("bigint").alias("hc"))
+    # one nll per distinct bigram: λ·(bc/hc) + (1−λ)·p_uni(w2)
+    bprob = (
+        bcnt.join(hist, "w1")
+        .join(uniprob.withColumnRenamed("tok", "w2"), "w2")
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log(
+                    F.lit(0.7)
+                    * (F.col("bc").cast("double") / F.col("hc").cast("double"))
+                    + F.lit(0.3) * F.col("p_uni")
+                )
+            ).alias("nll"),
+        )
+    )
+    big_doc = (
+        big.join(F.broadcast(bprob), ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("nll").alias("sum_nll"),
+        )
+    )
+    firsts = docs_t.select(
+        "doc_id",
+        F.element_at("toks", 1).alias("tok"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+    ).join(F.broadcast(uniprob), "tok")
+    per_doc = (
+        firsts.join(big_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                (
+                    -F.log(F.col("p_uni"))
+                    + F.coalesce(F.col("sum_nll"), F.lit(0.0))
+                )
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+    w = Window.orderBy(F.col("avg_nll").asc(), F.col("doc_id").asc())
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "avg_nll",
+        F.round(F.exp(F.col("avg_nll")), 4).alias("perplexity"),
+        F.ntile(buckets).over(w).cast("bigint").alias("ppl_bucket"),
+    )
