@@ -172,6 +172,17 @@ def main() -> None:
                         lambda: similarity.q_pq_encode(emb10)),
         "q_pq_topk": (lambda: similarity.q_pq_topk(emb1),
                       lambda: similarity.q_pq_topk(emb10)),
+        # r7-new operators: bigram LM (three vocab-keyed aggs +
+        # broadcast scoring joins), HTML extraction + URL dedup
+        # (narrow regexp chains — should scale at scan bandwidth)
+        "q_lm_bigram_perplexity": (
+            lambda: text.q_lm_bigram_perplexity(docs1),
+            lambda: text.q_lm_bigram_perplexity(docs10),
+        ),
+        "q_html_extract": (lambda: text.q_html_extract(docs1),
+                           lambda: text.q_html_extract(docs10)),
+        "q_url_dedup": (lambda: text.q_url_dedup(docs1),
+                        lambda: text.q_url_dedup(docs10)),
     }
 
     # ---- landing-zone compaction (batch half of the ingest split):
