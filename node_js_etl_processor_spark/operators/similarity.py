@@ -1163,11 +1163,12 @@ def ivfpq_rescore_topk(
     cents = centroids if centroids is not None else _ivf_centroids(n_cells)
     cbs = codebooks if codebooks is not None else _pq_residual_codebooks()
     cells = probe_cell_set(probe, n_cells, n_probe_cells, centroids=cents)
-    enc = ivfpq_encode(
-        embeddings, n_cells, centroids=cents, codebooks=cbs
-    ).filter(F.col("cell").isin(cells))
+    assigned = ivf_assign(embeddings, n_cells, centroids=cents).filter(
+        F.col("cell").isin(cells)
+    )
     if exclude_vec_id is not None:
-        enc = enc.filter(F.col("vec_id") != exclude_vec_id)
+        assigned = assigned.filter(F.col("vec_id") != exclude_vec_id)
+    enc = pq_encode(assigned, codebooks=cbs, residual_centroids=cents)
     adc = ivfpq_cell_const(probe, cents) + pq_adc_score(
         F.col("codes"), probe, codebooks=cbs
     )
@@ -1177,7 +1178,11 @@ def ivfpq_rescore_topk(
         .limit(rescore * k)
         .select("vec_id")
     )
-    cand = enc.join(F.broadcast(shortlist), "vec_id", "left_semi")
+    # the rescore side needs embeddings, not codes — join the
+    # shortlist back to the ASSIGNED frame so the PQ-encode kernel
+    # runs once, not once per branch (in the layout twin both sides
+    # read the stored table, so this asymmetry is inline-only)
+    cand = assigned.join(F.broadcast(shortlist), "vec_id", "left_semi")
     return score_topk(cand, probe, k=k)
 
 
