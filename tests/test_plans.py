@@ -428,3 +428,46 @@ def test_pq_encode_narrow_and_topk_no_global_sort(spark, sf_dir):
     p2 = q_pq_topk(emb)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p2
     assert "rangepartitioning" not in p2
+
+
+def test_html_extract_and_url_dedup_plan_shape(spark, sf_dir):
+    """The r7 web-entry stages keep their promised shapes:
+    q_html_extract is ONE narrow codegen'd projection (zero exchanges
+    — it must run at scan bandwidth), and q_url_dedup has exactly the
+    canonical-key groupBy exchange with map-side partial aggregation."""
+    from node_js_etl_processor_spark.operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    p_html = plan_text(text.q_html_extract(docs))
+    assert "Exchange" not in p_html
+    assert "* Project" in p_html  # codegen'd projection (formatted-mode marker)
+
+    p_url = plan_text(text.q_url_dedup(docs))
+    # formatted mode prints each node in the tree AND a detail block —
+    # count the detail headers
+    assert p_url.count(") Exchange") == 1
+    assert p_url.count("HashAggregate") >= 2  # partial + final
+
+
+def test_lm_bigram_broadcast_only_joins(spark, sf_dir):
+    """q_lm_bigram_perplexity's five joins must all be broadcast
+    (probability tables are vocabulary-sized parameters) — a
+    SortMergeJoin here means a token- or bigram-keyed global sort
+    crept in."""
+    from node_js_etl_processor_spark.operators import text
+
+    plan = plan_text(text.q_lm_bigram_perplexity(load_table(spark, sf_dir, "documents")))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_ivfpq_rescore_single_encode_pass(spark, sf_dir):
+    """The inline IVFADC+rescore query runs the Arrow PQ-encode kernel
+    ONCE: the rescore side joins the shortlist back to the assignment
+    frame, not the encoded one. Two MapInPandas nodes in the plan =
+    the per-branch re-encode regression this test pins out."""
+    from node_js_etl_processor_spark.operators import similarity
+
+    plan = plan_text(similarity.q_ivfpq_rescore(load_table(spark, sf_dir, "embeddings")))
+    assert plan.count(") MapInPandas") == 1, plan.count(") MapInPandas")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
