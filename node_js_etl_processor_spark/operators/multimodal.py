@@ -575,3 +575,135 @@ def q_multimodal_features(documents: DataFrame) -> DataFrame:
     once, batch size governed by spark.sql.execution.arrow.maxRecordsPerBatch.
     """
     return extract_features(documents_as_media(documents)).orderBy("media_id")
+
+
+# ------------------------------------------------- stdlib WAV audio path
+#
+# PCM WAV is the audio analogue of the BMP/PNG paths: a RIFF container
+# with a fmt chunk and raw samples, fully decodable with struct+numpy
+# (public RIFF/WAVE layout). Supported flavor: PCM (format tag 1),
+# 16-bit, any channel count / sample rate; other encodings (float,
+# ADPCM, extensible) raise DecodeUnavailable like any codec we lack.
+
+
+def encode_wav(samples: "object", sample_rate: int = 16000) -> bytes:
+    """Encode an (n,) or (n, channels) int16 array as a PCM WAV."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = arr.astype("<i2").tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> "tuple[object, int]":
+    """Decode a PCM 16-bit WAV into ((n, channels) int16 array,
+    sample_rate). Bounds-checked: corrupt chunk sizes / truncated
+    payloads raise DecodeUnavailable, never struct/numpy errors."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise DecodeUnavailable("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if clen > len(payload) - pos - 8:
+            raise DecodeUnavailable("corrupt WAV chunk length")
+        if ctype == b"fmt ":
+            if clen < 16:
+                raise DecodeUnavailable("short WAV fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        elif ctype == b"data":
+            data = payload[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise DecodeUnavailable("WAV missing fmt or data chunk")
+    tag, ch, rate, _br, _align, bits = fmt
+    if tag != 1 or bits != 16 or ch < 1 or rate <= 0:
+        raise DecodeUnavailable(
+            f"unsupported WAV flavor (tag={tag}, bits={bits}, ch={ch})"
+        )
+    n = len(data) // (ch * 2)
+    arr = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+    return arr.copy(), rate
+
+
+def resample_audio(samples: "object", src_rate: int, dst_rate: int) -> "object":
+    """Nearest-neighbor resample along the time axis — the audio twin
+    of resize_raster's sampling convention (source index floor(i·src/
+    dst)); production would low-pass first, this is the deterministic
+    plumbing form."""
+    import numpy as np
+
+    arr = np.asarray(samples)
+    n = arr.shape[0]
+    out_n = max(1, (n * dst_rate) // src_rate)
+    idx = (np.arange(out_n) * src_rate) // dst_rate
+    return arr[np.minimum(idx, n - 1)]
+
+
+def audio_features_wav(media: DataFrame) -> DataFrame:
+    """Distributed REAL audio feature pass over WAV payloads — the
+    audio sibling of ``resize_media_bmp``: mapInPandas batches, the
+    kernel decodes actual PCM samples and emits duration, channel
+    count, RMS level and peak (the triage features an audio-curation
+    gate filters on — silence/clipping detection). Non-WAV or corrupt
+    payloads surface as ok=false rows (one skippable record each),
+    never executor errors."""
+    import pandas as pd
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("ok", StringType(), False),
+            StructField("sample_rate", LongType(), True),
+            StructField("n_channels", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+            StructField("rms", StringType(), True),
+            StructField("peak", LongType(), True),
+        ]
+    )
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "ok", "sample_rate", "n_channels",
+                "duration_ms", "rms", "peak",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    arr, rate = decode_wav(bytes(payload) if payload is not None else None)
+                    mono = arr.astype(np.float64).mean(axis=1)
+                    out["ok"].append("true")
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(arr.shape[1])
+                    out["duration_ms"].append(int(arr.shape[0] * 1000 / rate))
+                    out["rms"].append(f"{float(np.sqrt(np.mean(mono ** 2))):.4f}")
+                    out["peak"].append(int(np.abs(arr).max()) if arr.size else 0)
+                except DecodeUnavailable:
+                    out["ok"].append("false")
+                    for k in ("sample_rate", "n_channels", "duration_ms", "peak"):
+                        out[k].append(None)
+                    out["rms"].append(None)
+            yield pd.DataFrame(out)
+
+    return spread(media).mapInPandas(run, schema)

@@ -1062,3 +1062,67 @@ def test_normalize_url_rules(spark):
     )
     got = keep.select(normalize_url(F.col("u")).alias("n")).head()["n"]
     assert got == "https://web.example.com/a?page=2", got
+
+
+def test_wav_roundtrip_features_and_refusal(spark):
+    """The stdlib WAV path: encode deterministic sine/square PCM,
+    decode back bit-exactly (mono + stereo), nearest-neighbor
+    resample honors the floor(i*src/dst) convention, and the
+    distributed audio_features_wav pass computes duration/rms/peak
+    with non-WAV payloads surfacing as ok=false rows, not executor
+    errors."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        DecodeUnavailable,
+        audio_features_wav,
+        decode_wav,
+        encode_wav,
+        resample_audio,
+    )
+
+    t = np.arange(1600)
+    mono = (10000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    stereo = np.stack([mono, (mono // 2).astype(np.int16)], axis=1)
+
+    for arr in (mono, stereo):
+        wav = encode_wav(arr, 16000)
+        dec, rate = decode_wav(wav)
+        assert rate == 16000
+        want = arr[:, None] if arr.ndim == 1 else arr
+        assert np.array_equal(dec, want)
+
+    # resample halves/doubles the length with the floor sampling rule
+    half = resample_audio(mono, 16000, 8000)
+    assert len(half) == 800 and np.array_equal(half, mono[::2])
+
+    # corrupt payloads refuse honestly
+    import pytest as _pytest
+
+    wav = encode_wav(mono, 16000)
+    with _pytest.raises(DecodeUnavailable):
+        decode_wav(b"RIFFxxxxWAVE")  # no chunks
+    with _pytest.raises(DecodeUnavailable):
+        decode_wav(wav[:30])  # truncated mid-fmt
+    bad = bytearray(wav)
+    bad[20] = 3  # format tag -> IEEE float
+    with _pytest.raises(DecodeUnavailable):
+        decode_wav(bytes(bad))
+
+    # distributed pass: real features + per-row failure isolation
+    rows = [
+        (1, "audio", "audio/wav", encode_wav(mono, 16000), None, None),
+        (2, "audio", "audio/wav", encode_wav(stereo, 8000), None, None),
+        (3, "audio", "audio/mpeg", b"ID3\x04not-a-wav", None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r.asDict() for r in audio_features_wav(media).collect()}
+    assert got[1]["ok"] == "true" and got[1]["duration_ms"] == 100
+    assert got[1]["n_channels"] == 1 and got[1]["sample_rate"] == 16000
+    expect_rms = float(np.sqrt(np.mean(mono.astype(np.float64) ** 2)))
+    assert got[1]["rms"] == f"{expect_rms:.4f}"
+    assert got[1]["peak"] == int(np.abs(mono).max())
+    assert got[2]["ok"] == "true" and got[2]["n_channels"] == 2
+    assert got[2]["duration_ms"] == 200  # 1600 frames at 8 kHz
+    assert got[3]["ok"] == "false" and got[3]["duration_ms"] is None
