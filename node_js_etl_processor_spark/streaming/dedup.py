@@ -50,3 +50,36 @@ def dedup_exact_stream(
     ``dedup_events_stream``, whose state is bounded by watermark lag.
     """
     return events_stream.dropDuplicates(keys or ["event_id"])
+
+
+def url_frontier_stream(
+    urls_stream: DataFrame,
+    url_col: str = "url",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming crawl-frontier dedup: canonicalize each discovered
+    URL (``operators.text.normalize_url`` — the exact batch
+    expression, so stream and batch agree bit-for-bit on the key) and
+    keep the first arrival per canonical key within the watermark
+    window. The input must carry a ``ts`` discovery-time column; state
+    for a canonical URL is dropped once the watermark passes it —
+    the right semantics for a frontier, where re-discoveries cluster
+    near the first sighting (links propagate fast) and a re-crawl
+    after the horizon is usually WANTED (content may have changed).
+
+    At 100 TB-frontier scale the state is bounded by
+    (watermark lag × discovery rate), and the canonical key is ~60
+    bytes/URL — the batch backstop for the long tail is
+    ``operators.text.q_url_dedup`` over the landing zone, the same
+    ingest/compact split as the curation pipeline."""
+    from pyspark.sql import functions as F
+
+    from ..functions.timeutil import ensure_instant
+    from ..operators.text import normalize_url
+
+    canon = ensure_instant(urls_stream).withColumn(
+        "canonical_url", normalize_url(F.col(url_col))
+    )
+    return canon.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["canonical_url"]
+    )

@@ -409,3 +409,47 @@ def test_compact_landing_zone_equals_batch_capstone(spark, sf_dir, tmp_path):
     plan = buf.getvalue()
     read_schema = plan.split("ReadSchema")[1].split("\n")[0]
     assert "chunk_text" not in read_schema
+
+
+def test_url_frontier_stream_dedups_on_canonical_key(spark, tmp_path):
+    """The streaming crawl frontier must collapse messy URL VARIANTS
+    (scheme case, www, tracking params, fragments) to one emission per
+    canonical key — the same normalize_url expression as the batch
+    q_url_dedup, so stream and batch agree on the key — while distinct
+    canonical pages all pass."""
+    import datetime as dt
+
+    from node_js_etl_processor_spark.streaming.dedup import url_frontier_stream
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, "https://news.example.com/a", t0),
+        (2, "HTTP://WWW.News.Example.com/a?utm_source=x", t0 + 1 * m),  # dup of 1
+        (3, "https://news.example.com/a#frag", t0 + 2 * m),             # dup of 1
+        (4, "https://news.example.com/b", t0 + 1 * m),
+        (5, "https://web.example.com/a", t0 + 3 * m),
+    ]
+    src = str(tmp_path / "frontier_src")
+    spark.createDataFrame(rows, "disc_id long, url string, ts timestamp").write.parquet(
+        src
+    )
+    stream = spark.readStream.schema("disc_id long, url string, ts timestamp").parquet(
+        src
+    )
+    q = (
+        url_frontier_stream(stream)
+        .writeStream.format("memory")
+        .queryName("frontier")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["canonical_url"] for r in spark.table("frontier").collect()}
+    assert got == {
+        "https://news.example.com/a",
+        "https://news.example.com/b",
+        "https://web.example.com/a",
+    }
+    assert spark.table("frontier").count() == 3
