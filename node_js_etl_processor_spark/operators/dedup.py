@@ -198,25 +198,19 @@ def minhash_signatures(
     return hs.select("doc_id", *mins)
 
 
-def minhash_candidates(
+def minhash_band_postings(
     documents: DataFrame,
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
     portable: bool = False,
 ) -> DataFrame:
-    """LSH candidate pairs: docs sharing ≥1 (band, bucket).
-
-    Scale path: signatures → explode to (band, bucket, doc_id) —
-    cardinality n_docs × bands — then self-join grouped by (band,
-    bucket). Only bucket collisions are joined; the exchange is keyed
-    on the bucket hash, so skew is bounded by bucket size, and AQE's
-    skew-join splits oversized buckets. Pairs are deduped min/max.
-
-    ``portable`` selects the hash family (see minhash_signatures); the
-    band bucket is then md5 of the comma-joined row minima, which the
-    DuckDB oracle reproduces verbatim.
-    """
+    """(band, bucket, doc_id) LSH postings — the exploded band-bucket
+    keys of ``minhash_signatures``. This is the unit both the
+    full-corpus self-join (``minhash_candidates``) and the incremental
+    delta path (``sources.dedup_store``) consume; at ingest it is ALSO
+    what a signature store persists, so a crawl drop never re-hashes
+    the accepted corpus."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(documents, num_hashes, shingle_n, portable=portable)
 
@@ -236,10 +230,34 @@ def minhash_candidates(
             for b in range(bands)
         ]
     )
-    buckets = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         F.col("bb.band").alias("band"),
         F.col("bb.bucket").alias("bucket"),
         "doc_id",
+    )
+
+
+def minhash_candidates(
+    documents: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 (band, bucket).
+
+    Scale path: signatures → explode to (band, bucket, doc_id) —
+    cardinality n_docs × bands — then self-join grouped by (band,
+    bucket). Only bucket collisions are joined; the exchange is keyed
+    on the bucket hash, so skew is bounded by bucket size, and AQE's
+    skew-join splits oversized buckets. Pairs are deduped min/max.
+
+    ``portable`` selects the hash family (see minhash_signatures); the
+    band bucket is then md5 of the comma-joined row minima, which the
+    DuckDB oracle reproduces verbatim.
+    """
+    buckets = minhash_band_postings(
+        documents, num_hashes, bands, shingle_n, portable=portable
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
