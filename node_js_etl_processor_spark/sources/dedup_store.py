@@ -114,3 +114,54 @@ def dedup_minhash_delta(
         )
     )
     return new_old.unionByName(new_new).distinct()
+
+
+# ------------------------------------------------ exact-fingerprint store
+
+
+def write_fingerprint_store(documents: DataFrame, path: str) -> None:
+    """Persist the corpus's exact-dedup fingerprints (the md5 of
+    normalized text — ``operators.dedup.fingerprint``, the same
+    expression q_dedup_docs groups on). 16 bytes/doc; the store IS the
+    dedup state, the corpus text never needs re-reading."""
+    from node_js_etl_processor_spark.operators.dedup import fingerprint
+
+    documents.select(
+        fingerprint(F.col("text")).alias("fp")
+    ).distinct().write.mode("overwrite").parquet(path)
+
+
+def append_fingerprint_store(documents: DataFrame, path: str) -> None:
+    """Append an accepted batch's fingerprints (dedup survivors)."""
+    from node_js_etl_processor_spark.operators.dedup import fingerprint
+
+    documents.select(fingerprint(F.col("text")).alias("fp")).distinct().write.mode(
+        "append"
+    ).parquet(path)
+
+
+def dedup_exact_delta(
+    spark: SparkSession, new_docs: DataFrame, path: str
+) -> DataFrame:
+    """Exact-dedup a new batch incrementally: drop any doc whose
+    fingerprint is already in the store (left_anti — the 100 TB form:
+    the probe shuffles 16-byte digests, never text), then keep one doc
+    per fingerprint WITHIN the batch (min doc_id, q_dedup_docs's
+    keeper rule). Returns the surviving rows of ``new_docs``; append
+    their fingerprints via ``append_fingerprint_store`` to close the
+    loop."""
+    from pyspark.sql.window import Window
+
+    from node_js_etl_processor_spark.operators.dedup import fingerprint
+
+    store = spark.read.parquet(path)
+    fresh = (
+        new_docs.withColumn("_fp", fingerprint(F.col("text")))
+        .join(store.withColumnRenamed("fp", "_fp"), "_fp", "left_anti")
+    )
+    w = Window.partitionBy("_fp").orderBy(F.col("doc_id").asc())
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )

@@ -87,3 +87,40 @@ def test_append_closes_the_ingest_loop(spark, sf_dir, tmp_path):
     assert types <= {"new-old", "new-new"}
     n_store_bands = spark.read.parquet(path).select("band").distinct().count()
     assert n_store_bands == 8
+
+
+def test_exact_delta_store_roundtrip(spark, sf_dir, tmp_path):
+    """Exact incremental dedup: docs whose text is already stored are
+    dropped, in-batch duplicates keep min doc_id, survivors' schema is
+    the input schema, and after appending survivors a re-probe of the
+    same batch drops everything."""
+    from node_js_etl_processor_spark.sources.dedup_store import (
+        append_fingerprint_store,
+        dedup_exact_delta,
+        write_fingerprint_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    path = str(tmp_path / "fp_store")
+    write_fingerprint_store(old, path)
+
+    survivors = dedup_exact_delta(spark, new, path)
+    assert survivors.columns == docs.columns
+
+    # reference: full-corpus exact dedup keepers that are new-batch docs
+    # AND not text-duplicates of any old doc
+    from node_js_etl_processor_spark.operators.dedup import fingerprint
+
+    old_fps = {r["fp"] for r in old.select(fingerprint(F.col("text")).alias("fp")).collect()}
+    by_fp = {}
+    for r in new.select("doc_id", fingerprint(F.col("text")).alias("fp")).collect():
+        if r["fp"] not in old_fps:
+            by_fp.setdefault(r["fp"], []).append(r["doc_id"])
+    want = {min(v) for v in by_fp.values()}
+    got = {r["doc_id"] for r in survivors.collect()}
+    assert got == want and len(got) > 0
+
+    append_fingerprint_store(survivors, path)
+    assert dedup_exact_delta(spark, new, path).count() == 0
