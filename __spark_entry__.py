@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 89 queries (count as of r7 — grep ``def queries`` below for the
+ALL 90 queries (count as of r7 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -73,11 +73,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_pq_topk, q_ivfpq_topk, q_weighted_sample — q_ivfpq_topk switches
     to residual encoding in r7 and needs a green row for the new
     form), the r7-new q_ivfpq_rescore, q_html_extract, q_url_dedup,
-    q_corpus_stats and q_lm_bigram_perplexity, plus 6 diverse
-    r6-green anchors (q_agg_pricing, q_asof_join,
-    q_curation_pipeline, q_dedup_minhash, q_dedup_clusters,
-    q_multimodal_features). 39 r6-green queries move out (registry is
-    89 since r7). Invariant after this rotation: every query's latest
+    q_corpus_stats, q_lm_bigram_perplexity and q_embedding_pool, plus
+    5 diverse r6-green anchors (q_agg_pricing, q_curation_pipeline,
+    q_dedup_minhash, q_dedup_clusters, q_multimodal_features). 40
+    r6-green queries move out (registry is 90 since r7). Invariant after this rotation: every query's latest
     driver row is r6 or r7 — nothing older than one rotation cycle,
     and the full registry alternates r-even/r-odd halves from here
     on."""
@@ -138,10 +137,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_url_dedup": _q(["documents"], text.q_url_dedup),
         "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
         "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
+        "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
         "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         # r6-green anchors, one per operator family
         "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
-        "q_asof_join": _q(["events"], temporal.q_asof_join),
         "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
         "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
@@ -187,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_bm25": _q(["documents"], text.q_bm25),
         "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
+        "q_asof_join": _q(["events"], temporal.q_asof_join),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
     }
 
@@ -2122,5 +2122,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(3) OVER (ORDER BY avg_nll ASC, doc_id ASC)
                         AS BIGINT) AS ppl_bucket
             FROM per_doc
+        """,
+        # embedding pooling: DuckDB reduces per-dimension (unnest +
+        # subscripts + ordered list()); Spark folds arrays in the agg
+        # buffer — same math via structurally different plans, with an
+        # md5 over all 64 formatted dims checking every element
+        "q_embedding_pool": """
+            WITH d AS (
+              SELECT label, i, avg(e) AS m
+              FROM (SELECT label,
+                           unnest(CAST(embedding AS DOUBLE[])) AS e,
+                           generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS i
+                    FROM embeddings)
+              GROUP BY label, i
+            ),
+            agg AS (
+              SELECT label, list(m ORDER BY i) AS mean_emb FROM d GROUP BY label
+            ),
+            n AS (
+              SELECT label, CAST(count(*) AS BIGINT) AS n
+              FROM embeddings GROUP BY label
+            )
+            SELECT n.label, n.n,
+                   round(list_dot_product(mean_emb, mean_emb), 6) AS sq_norm,
+                   md5(list_aggregate(
+                     list_transform(mean_emb, x -> format('{:.6f}', x)),
+                     'string_agg', ',')) AS mean_md5
+            FROM agg JOIN n USING (label)
         """,
     }

@@ -1252,3 +1252,62 @@ def q_ivfpq_topk(embeddings: DataFrame, k: int = 10) -> DataFrame:
     partition-pruned, codes-only scan)."""
     probe = _probe_vector(embeddings, 0)
     return ivfpq_adc_topk(embeddings, probe, k=k, exclude_vec_id=0)
+
+
+# ----------------------------------------------------- embedding pooling
+
+
+def embedding_pool(
+    embeddings: DataFrame, group_col: str = "label", dim: int = DIM
+) -> DataFrame:
+    """Element-wise mean embedding per group — the chunk→document
+    pooling step of an embedding pipeline (embed chunks, mean-pool to
+    one vector per parent; also the class-centroid builder for
+    SemDeDup-style maps). One keyed aggregation: arrays fold
+    element-wise via aggregate(zip_with) in the partial-agg buffer —
+    no posexplode to 64×n rows, no second shuffle. Returns
+    (group, n, mean_emb array<double>)."""
+    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
+    return (
+        embeddings.groupBy(group_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.aggregate(
+                F.collect_list(F.col("embedding").cast("array<double>")),
+                zero,
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias("_s"),
+        )
+        .select(
+            group_col,
+            "n",
+            F.transform(
+                F.col("_s"), lambda x: x / F.col("n").cast("double")
+            ).alias("mean_emb"),
+        )
+    )
+
+
+def q_embedding_pool(embeddings: DataFrame) -> DataFrame:
+    """Declared query: mean-pool embeddings per label. The oracle
+    compares n, the mean vector's squared norm, AND an md5 over all
+    64 dims formatted to 6 decimals — so every element of every
+    pooled vector is differentially checked (sum-order ulp noise
+    sits ~9 orders below the 6-decimal format). DuckDB reduces
+    per-dimension via unnest + subscripts; Spark folds arrays in the
+    agg buffer — same math, structurally different plans, which is
+    exactly what makes the check strong."""
+    pooled = embedding_pool(embeddings)
+    mean = F.col("mean_emb")
+    return pooled.select(
+        "label",
+        "n",
+        F.round(
+            F.aggregate(mean, F.lit(0.0), lambda acc, v: acc + v * v), 6
+        ).alias("sq_norm"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(mean, lambda x: F.format_number(x, 6))
+            )
+        ).alias("mean_md5"),
+    )
