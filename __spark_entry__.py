@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 90 queries (count as of r7 — grep ``def queries`` below for the
+ALL 91 queries (count as of r7 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -33,6 +33,7 @@ from node_js_etl_processor_spark.catalog import load_table
 from node_js_etl_processor_spark.operators import (
     dedup,
     relational,
+    retrieval,
     sessionize,
     similarity,
     temporal,
@@ -72,11 +73,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staying in: the five r6-new queries (q_lm_perplexity, q_pq_encode,
     q_pq_topk, q_ivfpq_topk, q_weighted_sample — q_ivfpq_topk switches
     to residual encoding in r7 and needs a green row for the new
-    form), the r7-new q_ivfpq_rescore, q_html_extract, q_url_dedup,
-    q_corpus_stats, q_lm_bigram_perplexity and q_embedding_pool, plus
-    5 diverse r6-green anchors (q_agg_pricing, q_curation_pipeline,
-    q_dedup_minhash, q_dedup_clusters, q_multimodal_features). 40
-    r6-green queries move out (registry is 90 since r7). Invariant after this rotation: every query's latest
+    form), the seven r7-new queries (q_ivfpq_rescore,
+    q_html_extract, q_url_dedup, q_corpus_stats,
+    q_lm_bigram_perplexity, q_embedding_pool, q_hybrid_search), plus
+    4 diverse r6-green anchors (q_agg_pricing, q_curation_pipeline,
+    q_dedup_clusters, q_multimodal_features). 41 r6-green queries
+    move out (registry is 91 since r7). Invariant after this rotation: every query's latest
     driver row is r6 or r7 — nothing older than one rotation cycle,
     and the full registry alternates r-even/r-odd halves from here
     on."""
@@ -138,11 +140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
         "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
         "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
+        "q_hybrid_search": _q(
+            ["documents", "embeddings"], retrieval.q_hybrid_search
+        ),
         "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         # r6-green anchors, one per operator family
         "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
         "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
-        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
         "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
         # ---- oracle-paired but outside the 50-entry driver window ----
@@ -187,6 +191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bm25": _q(["documents"], text.q_bm25),
         "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
         "q_asof_join": _q(["events"], temporal.q_asof_join),
+        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
     }
 
@@ -2149,5 +2154,74 @@ def oracle_sql() -> dict[str, str]:
                      list_transform(mean_emb, x -> format('{:.6f}', x)),
                      'string_agg', ',')) AS mean_md5
             FROM agg JOIN n USING (label)
+        """,
+        # hybrid retrieval: both rankers + both rank assignments + the
+        # RRF arithmetic replayed end to end (C=60, top-50 per side)
+        "q_hybrid_search": r"""
+            WITH toked AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toked GROUP BY doc_id, term
+            ),
+            doclen AS (
+              SELECT doc_id, count(*) AS dl FROM toked GROUP BY doc_id
+            ),
+            stats AS (
+              SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+            ),
+            df AS (
+              SELECT term, count(*) AS df FROM tf
+              WHERE term IN ('hash', 'join', 'vector')
+              GROUP BY term
+            ),
+            idf AS (
+              SELECT term,
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+                     avgdl
+              FROM df CROSS JOIN stats
+            ),
+            sparse AS (
+              SELECT tf.doc_id,
+                     round(sum(idf * (tf * 2.2)
+                               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+              FROM tf
+              JOIN doclen ON tf.doc_id = doclen.doc_id
+              JOIN idf ON tf.term = idf.term
+              WHERE tf.term IN ('hash', 'join', 'vector')
+              GROUP BY tf.doc_id
+              ORDER BY bm25 DESC, tf.doc_id ASC
+              LIMIT 50
+            ),
+            probe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+            dense AS (
+              SELECT e.vec_id AS doc_id,
+                     round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                  CAST(p.embedding AS DOUBLE[])), 6)
+                       AS cosine
+              FROM embeddings e, probe p
+              WHERE e.vec_id <> 0
+              ORDER BY cosine DESC, e.vec_id ASC
+              LIMIT 50
+            ),
+            s AS (
+              SELECT doc_id, bm25,
+                     row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_s
+              FROM sparse
+            ),
+            d AS (
+              SELECT doc_id, cosine,
+                     row_number() OVER (ORDER BY cosine DESC, doc_id ASC) AS r_d
+              FROM dense
+            )
+            SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id, s.bm25, d.cosine,
+                   round(coalesce(1.0 / (60.0 + r_s), 0.0)
+                         + coalesce(1.0 / (60.0 + r_d), 0.0), 6) AS rrf
+            FROM s FULL OUTER JOIN d ON s.doc_id = d.doc_id
+            ORDER BY rrf DESC, doc_id ASC
+            LIMIT 10
         """,
     }
