@@ -1,0 +1,124 @@
+"""Ingest-time BM25 postings index — the stored form of the lexical
+ranker.
+
+``operators.text.bm25_scores`` documents that at scale the tf/df
+tables are computed once at ingest; this module is that store, in the
+mold of similarity_layout / dedup_store:
+
+- ``write_bm25_index`` materializes term postings (doc_id, term, tf,
+  dl — doc length DENORMALIZED into the posting row so a probe never
+  joins the corpus-sized doclen table), Hive-partitioned by a 64-way
+  term-hash bucket (a directory per raw term would explode the
+  namespace at web vocab sizes); plus the per-term df table (same
+  bucketing) and the 1-row corpus stats;
+- ``bm25_from_index`` scores a query from the store alone: the query
+  terms' buckets become PartitionFilters on the postings scan (the
+  file listing prunes to ≤ n_terms of 64 directories), the df/stats
+  sides are parameter-sized broadcasts, and the corpus TEXT is never
+  read — the per-query cost is O(matching postings), the inverted-
+  index contract.
+
+Equivalence with the on-the-fly ``bm25_scores`` is test-pinned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from node_js_etl_processor_spark.operators.text import tokens
+
+#: Term-hash fanout of the postings layout.
+N_TERM_BUCKETS = 64
+
+
+def _term_bucket(term: F.Column) -> F.Column:
+    return F.pmod(F.xxhash64(term), F.lit(N_TERM_BUCKETS)).cast("int")
+
+
+def write_bm25_index(documents: DataFrame, path: str) -> None:
+    """Build and persist the postings/df/stats layout under ``path``.
+    One explode + two keyed aggregations — the same ingest cost the
+    bm25_scores docstring budgets; ``repartition`` before
+    ``partitionBy`` keeps files at O(buckets)."""
+    from node_js_etl_processor_spark.catalog import spread
+
+    toked = (
+        spread(documents)
+        .select(
+            "doc_id", F.explode_outer(tokens(F.lower(F.col("text")))).alias("term")
+        )
+        .filter(F.col("term").isNotNull())
+    )
+    tf = toked.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    doclen = toked.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    postings = tf.join(doclen, "doc_id").withColumn(
+        "term_bucket", _term_bucket(F.col("term"))
+    )
+    postings.repartition("term_bucket").write.mode("overwrite").partitionBy(
+        "term_bucket"
+    ).parquet(f"{path}/postings")
+    df = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn("term_bucket", _term_bucket(F.col("term")))
+    )
+    df.repartition("term_bucket").write.mode("overwrite").partitionBy(
+        "term_bucket"
+    ).parquet(f"{path}/df")
+    doclen.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def bm25_from_index(
+    spark: SparkSession,
+    path: str,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score ``query_terms`` from the stored index: partition-pruned
+    postings scan + broadcast idf — no tokenization, no text read, no
+    corpus-sized join. Output (doc_id, bm25) identical to
+    ``bm25_scores`` on the indexed corpus (test-pinned)."""
+    qterms = [t.lower() for t in query_terms]
+    # the terms' buckets, computed through the SAME engine expression
+    # (xxhash64 has no public Python twin here — a parameter-sized
+    # driver round-trip, not a data collect)
+    bucket_rows = (
+        spark.createDataFrame([(t,) for t in qterms], "term string")
+        .select(_term_bucket(F.col("term")).alias("b"))
+        .collect()
+    )
+    buckets = sorted({r["b"] for r in bucket_rows})
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(qterms))
+    )
+    dft = (
+        spark.read.parquet(f"{path}/df")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(qterms))
+        .select("term", "df")
+    )
+    stats = spark.read.parquet(f"{path}/stats")
+    idf = dft.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+        "avgdl",
+    )
+    scored = postings.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        (
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        ).alias("term_score"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 4).alias("bm25")
+    )
