@@ -270,8 +270,10 @@ def test_no_declared_query_uses_nested_loop_or_cartesian(spark, sf_dir):
     # q_bm25 fans a SINGLE-row broadcast aggregate (corpus n_docs/avgdl)
     # across the term table — Spark plans scalar-subquery fan-out as a
     # BroadcastNestedLoopJoin over that one row, which is O(n·1), not a
-    # real nested loop. Every other query must stay keyed.
-    scalar_fanout_ok = {"q_bm25"}
+    # real nested loop. q_hybrid_search embeds the same narrow-BM25
+    # stage, so it inherits the same single-row fan-out. Every other
+    # query must stay keyed.
+    scalar_fanout_ok = {"q_bm25", "q_hybrid_search"}
     offenders = []
     for name, fn in entrymod.queries().items():
         plan = plan_text(fn(spark, sf_dir), "simple")
