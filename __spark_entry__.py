@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 91 queries (count as of r7 — grep ``def queries`` below for the
+ALL 92 queries (count as of r7 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -73,12 +73,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Staying in: the five r6-new queries (q_lm_perplexity, q_pq_encode,
     q_pq_topk, q_ivfpq_topk, q_weighted_sample — q_ivfpq_topk switches
     to residual encoding in r7 and needs a green row for the new
-    form), the seven r7-new queries (q_ivfpq_rescore,
+    form), the eight r7-new queries (q_ivfpq_rescore,
     q_html_extract, q_url_dedup, q_corpus_stats,
-    q_lm_bigram_perplexity, q_embedding_pool, q_hybrid_search), plus
-    4 diverse r6-green anchors (q_agg_pricing, q_curation_pipeline,
-    q_dedup_clusters, q_multimodal_features). 41 r6-green queries
-    move out (registry is 91 since r7). Invariant after this rotation: every query's latest
+    q_lm_bigram_perplexity, q_embedding_pool, q_hybrid_search,
+    q_semantic_decontaminate), plus 3 r6-green anchors
+    (q_agg_pricing, q_curation_pipeline, q_dedup_clusters). 42
+    r6-green queries move out (registry is 92 since r7). Invariant after this rotation: every query's latest
     driver row is r6 or r7 — nothing older than one rotation cycle,
     and the full registry alternates r-even/r-odd halves from here
     on."""
@@ -143,12 +143,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hybrid_search": _q(
             ["documents", "embeddings"], retrieval.q_hybrid_search
         ),
+        "q_semantic_decontaminate": _q(
+            ["embeddings"], similarity.q_semantic_decontaminate
+        ),
         "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         # r6-green anchors, one per operator family
         "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
         "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
         "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
-        "q_multimodal_features": _q(["documents"], q_multimodal_features),
         # ---- oracle-paired but outside the 50-entry driver window ----
         # (all green r6; covered every round by the local parity gate
         # in tests/test_oracle_parity.py)
@@ -192,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
         "q_asof_join": _q(["events"], temporal.q_asof_join),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
+        "q_multimodal_features": _q(["documents"], q_multimodal_features),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
     }
 
@@ -2223,5 +2226,33 @@ def oracle_sql() -> dict[str, str]:
             FROM s FULL OUTER JOIN d ON s.doc_id = d.doc_id
             ORDER BY rrf DESC, doc_id ASC
             LIMIT 10
+        """,
+        # semantic decontamination: both sides' SRP blocking, the
+        # cross-side candidate join, cosine verify and the per-train
+        # argmax replayed from the same hyperplane constants
+        "q_semantic_decontaminate": f"""
+            WITH t AS (
+              SELECT vec_id, embedding, {_srp_sig_sql('embedding')} AS sig
+              FROM embeddings WHERE vec_id % 10 <> 0
+            ),
+            e AS (
+              SELECT vec_id AS eval_id, embedding AS eval_emb,
+                     {_srp_sig_sql('embedding')} AS sig
+              FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            scored AS (
+              SELECT t.vec_id, e.eval_id,
+                     round(list_cosine_similarity(
+                       CAST(t.embedding AS DOUBLE[]),
+                       CAST(e.eval_emb AS DOUBLE[])), 6) AS cosine
+              FROM t JOIN e USING (sig)
+            ),
+            flagged AS (SELECT * FROM scored WHERE cosine >= 0.30)
+            SELECT vec_id, eval_id, cosine AS max_cosine
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cosine DESC, eval_id ASC) AS rn
+              FROM flagged
+            ) WHERE rn = 1
         """,
     }

@@ -29,6 +29,7 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from node_js_etl_processor_spark.functions.vector import cosine_similarity, dot, l2_norm
 
@@ -1311,3 +1312,68 @@ def q_embedding_pool(embeddings: DataFrame) -> DataFrame:
             )
         ).alias("mean_md5"),
     )
+
+
+# ------------------------------------------- semantic decontamination
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    evals: DataFrame,
+    threshold: float = 0.30,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Embedding-space decontamination: flag TRAIN vectors whose
+    cosine to any EVAL vector crosses ``threshold``. String
+    decontamination (``text.q_decontaminate``) misses paraphrased or
+    translated leakage; this tier catches anything an embedding model
+    maps near an eval item.
+
+    Same blocking discipline as ``q_dedup_embedding``: SRP signatures
+    on both sides, candidates from the sig-keyed equi-join (never
+    all-pairs), exact cosine verify fused in. The EVAL side is
+    explicitly broadcast — benchmark suites are parameter-sized next
+    to a training corpus. Returns one row per contaminated train
+    vector with its worst-offending eval id.
+    """
+    planes = _srp_hyperplanes(n_planes)
+    sig_t = train.select(
+        "vec_id", "embedding", srp_signature(F.col("embedding"), planes).alias("sig")
+    )
+    sig_e = evals.select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("eval_emb"),
+        srp_signature(F.col("embedding"), planes).alias("sig"),
+    )
+    scored = sig_t.join(F.broadcast(sig_e), "sig").select(
+        "vec_id",
+        "eval_id",
+        F.round(
+            cosine_similarity(
+                F.col("embedding").cast("array<double>"),
+                F.col("eval_emb").cast("array<double>"),
+            ),
+            6,
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= F.lit(threshold))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("eval_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "eval_id", F.col("cosine").alias("max_cosine"))
+    )
+
+
+def q_semantic_decontaminate(embeddings: DataFrame) -> DataFrame:
+    """Declared query: semantic decontamination with the fixture's
+    vec_id % 10 == 0 slice standing in as the eval set (the standard
+    eval-suite-vs-corpus split is two tables; one fixture table split
+    deterministically keeps the oracle self-contained). Fully
+    oracle-checked: blocking signatures, the cross-side candidate
+    join, cosine verify AND the per-train-vector argmax are all
+    replayed by the SQL."""
+    train = embeddings.filter(F.col("vec_id") % 10 != 0)
+    evals = embeddings.filter(F.col("vec_id") % 10 == 0)
+    return semantic_decontaminate(train, evals)
