@@ -82,9 +82,11 @@ def multiply_embeddings(emb: DataFrame, replicas: int) -> DataFrame:
         F.expr(f"slice(embedding, rep % {dim} + 1, {dim} - rep % {dim})"),
         F.expr(f"slice(embedding, 1, rep % {dim})"),
     )
+    keep = ["label"] if "label" in emb.columns else []
     return out.select(
         (F.col("vec_id") + F.col("rep").cast("bigint") * REPLICA_KEY).alias("vec_id"),
         rotated.alias("embedding"),
+        *keep,
     )
 
 
@@ -126,7 +128,7 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
-    from node_js_etl_processor_spark.operators import dedup, similarity, text
+    from node_js_etl_processor_spark.operators import dedup, retrieval, similarity, text
     from node_js_etl_processor_spark.functions.skew import _salt, salted_count
     from node_js_etl_processor_spark.session import get_spark
 
@@ -183,6 +185,19 @@ def main() -> None:
                            lambda: text.q_html_extract(docs10)),
         "q_url_dedup": (lambda: text.q_url_dedup(docs1),
                         lambda: text.q_url_dedup(docs10)),
+        # r7 similarity/retrieval additions: pooling (one keyed agg),
+        # semantic decontamination (SRP-blocked cross join), hybrid
+        # RRF (two top-k rankers + 50-row fusion)
+        "q_embedding_pool": (lambda: similarity.q_embedding_pool(emb1),
+                             lambda: similarity.q_embedding_pool(emb10)),
+        "q_semantic_decontaminate": (
+            lambda: similarity.q_semantic_decontaminate(emb1),
+            lambda: similarity.q_semantic_decontaminate(emb10),
+        ),
+        "q_hybrid_search": (
+            lambda: retrieval.q_hybrid_search(docs1, emb1),
+            lambda: retrieval.q_hybrid_search(docs10, emb10),
+        ),
     }
 
     # ---- landing-zone compaction (batch half of the ingest split):
