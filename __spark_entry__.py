@@ -218,6 +218,36 @@ def _srp_sig_sql(col: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _decon_bands_sql(col: str) -> str:
+    """Banded signature list for the decontaminate oracle — band
+    count derived through the SAME srp_band_count call as the engine
+    (threshold 0.30, 2-plane bands, 95% target recall → 7 bands)."""
+    from node_js_etl_processor_spark.operators.similarity import srp_band_count
+
+    return _srp_banded_sql(col, srp_band_count(0.30, 2, 0.95), 2)
+
+
+def _srp_banded_sql(col: str, n_bands: int, band_planes: int) -> str:
+    """Banded SRP signatures as a SQL list expression — one short
+    signature per disjoint ``band_planes``-plane slice, same plane
+    constants and same bit order (plane i → 1<<i within its band) as
+    similarity._banded_sigs, so the r8 recall-first blocking is
+    cross-checked band for band."""
+    from node_js_etl_processor_spark.operators.similarity import _srp_hyperplanes
+
+    planes = _srp_hyperplanes(n_bands * band_planes)
+    sigs = []
+    for k in range(n_bands):
+        terms = [
+            f"(CASE WHEN list_dot_product(CAST({col} AS DOUBLE[]),"
+            f" {_sql_arr(planes[k * band_planes + i])}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(band_planes)
+        ]
+        sigs.append("(" + " + ".join(terms) + ")")
+    return "[" + ",".join(sigs) + "]"
+
+
 def _ivf_scores_sql(col: str) -> str:
     """Per-cell cosine scores against the deterministic IVF centroids
     as a SQL DOUBLE[] expression (mirrors similarity.ivf_assign)."""
@@ -2019,7 +2049,7 @@ def oracle_sql() -> dict[str, str]:
                        regexp_replace(s, '^http://', 'https://'),
                        '^https://www\.', 'https://') AS s FROM n2),
             n4 AS (SELECT doc_id,
-                     regexp_replace(s, ':(80|443)(/|$)', '\2') AS s FROM n3),
+                     regexp_replace(s, ':(80|443)(/|$)', '\2', 'g') AS s FROM n3),
             n5 AS (SELECT doc_id,
                      regexp_replace(s,
                        '[?&](utm_[^&#=]*|fbclid|gclid)(=[^&#]*)?', '', 'g')
@@ -2230,22 +2260,39 @@ def oracle_sql() -> dict[str, str]:
         # semantic decontamination: both sides' SRP blocking, the
         # cross-side candidate join, cosine verify and the per-train
         # argmax replayed from the same hyperplane constants
+        # r8: blocking is OR-ed LSH bands sized to the threshold
+        # (srp_band_count(0.30, 2, 0.95) = 7 bands of 2 planes);
+        # multi-band duplicate candidates dedup through the argmax —
+        # SELECT DISTINCT in scored mirrors row_number absorbing them
         "q_semantic_decontaminate": f"""
             WITH t AS (
-              SELECT vec_id, embedding, {_srp_sig_sql('embedding')} AS sig
+              SELECT vec_id, embedding,
+                     {_decon_bands_sql('embedding')} AS sigs
               FROM embeddings WHERE vec_id % 10 <> 0
+            ),
+            tb AS (
+              SELECT vec_id, embedding,
+                     unnest(sigs) AS bsig,
+                     generate_subscripts(sigs, 1) AS band
+              FROM t
             ),
             e AS (
               SELECT vec_id AS eval_id, embedding AS eval_emb,
-                     {_srp_sig_sql('embedding')} AS sig
+                     {_decon_bands_sql('embedding')} AS sigs
               FROM embeddings WHERE vec_id % 10 = 0
             ),
+            eb AS (
+              SELECT eval_id, eval_emb,
+                     unnest(sigs) AS bsig,
+                     generate_subscripts(sigs, 1) AS band
+              FROM e
+            ),
             scored AS (
-              SELECT t.vec_id, e.eval_id,
+              SELECT DISTINCT tb.vec_id, eb.eval_id,
                      round(list_cosine_similarity(
-                       CAST(t.embedding AS DOUBLE[]),
-                       CAST(e.eval_emb AS DOUBLE[])), 6) AS cosine
-              FROM t JOIN e USING (sig)
+                       CAST(tb.embedding AS DOUBLE[]),
+                       CAST(eb.eval_emb AS DOUBLE[])), 6) AS cosine
+              FROM tb JOIN eb USING (band, bsig)
             ),
             flagged AS (SELECT * FROM scored WHERE cosine >= 0.30)
             SELECT vec_id, eval_id, cosine AS max_cosine

@@ -1264,28 +1264,29 @@ def embedding_pool(
     """Element-wise mean embedding per group — the chunk→document
     pooling step of an embedding pipeline (embed chunks, mean-pool to
     one vector per parent; also the class-centroid builder for
-    SemDeDup-style maps). One keyed aggregation: arrays fold
-    element-wise via aggregate(zip_with) in the partial-agg buffer —
-    no posexplode to 64×n rows, no second shuffle. Returns
-    (group, n, mean_emb array<double>)."""
-    zero = F.array(*[F.lit(0.0) for _ in range(dim)])
-    return (
-        embeddings.groupBy(group_col)
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            F.aggregate(
-                F.collect_list(F.col("embedding").cast("array<double>")),
-                zero,
-                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-            ).alias("_s"),
-        )
-        .select(
-            group_col,
-            "n",
-            F.transform(
-                F.col("_s"), lambda x: x / F.col("n").cast("double")
-            ).alias("mean_emb"),
-        )
+    SemDeDup-style maps). One keyed aggregation with ``dim`` scalar
+    SUM columns (element_at per dimension), reassembled into an array
+    after the agg: every partial-agg buffer is exactly dim doubles +
+    a count, map-side combine applies, and no group ever materializes
+    its member vectors (r8 — the previous aggregate(collect_list)
+    form LOOKED like a fold but buffered O(group_size × dim) per
+    group, an OOM risk for skewed groups at scale; posexplode+avg
+    would bound buffers too but costs a dim× row blowup through the
+    shuffle). Returns (group, n, mean_emb array<double>)."""
+    emb = F.col("embedding").cast("array<double>")
+    grouped = embeddings.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            F.sum(F.element_at(emb, i + 1)).alias(f"_s{i}")
+            for i in range(dim)
+        ],
+    )
+    return grouped.select(
+        group_col,
+        "n",
+        F.array(
+            *[F.col(f"_s{i}") / F.col("n").cast("double") for i in range(dim)]
+        ).alias("mean_emb"),
     )
 
 
@@ -1308,7 +1309,11 @@ def q_embedding_pool(embeddings: DataFrame) -> DataFrame:
         ).alias("sq_norm"),
         F.md5(
             F.concat_ws(
-                ",", F.transform(mean, lambda x: F.format_number(x, 6))
+                # format_string, NOT format_number: the latter inserts
+                # grouping commas for |x| >= 1000, which DuckDB's
+                # format('{:.6f}') never does — parity must not depend
+                # on pooled means staying below 1000
+                ",", F.transform(mean, lambda x: F.format_string("%.6f", x))
             )
         ).alias("mean_md5"),
     )
@@ -1317,35 +1322,87 @@ def q_embedding_pool(embeddings: DataFrame) -> DataFrame:
 # ------------------------------------------- semantic decontamination
 
 
+def srp_band_count(
+    threshold: float, band_planes: int = 2, target_recall: float = 0.95,
+    max_bands: int = 32,
+) -> int:
+    """Number of OR-ed SRP bands needed so a pair AT ``threshold``
+    cosine collides in >= 1 band with probability >= ``target_recall``.
+    Per Charikar 2002, two vectors at angle θ agree on one sign bit
+    with p = 1 − θ/π, so an r-plane band collides with p^r and b
+    OR-ed bands miss with (1 − p^r)^b."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    pr = p**band_planes
+    if pr >= 1.0:
+        return 1
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+    return max(1, min(max_bands, b))
+
+
+def _banded_sigs(emb: Column, planes: list[list[float]], band_planes: int) -> Column:
+    """Array of (band, bsig) structs — one short SRP signature per
+    disjoint ``band_planes``-plane slice of ``planes``."""
+    n_bands = len(planes) // band_planes
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("band"),
+                srp_signature(
+                    emb, planes[i * band_planes : (i + 1) * band_planes]
+                ).alias("bsig"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+
+
 def semantic_decontaminate(
     train: DataFrame,
     evals: DataFrame,
     threshold: float = 0.30,
-    n_planes: int = 8,
+    band_planes: int = 2,
+    target_recall: float = 0.95,
 ) -> DataFrame:
     """Embedding-space decontamination: flag TRAIN vectors whose
     cosine to any EVAL vector crosses ``threshold``. String
     decontamination (``text.q_decontaminate``) misses paraphrased or
-    translated leakage; this tier catches anything an embedding model
+    translated leakage; this tier catches vectors an embedding model
     maps near an eval item.
 
-    Same blocking discipline as ``q_dedup_embedding``: SRP signatures
-    on both sides, candidates from the sig-keyed equi-join (never
-    all-pairs), exact cosine verify fused in. The EVAL side is
-    explicitly broadcast — benchmark suites are parameter-sized next
-    to a training corpus. Returns one row per contaminated train
-    vector with its worst-offending eval id.
+    Blocking is LSH BANDING sized to the threshold (r8 — a single
+    exact 8-plane signature caught a pair at cosine 0.30 with
+    probability (1 − acos(0.3)/π)^8 ≈ 1.6%, useless for a safety
+    gate): ``srp_band_count`` picks b so that b OR-ed
+    ``band_planes``-plane bands reach ``target_recall`` at the
+    threshold (defaults: 7 bands of 2 planes → ~95% recall at 0.30;
+    exact cosine verify then removes false candidates, so banding
+    costs recall only, never precision). The honest physics: at a
+    low threshold like 0.30 sign-bit LSH barely PRUNES (a random
+    orthogonal pair still collides in some band with ~87%
+    probability) — the gate is recall-first, and affordable because
+    the EVAL side is parameter-sized and broadcast, bounding verify
+    cost at |train| × |colliding evals|. At near-dup thresholds
+    (≥0.8 → 3 bands) the same construction prunes hard. Candidates
+    come from the (band, bsig)-keyed equi-join — never all-pairs;
+    multi-band duplicate candidates are absorbed by the per-train
+    argmax window, not a separate distinct. Returns one row per
+    contaminated train vector with its worst-offending eval id.
     """
-    planes = _srp_hyperplanes(n_planes)
+    n_bands = srp_band_count(threshold, band_planes, target_recall)
+    planes = _srp_hyperplanes(n_bands * band_planes)
     sig_t = train.select(
-        "vec_id", "embedding", srp_signature(F.col("embedding"), planes).alias("sig")
-    )
+        "vec_id",
+        "embedding",
+        F.explode(_banded_sigs(F.col("embedding"), planes, band_planes)).alias("bs"),
+    ).select("vec_id", "embedding", "bs.band", "bs.bsig")
     sig_e = evals.select(
         F.col("vec_id").alias("eval_id"),
         F.col("embedding").alias("eval_emb"),
-        srp_signature(F.col("embedding"), planes).alias("sig"),
-    )
-    scored = sig_t.join(F.broadcast(sig_e), "sig").select(
+        F.explode(_banded_sigs(F.col("embedding"), planes, band_planes)).alias("bs"),
+    ).select("eval_id", "eval_emb", "bs.band", "bs.bsig")
+    scored = sig_t.join(F.broadcast(sig_e), ["band", "bsig"]).select(
         "vec_id",
         "eval_id",
         F.round(

@@ -1718,11 +1718,19 @@ def q_lm_bigram_perplexity(documents: DataFrame, buckets: int = 3) -> DataFrame:
     docs_t = spread(documents).select("doc_id", arr.alias("toks")).filter(
         F.size("toks") > 0
     )
-    bg_arr = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 1),
-        lambda i: F.struct(
-            F.element_at(F.col("toks"), i).alias("w1"),
-            F.element_at(F.col("toks"), i + 1).alias("w2"),
+    # sequence(1, size-1) MUST be gated on size > 1: for a single-token
+    # doc Spark's sequence(1, 0) steps DOWN to [1, 0] and element_at(_, 0)
+    # aborts the job — the when(...) (null otherwise) makes single-token
+    # docs yield a null bigram array instead (same guard as
+    # span_positions above)
+    bg_arr = F.when(
+        F.size("toks") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size("toks") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("w1"),
+                F.element_at(F.col("toks"), i + 1).alias("w2"),
+            ),
         ),
     )
     # explode_outer + null-filter: the InferFiltersFromGenerate guard

@@ -1126,3 +1126,26 @@ def test_wav_roundtrip_features_and_refusal(spark):
     assert got[2]["ok"] == "true" and got[2]["n_channels"] == 2
     assert got[2]["duration_ms"] == 200  # 1600 frames at 8 kHz
     assert got[3]["ok"] == "false" and got[3]["duration_ms"] is None
+
+
+def test_lm_bigram_perplexity_single_token_doc(spark):
+    """Regression (r8): sequence(1, size-1) on a SINGLE-token doc is
+    sequence(1, 0) = [1, 0] (Spark steps down when start > stop), and
+    element_at(toks, 0) aborted the whole job. The when-guard must make
+    such docs score on the unigram term only — avg_nll == -log(p_uni)
+    — exactly as the docstring and the DuckDB oracle (whose range(1,1)
+    is empty) already promised."""
+    import math
+
+    from node_js_etl_processor_spark.operators.text import q_lm_bigram_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in q_lm_bigram_perplexity(docs).collect()}
+    # empty doc excluded; single-token doc present and unigram-scored
+    assert set(got) == {1, 2}
+    assert got[2]["n_tokens"] == 1
+    # corpus unigrams: alpha x2, beta x2 -> p_uni(beta) = 0.5
+    assert got[2]["avg_nll"] == round(-math.log(0.5), 6)

@@ -472,4 +472,21 @@ def test_ivfpq_rescore_single_encode_pass(spark, sf_dir):
 
     plan = plan_text(similarity.q_ivfpq_rescore(load_table(spark, sf_dir, "embeddings")))
     assert plan.count(") MapInPandas") == 1, plan.count(") MapInPandas")
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_pool_bounded_agg_buffers(spark, sf_dir):
+    """r8: embedding_pool must aggregate with dim scalar SUMs
+    (codegen HashAggregate + map-side partial_sum, buffers bounded at
+    dim doubles per group) — never collect_list, whose per-group
+    buffer is O(group_size x dim) and forces ObjectHashAggregate."""
+    from node_js_etl_processor_spark.operators import similarity
+
+    plan = plan_text(
+        similarity.q_embedding_pool(load_table(spark, sf_dir, "embeddings")),
+        "simple",
+    )
+    assert "ObjectHashAggregate" not in plan
+    assert "collect_list" not in plan
+    assert "partial_sum" in plan
