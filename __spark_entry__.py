@@ -65,95 +65,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared queries, ORDERED BY CHECKABILITY: the driver records
     correctness rows for the first 50 entries. ALL queries are
     oracle-paired; entries outside the window are still covered by the
-    full local parity gate (tests/test_oracle_parity.py). r7 rotation:
-    ALL 34 out-of-window queries were stale (13 last green r4 — the
-    relational batch rotated out in r5 — and 21 last green r5 — the
-    LLM family rotated out in r6), and 34 + the must-stay queries fit
-    the 50-slot window, so every stale query rotates IN this round.
-    Staying in: the five r6-new queries (q_lm_perplexity, q_pq_encode,
-    q_pq_topk, q_ivfpq_topk, q_weighted_sample — q_ivfpq_topk switches
-    to residual encoding in r7 and needs a green row for the new
-    form), the eight r7-new queries (q_ivfpq_rescore,
-    q_html_extract, q_url_dedup, q_corpus_stats,
-    q_lm_bigram_perplexity, q_embedding_pool, q_hybrid_search,
-    q_semantic_decontaminate), plus 3 r6-green anchors
-    (q_agg_pricing, q_curation_pipeline, q_dedup_clusters). 42
-    r6-green queries move out (registry is 92 since r7). Invariant after this rotation: every query's latest
-    driver row is r6 or r7 — nothing older than one rotation cycle,
-    and the full registry alternates r-even/r-odd halves from here
-    on."""
+    full local parity gate (tests/test_oracle_parity.py). r8 rotation
+    (the designed r-even/r-odd alternation of the 92-query registry):
+    the 42 queries whose latest green row is r6 rotate IN, joined by
+    the eight r7-new queries — four of which (q_url_dedup,
+    q_lm_bigram_perplexity, q_embedding_pool,
+    q_semantic_decontaminate) changed semantics or oracle form in r8
+    (single-token guard, banded LSH blocking, bounded-buffer pooling,
+    comma-free md5 formatting) and need fresh rows for the new form.
+    The 42 r7-green queries rotate OUT. New r8 queries enter the
+    window on declaration, displacing unchanged r7-new entries
+    (q_ivfpq_rescore, q_html_extract, q_corpus_stats,
+    q_hybrid_search) first. Invariant preserved: after this round no
+    query's latest driver row is older than one rotation cycle."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
-        # r4-stale relational batch, rotated back IN (last rows r4)
-        "q_union_sources": _q(["customer"], relational.q_union_sources),
-        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
-        "q_semi_anti": _q(["customer", "orders"], relational.q_semi_anti),
-        "q_rollup": _q(["orders"], relational.q_rollup),
-        "q_window_topk": _q(["customer"], relational.q_window_topk),
-        "q_sort_limit": _q(["orders"], relational.q_sort_limit),
-        "q_region_supplier": _q(
-            ["supplier", "nation", "region"], relational.q_region_supplier
-        ),
-        "q_pivot": _q(["orders"], relational.q_pivot),
-        "q_shipping_priority": _q(
-            ["customer", "orders", "lineitem"], relational.q_shipping_priority
-        ),
-        "q_percentiles": _q(["lineitem"], relational.q_percentiles),
-        "q_sample_hash": _q(["orders"], relational.q_sample_hash),
-        "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
-        "q_approx_distinct": _q(["orders"], relational.q_approx_distinct),
-        # r5-stale LLM/text/similarity family, rotated back IN (last r5)
-        "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
-        "q_decontaminate": _q(["documents"], text.q_decontaminate),
-        "q_source_mix": _q(["documents"], text.q_source_mix),
-        "q_semdedup": _q(["embeddings"], similarity.q_semdedup),
-        "q_c4_rules": _q(["documents"], text.q_c4_rules),
-        "q_span_dedup": _q(["documents"], text.q_span_dedup),
-        "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
-        "q_stratified_split": _q(["documents"], text.q_stratified_split),
-        "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
-        "q_text_stats": _q(["documents"], text.q_text_stats),
-        "q_text_langid": _q(["documents"], text.q_text_langid),
-        "q_text_quality": _q(["documents"], text.q_text_quality),
-        "q_token_count": _q(["documents"], text.q_token_count),
-        "q_fingerprint": _q(["documents"], text.q_fingerprint),
-        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
-        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
-        "q_binary_meta": _q(["documents"], q_binary_meta),
-        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
-        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
-        "q_redact_pii": _q(["documents"], text.q_redact_pii),
-        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
-        # r6-new queries, staying in for a second driver row —
-        # q_ivfpq_topk carries the r7 residual-encoding form
-        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
-        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
-        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
-        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
-        # r7-new: the ADC→exact-rescore tail under the oracle gate —
-        # the last stage of the production ANN path to get one
-        "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
-        # r7-new: HTML boilerplate-strip / text extraction roundtrip
-        # + URL-normalization dedup (the crawl-frontier key)
-        "q_html_extract": _q(["documents"], text.q_html_extract),
-        "q_url_dedup": _q(["documents"], text.q_url_dedup),
-        "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
-        "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
-        "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
-        "q_hybrid_search": _q(
-            ["documents", "embeddings"], retrieval.q_hybrid_search
-        ),
-        "q_semantic_decontaminate": _q(
-            ["embeddings"], similarity.q_semantic_decontaminate
-        ),
-        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
-        # r6-green anchors, one per operator family
-        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
-        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
-        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
-        # ---- oracle-paired but outside the 50-entry driver window ----
-        # (all green r6; covered every round by the local parity gate
-        # in tests/test_oracle_parity.py)
+        # r6-green relational / temporal batch, rotated back IN
         "q_filter_required": _q(["orders"], relational.q_filter_required),
         "q_clean_project": _q(["customer"], relational.q_clean_project),
         "q_array_transform": _q(["part"], relational.q_array_transform),
@@ -179,6 +106,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
         "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
         "q_explode_words": _q(["part"], relational.q_explode_words),
+        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
+        "q_asof_join": _q(["events"], temporal.q_asof_join),
+        "q_sessionize": _q(["events"], sessionize.q_sessionize),
+        # r6-green LLM / similarity / multimodal batch, rotated back IN
         "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
         "q_media_resize": _q(["documents"], q_media_resize),
         "q_frame_sample": _q(["documents"], q_frame_sample),
@@ -189,13 +120,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
         "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
         "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
-        "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_bm25": _q(["documents"], text.q_bm25),
-        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
-        "q_asof_join": _q(["events"], temporal.q_asof_join),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
+        # r7-new queries staying in — the four r8-changed forms first
+        "q_url_dedup": _q(["documents"], text.q_url_dedup),
+        "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
+        "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
+        "q_semantic_decontaminate": _q(
+            ["embeddings"], similarity.q_semantic_decontaminate
+        ),
+        "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
+        "q_html_extract": _q(["documents"], text.q_html_extract),
+        "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
+        "q_hybrid_search": _q(
+            ["documents", "embeddings"], retrieval.q_hybrid_search
+        ),
+        # ---- oracle-paired but outside the 50-entry driver window ----
+        # (all green r7; covered every round by the local parity gate
+        # in tests/test_oracle_parity.py)
+        "q_union_sources": _q(["customer"], relational.q_union_sources),
+        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
+        "q_semi_anti": _q(["customer", "orders"], relational.q_semi_anti),
+        "q_rollup": _q(["orders"], relational.q_rollup),
+        "q_window_topk": _q(["customer"], relational.q_window_topk),
+        "q_sort_limit": _q(["orders"], relational.q_sort_limit),
+        "q_region_supplier": _q(
+            ["supplier", "nation", "region"], relational.q_region_supplier
+        ),
+        "q_pivot": _q(["orders"], relational.q_pivot),
+        "q_shipping_priority": _q(
+            ["customer", "orders", "lineitem"], relational.q_shipping_priority
+        ),
+        "q_percentiles": _q(["lineitem"], relational.q_percentiles),
+        "q_sample_hash": _q(["orders"], relational.q_sample_hash),
+        "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
+        "q_approx_distinct": _q(["orders"], relational.q_approx_distinct),
+        "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
+        "q_decontaminate": _q(["documents"], text.q_decontaminate),
+        "q_source_mix": _q(["documents"], text.q_source_mix),
+        "q_semdedup": _q(["embeddings"], similarity.q_semdedup),
+        "q_c4_rules": _q(["documents"], text.q_c4_rules),
+        "q_span_dedup": _q(["documents"], text.q_span_dedup),
+        "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
+        "q_stratified_split": _q(["documents"], text.q_stratified_split),
+        "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
+        "q_text_stats": _q(["documents"], text.q_text_stats),
+        "q_text_langid": _q(["documents"], text.q_text_langid),
+        "q_text_quality": _q(["documents"], text.q_text_quality),
+        "q_token_count": _q(["documents"], text.q_token_count),
+        "q_fingerprint": _q(["documents"], text.q_fingerprint),
+        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
+        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
+        "q_binary_meta": _q(["documents"], q_binary_meta),
+        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
+        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
+        "q_redact_pii": _q(["documents"], text.q_redact_pii),
+        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
+        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
+        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
+        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
+        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
+        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
+        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
+        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
+        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
     }
 
 
