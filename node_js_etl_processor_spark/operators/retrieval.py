@@ -92,3 +92,69 @@ def q_hybrid_search(
         .select("doc_id", "cosine")
     )
     return rrf_fuse(sparse, dense, k=k)
+
+
+def hybrid_search_from_stores(
+    spark,
+    bm25_path: str,
+    ann_path: str,
+    probe: list[float],
+    query_terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = 10,
+    k_fuse: int = 50,
+    n_cells: int = 8,
+    n_probe_cells: int = 4,
+    rescore: int | None = 4,
+    exclude_vec_id: int | None = None,
+    centroids: list[list[float]] | None = None,
+    pq_codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """The production (stored-forms) hybrid search this module's
+    header describes: the sparse side reads the BM25 postings index
+    (``sources.bm25_index.bm25_from_index`` — partition-pruned
+    postings, text never read) and the dense side probes the IVFADC
+    layout (``sources.similarity_layout.ivfpq_probe`` — cell-pruned
+    scan of (vec_id, cell, codes) with an exact-rescore tail), fused
+    by the same ``rrf_fuse`` as the declared exact form.
+
+    Same output schema as ``q_hybrid_search``. Fidelity contract
+    (test-pinned in tests/test_bm25_index.py): the sparse branch is
+    EXACTLY ``bm25_scores_narrow`` on the indexed corpus, so any
+    divergence from the exact form comes from the dense side's ANN
+    approximation alone — bounded by the rescore tail and measured as
+    overlap@k against ``q_hybrid_search`` (number recorded in
+    SCALE.md). Pass the SAME ``centroids`` / ``pq_codebooks`` the
+    layout was written with.
+
+    ``n_probe_cells`` defaults to 4 of 8 here (vs ivfpq_probe's bare
+    default of 2): fusion ranks are sensitive to dense-side recall,
+    and the measured curve (SCALE.md §ANN) shows 2/8 cells is too
+    thin a shortlist for a quality-bearing retrieval surface — half
+    the cells with a rescore tail still reads only the stored codes
+    plus R·k exact rows.
+    """
+    from node_js_etl_processor_spark.sources.bm25_index import bm25_from_index
+    from node_js_etl_processor_spark.sources.similarity_layout import ivfpq_probe
+
+    sparse = (
+        bm25_from_index(spark, bm25_path, query_terms)
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k_fuse)
+    )
+    dense = (
+        ivfpq_probe(
+            spark,
+            ann_path,
+            probe,
+            k=k_fuse,
+            n_cells=n_cells,
+            n_probe_cells=n_probe_cells,
+            rescore=rescore,
+            exclude_vec_id=exclude_vec_id,
+            centroids=centroids,
+            pq_codebooks=pq_codebooks,
+        )
+        .withColumnRenamed("vec_id", "doc_id")
+        .select("doc_id", "cosine")
+    )
+    return rrf_fuse(sparse, dense, k=k)

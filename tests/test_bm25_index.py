@@ -65,3 +65,47 @@ def test_index_probe_prunes_and_reads_no_text(spark, sf_dir, tmp_path):
 
     dirs = glob.glob(f"{path}/postings/term_bucket=*")
     assert 1 < len(dirs) <= N_TERM_BUCKETS
+
+
+def test_hybrid_search_from_stores_matches_exact_form(spark, sf_dir, tmp_path):
+    """r8: the claimed 100 TB retrieval shape, executed end to end —
+    bm25_from_index ⊕ ivfpq_probe(rescore) fused through rrf_fuse,
+    compared against the declared exact form q_hybrid_search on the
+    same fixture. Sparse fidelity is EXACT (same bm25 per doc, pinned
+    here on the fused rows and separately by
+    test_index_scores_equal_on_the_fly); dense divergence is the ANN
+    approximation only, gated as overlap@k (measured number recorded
+    in SCALE.md)."""
+    from node_js_etl_processor_spark.operators import retrieval
+    from node_js_etl_processor_spark.operators.similarity import _probe_vector
+    from node_js_etl_processor_spark.sources.similarity_layout import (
+        write_ann_layout,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    bm25_path = str(tmp_path / "bm25")
+    ann_path = str(tmp_path / "ann")
+    write_bm25_index(docs, bm25_path)
+    write_ann_layout(embs, ann_path)
+    probe = _probe_vector(embs, 0)
+
+    exact = retrieval.q_hybrid_search(docs, embs).collect()
+    stores = retrieval.hybrid_search_from_stores(
+        spark, bm25_path, ann_path, probe, exclude_vec_id=0
+    ).collect()
+    assert [r["doc_id"] for r in exact] and [r["doc_id"] for r in stores]
+    assert len(stores) == len(exact) == 10
+
+    # sparse branch fidelity: wherever BOTH forms rank a doc on the
+    # bm25 side, the scores are identical to the 4-decimal store form
+    e_bm25 = {r["doc_id"]: r["bm25"] for r in exact if r["bm25"] is not None}
+    s_bm25 = {r["doc_id"]: r["bm25"] for r in stores if r["bm25"] is not None}
+    shared = set(e_bm25) & set(s_bm25)
+    assert shared, "no bm25-ranked docs shared between the two forms"
+    assert all(e_bm25[d] == s_bm25[d] for d in shared)
+
+    # dense branch: ANN approximation gated by fused-top-k overlap
+    overlap = len({r["doc_id"] for r in exact} & {r["doc_id"] for r in stores})
+    print(f"HYBRID_STORES_OVERLAP@10 = {overlap}/10")
+    assert overlap >= 6, overlap

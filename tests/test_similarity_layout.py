@@ -223,3 +223,63 @@ def test_ivfpq_probe_recall_gate(spark, sf_dir, tmp_path):
     assert rescore_hits > adc_hits, (rescore_hits, adc_hits)
     assert adc_hits >= 10, adc_hits
     assert rescore_hits >= 20, rescore_hits
+
+
+def test_ivfpq_probe_recall_trained_beats_seed(spark, sf_dir, tmp_path):
+    """r8: the end-to-end stored-code probe, with a layout written
+    from TRAINED quantizers (kmeans_train coarse + ivfpq_train
+    residual codebooks — the production ingest path) — closing the
+    gap the r7 verdict named: the recall gate previously only ever
+    measured the seed regime the training machinery exists to escape.
+    Gate: at matched knobs (default 2/8 cells, rescore=4), summed
+    recall@10 over the same 8 probes must be >= the seed layout's,
+    and the trained rescore form must clear the seed gate's floor.
+    The fuller recall-vs-n_probe_cells curve is recorded in
+    SCALE.md §ANN."""
+    from node_js_etl_processor_spark.operators.similarity import (
+        _probe_vector,
+        brute_force_topk,
+        ivfpq_train,
+        kmeans_train,
+    )
+    from node_js_etl_processor_spark.sources.similarity_layout import ivfpq_probe
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    cents = kmeans_train(emb, 8, max_iters=4)
+    cbs = ivfpq_train(emb, 8, centroids=cents, max_iters=4)
+    seed_path = str(tmp_path / "seed")
+    trained_path = str(tmp_path / "trained")
+    write_ann_layout(emb, seed_path)
+    write_ann_layout(emb, trained_path, centroids=cents, pq_codebooks=cbs)
+
+    seed_hits = trained_hits = 0
+    for pid in (0, 7, 23, 41, 77, 101, 150, 200):
+        probe = _probe_vector(emb, pid)
+        exact = {
+            r["vec_id"]
+            for r in brute_force_topk(emb, probe, k=10, exclude_vec_id=pid).collect()
+        }
+        seed = {
+            r["vec_id"]
+            for r in ivfpq_probe(
+                spark, seed_path, probe, k=10, rescore=4, exclude_vec_id=pid
+            ).collect()
+        }
+        trained = {
+            r["vec_id"]
+            for r in ivfpq_probe(
+                spark,
+                trained_path,
+                probe,
+                k=10,
+                rescore=4,
+                exclude_vec_id=pid,
+                centroids=cents,
+                pq_codebooks=cbs,
+            ).collect()
+        }
+        seed_hits += len(seed & exact)
+        trained_hits += len(trained & exact)
+    print(f"IVFPQ_PROBE_RECALL@10x8: seed={seed_hits}/80 trained={trained_hits}/80")
+    assert trained_hits >= seed_hits, (trained_hits, seed_hits)
+    assert trained_hits >= 20, trained_hits
