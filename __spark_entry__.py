@@ -2024,8 +2024,9 @@ def oracle_sql() -> dict[str, str]:
                      || upper(source) || '.example.com'
                      || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
                      || '/Docs/page-' || CAST(doc_id % 50 AS VARCHAR)
-                     || (['','?utm_source=feed&utm_campaign=x','#section-2','/'])
-                       [CAST((doc_id // 4) % 4 AS INT) + 1] AS u
+                     || (['','?utm_source=feed&utm_campaign=x','#section-2','/',
+                          '?utm_medium=rss&page=2'])
+                       [CAST((doc_id // 4) % 5 AS INT) + 1] AS u
               FROM documents
             ),
             n1 AS (SELECT doc_id,
@@ -2047,7 +2048,9 @@ def oracle_sql() -> dict[str, str]:
             n6 AS (SELECT doc_id,
                      regexp_replace(
                        regexp_replace(
-                         regexp_replace(s, '\?&', '?'),
+                         regexp_replace(
+                           regexp_replace(s, '^([^?&]*)&', '\1?'),
+                           '\?&', '?'),
                          '[?&]$', ''),
                        '/$', '') AS s FROM n5)
             SELECT s AS canonical_url,

@@ -1579,10 +1579,13 @@ def normalize_url(url: Column) -> Column:
 
     Pure Column regexp chain (narrow, codegen); every pattern is
     lookaround-free so the DuckDB oracle can replay it under RE2.
-    Known limit (documented, not hidden): a tracking param FIRST in a
-    mixed query string leaves the next param after `?` — the declared
-    query's variants cover the pure-junk cases a crawl frontier
-    actually dedups on."""
+    r8: stripping a tracking param that appears FIRST in a mixed
+    query string (`?utm_x=1&real=2`) used to leave an `&`-led
+    remainder (`...&real=2`) — a malformed canonical key that split
+    otherwise-identical URLs at a real crawl frontier. The
+    `^([^?&]*)&` → `$1?` repair promotes the first `&` of a
+    `?`-less remainder back to `?` (anchored, so the no-'g'
+    DuckDB replay is identical)."""
     u = F.regexp_replace(F.trim(url), r"#.*$", "")
     head = F.lower(F.regexp_extract(u, r"(?i)^(https?://[^/?#]*)", 1))
     tail = F.regexp_replace(u, r"(?i)^https?://[^/?#]*", "")
@@ -1591,6 +1594,7 @@ def normalize_url(url: Column) -> Column:
     u = F.regexp_replace(u, r"^https://www\.", "https://")
     u = F.regexp_replace(u, r":(80|443)(/|$)", "$2")
     u = F.regexp_replace(u, r"[?&](utm_[^&#=]*|fbclid|gclid)(=[^&#]*)?", "")
+    u = F.regexp_replace(u, r"^([^?&]*)&", "$1?")
     u = F.regexp_replace(u, r"\?&", "?")
     u = F.regexp_replace(u, r"[?&]$", "")
     return F.regexp_replace(u, r"/$", "")
@@ -1632,8 +1636,12 @@ def q_url_dedup(documents: DataFrame) -> DataFrame:
                 F.lit("?utm_source=feed&utm_campaign=x"),
                 F.lit("#section-2"),
                 F.lit("/"),
+                # r8: tracking param FIRST in a mixed query string —
+                # the case the leading-& repair exists for; its
+                # canonical key keeps ?page=2 (a real param)
+                F.lit("?utm_medium=rss&page=2"),
             ),
-            (F.floor(F.col("doc_id") / F.lit(4)).cast("bigint") % 4).cast("int")
+            (F.floor(F.col("doc_id") / F.lit(4)).cast("bigint") % 5).cast("int")
             + 1,
         ),
     )

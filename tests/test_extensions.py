@@ -1063,6 +1063,20 @@ def test_normalize_url_rules(spark):
     got = keep.select(normalize_url(F.col("u")).alias("n")).head()["n"]
     assert got == "https://web.example.com/a?page=2", got
 
+    # r8: tracking param FIRST in a mixed query string — the strip
+    # must not leave an &-led remainder (the pre-r8 wrong output was
+    # .../a&page=2, splitting otherwise-identical URLs)
+    mixed = {
+        "https://web.example.com/a?utm_x=1&page=2": "https://web.example.com/a?page=2",
+        "https://web.example.com/a?utm_x=1&page=2&utm_y=3": "https://web.example.com/a?page=2",
+        "https://web.example.com/a?utm_x=1&utm_y=3": "https://web.example.com/a",
+        "https://web.example.com/a?fbclid=z&b=1&c=2": "https://web.example.com/a?b=1&c=2",
+    }
+    df = spark.createDataFrame([(u,) for u in mixed], "u string")
+    got = {r["u"]: r["n"] for r in df.select(
+        "u", normalize_url(F.col("u")).alias("n")).collect()}
+    assert got == mixed, got
+
 
 def test_wav_roundtrip_features_and_refusal(spark):
     """The stdlib WAV path: encode deterministic sine/square PCM,
