@@ -390,13 +390,23 @@ def q_dedup_simhash(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     similarity to anything; exact dedup (q_dedup_docs) still groups
     empty texts.
     """
+    return simhash_pairs(documents, max_hamming=max_hamming, portable=True)
+
+
+def simhash_pairs(
+    documents: DataFrame, max_hamming: int = 3, portable: bool = True
+) -> DataFrame:
+    """The q_dedup_simhash pair machinery with the hash family as a
+    parameter (r8 split so the incremental store — xxhash64 perf
+    family — can be equivalence-tested against the identical batch
+    form; the declared query keeps portable=True for its oracle)."""
     # numpy kernel: bit-for-bit equal to simhash_signatures (pinned in
     # tests) and ~4x faster — 64 interpreted array-aggregates lose to
     # one vectorized unpackbits pass (SCALE.md "Python boundaries").
     # drop_tokenless fuses the featureless-doc exclusion into the same
     # projection that computes the token-hash array (no second pass).
     sigs = simhash_signatures_numpy(
-        documents, drop_tokenless=True, portable=True
+        documents, drop_tokenless=True, portable=portable
     ).localCheckpoint(eager=True)
 
     # 1) intra-signature pairs: hamming 0 via sig-keyed self-join
@@ -729,4 +739,36 @@ def q_dedup_clusters(documents: DataFrame) -> DataFrame:
         all_docs.groupBy("component_id")
         .agg(F.count("*").alias("cluster_size"), F.min("doc_id").alias("keeper_doc_id"))
         .orderBy("component_id")
+    )
+
+
+def simhash_band_postings_from_sigs(sigs: DataFrame) -> DataFrame:
+    """(band, chunk, doc_id, sig) LSH postings from a (doc_id, sig)
+    frame — the 4×16-bit band split of the 64-bit simhash (any pair
+    within Hamming distance 3 shares ≥1 unchanged band, pigeonhole).
+    The same banding expression q_dedup_simhash applies to distinct
+    sigs inline; factored here so the incremental store
+    (sources/dedup_store.py) persists candidates in exactly the batch
+    form's shape."""
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bb).alias("band"),
+                        F.shiftright(F.col("sig"), bb * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for bb in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        F.col("bb.band").alias("band"),
+        F.col("bb.chunk").alias("chunk"),
+        "doc_id",
+        "sig",
     )

@@ -165,3 +165,106 @@ def dedup_exact_delta(
         .filter(F.col("_rn") == 1)
         .drop("_fp", "_rn")
     )
+
+
+# ------------------------------------------------- simhash band store
+
+
+def write_simhash_store(documents: DataFrame, path: str) -> None:
+    """Materialize the corpus's simhash band postings (band, chunk,
+    doc_id, sig — ``operators.dedup.simhash_band_postings_from_sigs``
+    over the numpy-kernel signatures, xxhash64 perf family),
+    Hive-partitioned by band. 4 rows/doc × ~24 bytes: the store IS the
+    near-dup state; the corpus text never needs re-reading. Same
+    banding as the batch self-join, so batch and delta agree on
+    candidates bit-for-bit (test-pinned)."""
+    from node_js_etl_processor_spark.operators.dedup import (
+        simhash_band_postings_from_sigs,
+        simhash_signatures_numpy,
+    )
+
+    sigs = simhash_signatures_numpy(documents, drop_tokenless=True)
+    postings = simhash_band_postings_from_sigs(sigs)
+    postings.repartition("band").write.mode("overwrite").partitionBy("band").parquet(
+        path
+    )
+
+
+def append_simhash_store(documents: DataFrame, path: str) -> None:
+    """Append an accepted batch's band postings (ingest-loop close)."""
+    from node_js_etl_processor_spark.operators.dedup import (
+        simhash_band_postings_from_sigs,
+        simhash_signatures_numpy,
+    )
+
+    sigs = simhash_signatures_numpy(documents, drop_tokenless=True)
+    postings = simhash_band_postings_from_sigs(sigs)
+    postings.repartition("band").write.mode("append").partitionBy("band").parquet(path)
+
+
+def dedup_simhash_delta(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    path: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs for a NEW batch against the store and
+    itself: (doc_a, doc_b, hamming, pair_type) with pair_type ∈
+    {'new-old', 'new-new'}; doc_a is the new doc in new-old rows,
+    doc_a < doc_b within new-new. Only the new batch is hashed
+    (signatures computed once, postings derived from them); the store
+    side reads (chunk, doc_id, sig [+ band from directories]) — the
+    accepted corpus's text never loads. The NEW side is explicitly
+    broadcast (crawl drops are orders of magnitude smaller than the
+    corpus). The Hamming verify runs ON the collision rows before the
+    pair distinct, so the shuffle carries true near-dups, not raw
+    band collisions (the batch form's ordering argument)."""
+    from node_js_etl_processor_spark.operators.dedup import (
+        simhash_band_postings_from_sigs,
+        simhash_signatures_numpy,
+    )
+
+    sigs = simhash_signatures_numpy(new_docs, drop_tokenless=True).localCheckpoint(
+        eager=True
+    )
+    newb = simhash_band_postings_from_sigs(sigs)
+    store = spark.read.parquet(path)
+    new_old = (
+        store.join(
+            F.broadcast(
+                newb.withColumnRenamed("doc_id", "new_id").withColumnRenamed(
+                    "sig", "new_sig"
+                )
+            ),
+            ["band", "chunk"],
+        )
+        .filter(F.col("new_id") != F.col("doc_id"))
+        .select(
+            F.col("new_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.bit_count(F.col("new_sig").bitwiseXOR(F.col("sig")))
+            .cast("bigint")
+            .alias("hamming"),
+            F.lit("new-old").alias("pair_type"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    a, b = newb.alias("a"), newb.alias("b")
+    new_new = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+            .cast("bigint")
+            .alias("hamming"),
+            F.lit("new-new").alias("pair_type"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return new_old.unionByName(new_new).distinct()

@@ -219,3 +219,83 @@ def ivfpq_probe(
         F.broadcast(shortlist), "vec_id", "left_semi"
     )
     return score_topk(exact_side, probe, k=k, exclude_vec_id=exclude_vec_id)
+
+
+def dedup_embedding_delta(
+    spark: SparkSession,
+    new_embs: DataFrame,
+    path: str,
+    threshold: float = 0.30,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Incremental embedding near-dup: a new embedding batch probed
+    against the materialized ``by_sig`` layout — the SRP twin of
+    ``dedup_store.dedup_simhash_delta``, completing the incremental-
+    store family (r8). Returns (vec_a, vec_b, cosine, pair_type) with
+    pair_type ∈ {'new-old', 'new-new'}; vec_a is the new vector in
+    new-old rows, vec_a < vec_b within new-new.
+
+    Scale shape: only the DROP is sig-projected (its distinct sigs
+    are a ≤2^n_planes-value driver round-trip — parameters, not
+    data), and that sig set becomes a PARTITION FILTER on the layout
+    scan, so the store side reads only the matching sig directories —
+    the corpus's signatures are never recomputed and its untouched
+    buckets are never even listed. The drop side is explicitly
+    broadcast into the store join. Exact cosine verify fused in, same
+    as the batch form (delta == batch restricted to pairs touching
+    the drop; test-pinned)."""
+    from node_js_etl_processor_spark.functions.vector import cosine_similarity
+
+    planes = _srp_hyperplanes(n_planes)
+    newsig = new_embs.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        srp_signature(F.col("embedding"), planes).alias("sig"),
+    ).localCheckpoint(eager=True)
+    sig_vals = [r["sig"] for r in newsig.select("sig").distinct().collect()]
+    store = (
+        spark.read.parquet(f"{path}/by_sig")
+        .filter(F.col("sig").isin(sig_vals))
+        .select("vec_id", "embedding", "sig")
+    )
+    new_old = (
+        store.join(
+            F.broadcast(
+                newsig.select(
+                    F.col("vec_id").alias("new_id"),
+                    F.col("embedding").alias("new_emb"),
+                    "sig",
+                )
+            ),
+            "sig",
+        )
+        .filter(F.col("new_id") != F.col("vec_id"))
+        .select(
+            F.col("new_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.round(
+                cosine_similarity(
+                    F.col("new_emb"), F.col("embedding").cast("array<double>")
+                ),
+                6,
+            ).alias("cosine"),
+            F.lit("new-old").alias("pair_type"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    a, b = newsig.alias("a"), newsig.alias("b")
+    new_new = (
+        a.join(b, "sig")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(
+                cosine_similarity(F.col("a.embedding"), F.col("b.embedding")),
+                6,
+            ).alias("cosine"),
+            F.lit("new-new").alias("pair_type"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return new_old.unionByName(new_new).distinct()

@@ -283,3 +283,40 @@ def test_ivfpq_probe_recall_trained_beats_seed(spark, sf_dir, tmp_path):
     print(f"IVFPQ_PROBE_RECALL@10x8: seed={seed_hits}/80 trained={trained_hits}/80")
     assert trained_hits >= seed_hits, (trained_hits, seed_hits)
     assert trained_hits >= 20, trained_hits
+
+
+def test_embedding_delta_equals_batch_and_prunes_store(spark, sf_dir, tmp_path):
+    """r8: dedup_embedding_delta == q_dedup_embedding on the union,
+    restricted to pairs touching the drop — and the layout scan is
+    partition-pruned to the drop's sig directories with the drop side
+    broadcast."""
+    from node_js_etl_processor_spark.operators.similarity import q_dedup_embedding
+    from node_js_etl_processor_spark.sources.similarity_layout import (
+        dedup_embedding_delta,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 5 != 0)
+    new = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "sim")
+    write_ann_layout(old, path)
+
+    delta = dedup_embedding_delta(spark, new, path)
+    got = {
+        (min(r["vec_a"], r["vec_b"]), max(r["vec_a"], r["vec_b"]), r["cosine"])
+        for r in delta.collect()
+    }
+    new_ids = {r["vec_id"] for r in new.select("vec_id").collect()}
+    full = {
+        (r["vec_a"], r["vec_b"], r["cosine"])
+        for r in q_dedup_embedding(emb).collect()
+        if r["vec_a"] in new_ids or r["vec_b"] in new_ids
+    }
+    assert got == full and len(got) > 0
+
+    plan_buf = __import__("io").StringIO()
+    with __import__("contextlib").redirect_stdout(plan_buf):
+        delta.explain("formatted")
+    plan = plan_buf.getvalue()
+    assert "PartitionFilters" in plan and "sig" in plan.split("PartitionFilters")[1].split("\n")[0]
+    assert "BroadcastHashJoin" in plan
