@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 92 queries (count as of r7 — grep ``def queries`` below for the
+ALL 93 queries (count as of r8 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -40,6 +40,7 @@ from node_js_etl_processor_spark.operators import (
     text,
 )
 from node_js_etl_processor_spark.operators.multimodal import (
+    q_audio_features,
     q_binary_meta,
     q_frame_sample,
     q_media_resize,
@@ -131,13 +132,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_decontaminate": _q(
             ["embeddings"], similarity.q_semantic_decontaminate
         ),
-        "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
+        # r8-new: the WAV audio path under the gate (displaces
+        # q_ivfpq_rescore from the window per the rotation docstring)
+        "q_audio_features": _q(["documents"], q_audio_features),
         "q_html_extract": _q(["documents"], text.q_html_extract),
         "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
         "q_hybrid_search": _q(
             ["documents", "embeddings"], retrieval.q_hybrid_search
         ),
         # ---- oracle-paired but outside the 50-entry driver window ----
+        "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
         # (all green r7; covered every round by the local parity gate
         # in tests/test_oracle_parity.py)
         "q_union_sources": _q(["customer"], relational.q_union_sources),
@@ -1821,6 +1825,34 @@ def oracle_sql() -> dict[str, str]:
                 '(?:\+[0-9][0-9()\-\. ]{5,16}[0-9]|\(?[0-9]{3,4}\)?[\-\. ]?[0-9]{3,4}[\-\. ][0-9]{4}|\b[0-9]{7,15}\b)')) - 1 AS BIGINT) AS n_phone,
               md5(t3) AS redacted_fp
             FROM s3
+        """,
+        # r8: the REAL WAV encode→decode roundtrip runs Spark-side
+        # (synth_wav_media → audio_features_wav); a square wave's
+        # samples are all ±amplitude, so the oracle recomputes every
+        # feature closed-form from doc_id — decoder arithmetic,
+        # channel fold, and the corrupt-payload lane all checked
+        "q_audio_features": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 11 = 0 THEN 'false' ELSE 'true' END AS ok,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        WHEN doc_id % 2 = 0 THEN CAST(8000 AS BIGINT)
+                        ELSE CAST(16000 AS BIGINT) END AS sample_rate,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE CAST(1 + doc_id % 2 AS BIGINT) END AS n_channels,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE CAST((800 + (doc_id % 5) * 160) * 1000
+                             // (CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END)
+                             AS BIGINT) END AS duration_ms,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE format('{:.4f}',
+                          CASE WHEN doc_id % 2 = 0
+                               THEN CAST(1000 + (doc_id % 20) * 500 AS DOUBLE)
+                               ELSE ((1000 + (doc_id % 20) * 500)
+                                     + (1000 + (doc_id % 20) * 500) // 2) / 2.0
+                          END) END AS rms,
+                   CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE CAST(1000 + (doc_id % 20) * 500 AS BIGINT) END AS peak
+            FROM documents
         """,
         # the mapInPandas fake-decode kernel is byte-deterministic, so
         # even the Python-kernel query has a SQL differential oracle

@@ -707,3 +707,71 @@ def audio_features_wav(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return spread(media).mapInPandas(run, schema)
+
+
+def synth_wav_media(documents: DataFrame) -> DataFrame:
+    """Deterministic PCM-WAV payloads derived per document — the
+    audio analogue of q_html_extract's build-then-extract trick: each
+    doc_id fixes a square wave (amplitude 1000 + (doc_id%20)·500,
+    period 2 + doc_id%7 samples, 800 + (doc_id%5)·160 samples, rate
+    8000 or 16000 by doc_id%2, 1 + doc_id%2 channels with the second
+    channel at half amplitude), encoded through the REAL ``encode_wav``
+    in the Arrow kernel. Every doc_id % 11 == 0 row instead carries a
+    corrupt non-WAV payload, putting decode-failure isolation under
+    the same gate. Because a square wave's samples are all ±amplitude,
+    its duration/RMS/peak are closed-form in doc_id — which is what
+    lets a SQL oracle check the distributed encode→decode roundtrip."""
+    import pandas as pd
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "modality", "mime", "payload", "sha256", "n_bytes",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows["media_id"].append(did)
+                rows["modality"].append("audio")
+                rows["mime"].append("audio/wav")
+                rows["sha256"].append(None)
+                rows["n_bytes"].append(None)
+                if did % 11 == 0:
+                    rows["payload"].append(b"ID3\x04not-a-wav-payload")
+                    continue
+                amp = 1000 + (did % 20) * 500
+                period = 2 + did % 7
+                n = 800 + (did % 5) * 160
+                rate = 8000 if did % 2 == 0 else 16000
+                i = np.arange(n)
+                sign = np.where((i // period) % 2 == 0, 1, -1)
+                ch0 = (sign * amp).astype(np.int16)
+                if did % 2 == 1:
+                    arr = np.stack([ch0, (sign * (amp // 2)).astype(np.int16)], axis=1)
+                else:
+                    arr = ch0
+                rows["payload"].append(encode_wav(arr, rate))
+            yield pd.DataFrame(rows)
+
+    return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def q_audio_features(documents: DataFrame) -> DataFrame:
+    """Declared query (r8): the distributed WAV path under the oracle
+    gate — synthesize deterministic PCM-WAV bytes per document
+    (``synth_wav_media``), decode them back through the REAL
+    ``decode_wav`` inside ``audio_features_wav``, and emit
+    duration/RMS/peak plus the ok flag. The DuckDB oracle recomputes
+    every feature closed-form from doc_id (square-wave arithmetic) and
+    replays the corrupt-payload lane as ok='false' null rows — so the
+    encode→decode roundtrip, channel deinterleave + mono fold, RMS
+    and duration arithmetic, and per-row failure isolation are all
+    differentially verified, like the image kernels.
+
+    Scale: two chained mapInPandas passes, zero shuffles before the
+    presentation sort — the canonical media-pass shape; on a real
+    table the synth stage is the parquet payload column."""
+    return audio_features_wav(synth_wav_media(documents)).orderBy("media_id")
