@@ -73,16 +73,21 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
 
 def decode_image(payload: bytes) -> object:
     """Decode an image payload to an H×W×3 uint8 raster. Real for
-    uncompressed 24-bit BMP (pure stdlib+numpy — see ``decode_bmp``)
-    and non-interlaced 8-bit RGB/RGBA PNG (stdlib zlib + unfilter —
-    see ``decode_png``); every other format needs Pillow/opencv
-    (absent here)."""
+    uncompressed 24-bit BMP (pure stdlib+numpy — see ``decode_bmp``),
+    non-interlaced 8-bit RGB/RGBA PNG (stdlib zlib + unfilter — see
+    ``decode_png``), and baseline-sequential JFIF (r8 — stdlib
+    Huffman + IDCT, ``operators.jpeg.decode_jpeg``); every other
+    format needs Pillow/opencv (absent here)."""
     if payload is not None and payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload is not None and payload[:8] == _PNG_SIG:
         return decode_png(payload)
+    if payload is not None and payload[:2] == b"\xff\xd8":
+        from node_js_etl_processor_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise DecodeUnavailable(
-        "non-BMP/PNG decode requires Pillow/opencv; not in container"
+        "non-BMP/PNG/JPEG decode requires Pillow/opencv; not in container"
     )
 
 
@@ -404,12 +409,17 @@ FRAME_STEP = 2  # sample every 2nd frame
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Real image resize: decode → nearest-neighbor over the pixel
     grid → re-encode in the SOURCE format. Works end-to-end for
-    uncompressed 24-bit BMP and non-interlaced 8-bit RGB/RGBA PNG
-    (stdlib struct/zlib + numpy — no codec libraries needed); any
-    other format raises DecodeUnavailable (Pillow/opencv absent)."""
+    uncompressed 24-bit BMP, non-interlaced 8-bit RGB/RGBA PNG and
+    (r8) baseline JFIF (stdlib struct/zlib/Huffman + numpy — no codec
+    libraries needed); any other format raises DecodeUnavailable
+    (Pillow/opencv absent)."""
     raster = resize_raster(decode_image(payload), width, height)
     if payload[:8] == _PNG_SIG:
         return encode_png(raster)
+    if payload[:2] == b"\xff\xd8":
+        from node_js_etl_processor_spark.operators.jpeg import encode_jpeg_baseline
+
+        return encode_jpeg_baseline(raster)
     return encode_bmp(raster)
 
 
