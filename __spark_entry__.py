@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 93 queries (count as of r8 — grep ``def queries`` below for the
+ALL 96 queries (count as of r8 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -132,16 +132,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_decontaminate": _q(
             ["embeddings"], similarity.q_semantic_decontaminate
         ),
-        # r8-new: the WAV audio path under the gate (displaces
-        # q_ivfpq_rescore from the window per the rotation docstring)
+        # r8-new queries (displace the unchanged r7-new entries from
+        # the window per the rotation docstring): the WAV audio path,
+        # SCD2 history build, FastSS fuzzy match, per-doc TF-IDF
         "q_audio_features": _q(["documents"], q_audio_features),
+        "q_scd2": _q(["orders"], relational.q_scd2),
+        "q_fuzzy_match": _q(["customer"], dedup.q_fuzzy_match),
+        "q_tfidf": _q(["documents"], text.q_tfidf),
+        # ---- oracle-paired but outside the 50-entry driver window ----
+        "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
         "q_html_extract": _q(["documents"], text.q_html_extract),
         "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
         "q_hybrid_search": _q(
             ["documents", "embeddings"], retrieval.q_hybrid_search
         ),
-        # ---- oracle-paired but outside the 50-entry driver window ----
-        "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
         # (all green r7; covered every round by the local parity gate
         # in tests/test_oracle_parity.py)
         "q_union_sources": _q(["customer"], relational.q_union_sources),
@@ -1853,6 +1857,85 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 11 = 0 THEN NULL
                         ELSE CAST(1000 + (doc_id % 20) * 500 AS BIGINT) END AS peak
             FROM documents
+        """,
+        # r8: SCD2 — lag change-compress, then version/lead windows
+        # over the change rows; ties break on o_orderkey in BOTH
+        # engines, both windows ordered by the raw timestamp
+        "q_scd2": """
+            WITH seq AS (
+              SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate,
+                     lag(o_orderstatus) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+              FROM orders
+            ),
+            chg AS (
+              SELECT * FROM seq
+              WHERE prev IS NULL OR prev <> o_orderstatus
+            )
+            SELECT o_custkey AS custkey,
+                   CAST(row_number() OVER w AS BIGINT) AS version,
+                   o_orderstatus AS status,
+                   CAST(o_orderdate AS DATE) AS valid_from,
+                   CAST(lead(o_orderdate) OVER w AS DATE) AS valid_to,
+                   lead(o_orderdate) OVER w IS NULL AS is_current
+            FROM chg
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        """,
+        # r8: FastSS fuzzy match — deletion-neighborhood keys replayed
+        # via range+substr, DISTINCT candidate pairs, levenshtein
+        # verify in both engines
+        "q_fuzzy_match": """
+            WITH k AS (
+              SELECT c_custkey, c_name,
+                     unnest(list_distinct(list_append(
+                       list_transform(range(1, len(c_name) + 1),
+                         i -> substr(c_name, 1, i - 1)
+                              || substr(c_name, i + 1, len(c_name))),
+                       c_name))) AS key
+              FROM customer
+            ),
+            cand AS (
+              SELECT DISTINCT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+                              a.c_name AS name_a, b.c_name AS name_b
+              FROM k a JOIN k b USING (key)
+              WHERE a.c_custkey < b.c_custkey
+            )
+            SELECT cust_a, cust_b, name_a, name_b,
+                   CAST(levenshtein(name_a, name_b) AS BIGINT) AS distance
+            FROM cand
+            WHERE levenshtein(name_a, name_b) <= 1
+        """,
+        # r8: TF-IDF — same tokenizer as the bm25 oracle, smooth-idf
+        # formula replayed in the same op order, per-doc top-5 window
+        "q_tfidf": r"""
+            WITH toked AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')) AS term
+              FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM toked GROUP BY doc_id, term
+            ),
+            dft AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+            ),
+            n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toked),
+            scored AS (
+              SELECT doc_id, term, tf,
+                     round(tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6)
+                       AS tfidf
+              FROM tf JOIN dft USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, tf, tfidf
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+              FROM scored
+            ) WHERE rn <= 5
         """,
         # the mapInPandas fake-decode kernel is byte-deterministic, so
         # even the Python-kernel query has a SQL differential oracle

@@ -772,3 +772,54 @@ def simhash_band_postings_from_sigs(sigs: DataFrame) -> DataFrame:
         "doc_id",
         "sig",
     )
+
+
+def q_fuzzy_match(customer: DataFrame, max_distance: int = 1) -> DataFrame:
+    """Fuzzy entity matching via FastSS deletion-neighborhood blocking
+    (Bocek et al., "Fast Similarity Search in Large Dictionaries",
+    2007) + exact Levenshtein verify (r8) — the entity-resolution tier
+    of the dedup family: two strings within edit distance 1 always
+    share a key in {s} ∪ {s minus one char}, so candidates come from
+    an equi-join on deletion keys — never an all-pairs distance scan —
+    and the O(n²) verify runs only on colliding pairs.
+
+    Scale: n·(L+1) keys (L = string length), one key-equi self-join,
+    DISTINCT pair set before the Levenshtein verify (a pair can share
+    several keys), verify is a codegen levenshtein on candidate rows
+    only. At web scale the deletion keys are hashed and the join is a
+    bucket join like every other blocking tier here.
+    """
+    s = F.col("c_name")
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(s)),
+        lambda i: F.concat(
+            F.substr(s, F.lit(1), i - 1), F.substr(s, i + 1, F.length(s))
+        ),
+    )
+    keyed = customer.select(
+        "c_custkey",
+        "c_name",
+        F.explode(F.array_distinct(F.array_append(dels, s))).alias("key"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .select(
+            F.col("a.c_custkey").alias("cust_a"),
+            F.col("b.c_custkey").alias("cust_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "cust_a",
+        "cust_b",
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").cast("bigint").alias("distance"),
+    ).filter(F.col("distance") <= max_distance)

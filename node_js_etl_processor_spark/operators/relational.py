@@ -806,3 +806,36 @@ def q_scalar_subquery(orders: DataFrame, customer: DataFrame) -> DataFrame:
         .filter(F.col("cents") * F.col("n_orders") > F.col("sum_cents"))
         .select("o_orderkey", "o_custkey", "o_totalprice", "sum_cents", "n_orders")
     )
+
+
+def q_scd2(orders: DataFrame) -> DataFrame:
+    """SCD Type-2 history build (r8) — the standard warehouse
+    slowly-changing-dimension op (Kimball's type-2 versioning): each
+    customer's order-status sequence, ordered by (o_orderdate,
+    o_orderkey), is compressed into versioned validity ranges — a row
+    survives only where the status CHANGES (lag compare), then gets
+    version = row_number, valid_to = next change's valid_from (null →
+    open/current). The same build pattern turns any CDC change feed
+    into a dimension history table.
+
+    Scale: both windows share the o_custkey partitioning — ONE
+    shuffle; the change filter between them shrinks the second
+    window's frames to the change rows only. Deterministic: same-day
+    ties break on o_orderkey.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    changes = (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderstatus")
+        .withColumn("_prev", F.lag("o_orderstatus").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("o_orderstatus")))
+    )
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").cast("date").alias("valid_from"),
+        F.lead(F.col("o_orderdate").cast("date")).over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )

@@ -1812,3 +1812,63 @@ def q_lm_bigram_perplexity(documents: DataFrame, buckets: int = 3) -> DataFrame:
         F.round(F.exp(F.col("avg_nll")), 4).alias("perplexity"),
         F.ntile(buckets).over(w).cast("bigint").alias("ppl_bucket"),
     )
+
+
+def q_tfidf(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-k TF-IDF terms (r8) — the classic salient-term
+    extractor (sklearn's smooth-idf form: idf = ln((1+N)/(1+df)) + 1),
+    complementing the query-driven BM25 ranker with a query-free
+    per-doc signature (keyword tagging / topic drift monitoring in a
+    corpus pipeline).
+
+    Scale shape: one explode → (doc, term) tf agg → term-keyed df agg
+    — the df table is vocabulary-sized and BROADCAST back into the
+    scoring join, N rides a 1-row broadcast cross join; the top-k
+    window partitions BY DOCUMENT, so frames are per-doc vocabularies,
+    never the corpus. Deterministic: ties break (score desc, term
+    asc). Token-less docs are absent (no terms, no likelihood of
+    any).
+    """
+    from pyspark.sql.window import Window
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    toked = (
+        spread(documents)
+        .select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    )
+    tf = toked.groupBy("doc_id", "term").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    dft = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    n_docs = toked.select("doc_id").distinct().agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("n_docs"))
+                        / (F.lit(1.0) + F.col("df"))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("doc_id", F.col("_rn").cast("bigint").alias("rank"), "term", "tf", "tfidf")
+    )

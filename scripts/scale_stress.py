@@ -243,6 +243,52 @@ def main() -> None:
         lambda: ivfpq_probe(spark, lay10, probe, k=10, exclude_vec_id=0),
     )
 
+    # ---- r8 families: the WAV feature pass (chained mapInPandas,
+    # should scale at kernel bandwidth), the incremental delta probes
+    # (FIXED drop against a 10x store — the production access pattern;
+    # cost should track candidate volume, not corpus re-hash), and the
+    # stored-forms hybrid fusion (both sides partition-pruned probes —
+    # should be ~flat in corpus size)
+    from node_js_etl_processor_spark.operators.multimodal import q_audio_features
+    from node_js_etl_processor_spark.operators.retrieval import (
+        hybrid_search_from_stores,
+    )
+    from node_js_etl_processor_spark.sources.bm25_index import write_bm25_index
+    from node_js_etl_processor_spark.sources.dedup_store import (
+        dedup_simhash_delta,
+        write_simhash_store,
+    )
+    from node_js_etl_processor_spark.sources.similarity_layout import (
+        dedup_embedding_delta,
+    )
+
+    queries["q_audio_features"] = (
+        lambda: q_audio_features(docs1),
+        lambda: q_audio_features(docs10),
+    )
+    drop = docs1.filter(F.col("doc_id") % 20 == 0)
+    sh1 = os.path.join(tmp, "sh_1x")
+    sh10 = os.path.join(tmp, "sh_10x")
+    write_simhash_store(docs1, sh1)
+    write_simhash_store(docs10, sh10)
+    queries["dedup_simhash_delta"] = (
+        lambda: dedup_simhash_delta(spark, drop, sh1),
+        lambda: dedup_simhash_delta(spark, drop, sh10),
+    )
+    edrop = emb1.filter(F.col("vec_id") % 20 == 0)
+    queries["dedup_embedding_delta"] = (
+        lambda: dedup_embedding_delta(spark, edrop, lay1),
+        lambda: dedup_embedding_delta(spark, edrop, lay10),
+    )
+    bm1 = os.path.join(tmp, "bm_1x")
+    bm10 = os.path.join(tmp, "bm_10x")
+    write_bm25_index(docs1, bm1)
+    write_bm25_index(docs10, bm10)
+    queries["hybrid_from_stores"] = (
+        lambda: hybrid_search_from_stores(spark, bm1, lay1, probe, exclude_vec_id=0),
+        lambda: hybrid_search_from_stores(spark, bm10, lay10, probe, exclude_vec_id=0),
+    )
+
     results = {}
     for name, (f1, f10) in queries.items():
         t1 = timed(f1, args.runs)

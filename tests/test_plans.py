@@ -490,3 +490,38 @@ def test_embedding_pool_bounded_agg_buffers(spark, sf_dir):
     assert "ObjectHashAggregate" not in plan
     assert "collect_list" not in plan
     assert "partial_sum" in plan
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """r8: both SCD2 windows share the o_custkey partitioning — one
+    exchange; no join anywhere."""
+    df = relational.q_scd2(load_table(spark, sf_dir, "orders"))
+    plan = plan_text(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_fuzzy_match_blocks_never_cartesian(spark, sf_dir):
+    """r8: FastSS candidates come from a key-equi join — a cartesian
+    or nested-loop pair scan is the regression this pins out."""
+    from node_js_etl_processor_spark.operators import dedup
+
+    df = dedup.q_fuzzy_match(load_table(spark, sf_dir, "customer"))
+    plan = plan_text(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_tfidf_broadcasts_df_table(spark, sf_dir):
+    """r8: the vocabulary-sized df/N sides broadcast into the scoring
+    join — a sort-merge join there means the corpus-sized tf frame
+    shuffled on term for no reason."""
+    from node_js_etl_processor_spark.operators import text
+
+    df = text.q_tfidf(load_table(spark, sf_dir, "documents"))
+    plan = plan_text(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
