@@ -83,3 +83,65 @@ def url_frontier_stream(
     return canon.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["canonical_url"]
     )
+
+
+def exact_dedup_ingest_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+):
+    """The ingest loop of ``sources/dedup_store.py`` as a STREAM (r8):
+    per micro-batch, ``dedup_exact_delta`` drops every doc whose text
+    fingerprint is already in the store (or duplicated within the
+    batch — min-doc_id keeper), appends the survivors to ``out_path``
+    and their fingerprints to the store. The store IS the cross-batch
+    dedup state: unbounded-corpus-sized on DISK (16 bytes/doc in
+    parquet), not in executor memory — the shape a plain
+    ``dropDuplicates`` stream cannot reach, because exact corpus dedup
+    must never forget (no watermark can bound it). foreachBatch is
+    the right tool precisely because each batch needs a BATCH join
+    against an existing table plus two idempotent appends.
+
+    Returns the started query (availableNow — the same trigger twin
+    as every refresh here). Batch equivalence is test-pinned: streamed
+    batches == q_dedup_docs keepers when arrival order matches doc_id
+    order."""
+    import os
+
+    from ..sources.dedup_store import (
+        append_fingerprint_store,
+        dedup_exact_delta,
+        write_fingerprint_store,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not os.path.isdir(store_path):
+            # first batch bootstraps the store from nothing: in-batch
+            # dedup only, then the store is born from its survivors
+            from pyspark.sql import functions as F
+            from pyspark.sql.window import Window
+
+            from ..operators.dedup import fingerprint
+
+            w = Window.partitionBy("_fp").orderBy(F.col("doc_id").asc())
+            survivors = (
+                batch_df.withColumn("_fp", fingerprint(F.col("text")))
+                .withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_fp", "_rn")
+            )
+            survivors.write.mode("append").parquet(out_path)
+            write_fingerprint_store(survivors, store_path)
+            return
+        survivors = dedup_exact_delta(spark, batch_df, store_path)
+        survivors.write.mode("append").parquet(out_path)
+        append_fingerprint_store(survivors, store_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -453,3 +453,53 @@ def test_url_frontier_stream_dedups_on_canonical_key(spark, tmp_path):
         "https://web.example.com/a",
     }
     assert spark.table("frontier").count() == 3
+
+
+def test_exact_dedup_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
+    """r8: the fingerprint-store ingest loop as a stream — three
+    landed files processed as micro-batches must yield EXACTLY the
+    batch q_dedup_docs keepers (arrival order == doc_id order, so
+    first-arrival == min doc_id), cross-batch duplicates dropped via
+    the store, and the store must end at one fingerprint per distinct
+    text."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.dedup import q_dedup_docs
+    from node_js_etl_processor_spark.streaming.dedup import (
+        exact_dedup_ingest_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "accepted")
+    store = str(tmp_path / "fp_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    # land three doc_id-ordered drops; re-land slice 1 inside drop 3
+    # so a CROSS-batch duplicate definitely exists
+    docs.filter("doc_id < 150").coalesce(1).write.json(str(src / "b1"))
+    docs.filter("doc_id >= 150 AND doc_id < 300").coalesce(1).write.json(
+        str(src / "b2")
+    )
+    docs.filter("doc_id >= 300 OR doc_id < 20").coalesce(1).write.json(
+        str(src / "b3")
+    )
+
+    schema = "doc_id long, text string"
+    for batch in ("b1", "b2", "b3"):
+        q = exact_dedup_ingest_stream(
+            spark.readStream.schema(schema).json(str(src / batch)),
+            store,
+            out,
+            ckpt + batch,
+        )
+        q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # batch reference: min-doc_id keeper per distinct text, EXCEPT the
+    # re-landed duplicates (doc_id < 20 rows arrived again in b3 but
+    # their fingerprints were already stored, so they must NOT reappear)
+    want = {r["doc_id"] for r in q_dedup_docs(docs).collect()}
+    assert got == want
+    n_fp = spark.read.parquet(store).count()
+    assert n_fp == docs.select("text").distinct().count()
