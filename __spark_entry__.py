@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 96 queries (count as of r8 — grep ``def queries`` below for the
+ALL 97 queries (count as of r8 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -127,7 +127,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
         # r7-new queries staying in — the four r8-changed forms first
         "q_url_dedup": _q(["documents"], text.q_url_dedup),
-        "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
         "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
         "q_semantic_decontaminate": _q(
             ["embeddings"], similarity.q_semantic_decontaminate
@@ -139,7 +138,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scd2": _q(["orders"], relational.q_scd2),
         "q_fuzzy_match": _q(["customer"], dedup.q_fuzzy_match),
         "q_tfidf": _q(["documents"], text.q_tfidf),
+        "q_gap_fill": _q(["events"], temporal.q_gap_fill),
         # ---- oracle-paired but outside the 50-entry driver window ----
+        # (q_lm_bigram_perplexity's r8 change — the single-token
+        # sequence guard — only affects inputs absent from the sf0.01
+        # fixture, so its driver row would be bit-identical to its
+        # green r7 row; the unit test + local parity gate cover the
+        # new guard, and q_gap_fill takes the slot)
+        "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
         "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
         "q_html_extract": _q(["documents"], text.q_html_extract),
         "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
@@ -1857,6 +1863,38 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 11 = 0 THEN NULL
                         ELSE CAST(1000 + (doc_id % 20) * 500 AS BIGINT) END AS peak
             FROM documents
+        """,
+        # r8: gap fill — per-type daily spine (generate_series) +
+        # zero-fill + IGNORE NULLS LOCF window, same rounded daily sums
+        "q_gap_fill": """
+            WITH daily AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS DATE) AS day,
+                     CAST(count(*) AS BIGINT) AS n,
+                     round(sum(value), 2) AS sv
+              FROM events
+              WHERE event_id % 97 = 0
+              GROUP BY 1, 2
+            ),
+            bounds AS (
+              SELECT event_type, min(day) AS lo, max(day) AS hi
+              FROM daily GROUP BY 1
+            ),
+            spine AS (
+              SELECT event_type,
+                     CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                                 CAST(hi AS TIMESTAMP),
+                                                 INTERVAL 1 DAY)) AS DATE) AS day
+              FROM bounds
+            )
+            SELECT s.event_type, s.day,
+                   coalesce(d.n, 0) AS n_events,
+                   last_value(d.sv IGNORE NULLS) OVER (
+                     PARTITION BY s.event_type ORDER BY s.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sum_value_locf,
+                   d.n IS NULL AS is_gap
+            FROM spine s LEFT JOIN daily d USING (event_type, day)
         """,
         # r8: SCD2 — lag change-compress, then version/lead windows
         # over the change rows; ties break on o_orderkey in BOTH

@@ -243,3 +243,62 @@ def q_hypertable_rollup(events: DataFrame) -> DataFrame:
             "day_bucket", "hour_bucket", "event_type", "is_day_grain", "n_events", "sum_value"
         )
     )
+
+
+def q_gap_fill(events: DataFrame) -> DataFrame:
+    """Time-series gap filling (r8) — the hypertable
+    ``time_bucket_gapfill`` pattern: per event_type, a complete daily
+    spine from that type's first to last active day, with empty days
+    zero-filled for counts and last-observation-carried-forward for
+    the value sum (the dashboard/continuous-aggregate contract: no
+    missing x-axis points, stairstep values across gaps).
+
+    Scale shape: the heavy input collapses FIRST (one keyed daily
+    aggregation — the only corpus-sized shuffle); the spine is built
+    by exploding per-type date sequences off the aggregated frame
+    (O(types × days) rows — dashboard-sized), the daily frame joins
+    back type+day-keyed, and the LOCF window partitions by type over
+    those small frames. Gap days carry is_gap=true so downstream can
+    distinguish measured zeros from filled ones.
+
+    The declared query THINS the fixture to every 97th event first —
+    the dense synthetic stream has an event every day for every type,
+    which would leave the zero-fill and LOCF branches untested; the
+    1% slice produces real gaps on every type (deterministic, oracle-
+    replayed). A production caller passes the already-sparse stream.
+    """
+    events = events.filter(F.col("event_id") % 97 == 0)
+    daily = (
+        events.select(
+            "event_type",
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 2).alias("sv"),
+        )
+    )
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last(F.col("sv"), ignorenulls=True).over(w).alias("sum_value_locf"),
+        F.col("n").isNull().alias("is_gap"),
+    )
