@@ -823,3 +823,72 @@ def q_fuzzy_match(customer: DataFrame, max_distance: int = 1) -> DataFrame:
         "name_b",
         F.levenshtein("name_a", "name_b").cast("bigint").alias("distance"),
     ).filter(F.col("distance") <= max_distance)
+
+
+def minhash_est_jaccard(a_prefix: str, b_prefix: str, num_hashes: int = 32):
+    """Estimated Jaccard from two minhash signature row-halves: the
+    fraction of agreeing minhashes (Broder 1997 — each minhash
+    agrees with probability J, so the mean of 32 indicators is an
+    unbiased estimate with σ ≈ 0.09). Signature-space verification is
+    what lets an incremental near-dup probe VERIFY candidates without
+    ever reading the accepted corpus's text."""
+    agree = sum(
+        F.when(
+            F.col(f"{a_prefix}h{i}") == F.col(f"{b_prefix}h{i}"), 1
+        ).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return F.round(agree / F.lit(float(num_hashes)), 6)
+
+
+def minhash_near_dup_keepers(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Batch near-dup KEEPER rule in signature space: a doc survives
+    iff no LSH candidate pair links it to a smaller-doc_id doc with
+    estimated Jaccard ≥ threshold. This is the batch twin of the
+    incremental ingest stream (streaming/dedup.py) — both decide from
+    the SAME signatures and the SAME banding, so stream == batch is
+    testable end to end. Token-less docs (no signatures) pass
+    through, mirroring minhash_signatures' exclusion.
+
+    Scale: candidates from the band-bucket self-join (never
+    all-pairs), signature re-join per side (32 longs/row), anti-join
+    to drop losers."""
+    sigs = minhash_signatures(documents, num_hashes, shingle_n).localCheckpoint(
+        eager=True
+    )
+    post = minhash_band_postings(documents, num_hashes, bands, shingle_n)
+    a, b = post.alias("a"), post.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("keep_id"), F.col("b.doc_id").alias("drop_id")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("keep_id"),
+        *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(num_hashes)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("drop_id"),
+        *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(num_hashes)],
+    )
+    losers = (
+        cand.join(sa, "keep_id")
+        .join(sb, "drop_id")
+        .filter(minhash_est_jaccard("a_", "b_", num_hashes) >= threshold)
+        .select(F.col("drop_id").alias("doc_id"))
+        .distinct()
+    )
+    return documents.join(losers, "doc_id", "left_anti")

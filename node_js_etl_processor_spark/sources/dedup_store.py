@@ -268,3 +268,37 @@ def dedup_simhash_delta(
         .filter(F.col("hamming") <= max_hamming)
     )
     return new_old.unionByName(new_new).distinct()
+
+
+# ------------------------------------------- minhash signature store
+
+
+def write_minhash_sigs(
+    documents: DataFrame, path: str, num_hashes: int = 32, shingle_n: int = 3
+) -> None:
+    """Persist full minhash signatures (doc_id, h0..h31 — 32 longs,
+    ~260 bytes/doc) next to the band postings: signature-space
+    verification (``operators.dedup.minhash_est_jaccard``) is what
+    lets an incremental probe VERIFY near-dup candidates without ever
+    reading the accepted corpus's text — the last text-read the delta
+    path still had."""
+    from node_js_etl_processor_spark.operators.dedup import minhash_signatures
+
+    minhash_signatures(documents, num_hashes, shingle_n).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def append_minhash_sigs(
+    documents: DataFrame, path: str, num_hashes: int = 32, shingle_n: int = 3
+) -> None:
+    """Append a SEEN batch's signatures. Note the near-dup ingest
+    contract appends every seen doc (accepted or rejected): the
+    keeper rule is 'drop if near-dup of anything seen earlier', which
+    keeps stream and batch decisions identical (see
+    operators.dedup.minhash_near_dup_keepers)."""
+    from node_js_etl_processor_spark.operators.dedup import minhash_signatures
+
+    minhash_signatures(documents, num_hashes, shingle_n).write.mode(
+        "append"
+    ).parquet(path)

@@ -145,3 +145,115 @@ def exact_dedup_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def near_dup_ingest_stream(
+    docs_stream: DataFrame,
+    store_dir: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+):
+    """Near-duplicate ingest as a stream (r8) — the minhash twin of
+    ``exact_dedup_ingest_stream``: per micro-batch, LSH candidates
+    against the stored band postings (``dedup_minhash_delta`` — only
+    the batch is hashed) are VERIFIED in signature space (estimated
+    Jaccard = agreeing-minhash fraction against the stored
+    signatures, Broder 1997), so the accepted corpus's text is never
+    read — not even for verification. Docs with an est-Jaccard ≥
+    threshold link to anything seen earlier (or to a smaller-doc_id
+    batch mate) are dropped; survivors land in ``out_path``; the
+    WHOLE batch's postings + signatures are appended (the keeper rule
+    is 'drop if near-dup of anything seen', which makes the stream
+    decision-identical to the batch
+    ``minhash_near_dup_keepers`` — test-pinned).
+
+    State = the store on disk (~260 sig bytes + ~160 posting bytes
+    per doc), unbounded-corpus-sized but never in executor memory —
+    the exact_dedup_ingest_stream argument, with verification data
+    included."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        minhash_band_postings,
+        minhash_est_jaccard,
+        minhash_signatures,
+    )
+
+    post_path = os.path.join(store_dir, "postings")
+    sigs_path = os.path.join(store_dir, "sigs")
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        sigs = minhash_signatures(batch_df, num_hashes).localCheckpoint(eager=True)
+        post = minhash_band_postings(batch_df, num_hashes, bands)
+        sa = sigs.select(
+            F.col("doc_id").alias("keep_id"),
+            *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(num_hashes)],
+        )
+        sb = sigs.select(
+            F.col("doc_id").alias("drop_id"),
+            *[F.col(f"h{i}").alias(f"b_h{i}") for i in range(num_hashes)],
+        )
+        a, b = post.alias("a"), post.alias("b")
+        new_new = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("keep_id"),
+                F.col("b.doc_id").alias("drop_id"),
+            )
+            .distinct()
+            .join(sa, "keep_id")
+            .join(sb, "drop_id")
+            .filter(minhash_est_jaccard("a_", "b_", num_hashes) >= threshold)
+            .select("drop_id")
+        )
+        losers = new_new
+        if os.path.isdir(post_path):
+            store_post = spark.read.parquet(post_path)
+            store_sigs = spark.read.parquet(sigs_path).select(
+                F.col("doc_id").alias("keep_id"),
+                *[F.col(f"h{i}").alias(f"a_h{i}") for i in range(num_hashes)],
+            )
+            new_old = (
+                store_post.join(
+                    F.broadcast(post.withColumnRenamed("doc_id", "drop_id")),
+                    ["band", "bucket"],
+                )
+                .filter(F.col("doc_id") != F.col("drop_id"))
+                .select(F.col("doc_id").alias("keep_id"), "drop_id")
+                .distinct()
+                .join(store_sigs, "keep_id")
+                .join(sb, "drop_id")
+                .filter(minhash_est_jaccard("a_", "b_", num_hashes) >= threshold)
+                .select("drop_id")
+            )
+            losers = losers.unionByName(new_old)
+        survivors = batch_df.join(
+            losers.distinct().withColumnRenamed("drop_id", "doc_id"),
+            "doc_id",
+            "left_anti",
+        )
+        survivors.write.mode("append").parquet(out_path)
+        # append the WHOLE batch (seen, not just kept) — see docstring
+        post.repartition("band").write.mode("append").partitionBy("band").parquet(
+            post_path
+        )
+        sigs.write.mode("append").parquet(sigs_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -503,3 +503,46 @@ def test_exact_dedup_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     n_fp = spark.read.parquet(store).count()
     assert n_fp == docs.select("text").distinct().count()
+
+
+def test_near_dup_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
+    """r8: the minhash near-dup ingest stream — three doc_id-ordered
+    drops must keep EXACTLY the docs the batch signature-space rule
+    keeps (minhash_near_dup_keepers: drop iff est-Jaccard >= θ to any
+    smaller-doc_id doc), with candidate generation against the stored
+    postings and verification against the stored signatures — the
+    accepted corpus's text never re-read."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.dedup import (
+        minhash_near_dup_keepers,
+    )
+    from node_js_etl_processor_spark.streaming.dedup import near_dup_ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "accepted")
+    store = str(tmp_path / "mh")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs.filter("doc_id < 150").coalesce(1).write.json(str(src / "b1"))
+    docs.filter("doc_id >= 150 AND doc_id < 350").coalesce(1).write.json(
+        str(src / "b2")
+    )
+    docs.filter("doc_id >= 350").coalesce(1).write.json(str(src / "b3"))
+
+    schema = "doc_id long, text string"
+    for batch in ("b1", "b2", "b3"):
+        q = near_dup_ingest_stream(
+            spark.readStream.schema(schema).json(str(src / batch)),
+            store,
+            out,
+            ckpt + batch,
+        )
+        q.awaitTermination(180)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    want = {r["doc_id"] for r in minhash_near_dup_keepers(docs).collect()}
+    assert got == want
+    # the rule must actually bite on the fixture (planted near-dups)
+    assert len(got) < docs.count()
