@@ -67,17 +67,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     correctness rows for the first 50 entries. ALL queries are
     oracle-paired; entries outside the window are still covered by the
     full local parity gate (tests/test_oracle_parity.py). r8 rotation
-    (the designed r-even/r-odd alternation of the 92-query registry):
+    (the designed r-even/r-odd alternation of the 97-query registry):
     the 42 queries whose latest green row is r6 rotate IN, joined by
-    the eight r7-new queries — four of which (q_url_dedup,
-    q_lm_bigram_perplexity, q_embedding_pool,
-    q_semantic_decontaminate) changed semantics or oracle form in r8
-    (single-token guard, banded LSH blocking, bounded-buffer pooling,
-    comma-free md5 formatting) and need fresh rows for the new form.
-    The 42 r7-green queries rotate OUT. New r8 queries enter the
-    window on declaration, displacing unchanged r7-new entries
-    (q_ivfpq_rescore, q_html_extract, q_corpus_stats,
-    q_hybrid_search) first. Invariant preserved: after this round no
+    three r7-new queries whose r8 form changed OBSERVABLY at sf0.01
+    (q_url_dedup — widened variant space; q_embedding_pool — new
+    agg shape; q_semantic_decontaminate — banded LSH blocking) and
+    the five r8-new queries (q_audio_features, q_scd2,
+    q_fuzzy_match, q_tfidf, q_gap_fill). The 42 r7-green queries
+    rotate OUT, as do the r7-new entries whose r8 changes are
+    invisible on the driver fixture (q_lm_bigram_perplexity's
+    single-token guard — no single-token docs at sf0.01, its row
+    would be bit-identical to its green r7 row) or whose code didn't
+    change (q_ivfpq_rescore, q_html_extract, q_corpus_stats,
+    q_hybrid_search). Invariant preserved: after this round no
     query's latest driver row is older than one rotation cycle."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
