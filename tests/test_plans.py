@@ -273,7 +273,10 @@ def test_no_declared_query_uses_nested_loop_or_cartesian(spark, sf_dir):
     # real nested loop. q_hybrid_search embeds the same narrow-BM25
     # stage, so it inherits the same single-row fan-out. Every other
     # query must stay keyed.
-    scalar_fanout_ok = {"q_bm25", "q_hybrid_search"}
+    # queries whose only BroadcastNestedLoopJoin is a 1-row scalar
+    # fan-out (corpus stats / N) — a broadcast of a parameter, not a
+    # pair scan (q_tfidf's n_docs cross join joined the set in r8)
+    scalar_fanout_ok = {"q_bm25", "q_hybrid_search", "q_tfidf"}
     offenders = []
     for name, fn in entrymod.queries().items():
         plan = plan_text(fn(spark, sf_dir), "simple")
