@@ -787,8 +787,11 @@ def q_fuzzy_match(customer: DataFrame, max_distance: int = 1) -> DataFrame:
     DISTINCT pair set before the Levenshtein verify (a pair can share
     several keys), verify is a codegen levenshtein on candidate rows
     only. At web scale the deletion keys are hashed and the join is a
-    bucket join like every other blocking tier here.
+    bucket join like every other blocking tier here. ``spread``
+    repairs single-file fixture parallelism for the key explode
+    (no-op at scale).
     """
+    customer = spread(customer)
     s = F.col("c_name")
     dels = F.transform(
         F.sequence(F.lit(1), F.length(s)),

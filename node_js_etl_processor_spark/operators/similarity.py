@@ -1390,6 +1390,13 @@ def semantic_decontaminate(
     argmax window, not a separate distinct. Returns one row per
     contaminated train vector with its worst-offending eval id.
     """
+    from node_js_etl_processor_spark.catalog import spread
+
+    # spread: the banded candidate+verify chain is NARROW up to the
+    # argmax (the eval side broadcasts), so a single-file train input
+    # would run the whole cosine verify on one core (measured 14.3 s
+    # vs 2.6 s at sf0.1 — SCALE.md r8); structural no-op at scale
+    train = spread(train)
     n_bands = srp_band_count(threshold, band_planes, target_recall)
     planes = _srp_hyperplanes(n_bands * band_planes)
     sig_t = train.select(
