@@ -1341,19 +1341,28 @@ def srp_band_count(
     return max(1, min(max_bands, b))
 
 
-def _banded_sigs(emb: Column, planes: list[list[float]], band_planes: int) -> Column:
-    """Array of (band, bsig) structs — one short SRP signature per
-    disjoint ``band_planes``-plane slice of ``planes``."""
-    n_bands = len(planes) // band_planes
+def _banded_sigs_from_full(full: Column, n_bands: int, band_planes: int) -> Column:
+    """Array of (band, bsig) structs derived from ONE full
+    ``n_bands × band_planes``-plane signature by bit slicing: plane i
+    carries weight 1<<i in ``srp_signature``, so band k's short sig is
+    ``(full >> k·band_planes) & (2^band_planes − 1)`` — identical
+    values to signing each plane slice separately, but the plan walks
+    the plane-literal matrix ONCE instead of once per band (7 separate
+    2×64-literal aggregate trees per side measured seconds of
+    analysis/codegen per run at sf0.1). ``full`` MUST be a bound
+    column reference (the eval-cost contract of shingles_from_tokens),
+    or each band re-evaluates the full signature."""
+    mask = (1 << band_planes) - 1
     return F.array(
         *[
             F.struct(
-                F.lit(i).cast("int").alias("band"),
-                srp_signature(
-                    emb, planes[i * band_planes : (i + 1) * band_planes]
-                ).alias("bsig"),
+                F.lit(k).cast("int").alias("band"),
+                F.shiftright(full, k * band_planes)
+                .bitwiseAND(F.lit(mask))
+                .cast("bigint")
+                .alias("bsig"),
             )
-            for i in range(n_bands)
+            for k in range(n_bands)
         ]
     )
 
@@ -1399,16 +1408,36 @@ def semantic_decontaminate(
     train = spread(train)
     n_bands = srp_band_count(threshold, band_planes, target_recall)
     planes = _srp_hyperplanes(n_bands * band_planes)
-    sig_t = train.select(
-        "vec_id",
-        "embedding",
-        F.explode(_banded_sigs(F.col("embedding"), planes, band_planes)).alias("bs"),
-    ).select("vec_id", "embedding", "bs.band", "bs.bsig")
-    sig_e = evals.select(
-        F.col("vec_id").alias("eval_id"),
-        F.col("embedding").alias("eval_emb"),
-        F.explode(_banded_sigs(F.col("embedding"), planes, band_planes)).alias("bs"),
-    ).select("eval_id", "eval_emb", "bs.band", "bs.bsig")
+    sig_t = (
+        train.select(
+            "vec_id",
+            "embedding",
+            srp_signature(F.col("embedding"), planes).alias("_full"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                _banded_sigs_from_full(F.col("_full"), n_bands, band_planes)
+            ).alias("bs"),
+        )
+        .select("vec_id", "embedding", "bs.band", "bs.bsig")
+    )
+    sig_e = (
+        evals.select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("embedding").alias("eval_emb"),
+            srp_signature(F.col("embedding"), planes).alias("_full"),
+        )
+        .select(
+            "eval_id",
+            "eval_emb",
+            F.explode(
+                _banded_sigs_from_full(F.col("_full"), n_bands, band_planes)
+            ).alias("bs"),
+        )
+        .select("eval_id", "eval_emb", "bs.band", "bs.bsig")
+    )
     scored = sig_t.join(F.broadcast(sig_e), ["band", "bsig"]).select(
         "vec_id",
         "eval_id",
