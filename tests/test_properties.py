@@ -281,3 +281,74 @@ def test_packing_preserves_tokens_and_cuts_on_budget(spark, docs):
         for r in rs:
             assert r["bin_id"] == running // 10
             running += r["n_tokens"]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+    subsample=st.booleans(),
+    restart=st.sampled_from([0, 2, 5]),
+)
+def test_jpeg_roundtrip_property(h, w, seed, subsample, restart):
+    """Property (r8): for ANY raster geometry, seed, sampling mode and
+    restart interval, encode→decode is shape-preserving and
+    luma-faithful at quant=1 — 4:4:4 within ±2 everywhere; 4:2:0
+    within ±2 on the reconstructed LUMA (chroma is subsampled by
+    design, but Y survives the 2×2 mean roundtrip)."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    enc = encode_jpeg_baseline(
+        img, quant=1, subsample=subsample, restart_interval=restart
+    )
+    dec = decode_jpeg(enc)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    if not subsample:
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 2
+    else:
+        y_in = 0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+        y_out = 0.299 * dec[:, :, 0] + 0.587 * dec[:, :, 1] + 0.114 * dec[:, :, 2]
+        # clipping at 0/255 couples chroma error back into Y; bound
+        # the interior and the clip-affected cells separately
+        clipped = (dec == 0) | (dec == 255)
+        free = ~clipped.any(axis=2)
+        if free.any():
+            assert np.abs(y_in - y_out)[free].max() <= 3.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 4000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    stereo=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, rate, stereo, seed):
+    """Property (r8): PCM-WAV encode→decode is BIT-exact for any
+    length, rate and channel layout (int16 range inclusive of
+    extremes)."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(-32768, 32768, size=(n, 2) if stereo else (n,), dtype=np.int16)
+    dec, got_rate = decode_wav(encode_wav(arr, rate))
+    assert got_rate == rate
+    want = arr[:, None] if arr.ndim == 1 else arr
+    assert np.array_equal(dec, want)
