@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 97 queries (count as of r8 — grep ``def queries`` below for the
+ALL 100 queries (count as of r8 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -32,10 +32,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from node_js_etl_processor_spark.catalog import load_table
 from node_js_etl_processor_spark.operators import (
     dedup,
+    graph,
     relational,
     retrieval,
     sessionize,
     similarity,
+    sketch,
     temporal,
     text,
 )
@@ -129,7 +131,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
         # r7-new queries staying in — the four r8-changed forms first
         "q_url_dedup": _q(["documents"], text.q_url_dedup),
-        "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
         "q_semantic_decontaminate": _q(
             ["embeddings"], similarity.q_semantic_decontaminate
         ),
@@ -141,7 +142,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_match": _q(["customer"], dedup.q_fuzzy_match),
         "q_tfidf": _q(["documents"], text.q_tfidf),
         "q_gap_fill": _q(["events"], temporal.q_gap_fill),
+        "q_countmin": _q(["orders"], sketch.q_countmin),
         # ---- oracle-paired but outside the 50-entry driver window ----
+        # q_embedding_pool cedes its slot like q_lm_bigram_perplexity:
+        # its r8 change (bounded agg buffers + comma-free formatter)
+        # is output-identical at sf0.01 — the full plain-session
+        # verify matched bit-for-bit — so its r7 row still describes
+        # its observable behavior. q_pagerank and q_kl_divergence were
+        # declared after the window filled; both are parity-gated
+        # locally (plain-session full verify 100/100 this round) and
+        # LEAD the r9 rotation.
+        "q_pagerank": _q(
+            ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
+        ),
+        "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
+        "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
         # (q_lm_bigram_perplexity's r8 change — the single-token
         # sequence guard — only affects inputs absent from the sf0.01
         # fixture, so its driver row would be bit-identical to its
@@ -1865,6 +1880,127 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 11 = 0 THEN NULL
                         ELSE CAST(1000 + (doc_id % 20) * 500 AS BIGINT) END AS peak
             FROM documents
+        """,
+        # r8: count-min sketch — the 4×64 grid rebuilt from the same
+        # md5-derived hashes, min-of-cells estimate replayed
+        "q_countmin": """
+            WITH rows_ AS (SELECT unnest(range(0, 4)) AS r),
+            cells AS (
+              SELECT r,
+                     CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                            || CAST(o_custkey AS VARCHAR)), 9, 8))::UBIGINT
+                          % 64 AS BIGINT) AS col
+              FROM orders CROSS JOIN rows_
+            ),
+            counters AS (
+              SELECT r, col, CAST(count(*) AS BIGINT) AS c
+              FROM cells GROUP BY 1, 2
+            ),
+            probes AS (SELECT DISTINCT o_custkey FROM orders),
+            probed AS (
+              SELECT o_custkey, r,
+                     CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || '|'
+                            || CAST(o_custkey AS VARCHAR)), 9, 8))::UBIGINT
+                          % 64 AS BIGINT) AS col
+              FROM probes CROSS JOIN rows_
+            ),
+            est AS (
+              SELECT o_custkey, CAST(min(c) AS BIGINT) AS cms_est
+              FROM probed JOIN counters USING (r, col) GROUP BY 1
+            ),
+            exact AS (
+              SELECT o_custkey, CAST(count(*) AS BIGINT) AS exact_n
+              FROM orders GROUP BY 1
+            )
+            SELECT exact.o_custkey, exact_n, cms_est,
+                   CAST(cms_est - exact_n AS BIGINT) AS overshoot
+            FROM exact JOIN est USING (o_custkey)
+        """,
+        # r8: 3-iteration weighted PageRank — edge weights, transition
+        # probabilities and every iteration unrolled in the same
+        # float-op order ((1-0.85)/n + 0.85*inflow, inflow = Σ r·p)
+        "q_pagerank": """
+            WITH e AS (
+              SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                     CAST(count(*) AS BIGINT) AS w
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              GROUP BY 1, 2
+            ),
+            outw AS (SELECT src, sum(w) AS ow FROM e GROUP BY 1),
+            trans AS (
+              SELECT e.src, e.dst, e.w / outw.ow AS p
+              FROM e JOIN outw USING (src)
+            ),
+            nodes AS (
+              SELECT src AS node FROM e UNION SELECT dst FROM e
+            ),
+            params AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            r0 AS (
+              SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN params
+            ),
+            r1 AS (
+              SELECT nodes.node,
+                     (1.0 - 0.85) / params.n
+                     + 0.85 * coalesce(i.inflow, 0.0) AS r
+              FROM nodes CROSS JOIN params
+              LEFT JOIN (SELECT t.dst AS node, sum(r0.r * t.p) AS inflow
+                         FROM trans t JOIN r0 ON t.src = r0.node
+                         GROUP BY 1) i USING (node)
+            ),
+            r2 AS (
+              SELECT nodes.node,
+                     (1.0 - 0.85) / params.n
+                     + 0.85 * coalesce(i.inflow, 0.0) AS r
+              FROM nodes CROSS JOIN params
+              LEFT JOIN (SELECT t.dst AS node, sum(r1.r * t.p) AS inflow
+                         FROM trans t JOIN r1 ON t.src = r1.node
+                         GROUP BY 1) i USING (node)
+            ),
+            r3 AS (
+              SELECT nodes.node,
+                     (1.0 - 0.85) / params.n
+                     + 0.85 * coalesce(i.inflow, 0.0) AS r
+              FROM nodes CROSS JOIN params
+              LEFT JOIN (SELECT t.dst AS node, sum(r2.r * t.p) AS inflow
+                         FROM trans t JOIN r2 ON t.src = r2.node
+                         GROUP BY 1) i USING (node)
+            )
+            SELECT node, round(r, 6) AS pagerank,
+                   CAST(row_number() OVER (
+                     ORDER BY round(r, 6) DESC, node ASC) AS BIGINT) AS rank
+            FROM r3
+        """,
+        # r8: per-source KL divergence — same tokenizer as the
+        # tfidf/bm25 oracles, same p_s·ln(p_s/p_c) op order
+        "q_kl_divergence": r"""
+            WITH toked AS (
+              SELECT source,
+                     unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                        t -> t <> '')) AS term
+              FROM documents
+            ),
+            st AS (
+              SELECT source, term, CAST(count(*) AS BIGINT) AS n_st
+              FROM toked GROUP BY 1, 2
+            ),
+            ct AS (
+              SELECT term, CAST(sum(n_st) AS BIGINT) AS n_ct FROM st GROUP BY 1
+            ),
+            tots AS (SELECT source, sum(n_st) AS n_s FROM st GROUP BY 1),
+            tot AS (SELECT sum(n_st) AS n_c FROM st)
+            SELECT st.source,
+                   CAST(sum(st.n_st) AS BIGINT) AS n_tokens,
+                   round(sum((st.n_st / tots.n_s)
+                         * ln((st.n_st / tots.n_s) / (ct.n_ct / tot.n_c))), 6)
+                     AS kl_vs_corpus
+            FROM st
+            JOIN ct USING (term)
+            JOIN tots USING (source)
+            CROSS JOIN tot
+            GROUP BY st.source
         """,
         # r8: gap fill — per-type daily spine (generate_series) +
         # zero-fill + IGNORE NULLS LOCF window, same rounded daily sums

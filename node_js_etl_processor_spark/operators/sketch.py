@@ -1,0 +1,121 @@
+"""Mergeable sketch operators — the approximate-counting tier.
+
+The reference has no sketches (its only aggregate is an array
+``length``, server.js:249); this module belongs to the mandated
+large-pipeline surface next to ``q_approx_distinct``'s HLL: a
+Count-Min sketch (Cormode & Muthukrishnan, "An improved data stream
+summary: the count-min sketch and its applications", J. Algorithms
+2005) built entirely from DataFrame aggregations.
+
+Scale shape: the sketch IS the point — a d×w counter grid (here 4×64
+= 256 cells) summarizes any number of items, partial-aggregates
+map-side, and MERGES by cell-wise addition across partitions, days,
+or datacenters. Estimation never rescans the stream: probes join the
+broadcast counter grid. Hashes are the md5-derived portable family
+(operators.dedup.portable_hash64's trick), so a DuckDB oracle rebuilds
+the grid bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Grid geometry: 4 hash rows × 64 columns. ε ≈ e/w ≈ 4.2% of the
+#: stream mass per estimate, δ ≈ e^-d ≈ 1.8% failure rate — sized so
+#: the fixture (thousands of keys) actually collides and the
+#: over-estimate behavior is exercised, not hidden.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def _cms_col(key: Column, row: int, width: int) -> Column:
+    """Column index of ``key`` in hash row ``row``: low 32 bits of
+    md5(row || '|' || key) mod width — engine-neutral (DuckDB:
+    ('0x' || substr(md5(...), 9, 8))::UBIGINT % width)."""
+    hx = F.md5(F.concat(F.lit(str(row)), F.lit("|"), key))
+    return F.pmod(
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint"), F.lit(width)
+    ).cast("bigint")
+
+
+def countmin_build(
+    items: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the (row, col, c) counter grid: one explode to d rows per
+    item, ONE keyed aggregation with map-side partials. The output is
+    d×w rows regardless of stream size — the mergeable summary."""
+    key = F.col(key_col).cast("string")
+    cells = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _cms_col(key, r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell")
+    ).select("cell.row", "cell.col")
+    return cells.groupBy("row", "col").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+
+
+def countmin_estimate(
+    probes: DataFrame,
+    counters: DataFrame,
+    key_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Point estimates for ``probes``: min over the d probed cells.
+    The counter grid is d×w rows — broadcast; the probe never rescans
+    the stream."""
+    key = F.col(key_col).cast("string")
+    probed = probes.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("row"),
+                        _cms_col(key, r, width).alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key_col, "cell.row", "cell.col")
+    return (
+        probed.join(F.broadcast(counters), ["row", "col"])
+        .groupBy(key_col)
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+    )
+
+
+def q_countmin(orders: DataFrame) -> DataFrame:
+    """Declared query (r8): Count-Min over the o_custkey stream —
+    build the 4×64 grid, estimate every distinct key, and report the
+    estimate against the exact count (the CM guarantee exact ≤ est is
+    a tested invariant; the overshoot column makes collision behavior
+    visible). Fully oracle-checked: DuckDB rebuilds the same grid from
+    the same md5-derived hashes and replays the min-of-cells
+    estimate."""
+    counters = countmin_build(orders, "o_custkey")
+    probes = orders.select("o_custkey").distinct()
+    est = countmin_estimate(probes, counters, "o_custkey")
+    exact = orders.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("exact_n")
+    )
+    return exact.join(est, "o_custkey").select(
+        "o_custkey",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overshoot"),
+    )

@@ -1872,3 +1872,49 @@ def q_tfidf(documents: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("_rn") <= k)
         .select("doc_id", F.col("_rn").cast("bigint").alias("rank"), "term", "tf", "tfidf")
     )
+
+
+def q_kl_divergence(documents: DataFrame) -> DataFrame:
+    """Per-source token-distribution divergence from the corpus (r8):
+    KL(P_source ‖ P_corpus) = Σ_t p_s(t)·ln(p_s(t)/p_c(t)) — the
+    domain-mixing diagnostic of a training-data pipeline (how far each
+    source's unigram distribution sits from the blend it feeds; the
+    Wenzek et al. CCNet lens at the source level). Every source term
+    exists in the corpus by construction (corpus ⊇ source), so the
+    ratio is always defined — no smoothing needed.
+
+    Scale shape: one explode → (source, term) counts → term-keyed
+    corpus counts joined back BROADCAST (vocabulary-sized), per-source
+    totals via a window over the aggregated (source, term) frame, one
+    final keyed sum. Fully oracle-checked with the same tokenizer and
+    float-op order as the tfidf/bm25 oracles."""
+    from pyspark.sql.window import Window
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    toked = spread(documents).select(
+        "source", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    st = toked.groupBy("source", "term").agg(
+        F.count("*").cast("bigint").alias("n_st")
+    )
+    ct = st.groupBy("term").agg(F.sum("n_st").cast("bigint").alias("n_ct"))
+    tot_s = F.sum("n_st").over(Window.partitionBy("source"))
+    # corpus total = Σ n_st over ALL rows (n_ct repeats once per
+    # source carrying the term — summing it would overcount)
+    tot_c = F.sum("n_st").over(Window.partitionBy())
+    scored = (
+        st.join(F.broadcast(ct), "term")
+        .withColumn("p_s", F.col("n_st") / tot_s)
+        .withColumn("p_c", F.col("n_ct") / tot_c)
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.sum("n_st").cast("bigint").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("p_s") * F.log(F.col("p_s") / F.col("p_c"))), 6
+            ).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )

@@ -1237,3 +1237,50 @@ def test_jpeg_roundtrip_subsample_restart_and_refusal(spark):
     bad_dht[dht + 5] = 255  # absurd length-1 code count -> Kraft fail
     with _pytest.raises(DecodeUnavailable):
         decode_jpeg(bytes(bad_dht))
+
+
+def test_countmin_invariants_and_broadcast(spark, sf_dir):
+    """r8: the CM guarantee — estimate >= exact for EVERY key — plus
+    real collision behavior at the 4x64 geometry (some overshoot
+    must be visible on a 1000+-key stream) and the broadcast of the
+    256-cell grid into the probe join."""
+    import contextlib
+    import io
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.sketch import q_countmin
+
+    orders = load_table(spark, sf_dir, "orders")
+    rows = q_countmin(orders).collect()
+    assert len(rows) == orders.select("o_custkey").distinct().count()
+    assert all(r["cms_est"] >= r["exact_n"] for r in rows)
+    assert all(r["overshoot"] == r["cms_est"] - r["exact_n"] for r in rows)
+    assert any(r["overshoot"] > 0 for r in rows)  # collisions are real
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_countmin(orders).explain("simple")
+    assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_pagerank_distribution_sanity(spark, sf_dir):
+    """r8: 3-iteration PageRank over the trade graph — 25 nation
+    nodes, scores positive, total mass <= 1 (dangling mass dropped by
+    the documented simple form) and >= the undamped floor, rank
+    column consistent with the scores."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.graph import q_pagerank
+
+    rows = q_pagerank(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+    ).collect()
+    assert len(rows) == 25
+    total = sum(r["pagerank"] for r in rows)
+    assert 0.15 <= total <= 1.000001, total
+    by_rank = sorted(rows, key=lambda r: r["rank"])
+    scores = [r["pagerank"] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["pagerank"] > 0 for r in rows)
