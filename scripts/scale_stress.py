@@ -90,6 +90,75 @@ def multiply_embeddings(emb: DataFrame, replicas: int) -> DataFrame:
     )
 
 
+def _rep(replicas: int):
+    return F.explode(F.sequence(F.lit(0), F.lit(replicas - 1))).alias("rep")
+
+
+def multiply_orders(orders: DataFrame, replicas: int) -> DataFrame:
+    """Replica i offsets o_orderkey; o_custkey is KEPT so per-customer
+    order streams get ``replicas``× deeper (the SCD2/count stress),
+    and dates are kept so same-day tie-breaking is exercised."""
+    out = orders.select("*", _rep(replicas))
+    return out.select(
+        (F.col("o_orderkey") + F.col("rep").cast("bigint") * REPLICA_KEY).alias(
+            "o_orderkey"
+        ),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+
+
+def multiply_lineitem(li: DataFrame, replicas: int) -> DataFrame:
+    """Order-key offsets MATCH multiply_orders so fact-fact joins
+    still land; supp/part keys kept (graph nodes unchanged, weights
+    scale)."""
+    out = li.select("*", _rep(replicas))
+    return out.select(
+        (F.col("l_orderkey") + F.col("rep").cast("bigint") * REPLICA_KEY).alias(
+            "l_orderkey"
+        ),
+        *[c for c in li.columns if c != "l_orderkey"],
+    )
+
+
+def multiply_customer(cust: DataFrame, replicas: int) -> DataFrame:
+    """Replica i gets a TWO-letter name tag (edit distance 2 between
+    replicas, so FastSS pair structure stays linear — a one-letter tag
+    would put every cross-replica name pair at distance 1 and grow
+    output quadratically in the multiplier)."""
+    out = cust.select("*", _rep(replicas))
+    tag = F.concat(
+        F.lit("r"),
+        F.chr(F.col("rep") + F.lit(97)),
+        F.chr(F.col("rep") + F.lit(97)),
+        F.lit(" "),
+    )
+    return out.select(
+        (F.col("c_custkey") + F.col("rep").cast("bigint") * REPLICA_KEY).alias(
+            "c_custkey"
+        ),
+        F.concat(tag, F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+
+
+def multiply_events(ev: DataFrame, replicas: int) -> DataFrame:
+    """Replica i offsets event_id (the %97 gap-fill thinning then
+    samples different rows per replica — denser spines, same shape)."""
+    out = ev.select("*", _rep(replicas))
+    return out.select(
+        (F.col("event_id") + F.col("rep").cast("bigint") * REPLICA_KEY).alias(
+            "event_id"
+        ),
+        *[c for c in ev.columns if c != "event_id"],
+    )
+
+
 def skew_sources(docs: DataFrame) -> DataFrame:
     """Reassign 50% of documents (even doc_id) to one hot source."""
     return docs.withColumn(
@@ -300,6 +369,57 @@ def main() -> None:
     queries["hybrid_from_stores"] = (
         lambda: hybrid_search_from_stores(spark, bm1, lay1, probe, exclude_vec_id=0),
         lambda: hybrid_search_from_stores(spark, bm10, lay10, probe, exclude_vec_id=0),
+    )
+
+    # ---- r8 relational/text/sketch/graph queries over multiplied
+    # orders/customer/lineitem/events fixtures ----
+    from node_js_etl_processor_spark.operators import graph, relational, sketch, temporal
+
+    orders1 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    cust1 = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    li1 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    ev1 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    supp1 = spark.read.parquet(f"{SF_DIR}/supplier.parquet")
+    orders_path = os.path.join(tmp, "orders_10x")
+    cust_path = os.path.join(tmp, "customer_10x")
+    li_path = os.path.join(tmp, "lineitem_10x")
+    ev_path = os.path.join(tmp, "events_10x")
+    multiply_orders(orders1, args.replicas).repartition(32).write.parquet(orders_path)
+    multiply_customer(cust1, args.replicas).repartition(32).write.parquet(cust_path)
+    multiply_lineitem(li1, args.replicas).repartition(32).write.parquet(li_path)
+    multiply_events(ev1, args.replicas).repartition(32).write.parquet(ev_path)
+    orders10 = spark.read.parquet(orders_path)
+    cust10 = spark.read.parquet(cust_path)
+    li10 = spark.read.parquet(li_path)
+    ev10 = spark.read.parquet(ev_path)
+
+    queries["q_scd2"] = (
+        lambda: relational.q_scd2(orders1),
+        lambda: relational.q_scd2(orders10),
+    )
+    queries["q_fuzzy_match"] = (
+        lambda: dedup.q_fuzzy_match(cust1),
+        lambda: dedup.q_fuzzy_match(cust10),
+    )
+    queries["q_tfidf"] = (
+        lambda: text.q_tfidf(docs1),
+        lambda: text.q_tfidf(docs10),
+    )
+    queries["q_gap_fill"] = (
+        lambda: temporal.q_gap_fill(ev1),
+        lambda: temporal.q_gap_fill(ev10),
+    )
+    queries["q_countmin"] = (
+        lambda: sketch.q_countmin(orders1),
+        lambda: sketch.q_countmin(orders10),
+    )
+    queries["q_pagerank"] = (
+        lambda: graph.q_pagerank(li1, orders1, cust1, supp1),
+        lambda: graph.q_pagerank(li10, orders10, cust10, supp1),
+    )
+    queries["q_kl_divergence"] = (
+        lambda: text.q_kl_divergence(docs1),
+        lambda: text.q_kl_divergence(docs10),
     )
 
     results = {}
