@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 100 queries (count as of r8 — grep ``def queries`` below for the
+ALL 102 queries (count as of r8 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -148,14 +148,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its r8 change (bounded agg buffers + comma-free formatter)
         # is output-identical at sf0.01 — the full plain-session
         # verify matched bit-for-bit — so its r7 row still describes
-        # its observable behavior. q_pagerank and q_kl_divergence were
-        # declared after the window filled; both are parity-gated
+        # its observable behavior. q_pagerank, q_kl_divergence, q_retention and
+        # q_funnel were declared after the window filled; all are parity-gated
         # locally (plain-session full verify 100/100 this round) and
-        # LEAD the r9 rotation.
+        # LEAD the r9 rotation (with the 50 r7-green queries).
         "q_pagerank": _q(
             ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
         ),
         "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
+        "q_retention": _q(["events"], temporal.q_retention),
+        "q_funnel": _q(["events"], sessionize.q_funnel),
         "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
         # (q_lm_bigram_perplexity's r8 change — the single-token
         # sequence guard — only affects inputs absent from the sf0.01
@@ -2001,6 +2003,70 @@ def oracle_sql() -> dict[str, str]:
             JOIN tots USING (source)
             CROSS JOIN tot
             GROUP BY st.source
+        """,
+        # r8: cohort retention — distinct-day activity, per-user min
+        # cohort day, exact integer retention (n*10000 // size / 100)
+        "q_retention": """
+            WITH activity AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('day', ts) AS DATE) AS aday
+              FROM events
+            ),
+            first AS (
+              SELECT user_id, min(aday) AS cohort_day FROM activity GROUP BY 1
+            ),
+            joined AS (
+              SELECT a.user_id, f.cohort_day,
+                     CAST(date_diff('day', f.cohort_day, a.aday) AS BIGINT)
+                       AS day_offset
+              FROM activity a JOIN first f USING (user_id)
+            ),
+            counts AS (
+              SELECT cohort_day, day_offset,
+                     CAST(count(*) AS BIGINT) AS n_users
+              FROM joined GROUP BY 1, 2
+            ),
+            sizes AS (
+              SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY 1
+            )
+            SELECT c.cohort_day, c.day_offset, c.n_users, s.cohort_size,
+                   (c.n_users * 10000 // s.cohort_size) / 100.0 AS retention_pct
+            FROM counts c JOIN sizes s USING (cohort_day)
+        """,
+        # r8: ordered funnel — each step's earliest time strictly
+        # after the user's previous-step time; exact integer
+        # conversion arithmetic
+        "q_funnel": """
+            WITH v AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            c AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+              WHERE e.event_type = 'click' GROUP BY 1
+            ),
+            p AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+              WHERE e.event_type = 'purchase' GROUP BY 1
+            ),
+            rows_ AS (
+              SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS step,
+                     CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+              UNION ALL
+              SELECT 2, 'click', CAST((SELECT count(*) FROM c) AS BIGINT)
+              UNION ALL
+              SELECT 3, 'purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+            )
+            SELECT step_no, step, n_users,
+                   CASE WHEN lag(n_users) OVER (ORDER BY step_no) IS NULL
+                        THEN NULL
+                        ELSE (n_users * 10000
+                              // lag(n_users) OVER (ORDER BY step_no)) / 100.0
+                   END AS conversion_pct
+            FROM rows_
         """,
         # r8: gap fill — per-type daily spine (generate_series) +
         # zero-fill + IGNORE NULLS LOCF window, same rounded daily sums

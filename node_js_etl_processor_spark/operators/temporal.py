@@ -302,3 +302,45 @@ def q_gap_fill(events: DataFrame) -> DataFrame:
         F.last(F.col("sv"), ignorenulls=True).over(w).alias("sum_value_locf"),
         F.col("n").isNull().alias("is_gap"),
     )
+
+
+def q_retention(events: DataFrame) -> DataFrame:
+    """Daily cohort retention (r8) — the standard product-analytics
+    triangle: users grouped by FIRST-activity day, then for each
+    (cohort_day, day_offset) the distinct users active again. The
+    retention rate is emitted as exact integer arithmetic —
+    ``(n·10000) div cohort_size / 100`` — never a HALF_EVEN-vs-HALF_UP
+    rounding of a repeating decimal (the q_scalar_subquery money-avg
+    lesson applied to ratios).
+
+    Scale shape: two keyed aggregations over (user, day) — the
+    distinct-activity frame and the per-user min — then one keyed
+    count per (cohort, offset); cohort sizes are a ≤days-sized frame
+    joined back broadcast. All shuffles key on user or cohort; no
+    window over raw events.
+    """
+    day = F.date_trunc("day", F.col("ts")).cast("date")
+    activity = events.select("user_id", day.alias("aday")).distinct()
+    first = activity.groupBy("user_id").agg(F.min("aday").alias("cohort_day"))
+    joined = activity.join(first, "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.col("aday"), F.col("cohort_day")).cast("bigint").alias(
+            "day_offset"
+        ),
+    )
+    counts = joined.groupBy("cohort_day", "day_offset").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    return counts.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "n_users",
+        "cohort_size",
+        (
+            F.floor(F.col("n_users") * 10000 / F.col("cohort_size")) / F.lit(100.0)
+        ).alias("retention_pct"),
+    )
