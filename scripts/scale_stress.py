@@ -421,6 +421,16 @@ def main() -> None:
         lambda: text.q_kl_divergence(docs1),
         lambda: text.q_kl_divergence(docs10),
     )
+    from node_js_etl_processor_spark.operators import sessionize
+
+    queries["q_retention"] = (
+        lambda: temporal.q_retention(ev1),
+        lambda: temporal.q_retention(ev10),
+    )
+    queries["q_funnel"] = (
+        lambda: sessionize.q_funnel(ev1),
+        lambda: sessionize.q_funnel(ev10),
+    )
 
     results = {}
     for name, (f1, f10) in queries.items():
