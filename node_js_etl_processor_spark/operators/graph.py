@@ -82,6 +82,8 @@ def pagerank(
     )
     n = nodes.count()  # node count: a parameter (entity-graph sized
     # here; at web scale carry it as a 1-row frame instead)
+    if n == 0:
+        raise ValueError("pagerank: empty edge set (no nodes)")
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
     for _ in range(iterations):

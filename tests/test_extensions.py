@@ -1284,3 +1284,51 @@ def test_pagerank_distribution_sanity(spark, sf_dir):
     scores = [r["pagerank"] for r in by_rank]
     assert scores == sorted(scores, reverse=True)
     assert all(r["pagerank"] > 0 for r in rows)
+
+
+def test_jpeg_true_grayscale_single_component(spark):
+    """r8: the decoder's genuine 1-component scan path (our encoder
+    always writes 3 components, so this hand-builds a grayscale
+    baseline stream: 1-component SOF0/SOS around the same entropy
+    machinery) — decoded luma must match the source plane within DCT
+    rounding, replicated across RGB."""
+    import struct
+
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators import jpeg as J
+
+    h = w = 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    plane = ((yy * 11 + xx * 7) % 256).astype(np.float64)
+
+    dctab = J._huff_encode_table(J._DC_BITS, J._DC_VALS)
+    actab = J._huff_encode_table(J._AC_BITS, J._AC_VALS)
+    cbasis = J._dct_basis()
+    zz = np.array(J.ZIGZAG)
+    bw = J._BitWriter()
+    pred = 0
+    for my in range(h // 8):
+        for mx in range(w // 8):
+            blk = plane[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] - 128.0
+            coef = np.round(cbasis @ blk @ cbasis.T).astype(np.int64)
+            pred = J._encode_block(bw, coef.flat[zz], dctab, actab, pred)
+    bw.flush()
+
+    def seg(marker, body):
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes([1]) * 64)
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, bytes([0x00]) + bytes(J._DC_BITS) + bytes(J._DC_VALS)
+               + bytes([0x10]) + bytes(J._AC_BITS) + bytes(J._AC_VALS))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out + b"\xff\xd9"
+
+    dec = J.decode_jpeg(bytes(out))
+    assert dec.shape == (h, w, 3)
+    # all three channels identical (replicated gray)
+    assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
+    assert np.array_equal(dec[:, :, 1], dec[:, :, 2])
+    assert np.abs(dec[:, :, 0].astype(float) - plane).max() <= 2
