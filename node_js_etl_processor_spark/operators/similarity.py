@@ -1337,6 +1337,8 @@ def srp_band_count(
     pr = p**band_planes
     if pr >= 1.0:
         return 1
+    if pr <= 0.0:  # threshold == -1: sign bits never agree; OR-ing
+        return max_bands  # more bands cannot help — cap honestly
     b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
     return max(1, min(max_bands, b))
 
