@@ -7,7 +7,7 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 102 queries (count as of r8 — grep ``def queries`` below for the
+ALL 103 queries (count as of r8 — grep ``def queries`` below for the
 authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -158,8 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its r8 change (bounded agg buffers + comma-free formatter)
         # is output-identical at sf0.01 — the full plain-session
         # verify matched bit-for-bit — so its r7 row still describes
-        # its observable behavior. q_pagerank, q_kl_divergence, q_retention and
-        # q_funnel were declared after the window filled; all are parity-gated
+        # its observable behavior. q_pagerank, q_kl_divergence, q_retention, q_funnel and
+        # q_bloom were declared after the window filled; all are parity-gated
         # locally (plain-session full verify 100/100 this round) and
         # LEAD the r9 rotation (with the 50 r7-green queries).
         "q_pagerank": _q(
@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
         "q_retention": _q(["events"], temporal.q_retention),
         "q_funnel": _q(["events"], sessionize.q_funnel),
+        "q_bloom": _q(["orders"], sketch.q_bloom),
         "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
         # (q_lm_bigram_perplexity's r8 change — the single-token
         # sequence guard — only affects inputs absent from the sf0.01
@@ -2013,6 +2014,38 @@ def oracle_sql() -> dict[str, str]:
             JOIN tots USING (source)
             CROSS JOIN tot
             GROUP BY st.source
+        """,
+        # r8: bloom membership — same md5-derived bit positions, the
+        # all-k-bits-set probe replayed via left join + count
+        "q_bloom": """
+            WITH hashes AS (SELECT unnest(range(0, 4)) AS i),
+            bits AS (
+              SELECT DISTINCT
+                     CAST(('0x' || substr(md5('b' || CAST(i AS VARCHAR) || '|'
+                            || CAST(o_orderkey AS VARCHAR)), 9, 8))::UBIGINT
+                          % 131072 AS BIGINT) AS bit
+              FROM orders CROSS JOIN hashes
+              WHERE o_orderkey % 3 <> 0
+            ),
+            probes AS (SELECT DISTINCT o_orderkey FROM orders),
+            pb AS (
+              SELECT o_orderkey, i,
+                     CAST(('0x' || substr(md5('b' || CAST(i AS VARCHAR) || '|'
+                            || CAST(o_orderkey AS VARCHAR)), 9, 8))::UBIGINT
+                          % 131072 AS BIGINT) AS bit
+              FROM probes CROSS JOIN hashes
+            ),
+            verdicts AS (
+              SELECT pb.o_orderkey,
+                     count(bits.bit) = 4 AS maybe_present
+              FROM pb LEFT JOIN bits USING (bit)
+              GROUP BY 1
+            )
+            SELECT o_orderkey,
+                   o_orderkey % 3 <> 0 AS actually_stored,
+                   maybe_present,
+                   maybe_present AND o_orderkey % 3 = 0 AS is_fp
+            FROM verdicts
         """,
         # r8: cohort retention — distinct-day activity, per-user min
         # cohort day, exact integer retention (n*10000 // size / 100)

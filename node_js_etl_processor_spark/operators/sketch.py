@@ -119,3 +119,85 @@ def q_countmin(orders: DataFrame) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overshoot"),
     )
+
+
+#: Bloom geometry: 4 hashes into 2^17 bits. At the sf0.01 fixture's
+#: ~10k stored keys the load is kn/m ≈ 0.3 → ~0.5% false-positive
+#: rate — small enough to be a real filter, large enough that false
+#: positives actually appear in the declared query's output.
+BLOOM_K = 4
+BLOOM_M = 131072
+
+
+def _bloom_bit(key: Column, i: int, m: int) -> Column:
+    """Bit position of hash ``i`` — same md5-derived family as the
+    count-min columns (DuckDB-replayable)."""
+    hx = F.md5(F.concat(F.lit(f"b{i}"), F.lit("|"), key))
+    return F.pmod(
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint"), F.lit(m)
+    ).cast("bigint")
+
+
+def bloom_build(
+    items: DataFrame, key_col: str, k: int = BLOOM_K, m: int = BLOOM_M
+) -> DataFrame:
+    """The set-bit table (bit BIGINT, ≤ m rows): one explode to k bits
+    per item + DISTINCT — the row form of the bitmap (at scale the
+    same positions OR into an m-bit array; row form keeps the store
+    joinable and the oracle trivial). Merges across batches by UNION
+    DISTINCT — the Bloom property."""
+    key = F.col(key_col).cast("string")
+    return (
+        items.select(
+            F.explode(
+                F.array(*[_bloom_bit(key, i, m) for i in range(k)])
+            ).alias("bit")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bits: DataFrame,
+    key_col: str,
+    k: int = BLOOM_K,
+    m: int = BLOOM_M,
+) -> DataFrame:
+    """Membership probe: maybe_present ⇔ ALL k bit positions set. No
+    false negatives ever (the Bloom guarantee — test-pinned); false
+    positives at the designed rate. The bit table joins broadcast
+    (≤ m rows of one bigint)."""
+    key = F.col(key_col).cast("string")
+    pb = probes.select(
+        key_col,
+        F.explode(
+            F.array(*[_bloom_bit(key, i, m) for i in range(k)])
+        ).alias("bit"),
+    )
+    hits = (
+        pb.join(F.broadcast(bits.withColumn("_set", F.lit(1))), "bit", "left")
+        .groupBy(key_col)
+        .agg((F.count("_set") == F.lit(k)).alias("maybe_present"))
+    )
+    return hits
+
+
+def q_bloom(orders: DataFrame) -> DataFrame:
+    """Declared query (r8): Bloom-filter membership — build the
+    set-bit table over the o_orderkey % 3 != 0 slice (the 'accepted'
+    set), probe EVERY order key, and report the filter's verdict next
+    to true membership. The no-false-negative guarantee and the
+    visible false-positive band are both in the output (is_fp), and
+    the DuckDB oracle rebuilds the same bits and replays the
+    all-k-bits-set probe."""
+    stored = orders.filter(F.col("o_orderkey") % 3 != 0)
+    bits = bloom_build(stored, "o_orderkey")
+    probes = orders.select("o_orderkey").distinct()
+    verdicts = bloom_probe(probes, bits, "o_orderkey")
+    return verdicts.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 3 != 0).alias("actually_stored"),
+        "maybe_present",
+        (F.col("maybe_present") & (F.col("o_orderkey") % 3 == 0)).alias("is_fp"),
+    )

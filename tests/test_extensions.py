@@ -1332,3 +1332,30 @@ def test_jpeg_true_grayscale_single_component(spark):
     assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
     assert np.array_equal(dec[:, :, 1], dec[:, :, 2])
     assert np.abs(dec[:, :, 0].astype(float) - plane).max() <= 2
+
+
+def test_bloom_invariants_and_broadcast(spark, sf_dir):
+    """r8: the Bloom guarantee — ZERO false negatives — plus a
+    nonzero, rate-bounded false-positive band and the broadcast of
+    the bit table into the probe join."""
+    import contextlib
+    import io
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.sketch import q_bloom
+
+    rows = q_bloom(load_table(spark, sf_dir, "orders")).collect()
+    stored = [r for r in rows if r["actually_stored"]]
+    negatives = [r for r in rows if not r["actually_stored"]]
+    assert stored and negatives
+    assert all(r["maybe_present"] for r in stored)  # no false negatives
+    fp = sum(1 for r in negatives if r["maybe_present"])
+    assert all(r["is_fp"] == (r["maybe_present"] and not r["actually_stored"]) for r in rows)
+    # designed rate ~0.5% at sf0.01 load; allow a generous band but
+    # demand the filter actually filters
+    assert fp / len(negatives) < 0.05
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_bloom(load_table(spark, sf_dir, "orders")).explain("simple")
+    assert "BroadcastHashJoin" in buf.getvalue()
