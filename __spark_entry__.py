@@ -84,15 +84,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_hybrid_search). Invariant preserved: after this round no
     query's latest driver row is older than one rotation cycle.
 
-    r9 NOTE — structural rotation debt: at 102 queries a 50-slot
-    window can no longer alternate perfectly (52 queries sit outside
-    this window: 48 r7-green + the 4 declared post-fill:
-    q_pagerank/q_kl_divergence/q_retention/q_funnel, which have never
-    had a driver row and MUST lead r9). r9 should window the 4
-    never-rowed + 46 of the 48 r7-green, and explicitly name the 2
-    r7-green queries deferred to r10 (pick pure-relational ones whose
-    oracles have been green since r1 — lowest drift risk), keeping
-    the debt visible instead of silent."""
+    r9 NOTE — structural rotation debt: at 103 queries a 50-slot
+    window can no longer alternate perfectly (53 queries sit outside
+    this window: 48 r7-green + the 5 declared post-fill:
+    q_pagerank/q_kl_divergence/q_retention/q_funnel/q_bloom, which
+    have never had a driver row and MUST lead r9). r9 should window
+    the 5 never-rowed + 45 of the 48 r7-green, and explicitly name
+    the 3 r7-green queries deferred to r10 (pick pure-relational ones
+    whose oracles have been green since r1 — lowest drift risk),
+    keeping the debt visible instead of silent."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
         # r6-green relational / temporal batch, rotated back IN
