@@ -68,34 +68,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Declared queries, ORDERED BY CHECKABILITY: the driver records
     correctness rows for the first 50 entries. ALL queries are
     oracle-paired; entries outside the window are still covered by the
-    full local parity gate (tests/test_oracle_parity.py). r8 rotation
-    (the designed r-even/r-odd alternation of the 97-query registry):
-    the 42 queries whose latest green row is r6 rotate IN, joined by
-    three r7-new queries whose r8 form changed OBSERVABLY at sf0.01
-    (q_url_dedup — widened variant space; q_embedding_pool — new
-    agg shape; q_semantic_decontaminate — banded LSH blocking) and
-    the five r8-new queries (q_audio_features, q_scd2,
-    q_fuzzy_match, q_tfidf, q_gap_fill). The 42 r7-green queries
-    rotate OUT, as do the r7-new entries whose r8 changes are
-    invisible on the driver fixture (q_lm_bigram_perplexity's
-    single-token guard — no single-token docs at sf0.01, its row
-    would be bit-identical to its green r7 row) or whose code didn't
-    change (q_ivfpq_rescore, q_html_extract, q_corpus_stats,
-    q_hybrid_search). Invariant preserved: after this round no
-    query's latest driver row is older than one rotation cycle.
+    full local parity gate (tests/test_oracle_parity.py) AND — since
+    r9 — by the committed machine-readable sweep artifact
+    FULLVERIFY_r{N}.json (scripts/full_verify.py; same per-query
+    shape as CORRECTNESS, all 103 queries at sf0.01).
 
-    r9 NOTE — structural rotation debt: at 103 queries a 50-slot
-    window can no longer alternate perfectly (53 queries sit outside
-    this window: 48 r7-green + the 5 declared post-fill:
-    q_pagerank/q_kl_divergence/q_retention/q_funnel/q_bloom, which
-    have never had a driver row and MUST lead r9). r9 should window
-    the 5 never-rowed + 45 of the 48 r7-green, and explicitly name
-    the 3 r7-green queries deferred to r10 (pick pure-relational ones
-    whose oracles have been green since r1 — lowest drift risk),
-    keeping the debt visible instead of silent."""
+    r9 rotation — PAYING THE r8 ROTATION DEBT exactly as planned:
+    the window is the five queries that have NEVER had a driver row
+    (q_pagerank, q_kl_divergence, q_retention, q_funnel, q_bloom —
+    declared in r8 after the window filled) FIRST, followed by 45 of
+    the 48 queries whose latest green row is r7. The 50 r8-green
+    queries rotate OUT. Three r7-green queries are explicitly
+    DEFERRED to r10 rather than silently dropped — q_union_sources,
+    q_count_by_source, q_agg_pricing — chosen because they are pure
+    single-shuffle relational forms whose oracles have been green
+    since round 1 (lowest drift risk), and q_agg_pricing is
+    additionally exercised EVERY round as the entry() smoke query.
+    r10 MUST window those three first, plus the 50 r8-green.
+    Invariant after r9: every registered query has at least one
+    driver CORRECTNESS row, and none (except the three named
+    deferrals) is more than one rotation cycle stale.
+
+    In-round code changes that are output-identical at sf0.01 do not
+    force re-windowing (precedent: q_embedding_pool in r8); this
+    round that covers q_fuzzy_match (deletion keys now hashed +
+    length-bucketed — candidate-set superset, verify step makes the
+    output bit-identical; FULLVERIFY attests it) and q_pagerank's
+    lazy node-count form (in-window anyway)."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
-        # r6-green relational / temporal batch, rotated back IN
+        # The five r8-declared queries that have NEVER had a driver
+        # CORRECTNESS row lead the window (the r8 registry docstring's
+        # commitment, restated by the r8 verdict's top ask)
+        "q_pagerank": _q(
+            ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
+        ),
+        "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
+        "q_retention": _q(["events"], temporal.q_retention),
+        "q_funnel": _q(["events"], sessionize.q_funnel),
+        "q_bloom": _q(["orders"], sketch.q_bloom),
+        # 45 of the 48 queries whose latest green row is r7 (the other
+        # three — q_union_sources, q_count_by_source, q_agg_pricing —
+        # are the named r10 deferrals at the bottom of this registry)
+        "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
+        "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
+        "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
+        "q_html_extract": _q(["documents"], text.q_html_extract),
+        "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
+        "q_hybrid_search": _q(
+            ["documents", "embeddings"], retrieval.q_hybrid_search
+        ),
+        "q_semi_anti": _q(["customer", "orders"], relational.q_semi_anti),
+        "q_rollup": _q(["orders"], relational.q_rollup),
+        "q_window_topk": _q(["customer"], relational.q_window_topk),
+        "q_sort_limit": _q(["orders"], relational.q_sort_limit),
+        "q_region_supplier": _q(
+            ["supplier", "nation", "region"], relational.q_region_supplier
+        ),
+        "q_pivot": _q(["orders"], relational.q_pivot),
+        "q_shipping_priority": _q(
+            ["customer", "orders", "lineitem"], relational.q_shipping_priority
+        ),
+        "q_percentiles": _q(["lineitem"], relational.q_percentiles),
+        "q_sample_hash": _q(["orders"], relational.q_sample_hash),
+        "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
+        "q_approx_distinct": _q(["orders"], relational.q_approx_distinct),
+        "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
+        "q_decontaminate": _q(["documents"], text.q_decontaminate),
+        "q_source_mix": _q(["documents"], text.q_source_mix),
+        "q_semdedup": _q(["embeddings"], similarity.q_semdedup),
+        "q_c4_rules": _q(["documents"], text.q_c4_rules),
+        "q_span_dedup": _q(["documents"], text.q_span_dedup),
+        "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
+        "q_stratified_split": _q(["documents"], text.q_stratified_split),
+        "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
+        "q_text_stats": _q(["documents"], text.q_text_stats),
+        "q_text_langid": _q(["documents"], text.q_text_langid),
+        "q_text_quality": _q(["documents"], text.q_text_quality),
+        "q_token_count": _q(["documents"], text.q_token_count),
+        "q_fingerprint": _q(["documents"], text.q_fingerprint),
+        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
+        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
+        "q_binary_meta": _q(["documents"], q_binary_meta),
+        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
+        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
+        "q_redact_pii": _q(["documents"], text.q_redact_pii),
+        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
+        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
+        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
+        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
+        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
+        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
+        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
+        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
+        # ---- oracle-paired but outside the 50-entry driver window ----
+        # The 50 r8-green queries rotate OUT (their CORRECTNESS_r08
+        # rows are one cycle old — within the invariant); all remain
+        # under the local parity gate and the committed FULLVERIFY
+        # artifact every round.
         "q_filter_required": _q(["orders"], relational.q_filter_required),
         "q_clean_project": _q(["customer"], relational.q_clean_project),
         "q_array_transform": _q(["part"], relational.q_array_transform),
@@ -153,83 +223,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf": _q(["documents"], text.q_tfidf),
         "q_gap_fill": _q(["events"], temporal.q_gap_fill),
         "q_countmin": _q(["orders"], sketch.q_countmin),
-        # ---- oracle-paired but outside the 50-entry driver window ----
-        # q_embedding_pool cedes its slot like q_lm_bigram_perplexity:
-        # its r8 change (bounded agg buffers + comma-free formatter)
-        # is output-identical at sf0.01 — the full plain-session
-        # verify matched bit-for-bit — so its r7 row still describes
-        # its observable behavior. q_pagerank, q_kl_divergence, q_retention, q_funnel and
-        # q_bloom were declared after the window filled; all are parity-gated
-        # locally (plain-session full verify 100/100 this round) and
-        # LEAD the r9 rotation (with the 50 r7-green queries).
-        "q_pagerank": _q(
-            ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
-        ),
-        "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
-        "q_retention": _q(["events"], temporal.q_retention),
-        "q_funnel": _q(["events"], sessionize.q_funnel),
-        "q_bloom": _q(["orders"], sketch.q_bloom),
-        "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
-        # (q_lm_bigram_perplexity's r8 change — the single-token
-        # sequence guard — only affects inputs absent from the sf0.01
-        # fixture, so its driver row would be bit-identical to its
-        # green r7 row; the unit test + local parity gate cover the
-        # new guard, and q_gap_fill takes the slot)
-        "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
-        "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
-        "q_html_extract": _q(["documents"], text.q_html_extract),
-        "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
-        "q_hybrid_search": _q(
-            ["documents", "embeddings"], retrieval.q_hybrid_search
-        ),
-        # (all green r7; covered every round by the local parity gate
-        # in tests/test_oracle_parity.py)
+        # ---- the three NAMED r10 deferrals (see docstring) ----
+        # Pure single-shuffle relational forms, oracle-green since
+        # round 1; q_agg_pricing is also the entry() smoke query so
+        # it still executes under the driver every round. r10 MUST
+        # window these three first.
         "q_union_sources": _q(["customer"], relational.q_union_sources),
         "q_count_by_source": _q(["orders"], relational.q_count_by_source),
-        "q_semi_anti": _q(["customer", "orders"], relational.q_semi_anti),
-        "q_rollup": _q(["orders"], relational.q_rollup),
-        "q_window_topk": _q(["customer"], relational.q_window_topk),
-        "q_sort_limit": _q(["orders"], relational.q_sort_limit),
-        "q_region_supplier": _q(
-            ["supplier", "nation", "region"], relational.q_region_supplier
-        ),
-        "q_pivot": _q(["orders"], relational.q_pivot),
-        "q_shipping_priority": _q(
-            ["customer", "orders", "lineitem"], relational.q_shipping_priority
-        ),
-        "q_percentiles": _q(["lineitem"], relational.q_percentiles),
-        "q_sample_hash": _q(["orders"], relational.q_sample_hash),
-        "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
-        "q_approx_distinct": _q(["orders"], relational.q_approx_distinct),
-        "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
-        "q_decontaminate": _q(["documents"], text.q_decontaminate),
-        "q_source_mix": _q(["documents"], text.q_source_mix),
-        "q_semdedup": _q(["embeddings"], similarity.q_semdedup),
-        "q_c4_rules": _q(["documents"], text.q_c4_rules),
-        "q_span_dedup": _q(["documents"], text.q_span_dedup),
-        "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
-        "q_stratified_split": _q(["documents"], text.q_stratified_split),
-        "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
-        "q_text_stats": _q(["documents"], text.q_text_stats),
-        "q_text_langid": _q(["documents"], text.q_text_langid),
-        "q_text_quality": _q(["documents"], text.q_text_quality),
-        "q_token_count": _q(["documents"], text.q_token_count),
-        "q_fingerprint": _q(["documents"], text.q_fingerprint),
-        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
-        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
-        "q_binary_meta": _q(["documents"], q_binary_meta),
-        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
-        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
-        "q_redact_pii": _q(["documents"], text.q_redact_pii),
-        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
-        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
-        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
-        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
-        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
-        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
-        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
-        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
     }
 
 

@@ -1359,3 +1359,48 @@ def test_bloom_invariants_and_broadcast(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         q_bloom(load_table(spark, sf_dir, "orders")).explain("simple")
     assert "BroadcastHashJoin" in buf.getvalue()
+
+
+def test_fuzzy_match_hashed_keys_exact_and_key_cap(spark):
+    """r9: the hardened FastSS blocking — (klen, xxhash64) join keys +
+    post-DISTINCT name join — must be EXACT (equal to brute-force
+    Levenshtein on a crafted fixture), and the opt-in key_cap must
+    drop only pairs reachable solely through a hot non-discriminative
+    key while keeping pairs that share any other <=cap key."""
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    # 9 names sharing ONE hot deletion key ("X") + a pair sharing a
+    # discriminative key ("ABCD") + an unrelated singleton
+    names = [f"X{i}" for i in range(1, 10)] + ["ABCDE", "ABCDX", "ZZZZZZ"]
+    cust = spark.createDataFrame(
+        [(i + 1, n) for i, n in enumerate(names)], "c_custkey int, c_name string"
+    )
+    expect = {
+        (i + 1, j + 1)
+        for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+        if lev(a, b) <= 1
+    }
+    exact = {
+        (r["cust_a"], r["cust_b"])
+        for r in dedup.q_fuzzy_match(cust).collect()
+    }
+    assert exact == expect  # hashed blocking is exact
+
+    capped = {
+        (r["cust_a"], r["cust_b"])
+        for r in dedup.q_fuzzy_match(cust, key_cap=3).collect()
+    }
+    assert capped <= exact  # cap never invents pairs
+    assert (10, 11) in capped  # ABCDE/ABCDX found via uncapped "ABCD"
+    # the X-pairs are reachable ONLY via the hot "X" key (9 postings > 3)
+    assert not any(a <= 9 and b <= 9 for a, b in capped)
