@@ -1,0 +1,161 @@
+"""Incremental SCD2: the stored dimension + CDC merge must equal the
+one-shot q_scd2 rebuild, touch only the buckets the batch keys hash
+to, and close the loop as a stream (the dedup-store trio applied to
+the warehouse tier — r9)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from node_js_etl_processor_spark.catalog import load_table
+from node_js_etl_processor_spark.operators.relational import q_scd2
+from node_js_etl_processor_spark.sources.scd2_store import (
+    read_scd2_store,
+    scd2_apply_delta,
+    write_scd2_store,
+)
+
+SPLIT1, SPLIT2 = "1997-01-01", "1999-06-01"
+
+
+def _hist_set(df):
+    return {
+        (
+            r["custkey"],
+            r["version"],
+            r["status"],
+            str(r["valid_from"]),
+            str(r["valid_to"]),
+            r["is_current"],
+        )
+        for r in df.collect()
+    }
+
+
+def _parquet_state(path):
+    state = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                state[p] = os.path.getmtime(p)
+    return state
+
+
+def test_scd2_delta_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """store(early facts) + delta(mid) + delta(late) must leave
+    EXACTLY the history q_scd2 builds from all facts at once —
+    including closed valid_to on formerly-current rows, continued
+    version numbering, and version-1 bootstraps for keys first seen
+    in a delta."""
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < SPLIT1)
+    mid = orders.filter(
+        (F.col("o_orderdate") >= SPLIT1) & (F.col("o_orderdate") < SPLIT2)
+    )
+    late = orders.filter(F.col("o_orderdate") >= SPLIT2)
+    # the bootstrap path must actually fire: some keys first appear mid/late
+    early_keys = {r[0] for r in early.select("o_custkey").distinct().collect()}
+    later_keys = {r[0] for r in mid.select("o_custkey").distinct().collect()}
+    assert later_keys - early_keys
+
+    path = str(tmp_path / "dim")
+    write_scd2_store(early, path)
+    scd2_apply_delta(spark, mid, path)
+    scd2_apply_delta(spark, late, path)
+
+    got = _hist_set(read_scd2_store(spark, path))
+    want = _hist_set(q_scd2(orders))
+    assert got == want and len(got) > 0
+
+
+def test_scd2_delta_rewrites_touched_buckets_only(spark, sf_dir, tmp_path):
+    """The scale contract: a single-key CDC batch must replace files
+    in exactly ONE bucket directory — every other bucket's parquet
+    files (names AND mtimes) must be untouched, because the batch's
+    bucket set is a partition filter on the read and a dynamic
+    overwrite on the write."""
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < SPLIT1)
+    path = str(tmp_path / "dim")
+    write_scd2_store(early, path, n_buckets=8)
+
+    key = early.select("o_custkey").first()[0]
+    batch = orders.filter(
+        (F.col("o_orderdate") >= SPLIT1) & (F.col("o_custkey") == key)
+    )
+    assert batch.count() > 0
+    expect_bucket = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(key).cast("bigint")), F.lit(8))
+        .cast("int")
+        .alias("b")
+    ).first()["b"]
+
+    before = _parquet_state(path)
+    scd2_apply_delta(spark, batch, path, n_buckets=8)
+    after = _parquet_state(path)
+
+    changed_dirs = {
+        os.path.basename(os.path.dirname(p))
+        for p in (set(before) ^ set(after))
+        | {p for p in before if p in after and before[p] != after[p]}
+    }
+    assert changed_dirs == {f"bucket={expect_bucket}"}, changed_dirs
+
+    # and the merged history for that key matches the full rebuild's
+    got = _hist_set(
+        read_scd2_store(spark, path).filter(F.col("custkey") == key)
+    )
+    want = _hist_set(
+        q_scd2(
+            orders.filter(
+                (F.col("o_custkey") == key)
+                & (
+                    (F.col("o_orderdate") < SPLIT1)
+                    | (F.col("o_orderdate") >= SPLIT1)
+                )
+            )
+        )
+    )
+    assert got == want
+
+
+def test_scd2_cdc_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Stream == batch: the fact table landed as three date-ordered
+    CDC drops through scd2_cdc_stream must leave exactly the q_scd2
+    one-shot history (first drop bootstraps the store, later drops
+    merge)."""
+    from node_js_etl_processor_spark.streaming.warehouse import scd2_cdc_stream
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+    src = tmp_path / "landing"
+    src.mkdir()
+    store = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+
+    orders.filter(F.col("o_orderdate") < SPLIT1).coalesce(1).write.json(
+        str(src / "b1")
+    )
+    orders.filter(
+        (F.col("o_orderdate") >= SPLIT1) & (F.col("o_orderdate") < SPLIT2)
+    ).coalesce(1).write.json(str(src / "b2"))
+    orders.filter(F.col("o_orderdate") >= SPLIT2).coalesce(1).write.json(
+        str(src / "b3")
+    )
+
+    schema = "o_orderkey long, o_custkey long, o_orderstatus string, o_orderdate date"
+    for batch in ("b1", "b2", "b3"):
+        q = scd2_cdc_stream(
+            spark.readStream.schema(schema).json(str(src / batch)),
+            store,
+            ckpt + batch,
+        )
+        q.awaitTermination(180)
+
+    got = _hist_set(read_scd2_store(spark, store))
+    want = _hist_set(q_scd2(orders))
+    assert got == want and len(got) > 0
