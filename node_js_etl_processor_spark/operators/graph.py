@@ -105,6 +105,119 @@ def pagerank(
     ).withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
+def pagerank_until(
+    edges: DataFrame,
+    eps: float = 1e-6,
+    max_iter: int = 40,
+    damping: float = PR_DAMPING,
+    require_convergence: bool = True,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Fixed-point weighted PageRank (r9) — the production-grade twin
+    of the oracle-grade unrolled ``pagerank``, with the same
+    convergence discipline as ``dedup.connected_components`` (iterate
+    with per-round localCheckpoint, STOP on a structural signal,
+    refuse to return wrong answers on non-convergence):
+
+    - **dangling-mass redistribution**: rank sitting on nodes with no
+      out-edges is redistributed uniformly each round (the standard
+      correction — Page et al. 1999 §2.5), so total rank stays 1.0
+      instead of leaking, which the simple form tolerates only
+      because its oracle replays the same leak;
+    - **node count as a 1-row frame** cross-joined into the plan — no
+      eager driver ``count()``, so the operator stays lazily
+      composable until its own convergence actions run;
+    - **L1 convergence**: stop when Σ|r_i − r_{i−1}| < eps; raise on
+      hitting ``max_iter`` unconverged (``require_convergence=False``
+      turns the cap into fixed-iteration mode — eps=0 there runs
+      EXACTLY max_iter rounds, which is what pins this form equal to
+      the unrolled ``pagerank`` in tests).
+
+    Each round is one keyed join + aggregation over O(V) checkpointed
+    rows plus a scalar L1 aggregate; the transition table and node
+    set are checkpointed once up front. ``stats`` (optional dict) gets
+    {"iterations", "delta"} for observability.
+    """
+    from pyspark.sql.window import Window
+
+    out = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    trans = (
+        edges.join(out, "src")
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ncount = nodes.agg(F.count("*").cast("double").alias("n_nodes"))
+    ranks = (
+        nodes.crossJoin(ncount)
+        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    src_nodes = out.select(F.col("src").alias("node"))
+
+    delta = None
+    iters = 0
+    for iters in range(1, max_iter + 1):
+        contrib = (
+            trans.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("r") * F.col("p")).alias("inflow"))
+        )
+        dangling = ranks.join(src_nodes, "node", "left_anti").agg(
+            F.coalesce(F.sum("r"), F.lit(0.0)).alias("dmass")
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(ncount)
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - F.lit(damping)) / F.col("n_nodes")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.col("dmass") / F.col("n_nodes")
+                    )
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        row = (
+            new_ranks.join(
+                ranks.withColumnRenamed("r", "r_prev"), "node"
+            )
+            .agg(F.sum(F.abs(F.col("r") - F.col("r_prev"))).alias("d"))
+            .first()
+        )
+        delta = row["d"]
+        if delta is None:
+            raise ValueError("pagerank_until: empty edge set (no nodes)")
+        ranks = new_ranks
+        if delta < eps:
+            break
+    else:
+        if require_convergence:
+            raise RuntimeError(
+                f"pagerank_until did not converge in {max_iter} rounds "
+                f"(last L1 delta {delta:.3e} >= eps {eps:.3e}) — raise "
+                "max_iter (returning unconverged ranks silently would "
+                "be wrong, not approximate)"
+            )
+    if stats is not None:
+        stats["iterations"] = iters
+        stats["delta"] = delta
+    w = Window.orderBy(F.col("pagerank").desc(), F.col("node").asc())
+    return ranks.select(
+        "node", F.round(F.col("r"), 6).alias("pagerank")
+    ).withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
 def q_pagerank(
     lineitem: DataFrame,
     orders: DataFrame,

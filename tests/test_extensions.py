@@ -1404,3 +1404,65 @@ def test_fuzzy_match_hashed_keys_exact_and_key_cap(spark):
     assert (10, 11) in capped  # ABCDE/ABCDX found via uncapped "ABCD"
     # the X-pairs are reachable ONLY via the hot "X" key (9 postings > 3)
     assert not any(a <= 9 and b <= 9 for a, b in capped)
+
+
+def test_pagerank_until_fixed_equals_unrolled(spark):
+    """r9: pagerank_until in fixed-iteration mode (eps=0,
+    require_convergence=False → exactly max_iter rounds) must equal
+    the unrolled oracle-grade pagerank on a dangling-free graph
+    (dangling redistribution is a no-op there: dmass == 0.0)."""
+    from node_js_etl_processor_spark.operators.graph import pagerank, pagerank_until
+
+    edges = spark.createDataFrame(
+        [(1, 2, 3), (2, 3, 2), (3, 1, 1), (1, 3, 1), (3, 2, 2)],
+        "src long, dst long, w long",
+    )
+    fixed = {
+        (r["node"], r["pagerank"], r["rank"])
+        for r in pagerank(edges, iterations=3).collect()
+    }
+    stats = {}
+    until = {
+        (r["node"], r["pagerank"], r["rank"])
+        for r in pagerank_until(
+            edges, eps=0.0, max_iter=3, require_convergence=False, stats=stats
+        ).collect()
+    }
+    assert until == fixed
+    assert stats["iterations"] == 3
+
+
+def test_pagerank_until_converges_and_conserves_dangling_mass(spark):
+    """r9: (a) on a symmetric cycle the uniform vector is the fixed
+    point — convergence must stop well before max_iter; (b) with a
+    dangling node the redistributed total rank must stay 1.0 (the
+    leak the simple form tolerates), and the dangling sink must
+    outrank its source; (c) an unconvergeable budget raises rather
+    than returning wrong ranks."""
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.operators.graph import pagerank_until
+
+    cycle = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1), (3, 1, 1)], "src long, dst long, w long"
+    )
+    stats = {}
+    rows = pagerank_until(cycle, eps=1e-9, max_iter=50, stats=stats).collect()
+    assert stats["iterations"] < 10
+    assert all(abs(r["pagerank"] - 1 / 3) < 1e-6 for r in rows)
+
+    dangle = spark.createDataFrame([(1, 2, 1)], "src long, dst long, w long")
+    stats = {}
+    rows = pagerank_until(dangle, eps=1e-10, max_iter=200, stats=stats).collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-5, total
+    by_node = {r["node"]: r["pagerank"] for r in rows}
+    assert by_node[2] > by_node[1]
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        pagerank_until(dangle, eps=1e-12, max_iter=1)
+
+    with _pytest.raises(ValueError, match="empty edge set"):
+        pagerank_until(
+            spark.createDataFrame([], "src long, dst long, w long")
+        )
