@@ -1466,3 +1466,175 @@ def test_pagerank_until_converges_and_conserves_dangling_mass(spark):
         pagerank_until(
             spark.createDataFrame([], "src long, dst long, w long")
         )
+
+
+def test_gif_roundtrip_animated_interlace_and_refusal(spark):
+    """r9: GIF codec — exact encode→decode roundtrips (GIF is
+    lossless) across random geometries/palettes/frame counts, the
+    interlaced row order, the 256-color palette edge, dispatch
+    through decode_image/resize_image, and the refusal shapes
+    (corrupt payloads must raise DecodeUnavailable, never slice
+    errors)."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+    )
+    from node_js_etl_processor_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w, ncol, nframes in ((1, 1, 1, 1), (13, 9, 8, 3), (16, 11, 200, 2),
+                                (5, 31, 2, 4), (17, 3, 31, 1)):
+        pal = rng.randint(0, 256, size=(ncol, 3), dtype=np.uint8)
+        frames = [pal[rng.randint(0, ncol, size=(h, w))] for _ in range(nframes)]
+        delays = [3 * i for i in range(nframes)]
+        payload = encode_gif(frames, delays=delays)
+        got, got_delays = decode_gif_frames(payload)
+        assert len(got) == nframes and got_delays == delays
+        for a, b in zip(frames, got):
+            assert np.array_equal(a, b), (h, w, ncol, nframes)
+
+    # interlaced single frame roundtrips exactly
+    pal = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    frame = pal[rng.randint(0, 16, size=(16, 11))]
+    inter = encode_gif([frame], interlace=True)
+    assert np.array_equal(decode_gif_frames(inter)[0][0], frame)
+
+    # palette edges: exactly 256 colors ok, 257 refuses
+    grid = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    f256 = np.stack([grid, grid // 2, 255 - grid], axis=-1)
+    assert np.array_equal(decode_gif(encode_gif([f256])), f256)
+    bad = f256.astype(np.int64).reshape(-1, 3)
+    bad = np.concatenate([bad, [[1, 2, 3]]]).astype(np.uint8).reshape(-1, 1, 3)
+    try:
+        encode_gif([bad])
+        raise AssertionError("encode_gif accepted >256 colors")
+    except ValueError:
+        pass
+
+    # dispatch: decode_image reads it, resize_image re-encodes AS GIF
+    from node_js_etl_processor_spark.operators.multimodal import decode_image
+
+    assert np.array_equal(decode_image(inter), frame)
+    resized = resize_image(inter, 5, 4)
+    assert resized[:6] == b"GIF89a"
+    assert decode_gif(resized).shape == (4, 5, 3)
+
+    # refusal shapes
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable,
+    )
+
+    ok = encode_gif([frame])
+    for corrupt in (
+        b"NOTGIF" + ok[6:],          # wrong magic
+        ok[:10],                     # truncated header
+        ok[:14],                     # truncated color table
+        ok[:-2],                     # trailer + terminator gone
+        ok[: len(ok) // 2],          # mid-LZW cut
+        ok.replace(b"\x2c", b"\x7e", 1),  # unknown block type
+    ):
+        try:
+            decode_gif_frames(corrupt)
+            raise AssertionError("corrupt GIF decoded")
+        except DecodeUnavailable:
+            pass
+
+
+def test_gif_transparency_and_disposal(spark):
+    """r9: hand-assembled animation pins the compositing semantics:
+    transparent indices keep the previous canvas pixel, disposal=2
+    restores the background region before the next frame, delays ride
+    the graphic-control extension."""
+    import struct as _struct
+
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.gif import (
+        _lzw_encode,
+        decode_gif_frames,
+    )
+
+    red, green, blue = (255, 0, 0), (0, 255, 0), (0, 0, 255)
+    gct = bytes(red) + bytes(green) + bytes(blue) + bytes((0, 0, 0))
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", 4, 4, 0x80 | 0x01, 2, 0)  # 4-entry GCT, bg=blue
+    out += gct
+
+    def img(left, top, w, h, indices):
+        blk = bytearray(b"\x2c")
+        blk += _struct.pack("<HHHHB", left, top, w, h, 0)
+        lzw = _lzw_encode(2, bytes(indices))
+        blk.append(2)
+        blk.append(len(lzw))
+        blk += lzw
+        blk.append(0)
+        return blk
+
+    # frame 1: full canvas red
+    out += img(0, 0, 4, 4, [0] * 16)
+    # frame 2: 2x2 at (1,1), transparent idx=1, disposal=2, delay=7
+    out += b"\x21\xf9" + _struct.pack("<BBHB", 4, (2 << 2) | 1, 7, 1) + b"\x00"
+    out += img(1, 1, 2, 2, [2, 1, 1, 2])
+    # frame 3: 1x1 green at (0,0)
+    out += img(0, 0, 1, 1, [1])
+    out.append(0x3B)
+
+    frames, delays = decode_gif_frames(bytes(out))
+    assert delays == [0, 7, 0]
+    f1, f2, f3 = frames
+    assert (f1 == np.array(red)).all()
+    # frame 2: blue diagonal in the window, red kept under transparency
+    assert tuple(f2[1, 1]) == blue and tuple(f2[2, 2]) == blue
+    assert tuple(f2[1, 2]) == red and tuple(f2[2, 1]) == red
+    assert tuple(f2[0, 0]) == red
+    # frame 3: disposal=2 restored the window to bg blue, new green px
+    assert tuple(f3[0, 0]) == green
+    assert tuple(f3[1, 1]) == blue and tuple(f3[1, 2]) == blue
+    assert tuple(f3[3, 3]) == red  # outside the disposed window
+
+
+def test_gif_frame_sampling_real_frames(spark):
+    """r9: sample_gif_frames — every step-th REAL composited frame
+    with true geometry/delay/raster digest; corrupt payloads isolate
+    as ok=false rows."""
+    import hashlib
+
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif,
+    )
+    from node_js_etl_processor_spark.operators.multimodal import (
+        sample_gif_frames,
+    )
+
+    rng = np.random.RandomState(11)
+    pal = rng.randint(0, 256, size=(5, 3), dtype=np.uint8)
+    frames = [pal[rng.randint(0, 5, size=(6, 8))] for _ in range(4)]
+    payload = encode_gif(frames, delays=[0, 2, 4, 6])
+    media = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"not a gif"))],
+        "media_id long, payload binary",
+    )
+    rows = sample_gif_frames(media, step=2).collect()
+    good = sorted(
+        (r for r in rows if r["media_id"] == 1), key=lambda r: r["frame_no"]
+    )
+    assert [r["frame_no"] for r in good] == [0, 2]
+    decoded, _ = decode_gif_frames(payload)
+    for r in good:
+        assert (r["ok"], r["n_frames"], r["width"], r["height"]) == (
+            "true", 4, 8, 6,
+        )
+        assert r["frame_md5"] == hashlib.md5(
+            decoded[r["frame_no"]].tobytes()
+        ).hexdigest()
+    assert [r["delay_cs"] for r in good] == [0, 4]
+    (bad,) = [r for r in rows if r["media_id"] == 2]
+    assert bad["ok"] == "false" and bad["frame_no"] is None
