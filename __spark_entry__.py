@@ -7,8 +7,9 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 103 queries (count as of r8 — grep ``def queries`` below for the
-authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
+ALL 103 queries (count as of r9, unchanged from r8 — grep ``def
+queries`` below for the authoritative registry) carry a full DuckDB
+oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
 the scores), the mapInPandas multimodal kernel (byte-deterministic

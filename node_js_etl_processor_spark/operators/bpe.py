@@ -1,0 +1,226 @@
+"""Corpus-scale BPE tokenizer training as DataFrame ops.
+
+Byte-pair-encoding merge training (Sennrich, Haddow & Birch 2016 —
+the subword vocabulary construction behind most LLM tokenizers) is a
+training-DATA-pipeline operator as much as a model one: vocabularies
+are trained on the corpus the pipeline curates. The shape maps onto
+Spark cleanly because the working set after the first pass is the
+WORD-FREQUENCY table (vocabulary-sized), never the corpus:
+
+- ``word_frequencies``: the single corpus-sized pass (tokenize →
+  groupBy word — one shuffle with map-side partials);
+- ``bpe_pair_counts``: adjacent-symbol pair statistics in one
+  explode + keyed agg over the vocabulary frame;
+- ``bpe_apply_merge``: one merge applied to every word via an
+  ``aggregate`` fold (JVM-side higher-order function — greedy
+  left-to-right, exactly the reference algorithm's non-overlapping
+  regex replace; no Python in the loop);
+- ``bpe_train``: the driver loop — per merge step one argmax
+  round-trip (a 1-row ``first()``, the kmeans_train trainer
+  discipline: parameter-sized, n_merges of them) and a
+  localCheckpoint so the fold expressions never stack;
+- ``bpe_encode``: Arrow-batched inference (mapInPandas) applying the
+  learned merge list per document — the per-row kernel side, batch
+  equivalence with the JVM fold test-pinned.
+
+Determinism: pair argmax ties break on (count DESC, a ASC, b ASC), so
+training is reproducible and the FIRST step (``bpe_top_pairs``) is
+fully SQL-expressible — a DuckDB-oracle-able declared query the
+moment the registry window rotates (r10 candidate).
+
+Symbols operate on Java string code units (the fixture corpus is
+BMP text); byte-level BPE (GPT-2 style) would swap the initial
+alphabet for bytes, same operators.
+
+No reference parity (server.js has no tokenizer); this module belongs
+to the mandated LLM-pipeline extension surface (SURVEY.md §2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from node_js_etl_processor_spark.operators.text import tokens
+
+#: End-of-word marker (Sennrich 2016 §3.2) — distinguishes "est</w>"
+#: in "west" from "est" in "estimate".
+EOW = "</w>"
+
+
+def word_frequencies(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the lowercased whitespace tokenization — the
+    one corpus-sized pass; everything downstream is vocabulary-sized."""
+    return (
+        documents.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+
+
+def _to_symbols(word: Column) -> Column:
+    # zero-width split BETWEEN characters -> one symbol per code unit
+    # (the (?=.) guard stops Spark's limit=-1 split from emitting a
+    # trailing "" at end-of-string), + EOW
+    return F.concat(F.split(word, r"(?!^)(?=.)"), F.array(F.lit(EOW)))
+
+
+def bpe_init_vocab(word_freqs: DataFrame) -> DataFrame:
+    """(word, symbols, freq): every word as its character sequence
+    plus the end-of-word marker — merge state zero."""
+    return word_freqs.select(
+        "word", _to_symbols(F.col("word")).alias("symbols"), "freq"
+    )
+
+
+def bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-pair frequencies over the vocabulary frame: one
+    array-transform explode + one (a, b)-keyed agg. Pair multiplicity
+    within a word counts (each adjacent occurrence explodes to a
+    row), weighted by word frequency."""
+    # slice+zip instead of sequence(1, size-1): a fully-merged word's
+    # symbols can collapse to ONE element (merges with </w>), where
+    # sequence(1, 0) would DESCEND to [1, 0]; slice length 0 is just []
+    n1 = F.size("symbols") - 1
+    pairs = F.arrays_zip(
+        F.slice("symbols", 1, n1).alias("a"),
+        F.slice("symbols", 2, n1).alias("b"),
+    )
+    return (
+        vocab.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").alias("pair_freq"))
+    )
+
+
+def bpe_top_pairs(documents: DataFrame, k: int = 20) -> DataFrame:
+    """First-step pair statistics straight off the corpus — top-k
+    (pair_freq DESC, a ASC, b ASC). Pure relational chain end to end,
+    so it carries a full SQL oracle when declared."""
+    pc = bpe_pair_counts(bpe_init_vocab(word_frequencies(documents)))
+    return pc.orderBy(
+        F.col("pair_freq").desc(), F.col("a").asc(), F.col("b").asc()
+    ).limit(k)
+
+
+def bpe_apply_merge(vocab: DataFrame, a: str, b: str) -> DataFrame:
+    """One merge (a, b) -> ab applied to every word: a greedy
+    left-to-right fold over the symbol array — ``aggregate`` keeps it
+    a JVM codegen expression. Equivalent to the reference
+    implementation's non-overlapping regex replace: after merging,
+    the new tail symbol is "ab", which never re-matches ``a`` (b is
+    non-empty), so overlaps resolve leftmost exactly like the
+    original algorithm ("aaa" + (a,a) -> ["aa", "a"])."""
+    merged = a + b
+    folded = F.aggregate(
+        F.col("symbols"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return vocab.select("word", folded.alias("symbols"), "freq")
+
+
+def bpe_train(
+    documents: DataFrame,
+    n_merges: int = 100,
+    min_pair_freq: int = 2,
+    text_col: str = "text",
+) -> "tuple[list, DataFrame]":
+    """Learn ``n_merges`` merges: per step one pair-count agg + one
+    deterministic argmax (1-row driver round-trip — n_merges of them,
+    the trainer discipline shared with kmeans_train) + one fold,
+    localCheckpointed so fold expressions never stack into a deep
+    plan. Stops early when the best pair drops under
+    ``min_pair_freq`` (merging hapax pairs memorizes noise).
+
+    Returns (merges, final_vocab): merges as [(a, b, pair_freq)] in
+    learned order — the artifact ``bpe_encode`` applies at inference.
+    """
+    vocab = bpe_init_vocab(word_frequencies(documents, text_col)).localCheckpoint(
+        eager=True
+    )
+    merges: list = []
+    for _ in range(n_merges):
+        best = (
+            bpe_pair_counts(vocab)
+            .orderBy(F.col("pair_freq").desc(), F.col("a").asc(), F.col("b").asc())
+            .first()
+        )
+        if best is None or best["pair_freq"] < min_pair_freq:
+            break
+        merges.append((best["a"], best["b"], int(best["pair_freq"])))
+        vocab = bpe_apply_merge(vocab, best["a"], best["b"]).localCheckpoint(
+            eager=True
+        )
+    return merges, vocab
+
+
+def bpe_encode(
+    documents: DataFrame, merges: "list", text_col: str = "text"
+) -> DataFrame:
+    """Arrow-batched inference: segment every document with a learned
+    merge list (applied in order, greedy left-to-right within each
+    word — the exact dual of training's fold). Emits (doc_id,
+    n_words, n_bpe_tokens, tokens_sha) — the digest travels, not the
+    token arrays, so Spark never shuffles segmented text. mapInPandas,
+    zero shuffles, the multimodal batch shape."""
+    import hashlib
+
+    import pandas as pd
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    ranks = {(a, b): i for i, (a, b, *_rest) in enumerate(merges)}
+
+    def seg_word(word: str) -> "list[str]":
+        syms = list(word) + [EOW]
+        while len(syms) > 1:
+            pairs = [
+                (ranks.get((syms[i], syms[i + 1]), None), i)
+                for i in range(len(syms) - 1)
+            ]
+            ranked = [(r, i) for r, i in pairs if r is not None]
+            if not ranked:
+                break
+            rank = min(r for r, _ in ranked)
+            a, b = merges[rank][0], merges[rank][1]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def run(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_words": [], "n_bpe_tokens": [], "tokens_sha": []}
+            for did, txt in zip(pdf["doc_id"], pdf[text_col]):
+                words = (txt or "").lower().split()
+                toks: list = []
+                for w in words:
+                    toks.extend(seg_word(w))
+                out["doc_id"].append(did)
+                out["n_words"].append(len(words))
+                out["n_bpe_tokens"].append(len(toks))
+                out["tokens_sha"].append(
+                    hashlib.sha256("\x1f".join(toks).encode()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return spread(documents).select("doc_id", text_col).mapInPandas(
+        run,
+        "doc_id bigint, n_words bigint, n_bpe_tokens bigint, tokens_sha string",
+    )

@@ -81,7 +81,10 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()  # node count: a parameter (entity-graph sized
-    # here; at web scale carry it as a 1-row frame instead)
+    # here; the 1-row-frame lazy form lives in pagerank_until, which
+    # is the composition-grade variant — this unrolled form stays
+    # eager so its empty-graph guard raises at build time and its
+    # float-op order matches the oracle literally)
     if n == 0:
         raise ValueError("pagerank: empty edge set (no nodes)")
     base = (1.0 - damping) / n

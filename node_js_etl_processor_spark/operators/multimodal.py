@@ -843,6 +843,62 @@ def synth_wav_media(documents: DataFrame) -> DataFrame:
     return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
 
 
+def synth_gif_media(documents: DataFrame) -> DataFrame:
+    """Deterministic animated-GIF payloads derived per document (r9) —
+    the GIF twin of ``synth_wav_media``: each doc_id fixes a small
+    animation (width 4 + doc_id%5, height 3 + doc_id%4, 1 + doc_id%3
+    frames, frame f solid color ((did*37 + f*11)%256, (did*53 +
+    f*29)%256, (did*71 + f*13)%256), delay 2f centiseconds), encoded
+    through the REAL ``operators.gif.encode_gif`` inside the Arrow
+    kernel. Every doc_id % 11 == 0 row carries a corrupt GIF-magic
+    payload instead, keeping decode-failure isolation under the same
+    gate. Solid-color frames make every sampled frame's geometry,
+    delay and raster digest closed-form in doc_id — the property that
+    lets a SQL oracle check the distributed encode→decode→sample loop
+    (md5 of a repeated 3-byte pattern)."""
+    import pandas as pd
+
+    from node_js_etl_processor_spark.catalog import spread
+    from node_js_etl_processor_spark.operators.gif import encode_gif
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "modality", "mime", "payload", "sha256", "n_bytes",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows["media_id"].append(did)
+                rows["modality"].append("image")
+                rows["mime"].append("image/gif")
+                rows["sha256"].append(None)
+                rows["n_bytes"].append(None)
+                if did % 11 == 0:
+                    rows["payload"].append(b"GIF89a\x00\x00truncated")
+                    continue
+                w, h = 4 + did % 5, 3 + did % 4
+                frames = [
+                    np.full(
+                        (h, w, 3),
+                        (
+                            (did * 37 + f * 11) % 256,
+                            (did * 53 + f * 29) % 256,
+                            (did * 71 + f * 13) % 256,
+                        ),
+                        dtype=np.uint8,
+                    )
+                    for f in range(1 + did % 3)
+                ]
+                rows["payload"].append(
+                    encode_gif(frames, delays=[2 * f for f in range(len(frames))])
+                )
+            yield pd.DataFrame(rows)
+
+    return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
 def q_audio_features(documents: DataFrame) -> DataFrame:
     """Declared query (r8): the distributed WAV path under the oracle
     gate — synthesize deterministic PCM-WAV bytes per document

@@ -432,6 +432,42 @@ def main() -> None:
         lambda: sessionize.q_funnel(ev10),
     )
 
+    # ---- r9 operators: convergence PageRank (fixed 10 rounds so both
+    # scales do identical iteration counts — measures per-round edge
+    # aggregation scaling), hardened fuzzy match with the hot-key cap
+    # engaged, and REAL GIF frame sampling over synthesized payloads
+    # (mapInPandas kernel bandwidth — the multimodal scaling shape)
+    from node_js_etl_processor_spark.operators.graph import pagerank_until
+    from node_js_etl_processor_spark.operators.multimodal import (
+        sample_gif_frames,
+        synth_gif_media,
+    )
+
+    queries["pagerank_until_10r"] = (
+        lambda: pagerank_until(
+            graph.trade_edges(li1, orders1, cust1, supp1),
+            eps=0.0, max_iter=10, require_convergence=False,
+        ),
+        lambda: pagerank_until(
+            graph.trade_edges(li10, orders10, cust10, supp1),
+            eps=0.0, max_iter=10, require_convergence=False,
+        ),
+    )
+    queries["q_fuzzy_match_capped"] = (
+        lambda: dedup.q_fuzzy_match(cust1, key_cap=1000),
+        lambda: dedup.q_fuzzy_match(cust10, key_cap=1000),
+    )
+    gif1 = os.path.join(tmp, "gif_1x")
+    gif10 = os.path.join(tmp, "gif_10x")
+    synth_gif_media(docs1).write.parquet(gif1)
+    synth_gif_media(docs10).write.parquet(gif10)
+    gmedia1 = spark.read.parquet(gif1)
+    gmedia10 = spark.read.parquet(gif10)
+    queries["sample_gif_frames"] = (
+        lambda: sample_gif_frames(gmedia1),
+        lambda: sample_gif_frames(gmedia10),
+    )
+
     results = {}
     for name, (f1, f10) in queries.items():
         t1 = timed(f1, args.runs)
@@ -491,6 +527,48 @@ def main() -> None:
         "read_fraction_of_layout": round(adc_read / sum(full.values()), 4),
     }
     print(f"[ivfpq_scan] {scan}", file=sys.stderr)
+
+    # ---- r9: SCD2 CDC merge vs store size (the warehouse-tier store
+    # pattern): a FIXED ~20-key CDC batch applied to a 1x vs 10x
+    # stored dimension at n_buckets=256 — apply cost must track the
+    # batch + its touched buckets (~|keys|/256 of the store), not the
+    # store size. The apply WRITES (dynamic partition overwrite), so
+    # it is timed directly over two sequential date-sliced batches
+    # (the production cadence), not through the noop-write runner.
+    from node_js_etl_processor_spark.sources.scd2_store import (
+        scd2_apply_delta,
+        write_scd2_store,
+    )
+
+    scd_keys = [r[0] for r in orders1.select("o_custkey").distinct().limit(20).collect()]
+    scd2_res = {}
+    for scale, odf in (("1x", orders1), (f"{args.replicas}x", orders10)):
+        pre = odf.filter(F.col("o_orderdate") < "1999-01-01")
+        b1 = odf.filter(
+            (F.col("o_orderdate") >= "1999-01-01")
+            & (F.col("o_orderdate") < "2000-06-01")
+            & F.col("o_custkey").isin(scd_keys)
+        )
+        b2 = odf.filter(
+            (F.col("o_orderdate") >= "2000-06-01")
+            & F.col("o_custkey").isin(scd_keys)
+        )
+        spath = os.path.join(tmp, f"scd2_{scale}")
+        write_scd2_store(pre, spath, n_buckets=256)
+        ts = []
+        for b in (b1, b2):
+            t0 = time.perf_counter()
+            scd2_apply_delta(spark, b, spath, n_buckets=256)
+            ts.append(time.perf_counter() - t0)
+        scd2_res[f"sec_{scale}"] = round(statistics.median(ts), 3)
+        scd2_res[f"store_rows_{scale}"] = pre.count()
+    scd2_res["ratio"] = (
+        round(scd2_res[f"sec_{args.replicas}x"] / scd2_res["sec_1x"], 2)
+        if scd2_res["sec_1x"] > 0
+        else None
+    )
+    results["scd2_apply_delta_fixed_batch"] = scd2_res
+    print(f"[scd2_apply_delta_fixed_batch] {scd2_res}", file=sys.stderr)
 
     # ---- skew demo: source-keyed shuffle, 50% of rows on one key ----
     uniform = per_task_rows(docs10, ["source"])

@@ -1638,3 +1638,149 @@ def test_gif_frame_sampling_real_frames(spark):
     assert [r["delay_cs"] for r in good] == [0, 4]
     (bad,) = [r for r in rows if r["media_id"] == 2]
     assert bad["ok"] == "false" and bad["frame_no"] is None
+
+
+def test_synth_gif_media_chained_sampling(spark, sf_dir):
+    """r9: the full distributed GIF loop — synth_gif_media encodes a
+    closed-form animation per doc inside the Arrow kernel,
+    sample_gif_frames decodes and samples REAL composited frames —
+    and every sampled frame's geometry/delay/digest must equal the
+    doc_id closed form; corrupt rows (doc_id%11==0) isolate as
+    ok=false."""
+    import hashlib
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.multimodal import (
+        sample_gif_frames,
+        synth_gif_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    rows = sample_gif_frames(synth_gif_media(docs), step=1).collect()
+    seen_ok = seen_bad = 0
+    for r in rows:
+        did = r["media_id"]
+        if did % 11 == 0:
+            assert r["ok"] == "false" and r["frame_no"] is None
+            seen_bad += 1
+            continue
+        seen_ok += 1
+        w, h, nf = 4 + did % 5, 3 + did % 4, 1 + did % 3
+        f = r["frame_no"]
+        assert (r["width"], r["height"], r["n_frames"], r["delay_cs"]) == (
+            w, h, nf, 2 * f,
+        )
+        color = bytes(
+            (
+                (did * 37 + f * 11) % 256,
+                (did * 53 + f * 29) % 256,
+                (did * 71 + f * 13) % 256,
+            )
+        )
+        assert r["frame_md5"] == hashlib.md5(color * (w * h)).hexdigest()
+    assert seen_ok > 0 and seen_bad > 0
+
+
+def _ref_bpe_train(word_freqs, n_merges, min_pair_freq=2):
+    """Pure-python Sennrich 2016 reference: exhaustive pair counts,
+    (count desc, a asc, b asc) tie-break, greedy left-to-right merge."""
+    vocab = {w: tuple(list(w) + ["</w>"]) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_freqs[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        if n < min_pair_freq:
+            break
+        merges.append((a, b, n))
+        new_vocab = {}
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[w] = tuple(out)
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference_and_encode_agrees(spark):
+    """r9: the DataFrame BPE trainer must learn EXACTLY the reference
+    algorithm's merge list (same counts, same tie-breaks) and final
+    symbol table; Arrow-batched inference (bpe_encode) must segment
+    the same corpus identically to the trained vocabulary."""
+    import hashlib
+
+    from node_js_etl_processor_spark.operators.bpe import (
+        bpe_encode,
+        bpe_top_pairs,
+        bpe_train,
+        word_frequencies,
+    )
+
+    texts = [
+        (1, "low low low low low lower lower newest newest"),
+        (2, "newest newest newest newest widest widest widest"),
+        (3, "low newest the the the the widest lower"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    wf = {
+        r["word"]: r["freq"] for r in word_frequencies(docs).collect()
+    }
+    ref_merges, ref_vocab = _ref_bpe_train(wf, n_merges=12)
+
+    merges, vocab = bpe_train(docs, n_merges=12)
+    assert merges == ref_merges and len(merges) > 5
+    got_vocab = {
+        r["word"]: tuple(r["symbols"]) for r in vocab.collect()
+    }
+    assert got_vocab == ref_vocab
+
+    # first-step statistics: top pair equals the reference's merge #1
+    top = bpe_top_pairs(docs, k=1).first()
+    assert (top["a"], top["b"], top["pair_freq"]) == ref_merges[0]
+
+    # inference == training's final segmentation, digest for digest
+    enc = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    for did, text in texts:
+        toks = []
+        for w in text.split():
+            toks.extend(ref_vocab[w])
+        want = hashlib.sha256("\x1f".join(toks).encode()).hexdigest()
+        assert enc[did]["tokens_sha"] == want
+        assert enc[did]["n_bpe_tokens"] == len(toks)
+        assert enc[did]["n_words"] == len(text.split())
+
+
+def test_bpe_apply_merge_greedy_overlap(spark):
+    """r9: the fold must resolve overlapping pairs leftmost —
+    'aaa' + (a,a) -> [aa, a, </w>], 'aaaa' -> [aa, aa, </w>] — the
+    reference algorithm's non-overlapping replace semantics."""
+    from node_js_etl_processor_spark.operators.bpe import (
+        bpe_apply_merge,
+        bpe_init_vocab,
+    )
+
+    vocab = bpe_init_vocab(
+        spark.createDataFrame(
+            [("aaa", 1), ("aaaa", 1), ("baaab", 1)], "word string, freq long"
+        )
+    )
+    got = {
+        r["word"]: tuple(r["symbols"])
+        for r in bpe_apply_merge(vocab, "a", "a").collect()
+    }
+    assert got["aaa"] == ("aa", "a", "</w>")
+    assert got["aaaa"] == ("aa", "aa", "</w>")
+    assert got["baaab"] == ("b", "aa", "a", "b", "</w>")
