@@ -554,11 +554,13 @@ def sample_gif_frames(media: DataFrame, step: int = FRAME_STEP) -> DataFrame:
     byte strides, run against an actual animated container: the GIF
     decoder (``operators.gif.decode_gif_frames``) composites every
     frame, and every ``step``-th one is emitted with its true
-    geometry, delay and raster digest. Same batch shape and the same
-    per-row failure isolation as the WAV path: a non-GIF or corrupt
-    payload is one ok=false row, never an executor error. The frame
-    explosion happens inside the Python worker — blobs are never
-    exploded Spark-side."""
+    geometry, delay and raster digest (md5 over the raster's lowercase
+    hex — the ``sample_frames`` digest convention, chosen because a
+    SQL oracle can rebuild a hex string with repeat()). Same batch
+    shape and the same per-row failure isolation as the WAV path: a
+    non-GIF or corrupt payload is one ok=false row, never an executor
+    error. The frame explosion happens inside the Python worker —
+    blobs are never exploded Spark-side."""
     import hashlib
 
     import pandas as pd
@@ -607,7 +609,7 @@ def sample_gif_frames(media: DataFrame, step: int = FRAME_STEP) -> DataFrame:
                     out["width"].append(frames[f].shape[1])
                     out["delay_cs"].append(delays[f])
                     out["frame_md5"].append(
-                        hashlib.md5(frames[f].tobytes()).hexdigest()
+                        hashlib.md5(frames[f].tobytes().hex().encode()).hexdigest()
                     )
             yield pd.DataFrame(out)
 
@@ -897,6 +899,22 @@ def synth_gif_media(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def q_gif_frames(documents: DataFrame) -> DataFrame:
+    """r10-candidate declared query (NOT in the r9 registry — the r9
+    window composition is fixed by the rotation plan; new queries
+    enter the window on declaration): the full distributed GIF loop —
+    ``synth_gif_media`` (real LZW encode, closed-form animations) →
+    ``sample_gif_frames`` (real decode + compositing, every 2nd
+    frame) — with every output column closed-form in doc_id, so a SQL
+    oracle replays geometry, delays, corrupt-row isolation AND the
+    raster digests (md5 over repeat(color_hex, w·h)). Oracle parity
+    is already pinned by pytest (test_extensions.py) ahead of
+    declaration."""
+    return sample_gif_frames(synth_gif_media(documents)).orderBy(
+        "media_id", "frame_no"
+    )
 
 
 def q_audio_features(documents: DataFrame) -> DataFrame:

@@ -1633,7 +1633,7 @@ def test_gif_frame_sampling_real_frames(spark):
             "true", 4, 8, 6,
         )
         assert r["frame_md5"] == hashlib.md5(
-            decoded[r["frame_no"]].tobytes()
+            decoded[r["frame_no"]].tobytes().hex().encode()
         ).hexdigest()
     assert [r["delay_cs"] for r in good] == [0, 4]
     (bad,) = [r for r in rows if r["media_id"] == 2]
@@ -1677,7 +1677,9 @@ def test_synth_gif_media_chained_sampling(spark, sf_dir):
                 (did * 71 + f * 13) % 256,
             )
         )
-        assert r["frame_md5"] == hashlib.md5(color * (w * h)).hexdigest()
+        assert r["frame_md5"] == hashlib.md5(
+            (color * (w * h)).hex().encode()
+        ).hexdigest()
     assert seen_ok > 0 and seen_bad > 0
 
 
@@ -1784,3 +1786,119 @@ def test_bpe_apply_merge_greedy_overlap(spark):
     assert got["aaa"] == ("aa", "a", "</w>")
     assert got["aaaa"] == ("aa", "aa", "</w>")
     assert got["baaab"] == ("b", "aa", "a", "b", "</w>")
+
+
+def _duck_parity(spark_df, sql, sf_dir):
+    """Order-insensitive (column, value) multiset compare against a
+    DuckDB query over the same parquet tables — the driver's exact
+    compare, run locally ahead of declaration."""
+    import math
+
+    import duckdb
+
+    def norm(v):
+        if v is None:
+            return "<null>"
+        if isinstance(v, float):
+            return "NaN" if math.isnan(v) else repr(round(v, 6))
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, bytes):
+            return v.hex()
+        return repr(v)
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    cols = spark_df.columns
+    rows = [tuple(r) for r in spark_df.collect()]
+    res = con.execute(sql)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    sm = sorted(sorted((cols[i], norm(r[i])) for i in range(len(cols))) for r in rows)
+    dm = sorted(
+        sorted((dcols[i], norm(r[i])) for i in range(len(dcols))) for r in drows
+    )
+    assert sorted(cols) == sorted(dcols), (cols, dcols)
+    assert len(rows) == len(drows), (len(rows), len(drows))
+    assert sm == dm
+    return len(rows)
+
+
+BPE_PAIRS_ORACLE = """
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  )
+  GROUP BY word
+),
+expanded AS (
+  SELECT freq,
+         substr(word, i, 1) AS a,
+         CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+              ELSE '</w>' END AS b
+  FROM words, unnest(generate_series(1, length(word))) AS t(i)
+)
+SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_freq
+FROM expanded GROUP BY a, b
+ORDER BY pair_freq DESC, a ASC, b ASC LIMIT 20
+"""
+
+GIF_FRAMES_ORACLE = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents),
+geo AS (
+  SELECT media_id,
+         4 + media_id % 5 AS w,
+         3 + media_id % 4 AS h,
+         1 + media_id % 3 AS nf
+  FROM ids WHERE media_id % 11 <> 0
+),
+frames AS (
+  SELECT media_id, w, h, nf, CAST(f AS BIGINT) AS f
+  FROM geo, unnest(generate_series(0, nf - 1)) AS t(f)
+  WHERE f % 2 = 0
+)
+SELECT media_id, 'true' AS ok, f AS frame_no,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(2 * f AS BIGINT) AS delay_cs,
+       md5(repeat(printf('%02x%02x%02x',
+                         (media_id * 37 + f * 11) % 256,
+                         (media_id * 53 + f * 29) % 256,
+                         (media_id * 71 + f * 13) % 256),
+                  CAST(w * h AS INT))) AS frame_md5
+FROM frames
+UNION ALL
+SELECT media_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL
+FROM ids WHERE media_id % 11 = 0
+"""
+
+
+def test_bpe_pairs_duckdb_oracle_parity(spark, sf_dir):
+    """r9: bpe_top_pairs vs its DuckDB oracle on the real fixture —
+    the r10-declaration dry run (same compare the driver does)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.bpe import bpe_top_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(bpe_top_pairs(docs, 20), BPE_PAIRS_ORACLE, sf_dir)
+    assert n == 20
+
+
+def test_gif_frames_duckdb_oracle_parity(spark, sf_dir):
+    """r9: q_gif_frames vs its DuckDB oracle — the real LZW
+    encode→decode→composite→sample loop differentially checked
+    against the doc_id closed form, including raster digests and
+    corrupt-row isolation."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.multimodal import q_gif_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_gif_frames(docs), GIF_FRAMES_ORACLE, sf_dir)
+    assert n > 0
