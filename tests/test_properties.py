@@ -352,3 +352,99 @@ def test_wav_roundtrip_property(n, rate, stereo, seed):
     assert got_rate == rate
     want = arr[:, None] if arr.ndim == 1 else arr
     assert np.array_equal(dec, want)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    ncolors=st.integers(1, 256),
+    nframes=st.integers(1, 4),
+    interlace=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_roundtrip_property(h, w, ncolors, nframes, interlace, seed):
+    """Property (r9): for ANY geometry, palette size, frame count and
+    interlace mode, GIF encode→decode is BIT-exact (lossless format)
+    with delays preserved — exercising every LZW code-width
+    transition the palette size induces."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.gif import (
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(ncolors, 3), dtype=np.uint8)
+    frames = [
+        pal[rng.integers(0, ncolors, size=(h, w))] for _ in range(nframes)
+    ]
+    delays = [int(d) for d in rng.integers(0, 500, size=nframes)]
+    got, got_delays = decode_gif_frames(
+        encode_gif(frames, delays=delays, interlace=interlace)
+    )
+    assert got_delays == delays
+    assert len(got) == nframes
+    for a, b in zip(frames, got):
+        assert np.array_equal(a, b)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    data=st.lists(st.integers(0, 7), min_size=1, max_size=400),
+    mcs=st.sampled_from([3, 5, 8]),
+)
+def test_gif_lzw_roundtrip_property(data, mcs):
+    """Property (r9): the LZW coder pair is exact for any index
+    stream, including highly repetitive ones (dictionary growth +
+    width bumps at every boundary the stream reaches)."""
+    from node_js_etl_processor_spark.operators.gif import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    raw = bytes(data)
+    assert _lzw_decode(mcs, _lzw_encode(mcs, raw), len(raw)) == raw
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcx", min_size=1, max_size=8), min_size=1, max_size=12
+    ),
+    a=st.sampled_from(["a", "b", "c", "x"]),
+    b=st.sampled_from(["a", "b", "c", "x", "</w>"]),
+)
+def test_bpe_fold_matches_reference_merge(spark, words, a, b):
+    """Property (r9): the JVM aggregate fold applying one BPE merge
+    equals the reference algorithm's greedy leftmost non-overlapping
+    replace for ANY word set and pair — including pairs ending in the
+    EOW marker and self-pairs (the overlap case)."""
+    from node_js_etl_processor_spark.operators.bpe import (
+        bpe_apply_merge,
+        bpe_init_vocab,
+    )
+
+    uniq = sorted(set(words))
+    vocab = bpe_init_vocab(
+        spark.createDataFrame([(w, 1) for w in uniq], "word string, freq long")
+    )
+    got = {
+        r["word"]: tuple(r["symbols"])
+        for r in bpe_apply_merge(vocab, a, b).collect()
+    }
+
+    def ref(word):
+        syms = list(word) + ["</w>"]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    assert got == {w: ref(w) for w in uniq}
