@@ -21,7 +21,7 @@ star contraction, which owns the unbounded-iteration variant).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: Standard damping factor.
@@ -106,6 +106,79 @@ def pagerank(
     return ranks.select(
         "node", F.round(F.col("r"), 6).alias("pagerank")
     ).withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def wrap_html_with_links(doc_id: Column, text: Column) -> Column:
+    """A deterministic page per document carrying three anchor tags
+    whose target domains are closed-form in doc_id (reserved
+    ``.example`` TLD), around the escaped text — the link-graph twin
+    of text.wrap_html's build-then-extract trick: the page is built
+    and mined in the SAME query, so the extraction chain is provable
+    end to end."""
+    from node_js_etl_processor_spark.operators.text import html_escape
+
+    def dom(mult: int) -> Column:
+        return F.concat(
+            F.lit('<a href="https://d'),
+            ((doc_id * mult) % 20).cast("string"),
+            F.lit(".example/p"),
+            (doc_id % 7).cast("string"),
+            F.lit('">l</a>'),
+        )
+
+    return F.concat(
+        F.lit("<html><body>"),
+        dom(3),
+        dom(7),
+        dom(11),
+        F.lit("<p>"),
+        html_escape(text),
+        F.lit("</p></body></html>"),
+    )
+
+
+def q_link_graph(documents: DataFrame) -> DataFrame:
+    """r10-candidate declared query (NOT in the r9 registry): the
+    outlink/domain graph builder — the curation op that feeds domain-
+    level quality signals (link spam, hub detection, domain PageRank
+    via ``pagerank_until``). Pages are built per document
+    (``wrap_html_with_links``), hrefs mined with one
+    ``regexp_extract_all`` + explode, reduced to weighted
+    (src_domain, dst_domain) edges with self-links dropped. Every
+    step is codegen regexp/string work + ONE keyed aggregation —
+    scan-bandwidth at corpus scale. Oracle parity is pinned by pytest
+    ahead of declaration (DuckDB rebuilds the page and replays the
+    extraction regex, not just the closed form)."""
+    html = wrap_html_with_links(F.col("doc_id"), F.col("text"))
+    hrefs = F.regexp_extract_all(html, F.lit(r'<a href="([^"]+)">'), 1)
+    src = F.concat(
+        F.lit("d"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")
+    )
+    edges = (
+        documents.select(src.alias("src_domain"), F.explode(hrefs).alias("url"))
+        .select(
+            "src_domain",
+            F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1).alias(
+                "dst_domain"
+            ),
+        )
+        .filter(F.col("src_domain") != F.col("dst_domain"))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count("*").cast("bigint").alias("n_links"))
+    )
+    return edges.orderBy("src_domain", "dst_domain")
+
+
+def domain_pagerank(documents: DataFrame, **kwargs) -> DataFrame:
+    """Domain quality scores: the link graph fed through the
+    convergence PageRank — the composed curation signal (rank joins
+    back to documents by source domain as a quality feature)."""
+    edges = q_link_graph(documents).select(
+        F.col("src_domain").alias("src"),
+        F.col("dst_domain").alias("dst"),
+        F.col("n_links").alias("w"),
+    )
+    return pagerank_until(edges, **kwargs)
 
 
 def pagerank_until(

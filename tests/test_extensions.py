@@ -1902,3 +1902,60 @@ def test_gif_frames_duckdb_oracle_parity(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n = _duck_parity(q_gif_frames(docs), GIF_FRAMES_ORACLE, sf_dir)
     assert n > 0
+
+
+LINK_GRAPH_ORACLE = """
+WITH pages AS (
+  SELECT doc_id,
+         'd' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS src_domain,
+         '<html><body>'
+         || '<a href="https://d' || CAST((doc_id * 3) % 20 AS VARCHAR)
+           || '.example/p' || CAST(doc_id % 7 AS VARCHAR) || '">l</a>'
+         || '<a href="https://d' || CAST((doc_id * 7) % 20 AS VARCHAR)
+           || '.example/p' || CAST(doc_id % 7 AS VARCHAR) || '">l</a>'
+         || '<a href="https://d' || CAST((doc_id * 11) % 20 AS VARCHAR)
+           || '.example/p' || CAST(doc_id % 7 AS VARCHAR) || '">l</a>'
+         || '<p>' || replace(replace(replace(text, '&', '&amp;'),
+                                     '<', '&lt;'), '>', '&gt;')
+         || '</p></body></html>' AS html
+  FROM documents
+),
+links AS (
+  SELECT src_domain,
+         unnest(regexp_extract_all(html, '<a href="([^"]+)">', 1)) AS url
+  FROM pages
+),
+edges AS (
+  SELECT src_domain,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS dst_domain
+  FROM links
+)
+SELECT src_domain, dst_domain, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM edges WHERE src_domain <> dst_domain
+GROUP BY src_domain, dst_domain
+"""
+
+
+def test_link_graph_duckdb_oracle_parity_and_domain_rank(spark, sf_dir):
+    """r9: q_link_graph vs its DuckDB oracle (page build + href regex
+    replayed, not just the closed form) — the r10-declaration dry run
+    — and the composed domain_pagerank signal: converges on the
+    20-domain graph with total rank ~1.0 (dangling mass
+    redistributed)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.graph import (
+        domain_pagerank,
+        q_link_graph,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_link_graph(docs), LINK_GRAPH_ORACLE, sf_dir)
+    assert n > 0
+
+    stats = {}
+    rows = domain_pagerank(docs, eps=1e-8, max_iter=100, stats=stats).collect()
+    # 18 of the 20 domains: d0 and d10 emit only self-links
+    # (3k ≡ 7k ≡ 11k ≡ k mod 20 for k ∈ {0, 10}), so they are
+    # isolated and correctly absent from the edge-defined node set
+    assert len(rows) == 18 and stats["iterations"] < 100
+    assert abs(sum(r["pagerank"] for r in rows) - 1.0) < 1e-4
