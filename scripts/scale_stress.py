@@ -467,6 +467,19 @@ def main() -> None:
         lambda: sample_gif_frames(gmedia1),
         lambda: sample_gif_frames(gmedia10),
     )
+    # BPE first-step pair stats (one corpus pass + vocab-sized agg)
+    # and the link-graph builder (codegen regexp chain + one keyed agg)
+    from node_js_etl_processor_spark.operators.bpe import bpe_top_pairs
+    from node_js_etl_processor_spark.operators.graph import q_link_graph
+
+    queries["bpe_top_pairs"] = (
+        lambda: bpe_top_pairs(docs1),
+        lambda: bpe_top_pairs(docs10),
+    )
+    queries["q_link_graph"] = (
+        lambda: q_link_graph(docs1),
+        lambda: q_link_graph(docs10),
+    )
 
     results = {}
     for name, (f1, f10) in queries.items():
