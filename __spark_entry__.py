@@ -90,6 +90,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver CORRECTNESS row, and none (except the three named
     deferrals) is more than one rotation cycle stale.
 
+    r10 declaration candidates (each built r9 with a DuckDB oracle
+    ALREADY pytest-verified — tests/test_extensions.py holds
+    BPE_PAIRS_ORACLE / GIF_FRAMES_ORACLE / LINK_GRAPH_ORACLE — so
+    declaring each is a registry edit): q_bpe_pairs
+    (operators/bpe.py::bpe_top_pairs), q_gif_frames
+    (operators/multimodal.py), q_link_graph (operators/graph.py).
+    Per the rotation rule they enter the window on declaration,
+    displacing equally many r8-green entries into named deferrals.
+
     In-round code changes that are output-identical at sf0.01 do not
     force re-windowing (precedent: q_embedding_pool in r8); this
     round that covers q_fuzzy_match (deletion keys now hashed +
