@@ -528,3 +528,50 @@ def test_tfidf_broadcasts_df_table(spark, sf_dir):
     plan = plan_text(df, "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_fuzzy_match_shuffles_hashed_keys_not_names(spark, sf_dir):
+    """r9: the hardened FastSS blocking must exchange on the
+    fixed-width (klen, khash) pair — xxhash64 visible in the plan's
+    partitioning — and the name column must NOT ride the blocking
+    shuffle (it joins back after the DISTINCT pair set)."""
+    from node_js_etl_processor_spark.operators import dedup
+
+    df = dedup.q_fuzzy_match(load_table(spark, sf_dir, "customer"))
+    plan = plan_text(df)
+    assert "xxhash64" in plan
+    exchanges = [
+        seg.split("\n")[0] for seg in plan.split("Exchange hashpartitioning(")[1:]
+    ]
+    blocking = [e for e in exchanges if "khash" in e]
+    # at fixture scale the keyed sides auto-broadcast (also name-free);
+    # when a blocking exchange does exist it must move khash, not names
+    assert blocking or "BroadcastHashJoin" in plan, plan
+    assert all("c_name" not in e for e in blocking), blocking
+
+
+def test_link_graph_one_exchange_all_codegen(spark, sf_dir):
+    """r9: the link-graph build is codegen string/regexp work + ONE
+    keyed aggregation exchange (the final orderBy adds a range
+    partition, not a hash one) — no Python evaluation anywhere."""
+    from node_js_etl_processor_spark.operators.graph import q_link_graph
+
+    df = q_link_graph(load_table(spark, sf_dir, "documents"))
+    plan = plan_text(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "EvalPython" not in plan  # no Batch/ArrowEvalPython
+    # map-side combine on the corpus-sized side
+    assert "partial_count" in plan
+
+
+def test_bpe_pair_counts_two_keyed_exchanges(spark, sf_dir):
+    """r9: BPE first-step statistics = the word-frequency exchange +
+    the pair exchange, nothing else; both HashAggregates get map-side
+    partials and no Python touches the plan."""
+    from node_js_etl_processor_spark.operators.bpe import bpe_top_pairs
+
+    df = bpe_top_pairs(load_table(spark, sf_dir, "documents"))
+    plan = plan_text(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "EvalPython" not in plan
+    assert "partial" in plan.lower() or "HashAggregate" in plan
