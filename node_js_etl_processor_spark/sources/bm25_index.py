@@ -10,7 +10,15 @@ mold of similarity_layout / dedup_store:
   joins the corpus-sized doclen table), Hive-partitioned by a 64-way
   term-hash bucket (a directory per raw term would explode the
   namespace at web vocab sizes); plus the per-term df table (same
-  bucketing) and the 1-row corpus stats;
+  bucketing) and the corpus stats;
+- ``append_bm25_index`` (r9) ingests a NEW document batch
+  incrementally — the maintenance story every other store here
+  already had. df and stats are stored as MERGEABLE PARTIALS (the
+  Count-Min/HLL trick applied to index statistics): an append writes
+  the batch's per-term df rows and one (n_docs, sum_dl) stats row,
+  never reading or rewriting existing data; readers aggregate
+  (SUM(df) per term, SUM(sum_dl)/SUM(n_docs) for avgdl) over the ≤
+  n_terms pruned buckets, so probe cost is unchanged;
 - ``bm25_from_index`` scores a query from the store alone: the query
   terms' buckets become PartitionFilters on the postings scan (the
   file listing prunes to ≤ n_terms of 64 directories), the df/stats
@@ -18,7 +26,10 @@ mold of similarity_layout / dedup_store:
   read — the per-query cost is O(matching postings), the inverted-
   index contract.
 
-Equivalence with the on-the-fly ``bm25_scores`` is test-pinned.
+Equivalence is test-pinned both ways: index == on-the-fly
+``bm25_scores``, and write(old) + append(new) == write(old ∪ new).
+Contract: appended batches carry doc_ids not already indexed (the
+dedup-store loops upstream guarantee exactly that).
 """
 
 from __future__ import annotations
@@ -36,11 +47,11 @@ def _term_bucket(term: F.Column) -> F.Column:
     return F.pmod(F.xxhash64(term), F.lit(N_TERM_BUCKETS)).cast("int")
 
 
-def write_bm25_index(documents: DataFrame, path: str) -> None:
-    """Build and persist the postings/df/stats layout under ``path``.
-    One explode + two keyed aggregations — the same ingest cost the
-    bm25_scores docstring budgets; ``repartition`` before
-    ``partitionBy`` keeps files at O(buckets)."""
+def _batch_layout(documents: DataFrame):
+    """(postings, df-partials, stats-partial) for one document batch —
+    the shared build of write and append. One explode + two keyed
+    aggregations, the same ingest cost the bm25_scores docstring
+    budgets."""
     from node_js_etl_processor_spark.catalog import spread
 
     toked = (
@@ -55,20 +66,43 @@ def write_bm25_index(documents: DataFrame, path: str) -> None:
     postings = tf.join(doclen, "doc_id").withColumn(
         "term_bucket", _term_bucket(F.col("term"))
     )
-    postings.repartition("term_bucket").write.mode("overwrite").partitionBy(
-        "term_bucket"
-    ).parquet(f"{path}/postings")
     df = (
         tf.groupBy("term")
         .agg(F.count("*").alias("df"))
         .withColumn("term_bucket", _term_bucket(F.col("term")))
     )
-    df.repartition("term_bucket").write.mode("overwrite").partitionBy(
+    stats = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    return postings, df, stats
+
+
+def _write_batch(documents: DataFrame, path: str, mode: str) -> None:
+    postings, df, stats = _batch_layout(documents)
+    postings.repartition("term_bucket").write.mode(mode).partitionBy(
+        "term_bucket"
+    ).parquet(f"{path}/postings")
+    df.repartition("term_bucket").write.mode(mode).partitionBy(
         "term_bucket"
     ).parquet(f"{path}/df")
-    doclen.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    stats.write.mode(mode).parquet(f"{path}/stats")
+
+
+def write_bm25_index(documents: DataFrame, path: str) -> None:
+    """Build and persist the postings/df/stats layout under ``path``;
+    ``repartition`` before ``partitionBy`` keeps files at
+    O(buckets)."""
+    _write_batch(documents, path, "overwrite")
+
+
+def append_bm25_index(documents: DataFrame, path: str) -> None:
+    """Ingest a new batch into an existing index: three appends —
+    postings rows, per-term df partials, one stats partial row.
+    Nothing existing is read or rewritten (df/stats are mergeable
+    partials the readers SUM), so index maintenance is O(|batch|)
+    regardless of index size — the same access pattern as
+    append_minhash_store. Batch doc_ids must be new to the index."""
+    _write_batch(documents, path, "append")
 
 
 def bm25_from_index(
@@ -97,13 +131,20 @@ def bm25_from_index(
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(qterms))
     )
+    # df and stats are stored as per-batch MERGEABLE PARTIALS (one row
+    # per term per appended batch / one stats row per batch): readers
+    # aggregate, so appends never rewrite and probes stay pruned
     dft = (
         spark.read.parquet(f"{path}/df")
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(qterms))
-        .select("term", "df")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
     )
-    stats = spark.read.parquet(f"{path}/stats")
+    stats = spark.read.parquet(f"{path}/stats").agg(
+        F.sum("n_docs").alias("n_docs"),
+        (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
+    )
     idf = dft.crossJoin(F.broadcast(stats)).select(
         "term",
         F.log(

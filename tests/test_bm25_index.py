@@ -109,3 +109,55 @@ def test_hybrid_search_from_stores_matches_exact_form(spark, sf_dir, tmp_path):
     overlap = len({r["doc_id"] for r in exact} & {r["doc_id"] for r in stores})
     print(f"HYBRID_STORES_OVERLAP@10 = {overlap}/10")
     assert overlap >= 6, overlap
+
+
+def test_append_equals_rebuild_and_touches_nothing(spark, sf_dir, tmp_path):
+    """r9: write(old) + append(new) must score EXACTLY like a fresh
+    index over old ∪ new (df/stats partials merge in the reader), and
+    the append must leave every pre-existing parquet file untouched
+    (name AND mtime) — maintenance is O(|batch|), never a rewrite."""
+    import os
+
+    from node_js_etl_processor_spark.sources.bm25_index import append_bm25_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_bm25_index(old, inc)
+
+    before = {}
+    for root, _d, files in os.walk(inc):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                before[p] = os.path.getmtime(p)
+
+    append_bm25_index(new, inc)
+    write_bm25_index(docs, full)
+
+    for p, m in before.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == m, p
+
+    for terms in (BM25_QUERY_TERMS, ("the", "data")):
+        got = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_from_index(spark, inc, terms).collect()
+        }
+        want = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_from_index(spark, full, terms).collect()
+        }
+        assert got == want and len(got) > 0
+    # and still equal to the on-the-fly ranker over the union
+    exact = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_scores(docs, BM25_QUERY_TERMS).collect()
+    }
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_from_index(spark, inc, BM25_QUERY_TERMS).collect()
+    }
+    assert got == exact
