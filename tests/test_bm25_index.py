@@ -161,3 +161,43 @@ def test_append_equals_rebuild_and_touches_nothing(spark, sf_dir, tmp_path):
         for r in bm25_from_index(spark, inc, BM25_QUERY_TERMS).collect()
     }
     assert got == exact
+
+
+def test_bm25_index_stream_matches_batch(spark, sf_dir, tmp_path):
+    """r9: three streamed drops through bm25_index_stream must leave
+    an index scoring identically to the one-shot build (stream ==
+    batch for the retrieval tier's ingest loop)."""
+    from node_js_etl_processor_spark.streaming.indexing import bm25_index_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "landing"
+    src.mkdir()
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+
+    docs.filter("doc_id < 150").coalesce(1).write.json(str(src / "b1"))
+    docs.filter("doc_id >= 150 AND doc_id < 300").coalesce(1).write.json(
+        str(src / "b2")
+    )
+    docs.filter("doc_id >= 300").coalesce(1).write.json(str(src / "b3"))
+
+    schema = "doc_id long, text string"
+    for batch in ("b1", "b2", "b3"):
+        q = bm25_index_stream(
+            spark.readStream.schema(schema).json(str(src / batch)),
+            idx,
+            ckpt + batch,
+        )
+        q.awaitTermination(120)
+
+    full = str(tmp_path / "full")
+    write_bm25_index(docs, full)
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_from_index(spark, idx, BM25_QUERY_TERMS).collect()
+    }
+    want = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_from_index(spark, full, BM25_QUERY_TERMS).collect()
+    }
+    assert got == want and len(got) > 0
