@@ -237,6 +237,29 @@ def q_dedup_embedding(embeddings: DataFrame, threshold: float = 0.30) -> DataFra
     return scored.filter(F.col("cosine") >= threshold).orderBy("vec_a", "vec_b")
 
 
+def embedding_near_dup_keepers(
+    embeddings: DataFrame, threshold: float = 0.30
+) -> DataFrame:
+    """Batch near-dup KEEPER rule in embedding space (r9): a vector
+    survives iff no SRP-sig-blocked pair links it at cosine ≥
+    threshold to a smaller-vec_id vector — regardless of that
+    vector's own fate, exactly ``dedup.minhash_near_dup_keepers``'s
+    rule, which is what makes the decision identical between this
+    batch form and the streaming ingest loop
+    (``streaming.dedup.embedding_ingest_stream``): 'drop if near
+    anything SEEN earlier', where seen = every vector that ever
+    arrived, not just survivors.
+
+    Scale: pairs from the sig-keyed self-join (never all-pairs), one
+    distinct over loser ids, one anti-join."""
+    losers = (
+        q_dedup_embedding(embeddings, threshold=threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return embeddings.join(losers, "vec_id", "left_anti")
+
+
 def semdedup(
     embeddings: DataFrame,
     threshold: float = 0.30,

@@ -95,6 +95,36 @@ def write_ann_layout(
     )
 
 
+def append_ann_layout(
+    embeddings: DataFrame,
+    path: str,
+    n_planes: int = 8,
+    n_cells: int = 8,
+    centroids: list[list[float]] | None = None,
+    pq_codebooks: list[list[list[float]]] | None = None,
+) -> None:
+    """Ingest a NEW vector batch into an existing layout (r9): the
+    same signature/residual-code projections appended into the same
+    sig/cell directories — vectors are per-row facts (no statistics to
+    merge, unlike the BM25 df table), so an append is two O(|batch|)
+    writes that never read or rewrite existing files. MUST be called
+    with the SAME quantizer parameters the layout was written with
+    (the probe contract, now also the ingest contract); batch vec_ids
+    must be new to the layout. write(old) + append(new) ==
+    write(old ∪ new) is test-pinned for both probe families."""
+    planes = _srp_hyperplanes(n_planes)
+    sigged = embeddings.withColumn("sig", srp_signature(F.col("embedding"), planes))
+    sigged.repartition("sig").write.mode("append").partitionBy("sig").parquet(
+        f"{path}/by_sig"
+    )
+    celled = ivfpq_encode(
+        embeddings, n_cells, centroids=centroids, codebooks=pq_codebooks
+    )
+    celled.repartition("cell").write.mode("append").partitionBy("cell").parquet(
+        f"{path}/by_cell"
+    )
+
+
 def ann_probe(
     spark: SparkSession,
     path: str,

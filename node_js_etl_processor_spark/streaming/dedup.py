@@ -304,3 +304,71 @@ def countmin_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def embedding_ingest_stream(
+    embs_stream: DataFrame,
+    store_dir: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.30,
+    n_planes: int = 8,
+    n_cells: int = 8,
+):
+    """Embedding near-dup ingest as a stream (r9) — the SRP twin of
+    ``near_dup_ingest_stream``, closing the embedding tier's loop:
+    per micro-batch, ``dedup_embedding_delta`` probes the batch
+    against the stored ``by_sig`` layout (drop sigs partition-prune
+    the store scan; only the batch is sig-projected), a batch vector
+    is dropped if any verified pair links it at cosine ≥ threshold to
+    anything stored or to a smaller-vec_id batch mate, survivors land
+    in ``out_path`` and the WHOLE batch is appended to the layout —
+    the keeper rule is 'drop if near anything SEEN', which makes the
+    stream decision-identical to the batch
+    ``similarity.embedding_near_dup_keepers`` (test-pinned across
+    three vec_id-ordered drops). The append maintains the ANN by_cell
+    directories too, so retrieval probes see new vectors the moment
+    their batch commits."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ..operators.similarity import embedding_near_dup_keepers
+    from ..sources.similarity_layout import (
+        append_ann_layout,
+        dedup_embedding_delta,
+        write_ann_layout,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        if not os.path.isdir(f"{store_dir}/by_sig"):
+            survivors = embedding_near_dup_keepers(batch_df, threshold)
+            survivors.write.mode("append").parquet(out_path)
+            write_ann_layout(batch_df, store_dir, n_planes=n_planes, n_cells=n_cells)
+            return
+        pairs = dedup_embedding_delta(
+            spark, batch_df, store_dir, threshold=threshold, n_planes=n_planes
+        )
+        losers = (
+            pairs.filter(F.col("pair_type") == "new-old")
+            .select(F.col("vec_a").alias("vec_id"))
+            .unionByName(
+                pairs.filter(F.col("pair_type") == "new-new").select(
+                    F.col("vec_b").alias("vec_id")
+                )
+            )
+            .distinct()
+        )
+        survivors = batch_df.join(losers, "vec_id", "left_anti")
+        survivors.write.mode("append").parquet(out_path)
+        append_ann_layout(batch_df, store_dir, n_planes=n_planes, n_cells=n_cells)
+
+    return (
+        embs_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -394,3 +394,52 @@ def test_ivfpq_probe_multiprobe_recall_curve(spark, sf_dir, tmp_path):
     assert curve[1] >= adc_ends[1] and curve[8] >= adc_ends[8]  # rescore helps
     assert adc_ends[8] >= adc_ends[1], adc_ends
     assert curve[2] >= 20, curve  # default-point floor (measured 39/26)
+
+
+def test_append_ann_layout_equals_rebuild(spark, sf_dir, tmp_path):
+    """r9: write(old) + append(new) must be probe-indistinguishable
+    from write(old ∪ new) — for the IVFADC stored-code probe AND the
+    sig-blocked dedup-from-layout — and the append must leave every
+    pre-existing parquet file untouched (appends never read or
+    rewrite)."""
+    import os
+
+    from node_js_etl_processor_spark.operators.similarity import _probe_vector
+    from node_js_etl_processor_spark.sources.similarity_layout import (
+        append_ann_layout,
+        dedup_embedding_from_layout,
+        ivfpq_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    old = emb.filter(F.col("vec_id") % 4 != 0)
+    new = emb.filter(F.col("vec_id") % 4 == 0)
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    write_ann_layout(old, inc)
+
+    before = {}
+    for root, _d, files in os.walk(inc):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                before[p] = os.path.getmtime(p)
+
+    append_ann_layout(new, inc)
+    write_ann_layout(emb, full)
+
+    for p, m in before.items():
+        assert os.path.exists(p) and os.path.getmtime(p) == m, p
+
+    probe = _probe_vector(emb, 0)
+    got = [tuple(r) for r in ivfpq_probe(spark, inc, probe, k=10).collect()]
+    want = [tuple(r) for r in ivfpq_probe(spark, full, probe, k=10).collect()]
+    assert got == want and len(got) == 10
+
+    got_pairs = {
+        tuple(r) for r in dedup_embedding_from_layout(spark, inc).collect()
+    }
+    want_pairs = {
+        tuple(r) for r in dedup_embedding_from_layout(spark, full).collect()
+    }
+    assert got_pairs == want_pairs and len(got_pairs) > 0

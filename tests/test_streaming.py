@@ -601,3 +601,46 @@ def test_countmin_ingest_stream_merges_exactly(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_embedding_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
+    """r9: the embedding near-dup ingest stream — three vec_id-ordered
+    drops must keep EXACTLY the vectors the batch keeper rule keeps
+    (embedding_near_dup_keepers: drop iff a sig-blocked pair links it
+    at cosine >= threshold to a smaller-vec_id vector), probing the
+    stored by_sig layout per batch and appending the whole batch so
+    'seen' matches the batch rule."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.similarity import (
+        embedding_near_dup_keepers,
+    )
+    from node_js_etl_processor_spark.streaming.dedup import embedding_ingest_stream
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "accepted")
+    store = str(tmp_path / "ann")
+    ckpt = str(tmp_path / "ckpt")
+
+    emb.filter("vec_id < 1000").coalesce(1).write.parquet(str(src / "b1"))
+    emb.filter("vec_id >= 1000 AND vec_id < 2000").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    emb.filter("vec_id >= 2000").coalesce(1).write.parquet(str(src / "b3"))
+
+    schema = emb.schema
+    for batch in ("b1", "b2", "b3"):
+        q = embedding_ingest_stream(
+            spark.readStream.schema(schema).parquet(str(src / batch)),
+            store,
+            out,
+            ckpt + batch,
+        )
+        q.awaitTermination(180)
+
+    got = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    want = {r["vec_id"] for r in embedding_near_dup_keepers(emb).collect()}
+    assert got == want
+    # the rule must actually bite on the fixture
+    assert len(got) < emb.count()
