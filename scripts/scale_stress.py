@@ -583,6 +583,49 @@ def main() -> None:
     results["scd2_apply_delta_fixed_batch"] = scd2_res
     print(f"[scd2_apply_delta_fixed_batch] {scd2_res}", file=sys.stderr)
 
+    # ---- r9: index/layout APPEND cost vs store size — the mergeable-
+    # partials (bm25) and per-row-facts (ann) maintenance claims: a
+    # FIXED batch appended to a 1x vs 10x store must cost ~the same
+    # (appends never read the store). Fresh ids via a +1e10 offset
+    # honor the new-ids append contract; two sequential appends per
+    # scale, median reported.
+    from node_js_etl_processor_spark.sources.bm25_index import (
+        append_bm25_index,
+        write_bm25_index,
+    )
+    from node_js_etl_processor_spark.sources.similarity_layout import (
+        append_ann_layout,
+        write_ann_layout,
+    )
+
+    ID_OFF = 10_000_000_000
+    for name, one, ten, writer, appender, key in (
+        ("bm25_append_fixed_batch", docs1, docs10, write_bm25_index,
+         append_bm25_index, "doc_id"),
+        ("ann_append_fixed_batch", emb1, emb10, write_ann_layout,
+         append_ann_layout, "vec_id"),
+    ):
+        res = {}
+        for scale, base in (("1x", one), (f"{args.replicas}x", ten)):
+            spath = os.path.join(tmp, f"{name}_{scale}")
+            writer(base, spath)
+            ts = []
+            for j in (1, 2):
+                batch = one.filter(F.col(key) % 20 == 0).withColumn(
+                    key, F.col(key) + F.lit(j * ID_OFF)
+                )
+                t0 = time.perf_counter()
+                appender(batch, spath)
+                ts.append(time.perf_counter() - t0)
+            res[f"sec_{scale}"] = round(statistics.median(ts), 3)
+        res["ratio"] = (
+            round(res[f"sec_{args.replicas}x"] / res["sec_1x"], 2)
+            if res["sec_1x"] > 0
+            else None
+        )
+        results[name] = res
+        print(f"[{name}] {res}", file=sys.stderr)
+
     # ---- skew demo: source-keyed shuffle, 50% of rows on one key ----
     uniform = per_task_rows(docs10, ["source"])
     hot = per_task_rows(docsk, ["source"])

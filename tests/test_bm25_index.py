@@ -201,3 +201,47 @@ def test_bm25_index_stream_matches_batch(spark, sf_dir, tmp_path):
         for r in bm25_from_index(spark, full, BM25_QUERY_TERMS).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_hybrid_from_incrementally_built_stores_equals_one_shot(
+    spark, sf_dir, tmp_path
+):
+    """r9: the end-to-end retrieval surface over stores built
+    INCREMENTALLY (bm25 write+append, ANN layout write+append) must
+    return exactly the result of the same probe over one-shot
+    stores — the composition guarantee that makes the ingest loops
+    safe to run under a live retrieval tier."""
+    from node_js_etl_processor_spark.operators import retrieval
+    from node_js_etl_processor_spark.operators.similarity import _probe_vector
+    from node_js_etl_processor_spark.sources.bm25_index import append_bm25_index
+    from node_js_etl_processor_spark.sources.similarity_layout import (
+        append_ann_layout,
+        write_ann_layout,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings")
+    probe = _probe_vector(embs, 0)
+
+    inc_bm, inc_ann = str(tmp_path / "ibm"), str(tmp_path / "iann")
+    one_bm, one_ann = str(tmp_path / "obm"), str(tmp_path / "oann")
+    write_bm25_index(docs.filter(F.col("doc_id") % 3 != 0), inc_bm)
+    append_bm25_index(docs.filter(F.col("doc_id") % 3 == 0), inc_bm)
+    write_ann_layout(embs.filter(F.col("vec_id") % 3 != 0), inc_ann)
+    append_ann_layout(embs.filter(F.col("vec_id") % 3 == 0), inc_ann)
+    write_bm25_index(docs, one_bm)
+    write_ann_layout(embs, one_ann)
+
+    got = [
+        tuple(r)
+        for r in retrieval.hybrid_search_from_stores(
+            spark, inc_bm, inc_ann, probe, exclude_vec_id=0
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in retrieval.hybrid_search_from_stores(
+            spark, one_bm, one_ann, probe, exclude_vec_id=0
+        ).collect()
+    ]
+    assert got == want and len(got) == 10
