@@ -324,7 +324,18 @@ def encode_gif(
     h, w = arrs[0].shape[:2]
     if any(a.shape != (h, w, 3) for a in arrs):
         raise ValueError("encode_gif: frames must share an HxWx3 shape")
-    colors = np.unique(np.concatenate([a.reshape(-1, 3) for a in arrs]), axis=0)
+    if delays is None:
+        delays = [0] * len(arrs)
+    if len(delays) != len(arrs):
+        raise ValueError(
+            f"encode_gif: {len(delays)} delays for {len(arrs)} frames "
+            "(zip truncation would silently drop frames)"
+        )
+    # one vectorized palette pass: distinct colors AND each pixel's
+    # palette index come from the same np.unique call (per-pixel
+    # Python dict lookups would dominate resize_image on real rasters)
+    allpx = np.concatenate([a.reshape(-1, 3) for a in arrs])
+    colors, inverse = np.unique(allpx, axis=0, return_inverse=True)
     if len(colors) > 256:
         raise ValueError(
             f"encode_gif: {len(colors)} distinct colors > 256 "
@@ -334,24 +345,20 @@ def encode_gif(
     bits = max(1, int(len(colors) - 1).bit_length())
     pal = np.zeros((1 << bits, 3), dtype=np.uint8)
     pal[: len(colors)] = colors
-    lut = {tuple(c): i for i, c in enumerate(colors)}
+    frame_idx = inverse.astype(np.uint8).reshape(len(arrs), h, w)
 
     out = bytearray()
     out += b"GIF89a"
     out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 0x07), 0, 0)
     out += pal.tobytes()
     mcs = max(2, bits)
-    if delays is None:
-        delays = [0] * len(arrs)
-    for arr, delay in zip(arrs, delays):
+    for frame_no, delay in enumerate(delays):
         if delay:
             out += b"\x21\xf9" + struct.pack("<BBHB", 4, 0, delay, 0) + b"\x00"
         out += b"\x2c" + struct.pack(
             "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
         )
-        flat = np.array(
-            [lut[tuple(px)] for px in arr.reshape(-1, 3)], dtype=np.uint8
-        ).reshape(h, w)
+        flat = frame_idx[frame_no]
         if interlace:
             order = []
             for first, step in _INTERLACE_PASSES:

@@ -137,24 +137,19 @@ def wrap_html_with_links(doc_id: Column, text: Column) -> Column:
     )
 
 
-def q_link_graph(documents: DataFrame) -> DataFrame:
-    """r10-candidate declared query (NOT in the r9 registry): the
-    outlink/domain graph builder — the curation op that feeds domain-
-    level quality signals (link spam, hub detection, domain PageRank
-    via ``pagerank_until``). Pages are built per document
+def link_graph_edges(documents: DataFrame) -> DataFrame:
+    """UNORDERED weighted (src_domain, dst_domain, n_links) edges —
+    the composable form (no sort): pages built per document
     (``wrap_html_with_links``), hrefs mined with one
-    ``regexp_extract_all`` + explode, reduced to weighted
-    (src_domain, dst_domain) edges with self-links dropped. Every
-    step is codegen regexp/string work + ONE keyed aggregation —
-    scan-bandwidth at corpus scale. Oracle parity is pinned by pytest
-    ahead of declaration (DuckDB rebuilds the page and replays the
-    extraction regex, not just the closed form)."""
+    ``regexp_extract_all`` + explode, self-links dropped, ONE keyed
+    aggregation. Codegen regexp/string work — scan-bandwidth at
+    corpus scale."""
     html = wrap_html_with_links(F.col("doc_id"), F.col("text"))
     hrefs = F.regexp_extract_all(html, F.lit(r'<a href="([^"]+)">'), 1)
     src = F.concat(
         F.lit("d"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")
     )
-    edges = (
+    return (
         documents.select(src.alias("src_domain"), F.explode(hrefs).alias("url"))
         .select(
             "src_domain",
@@ -166,14 +161,27 @@ def q_link_graph(documents: DataFrame) -> DataFrame:
         .groupBy("src_domain", "dst_domain")
         .agg(F.count("*").cast("bigint").alias("n_links"))
     )
-    return edges.orderBy("src_domain", "dst_domain")
+
+
+def q_link_graph(documents: DataFrame) -> DataFrame:
+    """r10-candidate declared query (NOT in the r9 registry): the
+    outlink/domain graph builder — the curation op that feeds domain-
+    level quality signals (link spam, hub detection, domain PageRank
+    via ``pagerank_until``). The orderBy lives ONLY in this declared
+    wrapper (presentation); compositions take ``link_graph_edges``
+    and skip the sort. Oracle parity is pinned by pytest ahead of
+    declaration (DuckDB rebuilds the page and replays the extraction
+    regex, not just the closed form)."""
+    return link_graph_edges(documents).orderBy("src_domain", "dst_domain")
 
 
 def domain_pagerank(documents: DataFrame, **kwargs) -> DataFrame:
     """Domain quality scores: the link graph fed through the
     convergence PageRank — the composed curation signal (rank joins
-    back to documents by source domain as a quality feature)."""
-    edges = q_link_graph(documents).select(
+    back to documents by source domain as a quality feature). Built
+    on the unordered edge form, so no sort/range exchange rides in
+    front of PageRank's own keyed shuffles."""
+    edges = link_graph_edges(documents).select(
         F.col("src_domain").alias("src"),
         F.col("dst_domain").alias("dst"),
         F.col("n_links").alias("w"),
@@ -216,6 +224,8 @@ def pagerank_until(
     """
     from pyspark.sql.window import Window
 
+    if max_iter < 1:
+        raise ValueError(f"pagerank_until: max_iter must be >= 1, got {max_iter}")
     out = edges.groupBy("src").agg(F.sum("w").alias("outw"))
     trans = (
         edges.join(out, "src")

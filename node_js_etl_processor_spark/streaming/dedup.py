@@ -114,9 +114,15 @@ def exact_dedup_ingest_stream(
         dedup_exact_delta,
         write_fingerprint_store,
     )
+    from .markers import batch_already_applied, mark_batch_applied
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # replay guard (r9): the delta path is naturally idempotent
+        # (replayed docs hit their own stored fingerprints), but a
+        # replayed BOOTSTRAP batch would re-emit its survivors
+        if batch_already_applied(store_path, checkpoint, batch_id):
+            return
         if not os.path.isdir(store_path):
             # first batch bootstraps the store from nothing: in-batch
             # dedup only, then the store is born from its survivors
@@ -134,10 +140,12 @@ def exact_dedup_ingest_stream(
             )
             survivors.write.mode("append").parquet(out_path)
             write_fingerprint_store(survivors, store_path)
+            mark_batch_applied(store_path, checkpoint, batch_id)
             return
         survivors = dedup_exact_delta(spark, batch_df, store_path)
         survivors.write.mode("append").parquet(out_path)
         append_fingerprint_store(survivors, store_path)
+        mark_batch_applied(store_path, checkpoint, batch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(_ingest)
@@ -184,11 +192,17 @@ def near_dup_ingest_stream(
         minhash_signatures,
     )
 
+    from .markers import batch_already_applied, mark_batch_applied
+
     post_path = os.path.join(store_dir, "postings")
     sigs_path = os.path.join(store_dir, "sigs")
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # replay guard (r9): re-appending a delivered batch's postings/
+        # sigs and re-emitting its survivors would corrupt both stores
+        if batch_already_applied(store_dir, checkpoint, batch_id):
+            return
         batch_df = batch_df.localCheckpoint(eager=True)
         sigs = minhash_signatures(batch_df, num_hashes).localCheckpoint(eager=True)
         post = minhash_band_postings(batch_df, num_hashes, bands)
@@ -250,6 +264,7 @@ def near_dup_ingest_stream(
             post_path
         )
         sigs.write.mode("append").parquet(sigs_path)
+        mark_batch_applied(store_dir, checkpoint, batch_id)
 
     return (
         docs_stream.writeStream.foreachBatch(_ingest)
@@ -281,9 +296,18 @@ def countmin_ingest_stream(
     from pyspark.sql import functions as F
 
     from ..operators.sketch import countmin_build
+    from .markers import batch_already_applied, mark_batch_applied
+
+    # markers live BESIDE the grid: the merge rewrites store_path
+    # wholesale, which would wipe markers kept inside it
+    meta_path = store_path.rstrip("/") + "_meta"
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        # replay guard (r9): re-merging a delivered batch's grid would
+        # double-count every cell it touched
+        if batch_already_applied(meta_path, checkpoint, batch_id):
+            return
         grid = countmin_build(batch_df, key_col)
         if os.path.isdir(store_path):
             stored = spark.read.parquet(store_path)
@@ -297,6 +321,7 @@ def countmin_ingest_stream(
         # merge cost, independent of stream volume)
         merged = grid.localCheckpoint(eager=True)
         merged.coalesce(1).write.mode("overwrite").parquet(store_path)
+        mark_batch_applied(meta_path, checkpoint, batch_id)
 
     return (
         items_stream.writeStream.foreachBatch(_ingest)
@@ -339,15 +364,19 @@ def embedding_ingest_stream(
         dedup_embedding_delta,
         write_ann_layout,
     )
+    from .markers import batch_already_applied, mark_batch_applied
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if batch_already_applied(store_dir, checkpoint, batch_id):
+            return
         if batch_df.isEmpty():
             return
         if not os.path.isdir(f"{store_dir}/by_sig"):
             survivors = embedding_near_dup_keepers(batch_df, threshold)
             survivors.write.mode("append").parquet(out_path)
             write_ann_layout(batch_df, store_dir, n_planes=n_planes, n_cells=n_cells)
+            mark_batch_applied(store_dir, checkpoint, batch_id)
             return
         pairs = dedup_embedding_delta(
             spark, batch_df, store_dir, threshold=threshold, n_planes=n_planes
@@ -365,6 +394,7 @@ def embedding_ingest_stream(
         survivors = batch_df.join(losers, "vec_id", "left_anti")
         survivors.write.mode("append").parquet(out_path)
         append_ann_layout(batch_df, store_dir, n_planes=n_planes, n_cells=n_cells)
+        mark_batch_applied(store_dir, checkpoint, batch_id)
 
     return (
         embs_stream.writeStream.foreachBatch(_ingest)

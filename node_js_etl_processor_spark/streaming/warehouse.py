@@ -37,18 +37,28 @@ def scd2_cdc_stream(
 
     The CDC contract is inherited: arrival order must respect the
     per-key (o_orderdate, o_orderkey) order, the standard assumption
-    for a change-data feed."""
+    for a change-data feed. Re-delivered batches are no-ops
+    (``streaming.markers`` — re-applying a CDC batch would mint
+    phantom versions, since its first change now equals the closed
+    current status but later changes would re-append)."""
     from ..sources.scd2_store import scd2_apply_delta, write_scd2_store
+    from .markers import batch_already_applied, mark_batch_applied
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_already_applied(store_path, checkpoint, batch_id):
+            return
         if batch_df.isEmpty():
             return
-        if not os.path.isdir(store_path):
-            write_scd2_store(batch_df, store_path, n_buckets=n_buckets)
-            return
-        scd2_apply_delta(
-            batch_df.sparkSession, batch_df, store_path, n_buckets=n_buckets
+        has_store = os.path.isdir(store_path) and any(
+            d.startswith("bucket=") for d in os.listdir(store_path)
         )
+        if not has_store:
+            write_scd2_store(batch_df, store_path, n_buckets=n_buckets)
+        else:
+            scd2_apply_delta(
+                batch_df.sparkSession, batch_df, store_path, n_buckets=n_buckets
+            )
+        mark_batch_applied(store_path, checkpoint, batch_id)
 
     return (
         facts_stream.writeStream.foreachBatch(_apply)

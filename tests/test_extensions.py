@@ -1467,6 +1467,9 @@ def test_pagerank_until_converges_and_conserves_dangling_mass(spark):
             spark.createDataFrame([], "src long, dst long, w long")
         )
 
+    with _pytest.raises(ValueError, match="max_iter"):
+        pagerank_until(dangle, max_iter=0)
+
 
 def test_gif_roundtrip_animated_interlace_and_refusal(spark):
     """r9: GIF codec — exact encode→decode roundtrips (GIF is
@@ -1513,6 +1516,12 @@ def test_gif_roundtrip_animated_interlace_and_refusal(spark):
     try:
         encode_gif([bad])
         raise AssertionError("encode_gif accepted >256 colors")
+    except ValueError:
+        pass
+    # delays/frames length mismatch must fail loudly, not zip-truncate
+    try:
+        encode_gif([frame, frame, frame], delays=[0, 2])
+        raise AssertionError("encode_gif accepted a short delays list")
     except ValueError:
         pass
 

@@ -644,3 +644,48 @@ def test_embedding_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     # the rule must actually bite on the fixture
     assert len(got) < emb.count()
+
+
+def test_ingest_loops_skip_replayed_batches(spark, sf_dir, tmp_path):
+    """r9: the foreachBatch replay guard — a (checkpoint, batch_id)
+    whose marker already exists must be a NO-OP for the mutating
+    ingest loops (re-delivery after a crash-post-commit is the
+    at-least-once case the guard exists for), and new batch ids under
+    the same checkpoint must still process."""
+    import os
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.streaming.indexing import bm25_index_stream
+    from node_js_etl_processor_spark.streaming.markers import (
+        batch_already_applied,
+        mark_batch_applied,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "landing"
+    src.mkdir()
+    docs.filter("doc_id < 100").coalesce(1).write.json(str(src / "b1"))
+
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    # simulate re-delivery: this (checkpoint, batch 0) already committed
+    mark_batch_applied(idx, ckpt, 0)
+    q = bm25_index_stream(
+        spark.readStream.schema("doc_id long, text string").json(str(src / "b1")),
+        idx,
+        ckpt,
+    )
+    q.awaitTermination(120)
+    assert not os.path.isdir(f"{idx}/postings")  # replayed batch was a no-op
+
+    # a different checkpoint (a new stream, not a retry) ingests normally
+    ckpt2 = str(tmp_path / "ckpt2")
+    q = bm25_index_stream(
+        spark.readStream.schema("doc_id long, text string").json(str(src / "b1")),
+        idx,
+        ckpt2,
+    )
+    q.awaitTermination(120)
+    assert os.path.isdir(f"{idx}/postings")
+    assert batch_already_applied(idx, ckpt2, 0)
+    assert spark.read.parquet(f"{idx}/postings").count() > 0
