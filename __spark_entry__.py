@@ -7,7 +7,8 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 103 queries (count as of r9, unchanged from r8 — grep ``def
+ALL 106 queries (count as of r10 — 103 from r9 plus the three
+declarations q_bpe_pairs / q_gif_frames / q_link_graph; grep ``def
 queries`` below for the authoritative registry) carry a full DuckDB
 oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
@@ -32,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from node_js_etl_processor_spark.catalog import load_table
 from node_js_etl_processor_spark.operators import (
+    bpe,
     dedup,
     graph,
     relational,
@@ -46,6 +48,7 @@ from node_js_etl_processor_spark.operators.multimodal import (
     q_audio_features,
     q_binary_meta,
     q_frame_sample,
+    q_gif_frames,
     q_media_resize,
     q_multimodal_features,
 )
@@ -72,44 +75,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     full local parity gate (tests/test_oracle_parity.py) AND — since
     r9 — by the committed machine-readable sweep artifact
     FULLVERIFY_r{N}.json (scripts/full_verify.py; same per-query
-    shape as CORRECTNESS, all 103 queries at sf0.01).
+    shape as CORRECTNESS, all 106 queries at sf0.01).
 
-    r9 rotation — PAYING THE r8 ROTATION DEBT exactly as planned:
-    the window is the five queries that have NEVER had a driver row
-    (q_pagerank, q_kl_divergence, q_retention, q_funnel, q_bloom —
-    declared in r8 after the window filled) FIRST, followed by 45 of
-    the 48 queries whose latest green row is r7. The 50 r8-green
-    queries rotate OUT. Three r7-green queries are explicitly
-    DEFERRED to r10 rather than silently dropped — q_union_sources,
-    q_count_by_source, q_agg_pricing — chosen because they are pure
-    single-shuffle relational forms whose oracles have been green
-    since round 1 (lowest drift risk), and q_agg_pricing is
-    additionally exercised EVERY round as the entry() smoke query.
-    r10 MUST window those three first, plus the 50 r8-green.
-    Invariant after r9: every registered query has at least one
-    driver CORRECTNESS row, and none (except the three named
-    deferrals) is more than one rotation cycle stale.
-
-    r10 declaration candidates (each built r9 with a DuckDB oracle
-    ALREADY pytest-verified — tests/test_extensions.py holds
-    BPE_PAIRS_ORACLE / GIF_FRAMES_ORACLE / LINK_GRAPH_ORACLE — so
-    declaring each is a registry edit): q_bpe_pairs
-    (operators/bpe.py::bpe_top_pairs), q_gif_frames
-    (operators/multimodal.py), q_link_graph (operators/graph.py).
-    Per the rotation rule they enter the window on declaration,
-    displacing equally many r8-green entries into named deferrals.
-
-    In-round code changes that are output-identical at sf0.01 do not
-    force re-windowing (precedent: q_embedding_pool in r8); this
-    round that covers q_fuzzy_match (deletion keys now hashed +
-    length-bucketed — candidate-set superset, verify step makes the
-    output bit-identical; FULLVERIFY attests it) and q_pagerank's
-    lazy node-count form (in-window anyway)."""
+    r10 rotation — exactly the r9 docstring's commitment and the r9
+    verdict's top ask: the three NAMED r10-MUST deferrals
+    (q_union_sources, q_count_by_source, q_agg_pricing — last driver
+    row r7) lead the window, followed by the three r10 DECLARATIONS
+    (q_bpe_pairs, q_gif_frames, q_link_graph — operators + DuckDB
+    oracles built and pytest-verified in r9, entering the window on
+    declaration per the rotation rule), then 44 of the 50 queries
+    whose latest green row is r8. The 50 r9-green queries rotate
+    OUT. Six r8-green queries are displaced by the declarations and
+    explicitly DEFERRED to r11 rather than silently dropped —
+    q_date_buckets, q_json_props, q_stats_agg, q_distinct_agg,
+    q_unpivot, q_collect_agg — chosen because they are
+    single-shuffle relational/scalar forms unchanged since their
+    declaring round (lowest drift risk). r11 MUST window those six
+    first, plus the 50 r10-green. Invariant after r10: every
+    registered query has at least one driver CORRECTNESS row, and
+    none (except the six named deferrals) is more than one rotation
+    cycle stale; ALL 106 are additionally swept by FULLVERIFY_r10."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
-        # The five r8-declared queries that have NEVER had a driver
-        # CORRECTNESS row lead the window (the r8 registry docstring's
-        # commitment, restated by the r8 verdict's top ask)
+        # The three NAMED r10-MUST deferrals lead (last driver row r7;
+        # q_agg_pricing additionally runs every round as the entry()
+        # smoke query)
+        "q_union_sources": _q(["customer"], relational.q_union_sources),
+        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
+        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
+        # The three r10 declarations (operators + DuckDB oracles built
+        # and pytest-verified in r9 — tests/test_extensions.py)
+        "q_bpe_pairs": _q(
+            ["documents"], lambda docs: bpe.bpe_top_pairs(docs, k=20)
+        ),
+        "q_gif_frames": _q(["documents"], q_gif_frames),
+        "q_link_graph": _q(["documents"], graph.q_link_graph),
+        # 44 of the 50 queries whose latest green row is r8 (the other
+        # six are the named r11 deferrals at the bottom of this registry)
+        "q_filter_required": _q(["orders"], relational.q_filter_required),
+        "q_clean_project": _q(["customer"], relational.q_clean_project),
+        "q_array_transform": _q(["part"], relational.q_array_transform),
+        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
+        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
+        "q_range_join": _q(["events"], temporal.q_range_join),
+        "q_window_range": _q(["events"], temporal.q_window_range),
+        "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
+        "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
+        "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
+        "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
+        "q_cube": _q(["orders"], relational.q_cube),
+        "q_window_lag": _q(["events"], relational.q_window_lag),
+        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
+        "q_string_funcs": _q(["part"], relational.q_string_funcs),
+        "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
+        "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
+        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
+        "q_explode_words": _q(["part"], relational.q_explode_words),
+        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
+        "q_asof_join": _q(["events"], temporal.q_asof_join),
+        "q_sessionize": _q(["events"], sessionize.q_sessionize),
+        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
+        "q_media_resize": _q(["documents"], q_media_resize),
+        "q_frame_sample": _q(["documents"], q_frame_sample),
+        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
+        "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
+        "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
+        "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
+        "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
+        "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
+        "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
+        "q_bm25": _q(["documents"], text.q_bm25),
+        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
+        "q_multimodal_features": _q(["documents"], q_multimodal_features),
+        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
+        "q_url_dedup": _q(["documents"], text.q_url_dedup),
+        "q_semantic_decontaminate": _q(
+            ["embeddings"], similarity.q_semantic_decontaminate
+        ),
+        "q_audio_features": _q(["documents"], q_audio_features),
+        "q_scd2": _q(["orders"], relational.q_scd2),
+        "q_fuzzy_match": _q(["customer"], dedup.q_fuzzy_match),
+        "q_tfidf": _q(["documents"], text.q_tfidf),
+        "q_gap_fill": _q(["events"], temporal.q_gap_fill),
+        "q_countmin": _q(["orders"], sketch.q_countmin),
+        # ---- oracle-paired but outside the 50-entry driver window ----
+        # The 50 r9-green queries rotate OUT (their CORRECTNESS_r09
+        # rows are one cycle old — within the invariant); all remain
+        # under the local parity gate and the committed FULLVERIFY
+        # artifact every round.
         "q_pagerank": _q(
             ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
         ),
@@ -117,9 +170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_retention": _q(["events"], temporal.q_retention),
         "q_funnel": _q(["events"], sessionize.q_funnel),
         "q_bloom": _q(["orders"], sketch.q_bloom),
-        # 45 of the 48 queries whose latest green row is r7 (the other
-        # three — q_union_sources, q_count_by_source, q_agg_pricing —
-        # are the named r10 deferrals at the bottom of this registry)
         "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
         "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
         "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
@@ -171,76 +221,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
         "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
-        # ---- oracle-paired but outside the 50-entry driver window ----
-        # The 50 r8-green queries rotate OUT (their CORRECTNESS_r08
-        # rows are one cycle old — within the invariant); all remain
-        # under the local parity gate and the committed FULLVERIFY
-        # artifact every round.
-        "q_filter_required": _q(["orders"], relational.q_filter_required),
-        "q_clean_project": _q(["customer"], relational.q_clean_project),
-        "q_array_transform": _q(["part"], relational.q_array_transform),
-        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
-        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
+        # ---- the six NAMED r11 deferrals (see docstring) ----
+        # Single-shuffle relational / scalar forms, oracle-green since
+        # their declaring round with no code change since; lowest drift
+        # risk of the r8-green set. r11 MUST window these six first.
         "q_date_buckets": _q(["events"], relational.q_date_buckets),
         "q_json_props": _q(["events"], relational.q_json_props),
-        "q_range_join": _q(["events"], temporal.q_range_join),
-        "q_window_range": _q(["events"], temporal.q_window_range),
-        "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
         "q_stats_agg": _q(["customer"], relational.q_stats_agg),
-        "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
-        "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
         "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
-        "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
-        "q_cube": _q(["orders"], relational.q_cube),
-        "q_window_lag": _q(["events"], relational.q_window_lag),
-        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
-        "q_string_funcs": _q(["part"], relational.q_string_funcs),
         "q_unpivot": _q(["orders"], relational.q_unpivot),
         "q_collect_agg": _q(["orders"], relational.q_collect_agg),
-        "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
-        "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
-        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
-        "q_explode_words": _q(["part"], relational.q_explode_words),
-        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
-        "q_asof_join": _q(["events"], temporal.q_asof_join),
-        "q_sessionize": _q(["events"], sessionize.q_sessionize),
-        # r6-green LLM / similarity / multimodal batch, rotated back IN
-        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
-        "q_media_resize": _q(["documents"], q_media_resize),
-        "q_frame_sample": _q(["documents"], q_frame_sample),
-        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
-        "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
-        "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
-        "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
-        "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
-        "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
-        "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
-        "q_bm25": _q(["documents"], text.q_bm25),
-        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
-        "q_multimodal_features": _q(["documents"], q_multimodal_features),
-        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
-        # r7-new queries staying in — the four r8-changed forms first
-        "q_url_dedup": _q(["documents"], text.q_url_dedup),
-        "q_semantic_decontaminate": _q(
-            ["embeddings"], similarity.q_semantic_decontaminate
-        ),
-        # r8-new queries (displace the unchanged r7-new entries from
-        # the window per the rotation docstring): the WAV audio path,
-        # SCD2 history build, FastSS fuzzy match, per-doc TF-IDF
-        "q_audio_features": _q(["documents"], q_audio_features),
-        "q_scd2": _q(["orders"], relational.q_scd2),
-        "q_fuzzy_match": _q(["customer"], dedup.q_fuzzy_match),
-        "q_tfidf": _q(["documents"], text.q_tfidf),
-        "q_gap_fill": _q(["events"], temporal.q_gap_fill),
-        "q_countmin": _q(["orders"], sketch.q_countmin),
-        # ---- the three NAMED r10 deferrals (see docstring) ----
-        # Pure single-shuffle relational forms, oracle-green since
-        # round 1; q_agg_pricing is also the entry() smoke query so
-        # it still executes under the driver every round. r10 MUST
-        # window these three first.
-        "q_union_sources": _q(["customer"], relational.q_union_sources),
-        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
-        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
     }
 
 
@@ -488,6 +478,93 @@ def _simhash_sigs_cte() -> str:
             )"""
 
 
+# -- r10-declared oracles (pytest-verified in r9 via
+# tests/test_extensions.py, which now imports these constants so the
+# driver and the local gate compare against the SAME SQL text) --
+
+BPE_PAIRS_ORACLE = """
+WITH words AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  )
+  GROUP BY word
+),
+expanded AS (
+  SELECT freq,
+         substr(word, i, 1) AS a,
+         CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+              ELSE '</w>' END AS b
+  FROM words, unnest(generate_series(1, length(word))) AS t(i)
+)
+SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_freq
+FROM expanded GROUP BY a, b
+ORDER BY pair_freq DESC, a ASC, b ASC LIMIT 20
+"""
+
+GIF_FRAMES_ORACLE = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents),
+geo AS (
+  SELECT media_id,
+         4 + media_id % 5 AS w,
+         3 + media_id % 4 AS h,
+         1 + media_id % 3 AS nf
+  FROM ids WHERE media_id % 11 <> 0
+),
+frames AS (
+  SELECT media_id, w, h, nf, CAST(f AS BIGINT) AS f
+  FROM geo, unnest(generate_series(0, nf - 1)) AS t(f)
+  WHERE f % 2 = 0
+)
+SELECT media_id, 'true' AS ok, f AS frame_no,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(2 * f AS BIGINT) AS delay_cs,
+       md5(repeat(printf('%02x%02x%02x',
+                         (media_id * 37 + f * 11) % 256,
+                         (media_id * 53 + f * 29) % 256,
+                         (media_id * 71 + f * 13) % 256),
+                  CAST(w * h AS INT))) AS frame_md5
+FROM frames
+UNION ALL
+SELECT media_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL
+FROM ids WHERE media_id % 11 = 0
+"""
+
+LINK_GRAPH_ORACLE = """
+WITH pages AS (
+  SELECT doc_id,
+         'd' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS src_domain,
+         '<html><body>'
+         || '<a href="https://d' || CAST((doc_id * 3) % 20 AS VARCHAR)
+           || '.example/p' || CAST(doc_id % 7 AS VARCHAR) || '">l</a>'
+         || '<a href="https://d' || CAST((doc_id * 7) % 20 AS VARCHAR)
+           || '.example/p' || CAST(doc_id % 7 AS VARCHAR) || '">l</a>'
+         || '<a href="https://d' || CAST((doc_id * 11) % 20 AS VARCHAR)
+           || '.example/p' || CAST(doc_id % 7 AS VARCHAR) || '">l</a>'
+         || '<p>' || replace(replace(replace(text, '&', '&amp;'),
+                                     '<', '&lt;'), '>', '&gt;')
+         || '</p></body></html>' AS html
+  FROM documents
+),
+links AS (
+  SELECT src_domain,
+         unnest(regexp_extract_all(html, '<a href="([^"]+)">', 1)) AS url
+  FROM pages
+),
+edges AS (
+  SELECT src_domain,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS dst_domain
+  FROM links
+)
+SELECT src_domain, dst_domain, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM edges WHERE src_domain <> dst_domain
+GROUP BY src_domain, dst_domain
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from node_js_etl_processor_spark.operators.similarity import (
         _pq_residual_codebooks,
@@ -497,6 +574,9 @@ def oracle_sql() -> dict[str, str]:
     fp = r"md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))"
     toks = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
     return {
+        "q_bpe_pairs": BPE_PAIRS_ORACLE,
+        "q_gif_frames": GIF_FRAMES_ORACLE,
+        "q_link_graph": LINK_GRAPH_ORACLE,
         "q_filter_required": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
             FROM orders

@@ -1837,56 +1837,11 @@ def _duck_parity(spark_df, sql, sf_dir):
     return len(rows)
 
 
-BPE_PAIRS_ORACLE = """
-WITH words AS (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-  FROM (
-    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                              x -> x <> '')) AS word
-    FROM documents
-  )
-  GROUP BY word
-),
-expanded AS (
-  SELECT freq,
-         substr(word, i, 1) AS a,
-         CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
-              ELSE '</w>' END AS b
-  FROM words, unnest(generate_series(1, length(word))) AS t(i)
+from __spark_entry__ import (  # single source of truth: the driver compares the same SQL
+    BPE_PAIRS_ORACLE,
+    GIF_FRAMES_ORACLE,
+    LINK_GRAPH_ORACLE,
 )
-SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pair_freq
-FROM expanded GROUP BY a, b
-ORDER BY pair_freq DESC, a ASC, b ASC LIMIT 20
-"""
-
-GIF_FRAMES_ORACLE = """
-WITH ids AS (SELECT doc_id AS media_id FROM documents),
-geo AS (
-  SELECT media_id,
-         4 + media_id % 5 AS w,
-         3 + media_id % 4 AS h,
-         1 + media_id % 3 AS nf
-  FROM ids WHERE media_id % 11 <> 0
-),
-frames AS (
-  SELECT media_id, w, h, nf, CAST(f AS BIGINT) AS f
-  FROM geo, unnest(generate_series(0, nf - 1)) AS t(f)
-  WHERE f % 2 = 0
-)
-SELECT media_id, 'true' AS ok, f AS frame_no,
-       CAST(nf AS BIGINT) AS n_frames,
-       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-       CAST(2 * f AS BIGINT) AS delay_cs,
-       md5(repeat(printf('%02x%02x%02x',
-                         (media_id * 37 + f * 11) % 256,
-                         (media_id * 53 + f * 29) % 256,
-                         (media_id * 71 + f * 13) % 256),
-                  CAST(w * h AS INT))) AS frame_md5
-FROM frames
-UNION ALL
-SELECT media_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL
-FROM ids WHERE media_id % 11 = 0
-"""
 
 
 def test_bpe_pairs_duckdb_oracle_parity(spark, sf_dir):
@@ -1911,38 +1866,6 @@ def test_gif_frames_duckdb_oracle_parity(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n = _duck_parity(q_gif_frames(docs), GIF_FRAMES_ORACLE, sf_dir)
     assert n > 0
-
-
-LINK_GRAPH_ORACLE = """
-WITH pages AS (
-  SELECT doc_id,
-         'd' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS src_domain,
-         '<html><body>'
-         || '<a href="https://d' || CAST((doc_id * 3) % 20 AS VARCHAR)
-           || '.example/p' || CAST(doc_id % 7 AS VARCHAR) || '">l</a>'
-         || '<a href="https://d' || CAST((doc_id * 7) % 20 AS VARCHAR)
-           || '.example/p' || CAST(doc_id % 7 AS VARCHAR) || '">l</a>'
-         || '<a href="https://d' || CAST((doc_id * 11) % 20 AS VARCHAR)
-           || '.example/p' || CAST(doc_id % 7 AS VARCHAR) || '">l</a>'
-         || '<p>' || replace(replace(replace(text, '&', '&amp;'),
-                                     '<', '&lt;'), '>', '&gt;')
-         || '</p></body></html>' AS html
-  FROM documents
-),
-links AS (
-  SELECT src_domain,
-         unnest(regexp_extract_all(html, '<a href="([^"]+)">', 1)) AS url
-  FROM pages
-),
-edges AS (
-  SELECT src_domain,
-         regexp_extract(url, '^https?://([^/]+)', 1) AS dst_domain
-  FROM links
-)
-SELECT src_domain, dst_domain, CAST(COUNT(*) AS BIGINT) AS n_links
-FROM edges WHERE src_domain <> dst_domain
-GROUP BY src_domain, dst_domain
-"""
 
 
 def test_link_graph_duckdb_oracle_parity_and_domain_rank(spark, sf_dir):
