@@ -95,14 +95,41 @@ def write_bm25_index(documents: DataFrame, path: str) -> None:
     _write_batch(documents, path, "overwrite")
 
 
-def append_bm25_index(documents: DataFrame, path: str) -> None:
+def append_bm25_index(
+    documents: DataFrame, path: str, batch_tag: str | None = None
+) -> None:
     """Ingest a new batch into an existing index: three appends —
     postings rows, per-term df partials, one stats partial row.
     Nothing existing is read or rewritten (df/stats are mergeable
     partials the readers SUM), so index maintenance is O(|batch|)
     regardless of index size — the same access pattern as
-    append_minhash_store. Batch doc_ids must be new to the index."""
-    _write_batch(documents, path, "append")
+    append_minhash_store. Batch doc_ids must be new to the index.
+
+    The append goes through ``markers.stage_and_publish`` (r10): the
+    batch's rows land in ``<path>/_staging/<tag>`` first and are then
+    renamed into the live tree under batch-tagged names, so a crashed
+    append is recoverable (``recover_partial``) instead of leaving
+    half-published postings. ``batch_tag`` is the ingest loop's
+    (checkpoint, batch_id) tag; ad-hoc batch callers get a random
+    one (single-shot semantics, staging cleaned on success)."""
+    import uuid
+
+    from ..streaming.markers import cleanup_staging, stage_and_publish
+
+    ad_hoc = batch_tag is None
+    tag = batch_tag or uuid.uuid4().hex[:12]
+    postings, df, stats = _batch_layout(documents)
+    stage_and_publish(
+        path,
+        tag,
+        {
+            "postings": (postings, "term_bucket"),
+            "df": (df, "term_bucket"),
+            "stats": (stats, None),
+        },
+    )
+    if ad_hoc:
+        cleanup_staging(path, tag)
 
 
 def bm25_from_index(
@@ -141,7 +168,18 @@ def bm25_from_index(
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
     )
-    stats = spark.read.parquet(f"{path}/stats").agg(
+    stats_raw = spark.read.parquet(f"{path}/stats")
+    if "sum_dl" not in stats_raw.columns:
+        # layout guard (r10): pre-r9 indexes stored (n_docs, avgdl)
+        # finals instead of mergeable (n_docs, sum_dl) partials; the
+        # reader's SUMs cannot reconstruct avgdl from them
+        raise ValueError(
+            f"BM25 index at {path!r} uses the pre-partials stats layout "
+            f"(columns {stats_raw.columns}); this reader needs the "
+            "mergeable (n_docs, sum_dl) form introduced with "
+            "append_bm25_index — rebuild the index with write_bm25_index"
+        )
+    stats = stats_raw.agg(
         F.sum("n_docs").alias("n_docs"),
         (F.sum("sum_dl") / F.sum("n_docs")).alias("avgdl"),
     )

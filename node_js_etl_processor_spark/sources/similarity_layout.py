@@ -102,6 +102,7 @@ def append_ann_layout(
     n_cells: int = 8,
     centroids: list[list[float]] | None = None,
     pq_codebooks: list[list[list[float]]] | None = None,
+    batch_tag: str | None = None,
 ) -> None:
     """Ingest a NEW vector batch into an existing layout (r9): the
     same signature/residual-code projections appended into the same
@@ -111,18 +112,30 @@ def append_ann_layout(
     with the SAME quantizer parameters the layout was written with
     (the probe contract, now also the ingest contract); batch vec_ids
     must be new to the layout. write(old) + append(new) ==
-    write(old ∪ new) is test-pinned for both probe families."""
+    write(old ∪ new) is test-pinned for both probe families.
+
+    The append goes through ``markers.stage_and_publish`` (r10) so a
+    crashed append never leaves half-published sig/cell rows:
+    ``batch_tag`` is the ingest loop's (checkpoint, batch_id) tag;
+    ad-hoc batch callers get a random one."""
+    import uuid
+
+    from ..streaming.markers import cleanup_staging, stage_and_publish
+
+    ad_hoc = batch_tag is None
+    tag = batch_tag or uuid.uuid4().hex[:12]
     planes = _srp_hyperplanes(n_planes)
     sigged = embeddings.withColumn("sig", srp_signature(F.col("embedding"), planes))
-    sigged.repartition("sig").write.mode("append").partitionBy("sig").parquet(
-        f"{path}/by_sig"
-    )
     celled = ivfpq_encode(
         embeddings, n_cells, centroids=centroids, codebooks=pq_codebooks
     )
-    celled.repartition("cell").write.mode("append").partitionBy("cell").parquet(
-        f"{path}/by_cell"
+    stage_and_publish(
+        path,
+        tag,
+        {"by_sig": (sigged, "sig"), "by_cell": (celled, "cell")},
     )
+    if ad_hoc:
+        cleanup_staging(path, tag)
 
 
 def ann_probe(

@@ -106,30 +106,42 @@ def exact_dedup_ingest_stream(
     Returns the started query (availableNow — the same trigger twin
     as every refresh here). Batch equivalence is test-pinned: streamed
     batches == q_dedup_docs keepers when arrival order matches doc_id
-    order."""
-    import os
+    order.
 
-    from ..sources.dedup_store import (
-        append_fingerprint_store,
-        dedup_exact_delta,
-        write_fingerprint_store,
+    Exactly-once (r10): EVERY batch — bootstrap included — lands via
+    ``markers.stage_and_publish`` (batch-tagged renames into the live
+    trees; the store root is never overwritten, so markers survive),
+    and a re-delivery first purges any partially-published files of
+    its own tag (``recover_partial``) before recomputing — the
+    store-missing test then correctly re-selects the bootstrap
+    (in-batch-only) dedup for a crashed first batch."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import fingerprint
+    from ..sources.dedup_store import dedup_exact_delta
+    from .markers import (
+        batch_already_applied,
+        cleanup_staging,
+        mark_batch_applied,
+        marker_id,
+        recover_partial,
+        stage_and_publish,
+        store_has_data,
     )
-    from .markers import batch_already_applied, mark_batch_applied
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # replay guard (r9): the delta path is naturally idempotent
-        # (replayed docs hit their own stored fingerprints), but a
-        # replayed BOOTSTRAP batch would re-emit its survivors
+        tag = marker_id(checkpoint, batch_id)
         if batch_already_applied(store_path, checkpoint, batch_id):
+            cleanup_staging(store_path, tag)  # crash-after-mark GC
+            cleanup_staging(out_path, tag)
             return
-        if not os.path.isdir(store_path):
+        recover_partial(store_path, tag)
+        recover_partial(out_path, tag)
+        if not store_has_data(store_path):
             # first batch bootstraps the store from nothing: in-batch
             # dedup only, then the store is born from its survivors
-            from pyspark.sql import functions as F
             from pyspark.sql.window import Window
-
-            from ..operators.dedup import fingerprint
 
             w = Window.partitionBy("_fp").orderBy(F.col("doc_id").asc())
             survivors = (
@@ -138,14 +150,15 @@ def exact_dedup_ingest_stream(
                 .filter(F.col("_rn") == 1)
                 .drop("_fp", "_rn")
             )
-            survivors.write.mode("append").parquet(out_path)
-            write_fingerprint_store(survivors, store_path)
-            mark_batch_applied(store_path, checkpoint, batch_id)
-            return
-        survivors = dedup_exact_delta(spark, batch_df, store_path)
-        survivors.write.mode("append").parquet(out_path)
-        append_fingerprint_store(survivors, store_path)
+        else:
+            survivors = dedup_exact_delta(spark, batch_df, store_path)
+        survivors = survivors.localCheckpoint(eager=True)
+        stage_and_publish(out_path, tag, {"": (survivors, None)})
+        fps = survivors.select(fingerprint(F.col("text")).alias("fp")).distinct()
+        stage_and_publish(store_path, tag, {"": (fps, None)})
         mark_batch_applied(store_path, checkpoint, batch_id)
+        cleanup_staging(store_path, tag)
+        cleanup_staging(out_path, tag)
 
     return (
         docs_stream.writeStream.foreachBatch(_ingest)
@@ -192,17 +205,34 @@ def near_dup_ingest_stream(
         minhash_signatures,
     )
 
-    from .markers import batch_already_applied, mark_batch_applied
+    from .markers import (
+        batch_already_applied,
+        cleanup_staging,
+        mark_batch_applied,
+        marker_id,
+        recover_partial,
+        stage_and_publish,
+        store_has_data,
+    )
 
     post_path = os.path.join(store_dir, "postings")
     sigs_path = os.path.join(store_dir, "sigs")
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        # replay guard (r9): re-appending a delivered batch's postings/
-        # sigs and re-emitting its survivors would corrupt both stores
+        tag = marker_id(checkpoint, batch_id)
+        # replay guard (r9; staged publish r10): re-appending a
+        # delivered batch's postings/sigs and re-emitting its
+        # survivors would corrupt both stores, and a crashed attempt's
+        # partial publish must be purged BEFORE the delta probe reads
+        # the store, or the batch would match its own partial rows
+        # (flipping keeper decisions)
         if batch_already_applied(store_dir, checkpoint, batch_id):
+            cleanup_staging(store_dir, tag)
+            cleanup_staging(out_path, tag)
             return
+        recover_partial(store_dir, tag)
+        recover_partial(out_path, tag)
         batch_df = batch_df.localCheckpoint(eager=True)
         sigs = minhash_signatures(batch_df, num_hashes).localCheckpoint(eager=True)
         post = minhash_band_postings(batch_df, num_hashes, bands)
@@ -233,7 +263,7 @@ def near_dup_ingest_stream(
             .select("drop_id")
         )
         losers = new_new
-        if os.path.isdir(post_path):
+        if store_has_data(store_dir, "postings"):
             store_post = spark.read.parquet(post_path)
             store_sigs = spark.read.parquet(sigs_path).select(
                 F.col("doc_id").alias("keep_id"),
@@ -257,14 +287,15 @@ def near_dup_ingest_stream(
             losers.distinct().withColumnRenamed("drop_id", "doc_id"),
             "doc_id",
             "left_anti",
-        )
-        survivors.write.mode("append").parquet(out_path)
+        ).localCheckpoint(eager=True)
+        stage_and_publish(out_path, tag, {"": (survivors, None)})
         # append the WHOLE batch (seen, not just kept) — see docstring
-        post.repartition("band").write.mode("append").partitionBy("band").parquet(
-            post_path
+        stage_and_publish(
+            store_dir, tag, {"postings": (post, "band"), "sigs": (sigs, None)}
         )
-        sigs.write.mode("append").parquet(sigs_path)
         mark_batch_applied(store_dir, checkpoint, batch_id)
+        cleanup_staging(store_dir, tag)
+        cleanup_staging(out_path, tag)
 
     return (
         docs_stream.writeStream.foreachBatch(_ingest)
@@ -290,13 +321,25 @@ def countmin_ingest_stream(
     through. Exactness of the merge (not an approximation — the
     approximation lives only in width-bounded collisions) is
     test-pinned: streamed grid == one-shot batch grid, cell for
-    cell."""
-    import os
+    cell.
 
+    Honest residual window (merge-style loop): the merge REWRITES the
+    whole 256-row grid; a crash mid-overwrite can lose it, and a
+    crash between the rewrite and the marker re-merges the batch into
+    its own contribution. The bootstrap sentinel (r10) closes the
+    first-batch half (a re-delivered first batch overwrites instead
+    of merging with itself); the general half needs a transactional
+    table format, unlike the append-style loops."""
     from pyspark.sql import functions as F
 
     from ..operators.sketch import countmin_build
-    from .markers import batch_already_applied, mark_batch_applied
+    from .markers import (
+        batch_already_applied,
+        bootstrap_pending,
+        mark_batch_applied,
+        record_bootstrap,
+        store_has_data,
+    )
 
     # markers live BESIDE the grid: the merge rewrites store_path
     # wholesale, which would wipe markers kept inside it
@@ -309,7 +352,12 @@ def countmin_ingest_stream(
         if batch_already_applied(meta_path, checkpoint, batch_id):
             return
         grid = countmin_build(batch_df, key_col)
-        if os.path.isdir(store_path):
+        is_bootstrap = not store_has_data(store_path) or bootstrap_pending(
+            meta_path, checkpoint, batch_id
+        )
+        if is_bootstrap:
+            record_bootstrap(meta_path, checkpoint, batch_id)
+        else:
             stored = spark.read.parquet(store_path)
             grid = (
                 grid.unionByName(stored)
@@ -353,9 +401,13 @@ def embedding_ingest_stream(
     ``similarity.embedding_near_dup_keepers`` (test-pinned across
     three vec_id-ordered drops). The append maintains the ANN by_cell
     directories too, so retrieval probes see new vectors the moment
-    their batch commits."""
-    import os
+    their batch commits.
 
+    Exactly-once (r10 — full markers protocol): survivors and layout
+    rows publish via batch-tagged staged renames; a re-delivery first
+    purges its own partial files (BEFORE the delta probe reads the
+    store — a batch must never match its own partial rows) and a
+    re-delivered bootstrap re-runs the overwrite build (sentinel)."""
     from pyspark.sql import functions as F
 
     from ..operators.similarity import embedding_near_dup_keepers
@@ -364,19 +416,38 @@ def embedding_ingest_stream(
         dedup_embedding_delta,
         write_ann_layout,
     )
-    from .markers import batch_already_applied, mark_batch_applied
+    from .markers import (
+        batch_already_applied,
+        bootstrap_pending,
+        cleanup_staging,
+        mark_batch_applied,
+        marker_id,
+        record_bootstrap,
+        recover_partial,
+        stage_and_publish,
+        store_has_data,
+    )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        tag = marker_id(checkpoint, batch_id)
         if batch_already_applied(store_dir, checkpoint, batch_id):
+            cleanup_staging(store_dir, tag)
+            cleanup_staging(out_path, tag)
             return
         if batch_df.isEmpty():
             return
-        if not os.path.isdir(f"{store_dir}/by_sig"):
+        recover_partial(store_dir, tag)
+        recover_partial(out_path, tag)
+        if not store_has_data(store_dir, "by_sig") or bootstrap_pending(
+            store_dir, checkpoint, batch_id
+        ):
+            record_bootstrap(store_dir, checkpoint, batch_id)
             survivors = embedding_near_dup_keepers(batch_df, threshold)
-            survivors.write.mode("append").parquet(out_path)
+            stage_and_publish(out_path, tag, {"": (survivors, None)})
             write_ann_layout(batch_df, store_dir, n_planes=n_planes, n_cells=n_cells)
             mark_batch_applied(store_dir, checkpoint, batch_id)
+            cleanup_staging(out_path, tag)
             return
         pairs = dedup_embedding_delta(
             spark, batch_df, store_dir, threshold=threshold, n_planes=n_planes
@@ -391,10 +462,16 @@ def embedding_ingest_stream(
             )
             .distinct()
         )
-        survivors = batch_df.join(losers, "vec_id", "left_anti")
-        survivors.write.mode("append").parquet(out_path)
-        append_ann_layout(batch_df, store_dir, n_planes=n_planes, n_cells=n_cells)
+        survivors = batch_df.join(losers, "vec_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        stage_and_publish(out_path, tag, {"": (survivors, None)})
+        append_ann_layout(
+            batch_df, store_dir, n_planes=n_planes, n_cells=n_cells, batch_tag=tag
+        )
         mark_batch_applied(store_dir, checkpoint, batch_id)
+        cleanup_staging(store_dir, tag)
+        cleanup_staging(out_path, tag)
 
     return (
         embs_stream.writeStream.foreachBatch(_ingest)

@@ -17,8 +17,6 @@ the one-shot ``q_scd2`` rebuild produces.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 
 
@@ -40,25 +38,45 @@ def scd2_cdc_stream(
     for a change-data feed. Re-delivered batches are no-ops
     (``streaming.markers`` — re-applying a CDC batch would mint
     phantom versions, since its first change now equals the closed
-    current status but later changes would re-append)."""
+    current status but later changes would re-append), and a
+    re-delivered BOOTSTRAP batch re-runs the full build as an
+    overwrite (bootstrap sentinel, r10) instead of merging against
+    its own rows.
+
+    Honest residual window (merge-style loop): a crash in the MIDDLE
+    of ``scd2_apply_delta``'s dynamic partition overwrite leaves some
+    buckets updated and some not, and the re-delivered merge cannot
+    tell which — exactly-once for partition-rewriting merges needs a
+    transactional table format, unlike the append-style loops, whose
+    window the staged-publish protocol closes."""
     from ..sources.scd2_store import scd2_apply_delta, write_scd2_store
-    from .markers import batch_already_applied, mark_batch_applied
+    from .markers import (
+        batch_already_applied,
+        bootstrap_pending,
+        mark_batch_applied,
+        record_bootstrap,
+        store_has_data,
+    )
+
+    # markers live BESIDE the store (the countmin precedent): the
+    # bootstrap build overwrites store_path WHOLESALE, which would
+    # wipe markers — and the bootstrap sentinel — kept inside it
+    meta_path = store_path.rstrip("/") + "_meta"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_already_applied(store_path, checkpoint, batch_id):
+        if batch_already_applied(meta_path, checkpoint, batch_id):
             return
         if batch_df.isEmpty():
             return
-        has_store = os.path.isdir(store_path) and any(
-            d.startswith("bucket=") for d in os.listdir(store_path)
-        )
-        if not has_store:
+        has_store = store_has_data(store_path)
+        if not has_store or bootstrap_pending(meta_path, checkpoint, batch_id):
+            record_bootstrap(meta_path, checkpoint, batch_id)
             write_scd2_store(batch_df, store_path, n_buckets=n_buckets)
         else:
             scd2_apply_delta(
                 batch_df.sparkSession, batch_df, store_path, n_buckets=n_buckets
             )
-        mark_batch_applied(store_path, checkpoint, batch_id)
+        mark_batch_applied(meta_path, checkpoint, batch_id)
 
     return (
         facts_stream.writeStream.foreachBatch(_apply)
