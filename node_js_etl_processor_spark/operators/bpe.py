@@ -165,14 +165,22 @@ def bpe_train(
 
 
 def bpe_encode(
-    documents: DataFrame, merges: "list", text_col: str = "text"
+    documents: DataFrame,
+    merges: "list",
+    text_col: str = "text",
+    carry_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Arrow-batched inference: segment every document with a learned
     merge list (applied in order, greedy left-to-right within each
     word — the exact dual of training's fold). Emits (doc_id,
     n_words, n_bpe_tokens, tokens_sha) — the digest travels, not the
     token arrays, so Spark never shuffles segmented text. mapInPandas,
-    zero shuffles, the multimodal batch shape."""
+    zero shuffles, the multimodal batch shape.
+
+    ``carry_cols`` (r10) names input columns to pass through the
+    kernel unchanged — consumers that need per-doc metadata next to
+    the counts (``token_accounting``'s source/estimate columns) get
+    it without a corpus-sized self-join back onto the input."""
     import hashlib
 
     import pandas as pd
@@ -218,9 +226,76 @@ def bpe_encode(
                 out["tokens_sha"].append(
                     hashlib.sha256("\x1f".join(toks).encode()).hexdigest()
                 )
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            for c in carry_cols:
+                res[c] = pdf[c].values
+            yield res
 
-    return spread(documents).select("doc_id", text_col).mapInPandas(
-        run,
-        "doc_id bigint, n_words bigint, n_bpe_tokens bigint, tokens_sha string",
+    base = spread(documents).select("doc_id", text_col, *carry_cols)
+    carry_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in base.schema.fields
+        if f.name in carry_cols
     )
+    return base.mapInPandas(
+        run,
+        "doc_id bigint, n_words bigint, n_bpe_tokens bigint, tokens_sha string"
+        + carry_schema,
+    )
+
+
+def token_accounting(
+    documents: DataFrame, merges: "list", text_col: str = "text"
+) -> DataFrame:
+    """Per-source token BUDGET: real BPE token counts (``bpe_encode``
+    over a learned merge list) against the ~4-chars-per-token
+    heuristic ``q_token_count`` budgets with — the accounting a
+    training pipeline runs to turn a byte budget into a token budget
+    and to see WHERE the heuristic misleads (error concentrates in
+    sources whose length/morphology differ from the merge corpus).
+
+    One encode pass (mapInPandas, zero shuffles — the per-doc source
+    and heuristic ride THROUGH the kernel via ``carry_cols``, no
+    corpus self-join) then one source-keyed agg with map-side
+    partials. All outputs are exact integers (the money-average
+    lesson: ratios are the consumer's division, not a lossy rounded
+    column), so the form is oracle-hashable:
+
+    (source, n_docs, bpe_tokens, est_tokens, abs_err — Σ|real−est|
+    per doc, max_err) — e.g. est/bpe ≈ chars-per-token calibration
+    per source, abs_err/bpe = budget error rate."""
+    est = documents.withColumn(
+        "est_tokens",
+        F.floor((F.length(text_col) + F.lit(3)) / F.lit(4)).cast("bigint"),
+    )
+    enc = bpe_encode(est, merges, text_col, carry_cols=("source", "est_tokens"))
+    err = F.abs(F.col("n_bpe_tokens") - F.col("est_tokens"))
+    return enc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("bpe_tokens"),
+        F.sum("est_tokens").cast("bigint").alias("est_tokens"),
+        F.sum(err).cast("bigint").alias("abs_err"),
+        F.max(err).cast("bigint").alias("max_err"),
+    )
+
+
+#: Merge budget of the DECLARED token-budget query: small enough for
+#: the DuckDB oracle to unroll training step by step, large enough
+#: that the segmentation differs visibly from both characters and
+#: whole words.
+TOKEN_BUDGET_MERGES = 8
+
+
+def q_token_budget(documents: DataFrame) -> DataFrame:
+    """r11-declaration candidate (built r10): train
+    ``TOKEN_BUDGET_MERGES`` BPE merges on the corpus itself, encode
+    the corpus, and report the per-source token budget vs the chars/4
+    heuristic. The composed form of the r10-declared ``q_bpe_pairs``
+    first stage; its DuckDB oracle replays the FULL training unroll
+    (delimited-string merge replay) plus the train==inference
+    segmentation equivalence that is property-pinned in
+    tests/test_extensions.py."""
+    merges, _vocab = bpe_train(
+        documents, n_merges=TOKEN_BUDGET_MERGES, min_pair_freq=2
+    )
+    return token_accounting(documents, merges)

@@ -1891,3 +1891,134 @@ def test_link_graph_duckdb_oracle_parity_and_domain_rank(spark, sf_dir):
     # isolated and correctly absent from the edge-defined node set
     assert len(rows) == 18 and stats["iterations"] < 100
     assert abs(sum(r["pagerank"] for r in rows) - 1.0) < 1e-4
+
+
+def _token_budget_oracle(n_merges: int = 8) -> str:
+    """Generated DuckDB oracle for q_token_budget: replays the FULL
+    BPE training unroll step by step. Each word is a delimited symbol
+    string (chr(31) sym chr(30) — both delimiters can't appear in
+    \\s+-split words), so one merge is a plain non-overlapping
+    leftmost replace() — exactly the Sennrich reference's regex
+    semantics and exactly bpe_apply_merge's fold. Per step: pair
+    counts off the split symbol list, the (pf DESC, a, b) argmax, a
+    guarded replace (pf < 2 keeps the string — bpe_train's
+    min_pair_freq stop, self-consistent for all later steps). Real
+    per-doc token counts then come from the TRAINED segmentation
+    (count of chr(31) per word), which equals bpe_encode's inference
+    segmentation by the train==inference property pinned above."""
+    d1, d2 = "chr(31)", "chr(30)"
+    steps = []
+    for k in range(n_merges):
+        steps.append(f"""
+p{k} AS (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pf FROM (
+    SELECT freq, l[i] AS a, l[i + 1] AS b
+    FROM (SELECT freq,
+                 string_split(substr(s, 2, length(s) - 2), {d2} || {d1}) AS l
+          FROM v{k}),
+         unnest(generate_series(1, len(l) - 1)) AS t(i)
+  ) GROUP BY a, b
+),
+b{k} AS MATERIALIZED (
+  SELECT a, b, pf FROM p{k} ORDER BY pf DESC, a ASC, b ASC LIMIT 1
+),
+v{k + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         CASE WHEN (SELECT pf FROM b{k}) >= 2
+              THEN replace(s,
+                           {d1} || (SELECT a FROM b{k}) || {d2} ||
+                           {d1} || (SELECT b FROM b{k}) || {d2},
+                           {d1} || (SELECT a FROM b{k}) ||
+                                   (SELECT b FROM b{k}) || {d2})
+              ELSE s END AS s
+  FROM v{k}
+)""")
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  )
+  GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT word, freq,
+         regexp_replace(word, '(.)', {d1} || '\\1' || {d2}, 'g')
+           || {d1} || '</w>' || {d2} AS s
+  FROM words
+),{",".join(steps)},
+wordtoks AS (
+  SELECT word,
+         CAST(length(s) - length(replace(s, {d1}, '')) AS BIGINT) AS wt
+  FROM v{n_merges}
+),
+doc_words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+doc_tok AS (
+  SELECT dw.doc_id, SUM(wt.wt) AS real_toks
+  FROM doc_words dw JOIN wordtoks wt USING (word)
+  GROUP BY dw.doc_id
+),
+per_doc AS (
+  SELECT d.source,
+         COALESCE(dt.real_toks, 0) AS real_toks,
+         CAST(floor((length(d.text) + 3) / 4) AS BIGINT) AS est
+  FROM documents d LEFT JOIN doc_tok dt USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(real_toks) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(est) AS BIGINT) AS est_tokens,
+       CAST(SUM(ABS(real_toks - est)) AS BIGINT) AS abs_err,
+       CAST(MAX(ABS(real_toks - est)) AS BIGINT) AS max_err
+FROM per_doc GROUP BY source
+"""
+
+
+TOKEN_BUDGET_ORACLE = _token_budget_oracle()
+
+
+def test_token_budget_duckdb_oracle_parity(spark, sf_dir):
+    """r10: q_token_budget (train 8 merges -> bpe_encode -> per-source
+    budget vs chars/4) vs the full-training-unroll DuckDB oracle — the
+    r11-declaration dry run. The oracle replays training; the Spark
+    side runs REAL inference, so this differentially checks the
+    train==inference equivalence end to end on the fixture corpus,
+    on top of the segmentation property pinned in
+    test_bpe_trainer_matches_python_reference."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.bpe import q_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_token_budget(docs), TOKEN_BUDGET_ORACLE, sf_dir)
+    assert n > 0
+
+
+def test_token_accounting_exact_on_known_corpus(spark):
+    """token_accounting arithmetic on a hand-computable corpus: one
+    merge ('a','b'), doc 'ab ab' -> tokens [ab,</w>,ab,</w>] = 4;
+    est = floor((5+3)/4) = 2; abs_err 2."""
+    from node_js_etl_processor_spark.operators.bpe import token_accounting
+
+    docs = spark.createDataFrame(
+        [(1, "s1", "ab ab"), (2, "s1", "ab"), (3, "s2", "xyz")],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r["source"]: r
+        for r in token_accounting(docs, [("a", "b", 9)]).collect()
+    }
+    # doc1: words [ab, ab] -> [ab,</w>] x2 = 4 toks, est floor(8/4)=2
+    # doc2: [ab,</w>] = 2 toks, est floor((2+3)/4)=1
+    # doc3: [x,y,z,</w>] = 4 toks, est floor((3+3)/4)=1
+    s1, s2 = rows["s1"], rows["s2"]
+    assert (s1["n_docs"], s1["bpe_tokens"], s1["est_tokens"]) == (2, 6, 3)
+    assert (s1["abs_err"], s1["max_err"]) == (3, 2)
+    assert (s2["n_docs"], s2["bpe_tokens"], s2["est_tokens"]) == (1, 4, 1)
+    assert (s2["abs_err"], s2["max_err"]) == (3, 3)
