@@ -933,3 +933,274 @@ def q_audio_features(documents: DataFrame) -> DataFrame:
     presentation sort — the canonical media-pass shape; on a real
     table the synth stage is the parquet payload column."""
     return audio_features_wav(synth_wav_media(documents)).orderBy("media_id")
+
+
+# ---------------------------------------------- stdlib MJPEG-AVI video path
+#
+# The video analogue of the WAV and GIF paths (r10 — the last stubbed
+# modality): an AVI is a RIFF container (same public layout family as
+# WAV) whose 'movi' list carries one baseline-JFIF payload per frame
+# in MJPEG form, fully walkable with struct and fully decodable by
+# reusing ``operators.jpeg.decode_jpeg`` per '00dc' chunk. Supported
+# flavor: MJPEG video streams ('00dc'/'00db' chunks holding baseline
+# JPEG); anything else — other codecs, truncated chunks, missing
+# headers — raises DecodeUnavailable like every codec we lack.
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    import struct
+
+    pad = b"\x00" if len(data) % 2 else b""  # RIFF chunks are even-aligned
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_type: bytes, data: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + data)
+
+
+def encode_avi_mjpeg(frames: "list", fps: int = 10) -> bytes:
+    """Encode equally-sized H×W×3 uint8 rasters as an MJPEG AVI:
+    RIFF('AVI ') → LIST hdrl (avih + LIST strl(strh 'vids'/'MJPG' +
+    strf BITMAPINFOHEADER)) → LIST movi ('00dc' = one baseline JFIF
+    per frame, via ``encode_jpeg_baseline``) → idx1 (keyframe index —
+    every MJPEG frame is one). The writer exists for the same reason
+    as encode_wav/encode_gif: synthesizing test media through the
+    REAL container layout the decoder walks."""
+    import struct
+
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.jpeg import encode_jpeg_baseline
+
+    arrs = [np.asarray(f, dtype=np.uint8) for f in frames]
+    if not arrs:
+        raise ValueError("encode_avi_mjpeg: need at least one frame")
+    if any(a.shape != arrs[0].shape or a.ndim != 3 for a in arrs):
+        raise ValueError("encode_avi_mjpeg: frames must share one HxWx3 shape")
+    if fps < 1:
+        raise ValueError(f"encode_avi_mjpeg: fps must be >= 1, got {fps}")
+    h, w, _ = arrs[0].shape
+    jpegs = [encode_jpeg_baseline(a) for a in arrs]
+    upf = 1_000_000 // fps
+    maxbuf = max(len(j) for j in jpegs)
+    avih = _riff_chunk(
+        b"avih",
+        struct.pack(
+            "<14I", upf, maxbuf * fps, 0, 0x10, len(jpegs), 0, 1, maxbuf,
+            w, h, 0, 0, 0, 0,
+        ),
+    )
+    strh = _riff_chunk(
+        b"strh",
+        b"vids" + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIII4H",
+            0, 0, 0, 0,          # flags, priority, language, initial frames
+            1, fps,              # scale / rate -> fps
+            0, len(jpegs),       # start, length (frames)
+            maxbuf, 0xFFFFFFFF,  # suggested buffer, quality (default)
+            0,                   # sample size (0: variable)
+            0, 0, w, h,          # rcFrame
+        ),
+    )
+    strf = _riff_chunk(
+        b"strf",
+        struct.pack("<IiiHH", 40, w, h, 1, 24)
+        + b"MJPG"
+        + struct.pack("<IiiII", w * h * 3, 0, 0, 0, 0),
+    )
+    hdrl = _riff_list(b"hdrl", avih + _riff_list(b"strl", strh + strf))
+    movi_body = b"".join(_riff_chunk(b"00dc", j) for j in jpegs)
+    movi = _riff_list(b"movi", movi_body)
+    # idx1 offsets point at each chunk's fourcc relative to 'movi'+4
+    idx_entries, off = [], 4
+    for j in jpegs:
+        idx_entries.append(b"00dc" + struct.pack("<III", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) % 2)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx_entries))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def decode_avi_frames(payload: bytes) -> "tuple[list, int]":
+    """Walk an AVI RIFF container and decode every MJPEG video frame:
+    returns ([H×W×3 uint8 rasters in stream order], usec_per_frame
+    from the avih header). Bounds-checked end to end — a non-AVI
+    payload, truncated chunk, missing avih, frameless movi or a
+    corrupt embedded JPEG raises DecodeUnavailable, never a
+    struct/slice error (the per-row isolation contract every decoder
+    here honors)."""
+    import struct
+
+    from node_js_etl_processor_spark.operators.jpeg import decode_jpeg
+
+    if (
+        payload is None
+        or len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        raise DecodeUnavailable("not an AVI payload")
+    try:
+        def subchunks(start: int, end: int):
+            pos = start
+            while pos + 8 <= end:
+                cc = payload[pos : pos + 4]
+                (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+                body = pos + 8
+                if body + size > end:
+                    raise DecodeUnavailable("truncated AVI chunk")
+                yield cc, body, size
+                pos = body + size + (size % 2)
+
+        (riff_size,) = struct.unpack("<I", payload[4:8])
+        end = 8 + riff_size
+        if end > len(payload):
+            raise DecodeUnavailable("truncated AVI payload")
+        upf = None
+        frames: list = []
+        for cc, body, size in subchunks(12, end):
+            if cc != b"LIST":
+                continue
+            ltype = payload[body : body + 4]
+            if ltype == b"hdrl":
+                for c2, b2, s2 in subchunks(body + 4, body + size):
+                    if c2 == b"avih":
+                        if s2 < 4:
+                            raise DecodeUnavailable("short avih header")
+                        (upf,) = struct.unpack("<I", payload[b2 : b2 + 4])
+            elif ltype == b"movi":
+                for c2, b2, s2 in subchunks(body + 4, body + size):
+                    if c2[2:4] in (b"dc", b"db"):
+                        frames.append(decode_jpeg(payload[b2 : b2 + s2]))
+        if upf is None:
+            raise DecodeUnavailable("AVI without avih header")
+        if not frames:
+            raise DecodeUnavailable("AVI without video frames")
+        return frames, int(upf)
+    except DecodeUnavailable:
+        raise
+    except Exception as exc:  # struct/index errors on corrupt containers
+        raise DecodeUnavailable(f"corrupt AVI: {exc}") from exc
+
+
+def synth_video_media(documents: DataFrame) -> DataFrame:
+    """Deterministic MJPEG-AVI media per document — the video twin of
+    ``synth_gif_media``: each doc_id fixes a small clip (width
+    6 + doc_id%7, height 5 + doc_id%5, 1 + doc_id%4 frames at
+    4 + doc_id%4 fps, frame f solid GRAY (doc_id*37 + f*29) % 256),
+    encoded through the REAL ``encode_avi_mjpeg`` (and so the real
+    JPEG encoder) inside the Arrow kernel. Solid-gray frames roundtrip
+    the quant=1 baseline-JFIF path EXACTLY (constant blocks: integer
+    DC, zero AC, identity chroma — property-pinned), which is what
+    keeps every sampled frame's raster digest closed-form in doc_id
+    for the SQL oracle despite JPEG being lossy in general. Every
+    doc_id % 13 == 0 row carries a corrupt RIFF payload instead."""
+    import pandas as pd
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "modality", "mime", "payload", "sha256", "n_bytes",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows["media_id"].append(did)
+                rows["modality"].append("video")
+                rows["mime"].append("video/avi")
+                rows["sha256"].append(None)
+                rows["n_bytes"].append(None)
+                if did % 13 == 0:
+                    rows["payload"].append(b"RIFF\x08\x00\x00\x00AVI corrupt")
+                    continue
+                w, h = 6 + did % 7, 5 + did % 5
+                frames = [
+                    np.full((h, w, 3), (did * 37 + f * 29) % 256, dtype=np.uint8)
+                    for f in range(1 + did % 4)
+                ]
+                rows["payload"].append(
+                    encode_avi_mjpeg(frames, fps=4 + did % 4)
+                )
+            yield pd.DataFrame(rows)
+
+    return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, step: int = FRAME_STEP) -> DataFrame:
+    """REAL video frame sampling (r10) — the last modality
+    ``sample_frames`` still faked with byte strides: walk each AVI
+    payload (``decode_avi_frames``), keep every ``step``-th frame,
+    emit its true geometry, the stream's frame duration and the
+    raster digest (md5 over lowercase hex — the shared oracle-able
+    digest convention). Same batch shape and per-row failure
+    isolation as the WAV/GIF paths: a non-AVI or corrupt payload is
+    one ok=false row, never an executor error; blobs are never
+    exploded Spark-side."""
+    import hashlib
+
+    import pandas as pd
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("ok", StringType(), False),
+            StructField("frame_no", LongType(), True),
+            StructField("n_frames", LongType(), True),
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("usec_per_frame", LongType(), True),
+            StructField("frame_md5", StringType(), True),
+        ]
+    )
+
+    def run(batches):
+        cols = (
+            "media_id", "ok", "frame_no", "n_frames",
+            "width", "height", "usec_per_frame", "frame_md5",
+        )
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames, upf = decode_avi_frames(
+                        bytes(payload) if payload is not None else None
+                    )
+                except DecodeUnavailable:
+                    out["media_id"].append(mid)
+                    out["ok"].append("false")
+                    for k in cols[2:]:
+                        out[k].append(None)
+                    continue
+                for f in range(0, len(frames), step):
+                    out["media_id"].append(mid)
+                    out["ok"].append("true")
+                    out["frame_no"].append(f)
+                    out["n_frames"].append(len(frames))
+                    out["height"].append(frames[f].shape[0])
+                    out["width"].append(frames[f].shape[1])
+                    out["usec_per_frame"].append(upf)
+                    out["frame_md5"].append(
+                        hashlib.md5(frames[f].tobytes().hex().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return spread(media).mapInPandas(run, schema)
+
+
+def q_video_frames(documents: DataFrame) -> DataFrame:
+    """r11-declaration candidate (built r10): the full distributed
+    video loop — ``synth_video_media`` (real JPEG encode into a real
+    AVI container) → ``sample_video_frames`` (real RIFF walk + JPEG
+    decode, every 2nd frame) — with every output column closed-form
+    in doc_id (solid-gray frames make even the lossy-codec digests
+    exact), so a SQL oracle replays geometry, frame durations,
+    corrupt-row isolation AND the raster digests. Oracle parity is
+    pinned by pytest ahead of declaration (tests/test_extensions.py)."""
+    return sample_video_frames(synth_video_media(documents)).orderBy(
+        "media_id", "frame_no"
+    )

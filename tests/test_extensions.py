@@ -2022,3 +2022,95 @@ def test_token_accounting_exact_on_known_corpus(spark):
     assert (s1["abs_err"], s1["max_err"]) == (3, 2)
     assert (s2["n_docs"], s2["bpe_tokens"], s2["est_tokens"]) == (1, 4, 1)
     assert (s2["abs_err"], s2["max_err"]) == (3, 3)
+
+
+VIDEO_FRAMES_ORACLE = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents),
+geo AS (
+  SELECT media_id,
+         6 + media_id % 7 AS w,
+         5 + media_id % 5 AS h,
+         1 + media_id % 4 AS nf,
+         CAST(floor(1000000 / (4 + media_id % 4)) AS BIGINT) AS upf
+  FROM ids WHERE media_id % 13 <> 0
+),
+frames AS (
+  SELECT media_id, w, h, nf, upf, CAST(f AS BIGINT) AS f
+  FROM geo, unnest(generate_series(0, nf - 1)) AS t(f)
+  WHERE f % 2 = 0
+)
+SELECT media_id, 'true' AS ok, f AS frame_no,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       upf AS usec_per_frame,
+       md5(repeat(printf('%02x%02x%02x',
+                         (media_id * 37 + f * 29) % 256,
+                         (media_id * 37 + f * 29) % 256,
+                         (media_id * 37 + f * 29) % 256),
+                  CAST(w * h AS INT))) AS frame_md5
+FROM frames
+UNION ALL
+SELECT media_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL
+FROM ids WHERE media_id % 13 = 0
+"""
+
+
+def test_avi_mjpeg_roundtrip_and_isolation():
+    """r10: the MJPEG-AVI codec — solid-gray frames roundtrip the
+    quant=1 JPEG path EXACTLY through the full RIFF container (the
+    property the video oracle rests on), non-solid frames decode to
+    the right geometry (lossy but walkable), and every corrupt
+    container flavor raises DecodeUnavailable, never struct/slice
+    errors."""
+    import numpy as np
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable,
+        decode_avi_frames,
+        encode_avi_mjpeg,
+    )
+
+    frames = [np.full((5, 13, 3), g, dtype=np.uint8) for g in range(0, 256, 31)]
+    avi = encode_avi_mjpeg(frames, fps=9)
+    out, upf = decode_avi_frames(avi)
+    assert upf == 1_000_000 // 9
+    assert len(out) == len(frames)
+    assert all(np.array_equal(a, b) for a, b in zip(out, frames))
+
+    # non-solid content: decodes with correct shape (lossy is fine)
+    rng = np.arange(8 * 16 * 3, dtype=np.uint8).reshape(8, 16, 3)
+    out, _ = decode_avi_frames(encode_avi_mjpeg([rng], fps=1))
+    assert out[0].shape == (8, 16, 3)
+
+    for bad in (
+        None,
+        b"",
+        b"nope",
+        b"RIFF\x08\x00\x00\x00WAVExxxx",          # RIFF but not AVI
+        b"RIFF\x08\x00\x00\x00AVI corrupt",        # AVI magic, garbage body
+        avi[:40],                                   # truncated mid-header
+        avi[:-7],                                   # truncated mid-frame/idx
+        avi[:12] + b"LIST\xff\xff\xff\xffmovi",    # lying chunk size
+    ):
+        with _pytest.raises(DecodeUnavailable):
+            decode_avi_frames(bad)
+
+    with _pytest.raises(ValueError):
+        encode_avi_mjpeg([], fps=5)
+    with _pytest.raises(ValueError):
+        encode_avi_mjpeg([np.zeros((4, 4, 3), np.uint8)], fps=0)
+
+
+def test_video_frames_duckdb_oracle_parity(spark, sf_dir):
+    """r10: q_video_frames vs its DuckDB oracle — the r11-declaration
+    dry run. The real JPEG-encode -> AVI-wrap -> RIFF-walk ->
+    JPEG-decode -> sample loop is differentially checked against the
+    doc_id closed form, including raster digests (exact despite the
+    lossy codec — solid-gray property) and corrupt-row isolation."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.multimodal import q_video_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_video_frames(docs), VIDEO_FRAMES_ORACLE, sf_dir)
+    assert n > 0
