@@ -195,6 +195,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--only", nargs="*", default=None,
+        help="time only these families (solo re-measure mode); "
+             "skips the scan/scd2/append/skew sections",
+    )
     args = ap.parse_args()
 
     from node_js_etl_processor_spark.operators import dedup, retrieval, similarity, text
@@ -481,6 +486,39 @@ def main() -> None:
         lambda: q_link_graph(docs10),
     )
 
+
+    # ---- r10 operators: the composed BPE token budget (train 8
+    # merges + Arrow-batched encode + one source agg — end-to-end cost
+    # including the trainer's 8 driver round-trips at both scales) and
+    # REAL MJPEG-AVI frame sampling over synthesized payloads (RIFF
+    # walk + per-frame JPEG decode — the video kernel-bandwidth shape)
+    from node_js_etl_processor_spark.operators.bpe import q_token_budget
+    from node_js_etl_processor_spark.operators.multimodal import (
+        sample_video_frames,
+        synth_video_media,
+    )
+
+    queries["q_token_budget"] = (
+        lambda: q_token_budget(docs1),
+        lambda: q_token_budget(docs10),
+    )
+    vid1 = os.path.join(tmp, "vid_1x")
+    vid10 = os.path.join(tmp, "vid_10x")
+    synth_video_media(docs1).write.parquet(vid1)
+    synth_video_media(docs10).write.parquet(vid10)
+    vmedia1 = spark.read.parquet(vid1)
+    vmedia10 = spark.read.parquet(vid10)
+    queries["sample_video_frames"] = (
+        lambda: sample_video_frames(vmedia1),
+        lambda: sample_video_frames(vmedia10),
+    )
+
+    if args.only:
+        unknown = set(args.only) - set(queries)
+        if unknown:
+            raise SystemExit(f"--only: unknown families {sorted(unknown)}")
+        queries = {k: v for k, v in queries.items() if k in args.only}
+
     results = {}
     for name, (f1, f10) in queries.items():
         t1 = timed(f1, args.runs)
@@ -497,174 +535,177 @@ def main() -> None:
         print(f"[{name}] 1x={t1}s {args.replicas}x={t10}s "
               f"ratio={results[name]['ratio']} rows {r1}->{r10}", file=sys.stderr)
 
-    # ---- measured scan volume for the IVFADC probe (the ~4 bytes/
-    # vector claim): per-column compressed bytes from the parquet
-    # footers of the PROBED cell directories vs the whole layout —
-    # partition pruning bounds the file set, column pruning bounds the
-    # bytes within it to (vec_id, codes)
-    import glob as globmod
+    scan = skew = None
+    if not args.only:  # solo mode times families only
+        # ---- measured scan volume for the IVFADC probe (the ~4 bytes/
+        # vector claim): per-column compressed bytes from the parquet
+        # footers of the PROBED cell directories vs the whole layout —
+        # partition pruning bounds the file set, column pruning bounds the
+        # bytes within it to (vec_id, codes)
+        import glob as globmod
 
-    import duckdb
+        import duckdb
 
-    def col_bytes(files: list[str]) -> dict[str, int]:
-        con = duckdb.connect()
-        tot: dict[str, int] = {}
-        for f in files:
-            for path_in_schema, sz in con.execute(
-                "SELECT path_in_schema, total_compressed_size"
-                " FROM parquet_metadata(?)", [f]
-            ).fetchall():
-                root = path_in_schema.split(".")[0]
-                tot[root] = tot.get(root, 0) + int(sz)
-        con.close()
-        return tot
+        def col_bytes(files: list[str]) -> dict[str, int]:
+            con = duckdb.connect()
+            tot: dict[str, int] = {}
+            for f in files:
+                for path_in_schema, sz in con.execute(
+                    "SELECT path_in_schema, total_compressed_size"
+                    " FROM parquet_metadata(?)", [f]
+                ).fetchall():
+                    root = path_in_schema.split(".")[0]
+                    tot[root] = tot.get(root, 0) + int(sz)
+            con.close()
+            return tot
 
-    cells = similarity.probe_cell_set(probe, 8, 2)
-    probed_files = [
-        f for c in cells for f in globmod.glob(f"{lay10}/by_cell/cell={c}/*.parquet")
-    ]
-    all_files = globmod.glob(f"{lay10}/by_cell/cell=*/*.parquet")
-    probed = col_bytes(probed_files)
-    full = col_bytes(all_files)
-    n_probed = spark.read.parquet(f"{lay10}/by_cell").filter(
-        F.col("cell").isin(cells)
-    ).count()
-    adc_read = probed.get("vec_id", 0) + probed.get("codes", 0)
-    scan = {
-        "probed_cells": cells,
-        "n_probed_vectors": n_probed,
-        "adc_read_bytes": adc_read,
-        "adc_bytes_per_vector": round(adc_read / n_probed, 2) if n_probed else None,
-        "probed_all_columns_bytes": sum(probed.values()),
-        "layout_all_columns_bytes": sum(full.values()),
-        "read_fraction_of_layout": round(adc_read / sum(full.values()), 4),
-    }
-    print(f"[ivfpq_scan] {scan}", file=sys.stderr)
+        cells = similarity.probe_cell_set(probe, 8, 2)
+        probed_files = [
+            f for c in cells for f in globmod.glob(f"{lay10}/by_cell/cell={c}/*.parquet")
+        ]
+        all_files = globmod.glob(f"{lay10}/by_cell/cell=*/*.parquet")
+        probed = col_bytes(probed_files)
+        full = col_bytes(all_files)
+        n_probed = spark.read.parquet(f"{lay10}/by_cell").filter(
+            F.col("cell").isin(cells)
+        ).count()
+        adc_read = probed.get("vec_id", 0) + probed.get("codes", 0)
+        scan = {
+            "probed_cells": cells,
+            "n_probed_vectors": n_probed,
+            "adc_read_bytes": adc_read,
+            "adc_bytes_per_vector": round(adc_read / n_probed, 2) if n_probed else None,
+            "probed_all_columns_bytes": sum(probed.values()),
+            "layout_all_columns_bytes": sum(full.values()),
+            "read_fraction_of_layout": round(adc_read / sum(full.values()), 4),
+        }
+        print(f"[ivfpq_scan] {scan}", file=sys.stderr)
 
-    # ---- r9: SCD2 CDC merge vs store size (the warehouse-tier store
-    # pattern): a FIXED ~20-key CDC batch applied to a 1x vs 10x
-    # stored dimension at n_buckets=256 — apply cost must track the
-    # batch + its touched buckets (~|keys|/256 of the store), not the
-    # store size. The apply WRITES (dynamic partition overwrite), so
-    # it is timed directly over two sequential date-sliced batches
-    # (the production cadence), not through the noop-write runner.
-    from node_js_etl_processor_spark.sources.scd2_store import (
-        scd2_apply_delta,
-        write_scd2_store,
-    )
-
-    scd_keys = [r[0] for r in orders1.select("o_custkey").distinct().limit(20).collect()]
-    scd2_res = {}
-    for scale, odf in (("1x", orders1), (f"{args.replicas}x", orders10)):
-        pre = odf.filter(F.col("o_orderdate") < "1999-01-01")
-        b1 = odf.filter(
-            (F.col("o_orderdate") >= "1999-01-01")
-            & (F.col("o_orderdate") < "2000-06-01")
-            & F.col("o_custkey").isin(scd_keys)
+        # ---- r9: SCD2 CDC merge vs store size (the warehouse-tier store
+        # pattern): a FIXED ~20-key CDC batch applied to a 1x vs 10x
+        # stored dimension at n_buckets=256 — apply cost must track the
+        # batch + its touched buckets (~|keys|/256 of the store), not the
+        # store size. The apply WRITES (dynamic partition overwrite), so
+        # it is timed directly over two sequential date-sliced batches
+        # (the production cadence), not through the noop-write runner.
+        from node_js_etl_processor_spark.sources.scd2_store import (
+            scd2_apply_delta,
+            write_scd2_store,
         )
-        b2 = odf.filter(
-            (F.col("o_orderdate") >= "2000-06-01")
-            & F.col("o_custkey").isin(scd_keys)
-        )
-        spath = os.path.join(tmp, f"scd2_{scale}")
-        write_scd2_store(pre, spath, n_buckets=256)
-        ts = []
-        for b in (b1, b2):
-            t0 = time.perf_counter()
-            scd2_apply_delta(spark, b, spath, n_buckets=256)
-            ts.append(time.perf_counter() - t0)
-        scd2_res[f"sec_{scale}"] = round(statistics.median(ts), 3)
-        scd2_res[f"store_rows_{scale}"] = pre.count()
-    scd2_res["ratio"] = (
-        round(scd2_res[f"sec_{args.replicas}x"] / scd2_res["sec_1x"], 2)
-        if scd2_res["sec_1x"] > 0
-        else None
-    )
-    results["scd2_apply_delta_fixed_batch"] = scd2_res
-    print(f"[scd2_apply_delta_fixed_batch] {scd2_res}", file=sys.stderr)
 
-    # ---- r9: index/layout APPEND cost vs store size — the mergeable-
-    # partials (bm25) and per-row-facts (ann) maintenance claims: a
-    # FIXED batch appended to a 1x vs 10x store must cost ~the same
-    # (appends never read the store). Fresh ids via a +1e10 offset
-    # honor the new-ids append contract; two sequential appends per
-    # scale, median reported.
-    from node_js_etl_processor_spark.sources.bm25_index import (
-        append_bm25_index,
-        write_bm25_index,
-    )
-    from node_js_etl_processor_spark.sources.similarity_layout import (
-        append_ann_layout,
-        write_ann_layout,
-    )
-
-    ID_OFF = 10_000_000_000
-    for name, one, ten, writer, appender, key in (
-        ("bm25_append_fixed_batch", docs1, docs10, write_bm25_index,
-         append_bm25_index, "doc_id"),
-        ("ann_append_fixed_batch", emb1, emb10, write_ann_layout,
-         append_ann_layout, "vec_id"),
-    ):
-        res = {}
-        for scale, base in (("1x", one), (f"{args.replicas}x", ten)):
-            spath = os.path.join(tmp, f"{name}_{scale}")
-            writer(base, spath)
+        scd_keys = [r[0] for r in orders1.select("o_custkey").distinct().limit(20).collect()]
+        scd2_res = {}
+        for scale, odf in (("1x", orders1), (f"{args.replicas}x", orders10)):
+            pre = odf.filter(F.col("o_orderdate") < "1999-01-01")
+            b1 = odf.filter(
+                (F.col("o_orderdate") >= "1999-01-01")
+                & (F.col("o_orderdate") < "2000-06-01")
+                & F.col("o_custkey").isin(scd_keys)
+            )
+            b2 = odf.filter(
+                (F.col("o_orderdate") >= "2000-06-01")
+                & F.col("o_custkey").isin(scd_keys)
+            )
+            spath = os.path.join(tmp, f"scd2_{scale}")
+            write_scd2_store(pre, spath, n_buckets=256)
             ts = []
-            for j in (1, 2):
-                batch = one.filter(F.col(key) % 20 == 0).withColumn(
-                    key, F.col(key) + F.lit(j * ID_OFF)
-                )
+            for b in (b1, b2):
                 t0 = time.perf_counter()
-                appender(batch, spath)
+                scd2_apply_delta(spark, b, spath, n_buckets=256)
                 ts.append(time.perf_counter() - t0)
-            res[f"sec_{scale}"] = round(statistics.median(ts), 3)
-        res["ratio"] = (
-            round(res[f"sec_{args.replicas}x"] / res["sec_1x"], 2)
-            if res["sec_1x"] > 0
+            scd2_res[f"sec_{scale}"] = round(statistics.median(ts), 3)
+            scd2_res[f"store_rows_{scale}"] = pre.count()
+        scd2_res["ratio"] = (
+            round(scd2_res[f"sec_{args.replicas}x"] / scd2_res["sec_1x"], 2)
+            if scd2_res["sec_1x"] > 0
             else None
         )
-        results[name] = res
-        print(f"[{name}] {res}", file=sys.stderr)
+        results["scd2_apply_delta_fixed_batch"] = scd2_res
+        print(f"[scd2_apply_delta_fixed_batch] {scd2_res}", file=sys.stderr)
 
-    # ---- skew demo: source-keyed shuffle, 50% of rows on one key ----
-    uniform = per_task_rows(docs10, ["source"])
-    hot = per_task_rows(docsk, ["source"])
-    salted = per_task_rows(
-        docsk.withColumn("_salt", _salt(F.col("doc_id"), 8)), ["source", "_salt"]
-    )
+        # ---- r9: index/layout APPEND cost vs store size — the mergeable-
+        # partials (bm25) and per-row-facts (ann) maintenance claims: a
+        # FIXED batch appended to a 1x vs 10x store must cost ~the same
+        # (appends never read the store). Fresh ids via a +1e10 offset
+        # honor the new-ids append contract; two sequential appends per
+        # scale, median reported.
+        from node_js_etl_processor_spark.sources.bm25_index import (
+            append_bm25_index,
+            write_bm25_index,
+        )
+        from node_js_etl_processor_spark.sources.similarity_layout import (
+            append_ann_layout,
+            write_ann_layout,
+        )
 
-    def task_stats(parts: list[int]) -> dict:
-        """max/mean over ALL task slots (empty slots are idle tasks —
-        the wasted parallelism IS the skew cost) + the hot task's share
-        of total rows (what fraction of the stage one task processes)."""
-        mean = sum(parts) / len(parts)
-        return {
-            "max_rows": max(parts),
-            "max_over_mean": round(max(parts) / mean, 2),
-            "max_share": round(max(parts) / sum(parts), 3),
+        ID_OFF = 10_000_000_000
+        for name, one, ten, writer, appender, key in (
+            ("bm25_append_fixed_batch", docs1, docs10, write_bm25_index,
+             append_bm25_index, "doc_id"),
+            ("ann_append_fixed_batch", emb1, emb10, write_ann_layout,
+             append_ann_layout, "vec_id"),
+        ):
+            res = {}
+            for scale, base in (("1x", one), (f"{args.replicas}x", ten)):
+                spath = os.path.join(tmp, f"{name}_{scale}")
+                writer(base, spath)
+                ts = []
+                for j in (1, 2):
+                    batch = one.filter(F.col(key) % 20 == 0).withColumn(
+                        key, F.col(key) + F.lit(j * ID_OFF)
+                    )
+                    t0 = time.perf_counter()
+                    appender(batch, spath)
+                    ts.append(time.perf_counter() - t0)
+                res[f"sec_{scale}"] = round(statistics.median(ts), 3)
+            res["ratio"] = (
+                round(res[f"sec_{args.replicas}x"] / res["sec_1x"], 2)
+                if res["sec_1x"] > 0
+                else None
+            )
+            results[name] = res
+            print(f"[{name}] {res}", file=sys.stderr)
+
+        # ---- skew demo: source-keyed shuffle, 50% of rows on one key ----
+        uniform = per_task_rows(docs10, ["source"])
+        hot = per_task_rows(docsk, ["source"])
+        salted = per_task_rows(
+            docsk.withColumn("_salt", _salt(F.col("doc_id"), 8)), ["source", "_salt"]
+        )
+
+        def task_stats(parts: list[int]) -> dict:
+            """max/mean over ALL task slots (empty slots are idle tasks —
+            the wasted parallelism IS the skew cost) + the hot task's share
+            of total rows (what fraction of the stage one task processes)."""
+            mean = sum(parts) / len(parts)
+            return {
+                "max_rows": max(parts),
+                "max_over_mean": round(max(parts) / mean, 2),
+                "max_share": round(max(parts) / sum(parts), 3),
+            }
+
+        # equivalence on the skewed corpus: salted_count == plain groupBy
+        plain = {r["source"]: r["n"] for r in
+                 docsk.groupBy("source").agg(F.count("*").cast("bigint").alias("n")).collect()}
+        salted_res = {r["source"]: r["n"] for r in
+                      salted_count(docsk, "source", "doc_id", 8).collect()}
+        assert plain == salted_res, "salted_count must equal plain groupBy count"
+
+        skew = {
+            "uniform": task_stats(uniform),
+            "hot": task_stats(hot),
+            "hot_salted": task_stats(salted),
+            "salted_count_equals_plain": True,
         }
-
-    # equivalence on the skewed corpus: salted_count == plain groupBy
-    plain = {r["source"]: r["n"] for r in
-             docsk.groupBy("source").agg(F.count("*").cast("bigint").alias("n")).collect()}
-    salted_res = {r["source"]: r["n"] for r in
-                  salted_count(docsk, "source", "doc_id", 8).collect()}
-    assert plain == salted_res, "salted_count must equal plain groupBy count"
-
-    skew = {
-        "uniform": task_stats(uniform),
-        "hot": task_stats(hot),
-        "hot_salted": task_stats(salted),
-        "salted_count_equals_plain": True,
-    }
-    print(f"[skew] uniform={skew['uniform']} hot={skew['hot']} "
-          f"salted={skew['hot_salted']}", file=sys.stderr)
+        print(f"[skew] uniform={skew['uniform']} hot={skew['hot']} "
+              f"salted={skew['hot_salted']}", file=sys.stderr)
 
     print(json.dumps({
         "replicas": args.replicas,
         "runs": args.runs,
         "n_docs_1x": docs1.count(),
         "n_vecs_1x": emb1.count(),
+        "only": args.only,
         "queries": results,
         "ivfpq_scan": scan,
         "skew": skew,

@@ -575,3 +575,33 @@ def test_bpe_pair_counts_two_keyed_exchanges(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "EvalPython" not in plan
     assert "partial" in plan.lower() or "HashAggregate" in plan
+
+
+def test_token_accounting_one_exchange_after_arrow_kernel(spark, sf_dir):
+    """r10: token_accounting = the Arrow encode kernel feeding ONE
+    source-keyed aggregation exchange with map-side partials — the
+    per-doc metadata (source, estimate) rides THROUGH the kernel
+    (carry_cols), so no corpus-sized self-join appears in the plan."""
+    from node_js_etl_processor_spark.operators.bpe import token_accounting
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = token_accounting(docs, [("t", "h", 9), ("th", "e</w>", 7)])
+    plan = plan_text(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in plan
+    assert "Join" not in plan  # carry_cols, not a doc_id self-join
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_video_frames_zero_shuffles_before_sort(spark, sf_dir):
+    """r10: the chained video loop (synth -> RIFF walk + JPEG decode ->
+    sample) is two mapInPandas passes with NO shuffle before the
+    declared wrapper's presentation sort — blobs never move between
+    executors, the 100 TB media-pass shape (the GIF pin's twin)."""
+    from node_js_etl_processor_spark.operators.multimodal import q_video_frames
+
+    df = q_video_frames(load_table(spark, sf_dir, "documents"))
+    plan = plan_text(df, "simple")
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange hashpartitioning" not in plan  # only the sort's range
+    assert "Join" not in plan
