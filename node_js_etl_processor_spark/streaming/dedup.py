@@ -323,26 +323,33 @@ def countmin_ingest_stream(
     test-pinned: streamed grid == one-shot batch grid, cell for
     cell.
 
-    Honest residual window (merge-style loop): the merge REWRITES the
-    whole 256-row grid; a crash mid-overwrite can lose it, and a
-    crash between the rewrite and the marker re-merges the batch into
-    its own contribution. The bootstrap sentinel (r10) closes the
-    first-batch half (a re-delivered first batch overwrites instead
-    of merging with itself); the general half needs a transactional
-    table format, unlike the append-style loops."""
+    Exactly-once (r10 — the versioned-pointer protocol, closing the
+    merge-loop window the append loops' staged publish cannot): each
+    batch writes the merged grid to a NEW ``v_<tag>`` directory and
+    atomically repoints ``_CURRENT`` at it. A crash mid-write leaves
+    the pointer on the old version (re-delivery re-merges from it); a
+    crash between the pointer switch and the marker is detected
+    because the pointer already names THIS batch's version (just
+    mark); the old grid is never destroyed until its successor is
+    live. Affordable precisely because the store is parameter-sized —
+    the general partition-rewriting merge (SCD2) still needs a
+    transactional table format."""
+    import posixpath
+
     from pyspark.sql import functions as F
 
     from ..operators.sketch import countmin_build
     from .markers import (
         batch_already_applied,
-        bootstrap_pending,
+        current_version,
+        gc_versions,
         mark_batch_applied,
-        record_bootstrap,
-        store_has_data,
+        marker_id,
+        set_current_version,
     )
 
-    # markers live BESIDE the grid: the merge rewrites store_path
-    # wholesale, which would wipe markers kept inside it
+    # markers live BESIDE the grid store (countmin precedent kept:
+    # the store root holds only version dirs + the pointer)
     meta_path = store_path.rstrip("/") + "_meta"
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
@@ -351,25 +358,31 @@ def countmin_ingest_stream(
         # double-count every cell it touched
         if batch_already_applied(meta_path, checkpoint, batch_id):
             return
+        vname = f"v_{marker_id(checkpoint, batch_id)}"
+        cur = current_version(store_path)
+        if cur == vname:
+            # crash landed between the pointer switch and the marker:
+            # this batch's merge IS the live grid — just commit it
+            mark_batch_applied(meta_path, checkpoint, batch_id)
+            gc_versions(store_path, keep=vname)
+            return
         grid = countmin_build(batch_df, key_col)
-        is_bootstrap = not store_has_data(store_path) or bootstrap_pending(
-            meta_path, checkpoint, batch_id
-        )
-        if is_bootstrap:
-            record_bootstrap(meta_path, checkpoint, batch_id)
-        else:
-            stored = spark.read.parquet(store_path)
+        if cur is not None:
+            stored = spark.read.parquet(posixpath.join(store_path, cur))
             grid = (
                 grid.unionByName(stored)
                 .groupBy("row", "col")
                 .agg(F.sum("c").cast("bigint").alias("c"))
             )
-        # 256 rows: rewrite atomically via a tmp dir + rename-free
-        # overwrite (the grid is tiny; a full rewrite per batch is the
-        # merge cost, independent of stream volume)
+        # 256 rows: a full rewrite per batch IS the merge cost,
+        # independent of stream volume
         merged = grid.localCheckpoint(eager=True)
-        merged.coalesce(1).write.mode("overwrite").parquet(store_path)
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            posixpath.join(store_path, vname)
+        )
+        set_current_version(store_path, vname)
         mark_batch_applied(meta_path, checkpoint, batch_id)
+        gc_versions(store_path, keep=vname)
 
     return (
         items_stream.writeStream.foreachBatch(_ingest)

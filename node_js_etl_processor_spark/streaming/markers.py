@@ -40,13 +40,20 @@ SparkSession, the same client Spark's own writers use):
    partial work, then re-publishes. Re-delivery therefore completes
    or no-ops; it never double-counts.
 
-Together 1–3 close the crash window for every append-style loop.
-The loops whose side effect is a WHOLE-STORE merge or a
-partition-scoped overwrite (Count-Min grid rewrite, SCD2 dynamic
-bucket overwrite) keep a residual mid-rewrite window — closing those
-needs a transactional table format — called out in their own
-docstrings. Reprocessing the same source under a NEW checkpoint is a
-new stream, not a retry, and intentionally re-ingests.
+4. **Versioned pointer** — for parameter-sized whole-store rewrites
+   (the Count-Min grid merge), each batch writes its merged store to
+   a fresh ``v_<tag>`` directory and atomically switches the
+   ``_CURRENT`` pointer; the predecessor is never destroyed before
+   its successor is live, and a pointer already naming the batch's
+   own version tells the re-delivery the merge committed.
+
+Together these close the crash window for every append-style loop
+AND the grid-merge loop. The one remaining residual is the
+partition-scoped overwrite merge (SCD2's dynamic bucket rewrite,
+where versioning every touched bucket would duplicate the store) —
+closing it needs a transactional table format, called out in
+warehouse.py. Reprocessing the same source under a NEW checkpoint is
+a new stream, not a retry, and intentionally re-ingests.
 """
 
 from __future__ import annotations
@@ -330,3 +337,48 @@ def cleanup_staging(root: str, tag: str) -> None:
     marker: deleting it earlier would erase the manifest a crash
     recovery needs). Safe to call when nothing is staged."""
     _delete(_staging_root(root, tag))
+
+
+# ---------------------------------------------------------------------------
+# versioned-store pointer: exactly-once for small whole-store rewrites
+# ---------------------------------------------------------------------------
+
+
+def set_current_version(store_path: str, version: str) -> None:
+    """Atomically repoint ``<store>/_CURRENT`` at ``version`` (a
+    completed ``v_<tag>`` directory): write ``_CURRENT.tmp``, drop the
+    old pointer, rename. On a crash between the drop and the rename,
+    ``current_version`` falls back to the tmp file — which names the
+    NEWEST completed version, so either resolution order converges
+    (the re-delivered batch sees its own version and just marks, or
+    re-merges from the old one and overwrites)."""
+    tmp = posixpath.join(store_path, "_CURRENT.tmp")
+    dst = posixpath.join(store_path, "_CURRENT")
+    _write_text(tmp, version)
+    _delete(dst)
+    _rename(tmp, dst)
+
+
+def current_version(store_path: str) -> str | None:
+    """The store's current version directory name, resolved from the
+    pointer (``_CURRENT``, else the mid-switch ``_CURRENT.tmp`` — see
+    ``set_current_version``); None for an empty/new store."""
+    for name in ("_CURRENT", "_CURRENT.tmp"):
+        p = posixpath.join(store_path, name)
+        if _exists(p):
+            v = _read_text(p).strip()
+            if v and _exists(posixpath.join(store_path, v)):
+                return v
+    return None
+
+
+def gc_versions(store_path: str, keep: str) -> None:
+    """Drop every ``v_*`` version directory except ``keep`` (the
+    freshly-pointed current). Single-writer loops call this after the
+    pointer switch; a reader that resolved the pointer BEFORE the
+    switch and is still scanning the old version races this delete —
+    the standard compact-while-reading tradeoff, acceptable for the
+    parameter-sized stores this pointer protocol is meant for."""
+    for name, is_dir in _listdir(store_path):
+        if is_dir and name.startswith("v_") and name != keep:
+            _delete(posixpath.join(store_path, name))

@@ -245,3 +245,24 @@ def test_hybrid_from_incrementally_built_stores_equals_one_shot(
         ).collect()
     ]
     assert got == want and len(got) == 10
+
+
+def test_reader_rejects_pre_partials_stats_layout(spark, sf_dir, tmp_path):
+    """r10 (r9 ADVICE): an index whose stats were written by the
+    pre-r9 layout — (n_docs, avgdl) finals instead of mergeable
+    (n_docs, sum_dl) partials — must fail with an actionable
+    rebuild-the-index error, not an unresolved-column analysis
+    exception."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "stale")
+    write_bm25_index(docs, idx)
+    # devolve the stats dir to the pre-partials layout
+    stale = spark.read.parquet(f"{idx}/stats").select(
+        "n_docs", (F.col("sum_dl") / F.col("n_docs")).alias("avgdl")
+    ).localCheckpoint(eager=True)
+    stale.write.mode("overwrite").parquet(f"{idx}/stats")
+    with _pytest.raises(ValueError, match="rebuild the index"):
+        bm25_from_index(spark, idx, BM25_QUERY_TERMS)

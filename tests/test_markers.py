@@ -306,3 +306,75 @@ def test_exact_dedup_stream_recovers_crashed_bootstrap(
     assert got.count() == n_unique  # exactly once — not doubled
     assert got.select("doc_id").distinct().count() == got.count()
     assert spark.read.parquet(store).count() == n_unique
+
+
+def _countmin_setup(spark, sf_dir, tmp_path):
+    from node_js_etl_processor_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    src = tmp_path / "landing"
+    src.mkdir()
+    orders.filter("o_orderkey % 2 = 0").coalesce(1).write.json(str(src / "b1"))
+    orders.filter("o_orderkey % 2 = 1").coalesce(1).write.json(str(src / "b2"))
+    return orders, src
+
+
+@pytest.mark.parametrize("crash_point", ["before_pointer", "after_pointer"])
+def test_countmin_stream_exactly_once_across_merge_crash(
+    spark, sf_dir, tmp_path, monkeypatch, crash_point
+):
+    """The versioned-pointer protocol (r10): a crash around the grid
+    merge — either after the new version is written but before the
+    pointer switch, or after the switch but before the marker — must
+    leave the re-delivered batch merging exactly once (the r9 loop
+    would have lost the grid or double-counted every touched cell)."""
+    from node_js_etl_processor_spark.operators.sketch import (
+        countmin_build,
+        countmin_read_store,
+    )
+    from node_js_etl_processor_spark.streaming.dedup import countmin_ingest_stream
+
+    orders, src = _countmin_setup(spark, sf_dir, tmp_path)
+    store = str(tmp_path / "cms")
+    schema = "o_orderkey long, o_custkey long"
+
+    q = countmin_ingest_stream(
+        spark.readStream.schema(schema).json(str(src / "b1")),
+        "o_custkey", store, str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+
+    calls: list = []
+    if crash_point == "after_pointer":
+        _crash_once(monkeypatch, markers, calls)
+    else:
+
+        def boom(*a, **k):
+            calls.append(a)
+            raise RuntimeError("injected crash before pointer switch")
+
+        monkeypatch.setattr(markers, "set_current_version", boom)
+    q = countmin_ingest_stream(
+        spark.readStream.schema(schema).json(str(src / "b2")),
+        "o_custkey", store, str(tmp_path / "ck2"),
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert calls
+    monkeypatch.undo()
+
+    q = countmin_ingest_stream(
+        spark.readStream.schema(schema).json(str(src / "b2")),
+        "o_custkey", store, str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["row"], r["col"]): r["c"]
+        for r in countmin_read_store(spark, store).collect()
+    }
+    batch = {
+        (r["row"], r["col"]): r["c"]
+        for r in countmin_build(orders, "o_custkey").collect()
+    }
+    assert streamed == batch and len(streamed) > 0

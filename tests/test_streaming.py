@@ -557,6 +557,7 @@ def test_countmin_ingest_stream_merges_exactly(spark, sf_dir, tmp_path):
     from node_js_etl_processor_spark.operators.sketch import (
         countmin_build,
         countmin_estimate,
+        countmin_read_store,
     )
     from node_js_etl_processor_spark.streaming.dedup import countmin_ingest_stream
 
@@ -580,7 +581,8 @@ def test_countmin_ingest_stream_merges_exactly(spark, sf_dir, tmp_path):
         q.awaitTermination(120)
 
     streamed = {
-        (r["row"], r["col"]): r["c"] for r in spark.read.parquet(store).collect()
+        (r["row"], r["col"]): r["c"]
+        for r in countmin_read_store(spark, store).collect()
     }
     batch = {
         (r["row"], r["col"]): r["c"] for r in countmin_build(orders, "o_custkey").collect()
@@ -591,7 +593,7 @@ def test_countmin_ingest_stream_merges_exactly(spark, sf_dir, tmp_path):
     got = {
         r["o_custkey"]: r["cms_est"]
         for r in countmin_estimate(
-            probes, spark.read.parquet(store), "o_custkey"
+            probes, countmin_read_store(spark, store), "o_custkey"
         ).collect()
     }
     want = {
