@@ -10,14 +10,34 @@ tier, and the same upsert intent as the reference's own design notes
 (reference README.md:295-310 — incremental upsert into the serving
 store rather than full reload):
 
-- ``write_scd2_store`` materializes the q_scd2 history Hive-partitioned
-  by ``bucket = pmod(xxhash64(custkey), n_buckets)``;
+- ``write_scd2_store`` materializes the q_scd2 history bucketed by
+  ``bucket = pmod(xxhash64(custkey), n_buckets)``;
 - ``scd2_apply_delta`` merges a CDC batch: the batch's key set prunes
-  the store read to the touched buckets (a PARTITION FILTER — untouched
-  buckets are never listed, read, or rewritten), current rows of
-  touched keys are closed, new versions appended, and ONLY the touched
-  bucket directories are replaced (dynamic partition overwrite);
+  the store read to the touched buckets (manifest-level pruning —
+  untouched buckets are never listed, read, or rewritten), current
+  rows of touched keys are closed, new versions appended, and only
+  the touched buckets get new data files;
 - ``scd2_cdc_stream`` (streaming/warehouse.py) is the foreachBatch twin.
+
+**Manifest-committed layout (r10)** — the store is a miniature
+transactional table, closing the crash window the r9 dynamic
+partition overwrite left open (a crash mid-overwrite left some
+buckets updated and some not, indistinguishably):
+
+    <store>/data_<tag>/bucket=K/part-*.parquet  -- immutable batch output
+    <store>/m_<tag>                             -- manifest FILE:
+                                                   bucket -> data dir
+    <store>/_CURRENT                            -- atomic pointer
+                                                   (markers protocol)
+
+A merge writes the touched buckets' new files into a FRESH
+``data_<tag>`` directory (referenced by no manifest — a crashed
+attempt is invisible garbage, and its re-delivery recomputes against
+the still-live old manifest, provably uncontaminated), writes the new
+manifest, then atomically switches the pointer. A pointer already
+naming the batch's own manifest tells the re-delivery the merge
+committed. Unreferenced bucket dirs are GC'd after the switch.
+Readers resolve the pointer at read time.
 
 CDC contract (the standard type-2 one): every batch event is strictly
 later — by (o_orderdate, o_orderkey) — than every stored event of the
@@ -27,16 +47,28 @@ same key. Under it, delta == full rebuild is test-pinned
 Cost at 100 TB: per CDC batch, O(|batch|) window work + one read of
 |touched buckets| ≈ |history| × min(1, |batch keys| / n_buckets) — vs
 the full rebuild's window over every fact ever. The driver round-trip
-is the ≤ n_buckets-value bucket list (parameters, not data).
+is the ≤ n_buckets-value bucket list and the manifest (parameters,
+not data).
 """
 
 from __future__ import annotations
+
+import posixpath
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from node_js_etl_processor_spark.operators.relational import q_scd2
+from node_js_etl_processor_spark.streaming.markers import (
+    _delete,
+    _listdir,
+    _read_text,
+    _write_text,
+    current_version,
+    set_current_version,
+)
 
 HISTORY_COLS = ["custkey", "version", "status", "valid_from", "valid_to", "is_current"]
 
@@ -45,23 +77,107 @@ def _bucket(col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
 
 
-def write_scd2_store(
-    orders: DataFrame, path: str, n_buckets: int = 32
-) -> None:
-    """Materialize the type-2 history of a fact table under ``path``,
-    partitioned by key bucket. ``repartition("bucket")`` before
-    ``partitionBy`` keeps one file per bucket directory per shuffle
-    partition (the similarity_layout small-file discipline)."""
-    hist = q_scd2(orders).withColumn("bucket", _bucket("custkey", n_buckets))
-    hist.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
-        path
+def _read_manifest(path: str) -> "tuple[int, dict[int, str]] | None":
+    """(n_buckets, {bucket: data_dir}) from the current manifest, or
+    None for an empty/never-committed store."""
+    cur = current_version(path)
+    if cur is None:
+        return None
+    lines = _read_text(posixpath.join(path, cur)).splitlines()
+    head = lines[0].split()
+    if head[0] != "scd2_v2":
+        raise ValueError(
+            f"unrecognized SCD2 manifest header {lines[0]!r} at {path!r}"
+        )
+    n_buckets = int(head[1].split("=")[1])
+    mapping = {}
+    for line in lines[1:]:
+        if line:
+            b, d = line.split("\t")
+            mapping[int(b)] = d
+    return n_buckets, mapping
+
+
+def _write_manifest(
+    path: str, tag: str, n_buckets: int, mapping: "dict[int, str]"
+) -> str:
+    name = f"m_{tag}"
+    body = f"scd2_v2 n_buckets={n_buckets}\n" + "\n".join(
+        f"{b}\t{d}" for b, d in sorted(mapping.items())
     )
+    _write_text(posixpath.join(path, name), body)
+    return name
+
+
+def _gc_store(path: str, mapping: "dict[int, str]", keep_manifest: str) -> None:
+    """Drop everything the new manifest no longer references: stale
+    manifests, fully-unreferenced data dirs, and bucket dirs remapped
+    away from a still-referenced data dir. Runs AFTER the pointer
+    switch, so nothing live is ever touched; a crash mid-GC just
+    leaves garbage the next batch's GC sweeps."""
+    live_dirs = set(mapping.values())
+    for name, is_dir in _listdir(path):
+        if is_dir and name.startswith("data_"):
+            if name not in live_dirs:
+                _delete(posixpath.join(path, name))
+                continue
+            for child, child_is_dir in _listdir(posixpath.join(path, name)):
+                if child_is_dir and child.startswith("bucket="):
+                    b = int(child.split("=", 1)[1])
+                    if mapping.get(b) != name:
+                        _delete(posixpath.join(path, name, child))
+        elif not is_dir and name.startswith("m_") and name != keep_manifest:
+            _delete(posixpath.join(path, name))
+
+
+def write_scd2_store(
+    orders: DataFrame, path: str, n_buckets: int = 32, batch_tag: str | None = None
+) -> None:
+    """Materialize the type-2 history of a fact table under ``path``
+    (manifest-committed bootstrap). ``repartition("bucket")`` before
+    ``partitionBy`` keeps one file per bucket directory per shuffle
+    partition (the similarity_layout small-file discipline);
+    ``batch_tag`` is the ingest loop's (checkpoint, batch_id) tag —
+    re-running the same tag overwrites the same uncommitted data dir,
+    so a crashed bootstrap re-delivers cleanly."""
+    tag = batch_tag or uuid.uuid4().hex[:12]
+    hist = q_scd2(orders).withColumn("bucket", _bucket("custkey", n_buckets))
+    data_dir = f"data_{tag}"
+    hist.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
+        posixpath.join(path, data_dir)
+    )
+    buckets = [
+        r["bucket"] for r in hist.select("bucket").distinct().collect()
+    ]
+    name = _write_manifest(path, tag, n_buckets, {b: data_dir for b in buckets})
+    set_current_version(path, name)
+    _gc_store(path, {b: data_dir for b in buckets}, name)
 
 
 def read_scd2_store(spark: SparkSession, path: str) -> DataFrame:
     """The stored history in q_scd2's exact column shape (bucket is a
-    storage detail, not part of the dimension)."""
-    return spark.read.parquet(path).select(*HISTORY_COLS)
+    storage detail, not part of the dimension): resolve the manifest,
+    read exactly the referenced bucket directories."""
+    man = _read_manifest(path)
+    if man is None:
+        raise ValueError(
+            f"no committed SCD2 store at {path!r} (missing _CURRENT "
+            "manifest pointer) — bootstrap with write_scd2_store; "
+            "pre-r10 flat-layout stores must be rebuilt"
+        )
+    _nb, mapping = man
+    paths = sorted(
+        posixpath.join(path, d, f"bucket={b}") for b, d in mapping.items()
+    )
+    return spark.read.parquet(*paths).select(*HISTORY_COLS)
+
+
+def scd2_committed_tag(path: str) -> "str | None":
+    """The batch tag of the manifest the pointer currently names —
+    lets a re-delivered loop batch detect that its own merge already
+    committed (crash between pointer switch and marker)."""
+    cur = current_version(path)
+    return cur[2:] if cur and cur.startswith("m_") else cur
 
 
 def scd2_apply_delta(
@@ -69,28 +185,47 @@ def scd2_apply_delta(
     cdc_batch: DataFrame,
     path: str,
     n_buckets: int = 32,
+    batch_tag: str | None = None,
 ) -> None:
     """Merge a CDC batch (orders-shaped fact rows, all strictly later
     than stored events for their keys) into the stored dimension:
 
     1. the batch is change-compressed alone (the q_scd2 lag window,
        batch-sized);
-    2. the store read is pruned to the touched buckets (partition
-       filter from the batch's ≤ n_buckets bucket values) and the
-       touched KEYS' current rows join the batch (batch side the
-       small build side);
+    2. the store read is pruned to the touched buckets (the manifest
+       names their exact directories — untouched buckets are never
+       listed) and the touched KEYS' current rows join the batch
+       (batch side the small build side);
     3. a leading batch change equal to the key's current status is a
        non-change across the boundary and is dropped — exactly what
        the full rebuild's lag compare would do;
     4. new versions continue the stored numbering (v_max + n), the
        closed current row's valid_to = the first new change's
-       valid_from, and only the touched bucket directories are
-       rewritten (dynamic partition overwrite) — history outside them
-       is never read or written.
+       valid_from, and only the touched buckets get new data files —
+       written to a fresh ``data_<tag>`` dir and committed by the
+       manifest + pointer switch (see module docstring), so the merge
+       is all-or-nothing; history outside the touched buckets is
+       never read or written.
 
     Keys absent from the store bootstrap at version 1, so the same
-    call ingests brand-new dimension members.
+    call ingests brand-new dimension members. ``n_buckets`` is taken
+    from the store's manifest (the bucketing is a property of the
+    store, not the call); a mismatched argument raises.
     """
+    man = _read_manifest(path)
+    if man is None:
+        raise ValueError(
+            f"no committed SCD2 store at {path!r} — bootstrap with "
+            "write_scd2_store (pre-r10 flat-layout stores must be rebuilt)"
+        )
+    store_nb, mapping = man
+    if n_buckets != store_nb:
+        raise ValueError(
+            f"scd2_apply_delta: store at {path!r} was bucketed with "
+            f"n_buckets={store_nb}, not {n_buckets}"
+        )
+    tag = batch_tag or uuid.uuid4().hex[:12]
+
     batch = cdc_batch.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
@@ -99,14 +234,27 @@ def scd2_apply_delta(
     )
 
     # ≤ n_buckets values: a parameter-sized driver round-trip that
-    # becomes the store scan's partition filter
+    # selects the touched buckets' directories from the manifest
     touched_buckets = [
         r["bucket"]
-        for r in batch.select(_bucket("custkey", n_buckets).alias("bucket"))
+        for r in batch.select(_bucket("custkey", store_nb).alias("bucket"))
         .distinct()
         .collect()
     ]
-    stored = spark.read.parquet(path).filter(F.col("bucket").isin(touched_buckets))
+    touched_paths = [
+        posixpath.join(path, mapping[b], f"bucket={b}")
+        for b in touched_buckets
+        if b in mapping
+    ]
+    if touched_paths:
+        stored = spark.read.parquet(*touched_paths).select(*HISTORY_COLS)
+    else:  # every batch key lands in a brand-new bucket
+        any_b, any_d = next(iter(mapping.items()))
+        stored = (
+            spark.read.parquet(posixpath.join(path, any_d, f"bucket={any_b}"))
+            .select(*HISTORY_COLS)
+            .filter(F.lit(False))
+        )
     keys = batch.select("custkey").distinct()
     touched = stored.join(F.broadcast(keys), "custkey", "left_semi")
     bystanders = stored.join(F.broadcast(keys), "custkey", "left_anti")
@@ -170,18 +318,22 @@ def scd2_apply_delta(
         .unionByName(closed_or_kept)
         .unionByName(new_rows)
         .unionByName(bystanders.select(*HISTORY_COLS))
-        .withColumn("bucket", _bucket("custkey", n_buckets))
-        # materialize BEFORE the write: the plan reads the same path
-        # the dynamic overwrite replaces. Touched-bucket-sized by
+        .withColumn("bucket", _bucket("custkey", store_nb))
+        # materialize BEFORE the write: touched-bucket-sized by
         # construction (|history| x |batch keys| / n_buckets), the
         # same localCheckpoint discipline as connected_components.
+        # (The manifest layout never overwrites what it reads, but a
+        # single evaluation also pins the bucket list collected below.)
         .localCheckpoint(eager=True)
     )
-    # dynamic overwrite: only the touched bucket directories change
-    (
-        merged.repartition("bucket")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(path)
-    )
+    data_dir = f"data_{tag}"
+    merged.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(posixpath.join(path, data_dir))
+    out_buckets = [
+        r["bucket"] for r in merged.select("bucket").distinct().collect()
+    ]
+    new_mapping = {**mapping, **{b: data_dir for b in out_buckets}}
+    name = _write_manifest(path, tag, store_nb, new_mapping)
+    set_current_version(path, name)
+    _gc_store(path, new_mapping, name)

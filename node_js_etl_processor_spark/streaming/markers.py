@@ -40,20 +40,22 @@ SparkSession, the same client Spark's own writers use):
    partial work, then re-publishes. Re-delivery therefore completes
    or no-ops; it never double-counts.
 
-4. **Versioned pointer** — for parameter-sized whole-store rewrites
-   (the Count-Min grid merge), each batch writes its merged store to
-   a fresh ``v_<tag>`` directory and atomically switches the
-   ``_CURRENT`` pointer; the predecessor is never destroyed before
-   its successor is live, and a pointer already naming the batch's
-   own version tells the re-delivery the merge committed.
+4. **Versioned pointer** — for store rewrites, each batch writes its
+   output to a fresh batch-tagged location and atomically switches
+   the ``_CURRENT`` pointer; the predecessor is never destroyed
+   before its successor is live, and a pointer already naming the
+   batch's own version tells the re-delivery the merge committed.
+   The Count-Min loop points at whole ``v_<tag>`` grid directories
+   (parameter-sized store — a full copy per batch is the merge
+   cost); the SCD2 store points at a bucket→directory MANIFEST file
+   (``sources/scd2_store.py``), so only touched buckets get new
+   files — a miniature transactional table.
 
-Together these close the crash window for every append-style loop
-AND the grid-merge loop. The one remaining residual is the
-partition-scoped overwrite merge (SCD2's dynamic bucket rewrite,
-where versioning every touched bucket would duplicate the store) —
-closing it needs a transactional table format, called out in
-warehouse.py. Reprocessing the same source under a NEW checkpoint is
-a new stream, not a retry, and intentionally re-ingests.
+Together these close the crash window for EVERY ingest loop: a
+re-delivered batch completes, no-ops, or recovers — it never
+double-counts, loses a store, or mints phantom rows. Reprocessing
+the same source under a NEW checkpoint is a new stream, not a retry,
+and intentionally re-ingests.
 """
 
 from __future__ import annotations

@@ -5,8 +5,8 @@ dimension; this module runs that merge per micro-batch — the
 warehouse-tier member of the foreachBatch ingest-loop family
 (streaming/dedup.py's exact/near-dup/countmin loops). foreachBatch is
 the right tool for the same reason as there: each batch needs a BATCH
-join against an existing store plus a partition-scoped overwrite, and
-the store IS the cross-batch state — unbounded-history-sized on disk,
+join against an existing store plus a batch-scoped commit, and the
+store IS the cross-batch state — unbounded-history-sized on disk,
 not in executor memory, which no stateful-operator watermark could
 bound (a dimension never forgets its history).
 
@@ -35,32 +35,29 @@ def scd2_cdc_stream(
 
     The CDC contract is inherited: arrival order must respect the
     per-key (o_orderdate, o_orderkey) order, the standard assumption
-    for a change-data feed. Re-delivered batches are no-ops
-    (``streaming.markers`` — re-applying a CDC batch would mint
-    phantom versions, since its first change now equals the closed
-    current status but later changes would re-append), and a
-    re-delivered BOOTSTRAP batch re-runs the full build as an
-    overwrite (bootstrap sentinel, r10) instead of merging against
-    its own rows.
+    for a change-data feed.
 
-    Honest residual window (merge-style loop): a crash in the MIDDLE
-    of ``scd2_apply_delta``'s dynamic partition overwrite leaves some
-    buckets updated and some not, and the re-delivered merge cannot
-    tell which — exactly-once for partition-rewriting merges needs a
-    transactional table format, unlike the append-style loops, whose
-    window the staged-publish protocol closes."""
-    from ..sources.scd2_store import scd2_apply_delta, write_scd2_store
-    from .markers import (
-        batch_already_applied,
-        bootstrap_pending,
-        mark_batch_applied,
-        record_bootstrap,
-        store_has_data,
+    Exactly-once (r10 — the store's manifest commit does the heavy
+    lifting): a marker-hit re-delivery is a no-op; a crashed attempt's
+    data/manifest are invisible until the pointer switch, so its
+    re-delivery recomputes against the still-live old manifest and
+    rewrites the same batch-tagged dir; and a pointer already naming
+    THIS batch's manifest (``scd2_committed_tag``) means the merge
+    committed — just mark. No bootstrap sentinel needed: an
+    uncommitted bootstrap leaves the pointer absent, so the
+    re-delivery correctly re-bootstraps. This was the last loop with
+    a residual crash window (the r9 dynamic partition overwrite);
+    the manifest layout closes it."""
+    from ..sources.scd2_store import (
+        scd2_apply_delta,
+        scd2_committed_tag,
+        write_scd2_store,
     )
+    from .markers import batch_already_applied, mark_batch_applied, marker_id
 
-    # markers live BESIDE the store (the countmin precedent): the
-    # bootstrap build overwrites store_path WHOLESALE, which would
-    # wipe markers — and the bootstrap sentinel — kept inside it
+    # markers live BESIDE the store (kept from the overwrite era —
+    # the store root is now manifest-managed and never wiped, but a
+    # separate meta root keeps marker listings out of the GC sweep)
     meta_path = store_path.rstrip("/") + "_meta"
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
@@ -68,13 +65,22 @@ def scd2_cdc_stream(
             return
         if batch_df.isEmpty():
             return
-        has_store = store_has_data(store_path)
-        if not has_store or bootstrap_pending(meta_path, checkpoint, batch_id):
-            record_bootstrap(meta_path, checkpoint, batch_id)
-            write_scd2_store(batch_df, store_path, n_buckets=n_buckets)
+        tag = marker_id(checkpoint, batch_id)
+        if scd2_committed_tag(store_path) == tag:
+            # crash landed between the pointer switch and the marker
+            mark_batch_applied(meta_path, checkpoint, batch_id)
+            return
+        if scd2_committed_tag(store_path) is None:
+            write_scd2_store(
+                batch_df, store_path, n_buckets=n_buckets, batch_tag=tag
+            )
         else:
             scd2_apply_delta(
-                batch_df.sparkSession, batch_df, store_path, n_buckets=n_buckets
+                batch_df.sparkSession,
+                batch_df,
+                store_path,
+                n_buckets=n_buckets,
+                batch_tag=tag,
             )
         mark_batch_applied(meta_path, checkpoint, batch_id)
 

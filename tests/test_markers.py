@@ -378,3 +378,63 @@ def test_countmin_stream_exactly_once_across_merge_crash(
         for r in countmin_build(orders, "o_custkey").collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_scd2_stream_exactly_once_across_merge_crash(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r10 manifest commit: a crash after a CDC batch's merge
+    committed its pointer (or anywhere mid-merge) but before the
+    marker must not mint phantom versions on re-delivery — the
+    history equals the one-shot rebuild. This was the ONE loop the
+    staged-publish protocol could not cover; the store's manifest
+    layout closes it."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.relational import q_scd2
+    from node_js_etl_processor_spark.sources.scd2_store import read_scd2_store
+    from node_js_etl_processor_spark.streaming import warehouse
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+    src = tmp_path / "cdc"
+    src.mkdir()
+    orders.filter("o_orderdate < '1999-01-01'").coalesce(1).write.json(
+        str(src / "b1")
+    )
+    orders.filter("o_orderdate >= '1999-01-01'").coalesce(1).write.json(
+        str(src / "b2")
+    )
+    store = str(tmp_path / "dim")
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderdate date"
+    )
+
+    q = warehouse.scd2_cdc_stream(
+        spark.readStream.schema(schema).json(str(src / "b1")),
+        store, str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(180)
+
+    calls: list = []
+    _crash_once(monkeypatch, markers, calls)
+    q = warehouse.scd2_cdc_stream(
+        spark.readStream.schema(schema).json(str(src / "b2")),
+        store, str(tmp_path / "ck2"),
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(180)
+    assert calls  # merge committed its pointer before the "crash"
+    monkeypatch.undo()
+
+    q = warehouse.scd2_cdc_stream(
+        spark.readStream.schema(schema).json(str(src / "b2")),
+        store, str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(180)
+
+    got = read_scd2_store(spark, store)
+    want = q_scd2(orders)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
