@@ -438,3 +438,96 @@ def test_scd2_stream_exactly_once_across_merge_crash(
     want = q_scd2(orders)
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_embedding_stream_recovers_crash_between_append_and_marker(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The ANN half of verdict ask #4 (completing the crash matrix):
+    batch 2's survivors + layout rows publish, the marker never
+    lands, the restart re-delivers — the recovery purge must run
+    BEFORE the delta probe reads the store (a batch matching its own
+    partial rows would flip keeper decisions), and the final kept set
+    must equal the batch keeper rule exactly."""
+    from node_js_etl_processor_spark.operators.similarity import (
+        embedding_near_dup_keepers,
+    )
+    from node_js_etl_processor_spark.streaming import dedup as sdedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    src = tmp_path / "landing"
+    src.mkdir()
+    emb.filter("vec_id < 250").coalesce(1).write.parquet(str(src / "b1"))
+    emb.filter("vec_id >= 250").coalesce(1).write.parquet(str(src / "b2"))
+    out = str(tmp_path / "accepted")
+    store = str(tmp_path / "ann")
+    schema = emb.schema
+
+    q = sdedup.embedding_ingest_stream(
+        spark.readStream.schema(schema).parquet(str(src / "b1")),
+        store, out, str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(180)
+
+    calls: list = []
+    _crash_once(monkeypatch, markers, calls)
+    q = sdedup.embedding_ingest_stream(
+        spark.readStream.schema(schema).parquet(str(src / "b2")),
+        store, out, str(tmp_path / "ck2"),
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(180)
+    assert calls
+    monkeypatch.undo()
+
+    q = sdedup.embedding_ingest_stream(
+        spark.readStream.schema(schema).parquet(str(src / "b2")),
+        store, out, str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(180)
+
+    got = sorted(r["vec_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(
+        r["vec_id"] for r in embedding_near_dup_keepers(emb).collect()
+    )
+    assert got == want  # exactly once: sorted-with-duplicates compare
+
+
+def test_bm25_stream_end_to_end_over_file_uri_store(spark, sf_dir, tmp_path):
+    """The whole ingest loop — markers, sentinel, staged publish —
+    against a ``file:`` URI store path, driving the Hadoop FileSystem
+    code path end to end (the same one hdfs:/s3a: stores take)."""
+    from node_js_etl_processor_spark.sources.bm25_index import (
+        bm25_from_index,
+        write_bm25_index,
+    )
+    from node_js_etl_processor_spark.streaming import indexing
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "landing"
+    src.mkdir()
+    docs.filter("doc_id < 300").coalesce(1).write.json(str(src / "b1"))
+    docs.filter("doc_id >= 300").coalesce(1).write.json(str(src / "b2"))
+    idx = "file://" + str(tmp_path / "idx")
+    schema = "doc_id long, text string"
+
+    for b in ("b1", "b2"):
+        q = indexing.bm25_index_stream(
+            spark.readStream.schema(schema).json(str(src / b)),
+            idx,
+            str(tmp_path / ("ck" + b)),
+        )
+        q.awaitTermination(120)
+
+    full = str(tmp_path / "full")
+    write_bm25_index(docs, full)
+    terms = ("data", "learning", "the")
+    got = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_from_index(spark, idx, terms).collect()
+    }
+    want = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_from_index(spark, full, terms).collect()
+    }
+    assert got == want and len(got) > 0
