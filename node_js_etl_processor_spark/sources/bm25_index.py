@@ -108,10 +108,12 @@ def append_bm25_index(
     The append goes through ``markers.stage_and_publish`` (r10): the
     batch's rows land in ``<path>/_staging/<tag>`` first and are then
     renamed into the live tree under batch-tagged names, so a crashed
-    append is recoverable (``recover_partial``) instead of leaving
-    half-published postings. ``batch_tag`` is the ingest loop's
-    (checkpoint, batch_id) tag; ad-hoc batch callers get a random
-    one (single-shot semantics, staging cleaned on success)."""
+    append is recoverable instead of leaving half-published postings:
+    ingest loops pass their deterministic (checkpoint, batch_id)
+    ``batch_tag`` and call ``recover_partial`` on re-delivery; ad-hoc
+    batch callers get a random tag (staging cleaned on success) and
+    repair a crash with ``markers.recover_all_partial`` — the staging
+    tree left behind records the tag the dead process knew."""
     import uuid
 
     from ..streaming.markers import cleanup_staging, stage_and_publish

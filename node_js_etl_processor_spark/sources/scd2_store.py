@@ -113,8 +113,14 @@ def _gc_store(path: str, mapping: "dict[int, str]", keep_manifest: str) -> None:
     """Drop everything the new manifest no longer references: stale
     manifests, fully-unreferenced data dirs, and bucket dirs remapped
     away from a still-referenced data dir. Runs AFTER the pointer
-    switch, so nothing live is ever touched; a crash mid-GC just
-    leaves garbage the next batch's GC sweeps."""
+    switch, so nothing the NEW manifest references is ever touched.
+    A reader that resolved the PREVIOUS manifest and is still
+    scanning races this delete — the compact-while-reading tradeoff
+    every non-snapshotting store makes (``markers.gc_versions``
+    documents the same); a deployment needing snapshot-isolated
+    long reads should defer GC by a retention window instead of
+    calling it inline. A crash mid-GC just leaves garbage the next
+    batch's GC sweeps."""
     live_dirs = set(mapping.values())
     for name, is_dir in _listdir(path):
         if is_dir and name.startswith("data_"):
@@ -146,8 +152,12 @@ def write_scd2_store(
     hist.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(
         posixpath.join(path, data_dir)
     )
+    # bucket list off the written partition dirs — a parameter-sized
+    # listing, not a second corpus-sized q_scd2 evaluation
     buckets = [
-        r["bucket"] for r in hist.select("bucket").distinct().collect()
+        int(name.split("=", 1)[1])
+        for name, is_dir in _listdir(posixpath.join(path, data_dir))
+        if is_dir and name.startswith("bucket=")
     ]
     name = _write_manifest(path, tag, n_buckets, {b: data_dir for b in buckets})
     set_current_version(path, name)

@@ -116,8 +116,10 @@ def append_ann_layout(
 
     The append goes through ``markers.stage_and_publish`` (r10) so a
     crashed append never leaves half-published sig/cell rows:
-    ``batch_tag`` is the ingest loop's (checkpoint, batch_id) tag;
-    ad-hoc batch callers get a random one."""
+    ``batch_tag`` is the ingest loop's (checkpoint, batch_id) tag
+    (recovered per batch via ``recover_partial``); ad-hoc batch
+    callers get a random one and repair a crash with
+    ``markers.recover_all_partial``."""
     import uuid
 
     from ..streaming.markers import cleanup_staging, stage_and_publish

@@ -241,18 +241,32 @@ def bootstrap_pending(store_path: str, checkpoint: str, batch_id: int) -> bool:
     return _exists(_sentinel_path(store_path, checkpoint, batch_id))
 
 
+def _has_any_file(path: str) -> bool:
+    """At least one non-metadata FILE anywhere under ``path`` (early
+    exit on the first hit, so the listing cost is one or two dirs in
+    the common case). Bare directories do NOT count: a recovery purge
+    deletes a crashed batch's files but leaves its (empty) partition
+    dirs, and an existence check that counted them would wedge the
+    loop into reading an empty store forever."""
+    for name, is_dir in _listdir(path):
+        if name.startswith(("_", ".")):
+            continue
+        if not is_dir:
+            return True
+        if _has_any_file(posixpath.join(path, name)):
+            return True
+    return False
+
+
 def store_has_data(store_path: str, probe: str | None = None) -> bool:
     """Whether the store holds PUBLISHED data (bootstrap-vs-append
     test). ``probe`` names the layout subpath that only a completed
-    bootstrap creates (e.g. ``postings``); without one, any
-    non-underscore child counts — markers/sentinels/staging never
-    flip the answer."""
-    if probe is not None:
-        return _exists(posixpath.join(store_path, probe))
-    return any(
-        not name.startswith(("_", "."))
-        for name, _ in _listdir(store_path)
-    )
+    bootstrap creates (e.g. ``postings``). Counts actual data FILES
+    (recursively, early-exit) — markers/sentinels/staging and the
+    empty partition dirs a recovery purge leaves behind never flip
+    the answer."""
+    root = posixpath.join(store_path, probe) if probe is not None else store_path
+    return _has_any_file(root)
 
 
 # ---------------------------------------------------------------------------
@@ -339,6 +353,26 @@ def cleanup_staging(root: str, tag: str) -> None:
     marker: deleting it earlier would erase the manifest a crash
     recovery needs). Safe to call when nothing is staged."""
     _delete(_staging_root(root, tag))
+
+
+def recover_all_partial(root: str) -> "list[str]":
+    """Recover EVERY tag with a staging tree under ``root`` — the
+    repair sweep for crashed AD-HOC appends (``append_bm25_index`` /
+    ``append_ann_layout`` called without a ``batch_tag``), whose
+    random uuid tag died with the crashed process and so can't be
+    passed to ``recover_partial`` by hand. Single-writer only: run it
+    while no append is in flight, since an in-flight batch's staging
+    looks identical to a crashed one. The ingest loops don't need
+    this — their tags are deterministic in (checkpoint, batch_id) and
+    they recover per batch. Returns the recovered tags."""
+    tags = [
+        name
+        for name, is_dir in _listdir(posixpath.join(root, "_staging"))
+        if is_dir
+    ]
+    for tag in tags:
+        recover_partial(root, tag)
+    return tags
 
 
 # ---------------------------------------------------------------------------

@@ -71,6 +71,22 @@ def scd2_cdc_stream(
             mark_batch_applied(meta_path, checkpoint, batch_id)
             return
         if scd2_committed_tag(store_path) is None:
+            # a populated pre-r10 flat-layout store has bucket= dirs
+            # but no manifest pointer: re-bootstrapping from this
+            # batch would silently truncate the dimension's history
+            from .markers import _listdir
+
+            if any(
+                is_dir and name.startswith("bucket=")
+                for name, is_dir in _listdir(store_path)
+            ):
+                raise ValueError(
+                    f"SCD2 store at {store_path!r} uses the pre-r10 "
+                    "flat layout (bucket= dirs, no _CURRENT manifest); "
+                    "rebuild it with write_scd2_store before resuming "
+                    "the CDC stream — bootstrapping from this batch "
+                    "would silently drop the stored history"
+                )
             write_scd2_store(
                 batch_df, store_path, n_buckets=n_buckets, batch_tag=tag
             )

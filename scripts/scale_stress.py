@@ -462,16 +462,19 @@ def main() -> None:
         lambda: dedup.q_fuzzy_match(cust1, key_cap=1000),
         lambda: dedup.q_fuzzy_match(cust10, key_cap=1000),
     )
-    gif1 = os.path.join(tmp, "gif_1x")
-    gif10 = os.path.join(tmp, "gif_10x")
-    synth_gif_media(docs1).write.parquet(gif1)
-    synth_gif_media(docs10).write.parquet(gif10)
-    gmedia1 = spark.read.parquet(gif1)
-    gmedia10 = spark.read.parquet(gif10)
-    queries["sample_gif_frames"] = (
-        lambda: sample_gif_frames(gmedia1),
-        lambda: sample_gif_frames(gmedia10),
-    )
+    if args.only is None or "sample_gif_frames" in args.only:
+        # the synth corpus build is itself expensive (per-doc LZW
+        # encodes) — skip it when the family isn't selected
+        gif1 = os.path.join(tmp, "gif_1x")
+        gif10 = os.path.join(tmp, "gif_10x")
+        synth_gif_media(docs1).write.parquet(gif1)
+        synth_gif_media(docs10).write.parquet(gif10)
+        gmedia1 = spark.read.parquet(gif1)
+        gmedia10 = spark.read.parquet(gif10)
+        queries["sample_gif_frames"] = (
+            lambda: sample_gif_frames(gmedia1),
+            lambda: sample_gif_frames(gmedia10),
+        )
     # BPE first-step pair stats (one corpus pass + vocab-sized agg)
     # and the link-graph builder (codegen regexp chain + one keyed agg)
     from node_js_etl_processor_spark.operators.bpe import bpe_top_pairs
@@ -502,16 +505,17 @@ def main() -> None:
         lambda: q_token_budget(docs1),
         lambda: q_token_budget(docs10),
     )
-    vid1 = os.path.join(tmp, "vid_1x")
-    vid10 = os.path.join(tmp, "vid_10x")
-    synth_video_media(docs1).write.parquet(vid1)
-    synth_video_media(docs10).write.parquet(vid10)
-    vmedia1 = spark.read.parquet(vid1)
-    vmedia10 = spark.read.parquet(vid10)
-    queries["sample_video_frames"] = (
-        lambda: sample_video_frames(vmedia1),
-        lambda: sample_video_frames(vmedia10),
-    )
+    if args.only is None or "sample_video_frames" in args.only:
+        vid1 = os.path.join(tmp, "vid_1x")
+        vid10 = os.path.join(tmp, "vid_10x")
+        synth_video_media(docs1).write.parquet(vid1)
+        synth_video_media(docs10).write.parquet(vid10)
+        vmedia1 = spark.read.parquet(vid1)
+        vmedia10 = spark.read.parquet(vid10)
+        queries["sample_video_frames"] = (
+            lambda: sample_video_frames(vmedia1),
+            lambda: sample_video_frames(vmedia10),
+        )
 
     if args.only:
         unknown = set(args.only) - set(queries)

@@ -531,3 +531,131 @@ def test_bm25_stream_end_to_end_over_file_uri_store(spark, sf_dir, tmp_path):
         for r in bm25_from_index(spark, full, terms).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_near_dup_stream_recovers_crashed_bootstrap(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Review fix (r10): the minhash loop's FIRST batch crashes after
+    its staged publish — recovery purges the files but leaves empty
+    band= partition dirs, and store_has_data must not count those as
+    a live store (it would wedge every restart into reading an empty
+    postings dir). The re-delivered batch must land exactly once."""
+    from node_js_etl_processor_spark.operators.dedup import (
+        minhash_near_dup_keepers,
+    )
+    from node_js_etl_processor_spark.streaming import dedup as sdedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter("doc_id < 200")
+    src = tmp_path / "landing"
+    src.mkdir()
+    batch.coalesce(1).write.json(str(src / "b1"))
+    store = str(tmp_path / "mh")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    calls: list = []
+    _crash_once(monkeypatch, markers, calls)
+    q = sdedup.near_dup_ingest_stream(
+        spark.readStream.schema(schema).json(str(src / "b1")),
+        store, out, ckpt,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(180)
+    assert calls
+    monkeypatch.undo()
+
+    q = sdedup.near_dup_ingest_stream(
+        spark.readStream.schema(schema).json(str(src / "b1")),
+        store, out, ckpt,
+    )
+    q.awaitTermination(180)
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    want = sorted(r["doc_id"] for r in minhash_near_dup_keepers(batch).collect())
+    assert got == want  # exactly once, decision-identical to batch
+    # postings/sigs hold the whole batch exactly once
+    assert spark.read.parquet(f"{store}/sigs").count() == batch.count()
+
+
+def test_recover_all_partial_repairs_adhoc_crash(spark, sf_dir, tmp_path):
+    """Review fix (r10): an ad-hoc append's crash leaves a random-tag
+    staging tree nobody can name — recover_all_partial sweeps every
+    staged tag, restoring the store to its pre-append state."""
+    from node_js_etl_processor_spark.sources.bm25_index import (
+        bm25_from_index,
+        write_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter("doc_id < 300")
+    idx = str(tmp_path / "idx")
+    write_bm25_index(old, idx)
+    terms = ("data", "learning", "the")
+    before = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_from_index(spark, idx, terms).collect()
+    }
+
+    # simulate a crashed ad-hoc append: publish under an unknown uuid
+    # tag with staging (and so the manifest) left behind, then delete
+    # one published file to make it partial
+    import os as _os
+
+    from node_js_etl_processor_spark.sources.bm25_index import _batch_layout
+    from node_js_etl_processor_spark.streaming.markers import stage_and_publish
+
+    batch = docs.filter("doc_id >= 300")
+    p, d, st = _batch_layout(batch)
+    stage_and_publish(
+        idx, "deadbeef0123",
+        {"postings": (p, "term_bucket"), "df": (d, "term_bucket"), "stats": (st, None)},
+    )
+    published = [
+        _os.path.join(r, f)
+        for r, _dd, fs in _os.walk(idx)
+        for f in fs
+        if f.startswith("deadbeef0123-") and "_staging" not in r
+    ]
+    assert published
+    _os.remove(published[0])
+
+    recovered = markers.recover_all_partial(idx)
+    assert "deadbeef0123" in recovered
+    after = {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_from_index(spark, idx, terms).collect()
+    }
+    assert after == before  # pre-append state restored exactly
+
+
+def test_scd2_stream_refuses_legacy_flat_store(spark, sf_dir, tmp_path):
+    """Review fix (r10): a populated pre-r10 flat-layout store (bucket=
+    dirs, no manifest pointer) must make the CDC stream FAIL loudly
+    instead of silently re-bootstrapping the dimension from one batch
+    (which would truncate the stored history)."""
+    from node_js_etl_processor_spark.streaming import warehouse
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
+    )
+    store = str(tmp_path / "dim")
+    # fabricate the legacy layout: bucket= dirs at the store root
+    orders.limit(50).withColumn("bucket", (F.col("o_custkey") % 4).cast("int")) \
+        .write.partitionBy("bucket").parquet(store)
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+    orders.limit(20).coalesce(1).write.json(str(src / "b1"))
+    schema = (
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderdate date"
+    )
+    q = warehouse.scd2_cdc_stream(
+        spark.readStream.schema(schema).json(str(src / "b1")),
+        store, str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(Exception, match="flat layout|StreamingQuery"):
+        q.awaitTermination(120)
