@@ -39,6 +39,15 @@ naming the batch's own manifest tells the re-delivery the merge
 committed. Unreferenced bucket dirs are GC'd after the switch.
 Readers resolve the pointer at read time.
 
+Because manifests ARE snapshots, the layout gives **time travel for
+free**: writers pass ``retain_manifests=N`` to keep the last N
+commits' manifests (and every file they reference) alive, and
+``read_scd2_store(spark, path, at=<manifest>)`` reads the dimension
+exactly as of that commit — ``scd2_snapshots`` lists the catalog,
+each manifest carrying a monotone ``seq``. Retention bounds both the
+snapshot trail and the GC's compact-while-reading race (a reader is
+safe for as long as its manifest stays retained).
+
 CDC contract (the standard type-2 one): every batch event is strictly
 later — by (o_orderdate, o_orderkey) — than every stored event of the
 same key. Under it, delta == full rebuild is test-pinned
@@ -77,51 +86,75 @@ def _bucket(col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
 
 
-def _read_manifest(path: str) -> "tuple[int, dict[int, str]] | None":
-    """(n_buckets, {bucket: data_dir}) from the current manifest, or
-    None for an empty/never-committed store."""
-    cur = current_version(path)
-    if cur is None:
-        return None
-    lines = _read_text(posixpath.join(path, cur)).splitlines()
+def _parse_manifest(path: str, name: str) -> "tuple[int, int, dict[int, str]]":
+    """(seq, n_buckets, {bucket: data_dir}) from manifest file ``name``."""
+    lines = _read_text(posixpath.join(path, name)).splitlines()
     head = lines[0].split()
     if head[0] != "scd2_v2":
         raise ValueError(
             f"unrecognized SCD2 manifest header {lines[0]!r} at {path!r}"
         )
-    n_buckets = int(head[1].split("=")[1])
+    fields = dict(kv.split("=") for kv in head[1:])
+    n_buckets = int(fields["n_buckets"])
+    seq = int(fields.get("seq", 1))
     mapping = {}
     for line in lines[1:]:
         if line:
             b, d = line.split("\t")
             mapping[int(b)] = d
-    return n_buckets, mapping
+    return seq, n_buckets, mapping
+
+
+def _read_manifest(path: str) -> "tuple[int, int, dict[int, str]] | None":
+    """(seq, n_buckets, {bucket: data_dir}) from the CURRENT manifest,
+    or None for an empty/never-committed store."""
+    cur = current_version(path)
+    if cur is None:
+        return None
+    return _parse_manifest(path, cur)
 
 
 def _write_manifest(
-    path: str, tag: str, n_buckets: int, mapping: "dict[int, str]"
+    path: str, tag: str, seq: int, n_buckets: int, mapping: "dict[int, str]"
 ) -> str:
     name = f"m_{tag}"
-    body = f"scd2_v2 n_buckets={n_buckets}\n" + "\n".join(
+    body = f"scd2_v2 n_buckets={n_buckets} seq={seq}\n" + "\n".join(
         f"{b}\t{d}" for b, d in sorted(mapping.items())
     )
     _write_text(posixpath.join(path, name), body)
     return name
 
 
-def _gc_store(path: str, mapping: "dict[int, str]", keep_manifest: str) -> None:
-    """Drop everything the new manifest no longer references: stale
-    manifests, fully-unreferenced data dirs, and bucket dirs remapped
-    away from a still-referenced data dir. Runs AFTER the pointer
-    switch, so nothing the NEW manifest references is ever touched.
-    A reader that resolved the PREVIOUS manifest and is still
-    scanning races this delete — the compact-while-reading tradeoff
-    every non-snapshotting store makes (``markers.gc_versions``
-    documents the same); a deployment needing snapshot-isolated
-    long reads should defer GC by a retention window instead of
-    calling it inline. A crash mid-GC just leaves garbage the next
-    batch's GC sweeps."""
-    live_dirs = set(mapping.values())
+def scd2_snapshots(path: str) -> "list[tuple[int, str]]":
+    """The store's retained snapshots as (seq, manifest_name),
+    ascending — the time-travel catalog. The highest seq is the
+    current manifest; older entries exist only when the writers ran
+    with ``retain_manifests > 1``."""
+    out = []
+    for name, is_dir in _listdir(path):
+        if not is_dir and name.startswith("m_"):
+            seq, _nb, _m = _parse_manifest(path, name)
+            out.append((seq, name))
+    return sorted(out)
+
+
+def _gc_store(path: str, keep: "list[tuple[str, dict[int, str]]]") -> None:
+    """Drop everything the RETAINED manifests no longer reference:
+    stale manifests, fully-unreferenced data dirs, and bucket dirs no
+    retained manifest maps to. ``keep`` is [(manifest_name, mapping)]
+    — the current commit plus however many predecessors the caller's
+    ``retain_manifests`` keeps for snapshot reads. Runs AFTER the
+    pointer switch, so nothing a retained manifest references is ever
+    touched; a reader holding a manifest OLDER than the retention
+    window races the delete (the compact-while-reading tradeoff —
+    size ``retain_manifests`` to the longest read you need to
+    protect). A crash mid-GC just leaves garbage the next batch's GC
+    sweeps."""
+    keep_names = {name for name, _ in keep}
+    live_pairs = {
+        (mapping[b], b) for _, mapping in keep for b in mapping
+    }
+    live_dirs = {d for d, _ in live_pairs}
     for name, is_dir in _listdir(path):
         if is_dir and name.startswith("data_"):
             if name not in live_dirs:
@@ -130,14 +163,28 @@ def _gc_store(path: str, mapping: "dict[int, str]", keep_manifest: str) -> None:
             for child, child_is_dir in _listdir(posixpath.join(path, name)):
                 if child_is_dir and child.startswith("bucket="):
                     b = int(child.split("=", 1)[1])
-                    if mapping.get(b) != name:
+                    if (name, b) not in live_pairs:
                         _delete(posixpath.join(path, name, child))
-        elif not is_dir and name.startswith("m_") and name != keep_manifest:
+        elif not is_dir and name.startswith("m_") and name not in keep_names:
             _delete(posixpath.join(path, name))
 
 
+def _retained(path: str, new_name: str, retain_manifests: int):
+    """The manifests to keep after committing ``new_name``: the new
+    one plus the ``retain_manifests - 1`` highest-seq predecessors,
+    each with its parsed mapping (for the GC's live-reference set)."""
+    snaps = scd2_snapshots(path)
+    names = [n for _s, n in snaps if n != new_name][-(retain_manifests - 1):] if retain_manifests > 1 else []
+    names.append(new_name)
+    return [(n, _parse_manifest(path, n)[2]) for n in names]
+
+
 def write_scd2_store(
-    orders: DataFrame, path: str, n_buckets: int = 32, batch_tag: str | None = None
+    orders: DataFrame,
+    path: str,
+    n_buckets: int = 32,
+    batch_tag: str | None = None,
+    retain_manifests: int = 1,
 ) -> None:
     """Materialize the type-2 history of a fact table under ``path``
     (manifest-committed bootstrap). ``repartition("bucket")`` before
@@ -159,23 +206,42 @@ def write_scd2_store(
         for name, is_dir in _listdir(posixpath.join(path, data_dir))
         if is_dir and name.startswith("bucket=")
     ]
-    name = _write_manifest(path, tag, n_buckets, {b: data_dir for b in buckets})
+    name = _write_manifest(
+        path, tag, 1, n_buckets, {b: data_dir for b in buckets}
+    )
     set_current_version(path, name)
-    _gc_store(path, {b: data_dir for b in buckets}, name)
+    _gc_store(path, _retained(path, name, retain_manifests))
 
 
-def read_scd2_store(spark: SparkSession, path: str) -> DataFrame:
+def read_scd2_store(
+    spark: SparkSession, path: str, at: str | None = None
+) -> DataFrame:
     """The stored history in q_scd2's exact column shape (bucket is a
     storage detail, not part of the dimension): resolve the manifest,
-    read exactly the referenced bucket directories."""
-    man = _read_manifest(path)
-    if man is None:
-        raise ValueError(
-            f"no committed SCD2 store at {path!r} (missing _CURRENT "
-            "manifest pointer) — bootstrap with write_scd2_store; "
-            "pre-r10 flat-layout stores must be rebuilt"
-        )
-    _nb, mapping = man
+    read exactly the referenced bucket directories.
+
+    ``at`` names a RETAINED snapshot manifest (from
+    ``scd2_snapshots``) for a time-travel read — the dimension
+    exactly as of that commit. Snapshots older than the writers'
+    ``retain_manifests`` window are gone (their files were GC'd);
+    asking for one raises."""
+    if at is not None:
+        if not any(name == at for _s, name in scd2_snapshots(path)):
+            raise ValueError(
+                f"snapshot {at!r} is not retained at {path!r} — "
+                f"available: {[n for _s, n in scd2_snapshots(path)]}; "
+                "raise retain_manifests on the writers to keep more"
+            )
+        _seq, _nb, mapping = _parse_manifest(path, at)
+    else:
+        man = _read_manifest(path)
+        if man is None:
+            raise ValueError(
+                f"no committed SCD2 store at {path!r} (missing _CURRENT "
+                "manifest pointer) — bootstrap with write_scd2_store; "
+                "pre-r10 flat-layout stores must be rebuilt"
+            )
+        _seq, _nb, mapping = man
     paths = sorted(
         posixpath.join(path, d, f"bucket={b}") for b, d in mapping.items()
     )
@@ -196,6 +262,7 @@ def scd2_apply_delta(
     path: str,
     n_buckets: int = 32,
     batch_tag: str | None = None,
+    retain_manifests: int = 1,
 ) -> None:
     """Merge a CDC batch (orders-shaped fact rows, all strictly later
     than stored events for their keys) into the stored dimension:
@@ -228,7 +295,7 @@ def scd2_apply_delta(
             f"no committed SCD2 store at {path!r} — bootstrap with "
             "write_scd2_store (pre-r10 flat-layout stores must be rebuilt)"
         )
-    store_nb, mapping = man
+    seq, store_nb, mapping = man
     if n_buckets != store_nb:
         raise ValueError(
             f"scd2_apply_delta: store at {path!r} was bucketed with "
@@ -344,6 +411,6 @@ def scd2_apply_delta(
         r["bucket"] for r in merged.select("bucket").distinct().collect()
     ]
     new_mapping = {**mapping, **{b: data_dir for b in out_buckets}}
-    name = _write_manifest(path, tag, store_nb, new_mapping)
+    name = _write_manifest(path, tag, seq + 1, store_nb, new_mapping)
     set_current_version(path, name)
-    _gc_store(path, new_mapping, name)
+    _gc_store(path, _retained(path, name, retain_manifests))

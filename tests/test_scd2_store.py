@@ -159,3 +159,50 @@ def test_scd2_cdc_stream_matches_batch(spark, sf_dir, tmp_path):
     got = _hist_set(read_scd2_store(spark, store))
     want = _hist_set(q_scd2(orders))
     assert got == want and len(got) > 0
+
+
+def test_scd2_time_travel_and_retention(spark, sf_dir, tmp_path):
+    """r10: the manifest layout doubles as a snapshot catalog —
+    retain_manifests keeps N commits readable as-of
+    (read_scd2_store(at=...)), GC drops everything older, and a
+    request for a dropped snapshot raises with the retained list."""
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.sources.scd2_store import scd2_snapshots
+
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < SPLIT1)
+    mid = orders.filter(
+        (F.col("o_orderdate") >= SPLIT1) & (F.col("o_orderdate") < SPLIT2)
+    )
+    late = orders.filter(F.col("o_orderdate") >= SPLIT2)
+    path = str(tmp_path / "dim")
+
+    write_scd2_store(early, path)
+    snaps = scd2_snapshots(path)
+    assert len(snaps) == 1 and snaps[0][0] == 1
+    first = snaps[0][1]
+
+    scd2_apply_delta(spark, mid, path, retain_manifests=2)
+    snaps = scd2_snapshots(path)
+    assert [s for s, _n in snaps] == [1, 2]
+    second = snaps[-1][1]
+
+    # time travel: the first commit is still exactly q_scd2(early)
+    got0 = _hist_set(read_scd2_store(spark, path, at=first))
+    assert got0 == _hist_set(q_scd2(early))
+    assert _hist_set(read_scd2_store(spark, path)) == _hist_set(
+        q_scd2(early.unionByName(mid))
+    )
+
+    # third commit with retention 2: seq-1 falls out of the window
+    scd2_apply_delta(spark, late, path, retain_manifests=2)
+    snaps = scd2_snapshots(path)
+    assert [s for s, _n in snaps] == [2, 3]
+    with _pytest.raises(ValueError, match="not retained"):
+        read_scd2_store(spark, path, at=first)
+    # the retained middle snapshot still reads exactly as-of
+    got1 = _hist_set(read_scd2_store(spark, path, at=second))
+    assert got1 == _hist_set(q_scd2(early.unionByName(mid)))
+    assert _hist_set(read_scd2_store(spark, path)) == _hist_set(q_scd2(orders))
+
