@@ -1,0 +1,90 @@
+"""Streaming graph maintenance: the link-graph ingest loop.
+
+``sources/graph_store.py`` made the edge graph incrementally
+maintainable (per-pair counts as mergeable partials in a
+log-structured, generation-compacted store); this loop lands each
+crawl drop's edges per micro-batch — the graph-tier member of the
+foreachBatch ingest family, with the full ``streaming.markers``
+exactly-once protocol:
+
+- marker hit → no-op;
+- pointer already at this batch's bootstrap generation → the
+  bootstrap committed, just mark;
+- otherwise recover this tag's partial publish from the current
+  generation, (re)publish, mark;
+- every ``compact_every`` batches, fold the partial log into a fresh
+  generation AFTER marking — the single-writer slot where no
+  unmarked partials can exist, which is what makes compacting a
+  log with in-flight crash recovery sound.
+
+Stream == batch is test-pinned (tests/test_graph_store.py): drops
+through the loop aggregate to exactly ``link_graph_edges`` over the
+union corpus, through compactions and injected crashes.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame
+
+from .markers import (
+    batch_already_applied,
+    cleanup_staging,
+    current_version,
+    mark_batch_applied,
+    marker_id,
+    recover_partial,
+)
+
+
+def link_graph_ingest_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    compact_every: int = 0,
+):
+    """Maintain the edge store from a document stream: first batch
+    bootstraps generation 0, later batches append their partials;
+    ``compact_every=N`` folds the log every N batches (0 = never).
+    availableNow trigger; returns the started query."""
+    from ..sources.graph_store import (
+        append_edge_store,
+        compact_edge_store,
+        write_edge_store,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        tag = marker_id(checkpoint, batch_id)
+        cur = current_version(store_path)
+        if batch_already_applied(store_path, checkpoint, batch_id):
+            if cur:
+                cleanup_staging(posixpath.join(store_path, cur), tag)
+            return
+        if batch_df.isEmpty():
+            return
+        if cur == f"gen_{tag}":
+            # crash landed between the bootstrap's pointer switch and
+            # the marker: the generation is live — just commit
+            mark_batch_applied(store_path, checkpoint, batch_id)
+            return
+        if cur is None:
+            write_edge_store(batch_df, store_path, batch_tag=tag)
+            mark_batch_applied(store_path, checkpoint, batch_id)
+        else:
+            gen_path = posixpath.join(store_path, cur)
+            recover_partial(gen_path, tag)
+            append_edge_store(batch_df, store_path, batch_tag=tag)
+            # marker BEFORE staging cleanup: the staged manifest is
+            # what a crash recovery needs to purge a partial publish
+            mark_batch_applied(store_path, checkpoint, batch_id)
+            cleanup_staging(gen_path, tag)
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_edge_store(batch_df.sparkSession, store_path)
+
+    return (
+        docs_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

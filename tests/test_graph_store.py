@@ -1,0 +1,196 @@
+"""The log-structured edge store (r10): mergeable edge partials,
+generational compaction, the graph-tier ingest loop, and the stored
+PageRank composition — stream == batch through compactions and
+injected crashes."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from node_js_etl_processor_spark.catalog import load_table
+from node_js_etl_processor_spark.operators.graph import (
+    domain_pagerank,
+    link_graph_edges,
+)
+from node_js_etl_processor_spark.sources.graph_store import (
+    append_edge_store,
+    compact_edge_store,
+    domain_outlinks,
+    domain_pagerank_from_store,
+    read_edge_graph,
+    write_edge_store,
+)
+
+
+def _edges_set(df):
+    return {
+        (r["src_domain"], r["dst_domain"], r["n_links"]) for r in df.collect()
+    }
+
+
+def test_write_append_compact_equals_one_shot(spark, sf_dir, tmp_path):
+    """write(old) + append(new) must aggregate to link_graph_edges
+    over old ∪ new; compaction preserves the aggregate exactly while
+    folding the partial log into fewer files."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 3 != 0")
+    new = docs.filter("doc_id % 3 = 0")
+    store = str(tmp_path / "edges")
+
+    write_edge_store(old, store)
+    append_edge_store(new, store)
+    want = _edges_set(link_graph_edges(docs))
+    assert _edges_set(read_edge_graph(spark, store)) == want
+
+    n_parquet_before = sum(
+        1 for _r, _d, fs in os.walk(store) for f in fs if f.endswith(".parquet")
+    )
+    before, after = compact_edge_store(spark, store)
+    assert after < before  # the log really folded
+    assert _edges_set(read_edge_graph(spark, store)) == want
+    n_parquet_after = sum(
+        1 for _r, _d, fs in os.walk(store) for f in fs if f.endswith(".parquet")
+    )
+    assert n_parquet_after < n_parquet_before
+
+    # further appends after compaction keep aggregating correctly
+    append_edge_store(new, store)
+    got = {
+        (s, d): n for s, d, n in _edges_set(read_edge_graph(spark, store))
+    }
+    extra = {
+        (s, d): n for s, d, n in _edges_set(link_graph_edges(new))
+    }
+    for (s, d), n in got.items():
+        assert n == dict(
+            ((a, b), c) for a, b, c in want
+        ).get((s, d), 0) + extra.get((s, d), 0)
+
+
+def test_domain_outlinks_prunes_to_one_bucket(spark, sf_dir, tmp_path):
+    """The per-domain probe must carry its bucket as a partition
+    filter (1 of 32 directories listed) and return the aggregated
+    outlinks of exactly that domain."""
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "edges")
+    write_edge_store(docs, store)
+
+    got = domain_outlinks(spark, store, "d1.example")
+    rows = got.collect()
+    assert rows and all(r["src_domain"] == "d1.example" for r in rows)
+    want = {
+        (r["dst_domain"], r["n_links"])
+        for r in link_graph_edges(docs)
+        .filter(F.col("src_domain") == "d1.example")
+        .collect()
+    }
+    assert {(r["dst_domain"], r["n_links"]) for r in rows} == want
+
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    pf = (
+        plan.split("PartitionFilters")[1].split("\n")[0]
+        if "PartitionFilters" in plan
+        else ""
+    )
+    assert "bucket" in pf, plan
+
+
+def test_ingest_stream_with_compaction_matches_batch(spark, sf_dir, tmp_path):
+    """Three streamed drops with compact_every=2 must leave exactly
+    the one-shot graph, and the stored PageRank must rank-match the
+    batch composition over the union corpus."""
+    from node_js_etl_processor_spark.streaming.graphs import (
+        link_graph_ingest_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "landing"
+    src.mkdir()
+    store = str(tmp_path / "edges")
+    docs.filter("doc_id % 3 = 0").coalesce(1).write.json(str(src / "b1"))
+    docs.filter("doc_id % 3 = 1").coalesce(1).write.json(str(src / "b2"))
+    docs.filter("doc_id % 3 = 2").coalesce(1).write.json(str(src / "b3"))
+
+    schema = "doc_id long, text string"
+    for b in ("b1", "b2", "b3"):
+        q = link_graph_ingest_stream(
+            spark.readStream.schema(schema).json(str(src / b)),
+            store,
+            str(tmp_path / ("ck" + b)),
+            compact_every=2,
+        )
+        q.awaitTermination(120)
+
+    want = _edges_set(link_graph_edges(docs))
+    assert _edges_set(read_edge_graph(spark, store)) == want
+
+    got = {
+        (r["node"], r["pagerank"], r["rank"])
+        for r in domain_pagerank_from_store(
+            spark, store, eps=1e-8, max_iter=100
+        ).collect()
+    }
+    wantpr = {
+        (r["node"], r["pagerank"], r["rank"])
+        for r in domain_pagerank(docs, eps=1e-8, max_iter=100).collect()
+    }
+    assert got == wantpr and len(got) > 0
+
+
+def test_ingest_stream_recovers_append_crash(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """Crash between an append's publish and its marker: re-delivery
+    purges the partial publish and republishes — edge counts land
+    exactly once (a replay under the r9 plain append would have
+    doubled every pair the batch touched)."""
+    from node_js_etl_processor_spark.streaming import graphs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tmp_path / "landing"
+    src.mkdir()
+    store = str(tmp_path / "edges")
+    docs.filter("doc_id < 250").coalesce(1).write.json(str(src / "b1"))
+    docs.filter("doc_id >= 250").coalesce(1).write.json(str(src / "b2"))
+    schema = "doc_id long, text string"
+
+    q = graphs.link_graph_ingest_stream(
+        spark.readStream.schema(schema).json(str(src / "b1")),
+        store, str(tmp_path / "ck1"),
+    )
+    q.awaitTermination(120)
+
+    calls: list = []
+
+    def boom(*a, **k):
+        calls.append(a)
+        raise RuntimeError("injected crash before marker")
+
+    monkeypatch.setattr(graphs, "mark_batch_applied", boom)
+    q = graphs.link_graph_ingest_stream(
+        spark.readStream.schema(schema).json(str(src / "b2")),
+        store, str(tmp_path / "ck2"),
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert calls
+    monkeypatch.undo()
+
+    q = graphs.link_graph_ingest_stream(
+        spark.readStream.schema(schema).json(str(src / "b2")),
+        store, str(tmp_path / "ck2"),
+    )
+    q.awaitTermination(120)
+
+    assert _edges_set(read_edge_graph(spark, store)) == _edges_set(
+        link_graph_edges(docs)
+    )
