@@ -203,3 +203,36 @@ def bm25_from_index(
     return scored.groupBy("doc_id").agg(
         F.round(F.sum("term_score"), 4).alias("bm25")
     )
+
+
+def compact_bm25_index(spark: SparkSession, src: str, dst: str) -> None:
+    """Fold an append log into a fresh compact index at ``dst``:
+    postings rewritten one-file-per-bucket-per-shuffle-partition, df
+    partials SUMmed per term, stats partials folded to one row —
+    score-identical to the source (the reader aggregates partials, so
+    folding them is a no-op algebraically; test-pinned), with file
+    count reset to O(buckets) after any number of appended batches.
+
+    Offline blue/green form: compaction writes a NEW store and the
+    caller repoints consumers (or swaps paths between ingest runs) —
+    the right shape for the inverted index, whose probe paths are
+    pinned to ``<path>/postings`` etc.; the generation-pointer form
+    the edge store uses (``sources/graph_store.py``) trades an extra
+    pointer resolution per probe for in-place compaction, which a
+    per-query-latency-sensitive index doesn't want."""
+    postings = spark.read.parquet(f"{src}/postings")
+    postings.repartition("term_bucket").write.mode("overwrite").partitionBy(
+        "term_bucket"
+    ).parquet(f"{dst}/postings")
+    df = (
+        spark.read.parquet(f"{src}/df")
+        .groupBy("term", "term_bucket")
+        .agg(F.sum("df").cast("bigint").alias("df"))
+    )
+    df.repartition("term_bucket").write.mode("overwrite").partitionBy(
+        "term_bucket"
+    ).parquet(f"{dst}/df")
+    spark.read.parquet(f"{src}/stats").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+    ).coalesce(1).write.mode("overwrite").parquet(f"{dst}/stats")

@@ -344,3 +344,17 @@ def dedup_embedding_delta(
         .filter(F.col("cosine") >= threshold)
     )
     return new_old.unionByName(new_new).distinct()
+
+
+def compact_ann_layout(spark: SparkSession, src: str, dst: str) -> None:
+    """Rewrite an appended layout into a fresh compact one at ``dst``:
+    rows are per-vector facts (nothing to merge), so compaction is a
+    pure file fold — one file per sig/cell directory per shuffle
+    partition instead of one per appended batch. Probe-identical to
+    the source (test-pinned). Blue/green like ``compact_bm25_index``:
+    probes address ``<path>/by_sig`` directly, so the caller repoints
+    after the build."""
+    for sub, key in (("by_sig", "sig"), ("by_cell", "cell")):
+        spark.read.parquet(f"{src}/{sub}").repartition(key).write.mode(
+            "overwrite"
+        ).partitionBy(key).parquet(f"{dst}/{sub}")

@@ -266,3 +266,50 @@ def test_reader_rejects_pre_partials_stats_layout(spark, sf_dir, tmp_path):
     stale.write.mode("overwrite").parquet(f"{idx}/stats")
     with _pytest.raises(ValueError, match="rebuild the index"):
         bm25_from_index(spark, idx, BM25_QUERY_TERMS)
+
+
+def test_compaction_is_score_identical_and_folds_files(spark, sf_dir, tmp_path):
+    """r10: write + 2 appends -> compact must score identically to
+    the appended store AND to the on-the-fly ranker, with the file
+    count reset (df/stats partials folded, postings coalesced)."""
+    import os
+
+    from node_js_etl_processor_spark.sources.bm25_index import (
+        append_bm25_index,
+        compact_bm25_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = str(tmp_path / "log")
+    dst = str(tmp_path / "compact")
+    write_bm25_index(docs.filter("doc_id % 3 = 0"), src)
+    append_bm25_index(docs.filter("doc_id % 3 = 1"), src)
+    append_bm25_index(docs.filter("doc_id % 3 = 2"), src)
+
+    def n_files(p):
+        return sum(
+            1 for _r, _d, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    compact_bm25_index(spark, src, dst)
+    for terms in (BM25_QUERY_TERMS, ("the", "data")):
+        got = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_from_index(spark, dst, terms).collect()
+        }
+        want = {
+            r["doc_id"]: r["bm25"]
+            for r in bm25_from_index(spark, src, terms).collect()
+        }
+        assert got == want and len(got) > 0
+    exact = {
+        r["doc_id"]: r["bm25"] for r in bm25_scores(docs, BM25_QUERY_TERMS).collect()
+    }
+    assert {
+        r["doc_id"]: r["bm25"]
+        for r in bm25_from_index(spark, dst, BM25_QUERY_TERMS).collect()
+    } == exact
+    # stats partials really folded: 3 rows -> 1; file count shrank
+    assert spark.read.parquet(f"{dst}/stats").count() == 1
+    assert spark.read.parquet(f"{src}/stats").count() == 3
+    assert n_files(dst) < n_files(src)

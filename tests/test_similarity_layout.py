@@ -443,3 +443,41 @@ def test_append_ann_layout_equals_rebuild(spark, sf_dir, tmp_path):
         tuple(r) for r in dedup_embedding_from_layout(spark, full).collect()
     }
     assert got_pairs == want_pairs and len(got_pairs) > 0
+
+
+def test_ann_compaction_probe_identical(spark, sf_dir, tmp_path):
+    """r10: append log -> compact_ann_layout must leave every probe
+    family bit-identical (rows are per-vector facts; compaction is a
+    pure file fold) with fewer files."""
+    import os
+
+    from node_js_etl_processor_spark.sources.similarity_layout import (
+        append_ann_layout,
+        ann_probe,
+        compact_ann_layout,
+        ivfpq_probe,
+        write_ann_layout,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = str(tmp_path / "log")
+    dst = str(tmp_path / "compact")
+    write_ann_layout(emb.filter("vec_id % 2 = 0"), src)
+    append_ann_layout(emb.filter("vec_id % 2 = 1"), src)
+    compact_ann_layout(spark, src, dst)
+
+    probe = emb.select("embedding").first()["embedding"]
+    for fn in (
+        lambda p: ann_probe(spark, p, probe, k=10),
+        lambda p: ivfpq_probe(spark, p, probe, k=10),
+    ):
+        got = [tuple(r) for r in fn(dst).collect()]
+        want = [tuple(r) for r in fn(src).collect()]
+        assert got == want and len(got) == 10
+
+    def n_files(p):
+        return sum(
+            1 for _r, _d, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    assert n_files(dst) < n_files(src)
