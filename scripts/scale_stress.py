@@ -517,8 +517,45 @@ def main() -> None:
             lambda: sample_video_frames(vmedia10),
         )
 
+    # ---- r10 late additions: the edge store's append cost vs store
+    # size (mergeable partials — must be flat) and its generational
+    # compaction cost (reads the log, so it scales WITH the store by
+    # design; the point is the measured constant, not the ratio)
+    from node_js_etl_processor_spark.sources.graph_store import (
+        append_edge_store,
+        compact_edge_store,
+        write_edge_store,
+    )
+
+    def _edge_family(results_dict):
+        res_app, res_cmp = {}, {}
+        for scale, base in (("1x", docs1), (f"{args.replicas}x", docs10)):
+            spath = os.path.join(tmp, f"edges_{scale}")
+            write_edge_store(base, spath)
+            ts = []
+            for _ in (1, 2):
+                t0 = time.perf_counter()
+                append_edge_store(docs1.limit(500), spath)
+                ts.append(time.perf_counter() - t0)
+            res_app[f"sec_{scale}"] = round(statistics.median(ts), 3)
+            t0 = time.perf_counter()
+            compact_edge_store(spark, spath)
+            res_cmp[f"sec_{scale}"] = round(time.perf_counter() - t0, 3)
+        for res in (res_app, res_cmp):
+            res["ratio"] = (
+                round(res[f"sec_{args.replicas}x"] / res["sec_1x"], 2)
+                if res["sec_1x"] > 0
+                else None
+            )
+        results_dict["edge_append_fixed_batch"] = res_app
+        results_dict["edge_compaction"] = res_cmp
+        print(f"[edge_append_fixed_batch] {res_app}", file=sys.stderr)
+        print(f"[edge_compaction] {res_cmp}", file=sys.stderr)
+
     if args.only:
-        unknown = set(args.only) - set(queries)
+        unknown = set(args.only) - set(queries) - {
+            "edge_append_fixed_batch", "edge_compaction"
+        }
         if unknown:
             raise SystemExit(f"--only: unknown families {sorted(unknown)}")
         queries = {k: v for k, v in queries.items() if k in args.only}
@@ -538,6 +575,11 @@ def main() -> None:
         }
         print(f"[{name}] 1x={t1}s {args.replicas}x={t10}s "
               f"ratio={results[name]['ratio']} rows {r1}->{r10}", file=sys.stderr)
+
+    if args.only is None or {
+        "edge_append_fixed_batch", "edge_compaction"
+    } & set(args.only):
+        _edge_family(results)
 
     scan = skew = None
     if not args.only:  # solo mode times families only
