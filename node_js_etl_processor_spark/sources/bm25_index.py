@@ -44,7 +44,9 @@ N_TERM_BUCKETS = 64
 
 
 def _term_bucket(term: F.Column) -> F.Column:
-    return F.pmod(F.xxhash64(term), F.lit(N_TERM_BUCKETS)).cast("int")
+    from node_js_etl_processor_spark.functions.bucketing import hash_bucket
+
+    return hash_bucket(term, N_TERM_BUCKETS)
 
 
 def _batch_layout(documents: DataFrame):
@@ -219,7 +221,18 @@ def compact_bm25_index(spark: SparkSession, src: str, dst: str) -> None:
     pinned to ``<path>/postings`` etc.; the generation-pointer form
     the edge store uses (``sources/graph_store.py``) trades an extra
     pointer resolution per probe for in-place compaction, which a
-    per-query-latency-sensitive index doesn't want."""
+    per-query-latency-sensitive index doesn't want.
+
+    Replay safety across the swap: compaction first purges any
+    UNMARKED partial publish (``recover_all_partial`` — safe in the
+    offline single-writer slot, where nothing can be in flight) so a
+    crashed batch's rows are never folded into the new store, then
+    carries the applied markers to ``dst`` — a checkpointed ingest
+    stream repointed at the compacted store keeps its exactly-once
+    re-delivery guards."""
+    from ..streaming.markers import _listdir, _mkdirs, recover_all_partial
+
+    recover_all_partial(src)
     postings = spark.read.parquet(f"{src}/postings")
     postings.repartition("term_bucket").write.mode("overwrite").partitionBy(
         "term_bucket"
@@ -236,3 +249,6 @@ def compact_bm25_index(spark: SparkSession, src: str, dst: str) -> None:
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum("sum_dl").cast("bigint").alias("sum_dl"),
     ).coalesce(1).write.mode("overwrite").parquet(f"{dst}/stats")
+    for name, is_dir in _listdir(f"{src}/_batches"):
+        if is_dir:
+            _mkdirs(f"{dst}/_batches/{name}")

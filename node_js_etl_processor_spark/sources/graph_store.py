@@ -61,7 +61,9 @@ EDGE_COLS = ["src_domain", "dst_domain", "n_links"]
 
 
 def _src_bucket(col: str = "src_domain") -> F.Column:
-    return F.pmod(F.xxhash64(F.col(col)), F.lit(N_SRC_BUCKETS)).cast("int")
+    from node_js_etl_processor_spark.functions.bucketing import hash_bucket
+
+    return hash_bucket(col, N_SRC_BUCKETS)
 
 
 def _batch_partials(documents: DataFrame) -> DataFrame:

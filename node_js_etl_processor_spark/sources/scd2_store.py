@@ -83,11 +83,20 @@ HISTORY_COLS = ["custkey", "version", "status", "valid_from", "valid_to", "is_cu
 
 
 def _bucket(col: str, n_buckets: int):
-    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+    from node_js_etl_processor_spark.functions.bucketing import hash_bucket
+
+    return hash_bucket(col, n_buckets)
 
 
-def _parse_manifest(path: str, name: str) -> "tuple[int, int, dict[int, str]]":
-    """(seq, n_buckets, {bucket: data_dir}) from manifest file ``name``."""
+def _parse_manifest(
+    path: str, name: str
+) -> "tuple[int, int, str | None, dict[int, str]]":
+    """(seq, n_buckets, parent_manifest, {bucket: data_dir}) from
+    manifest file ``name``. ``parent`` links each commit to its
+    predecessor, so the COMMITTED chain is walkable from the pointer
+    — an orphan manifest from a crashed commit (written but never
+    pointed at) is never on anyone's chain and so is never retained,
+    read as a snapshot, or allowed to shadow a real predecessor."""
     lines = _read_text(posixpath.join(path, name)).splitlines()
     head = lines[0].split()
     if head[0] != "scd2_v2":
@@ -97,17 +106,20 @@ def _parse_manifest(path: str, name: str) -> "tuple[int, int, dict[int, str]]":
     fields = dict(kv.split("=") for kv in head[1:])
     n_buckets = int(fields["n_buckets"])
     seq = int(fields.get("seq", 1))
+    parent = fields.get("parent") or None
     mapping = {}
     for line in lines[1:]:
         if line:
             b, d = line.split("\t")
             mapping[int(b)] = d
-    return seq, n_buckets, mapping
+    return seq, n_buckets, parent, mapping
 
 
-def _read_manifest(path: str) -> "tuple[int, int, dict[int, str]] | None":
-    """(seq, n_buckets, {bucket: data_dir}) from the CURRENT manifest,
-    or None for an empty/never-committed store."""
+def _read_manifest(
+    path: str,
+) -> "tuple[int, int, str | None, dict[int, str]] | None":
+    """(seq, n_buckets, parent, {bucket: data_dir}) from the CURRENT
+    manifest, or None for an empty/never-committed store."""
     cur = current_version(path)
     if cur is None:
         return None
@@ -115,11 +127,17 @@ def _read_manifest(path: str) -> "tuple[int, int, dict[int, str]] | None":
 
 
 def _write_manifest(
-    path: str, tag: str, seq: int, n_buckets: int, mapping: "dict[int, str]"
+    path: str,
+    tag: str,
+    seq: int,
+    n_buckets: int,
+    mapping: "dict[int, str]",
+    parent: "str | None",
 ) -> str:
     name = f"m_{tag}"
-    body = f"scd2_v2 n_buckets={n_buckets} seq={seq}\n" + "\n".join(
-        f"{b}\t{d}" for b, d in sorted(mapping.items())
+    body = (
+        f"scd2_v2 n_buckets={n_buckets} seq={seq} parent={parent or ''}\n"
+        + "\n".join(f"{b}\t{d}" for b, d in sorted(mapping.items()))
     )
     _write_text(posixpath.join(path, name), body)
     return name
@@ -127,14 +145,24 @@ def _write_manifest(
 
 def scd2_snapshots(path: str) -> "list[tuple[int, str]]":
     """The store's retained snapshots as (seq, manifest_name),
-    ascending — the time-travel catalog. The highest seq is the
-    current manifest; older entries exist only when the writers ran
-    with ``retain_manifests > 1``."""
+    ascending — the time-travel catalog, discovered by walking the
+    COMMITTED parent chain from the pointer (a manifest file not on
+    the chain is a crashed commit's orphan, not a snapshot). The
+    highest seq is the current manifest; older entries exist only
+    when the writers ran with ``retain_manifests > 1``."""
+    cur = current_version(path)
     out = []
-    for name, is_dir in _listdir(path):
-        if not is_dir and name.startswith("m_"):
-            seq, _nb, _m = _parse_manifest(path, name)
-            out.append((seq, name))
+    while cur is not None:
+        try:
+            seq, _nb, parent, _m = _parse_manifest(path, cur)
+        except Exception:
+            break  # chain ends at a GC'd ancestor
+        out.append((seq, cur))
+        cur = parent
+        if cur is not None and not any(
+            n == cur and not d for n, d in _listdir(path)
+        ):
+            break
     return sorted(out)
 
 
@@ -170,13 +198,20 @@ def _gc_store(path: str, keep: "list[tuple[str, dict[int, str]]]") -> None:
 
 
 def _retained(path: str, new_name: str, retain_manifests: int):
-    """The manifests to keep after committing ``new_name``: the new
-    one plus the ``retain_manifests - 1`` highest-seq predecessors,
-    each with its parsed mapping (for the GC's live-reference set)."""
-    snaps = scd2_snapshots(path)
-    names = [n for _s, n in snaps if n != new_name][-(retain_manifests - 1):] if retain_manifests > 1 else []
-    names.append(new_name)
-    return [(n, _parse_manifest(path, n)[2]) for n in names]
+    """The manifests to keep after committing ``new_name``: the
+    committed chain from the new manifest, ``retain_manifests`` deep,
+    each with its parsed mapping (for the GC's live-reference set) —
+    never an orphan, since the chain is followed by ``parent``."""
+    out = []
+    cur = new_name
+    while cur is not None and len(out) < retain_manifests:
+        try:
+            _seq, _nb, parent, mapping = _parse_manifest(path, cur)
+        except Exception:
+            break
+        out.append((cur, mapping))
+        cur = parent
+    return out
 
 
 def write_scd2_store(
@@ -206,8 +241,10 @@ def write_scd2_store(
         for name, is_dir in _listdir(posixpath.join(path, data_dir))
         if is_dir and name.startswith("bucket=")
     ]
+    prev = _read_manifest(path)
+    seq = (prev[0] + 1) if prev is not None else 1
     name = _write_manifest(
-        path, tag, 1, n_buckets, {b: data_dir for b in buckets}
+        path, tag, seq, n_buckets, {b: data_dir for b in buckets}, parent=None
     )
     set_current_version(path, name)
     _gc_store(path, _retained(path, name, retain_manifests))
@@ -232,7 +269,7 @@ def read_scd2_store(
                 f"available: {[n for _s, n in scd2_snapshots(path)]}; "
                 "raise retain_manifests on the writers to keep more"
             )
-        _seq, _nb, mapping = _parse_manifest(path, at)
+        _seq, _nb, _parent, mapping = _parse_manifest(path, at)
     else:
         man = _read_manifest(path)
         if man is None:
@@ -241,7 +278,7 @@ def read_scd2_store(
                 "manifest pointer) — bootstrap with write_scd2_store; "
                 "pre-r10 flat-layout stores must be rebuilt"
             )
-        _seq, _nb, mapping = man
+        _seq, _nb, _parent, mapping = man
     paths = sorted(
         posixpath.join(path, d, f"bucket={b}") for b, d in mapping.items()
     )
@@ -295,7 +332,7 @@ def scd2_apply_delta(
             f"no committed SCD2 store at {path!r} — bootstrap with "
             "write_scd2_store (pre-r10 flat-layout stores must be rebuilt)"
         )
-    seq, store_nb, mapping = man
+    seq, store_nb, _parent, mapping = man
     if n_buckets != store_nb:
         raise ValueError(
             f"scd2_apply_delta: store at {path!r} was bucketed with "
@@ -411,6 +448,8 @@ def scd2_apply_delta(
         r["bucket"] for r in merged.select("bucket").distinct().collect()
     ]
     new_mapping = {**mapping, **{b: data_dir for b in out_buckets}}
-    name = _write_manifest(path, tag, seq + 1, store_nb, new_mapping)
+    name = _write_manifest(
+        path, tag, seq + 1, store_nb, new_mapping, parent=current_version(path)
+    )
     set_current_version(path, name)
     _gc_store(path, _retained(path, name, retain_manifests))

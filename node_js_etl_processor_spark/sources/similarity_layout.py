@@ -351,10 +351,17 @@ def compact_ann_layout(spark: SparkSession, src: str, dst: str) -> None:
     rows are per-vector facts (nothing to merge), so compaction is a
     pure file fold — one file per sig/cell directory per shuffle
     partition instead of one per appended batch. Probe-identical to
-    the source (test-pinned). Blue/green like ``compact_bm25_index``:
-    probes address ``<path>/by_sig`` directly, so the caller repoints
-    after the build."""
+    the source (test-pinned). Blue/green like ``compact_bm25_index``,
+    with the same replay safety: unmarked partial publishes are
+    purged before the fold and the applied markers travel to ``dst``
+    so a repointed ingest stream keeps its re-delivery guards."""
+    from ..streaming.markers import _listdir, _mkdirs, recover_all_partial
+
+    recover_all_partial(src)
     for sub, key in (("by_sig", "sig"), ("by_cell", "cell")):
         spark.read.parquet(f"{src}/{sub}").repartition(key).write.mode(
             "overwrite"
         ).partitionBy(key).parquet(f"{dst}/{sub}")
+    for name, is_dir in _listdir(f"{src}/_batches"):
+        if is_dir:
+            _mkdirs(f"{dst}/_batches/{name}")

@@ -62,13 +62,15 @@ def link_graph_ingest_stream(
                 cleanup_staging(posixpath.join(store_path, cur), tag)
             return
         if batch_df.isEmpty():
-            return
-        if cur == f"gen_{tag}":
+            # empty batches still commit (markers protocol) and still
+            # reach the compaction slot — an empty delivery must not
+            # silently defer a scheduled fold
+            mark_batch_applied(store_path, checkpoint, batch_id)
+        elif cur == f"gen_{tag}":
             # crash landed between the bootstrap's pointer switch and
             # the marker: the generation is live — just commit
             mark_batch_applied(store_path, checkpoint, batch_id)
-            return
-        if cur is None:
+        elif cur is None:
             write_edge_store(batch_df, store_path, batch_tag=tag)
             mark_batch_applied(store_path, checkpoint, batch_id)
         else:
@@ -79,7 +81,14 @@ def link_graph_ingest_stream(
             # what a crash recovery needs to purge a partial publish
             mark_batch_applied(store_path, checkpoint, batch_id)
             cleanup_staging(gen_path, tag)
-        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+        # (batch_id + 1): "every N batches" counts deliveries, so the
+        # knob also fires under the one-batch-per-checkpoint pattern
+        # (batch_id always 0) instead of never
+        if (
+            compact_every
+            and (batch_id + 1) % compact_every == 0
+            and current_version(store_path) is not None
+        ):
             compact_edge_store(batch_df.sparkSession, store_path)
 
     return (

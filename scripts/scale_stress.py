@@ -196,7 +196,7 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
-        "--only", nargs="*", default=None,
+        "--only", nargs="+", default=None,
         help="time only these families (solo re-measure mode); "
              "skips the scan/scd2/append/skew sections",
     )
@@ -528,6 +528,8 @@ def main() -> None:
     )
 
     def _edge_family(results_dict):
+        want_app = args.only is None or "edge_append_fixed_batch" in args.only
+        want_cmp = args.only is None or "edge_compaction" in args.only
         res_app, res_cmp = {}, {}
         for scale, base in (("1x", docs1), (f"{args.replicas}x", docs10)):
             spath = os.path.join(tmp, f"edges_{scale}")
@@ -547,10 +549,12 @@ def main() -> None:
                 if res["sec_1x"] > 0
                 else None
             )
-        results_dict["edge_append_fixed_batch"] = res_app
-        results_dict["edge_compaction"] = res_cmp
-        print(f"[edge_append_fixed_batch] {res_app}", file=sys.stderr)
-        print(f"[edge_compaction] {res_cmp}", file=sys.stderr)
+        if want_app:
+            results_dict["edge_append_fixed_batch"] = res_app
+            print(f"[edge_append_fixed_batch] {res_app}", file=sys.stderr)
+        if want_cmp:
+            results_dict["edge_compaction"] = res_cmp
+            print(f"[edge_compaction] {res_cmp}", file=sys.stderr)
 
     if args.only:
         unknown = set(args.only) - set(queries) - {

@@ -56,18 +56,19 @@ def test_write_append_compact_equals_one_shot(spark, sf_dir, tmp_path):
     )
     assert n_parquet_after < n_parquet_before
 
-    # further appends after compaction keep aggregating correctly
+    # further appends after compaction keep aggregating correctly —
+    # iterate the UNION of expected pairs so a dropped pair fails
     append_edge_store(new, store)
     got = {
         (s, d): n for s, d, n in _edges_set(read_edge_graph(spark, store))
     }
+    base = {(a, b): c for a, b, c in want}
     extra = {
         (s, d): n for s, d, n in _edges_set(link_graph_edges(new))
     }
-    for (s, d), n in got.items():
-        assert n == dict(
-            ((a, b), c) for a, b, c in want
-        ).get((s, d), 0) + extra.get((s, d), 0)
+    assert set(got) == set(base) | set(extra)
+    for pair in set(base) | set(extra):
+        assert got[pair] == base.get(pair, 0) + extra.get(pair, 0), pair
 
 
 def test_domain_outlinks_prunes_to_one_bucket(spark, sf_dir, tmp_path):
@@ -105,9 +106,12 @@ def test_domain_outlinks_prunes_to_one_bucket(spark, sf_dir, tmp_path):
 
 
 def test_ingest_stream_with_compaction_matches_batch(spark, sf_dir, tmp_path):
-    """Three streamed drops with compact_every=2 must leave exactly
-    the one-shot graph, and the stored PageRank must rank-match the
-    batch composition over the union corpus."""
+    """One stream, one checkpoint, three micro-batches
+    (maxFilesPerTrigger=1) with compact_every=2: compaction must
+    ACTUALLY fire mid-stream (generation changes, file count stays
+    bounded), the final graph must equal the one-shot build, and the
+    stored PageRank must rank-match the batch composition."""
+    from node_js_etl_processor_spark.sources.graph_store import _gen_dir
     from node_js_etl_processor_spark.streaming.graphs import (
         link_graph_ingest_stream,
     )
@@ -116,22 +120,43 @@ def test_ingest_stream_with_compaction_matches_batch(spark, sf_dir, tmp_path):
     src = tmp_path / "landing"
     src.mkdir()
     store = str(tmp_path / "edges")
-    docs.filter("doc_id % 3 = 0").coalesce(1).write.json(str(src / "b1"))
-    docs.filter("doc_id % 3 = 1").coalesce(1).write.json(str(src / "b2"))
-    docs.filter("doc_id % 3 = 2").coalesce(1).write.json(str(src / "b3"))
+    # one file per batch under ONE source dir -> batch ids 0, 1, 2
+    docs.filter("doc_id % 3 = 0").coalesce(1).write.json(str(src / "f" / "b1"))
+    docs.filter("doc_id % 3 = 1").coalesce(1).write.json(str(src / "f" / "b2"))
+    docs.filter("doc_id % 3 = 2").coalesce(1).write.json(str(src / "f" / "b3"))
+    import shutil
+
+    flat = src / "flat"
+    flat.mkdir()
+    for i, sub in enumerate(("b1", "b2", "b3")):
+        for f in (src / "f" / sub).glob("part-*.json"):
+            shutil.copy(f, flat / f"{i}-{f.name}")
 
     schema = "doc_id long, text string"
-    for b in ("b1", "b2", "b3"):
-        q = link_graph_ingest_stream(
-            spark.readStream.schema(schema).json(str(src / b)),
-            store,
-            str(tmp_path / ("ck" + b)),
-            compact_every=2,
-        )
-        q.awaitTermination(120)
+    q = link_graph_ingest_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(flat)),
+        store,
+        str(tmp_path / "ck"),
+        compact_every=2,
+    )
+    q.awaitTermination(180)
 
     want = _edges_set(link_graph_edges(docs))
     assert _edges_set(read_edge_graph(spark, store)) == want
+    # compaction really ran: batch 1 folded generations, so the live
+    # generation is NOT the bootstrap generation, and the live file
+    # count is bounded by O(buckets) + the post-fold appends
+    gen = _gen_dir(store)
+    assert "gen_" in gen
+    from node_js_etl_processor_spark.streaming.markers import _walk_files
+
+    tags = {f.split("-")[0] for _rel, f in _walk_files(gen) if "-" in f}
+    # the bootstrap batch's tag must have been folded away
+    from node_js_etl_processor_spark.streaming.markers import marker_id
+
+    assert marker_id(str(tmp_path / "ck"), 0) not in tags
 
     got = {
         (r["node"], r["pagerank"], r["rank"])

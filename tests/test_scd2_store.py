@@ -206,3 +206,59 @@ def test_scd2_time_travel_and_retention(spark, sf_dir, tmp_path):
     assert got1 == _hist_set(q_scd2(early.unionByName(mid)))
     assert _hist_set(read_scd2_store(spark, path)) == _hist_set(q_scd2(orders))
 
+
+
+def test_orphan_manifest_never_shadows_snapshots(spark, sf_dir, tmp_path):
+    """Review fix (r10): a manifest written by a crashed commit (never
+    pointed at) must not appear in the snapshot catalog, must not be
+    readable as a snapshot, and must not displace a real predecessor
+    from the retention window — the catalog walks the committed
+    parent chain, not the directory listing."""
+    import posixpath
+
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.sources.scd2_store import (
+        _parse_manifest,
+        scd2_snapshots,
+    )
+    from node_js_etl_processor_spark.streaming.markers import (
+        _listdir,
+        _write_text,
+        current_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < SPLIT1)
+    mid = orders.filter(
+        (F.col("o_orderdate") >= SPLIT1) & (F.col("o_orderdate") < SPLIT2)
+    )
+    late = orders.filter(F.col("o_orderdate") >= SPLIT2)
+    path = str(tmp_path / "dim")
+
+    write_scd2_store(early, path)
+    scd2_apply_delta(spark, mid, path, retain_manifests=2)
+    first_real = [n for _s, n in scd2_snapshots(path)][0]
+    cur = current_version(path)
+
+    # simulate the crash window: a manifest lands with a high seq and
+    # a valid parent, but the pointer never switches to it
+    cur_seq = _parse_manifest(path, cur)[0]
+    _write_text(
+        posixpath.join(path, "m_orphan"),
+        f"scd2_v2 n_buckets=32 seq={cur_seq + 1} parent={cur}\n",
+    )
+
+    assert "m_orphan" not in [n for _s, n in scd2_snapshots(path)]
+    with _pytest.raises(ValueError, match="not retained"):
+        read_scd2_store(spark, path, at="m_orphan")
+
+    # the next real commit retains the TRUE predecessor, and the
+    # orphan is GC'd rather than shadowing it
+    scd2_apply_delta(spark, late, path, retain_manifests=2)
+    names = [n for _s, n in scd2_snapshots(path)]
+    assert cur in names and "m_orphan" not in names
+    assert not any(n == "m_orphan" for n, _d in _listdir(path))
+    got = _hist_set(read_scd2_store(spark, path, at=cur))
+    assert got == _hist_set(q_scd2(early.unionByName(mid)))
+    assert first_real not in names  # retention window still size 2
