@@ -7,10 +7,11 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 106 queries (count as of r10 — 103 from r9 plus the three
-declarations q_bpe_pairs / q_gif_frames / q_link_graph; grep ``def
-queries`` below for the authoritative registry) carry a full DuckDB
-oracle — including the SRP-LSH /
+ALL 108 queries (count as of the r10 continuation — 103 from r9, the
+three r10 declarations q_bpe_pairs / q_gif_frames / q_link_graph,
+plus the mid-r10 declarations q_token_budget / q_video_frames; grep
+``def queries`` below for the authoritative registry) carry a full
+DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
 the scores), the mapInPandas multimodal kernel (byte-deterministic
@@ -51,6 +52,7 @@ from node_js_etl_processor_spark.operators.multimodal import (
     q_gif_frames,
     q_media_resize,
     q_multimodal_features,
+    q_video_frames,
 )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -83,18 +85,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     row r7) lead the window, followed by the three r10 DECLARATIONS
     (q_bpe_pairs, q_gif_frames, q_link_graph — operators + DuckDB
     oracles built and pytest-verified in r9, entering the window on
-    declaration per the rotation rule), then 44 of the 50 queries
-    whose latest green row is r8. The 50 r9-green queries rotate
-    OUT. Six r8-green queries are displaced by the declarations and
-    explicitly DEFERRED to r11 rather than silently dropped —
+    declaration per the rotation rule), then the mid-r10
+    declarations (operators + oracles built and pytest-verified
+    earlier in r10), then the remaining r8-green queries that fill
+    the window to 50. The 50 r9-green queries rotate OUT. The
+    displaced r8-green queries are explicitly DEFERRED to r11 rather
+    than silently dropped — q_scalar_math, q_string_funcs,
     q_date_buckets, q_json_props, q_stats_agg, q_distinct_agg,
-    q_unpivot, q_collect_agg — chosen because they are
-    single-shuffle relational/scalar forms unchanged since their
-    declaring round (lowest drift risk). r11 MUST window those six
-    first, plus the 50 r10-green. Invariant after r10: every
-    registered query has at least one driver CORRECTNESS row, and
-    none (except the six named deferrals) is more than one rotation
-    cycle stale; ALL 106 are additionally swept by FULLVERIFY_r10."""
+    q_unpivot, q_collect_agg (plus any further mid-r10
+    displacements listed at the registry bottom) — chosen because
+    they are single-shuffle relational/scalar forms unchanged since
+    their declaring round (lowest drift risk).
+
+    r11 MUST window the named deferrals first, then fill with the
+    oldest r9-green queries; the r9-green queries that don't fit
+    become the named r12 deferrals. Honest rotation math: with a
+    50-slot driver window and >100 registered queries, a full sweep
+    takes ceil(N/50) = 3 rounds, so the invariant is: every
+    registered query has a driver CORRECTNESS row within the last 3
+    rounds (named deferrals are the explicit schedule for the
+    overflow), and ALL queries are swept by the committed
+    FULLVERIFY_r{N}.json on the final tree EVERY round."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
         # The three NAMED r10-MUST deferrals lead (last driver row r7;
@@ -110,8 +121,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q_gif_frames": _q(["documents"], q_gif_frames),
         "q_link_graph": _q(["documents"], graph.q_link_graph),
-        # 44 of the 50 queries whose latest green row is r8 (the other
-        # six are the named r11 deferrals at the bottom of this registry)
+        # r10-continuation declarations (operators + DuckDB oracles
+        # built and pytest-verified earlier this round; entering the
+        # window on declaration per the rotation rule)
+        "q_token_budget": _q(["documents"], bpe.q_token_budget),
+        "q_video_frames": _q(["documents"], q_video_frames),
+        # 42 of the 50 queries whose latest green row is r8 (the
+        # others are the named r11 deferrals at the bottom of this
+        # registry)
         "q_filter_required": _q(["orders"], relational.q_filter_required),
         "q_clean_project": _q(["customer"], relational.q_clean_project),
         "q_array_transform": _q(["part"], relational.q_array_transform),
@@ -125,8 +142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
         "q_cube": _q(["orders"], relational.q_cube),
         "q_window_lag": _q(["events"], relational.q_window_lag),
-        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
-        "q_string_funcs": _q(["part"], relational.q_string_funcs),
         "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
         "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
         "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
@@ -221,10 +236,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
         "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
-        # ---- the six NAMED r11 deferrals (see docstring) ----
+        # ---- the NAMED r11 deferrals (see docstring) ----
         # Single-shuffle relational / scalar forms, oracle-green since
         # their declaring round with no code change since; lowest drift
-        # risk of the r8-green set. r11 MUST window these six first.
+        # risk of the r8-green set. r11 MUST window these first.
+        # q_scalar_math / q_string_funcs were displaced mid-r10 by the
+        # q_token_budget / q_video_frames declarations.
+        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
+        "q_string_funcs": _q(["part"], relational.q_string_funcs),
         "q_date_buckets": _q(["events"], relational.q_date_buckets),
         "q_json_props": _q(["events"], relational.q_json_props),
         "q_stats_agg": _q(["customer"], relational.q_stats_agg),
@@ -565,6 +584,134 @@ GROUP BY src_domain, dst_domain
 """
 
 
+# -- r10-continuation declared oracles (operators + oracles built and
+# pytest-verified earlier in r10 via tests/test_extensions.py, which
+# imports these constants — driver and local gate compare the SAME
+# SQL text) --
+
+
+def _token_budget_oracle(n_merges: int = 8) -> str:
+    """Generated DuckDB oracle for q_token_budget: replays the FULL
+    BPE training unroll step by step. Each word is a delimited symbol
+    string (chr(31) sym chr(30) — both delimiters can't appear in
+    \\s+-split words), so one merge is a plain non-overlapping
+    leftmost replace() — exactly the Sennrich reference's regex
+    semantics and exactly bpe_apply_merge's fold. Per step: pair
+    counts off the split symbol list, the (pf DESC, a, b) argmax, a
+    guarded replace (pf < 2 keeps the string — bpe_train's
+    min_pair_freq stop, self-consistent for all later steps). Real
+    per-doc token counts then come from the TRAINED segmentation
+    (count of chr(31) per word), which equals bpe_encode's inference
+    segmentation by the train==inference property pinned in
+    tests/test_extensions.py."""
+    d1, d2 = "chr(31)", "chr(30)"
+    steps = []
+    for k in range(n_merges):
+        steps.append(f"""
+p{k} AS (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pf FROM (
+    SELECT freq, l[i] AS a, l[i + 1] AS b
+    FROM (SELECT freq,
+                 string_split(substr(s, 2, length(s) - 2), {d2} || {d1}) AS l
+          FROM v{k}),
+         unnest(generate_series(1, len(l) - 1)) AS t(i)
+  ) GROUP BY a, b
+),
+b{k} AS MATERIALIZED (
+  SELECT a, b, pf FROM p{k} ORDER BY pf DESC, a ASC, b ASC LIMIT 1
+),
+v{k + 1} AS MATERIALIZED (
+  SELECT word, freq,
+         CASE WHEN (SELECT pf FROM b{k}) >= 2
+              THEN replace(s,
+                           {d1} || (SELECT a FROM b{k}) || {d2} ||
+                           {d1} || (SELECT b FROM b{k}) || {d2},
+                           {d1} || (SELECT a FROM b{k}) ||
+                                   (SELECT b FROM b{k}) || {d2})
+              ELSE s END AS s
+  FROM v{k}
+)""")
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS word
+    FROM documents
+  )
+  GROUP BY word
+),
+v0 AS MATERIALIZED (
+  SELECT word, freq,
+         regexp_replace(word, '(.)', {d1} || '\\1' || {d2}, 'g')
+           || {d1} || '</w>' || {d2} AS s
+  FROM words
+),{",".join(steps)},
+wordtoks AS (
+  SELECT word,
+         CAST(length(s) - length(replace(s, {d1}, '')) AS BIGINT) AS wt
+  FROM v{n_merges}
+),
+doc_words AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+doc_tok AS (
+  SELECT dw.doc_id, SUM(wt.wt) AS real_toks
+  FROM doc_words dw JOIN wordtoks wt USING (word)
+  GROUP BY dw.doc_id
+),
+per_doc AS (
+  SELECT d.source,
+         COALESCE(dt.real_toks, 0) AS real_toks,
+         CAST(floor((length(d.text) + 3) / 4) AS BIGINT) AS est
+  FROM documents d LEFT JOIN doc_tok dt USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(real_toks) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(est) AS BIGINT) AS est_tokens,
+       CAST(SUM(ABS(real_toks - est)) AS BIGINT) AS abs_err,
+       CAST(MAX(ABS(real_toks - est)) AS BIGINT) AS max_err
+FROM per_doc GROUP BY source
+"""
+
+
+TOKEN_BUDGET_ORACLE = _token_budget_oracle()
+
+VIDEO_FRAMES_ORACLE = """
+WITH ids AS (SELECT doc_id AS media_id FROM documents),
+geo AS (
+  SELECT media_id,
+         6 + media_id % 7 AS w,
+         5 + media_id % 5 AS h,
+         1 + media_id % 4 AS nf,
+         CAST(floor(1000000 / (4 + media_id % 4)) AS BIGINT) AS upf
+  FROM ids WHERE media_id % 13 <> 0
+),
+frames AS (
+  SELECT media_id, w, h, nf, upf, CAST(f AS BIGINT) AS f
+  FROM geo, unnest(generate_series(0, nf - 1)) AS t(f)
+  WHERE f % 2 = 0
+)
+SELECT media_id, 'true' AS ok, f AS frame_no,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       upf AS usec_per_frame,
+       md5(repeat(printf('%02x%02x%02x',
+                         (media_id * 37 + f * 29) % 256,
+                         (media_id * 37 + f * 29) % 256,
+                         (media_id * 37 + f * 29) % 256),
+                  CAST(w * h AS INT))) AS frame_md5
+FROM frames
+UNION ALL
+SELECT media_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL
+FROM ids WHERE media_id % 13 = 0
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from node_js_etl_processor_spark.operators.similarity import (
         _pq_residual_codebooks,
@@ -577,6 +724,8 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_pairs": BPE_PAIRS_ORACLE,
         "q_gif_frames": GIF_FRAMES_ORACLE,
         "q_link_graph": LINK_GRAPH_ORACLE,
+        "q_token_budget": TOKEN_BUDGET_ORACLE,
+        "q_video_frames": VIDEO_FRAMES_ORACLE,
         "q_filter_required": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
             FROM orders

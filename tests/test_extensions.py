@@ -1841,6 +1841,8 @@ from __spark_entry__ import (  # single source of truth: the driver compares the
     BPE_PAIRS_ORACLE,
     GIF_FRAMES_ORACLE,
     LINK_GRAPH_ORACLE,
+    TOKEN_BUDGET_ORACLE,
+    VIDEO_FRAMES_ORACLE,
 )
 
 
@@ -1893,101 +1895,13 @@ def test_link_graph_duckdb_oracle_parity_and_domain_rank(spark, sf_dir):
     assert abs(sum(r["pagerank"] for r in rows) - 1.0) < 1e-4
 
 
-def _token_budget_oracle(n_merges: int = 8) -> str:
-    """Generated DuckDB oracle for q_token_budget: replays the FULL
-    BPE training unroll step by step. Each word is a delimited symbol
-    string (chr(31) sym chr(30) — both delimiters can't appear in
-    \\s+-split words), so one merge is a plain non-overlapping
-    leftmost replace() — exactly the Sennrich reference's regex
-    semantics and exactly bpe_apply_merge's fold. Per step: pair
-    counts off the split symbol list, the (pf DESC, a, b) argmax, a
-    guarded replace (pf < 2 keeps the string — bpe_train's
-    min_pair_freq stop, self-consistent for all later steps). Real
-    per-doc token counts then come from the TRAINED segmentation
-    (count of chr(31) per word), which equals bpe_encode's inference
-    segmentation by the train==inference property pinned above."""
-    d1, d2 = "chr(31)", "chr(30)"
-    steps = []
-    for k in range(n_merges):
-        steps.append(f"""
-p{k} AS (
-  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS pf FROM (
-    SELECT freq, l[i] AS a, l[i + 1] AS b
-    FROM (SELECT freq,
-                 string_split(substr(s, 2, length(s) - 2), {d2} || {d1}) AS l
-          FROM v{k}),
-         unnest(generate_series(1, len(l) - 1)) AS t(i)
-  ) GROUP BY a, b
-),
-b{k} AS MATERIALIZED (
-  SELECT a, b, pf FROM p{k} ORDER BY pf DESC, a ASC, b ASC LIMIT 1
-),
-v{k + 1} AS MATERIALIZED (
-  SELECT word, freq,
-         CASE WHEN (SELECT pf FROM b{k}) >= 2
-              THEN replace(s,
-                           {d1} || (SELECT a FROM b{k}) || {d2} ||
-                           {d1} || (SELECT b FROM b{k}) || {d2},
-                           {d1} || (SELECT a FROM b{k}) ||
-                                   (SELECT b FROM b{k}) || {d2})
-              ELSE s END AS s
-  FROM v{k}
-)""")
-    return f"""
-WITH words AS MATERIALIZED (
-  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-  FROM (
-    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                              x -> x <> '')) AS word
-    FROM documents
-  )
-  GROUP BY word
-),
-v0 AS MATERIALIZED (
-  SELECT word, freq,
-         regexp_replace(word, '(.)', {d1} || '\\1' || {d2}, 'g')
-           || {d1} || '</w>' || {d2} AS s
-  FROM words
-),{",".join(steps)},
-wordtoks AS (
-  SELECT word,
-         CAST(length(s) - length(replace(s, {d1}, '')) AS BIGINT) AS wt
-  FROM v{n_merges}
-),
-doc_words AS (
-  SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-                            x -> x <> '')) AS word
-  FROM documents
-),
-doc_tok AS (
-  SELECT dw.doc_id, SUM(wt.wt) AS real_toks
-  FROM doc_words dw JOIN wordtoks wt USING (word)
-  GROUP BY dw.doc_id
-),
-per_doc AS (
-  SELECT d.source,
-         COALESCE(dt.real_toks, 0) AS real_toks,
-         CAST(floor((length(d.text) + 3) / 4) AS BIGINT) AS est
-  FROM documents d LEFT JOIN doc_tok dt USING (doc_id)
-)
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(real_toks) AS BIGINT) AS bpe_tokens,
-       CAST(SUM(est) AS BIGINT) AS est_tokens,
-       CAST(SUM(ABS(real_toks - est)) AS BIGINT) AS abs_err,
-       CAST(MAX(ABS(real_toks - est)) AS BIGINT) AS max_err
-FROM per_doc GROUP BY source
-"""
-
-
-TOKEN_BUDGET_ORACLE = _token_budget_oracle()
 
 
 def test_token_budget_duckdb_oracle_parity(spark, sf_dir):
     """r10: q_token_budget (train 8 merges -> bpe_encode -> per-source
-    budget vs chars/4) vs the full-training-unroll DuckDB oracle — the
-    r11-declaration dry run. The oracle replays training; the Spark
+    budget vs chars/4) vs the full-training-unroll DuckDB oracle —
+    DECLARED mid-r10 (oracle imported from __spark_entry__, the same
+    SQL the driver compares). The oracle replays training; the Spark
     side runs REAL inference, so this differentially checks the
     train==inference equivalence end to end on the fixture corpus,
     on top of the segmentation property pinned in
@@ -2024,35 +1938,6 @@ def test_token_accounting_exact_on_known_corpus(spark):
     assert (s2["abs_err"], s2["max_err"]) == (3, 3)
 
 
-VIDEO_FRAMES_ORACLE = """
-WITH ids AS (SELECT doc_id AS media_id FROM documents),
-geo AS (
-  SELECT media_id,
-         6 + media_id % 7 AS w,
-         5 + media_id % 5 AS h,
-         1 + media_id % 4 AS nf,
-         CAST(floor(1000000 / (4 + media_id % 4)) AS BIGINT) AS upf
-  FROM ids WHERE media_id % 13 <> 0
-),
-frames AS (
-  SELECT media_id, w, h, nf, upf, CAST(f AS BIGINT) AS f
-  FROM geo, unnest(generate_series(0, nf - 1)) AS t(f)
-  WHERE f % 2 = 0
-)
-SELECT media_id, 'true' AS ok, f AS frame_no,
-       CAST(nf AS BIGINT) AS n_frames,
-       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
-       upf AS usec_per_frame,
-       md5(repeat(printf('%02x%02x%02x',
-                         (media_id * 37 + f * 29) % 256,
-                         (media_id * 37 + f * 29) % 256,
-                         (media_id * 37 + f * 29) % 256),
-                  CAST(w * h AS INT))) AS frame_md5
-FROM frames
-UNION ALL
-SELECT media_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL
-FROM ids WHERE media_id % 13 = 0
-"""
 
 
 def test_avi_mjpeg_roundtrip_and_isolation():
@@ -2103,8 +1988,9 @@ def test_avi_mjpeg_roundtrip_and_isolation():
 
 
 def test_video_frames_duckdb_oracle_parity(spark, sf_dir):
-    """r10: q_video_frames vs its DuckDB oracle — the r11-declaration
-    dry run. The real JPEG-encode -> AVI-wrap -> RIFF-walk ->
+    """r10: q_video_frames vs its DuckDB oracle — DECLARED mid-r10
+    (oracle imported from __spark_entry__, the same SQL the driver
+    compares). The real JPEG-encode -> AVI-wrap -> RIFF-walk ->
     JPEG-decode -> sample loop is differentially checked against the
     doc_id closed form, including raster digests (exact despite the
     lossy codec — solid-gray property) and corrupt-row isolation."""
