@@ -693,13 +693,14 @@ def encode_wav(samples: "object", sample_rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav(payload: bytes) -> "tuple[object, int]":
-    """Decode a PCM 16-bit WAV into ((n, channels) int16 array,
-    sample_rate). Bounds-checked: corrupt chunk sizes / truncated
-    payloads raise DecodeUnavailable, never struct/numpy errors."""
+def parse_wav_chunks(payload: bytes) -> "tuple[tuple, bytes]":
+    """Walk a RIFF/WAVE container and return (fmt_tuple, data_bytes)
+    where fmt_tuple = (tag, channels, rate, byte_rate, block_align,
+    bits). Shared by the PCM decoder here and the compressed-audio
+    decoders in ``operators/audio.py``. Bounds-checked: corrupt chunk
+    sizes / truncated payloads raise DecodeUnavailable, never
+    struct errors."""
     import struct
-
-    import numpy as np
 
     if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise DecodeUnavailable("not a RIFF/WAVE payload")
@@ -718,6 +719,16 @@ def decode_wav(payload: bytes) -> "tuple[object, int]":
         pos += 8 + clen + (clen % 2)  # chunks are word-aligned
     if fmt is None or data is None:
         raise DecodeUnavailable("WAV missing fmt or data chunk")
+    return fmt, data
+
+
+def decode_wav(payload: bytes) -> "tuple[object, int]":
+    """Decode a PCM 16-bit WAV into ((n, channels) int16 array,
+    sample_rate). Bounds-checked: corrupt chunk sizes / truncated
+    payloads raise DecodeUnavailable, never struct/numpy errors."""
+    import numpy as np
+
+    fmt, data = parse_wav_chunks(payload)
     tag, ch, rate, _br, _align, bits = fmt
     if tag != 1 or bits != 16 or ch < 1 or rate <= 0:
         raise DecodeUnavailable(

@@ -2000,3 +2000,175 @@ def test_video_frames_duckdb_oracle_parity(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n = _duck_parity(q_video_frames(docs), VIDEO_FRAMES_ORACLE, sf_dir)
     assert n > 0
+
+
+# ---------------------------------------------------- G.711 audio (r11 cand)
+
+G711_ORACLE = """
+WITH base AS (
+  SELECT doc_id AS media_id,
+         1000 + (doc_id % 20) * 500 AS amp,
+         2 + doc_id % 7 AS period,
+         400 + (doc_id % 5) * 80 AS n,
+         doc_id % 2 = 0 AS is_mu
+  FROM documents WHERE doc_id % 11 <> 0
+),
+-- companded-domain magnitudes (published G.711 front-end arithmetic,
+-- including the asymmetric negative branches: mu-law negates AFTER an
+-- arithmetic >>2 (a ceil on the magnitude), A-law's negative branch
+-- is -pcm-1)
+comp AS (
+  SELECT media_id, period, n, is_mu,
+         least(amp // 4, 8159) + 33 AS v_pos,
+         least((amp + 3) // 4, 8159) + 33 AS v_neg,
+         amp // 8 AS p_pos,
+         (amp + 7) // 8 - 1 AS p_neg
+  FROM base
+),
+-- mu-law: seg = floor(log2(v)) - 5, mant = (v >> (seg+1)) & 15,
+-- decode = ((mant*8 + 132) << seg) - 132
+mudec AS (
+  SELECT media_id,
+         ((((v_pos >> (CAST(floor(log2(v_pos)) AS BIGINT) - 5 + 1)) & 15) * 8 + 132)
+            << (CAST(floor(log2(v_pos)) AS BIGINT) - 5)) - 132 AS dpos,
+         ((((v_neg >> (CAST(floor(log2(v_neg)) AS BIGINT) - 5 + 1)) & 15) * 8 + 132)
+            << (CAST(floor(log2(v_neg)) AS BIGINT) - 5)) - 132 AS dneg_mag
+  FROM comp WHERE is_mu
+),
+-- A-law: seg = max(floor(log2(p)) - 4, 0); mant shift is 1 for seg<2
+-- else seg; decode t = mant*16 + (8 if seg=0 else 264), then << (seg-1)
+-- for seg>=2
+aseg AS (
+  SELECT media_id,
+         CASE WHEN p_pos < 32 THEN 0
+              ELSE CAST(floor(log2(p_pos)) AS BIGINT) - 4 END AS seg_p,
+         CASE WHEN p_neg < 32 THEN 0
+              ELSE CAST(floor(log2(p_neg)) AS BIGINT) - 4 END AS seg_n,
+         p_pos, p_neg
+  FROM comp WHERE NOT is_mu
+),
+adec AS (
+  SELECT media_id,
+         CASE WHEN seg_p >= 2
+              THEN (((p_pos >> seg_p) & 15) * 16 + 264) << (seg_p - 1)
+              ELSE ((p_pos >> 1) & 15) * 16
+                   + CASE WHEN seg_p = 0 THEN 8 ELSE 264 END
+         END AS dpos,
+         CASE WHEN seg_n >= 2
+              THEN (((p_neg >> seg_n) & 15) * 16 + 264) << (seg_n - 1)
+              ELSE ((p_neg >> 1) & 15) * 16
+                   + CASE WHEN seg_n = 0 THEN 8 ELSE 264 END
+         END AS dneg_mag
+  FROM aseg
+),
+dec AS (
+  SELECT * FROM mudec UNION ALL SELECT * FROM adec
+),
+stats AS (
+  SELECT c.media_id, c.is_mu, c.n, d.dpos, d.dneg_mag,
+         (c.n // (2 * c.period)) * c.period
+           + least(c.n % (2 * c.period), c.period) AS n_pos
+  FROM comp c JOIN dec d USING (media_id)
+)
+SELECT media_id, 'true' AS ok,
+       CASE WHEN is_mu THEN 'mulaw' ELSE 'alaw' END AS law,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(dpos AS BIGINT) AS peak_pos,
+       CAST(-dneg_mag AS BIGINT) AS peak_neg,
+       CAST(n_pos * dpos - (n - n_pos) * dneg_mag AS BIGINT) AS sum_samples,
+       CAST(n_pos * dpos + (n - n_pos) * dneg_mag AS BIGINT) AS sum_abs
+FROM stats
+UNION ALL
+SELECT doc_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def test_g711_codecs_match_audioop():
+    """Both G.711 laws, both directions, EXACT parity with CPython's
+    audioop (the Sun reference implementation) over the entire 16-bit
+    input range and all 256 code points. Gated: audioop is removed in
+    Python 3.13."""
+    audioop = pytest.importorskip("audioop")
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.audio import (
+        alaw_decode,
+        alaw_encode,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    raw = x.astype("<i2").tobytes()
+    assert (mulaw_encode(x) == np.frombuffer(
+        audioop.lin2ulaw(raw, 2), dtype=np.uint8)).all()
+    assert (alaw_encode(x) == np.frombuffer(
+        audioop.lin2alaw(raw, 2), dtype=np.uint8)).all()
+    codes = np.arange(256, dtype=np.uint8)
+    assert (mulaw_decode(codes) == np.frombuffer(
+        audioop.ulaw2lin(codes.tobytes(), 2), dtype="<i2")).all()
+    assert (alaw_decode(codes) == np.frombuffer(
+        audioop.alaw2lin(codes.tobytes(), 2), dtype="<i2")).all()
+
+
+def test_g711_codec_properties():
+    """audioop-independent invariants: companding error is bounded by
+    the segment step (relative error < 1/16 + bias effects), decode is
+    monotone in the linear domain, and the WAV wrappers roundtrip
+    including flavor rejection."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.audio import (
+        alaw_decode,
+        alaw_encode,
+        decode_wav_g711,
+        encode_wav_g711,
+        mulaw_decode,
+        mulaw_encode,
+    )
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable as DU,
+        encode_wav,
+    )
+
+    x = np.arange(-32768, 32768, 7, dtype=np.int16)
+    for enc, dec, tol in ((mulaw_encode, mulaw_decode, 0.04 * 32768),
+                          (alaw_encode, alaw_decode, 0.04 * 32768)):
+        y = dec(enc(x)).astype(np.int64)
+        err = np.abs(y - x.astype(np.int64))
+        # error is proportional to magnitude (companding), never huge
+        assert (err <= np.maximum(np.abs(x.astype(np.int64)) // 12, 140)).all()
+        assert err.max() < tol
+    # decode is monotone non-decreasing when codes are sorted by their
+    # decoded linear value
+    for dec in (mulaw_decode, alaw_decode):
+        vals = np.sort(dec(np.arange(256, dtype=np.uint8)).astype(np.int64))
+        assert (np.diff(vals) >= 0).all()
+    # WAV wrapper roundtrip (both laws) + flavor rejection
+    sig = (np.sin(np.linspace(0, 20, 400)) * 9000).astype(np.int16)
+    for law in ("mulaw", "alaw"):
+        arr, rate, got_law = decode_wav_g711(encode_wav_g711(sig, 8000, law))
+        assert (rate, got_law, arr.shape) == (8000, law, (400, 1))
+        dec = mulaw_decode if law == "mulaw" else alaw_decode
+        enc = mulaw_encode if law == "mulaw" else alaw_encode
+        assert (arr.reshape(-1) == dec(enc(sig))).all()
+    with pytest.raises(DU):
+        decode_wav_g711(encode_wav(sig, 8000))  # PCM tag rejected
+    with pytest.raises(DU):
+        decode_wav_g711(b"\x00" * 32)
+
+
+def test_audio_g711_duckdb_oracle_parity(spark, sf_dir):
+    """r11 candidate dry run: q_audio_g711 vs the closed-form G.711
+    oracle (the driver's exact compare). Differentially verifies both
+    laws' segment/mantissa encode AND decode arithmetic, the square
+    wave pos/neg sample split, and real-flavor rejection (a
+    well-formed MS-ADPCM WAV must land in the ok=false lane)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.audio import q_audio_g711
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_audio_g711(docs), G711_ORACLE, sf_dir)
+    assert n > 0
