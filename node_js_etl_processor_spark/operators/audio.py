@@ -183,6 +183,180 @@ def decode_wav_g711(payload: bytes) -> "tuple[object, int, str]":
     return dec(codes).astype(np.int16), rate, law
 
 
+# ---------------------------------------------------------------- IMA ADPCM
+
+#: Published IMA/DVI ADPCM step-size table (89 entries) and index
+#: adaptation table — the same constants CPython's audioop and every
+#: IMA decoder use.
+ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+]
+ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+#: WAV tag-0x11 block layout: 4-byte header (predictor int16, step
+#: index uint8, reserved) + 2 samples per data byte; the header
+#: carries the block's first sample verbatim.
+ADPCM_BLOCK_ALIGN = 256
+ADPCM_SAMPLES_PER_BLOCK = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # 505
+
+
+def _adpcm_step(pred: int, idx: int, x: int) -> "tuple[int, int, int]":
+    """One encoder+decoder step (they share state in IMA): quantize
+    (x - pred) to a 4-bit code against step ADPCM_STEPS[idx], return
+    (code, new_pred, new_idx). new_pred IS the decoded sample."""
+    step = ADPCM_STEPS[idx]
+    diff = x - pred
+    code = 0
+    if diff < 0:
+        code = 8
+        diff = -diff
+    vpdiff = step >> 3
+    if diff >= step:
+        code |= 4
+        diff -= step
+        vpdiff += step
+    step >>= 1
+    if diff >= step:
+        code |= 2
+        diff -= step
+        vpdiff += step
+    step >>= 1
+    if diff >= step:
+        code |= 1
+        vpdiff += step
+    pred = pred - vpdiff if code & 8 else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + ADPCM_INDEX[code & 7]))
+    return code, pred, idx
+
+
+def adpcm_encode_stream(samples: "object", pred: int = 0, idx: int = 0):
+    """Encode an int16 sequence to (list of 4-bit codes, final state).
+    The raw IMA nibble loop with explicit carried state — the unit the
+    tests pin exactly against audioop.lin2adpcm (same Intel/DVI
+    algorithm; audioop packs high-nibble-first, WAV packs low-first,
+    so parity is checked at the nibble level)."""
+    codes = []
+    for x in samples:
+        code, pred, idx = _adpcm_step(pred, idx, int(x))
+        codes.append(code)
+    return codes, (pred, idx)
+
+
+def adpcm_decode_stream(codes: "object", pred: int = 0, idx: int = 0):
+    """Decode a 4-bit code sequence to (list of int16 samples, final
+    state) — the inverse nibble loop (state machine identical to the
+    encoder's by construction)."""
+    out = []
+    for code in codes:
+        step = ADPCM_STEPS[idx]
+        vpdiff = step >> 3
+        if code & 4:
+            vpdiff += step
+        if code & 2:
+            vpdiff += step >> 1
+        if code & 1:
+            vpdiff += step >> 2
+        pred = pred - vpdiff if code & 8 else pred + vpdiff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + ADPCM_INDEX[code & 7]))
+        out.append(pred)
+    return out, (pred, idx)
+
+
+def encode_wav_adpcm(samples: "object", sample_rate: int) -> bytes:
+    """Encode a mono int16 array as a WAV tag-0x11 IMA-ADPCM file.
+    Blocks are independent (predictor = first sample, step index reset
+    to 0 — the seekability property block formats exist for); the last
+    block is zero-nibble padded and a ``fact`` chunk records the true
+    sample count for the decoder to truncate to."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16).reshape(-1)
+    n = arr.shape[0]
+    if n == 0:
+        raise ValueError("ADPCM encode needs at least one sample")
+    blocks = []
+    for b0 in range(0, n, ADPCM_SAMPLES_PER_BLOCK):
+        chunk = arr[b0 : b0 + ADPCM_SAMPLES_PER_BLOCK]
+        pred, idx = int(chunk[0]), 0
+        header = struct.pack("<hBB", pred, idx, 0)
+        codes, _ = adpcm_encode_stream(chunk[1:], pred, idx)
+        codes += [0] * (ADPCM_SAMPLES_PER_BLOCK - 1 - len(codes))
+        body = bytearray()
+        for lo, hi in zip(codes[0::2], codes[1::2]):
+            body.append((hi << 4) | lo)  # WAV: first sample in LOW nibble
+        blocks.append(header + bytes(body))
+    data = b"".join(blocks)
+    byte_rate = (sample_rate * ADPCM_BLOCK_ALIGN) // ADPCM_SAMPLES_PER_BLOCK
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        WAVE_TAG_IMA_ADPCM, 1, sample_rate, byte_rate,
+        ADPCM_BLOCK_ALIGN, 4, 2, ADPCM_SAMPLES_PER_BLOCK,
+    )
+    fact = struct.pack("<I", n)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_adpcm(payload: bytes) -> "tuple[object, int]":
+    """Decode a WAV tag-0x11 mono IMA-ADPCM payload into ((n,) int16
+    array, rate). Any other flavor raises DecodeUnavailable. The
+    ``fact`` chunk (required by the spec for compressed formats)
+    truncates the zero-padded last block."""
+    import numpy as np
+
+    fmt, data = parse_wav_chunks(payload)
+    tag, ch, rate, _br, align, bits = fmt
+    if tag != WAVE_TAG_IMA_ADPCM or bits != 4 or ch != 1 or rate <= 0:
+        raise DecodeUnavailable(
+            f"unsupported WAV flavor for ADPCM decode (tag={tag}, bits={bits})"
+        )
+    if align < 5:
+        raise DecodeUnavailable("corrupt ADPCM block align")
+    # fact chunk: re-walk for it (parse_wav_chunks keeps fmt/data only)
+    n_total = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if ctype == b"fact" and clen >= 4:
+            (n_total,) = struct.unpack_from("<I", payload, pos + 8)
+        pos += 8 + clen + (clen % 2)
+    samples_per_block = (align - 4) * 2 + 1
+    out = []
+    for b0 in range(0, len(data), align):
+        block = data[b0 : b0 + align]
+        if len(block) < 4:
+            raise DecodeUnavailable("truncated ADPCM block")
+        pred, idx, _ = struct.unpack_from("<hBB", block, 0)
+        if idx > 88:
+            raise DecodeUnavailable("corrupt ADPCM step index")
+        out.append(pred)
+        codes = []
+        for byte in block[4:]:
+            codes.append(byte & 0x0F)
+            codes.append(byte >> 4)
+        dec, _ = adpcm_decode_stream(codes[: samples_per_block - 1], pred, idx)
+        out.extend(dec)
+    arr = np.asarray(out, dtype=np.int16)
+    if n_total is not None:
+        arr = arr[:n_total]
+    return arr, rate
+
+
 # ----------------------------------------------------- distributed operators
 
 G711_FEATURE_SCHEMA = StructType(
@@ -298,6 +472,129 @@ def audio_g711_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return spread(media).mapInPandas(run, G711_FEATURE_SCHEMA)
+
+
+ADPCM_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ok", StringType(), False),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("sum_decoded", LongType(), True),
+        StructField("peak_pos", LongType(), True),
+        StructField("peak_neg", LongType(), True),
+    ]
+)
+
+
+def synth_adpcm_media(documents: DataFrame) -> DataFrame:
+    """Deterministic IMA-ADPCM WAV payloads per document: each doc_id
+    fixes a mono square wave (amplitude 600 + (doc_id%25)·400,
+    half-period 2 + doc_id%6, 300 + (doc_id%4)·120 samples at 8 kHz)
+    encoded through the REAL ``encode_wav_adpcm`` (tag 0x11, 256-byte
+    independent blocks, fact-chunk truncation — lengths up to 660
+    samples exercise the multi-block path). Every doc_id % 11 == 0
+    row carries a REAL G.711 μ-law WAV instead, putting cross-flavor
+    rejection under the gate. ADPCM is stateful, so the features are
+    NOT closed-form — the SQL oracle replays the full encoder/decoder
+    state machine as a recursive CTE over the published step tables."""
+    import pandas as pd
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "modality", "mime", "payload", "sha256", "n_bytes",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows["media_id"].append(did)
+                rows["modality"].append("audio")
+                rows["sha256"].append(None)
+                rows["n_bytes"].append(None)
+                if did % 11 == 0:
+                    rows["mime"].append("audio/wav;codec=mulaw")
+                    rows["payload"].append(
+                        encode_wav_g711(
+                            np.full(16, 1000, dtype=np.int16), 8000, "mulaw"
+                        )
+                    )
+                    continue
+                rows["mime"].append("audio/wav;codec=ima-adpcm")
+                amp = 600 + (did % 25) * 400
+                period = 2 + did % 6
+                n = 300 + (did % 4) * 120
+                i = np.arange(n)
+                sign = np.where((i // period) % 2 == 0, 1, -1)
+                rows["payload"].append(
+                    encode_wav_adpcm((sign * amp).astype(np.int16), 8000)
+                )
+            yield pd.DataFrame(rows)
+
+    return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def audio_adpcm_features(media: DataFrame) -> DataFrame:
+    """Distributed IMA-ADPCM feature pass: decode tag-0x11 payloads
+    through the REAL block decoder and emit exact-integer statistics
+    of the reconstructed signal (payload-only — no side knowledge of
+    the source wave). Unsupported flavors surface as ok=false rows."""
+    import pandas as pd
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "ok", "sample_rate", "n_samples",
+                "sum_decoded", "peak_pos", "peak_neg",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                try:
+                    arr, rate = decode_wav_adpcm(
+                        bytes(payload) if payload is not None else None
+                    )
+                    flat = arr.astype(np.int64)
+                    out["ok"].append("true")
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(int(flat.shape[0]))
+                    out["sum_decoded"].append(int(flat.sum()))
+                    out["peak_pos"].append(int(flat.max()) if flat.size else 0)
+                    out["peak_neg"].append(int(flat.min()) if flat.size else 0)
+                except DecodeUnavailable:
+                    out["ok"].append("false")
+                    for k in ("sample_rate", "n_samples", "sum_decoded",
+                              "peak_pos", "peak_neg"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return spread(media).mapInPandas(run, ADPCM_FEATURE_SCHEMA)
+
+
+def q_audio_adpcm(documents: DataFrame) -> DataFrame:
+    """r11-candidate query: the full distributed IMA-ADPCM loop —
+    ``synth_adpcm_media`` (real tag-0x11 block encode of square
+    waves) → ``audio_adpcm_features`` (real block decode + exact
+    integer stats). Unlike every other media oracle, the check cannot
+    be closed-form: ADPCM is a per-sample adaptive state machine. The
+    DuckDB oracle instead REPLAYS the machine — a recursive CTE over
+    the published 89-entry step table and index table, anchored per
+    256-byte block (predictor = first sample, index 0), quantizing
+    the same square wave the synth stage generates — so the encoder's
+    quantizer, the decoder's reconstruction, block independence,
+    nibble packing and fact-chunk truncation are all differentially
+    verified against an independent engine's execution of the same
+    published algorithm.
+
+    Scale: two chained mapInPandas passes, zero shuffles before the
+    presentation sort."""
+    return audio_adpcm_features(synth_adpcm_media(documents)).orderBy("media_id")
 
 
 def q_audio_g711(documents: DataFrame) -> DataFrame:

@@ -2172,3 +2172,191 @@ def test_audio_g711_duckdb_oracle_parity(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n = _duck_parity(q_audio_g711(docs), G711_ORACLE, sf_dir)
     assert n > 0
+
+
+# ------------------------------------------------- IMA ADPCM (r11 cand)
+
+
+def _adpcm_oracle() -> str:
+    """Generated DuckDB oracle for q_audio_adpcm: replays the IMA
+    encoder/decoder state machine as a recursive CTE. Anchor = one
+    row per 256-byte block (predictor = the block's first square-wave
+    sample, step index 0 — exactly encode_wav_adpcm's block reset);
+    each recursion step quantizes the next sample against the
+    published 89-entry step table (list literal, so DuckDB executes
+    the same constants) and carries (pred, idx) forward. The
+    recursion depth is bounded by samples-per-block (505); block
+    count by n <= 660. Aggregates over the emitted pred rows are the
+    decoded-signal statistics the Spark side computes from payload
+    bytes alone."""
+    from node_js_etl_processor_spark.operators.audio import (
+        ADPCM_INDEX,
+        ADPCM_STEPS,
+    )
+
+    steps_lit = "[" + ",".join(map(str, ADPCM_STEPS)) + "]"
+    itab_lit = "[" + ",".join(map(str, ADPCM_INDEX)) + "]"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS media_id,
+         600 + (doc_id % 25) * 400 AS amp,
+         2 + doc_id % 6 AS period,
+         300 + (doc_id % 4) * 120 AS n
+  FROM documents WHERE doc_id % 11 <> 0
+),
+blocks AS (
+  SELECT media_id, amp, period, n, b.b AS blk, b.b * 505 AS k0
+  FROM base, (SELECT unnest(generate_series(0, 1)) AS b) b
+  WHERE b.b * 505 < n
+),
+st AS (
+  SELECT media_id, amp, period, n, blk, k0 AS k,
+         CASE WHEN ((k0 // period) % 2) = 0 THEN amp ELSE -amp END AS pred,
+         0 AS idx
+  FROM blocks
+  UNION ALL
+  SELECT media_id, amp, period, n, blk, k + 1,
+         CASE WHEN sign
+              THEN greatest(pred - vpdiff, -32768)
+              ELSE least(pred + vpdiff, 32767) END,
+         least(greatest(idx + ({itab_lit})[m + 1], 0), 88)
+  FROM (
+    SELECT *,
+           step0 // 8
+             + CASE WHEN b2 THEN step0 ELSE 0 END
+             + CASE WHEN b1 THEN step0 // 2 ELSE 0 END
+             + CASE WHEN b0 THEN step0 // 4 ELSE 0 END AS vpdiff,
+           CASE WHEN b2 THEN 4 ELSE 0 END
+             + CASE WHEN b1 THEN 2 ELSE 0 END
+             + CASE WHEN b0 THEN 1 ELSE 0 END AS m
+    FROM (
+      SELECT *, d2 >= step0 // 4 AS b0
+      FROM (
+        SELECT *, d1 >= step0 // 2 AS b1,
+               d1 - CASE WHEN d1 >= step0 // 2 THEN step0 // 2 ELSE 0 END AS d2
+        FROM (
+          SELECT *, d >= step0 AS b2,
+                 d - CASE WHEN d >= step0 THEN step0 ELSE 0 END AS d1
+          FROM (
+            SELECT *, x - pred < 0 AS sign, abs(x - pred) AS d
+            FROM (
+              SELECT media_id, amp, period, n, blk, k, pred, idx,
+                     CASE WHEN (((k + 1) // period) % 2) = 0
+                          THEN amp ELSE -amp END AS x,
+                     ({steps_lit})[idx + 1] AS step0
+              FROM st WHERE k + 1 < least(n, (blk + 1) * 505)
+            )
+          )
+        )
+      )
+    )
+  )
+)
+SELECT media_id, 'true' AS ok,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(SUM(pred) AS BIGINT) AS sum_decoded,
+       CAST(MAX(pred) AS BIGINT) AS peak_pos,
+       CAST(MIN(pred) AS BIGINT) AS peak_neg
+FROM st GROUP BY media_id
+UNION ALL
+SELECT doc_id, 'false', NULL, NULL, NULL, NULL, NULL
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+ADPCM_ORACLE = _adpcm_oracle()
+
+
+def test_adpcm_codec_matches_audioop():
+    """The raw IMA nibble loop pinned EXACTLY against CPython's
+    audioop (the Intel/DVI reference): encode nibble sequence, final
+    carried state, and decode reconstruction, over a mixed
+    sine+noise signal. audioop packs high-nibble-first vs WAV's
+    low-first, so parity is at the nibble level. Gated: audioop is
+    removed in Python 3.13."""
+    audioop = pytest.importorskip("audioop")
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.audio import (
+        adpcm_decode_stream,
+        adpcm_encode_stream,
+    )
+
+    rng = np.random.RandomState(7)
+    sig = (np.sin(np.linspace(0, 60, 1500)) * 12000
+           + rng.randint(-500, 500, 1500)).astype(np.int16)
+    codes, state = adpcm_encode_stream(sig, 0, 0)
+    frag, ref_state = audioop.lin2adpcm(sig.astype("<i2").tobytes(), 2, None)
+    ref_codes = []
+    for byte in frag:
+        ref_codes.append(byte >> 4)
+        ref_codes.append(byte & 0x0F)
+    assert codes == ref_codes[: len(codes)]
+    assert state == ref_state
+    dec, _ = adpcm_decode_stream(codes, 0, 0)
+    packed = bytearray()
+    for hi, lo in zip(codes[0::2], codes[1::2]):
+        packed.append((hi << 4) | lo)
+    ref_dec = np.frombuffer(
+        audioop.adpcm2lin(bytes(packed), 2, None)[0], dtype="<i2"
+    )
+    assert (np.asarray(dec, np.int16) == ref_dec[: len(dec)]).all()
+
+
+def test_adpcm_wav_roundtrip_blocks_and_rejection():
+    """Tag-0x11 container: multi-block encode/decode equals the
+    per-block state-machine replay, fact-chunk truncation trims the
+    zero-padded last block, and PCM / G.711 / junk payloads are
+    rejected as DecodeUnavailable."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.audio import (
+        adpcm_decode_stream,
+        adpcm_encode_stream,
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+        encode_wav_g711,
+    )
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable as DU,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(11)
+    sig = (np.sin(np.linspace(0, 80, 1337)) * 15000
+           + rng.randint(-800, 800, 1337)).astype(np.int16)
+    out, rate = decode_wav_adpcm(encode_wav_adpcm(sig, 16000))
+    assert (rate, len(out)) == (16000, 1337)
+    exp = []
+    for b0 in range(0, len(sig), 505):
+        chunk = sig[b0 : b0 + 505]
+        exp.append(int(chunk[0]))
+        codes, _ = adpcm_encode_stream(chunk[1:], int(chunk[0]), 0)
+        dec, _ = adpcm_decode_stream(codes, int(chunk[0]), 0)
+        exp.extend(dec)
+    assert (out == np.asarray(exp, np.int16)).all()
+    # reconstruction tracks the source within adaptive-step error
+    err = np.abs(out.astype(np.int64) - sig.astype(np.int64))
+    assert float(err.mean()) < 600
+    for bad in (encode_wav(sig, 8000),
+                encode_wav_g711(sig, 8000, "alaw"),
+                b"RIFFjunk"):
+        with pytest.raises(DU):
+            decode_wav_adpcm(bad)
+
+
+def test_audio_adpcm_duckdb_oracle_parity(spark, sf_dir):
+    """r11 candidate dry run: q_audio_adpcm vs the recursive-CTE
+    state-machine replay (the driver's exact compare). This is the
+    strongest oracle form in the suite: a STATEFUL codec checked by
+    making an independent SQL engine execute the same published
+    algorithm step by step, including block resets and fact-chunk
+    truncation; the corrupt lane is a real G.711 payload, so
+    cross-flavor rejection is under the gate too."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.audio import q_audio_adpcm
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_audio_adpcm(docs), ADPCM_ORACLE, sf_dir)
+    assert n > 0
