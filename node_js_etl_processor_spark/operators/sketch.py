@@ -220,3 +220,153 @@ def countmin_read_store(spark: SparkSession, store_path: str) -> DataFrame:
             "_CURRENT pointer) — run countmin_ingest_stream first"
         )
     return spark.read.parquet(posixpath.join(store_path, cur))
+
+
+# ------------------------------------------------------------- HyperLogLog
+
+#: HLL geometry: p = 9 index bits → m = 512 registers; the remaining
+#: 23 hash bits feed the leading-zero rank, so registers are ≤ 24.
+HLL_P = 9
+HLL_M = 1 << HLL_P  # 512
+_HLL_W_BITS = 32 - HLL_P  # 23
+#: Fixed RATIONAL alpha so the bias-corrected estimate is exact
+#: integer arithmetic in every engine: alpha_m = 0.7213/(1+1.079/m)
+#: ≈ 0.719783 for m = 512, scaled by 1e6.
+HLL_ALPHA_SCALED = 719783
+#: Precomputed integer numerator alpha_scaled · m² · 2^24 (the
+#: harmonic sum is scaled by 2^24 so empty registers contribute 2^24
+#: and reg=24 registers contribute 1 — still exact integers).
+_HLL_EST_NUM = HLL_ALPHA_SCALED * HLL_M * HLL_M * (1 << 24)
+#: Raw-estimate threshold below which linear counting applies (the
+#: standard 5/2·m small-range rule from the HLL paper).
+HLL_LC_THRESHOLD = (5 * HLL_M) // 2
+
+
+def hll_lc_table() -> "list[int]":
+    """Linear counting m·ln(m/V) has only m possible inputs (V =
+    number of EMPTY registers, 1..m), so the float never crosses an
+    engine boundary: both the Spark plan and the DuckDB oracle embed
+    this same precomputed integer table (index V), keeping the
+    small-range-corrected estimate exact integer arithmetic
+    end-to-end."""
+    import math
+
+    return [round(HLL_M * math.log(HLL_M / v)) for v in range(1, HLL_M + 1)]
+
+
+def hll_hash32(key: Column) -> Column:
+    """Portable 32-bit integer finalizer (the public-domain
+    multiply-xorshift a.k.a. "lowbias32" family: two rounds of
+    h = (h ^ h>>16) · 0x45d9f3b mod 2³², then a final fold). The
+    multiplier is < 2³¹ so every intermediate fits in a signed 64-bit
+    product — safe under Spark 4's ANSI overflow checking — and the
+    same expression runs verbatim in DuckDB, which is what makes the
+    ENTIRE sketch (not just its error bound) oracle-checkable."""
+    m1 = F.lit(0x45D9F3B).cast("long")
+    mask = F.lit((1 << 32) - 1).cast("long")
+    h = key.cast("long").bitwiseAND(mask)
+    for _ in range(2):
+        h = (F.shiftright(h, 16).bitwiseXOR(h) * m1).bitwiseAND(mask)
+    return F.shiftright(h, 16).bitwiseXOR(h)
+
+
+def hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group HLL register file: bucket = top p hash bits, rho =
+    leading-zero rank of the low 23 bits (24 when they are all zero),
+    register = MAX(rho) per bucket. This is the mergeable state —
+    sketches union by cell-wise MAX, exactly like countmin merges by
+    cell-wise SUM — emitted as (group, bucket, reg) rows.
+
+    Scale: one narrow projection + one partial-aggregated groupBy;
+    the shuffle carries ≤ m rows per group per partition regardless
+    of input size — the constant-memory cardinality path."""
+    h = hll_hash32(F.col(key_col))
+    w = h.bitwiseAND(F.lit((1 << _HLL_W_BITS) - 1).cast("long"))
+    rho = (
+        F.when(w == 0, F.lit(_HLL_W_BITS + 1))
+        .otherwise(F.lit(_HLL_W_BITS) - F.floor(F.log2(w)))
+        .cast("long")
+    )
+    return (
+        df.select(
+            F.col(group_col),
+            F.shiftright(h, _HLL_W_BITS).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(regs: DataFrame, group_col: str) -> DataFrame:
+    """Fold a register file into the bias-corrected HLL estimate,
+    entirely in exact integer arithmetic: the harmonic sum Σ 2^(-reg)
+    over all m registers is scaled by 2^24 (empty registers contribute
+    2^24 each, reg=24 registers contribute 1 — still exact), and the
+    estimate alpha·m²/Σ2^(-reg) becomes one integer division. Emits
+    the register-file summary alongside so the oracle compares the
+    sketch STATE, not only the final number."""
+    pow2 = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({_HLL_W_BITS + 1} - reg AS INT))")
+    per_group = regs.groupBy(group_col).agg(
+        F.count("*").alias("n_buckets_hit"),
+        F.sum("reg").alias("sum_reg"),
+        F.max("reg").alias("max_reg"),
+        F.sum(pow2).alias("harmonic_hit"),
+    )
+    harmonic = (
+        F.col("harmonic_hit")
+        + (F.lit(HLL_M) - F.col("n_buckets_hit")) * F.lit(1 << (_HLL_W_BITS + 1))
+    ).cast("long")
+    lc = hll_lc_table()
+    # The division MUST be integer DIV: `/` on bigints yields a double,
+    # and the 62-bit numerator does not fit a 53-bit mantissa.
+    raw = (
+        f"CAST({_HLL_EST_NUM} AS BIGINT)"
+        " DIV (CAST(1000000 AS BIGINT) * harmonic_scaled)"
+    )
+    n_zero = f"({HLL_M} - n_buckets_hit)"
+    lc_arr = "array(" + ",".join(f"{v}L" for v in lc) + ")"
+    return per_group.select(
+        F.col(group_col),
+        F.lit(HLL_M).cast("long").alias("m"),
+        F.col("n_buckets_hit").cast("long").alias("n_buckets_hit"),
+        F.col("sum_reg").cast("long").alias("sum_reg"),
+        F.col("max_reg").cast("long").alias("max_reg"),
+        harmonic.alias("harmonic_scaled"),
+    ).withColumn(
+        "hll_customers",
+        F.expr(
+            f"CASE WHEN {n_zero} > 0 AND ({raw}) <= {HLL_LC_THRESHOLD}"
+            f" THEN element_at({lc_arr},"
+            f" CAST(greatest({n_zero}, 1) AS INT))"
+            f" ELSE ({raw}) END"
+        ),
+    )
+
+
+def q_hll_distinct(orders: DataFrame) -> DataFrame:
+    """r11-candidate query: distinct customers per order priority via
+    an ORACLE-CHECKABLE HyperLogLog (Flajolet et al., AofA 2007) —
+    unlike ``q_approx_distinct`` (which validates Spark's built-in
+    engine-specific HLL++ against a bound), every stage here is
+    engine-neutral and DuckDB replays it bit-for-bit: the
+    multiply-xorshift hash, the bucket/rank split, the register MAX,
+    the scaled harmonic sum, the integer-arithmetic alpha correction,
+    AND the small-range linear-counting branch (precomputed as a
+    shared m-entry integer table — see hll_lc_table — so no float
+    ever crosses the engine boundary). The exact distinct count rides
+    alongside, so the result row IS the accuracy statement.
+
+    Scale: two partial-aggregated shuffles of ≤ m rows per group (the
+    sketch) plus one COUNT DISTINCT (the exact twin, present only for
+    the oracle contract; the pure 100 TB path is hll_registers →
+    hll_estimate with no exact pass, merging stores by register MAX)."""
+    regs = hll_registers(orders, "o_orderpriority", "o_custkey")
+    est = hll_estimate(regs, "o_orderpriority")
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    )
+    return exact.join(est, "o_orderpriority").select(
+        "o_orderpriority", "exact_customers", "m", "n_buckets_hit",
+        "sum_reg", "max_reg", "harmonic_scaled", "hll_customers",
+    )

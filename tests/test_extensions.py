@@ -1797,7 +1797,7 @@ def test_bpe_apply_merge_greedy_overlap(spark):
     assert got["baaab"] == ("b", "aa", "a", "b", "</w>")
 
 
-def _duck_parity(spark_df, sql, sf_dir):
+def _duck_parity(spark_df, sql, sf_dir, tables=("documents",)):
     """Order-insensitive (column, value) multiset compare against a
     DuckDB query over the same parquet tables — the driver's exact
     compare, run locally ahead of declaration."""
@@ -1817,7 +1817,7 @@ def _duck_parity(spark_df, sql, sf_dir):
         return repr(v)
 
     con = duckdb.connect()
-    for t in ("documents",):
+    for t in tables:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{sf_dir}/{t}.parquet')"
@@ -2360,3 +2360,133 @@ def test_audio_adpcm_duckdb_oracle_parity(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n = _duck_parity(q_audio_adpcm(docs), ADPCM_ORACLE, sf_dir)
     assert n > 0
+
+
+# --------------------------------------------- oracle-checkable HLL (r11 cand)
+
+
+def _hll_oracle() -> str:
+    """Generated DuckDB oracle for q_hll_distinct: replays the WHOLE
+    sketch — the two-round multiply-xorshift hash (constants shared
+    with sketch.hll_hash32), bucket/rank split, register MAX, scaled
+    harmonic sum, and the exact-integer alpha correction (// on
+    positive BIGINTs == Spark's DIV)."""
+    from node_js_etl_processor_spark.operators.sketch import (
+        _HLL_EST_NUM,
+        HLL_LC_THRESHOLD,
+        HLL_M,
+        hll_lc_table,
+    )
+
+    lc_lit = "[" + ",".join(str(v) for v in hll_lc_table()) + "]"
+    raw = f"{_HLL_EST_NUM} // (1000000 * e.harmonic_scaled)"
+    n_zero = f"({HLL_M} - e.n_buckets_hit)"
+    return f"""
+WITH base AS (
+  SELECT o_orderpriority, CAST(o_custkey AS BIGINT) & 4294967295 AS h0
+  FROM orders
+),
+r1 AS (SELECT o_orderpriority,
+              (xor(h0 >> 16, h0) * 73244475) % 4294967296 AS h1 FROM base),
+r2 AS (SELECT o_orderpriority,
+              (xor(h1 >> 16, h1) * 73244475) % 4294967296 AS h2 FROM r1),
+hs AS (SELECT o_orderpriority, xor(h2 >> 16, h2) AS h FROM r2),
+regs AS (
+  SELECT o_orderpriority, h >> 23 AS bucket,
+         MAX(CASE WHEN (h & 8388607) = 0 THEN 24
+                  ELSE 23 - CAST(floor(log2(h & 8388607)) AS BIGINT)
+             END) AS reg
+  FROM hs GROUP BY o_orderpriority, bucket
+),
+summ AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n_buckets_hit,
+         SUM(reg) AS sum_reg,
+         MAX(reg) AS max_reg,
+         SUM(CAST(1 AS BIGINT) << CAST(24 - reg AS INT)) AS harmonic_hit
+  FROM regs GROUP BY o_orderpriority
+),
+est AS (
+  SELECT o_orderpriority,
+         CAST(n_buckets_hit AS BIGINT) AS n_buckets_hit,
+         CAST(sum_reg AS BIGINT) AS sum_reg,
+         CAST(max_reg AS BIGINT) AS max_reg,
+         CAST(harmonic_hit
+              + ({HLL_M} - n_buckets_hit) * 16777216 AS BIGINT)
+           AS harmonic_scaled
+  FROM summ
+),
+exact AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT e.o_orderpriority, x.exact_customers,
+       CAST({HLL_M} AS BIGINT) AS m,
+       e.n_buckets_hit, e.sum_reg, e.max_reg, e.harmonic_scaled,
+       CAST(CASE WHEN {n_zero} > 0 AND ({raw}) <= {HLL_LC_THRESHOLD}
+                 THEN ({lc_lit})[greatest({n_zero}, 1)]
+                 ELSE ({raw}) END AS BIGINT) AS hll_customers
+FROM est e JOIN exact x USING (o_orderpriority)
+"""
+
+
+HLL_ORACLE = _hll_oracle()
+
+
+def test_hll_distinct_duckdb_oracle_parity(spark, sf_dir):
+    """r11 candidate dry run: q_hll_distinct vs the full-replay
+    DuckDB oracle (the driver's exact compare) — registers, harmonic
+    sum, integer alpha correction and the exact twin all match
+    bit-for-bit across engines, on the orders table."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.sketch import q_hll_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = _duck_parity(
+        q_hll_distinct(orders), HLL_ORACLE, sf_dir, tables=("orders",)
+    )
+    assert n == 5  # one row per order priority
+
+
+def test_hll_merge_and_accuracy(spark, sf_dir):
+    """The sketch contract: (1) MERGEABILITY — registers built on two
+    disjoint halves of orders, merged by cell-wise MAX, equal the
+    registers built on the whole table (the property that lets 1000
+    executors sketch independently and union); (2) ACCURACY — the
+    integer-arithmetic estimate lands within the ~1.04/sqrt(m) HLL
+    band of the exact count for every group."""
+    from pyspark.sql import functions as F
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.sketch import (
+        HLL_M,
+        hll_estimate,
+        hll_registers,
+        q_hll_distinct,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    half_a = orders.filter(F.col("o_orderkey") % 2 == 0)
+    half_b = orders.filter(F.col("o_orderkey") % 2 == 1)
+    whole = hll_registers(orders, "o_orderpriority", "o_custkey")
+    merged = (
+        hll_registers(half_a, "o_orderpriority", "o_custkey")
+        .unionByName(hll_registers(half_b, "o_orderpriority", "o_custkey"))
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+    # estimates off the merged registers == the declared query's
+    est_cols = ["o_orderpriority", "hll_customers"]
+    a = {tuple(r) for r in hll_estimate(merged, "o_orderpriority").select(est_cols).collect()}
+    b = {tuple(r) for r in q_hll_distinct(orders).select(est_cols).collect()}
+    assert a == b
+    # accuracy: 3 standard errors of the m=512 sketch, floored at 15%
+    rel_band = max(3 * 1.04 / (HLL_M ** 0.5), 0.15)
+    for r in q_hll_distinct(orders).collect():
+        assert r["hll_customers"] > 0
+        assert abs(r["hll_customers"] - r["exact_customers"]) <= max(
+            rel_band * r["exact_customers"], 3
+        ), dict(r.asDict())
