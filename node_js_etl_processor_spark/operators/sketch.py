@@ -370,3 +370,112 @@ def q_hll_distinct(orders: DataFrame) -> DataFrame:
         "o_orderpriority", "exact_customers", "m", "n_buckets_hit",
         "sum_reg", "max_reg", "harmonic_scaled", "hll_customers",
     )
+
+
+# ------------------------------------------- HDR-style quantile histogram
+
+#: Sub-bucket resolution bits: relative bucket width ≤ 2^-(s-1) ≈ 3%.
+HDR_SUB_BITS = 6
+_HDR_SUB = 1 << HDR_SUB_BITS
+
+
+def hdr_bucket_expr(value_col: str) -> "Column":
+    """Log-linear (HDR-histogram-style) bucket index of a positive
+    BIGINT column: values < 2^s map to themselves (exact buckets);
+    larger values split their binary decade into 2^(s-1) sub-buckets
+    — idx = (e << s) | (v >> e) with e = floor(log2(v)) - (s-1). Pure
+    integer arithmetic both engines replay exactly (floor∘log2 is
+    boundary-exact for v < 2^40 in both — pinned by test); the index
+    decodes back to a bucket lower bound (m << e), so quantile
+    estimates are deterministic integers with bounded relative
+    error."""
+    s = HDR_SUB_BITS
+    return F.expr(
+        f"CASE WHEN {value_col} < {_HDR_SUB} THEN CAST({value_col} AS BIGINT)"
+        f" ELSE (shiftleft(CAST(floor(log2({value_col})) AS BIGINT) - {s - 1}, {s}))"
+        f"      + shiftright({value_col},"
+        f"          CAST(floor(log2({value_col})) AS INT) - {s - 1})"
+        f" END"
+    )
+
+
+def hdr_sketch(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group log-linear histogram: (group, idx, cnt) rows —
+    mergeable by cell-wise SUM (countmin's merge law, HLL merges by
+    MAX; together the three cover counts, cardinalities and
+    quantiles). The only data-sized shuffle is this partial-aggregated
+    groupBy; everything downstream operates on ≤ ~1.3k buckets per
+    group regardless of input size."""
+    return (
+        df.select(F.col(group_col), hdr_bucket_expr(value_col).alias("idx"))
+        .groupBy(group_col, "idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hdr_quantiles(sketch: DataFrame, group_col: str) -> DataFrame:
+    """Fold a histogram sketch into deterministic quantile estimates:
+    cumulative counts over ascending bucket index, thresholds as
+    exact integer ceilings (p50 = ceil(n/2), p95 = ceil(19n/20), p99
+    = ceil(99n/100)), estimate = the LOWER BOUND of the first bucket
+    whose cumulative count reaches the threshold — an integer both
+    engines compute identically, within one bucket width (≤ 2^-(s-1)
+    relative) of the exact order statistic."""
+    from pyspark.sql import Window
+
+    s = HDR_SUB_BITS
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(group_col)
+    lb = F.expr(
+        f"CASE WHEN idx < {_HDR_SUB} THEN idx"
+        f" ELSE shiftleft(idx & {_HDR_SUB - 1},"
+        f"                CAST(shiftright(idx, {s}) AS INT)) END"
+    )
+    enriched = sketch.select(
+        F.col(group_col),
+        F.col("idx"),
+        F.col("cnt"),
+        lb.alias("lb"),
+    ).select(
+        F.col(group_col),
+        "idx",
+        "cnt",
+        "lb",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    def pick(num: int, den: int, name: str):
+        thr = F.expr(f"({num} * total + {num}) DIV {den}")
+        return F.min(F.when(F.col("cum") >= thr, F.col("lb"))).alias(name)
+
+    return enriched.groupBy(group_col).agg(
+        F.max("total").alias("n_values"),
+        F.count("*").alias("n_buckets"),
+        pick(1, 2, "p50_lb"),
+        pick(19, 20, "p95_lb"),
+        pick(99, 100, "p99_lb"),
+    )
+
+
+def q_hdr_quantiles(lineitem: DataFrame) -> DataFrame:
+    """r11-candidate query: price quantiles per return flag via an
+    ORACLE-CHECKABLE mergeable histogram — the quantile member of the
+    deterministic-sketch family (countmin = counts, HLL =
+    cardinality, HDR = order statistics). Prices become exact cents
+    (decimal·100), the log-linear bucket index, cumulative fold and
+    integer-ceiling thresholds are all replayed by DuckDB, so the
+    estimate is compared bit-for-bit, not bounded. Unlike
+    percentile_approx (engine-specific GK sketch), this sketch's
+    state is portable across engines AND mergeable by cell-sum —
+    1000 executors histogram independently, union by (group, idx)."""
+    cents = lineitem.select(
+        F.col("l_returnflag"),
+        (F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return hdr_quantiles(
+        hdr_sketch(cents, "l_returnflag", "cents"), "l_returnflag"
+    )

@@ -2490,3 +2490,132 @@ def test_hll_merge_and_accuracy(spark, sf_dir):
         assert abs(r["hll_customers"] - r["exact_customers"]) <= max(
             rel_band * r["exact_customers"], 3
         ), dict(r.asDict())
+
+
+# ------------------------------------- HDR quantile histogram (r11 cand)
+
+HDR_ORACLE = """
+WITH cents AS (
+  SELECT l_returnflag, CAST(l_extendedprice * 100 AS BIGINT) AS v
+  FROM lineitem
+),
+idx AS (
+  SELECT l_returnflag,
+         CASE WHEN v < 64 THEN v
+              ELSE ((CAST(floor(log2(v)) AS BIGINT) - 5) << 6)
+                   + (v >> (CAST(floor(log2(v)) AS BIGINT) - 5)) END AS idx
+  FROM cents
+),
+sk AS (
+  SELECT l_returnflag, idx, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM idx GROUP BY l_returnflag, idx
+),
+en AS (
+  SELECT l_returnflag, idx, cnt,
+         CASE WHEN idx < 64 THEN idx
+              ELSE (idx & 63) << (idx >> 6) END AS lb,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY idx
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+  FROM sk
+)
+SELECT l_returnflag,
+       CAST(MAX(total) AS BIGINT) AS n_values,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MIN(CASE WHEN cum >= (1 * total + 1) // 2 THEN lb END)
+            AS BIGINT) AS p50_lb,
+       CAST(MIN(CASE WHEN cum >= (19 * total + 19) // 20 THEN lb END)
+            AS BIGINT) AS p95_lb,
+       CAST(MIN(CASE WHEN cum >= (99 * total + 99) // 100 THEN lb END)
+            AS BIGINT) AS p99_lb
+FROM en GROUP BY l_returnflag
+"""
+
+
+def test_hdr_quantiles_duckdb_oracle_parity(spark, sf_dir):
+    """r11 candidate dry run: q_hdr_quantiles vs the full-replay
+    DuckDB oracle — bucket indexing, cumulative fold, integer-ceiling
+    thresholds and lower-bound decode all match bit-for-bit."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.sketch import q_hdr_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = _duck_parity(q_hdr_quantiles(li), HDR_ORACLE, sf_dir,
+                     tables=("lineitem",))
+    assert n == 3  # one row per return flag
+
+
+def test_hdr_sketch_merge_and_error_bound(spark, sf_dir):
+    """The quantile-sketch contract: (1) MERGEABILITY — histograms of
+    two disjoint halves merged by cell-wise SUM equal the whole-table
+    histogram; (2) the log2 boundary safety argument — bucket index
+    is exact at every binary boundary up to 2^40 (the float-free
+    guarantee hdr_bucket_expr's docstring claims); (3) ERROR BOUND —
+    every reported lower bound brackets the true order statistic
+    within one bucket width (≤ 1/32 relative)."""
+    from pyspark.sql import functions as F
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.sketch import (
+        hdr_bucket_expr,
+        hdr_sketch,
+        q_hdr_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = li.select(
+        F.col("l_returnflag"),
+        (F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.col("l_orderkey"),
+    )
+    whole = hdr_sketch(cents, "l_returnflag", "cents")
+    merged = (
+        hdr_sketch(cents.filter(F.col("l_orderkey") % 2 == 0),
+                   "l_returnflag", "cents")
+        .unionByName(hdr_sketch(cents.filter(F.col("l_orderkey") % 2 == 1),
+                                "l_returnflag", "cents"))
+        .groupBy("l_returnflag", "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+
+    # (2) binary-boundary exactness of the bucket index, both engines
+    import duckdb
+
+    vals = []
+    for k in range(1, 41):
+        vals += [(1 << k) - 1, 1 << k, (1 << k) + 1]
+    vdf = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r["v"]: r["i"] for r in
+           vdf.select("v", hdr_bucket_expr("v").alias("i")).collect()}
+
+    def py_idx(v):
+        if v < 64:
+            return v
+        e = v.bit_length() - 1 - 5
+        return (e << 6) + (v >> e)
+
+    assert got == {v: py_idx(v) for v in vals}
+    con = duckdb.connect()
+    for v in vals:
+        (dv,) = con.execute(
+            f"SELECT CASE WHEN {v} < 64 THEN {v} ELSE "
+            f"((CAST(floor(log2({v})) AS BIGINT) - 5) << 6)"
+            f" + ({v} >> (CAST(floor(log2({v})) AS BIGINT) - 5)) END"
+        ).fetchone()
+        assert dv == py_idx(v), v
+
+    # (3) lb brackets the exact order statistic within bucket width
+    data = {}
+    for r in cents.collect():
+        data.setdefault(r["l_returnflag"], []).append(r["cents"])
+    for row in q_hdr_quantiles(li).collect():
+        xs = sorted(data[row["l_returnflag"]])
+        n = len(xs)
+        for col, num, den in (("p50_lb", 1, 2), ("p95_lb", 19, 20),
+                              ("p99_lb", 99, 100)):
+            exact = xs[(num * n + num) // den - 1]
+            lb = row[col]
+            assert lb <= exact, (col, lb, exact)
+            assert exact <= lb + max(lb // 32, 1), (col, lb, exact)

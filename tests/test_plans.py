@@ -605,3 +605,59 @@ def test_video_frames_zero_shuffles_before_sort(spark, sf_dir):
     assert plan.count("MapInPandas") == 2
     assert "Exchange hashpartitioning" not in plan  # only the sort's range
     assert "Join" not in plan
+
+
+def test_hll_sketch_all_jvm_partial_aggregated(spark, sf_dir):
+    """r10: the oracle-checkable HLL is pure JVM column work — the
+    multiply-xorshift hash, rank arithmetic, register MAX and harmonic
+    fold all stay inside codegen (no Python evaluation node), with
+    map-side partial aggregation on both the register and the
+    summary exchanges, and the exact twin joining at group
+    granularity (5 rows) — the constant-memory cardinality shape."""
+    from node_js_etl_processor_spark.operators.sketch import q_hll_distinct
+
+    df = q_hll_distinct(load_table(spark, sf_dir, "orders"))
+    plan = plan_text(df, "simple")
+    assert "EvalPython" not in plan
+    assert "partial_max" in plan  # register MAX combines map-side
+    # scan prunes to the two columns the sketch needs
+    full = plan_text(df)
+    read_schema = full.split("ReadSchema")[1].split("\n")[0]
+    assert "o_custkey" in read_schema and "o_orderpriority" in read_schema
+    assert "o_comment" not in read_schema and "o_totalprice" not in read_schema
+
+
+def test_audio_paths_zero_shuffles_before_sort(spark, sf_dir):
+    """r10: both compressed-audio loops (G.711 and IMA-ADPCM) are two
+    chained mapInPandas passes with NO shuffle before the declared
+    wrapper's presentation sort — payload bytes never move between
+    executors, the same 100 TB media-pass shape pinned for the WAV,
+    GIF and MJPEG-AVI families."""
+    from node_js_etl_processor_spark.operators.audio import (
+        q_audio_adpcm,
+        q_audio_g711,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for q in (q_audio_g711, q_audio_adpcm):
+        plan = plan_text(q(docs), "simple")
+        assert plan.count("MapInPandas") == 2
+        assert "Exchange hashpartitioning" not in plan
+        assert "Join" not in plan
+
+
+def test_hdr_sketch_one_data_sized_shuffle(spark, sf_dir):
+    """r10: the quantile histogram's only input-sized exchange is the
+    partial-aggregated (group, idx) groupBy; the window fold and the
+    final aggregation operate on bucket rows (≤ ~1.3k per group). No
+    Python anywhere; the scan prunes to the two sketch columns."""
+    from node_js_etl_processor_spark.operators.sketch import q_hdr_quantiles
+
+    df = q_hdr_quantiles(load_table(spark, sf_dir, "lineitem"))
+    plan = plan_text(df, "simple")
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine on the data shuffle
+    full = plan_text(df)
+    read_schema = full.split("ReadSchema")[1].split("\n")[0]
+    assert "l_extendedprice" in read_schema and "l_returnflag" in read_schema
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
