@@ -1,8 +1,9 @@
 """Full local oracle-parity sweep -> FULLVERIFY_r{N}.json.
 
 The driver's CORRECTNESS gate only covers the first 50 ``queries()``
-entries per round; with 106 registered queries (count as of r10) the rest were
-previously attested only by prose ("local parity sweep green"). This
+entries per round; with >100 registered queries (112 as of the r10
+continuation) the rest were previously attested only by prose ("local
+parity sweep green"). This
 script makes that half auditable: it runs EVERY registered query in a
 plain (driver-like, untuned) SparkSession at sf0.01, compares each
 against its DuckDB oracle exactly the way the driver does (row count +

@@ -556,6 +556,39 @@ def main() -> None:
             results_dict["edge_compaction"] = res_cmp
             print(f"[edge_compaction] {res_cmp}", file=sys.stderr)
 
+    # ---- r10-continuation operators: both compressed-audio loops
+    # (G.711 companding is vectorized numpy per batch; ADPCM is the
+    # per-row stateful nibble loop — the expensive one, measuring the
+    # per-payload Python cost the media family budgets for), the
+    # oracle-checkable HLL (pure codegen hash + two bucket-bounded
+    # aggs — must be flat-ish like countmin), and the HDR quantile
+    # histogram (one data-sized partial-agg shuffle + bucket-row fold)
+    from node_js_etl_processor_spark.operators.audio import (
+        q_audio_adpcm,
+        q_audio_g711,
+    )
+    from node_js_etl_processor_spark.operators.sketch import (
+        q_hdr_quantiles,
+        q_hll_distinct,
+    )
+
+    queries["q_audio_g711"] = (
+        lambda: q_audio_g711(docs1),
+        lambda: q_audio_g711(docs10),
+    )
+    queries["q_audio_adpcm"] = (
+        lambda: q_audio_adpcm(docs1),
+        lambda: q_audio_adpcm(docs10),
+    )
+    queries["q_hll_distinct"] = (
+        lambda: q_hll_distinct(orders1),
+        lambda: q_hll_distinct(orders10),
+    )
+    queries["q_hdr_quantiles"] = (
+        lambda: q_hdr_quantiles(li1),
+        lambda: q_hdr_quantiles(li10),
+    )
+
     if args.only:
         unknown = set(args.only) - set(queries) - {
             "edge_append_fixed_batch", "edge_compaction"

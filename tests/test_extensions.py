@@ -1838,8 +1838,12 @@ def _duck_parity(spark_df, sql, sf_dir, tables=("documents",)):
 
 
 from __spark_entry__ import (  # single source of truth: the driver compares the same SQL
+    ADPCM_ORACLE,
     BPE_PAIRS_ORACLE,
+    G711_ORACLE,
     GIF_FRAMES_ORACLE,
+    HDR_ORACLE,
+    HLL_ORACLE,
     LINK_GRAPH_ORACLE,
     TOKEN_BUDGET_ORACLE,
     VIDEO_FRAMES_ORACLE,
@@ -2004,85 +2008,6 @@ def test_video_frames_duckdb_oracle_parity(spark, sf_dir):
 
 # ---------------------------------------------------- G.711 audio (r11 cand)
 
-G711_ORACLE = """
-WITH base AS (
-  SELECT doc_id AS media_id,
-         1000 + (doc_id % 20) * 500 AS amp,
-         2 + doc_id % 7 AS period,
-         400 + (doc_id % 5) * 80 AS n,
-         doc_id % 2 = 0 AS is_mu
-  FROM documents WHERE doc_id % 11 <> 0
-),
--- companded-domain magnitudes (published G.711 front-end arithmetic,
--- including the asymmetric negative branches: mu-law negates AFTER an
--- arithmetic >>2 (a ceil on the magnitude), A-law's negative branch
--- is -pcm-1)
-comp AS (
-  SELECT media_id, period, n, is_mu,
-         least(amp // 4, 8159) + 33 AS v_pos,
-         least((amp + 3) // 4, 8159) + 33 AS v_neg,
-         amp // 8 AS p_pos,
-         (amp + 7) // 8 - 1 AS p_neg
-  FROM base
-),
--- mu-law: seg = floor(log2(v)) - 5, mant = (v >> (seg+1)) & 15,
--- decode = ((mant*8 + 132) << seg) - 132
-mudec AS (
-  SELECT media_id,
-         ((((v_pos >> (CAST(floor(log2(v_pos)) AS BIGINT) - 5 + 1)) & 15) * 8 + 132)
-            << (CAST(floor(log2(v_pos)) AS BIGINT) - 5)) - 132 AS dpos,
-         ((((v_neg >> (CAST(floor(log2(v_neg)) AS BIGINT) - 5 + 1)) & 15) * 8 + 132)
-            << (CAST(floor(log2(v_neg)) AS BIGINT) - 5)) - 132 AS dneg_mag
-  FROM comp WHERE is_mu
-),
--- A-law: seg = max(floor(log2(p)) - 4, 0); mant shift is 1 for seg<2
--- else seg; decode t = mant*16 + (8 if seg=0 else 264), then << (seg-1)
--- for seg>=2
-aseg AS (
-  SELECT media_id,
-         CASE WHEN p_pos < 32 THEN 0
-              ELSE CAST(floor(log2(p_pos)) AS BIGINT) - 4 END AS seg_p,
-         CASE WHEN p_neg < 32 THEN 0
-              ELSE CAST(floor(log2(p_neg)) AS BIGINT) - 4 END AS seg_n,
-         p_pos, p_neg
-  FROM comp WHERE NOT is_mu
-),
-adec AS (
-  SELECT media_id,
-         CASE WHEN seg_p >= 2
-              THEN (((p_pos >> seg_p) & 15) * 16 + 264) << (seg_p - 1)
-              ELSE ((p_pos >> 1) & 15) * 16
-                   + CASE WHEN seg_p = 0 THEN 8 ELSE 264 END
-         END AS dpos,
-         CASE WHEN seg_n >= 2
-              THEN (((p_neg >> seg_n) & 15) * 16 + 264) << (seg_n - 1)
-              ELSE ((p_neg >> 1) & 15) * 16
-                   + CASE WHEN seg_n = 0 THEN 8 ELSE 264 END
-         END AS dneg_mag
-  FROM aseg
-),
-dec AS (
-  SELECT * FROM mudec UNION ALL SELECT * FROM adec
-),
-stats AS (
-  SELECT c.media_id, c.is_mu, c.n, d.dpos, d.dneg_mag,
-         (c.n // (2 * c.period)) * c.period
-           + least(c.n % (2 * c.period), c.period) AS n_pos
-  FROM comp c JOIN dec d USING (media_id)
-)
-SELECT media_id, 'true' AS ok,
-       CASE WHEN is_mu THEN 'mulaw' ELSE 'alaw' END AS law,
-       CAST(8000 AS BIGINT) AS sample_rate,
-       CAST(n AS BIGINT) AS n_samples,
-       CAST(dpos AS BIGINT) AS peak_pos,
-       CAST(-dneg_mag AS BIGINT) AS peak_neg,
-       CAST(n_pos * dpos - (n - n_pos) * dneg_mag AS BIGINT) AS sum_samples,
-       CAST(n_pos * dpos + (n - n_pos) * dneg_mag AS BIGINT) AS sum_abs
-FROM stats
-UNION ALL
-SELECT doc_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL, NULL
-FROM documents WHERE doc_id % 11 = 0
-"""
 
 
 def test_g711_codecs_match_audioop():
@@ -2177,95 +2102,6 @@ def test_audio_g711_duckdb_oracle_parity(spark, sf_dir):
 # ------------------------------------------------- IMA ADPCM (r11 cand)
 
 
-def _adpcm_oracle() -> str:
-    """Generated DuckDB oracle for q_audio_adpcm: replays the IMA
-    encoder/decoder state machine as a recursive CTE. Anchor = one
-    row per 256-byte block (predictor = the block's first square-wave
-    sample, step index 0 — exactly encode_wav_adpcm's block reset);
-    each recursion step quantizes the next sample against the
-    published 89-entry step table (list literal, so DuckDB executes
-    the same constants) and carries (pred, idx) forward. The
-    recursion depth is bounded by samples-per-block (505); block
-    count by n <= 660. Aggregates over the emitted pred rows are the
-    decoded-signal statistics the Spark side computes from payload
-    bytes alone."""
-    from node_js_etl_processor_spark.operators.audio import (
-        ADPCM_INDEX,
-        ADPCM_STEPS,
-    )
-
-    steps_lit = "[" + ",".join(map(str, ADPCM_STEPS)) + "]"
-    itab_lit = "[" + ",".join(map(str, ADPCM_INDEX)) + "]"
-    return f"""
-WITH RECURSIVE base AS (
-  SELECT doc_id AS media_id,
-         600 + (doc_id % 25) * 400 AS amp,
-         2 + doc_id % 6 AS period,
-         300 + (doc_id % 4) * 120 AS n
-  FROM documents WHERE doc_id % 11 <> 0
-),
-blocks AS (
-  SELECT media_id, amp, period, n, b.b AS blk, b.b * 505 AS k0
-  FROM base, (SELECT unnest(generate_series(0, 1)) AS b) b
-  WHERE b.b * 505 < n
-),
-st AS (
-  SELECT media_id, amp, period, n, blk, k0 AS k,
-         CASE WHEN ((k0 // period) % 2) = 0 THEN amp ELSE -amp END AS pred,
-         0 AS idx
-  FROM blocks
-  UNION ALL
-  SELECT media_id, amp, period, n, blk, k + 1,
-         CASE WHEN sign
-              THEN greatest(pred - vpdiff, -32768)
-              ELSE least(pred + vpdiff, 32767) END,
-         least(greatest(idx + ({itab_lit})[m + 1], 0), 88)
-  FROM (
-    SELECT *,
-           step0 // 8
-             + CASE WHEN b2 THEN step0 ELSE 0 END
-             + CASE WHEN b1 THEN step0 // 2 ELSE 0 END
-             + CASE WHEN b0 THEN step0 // 4 ELSE 0 END AS vpdiff,
-           CASE WHEN b2 THEN 4 ELSE 0 END
-             + CASE WHEN b1 THEN 2 ELSE 0 END
-             + CASE WHEN b0 THEN 1 ELSE 0 END AS m
-    FROM (
-      SELECT *, d2 >= step0 // 4 AS b0
-      FROM (
-        SELECT *, d1 >= step0 // 2 AS b1,
-               d1 - CASE WHEN d1 >= step0 // 2 THEN step0 // 2 ELSE 0 END AS d2
-        FROM (
-          SELECT *, d >= step0 AS b2,
-                 d - CASE WHEN d >= step0 THEN step0 ELSE 0 END AS d1
-          FROM (
-            SELECT *, x - pred < 0 AS sign, abs(x - pred) AS d
-            FROM (
-              SELECT media_id, amp, period, n, blk, k, pred, idx,
-                     CASE WHEN (((k + 1) // period) % 2) = 0
-                          THEN amp ELSE -amp END AS x,
-                     ({steps_lit})[idx + 1] AS step0
-              FROM st WHERE k + 1 < least(n, (blk + 1) * 505)
-            )
-          )
-        )
-      )
-    )
-  )
-)
-SELECT media_id, 'true' AS ok,
-       CAST(8000 AS BIGINT) AS sample_rate,
-       CAST(MAX(n) AS BIGINT) AS n_samples,
-       CAST(SUM(pred) AS BIGINT) AS sum_decoded,
-       CAST(MAX(pred) AS BIGINT) AS peak_pos,
-       CAST(MIN(pred) AS BIGINT) AS peak_neg
-FROM st GROUP BY media_id
-UNION ALL
-SELECT doc_id, 'false', NULL, NULL, NULL, NULL, NULL
-FROM documents WHERE doc_id % 11 = 0
-"""
-
-
-ADPCM_ORACLE = _adpcm_oracle()
 
 
 def test_adpcm_codec_matches_audioop():
@@ -2365,73 +2201,6 @@ def test_audio_adpcm_duckdb_oracle_parity(spark, sf_dir):
 # --------------------------------------------- oracle-checkable HLL (r11 cand)
 
 
-def _hll_oracle() -> str:
-    """Generated DuckDB oracle for q_hll_distinct: replays the WHOLE
-    sketch — the two-round multiply-xorshift hash (constants shared
-    with sketch.hll_hash32), bucket/rank split, register MAX, scaled
-    harmonic sum, and the exact-integer alpha correction (// on
-    positive BIGINTs == Spark's DIV)."""
-    from node_js_etl_processor_spark.operators.sketch import (
-        _HLL_EST_NUM,
-        HLL_LC_THRESHOLD,
-        HLL_M,
-        hll_lc_table,
-    )
-
-    lc_lit = "[" + ",".join(str(v) for v in hll_lc_table()) + "]"
-    raw = f"{_HLL_EST_NUM} // (1000000 * e.harmonic_scaled)"
-    n_zero = f"({HLL_M} - e.n_buckets_hit)"
-    return f"""
-WITH base AS (
-  SELECT o_orderpriority, CAST(o_custkey AS BIGINT) & 4294967295 AS h0
-  FROM orders
-),
-r1 AS (SELECT o_orderpriority,
-              (xor(h0 >> 16, h0) * 73244475) % 4294967296 AS h1 FROM base),
-r2 AS (SELECT o_orderpriority,
-              (xor(h1 >> 16, h1) * 73244475) % 4294967296 AS h2 FROM r1),
-hs AS (SELECT o_orderpriority, xor(h2 >> 16, h2) AS h FROM r2),
-regs AS (
-  SELECT o_orderpriority, h >> 23 AS bucket,
-         MAX(CASE WHEN (h & 8388607) = 0 THEN 24
-                  ELSE 23 - CAST(floor(log2(h & 8388607)) AS BIGINT)
-             END) AS reg
-  FROM hs GROUP BY o_orderpriority, bucket
-),
-summ AS (
-  SELECT o_orderpriority,
-         COUNT(*) AS n_buckets_hit,
-         SUM(reg) AS sum_reg,
-         MAX(reg) AS max_reg,
-         SUM(CAST(1 AS BIGINT) << CAST(24 - reg AS INT)) AS harmonic_hit
-  FROM regs GROUP BY o_orderpriority
-),
-est AS (
-  SELECT o_orderpriority,
-         CAST(n_buckets_hit AS BIGINT) AS n_buckets_hit,
-         CAST(sum_reg AS BIGINT) AS sum_reg,
-         CAST(max_reg AS BIGINT) AS max_reg,
-         CAST(harmonic_hit
-              + ({HLL_M} - n_buckets_hit) * 16777216 AS BIGINT)
-           AS harmonic_scaled
-  FROM summ
-),
-exact AS (
-  SELECT o_orderpriority,
-         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers
-  FROM orders GROUP BY o_orderpriority
-)
-SELECT e.o_orderpriority, x.exact_customers,
-       CAST({HLL_M} AS BIGINT) AS m,
-       e.n_buckets_hit, e.sum_reg, e.max_reg, e.harmonic_scaled,
-       CAST(CASE WHEN {n_zero} > 0 AND ({raw}) <= {HLL_LC_THRESHOLD}
-                 THEN ({lc_lit})[greatest({n_zero}, 1)]
-                 ELSE ({raw}) END AS BIGINT) AS hll_customers
-FROM est e JOIN exact x USING (o_orderpriority)
-"""
-
-
-HLL_ORACLE = _hll_oracle()
 
 
 def test_hll_distinct_duckdb_oracle_parity(spark, sf_dir):
@@ -2494,42 +2263,6 @@ def test_hll_merge_and_accuracy(spark, sf_dir):
 
 # ------------------------------------- HDR quantile histogram (r11 cand)
 
-HDR_ORACLE = """
-WITH cents AS (
-  SELECT l_returnflag, CAST(l_extendedprice * 100 AS BIGINT) AS v
-  FROM lineitem
-),
-idx AS (
-  SELECT l_returnflag,
-         CASE WHEN v < 64 THEN v
-              ELSE ((CAST(floor(log2(v)) AS BIGINT) - 5) << 6)
-                   + (v >> (CAST(floor(log2(v)) AS BIGINT) - 5)) END AS idx
-  FROM cents
-),
-sk AS (
-  SELECT l_returnflag, idx, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM idx GROUP BY l_returnflag, idx
-),
-en AS (
-  SELECT l_returnflag, idx, cnt,
-         CASE WHEN idx < 64 THEN idx
-              ELSE (idx & 63) << (idx >> 6) END AS lb,
-         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY idx
-                        ROWS UNBOUNDED PRECEDING) AS cum,
-         SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
-  FROM sk
-)
-SELECT l_returnflag,
-       CAST(MAX(total) AS BIGINT) AS n_values,
-       CAST(COUNT(*) AS BIGINT) AS n_buckets,
-       CAST(MIN(CASE WHEN cum >= (1 * total + 1) // 2 THEN lb END)
-            AS BIGINT) AS p50_lb,
-       CAST(MIN(CASE WHEN cum >= (19 * total + 19) // 20 THEN lb END)
-            AS BIGINT) AS p95_lb,
-       CAST(MIN(CASE WHEN cum >= (99 * total + 99) // 100 THEN lb END)
-            AS BIGINT) AS p99_lb
-FROM en GROUP BY l_returnflag
-"""
 
 
 def test_hdr_quantiles_duckdb_oracle_parity(spark, sf_dir):
