@@ -659,3 +659,154 @@ def test_scd2_stream_refuses_legacy_flat_store(spark, sf_dir, tmp_path):
     )
     with pytest.raises(Exception, match="flat layout|StreamingQuery"):
         q.awaitTermination(120)
+
+
+@pytest.mark.parametrize("family", ["hll", "hdr"])
+@pytest.mark.parametrize("crash_point", ["before_pointer", "after_pointer"])
+def test_sketch_streams_exactly_once_across_merge_crash(
+    spark, sf_dir, tmp_path, monkeypatch, family, crash_point
+):
+    """r10 continuation: the generic versioned-pointer merge loop
+    (streaming/sketches.py — countmin's protocol generalized over
+    merge laws) is exactly-once for BOTH new sketch families under
+    both crash windows. After batch-1 commit + batch-2 crash +
+    restart, the streamed store equals the one-shot batch sketch
+    cell-for-cell: a replayed HLL merge would be invisible (MAX is
+    idempotent — so the HDR SUM family is the sharp one) and a
+    replayed HDR merge would double every touched bucket count."""
+    from node_js_etl_processor_spark.operators.sketch import (
+        hdr_sketch,
+        hll_registers,
+    )
+    from node_js_etl_processor_spark.streaming.sketches import (
+        hdr_ingest_stream,
+        hll_ingest_stream,
+        read_sketch_store,
+    )
+
+    store = str(tmp_path / f"{family}_store")
+    schema = "o_orderkey long, o_custkey long"
+
+    def start(batch_dir, ck):
+        stream = spark.readStream.schema(schema).json(str(src / batch_dir))
+        if family == "hll":
+            return hll_ingest_stream(
+                stream, "o_orderkey", "o_custkey", store, str(tmp_path / ck)
+            )
+        stream = stream.withColumn("v", F.col("o_custkey") + 1)
+        return hdr_ingest_stream(
+            stream, "o_orderkey", "v", store, str(tmp_path / ck)
+        )
+
+    # group on o_orderkey % 7 so the sketch has a handful of groups
+    src = tmp_path / "landing"
+    src.mkdir()
+    base = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 7).alias("o_orderkey"), "o_custkey"
+    )
+    base.filter("o_custkey % 2 = 0").coalesce(1).write.json(str(src / "b1"))
+    base.filter("o_custkey % 2 = 1").coalesce(1).write.json(str(src / "b2"))
+
+    q = start("b1", "ck1")
+    q.awaitTermination(120)
+
+    calls: list = []
+    if crash_point == "after_pointer":
+        _crash_once(monkeypatch, markers, calls)
+    else:
+
+        def boom(*a, **k):
+            calls.append(a)
+            raise RuntimeError("injected crash before pointer switch")
+
+        monkeypatch.setattr(markers, "set_current_version", boom)
+    q = start("b2", "ck2")
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert calls
+    monkeypatch.undo()
+
+    q = start("b2", "ck2")
+    q.awaitTermination(120)
+
+    got = read_sketch_store(spark, store)
+    if family == "hll":
+        want = hll_registers(base, "o_orderkey", "o_custkey")
+    else:
+        want = hdr_sketch(
+            base.withColumn("v", F.col("o_custkey") + 1), "o_orderkey", "v"
+        )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
+
+
+def test_sketch_stream_estimates_match_batch_query(spark, sf_dir, tmp_path):
+    """The read path composes: hll_estimate / hdr_quantiles over the
+    streamed stores equal the same folds over one-shot batch sketches
+    — incremental maintenance is invisible to consumers."""
+    from node_js_etl_processor_spark.operators.sketch import (
+        hdr_quantiles,
+        hdr_sketch,
+        hll_estimate,
+        hll_registers,
+    )
+    from node_js_etl_processor_spark.streaming.sketches import (
+        hdr_ingest_stream,
+        hll_ingest_stream,
+        read_sketch_store,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = tmp_path / "landing2"
+    src.mkdir()
+    pri = orders.select("o_orderpriority", "o_custkey")
+    pri.filter("o_custkey % 3 != 0").coalesce(1).write.json(str(src / "b1"))
+    pri.filter("o_custkey % 3 = 0").coalesce(1).write.json(str(src / "b2"))
+    schema = "o_orderpriority string, o_custkey long"
+
+    hll_store = str(tmp_path / "hll2")
+    hdr_store = str(tmp_path / "hdr2")
+    for b, ck in (("b1", "h1"), ("b2", "h2")):
+        q = hll_ingest_stream(
+            spark.readStream.schema(schema).json(str(src / b)),
+            "o_orderpriority", "o_custkey", hll_store, str(tmp_path / ck),
+        )
+        q.awaitTermination(120)
+    for b, ck in (("b1", "d1"), ("b2", "d2")):
+        stream = spark.readStream.schema(schema).json(str(src / b))
+        q = hdr_ingest_stream(
+            stream.withColumn("v", F.col("o_custkey") + 1),
+            "o_orderpriority", "v", hdr_store, str(tmp_path / ck),
+        )
+        q.awaitTermination(120)
+
+    streamed_est = {
+        tuple(r)
+        for r in hll_estimate(
+            read_sketch_store(spark, hll_store), "o_orderpriority"
+        ).collect()
+    }
+    batch_est = {
+        tuple(r)
+        for r in hll_estimate(
+            hll_registers(pri, "o_orderpriority", "o_custkey"),
+            "o_orderpriority",
+        ).collect()
+    }
+    assert streamed_est == batch_est and len(streamed_est) == 5
+
+    vals = pri.withColumn("v", F.col("o_custkey") + 1)
+    streamed_q = {
+        tuple(r)
+        for r in hdr_quantiles(
+            read_sketch_store(spark, hdr_store), "o_orderpriority"
+        ).collect()
+    }
+    batch_q = {
+        tuple(r)
+        for r in hdr_quantiles(
+            hdr_sketch(vals, "o_orderpriority", "v"), "o_orderpriority"
+        ).collect()
+    }
+    assert streamed_q == batch_q and len(streamed_q) == 5
