@@ -479,3 +479,131 @@ def q_hdr_quantiles(lineitem: DataFrame) -> DataFrame:
     return hdr_quantiles(
         hdr_sketch(cents, "l_returnflag", "cents"), "l_returnflag"
     )
+
+
+def q_hll_rollup(orders: DataFrame) -> DataFrame:
+    """r11-candidate query: the ALGEBRAIC ROLLUP property of the HLL
+    register file as a query — per-priority sketches AND the global
+    sketch, where the global registers are NOT a rescan but the
+    cell-wise MAX of the per-priority register files (exactly how a
+    100 TB pipeline gets per-month cardinalities from stored per-day
+    sketches for free). Emits one row per priority plus one 'ALL'
+    row; every column is the exact-integer sketch state, so the
+    DuckDB oracle replays both levels and the rollup law itself is
+    under the driver's gate.
+
+    Scale: ONE data-sized pass builds the per-group registers; the
+    rollup works on ≤ m·groups rows. The exact twin rides along per
+    level for the accuracy statement."""
+    regs = hll_registers(orders, "o_orderpriority", "o_custkey")
+    global_regs = (
+        regs.groupBy("bucket")
+        .agg(F.max("reg").alias("reg"))
+        .withColumn("o_orderpriority", F.lit("ALL"))
+    )
+    all_regs = regs.unionByName(global_regs.select(*regs.columns))
+    est = hll_estimate(all_regs, "o_orderpriority")
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_customers")
+    ).unionByName(
+        orders.agg(
+            F.countDistinct("o_custkey").alias("exact_customers")
+        ).select(F.lit("ALL").alias("o_orderpriority"), "exact_customers")
+    )
+    return exact.join(est, "o_orderpriority").select(
+        "o_orderpriority", "exact_customers", "m", "n_buckets_hit",
+        "sum_reg", "max_reg", "harmonic_scaled", "hll_customers",
+    )
+
+
+def q_hll_intersect(orders: DataFrame) -> DataFrame:
+    """r11-candidate query: sketch SET ALGEBRA — estimated customer
+    overlap between every pair of order priorities by
+    inclusion-exclusion over HLL register files: |A∩B| ≈ est(A) +
+    est(B) − est(A∪B), where est(A∪B) comes from merging the two
+    stored register files by cell-wise MAX (no rescan — the union law
+    again, now powering a derived statistic). Exact pair overlaps
+    ride alongside; every estimate is the exact-integer estimator, so
+    DuckDB replays all three levels and the inclusion-exclusion
+    arithmetic bit-for-bit.
+
+    Scale: ONE data-sized pass builds per-group registers; the 10
+    pair unions and 15 estimates all fold ≤ m-row frames. The exact
+    twin is one distinct-pairs self-join at group granularity —
+    present only for the oracle contract."""
+    regs = hll_registers(orders, "o_orderpriority", "o_custkey")
+    # union registers per pair: union-all the two sides' register
+    # files and MAX per bucket — NOT a bucket-inner join, which would
+    # drop buckets hit by only one side
+    labels = regs.select("o_orderpriority").distinct()
+    pair_labels = (
+        labels.select(F.col("o_orderpriority").alias("pri_a"))
+        .crossJoin(labels.select(F.col("o_orderpriority").alias("pri_b")))
+        .where(F.col("pri_a") < F.col("pri_b"))
+    )
+    union_regs = (
+        pair_labels.join(
+            regs.select(
+                F.col("o_orderpriority").alias("pri_a"), "bucket", "reg"
+            ),
+            "pri_a",
+        )
+        .unionByName(
+            pair_labels.join(
+                regs.select(
+                    F.col("o_orderpriority").alias("pri_b"), "bucket", "reg"
+                ),
+                "pri_b",
+            ).select("pri_a", "pri_b", "bucket", "reg")
+        )
+        .groupBy("pri_a", "pri_b", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    union_regs = union_regs.withColumn(
+        "pair", F.concat_ws("|", "pri_a", "pri_b")
+    )
+    est_union = hll_estimate(union_regs, "pair").select(
+        "pair", F.col("hll_customers").alias("hll_union")
+    )
+    est_side = hll_estimate(regs, "o_orderpriority")
+    ea = est_side.select(
+        F.col("o_orderpriority").alias("pri_a"),
+        F.col("hll_customers").alias("hll_a"),
+    )
+    eb = est_side.select(
+        F.col("o_orderpriority").alias("pri_b"),
+        F.col("hll_customers").alias("hll_b"),
+    )
+    exact = (
+        orders.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .alias("x")
+        .join(
+            orders.select("o_orderpriority", "o_custkey").distinct().alias("y"),
+            ["o_custkey"],
+        )
+        .where(F.col("x.o_orderpriority") < F.col("y.o_orderpriority"))
+        .groupBy(
+            F.col("x.o_orderpriority").alias("pri_a"),
+            F.col("y.o_orderpriority").alias("pri_b"),
+        )
+        .agg(F.countDistinct("o_custkey").alias("exact_overlap"))
+    )
+    out = (
+        pair_labels.withColumn("pair", F.concat_ws("|", "pri_a", "pri_b"))
+        .join(est_union, "pair")
+        .join(ea, "pri_a")
+        .join(eb, "pri_b")
+        .join(exact, ["pri_a", "pri_b"], "left")
+    )
+    return out.select(
+        "pri_a",
+        "pri_b",
+        F.coalesce("exact_overlap", F.lit(0)).cast("long").alias("exact_overlap"),
+        F.col("hll_a").cast("long").alias("hll_a"),
+        F.col("hll_b").cast("long").alias("hll_b"),
+        F.col("hll_union").cast("long").alias("hll_union"),
+        (F.col("hll_a") + F.col("hll_b") - F.col("hll_union"))
+        .cast("long")
+        .alias("hll_overlap"),
+    )
