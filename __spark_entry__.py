@@ -970,7 +970,7 @@ HLL_ORACLE = _hll_oracle()
 
 HDR_ORACLE = """
 WITH cents AS (
-  SELECT l_returnflag, CAST(l_extendedprice * 100 AS BIGINT) AS v
+  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
   FROM lineitem
 ),
 idx AS (

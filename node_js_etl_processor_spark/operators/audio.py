@@ -396,11 +396,15 @@ def synth_g711_media(documents: DataFrame) -> DataFrame:
         import numpy as np
 
         bad_fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
-        bad = (
-            b"RIFF" + struct.pack("<I", 20 + len(bad_fmt)) + b"WAVE"
+        # RIFF content size = "WAVE" + fmt chunk + data chunk, computed
+        # (a wrong literal here would quietly turn the flavor-rejection
+        # lane into a junk-rejection lane if the walker ever honors it)
+        bad_body = (
+            b"WAVE"
             + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
             + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
         )
+        bad = b"RIFF" + struct.pack("<I", len(bad_body)) + bad_body
         for pdf in batches:
             rows = {k: [] for k in (
                 "media_id", "modality", "mime", "payload", "sha256", "n_bytes",

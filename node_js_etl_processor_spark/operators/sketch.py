@@ -209,17 +209,15 @@ def countmin_read_store(spark: SparkSession, store_path: str) -> DataFrame:
     atomically-switched ``_CURRENT`` pointer, which is what makes the
     merge loop exactly-once). Readers always resolve the pointer at
     read time; a missing pointer means no batch ever committed."""
-    import posixpath
+    from ..streaming.sketches import read_sketch_store
 
-    from ..streaming.markers import current_version
-
-    cur = current_version(store_path)
-    if cur is None:
+    try:
+        return read_sketch_store(spark, store_path)
+    except ValueError as e:
         raise ValueError(
             f"no committed Count-Min grid at {store_path!r} (missing "
             "_CURRENT pointer) — run countmin_ingest_stream first"
-        )
-    return spark.read.parquet(posixpath.join(store_path, cur))
+        ) from e
 
 
 # ------------------------------------------------------------- HyperLogLog
@@ -465,8 +463,12 @@ def q_hdr_quantiles(lineitem: DataFrame) -> DataFrame:
     """r11-candidate query: price quantiles per return flag via an
     ORACLE-CHECKABLE mergeable histogram — the quantile member of the
     deterministic-sketch family (countmin = counts, HLL =
-    cardinality, HDR = order statistics). Prices become exact cents
-    (decimal·100), the log-linear bucket index, cumulative fold and
+    cardinality, HDR = order statistics). Prices become cents via
+    ROUND(price·100) — the column is a DOUBLE carrying 2-decimal
+    values, so price·100 is within 1e-6 of an integer and rounding is
+    engine-identical, where truncation would disagree across engines
+    on ~5% of rows (the 1330959.9999999998 class) — then the
+    log-linear bucket index, cumulative fold and
     integer-ceiling thresholds are all replayed by DuckDB, so the
     estimate is compared bit-for-bit, not bounded. Unlike
     percentile_approx (engine-specific GK sketch), this sketch's
@@ -474,7 +476,7 @@ def q_hdr_quantiles(lineitem: DataFrame) -> DataFrame:
     1000 executors histogram independently, union by (group, idx)."""
     cents = lineitem.select(
         F.col("l_returnflag"),
-        (F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
     )
     return hdr_quantiles(
         hdr_sketch(cents, "l_returnflag", "cents"), "l_returnflag"

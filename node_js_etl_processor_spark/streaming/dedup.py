@@ -333,62 +333,27 @@ def countmin_ingest_stream(
     mark); the old grid is never destroyed until its successor is
     live. Affordable precisely because the store is parameter-sized —
     the general partition-rewriting merge (SCD2) still needs a
-    transactional table format."""
-    import posixpath
+    transactional table format.
 
+    Since the r10 continuation the protocol body lives ONCE in
+    ``streaming/sketches.py::sketch_merge_ingest_stream`` (the loop
+    generalized over sketch merge laws — this grid was the precedent
+    and now delegates to it, so a future crash-window fix lands in
+    every sketch family at once); the grid's law is cell-wise SUM on
+    (row, col). Crash tests re-pin the delegated form at both
+    windows."""
     from pyspark.sql import functions as F
 
     from ..operators.sketch import countmin_build
-    from .markers import (
-        batch_already_applied,
-        current_version,
-        gc_versions,
-        mark_batch_applied,
-        marker_id,
-        set_current_version,
-    )
+    from .sketches import sketch_merge_ingest_stream
 
-    # markers live BESIDE the grid store (countmin precedent kept:
-    # the store root holds only version dirs + the pointer)
-    meta_path = store_path.rstrip("/") + "_meta"
-
-    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # replay guard (r9): re-merging a delivered batch's grid would
-        # double-count every cell it touched
-        if batch_already_applied(meta_path, checkpoint, batch_id):
-            return
-        vname = f"v_{marker_id(checkpoint, batch_id)}"
-        cur = current_version(store_path)
-        if cur == vname:
-            # crash landed between the pointer switch and the marker:
-            # this batch's merge IS the live grid — just commit it
-            mark_batch_applied(meta_path, checkpoint, batch_id)
-            gc_versions(store_path, keep=vname)
-            return
-        grid = countmin_build(batch_df, key_col)
-        if cur is not None:
-            stored = spark.read.parquet(posixpath.join(store_path, cur))
-            grid = (
-                grid.unionByName(stored)
-                .groupBy("row", "col")
-                .agg(F.sum("c").cast("bigint").alias("c"))
-            )
-        # 256 rows: a full rewrite per batch IS the merge cost,
-        # independent of stream volume
-        merged = grid.localCheckpoint(eager=True)
-        merged.coalesce(1).write.mode("overwrite").parquet(
-            posixpath.join(store_path, vname)
-        )
-        set_current_version(store_path, vname)
-        mark_batch_applied(meta_path, checkpoint, batch_id)
-        gc_versions(store_path, keep=vname)
-
-    return (
-        items_stream.writeStream.foreachBatch(_ingest)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    return sketch_merge_ingest_stream(
+        items_stream,
+        store_path,
+        checkpoint,
+        build_batch=lambda b: countmin_build(b, key_col),
+        merge_keys=("row", "col"),
+        merge_agg=lambda: F.sum("c").cast("bigint").alias("c"),
     )
 
 

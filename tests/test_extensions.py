@@ -2298,7 +2298,7 @@ def test_hdr_sketch_merge_and_error_bound(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     cents = li.select(
         F.col("l_returnflag"),
-        (F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         F.col("l_orderkey"),
     )
     whole = hdr_sketch(cents, "l_returnflag", "cents")
