@@ -448,3 +448,111 @@ def test_bpe_fold_matches_reference_merge(spark, words, a, b):
         return tuple(out)
 
     assert got == {w: ref(w) for w in uniq}
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.lists(st.integers(min_value=-32768, max_value=32767),
+                  min_size=1, max_size=300),
+)
+def test_g711_matches_audioop_property(data):
+    """Differential property (r10 continuation): both G.711 laws,
+    both directions, equal CPython's audioop (the Sun reference) on
+    ARBITRARY int16 sequences — hypothesis hunts the segment/mask
+    boundaries the fixed-seed test might miss (clip values, ±0,
+    -32768, mantissa edges)."""
+    import numpy as np
+    import pytest as _pytest
+
+    audioop = _pytest.importorskip("audioop")
+    from node_js_etl_processor_spark.operators.audio import (
+        alaw_decode,
+        alaw_encode,
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    x = np.asarray(data, dtype=np.int16)
+    raw = x.astype("<i2").tobytes()
+    assert (mulaw_encode(x) == np.frombuffer(
+        audioop.lin2ulaw(raw, 2), dtype=np.uint8)).all()
+    assert (alaw_encode(x) == np.frombuffer(
+        audioop.lin2alaw(raw, 2), dtype=np.uint8)).all()
+    ucodes = mulaw_encode(x)
+    assert (mulaw_decode(ucodes) == np.frombuffer(
+        audioop.ulaw2lin(ucodes.tobytes(), 2), dtype="<i2")).all()
+    acodes = alaw_encode(x)
+    assert (alaw_decode(acodes) == np.frombuffer(
+        audioop.alaw2lin(acodes.tobytes(), 2), dtype="<i2")).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    data=st.lists(st.integers(min_value=-32768, max_value=32767),
+                  min_size=1, max_size=1200),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_adpcm_wav_roundtrip_property(data, rate):
+    """Property (r10 continuation): for ANY int16 signal, the
+    tag-0x11 WAV roundtrip decodes to exactly the per-block
+    state-machine replay (predictor = first sample, index reset,
+    fact-chunk truncation) — lengths straddle the 505-sample block
+    boundary by construction of the size range."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.audio import (
+        adpcm_decode_stream,
+        adpcm_encode_stream,
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    sig = np.asarray(data, dtype=np.int16)
+    out, got_rate = decode_wav_adpcm(encode_wav_adpcm(sig, rate))
+    assert got_rate == rate and len(out) == len(sig)
+    exp = []
+    for b0 in range(0, len(sig), 505):
+        chunk = sig[b0 : b0 + 505]
+        exp.append(int(chunk[0]))
+        codes, _ = adpcm_encode_stream(chunk[1:], int(chunk[0]), 0)
+        dec, _ = adpcm_decode_stream(codes, int(chunk[0]), 0)
+        exp.extend(dec)
+    assert (out == np.asarray(exp, np.int16)).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=1, max_value=(1 << 27)),
+                  min_size=1, max_size=200),
+)
+def test_hdr_bucket_bounds_property(vals):
+    """Property (r10 continuation): the log-linear bucket index is
+    monotone non-decreasing in the value, decodes to a lower bound
+    lb ≤ v, and the bucket's relative width is ≤ 1/32 for v ≥ 64 —
+    the guarantees q_hdr_quantiles' estimates inherit."""
+
+    def idx_of(v):
+        if v < 64:
+            return v
+        e = v.bit_length() - 1 - 5
+        return (e << 6) + (v >> e)
+
+    def lb_of(i):
+        if i < 64:
+            return i
+        return (i & 63) << (i >> 6)
+
+    svals = sorted(vals)
+    idxs = [idx_of(v) for v in svals]
+    assert idxs == sorted(idxs)
+    for v in vals:
+        i = idx_of(v)
+        lb = lb_of(i)
+        assert lb <= v
+        if v >= 64:
+            e = i >> 6
+            width = 1 << e
+            assert v < lb + width  # v inside its bucket
+            assert width * 32 <= lb  # relative width ≤ 1/32
+        else:
+            assert lb == v  # exact buckets below 2^6
