@@ -2585,3 +2585,98 @@ def test_hll_intersect_duckdb_oracle_parity_and_sanity(spark, sf_dir):
         assert abs(r["hll_overlap"] - r["exact_overlap"]) <= max(band, 30), (
             dict(r.asDict())
         )
+
+
+# ------------------------------------------------- netpbm (r11 cand)
+
+NETPBM_ORACLE = """
+WITH base AS (
+  SELECT doc_id AS media_id,
+         3 + doc_id % 6 AS w,
+         2 + doc_id % 5 AS h,
+         doc_id % 4 AS variant,
+         (doc_id * 37) % 256 AS r,
+         (doc_id * 53) % 256 AS g,
+         (doc_id * 71) % 256 AS b,
+         (doc_id * 29) % 256 AS gray
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT media_id, 'true' AS ok,
+       CASE variant WHEN 0 THEN 'P6' WHEN 1 THEN 'P3'
+                    WHEN 2 THEN 'P5' ELSE 'P2' END AS fmt,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(255 AS BIGINT) AS maxval,
+       CAST(CASE WHEN variant IN (0, 1) THEN w * h * (r + g + b)
+                 ELSE w * h * gray END AS BIGINT) AS px_sum,
+       CASE WHEN variant IN (0, 1)
+            THEN md5(repeat(printf('%02x%02x%02x', r, g, b),
+                            CAST(w * h AS INT)))
+            ELSE md5(repeat(printf('%02x', gray), CAST(w * h AS INT)))
+       END AS raster_md5
+FROM base
+UNION ALL
+SELECT doc_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def test_netpbm_codec_roundtrip_and_grammar():
+    """All four variants roundtrip arbitrary rasters; the header
+    grammar survives comments between ANY tokens and the
+    binary-raster-starts-with-whitespace-byte trap; foreign and
+    malformed payloads raise DecodeUnavailable."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable as DU,
+        encode_bmp,
+    )
+    from node_js_etl_processor_spark.operators.netpbm import (
+        decode_netpbm,
+        encode_netpbm,
+    )
+
+    rng = np.random.RandomState(3)
+    color = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, (4, 6)).astype(np.uint8)
+    for magic, px in (("P6", color), ("P3", color), ("P5", gray), ("P2", gray)):
+        arr, got_magic, maxval = decode_netpbm(
+            encode_netpbm(px, magic, comment="round trip # tricky")
+        )
+        assert (got_magic, maxval) == (magic, 255)
+        assert (arr == px).all()
+    # raster whose first byte IS a whitespace value (0x20): the single
+    # header-terminator rule must not eat it
+    tricky = np.full((2, 2), 0x20, dtype=np.uint8)
+    arr, _, _ = decode_netpbm(encode_netpbm(tricky, "P5"))
+    assert (arr == 0x20).all()
+    # comments woven between header tokens
+    manual = b"P5 # c1\n# c2\n 3\n# mid\n2 255\n" + bytes(6)
+    arr, magic, _ = decode_netpbm(manual)
+    assert magic == "P5" and arr.shape == (2, 3) and int(arr.sum()) == 0
+    for bad in (
+        encode_bmp(np.zeros((2, 2, 3), np.uint8)),  # foreign format
+        b"P6\n3 2\n65535\n" + bytes(12),  # 16-bit maxval unsupported
+        b"P5\n3 2\n255\n" + bytes(3),  # truncated raster
+        b"P2\n2 2\n255\n1 2 3",  # truncated ascii raster
+        b"P3\n2 x\n255\n1 2 3",  # non-decimal token
+        None,
+    ):
+        import pytest as _pytest
+
+        with _pytest.raises(DU):
+            decode_netpbm(bad)
+
+
+def test_netpbm_duckdb_oracle_parity(spark, sf_dir):
+    """r11 candidate dry run: q_netpbm_features vs the closed-form
+    oracle — binary AND ascii encode/decode, comment grammar, exact
+    pixel sums, decoded-raster digests and BMP rejection, the
+    driver's exact compare."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.netpbm import q_netpbm_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_netpbm_features(docs), NETPBM_ORACLE, sf_dir)
+    assert n > 0
