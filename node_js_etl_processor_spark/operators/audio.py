@@ -45,6 +45,7 @@ from pyspark.sql.types import (
 from node_js_etl_processor_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     DecodeUnavailable,
+    encode_wav,
     parse_wav_chunks,
 )
 
@@ -617,3 +618,254 @@ def q_audio_g711(documents: DataFrame) -> DataFrame:
     Scale: two chained mapInPandas passes, zero shuffles before the
     presentation sort — the canonical media-pass shape."""
     return audio_g711_features(synth_g711_media(documents)).orderBy("media_id")
+
+
+# ------------------------------------------------------- Sun AU container
+
+#: AU (Sun/NeXT .au) encoding codes — the header is big-endian:
+#: ".snd", data offset, data size, encoding, rate, channels.
+AU_ENC_MULAW = 1
+AU_ENC_PCM16 = 3
+AU_ENC_ALAW = 27
+
+
+def encode_au(samples: "object", sample_rate: int, encoding: int) -> bytes:
+    """Encode a mono/(n, ch) int16 array as a Sun AU file (encoding 1
+    = G.711 μ-law, 27 = A-law — both reusing the pinned companders —
+    or 3 = 16-bit big-endian PCM)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    if encoding == AU_ENC_MULAW:
+        data = mulaw_encode(arr.reshape(-1)).astype(np.uint8).tobytes()
+    elif encoding == AU_ENC_ALAW:
+        data = alaw_encode(arr.reshape(-1)).astype(np.uint8).tobytes()
+    elif encoding == AU_ENC_PCM16:
+        data = arr.reshape(-1).astype(">i2").tobytes()
+    else:
+        raise ValueError(f"unsupported AU encoding {encoding}")
+    return (
+        b".snd"
+        + struct.pack(">IIIII", 24, len(data), encoding, sample_rate, ch)
+        + data
+    )
+
+
+def decode_au(payload: bytes) -> "tuple[object, int, str]":
+    """Decode a Sun AU payload into ((n, ch) int16, rate, codec name).
+    Encodings 1/27 expand through the pinned G.711 decoders; 3 is
+    big-endian PCM. Anything else raises DecodeUnavailable."""
+    import numpy as np
+
+    if payload is None or len(payload) < 24 or payload[:4] != b".snd":
+        raise DecodeUnavailable("not an AU payload")
+    off, dsize, enc, rate, ch = struct.unpack(">IIIII", payload[4:24])
+    if off < 24 or off > len(payload) or ch < 1 or rate <= 0:
+        raise DecodeUnavailable("corrupt AU header")
+    data = payload[off:]
+    if dsize != 0xFFFFFFFF:
+        if dsize > len(data):
+            raise DecodeUnavailable("truncated AU data")
+        data = data[:dsize]
+    if enc == AU_ENC_MULAW:
+        codes = np.frombuffer(data, dtype=np.uint8)
+        flat = mulaw_decode(codes)
+        name = "mulaw"
+    elif enc == AU_ENC_ALAW:
+        codes = np.frombuffer(data, dtype=np.uint8)
+        flat = alaw_decode(codes)
+        name = "alaw"
+    elif enc == AU_ENC_PCM16:
+        n16 = len(data) // 2
+        flat = np.frombuffer(data, dtype=">i2", count=n16).astype(np.int16)
+        name = "pcm16"
+    else:
+        raise DecodeUnavailable(f"unsupported AU encoding {enc}")
+    n = flat.shape[0] // ch
+    return flat[: n * ch].reshape(n, ch), rate, name
+
+
+# ----------------------------------------------------- audio format dispatch
+
+AUDIO_PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ok", StringType(), False),
+        StructField("container", StringType(), True),
+        StructField("codec", StringType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("n_samples", LongType(), True),
+    ]
+)
+
+#: magics the probe RECOGNIZES but cannot decode (honest boundary)
+_KNOWN_UNSUPPORTED = (
+    (b"fLaC", "flac"),
+    (b"OggS", "ogg"),
+    (b"ID3", "mp3"),
+    (b"\xff\xfb", "mp3"),
+)
+
+
+def probe_audio(payload: bytes) -> "tuple[str, str, int, int, int]":
+    """Identify an audio payload WITHOUT fully decoding samples:
+    returns (container, codec, rate, channels, n_samples). Dispatch
+    covers every container/codec pair the engine decodes (WAV
+    PCM/μ-law/A-law/IMA-ADPCM, AU μ-law/A-law/PCM16); recognized-but-
+    undecodable formats (FLAC/OGG/MP3) and junk raise
+    DecodeUnavailable — but with the distinction preserved by the
+    distributed probe below, which reports the recognized container
+    on the ok=false row."""
+    if payload is not None and payload[:4] == b".snd":
+        off, dsize, enc, rate, ch = struct.unpack(">IIIII", payload[4:24])
+        name = {AU_ENC_MULAW: "mulaw", AU_ENC_ALAW: "alaw",
+                AU_ENC_PCM16: "pcm16"}.get(enc)
+        if name is None or off < 24 or ch < 1 or rate <= 0:
+            raise DecodeUnavailable(f"unsupported AU encoding {enc}")
+        nbytes = min(dsize, len(payload) - off) if dsize != 0xFFFFFFFF else (
+            len(payload) - off
+        )
+        samp = nbytes // (2 * ch) if name == "pcm16" else nbytes // ch
+        return "au", name, rate, ch, samp
+    fmt, data = parse_wav_chunks(payload)  # raises for junk
+    tag, ch, rate, _br, align, bits = fmt
+    if tag == WAVE_TAG_PCM and bits == 16:
+        return "wav", "pcm16", rate, ch, len(data) // (2 * ch)
+    if tag in (WAVE_TAG_MULAW, WAVE_TAG_ALAW) and bits == 8:
+        name = "mulaw" if tag == WAVE_TAG_MULAW else "alaw"
+        return "wav", name, rate, ch, len(data) // ch
+    if tag == WAVE_TAG_IMA_ADPCM and bits == 4 and ch == 1:
+        # sample count from the fact chunk (authoritative for ADPCM)
+        pos, n_total = 12, None
+        while pos + 8 <= len(payload):
+            ctype = payload[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", payload, pos + 4)
+            if ctype == b"fact" and clen >= 4:
+                (n_total,) = struct.unpack_from("<I", payload, pos + 8)
+            pos += 8 + clen + (clen % 2)
+        if n_total is None:
+            spb = (align - 4) * 2 + 1
+            n_total = (len(data) // align) * spb
+        return "wav", "ima-adpcm", rate, ch, n_total
+    raise DecodeUnavailable(f"unsupported WAV flavor (tag={tag}, bits={bits})")
+
+
+def synth_mixed_audio_media(documents: DataFrame) -> DataFrame:
+    """Deterministic MIXED-FORMAT audio payloads: doc_id%7 selects
+    among the seven decodable container/codec pairs (WAV PCM, WAV
+    μ-law, WAV A-law, WAV IMA-ADPCM, AU μ-law, AU A-law, AU PCM16),
+    all real encoders; every doc_id%11==0 row carries a FLAC-magic
+    payload — a RECOGNIZED-but-undecodable format, so the probe's
+    honest boundary (report the container, refuse the decode) is
+    under the oracle gate."""
+    import pandas as pd
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "modality", "mime", "payload", "sha256", "n_bytes",
+            )}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rows["media_id"].append(did)
+                rows["modality"].append("audio")
+                rows["sha256"].append(None)
+                rows["n_bytes"].append(None)
+                if did % 11 == 0:
+                    rows["mime"].append("audio/flac")
+                    rows["payload"].append(b"fLaC\x00\x00\x00\x22" + bytes(16))
+                    continue
+                n = 200 + (did % 5) * 40
+                rate = 8000 * (1 + did % 2)
+                amp = 900 + (did % 10) * 300
+                i = np.arange(n)
+                sig = (np.where((i // 3) % 2 == 0, 1, -1) * amp).astype(np.int16)
+                v = did % 7
+                if v == 0:
+                    payload, mime = encode_wav(sig, rate), "audio/wav"
+                elif v == 1:
+                    payload, mime = encode_wav_g711(sig, rate, "mulaw"), "audio/wav"
+                elif v == 2:
+                    payload, mime = encode_wav_g711(sig, rate, "alaw"), "audio/wav"
+                elif v == 3:
+                    payload, mime = encode_wav_adpcm(sig, rate), "audio/wav"
+                elif v == 4:
+                    payload, mime = encode_au(sig, rate, AU_ENC_MULAW), "audio/basic"
+                elif v == 5:
+                    payload, mime = encode_au(sig, rate, AU_ENC_ALAW), "audio/basic"
+                else:
+                    payload, mime = encode_au(sig, rate, AU_ENC_PCM16), "audio/basic"
+                rows["mime"].append(mime)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+
+
+def audio_probe_features(media: DataFrame) -> DataFrame:
+    """Distributed format dispatch: probe every payload's container/
+    codec/geometry without decoding samples. Recognized-but-
+    undecodable magics (FLAC/OGG/MP3) surface as ok=false WITH the
+    container named — the triage a 100 TB audio lake runs before
+    routing payloads to format-specific decode passes."""
+    import pandas as pd
+
+    from node_js_etl_processor_spark.catalog import spread
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_id", "ok", "container", "codec",
+                "sample_rate", "n_channels", "n_samples",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                out["media_id"].append(mid)
+                b = bytes(payload) if payload is not None else b""
+                known = next(
+                    (name for magic, name in _KNOWN_UNSUPPORTED
+                     if b.startswith(magic)), None
+                )
+                if known is not None:
+                    out["ok"].append("false")
+                    out["container"].append(known)
+                    for k in ("codec", "sample_rate", "n_channels", "n_samples"):
+                        out[k].append(None)
+                    continue
+                try:
+                    cont, codec, rate, ch, n = probe_audio(b)
+                    out["ok"].append("true")
+                    out["container"].append(cont)
+                    out["codec"].append(codec)
+                    out["sample_rate"].append(rate)
+                    out["n_channels"].append(ch)
+                    out["n_samples"].append(n)
+                except DecodeUnavailable:
+                    out["ok"].append("false")
+                    for k in ("container", "codec", "sample_rate",
+                              "n_channels", "n_samples"):
+                        out[k].append(None)
+            yield pd.DataFrame(out)
+
+    return spread(media).mapInPandas(run, AUDIO_PROBE_SCHEMA)
+
+
+def q_audio_probe(documents: DataFrame) -> DataFrame:
+    """r11-candidate query: the audio format-dispatch loop —
+    ``synth_mixed_audio_media`` (all seven REAL container/codec
+    pairs) → ``audio_probe_features`` (magic + header parsing, no
+    sample decode). The oracle recomputes container/codec/rate/
+    channels/sample-count closed-form from doc_id and replays the
+    FLAC lane as ok=false WITH the container recognized — pinning
+    the dispatch table itself, the piece that routes a mixed 100 TB
+    audio lake to the right decode pass."""
+    return audio_probe_features(synth_mixed_audio_media(documents)).orderBy(
+        "media_id"
+    )

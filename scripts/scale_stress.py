@@ -588,6 +588,31 @@ def main() -> None:
         lambda: q_hdr_quantiles(li1),
         lambda: q_hdr_quantiles(li10),
     )
+    # r11 candidate families measured ahead of declaration
+    from node_js_etl_processor_spark.operators.netpbm import q_netpbm_features
+    from node_js_etl_processor_spark.operators.sketch import (
+        q_hll_intersect,
+        q_hll_rollup,
+    )
+
+    queries["q_netpbm_features"] = (
+        lambda: q_netpbm_features(docs1),
+        lambda: q_netpbm_features(docs10),
+    )
+    queries["q_hll_rollup"] = (
+        lambda: q_hll_rollup(orders1),
+        lambda: q_hll_rollup(orders10),
+    )
+    queries["q_hll_intersect"] = (
+        lambda: q_hll_intersect(orders1),
+        lambda: q_hll_intersect(orders10),
+    )
+    from node_js_etl_processor_spark.operators.audio import q_audio_probe
+
+    queries["q_audio_probe"] = (
+        lambda: q_audio_probe(docs1),
+        lambda: q_audio_probe(docs10),
+    )
 
     if args.only:
         unknown = set(args.only) - set(queries) - {

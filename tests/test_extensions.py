@@ -2680,3 +2680,83 @@ def test_netpbm_duckdb_oracle_parity(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n = _duck_parity(q_netpbm_features(docs), NETPBM_ORACLE, sf_dir)
     assert n > 0
+
+
+# ---------------------------------------------- audio dispatch (r11 cand)
+
+AUDIO_PROBE_ORACLE = """
+WITH base AS (
+  SELECT doc_id AS media_id,
+         doc_id % 7 AS v,
+         200 + (doc_id % 5) * 40 AS n,
+         8000 * (1 + doc_id % 2) AS rate
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT media_id, 'true' AS ok,
+       CASE WHEN v <= 3 THEN 'wav' ELSE 'au' END AS container,
+       CASE v WHEN 0 THEN 'pcm16' WHEN 1 THEN 'mulaw' WHEN 2 THEN 'alaw'
+              WHEN 3 THEN 'ima-adpcm' WHEN 4 THEN 'mulaw'
+              WHEN 5 THEN 'alaw' ELSE 'pcm16' END AS codec,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(n AS BIGINT) AS n_samples
+FROM base
+UNION ALL
+SELECT doc_id, 'false', 'flac', NULL, NULL, NULL, NULL
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def test_au_container_roundtrip_and_rejection():
+    """Sun AU container: all three encodings roundtrip through the
+    pinned G.711 expanders / big-endian PCM; truncated and unknown-
+    encoding payloads raise DecodeUnavailable."""
+    import numpy as np
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.operators.audio import (
+        AU_ENC_ALAW,
+        AU_ENC_MULAW,
+        AU_ENC_PCM16,
+        alaw_decode,
+        alaw_encode,
+        decode_au,
+        encode_au,
+        mulaw_decode,
+        mulaw_encode,
+    )
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable as DU,
+    )
+
+    rng = np.random.RandomState(5)
+    sig = (np.sin(np.linspace(0, 30, 700)) * 11000
+           + rng.randint(-300, 300, 700)).astype(np.int16)
+    arr, rate, name = decode_au(encode_au(sig, 8000, AU_ENC_PCM16))
+    assert (name, rate) == ("pcm16", 8000)
+    assert (arr.reshape(-1) == sig).all()  # PCM16 is lossless
+    arr, _, name = decode_au(encode_au(sig, 16000, AU_ENC_MULAW))
+    assert name == "mulaw"
+    assert (arr.reshape(-1) == mulaw_decode(mulaw_encode(sig))).all()
+    arr, _, name = decode_au(encode_au(sig, 16000, AU_ENC_ALAW))
+    assert name == "alaw"
+    assert (arr.reshape(-1) == alaw_decode(alaw_encode(sig))).all()
+    for bad in (b".sn", b".snd" + bytes(8),
+                b".snd" + __import__("struct").pack(">IIIII", 24, 4, 99, 8000, 1) + bytes(4),
+                b"RIFFnope", None):
+        with _pytest.raises(DU):
+            decode_au(bad)
+
+
+def test_audio_probe_duckdb_oracle_parity(spark, sf_dir):
+    """r11 candidate dry run: q_audio_probe vs the closed-form
+    dispatch oracle — all seven real container/codec pairs identified
+    with correct geometry WITHOUT sample decode, and the FLAC lane
+    lands as ok=false WITH the container recognized (the honest
+    boundary, machine-checked)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.audio import q_audio_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_audio_probe(docs), AUDIO_PROBE_ORACLE, sf_dir)
+    assert n > 0
