@@ -1839,12 +1839,16 @@ def _duck_parity(spark_df, sql, sf_dir, tables=("documents",)):
 
 from __spark_entry__ import (  # single source of truth: the driver compares the same SQL
     ADPCM_ORACLE,
+    AUDIO_PROBE_ORACLE,
     BPE_PAIRS_ORACLE,
     G711_ORACLE,
     GIF_FRAMES_ORACLE,
     HDR_ORACLE,
+    HLL_INTERSECT_ORACLE,
     HLL_ORACLE,
+    HLL_ROLLUP_ORACLE,
     LINK_GRAPH_ORACLE,
+    NETPBM_ORACLE,
     TOKEN_BUDGET_ORACLE,
     VIDEO_FRAMES_ORACLE,
 )
@@ -2357,78 +2361,6 @@ def test_hdr_sketch_merge_and_error_bound(spark, sf_dir):
 # ----------------------------------------------- HLL rollup (r11 cand)
 
 
-def _hll_rollup_oracle() -> str:
-    """Generated DuckDB oracle for q_hll_rollup: the per-priority
-    replay from HLL_ORACLE plus the SAME hash pipeline re-grouped
-    under an 'ALL' label — which IS the cell-wise-MAX rollup of the
-    per-priority registers, since MAX over a union equals MAX of
-    MAXes (the law the query demonstrates)."""
-    from node_js_etl_processor_spark.operators.sketch import (
-        _HLL_EST_NUM,
-        HLL_LC_THRESHOLD,
-        HLL_M,
-        hll_lc_table,
-    )
-
-    lc_lit = "[" + ",".join(str(v) for v in hll_lc_table()) + "]"
-    raw = f"{_HLL_EST_NUM} // (1000000 * e.harmonic_scaled)"
-    n_zero = f"({HLL_M} - e.n_buckets_hit)"
-    return f"""
-WITH src AS (
-  SELECT o_orderpriority, o_custkey FROM orders
-  UNION ALL
-  SELECT 'ALL' AS o_orderpriority, o_custkey FROM orders
-),
-base AS (
-  SELECT o_orderpriority, CAST(o_custkey AS BIGINT) & 4294967295 AS h0
-  FROM src
-),
-r1 AS (SELECT o_orderpriority,
-              (xor(h0 >> 16, h0) * 73244475) % 4294967296 AS h1 FROM base),
-r2 AS (SELECT o_orderpriority,
-              (xor(h1 >> 16, h1) * 73244475) % 4294967296 AS h2 FROM r1),
-hs AS (SELECT o_orderpriority, xor(h2 >> 16, h2) AS h FROM r2),
-regs AS (
-  SELECT o_orderpriority, h >> 23 AS bucket,
-         MAX(CASE WHEN (h & 8388607) = 0 THEN 24
-                  ELSE 23 - CAST(floor(log2(h & 8388607)) AS BIGINT)
-             END) AS reg
-  FROM hs GROUP BY o_orderpriority, bucket
-),
-summ AS (
-  SELECT o_orderpriority,
-         COUNT(*) AS n_buckets_hit,
-         SUM(reg) AS sum_reg,
-         MAX(reg) AS max_reg,
-         SUM(CAST(1 AS BIGINT) << CAST(24 - reg AS INT)) AS harmonic_hit
-  FROM regs GROUP BY o_orderpriority
-),
-est AS (
-  SELECT o_orderpriority,
-         CAST(n_buckets_hit AS BIGINT) AS n_buckets_hit,
-         CAST(sum_reg AS BIGINT) AS sum_reg,
-         CAST(max_reg AS BIGINT) AS max_reg,
-         CAST(harmonic_hit
-              + ({HLL_M} - n_buckets_hit) * 16777216 AS BIGINT)
-           AS harmonic_scaled
-  FROM summ
-),
-exact AS (
-  SELECT o_orderpriority,
-         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers
-  FROM src GROUP BY o_orderpriority
-)
-SELECT e.o_orderpriority, x.exact_customers,
-       CAST({HLL_M} AS BIGINT) AS m,
-       e.n_buckets_hit, e.sum_reg, e.max_reg, e.harmonic_scaled,
-       CAST(CASE WHEN {n_zero} > 0 AND ({raw}) <= {HLL_LC_THRESHOLD}
-                 THEN ({lc_lit})[greatest({n_zero}, 1)]
-                 ELSE ({raw}) END AS BIGINT) AS hll_customers
-FROM est e JOIN exact x USING (o_orderpriority)
-"""
-
-
-HLL_ROLLUP_ORACLE = _hll_rollup_oracle()
 
 
 def test_hll_rollup_duckdb_oracle_parity_and_law(spark, sf_dir):
@@ -2468,98 +2400,6 @@ def test_hll_rollup_duckdb_oracle_parity_and_law(spark, sf_dir):
 # -------------------------------------------- HLL intersection (r11 cand)
 
 
-def _hll_intersect_oracle() -> str:
-    """Generated DuckDB oracle for q_hll_intersect: per-priority
-    registers, per-pair union registers (union-all + MAX — the same
-    no-rescan law the Spark side uses), the shared exact-integer
-    estimator applied to all 15 entities, inclusion-exclusion, and
-    the exact pair overlaps."""
-    from node_js_etl_processor_spark.operators.sketch import (
-        _HLL_EST_NUM,
-        HLL_LC_THRESHOLD,
-        HLL_M,
-        hll_lc_table,
-    )
-
-    lc_lit = "[" + ",".join(str(v) for v in hll_lc_table()) + "]"
-    raw = f"{_HLL_EST_NUM} // (1000000 * harmonic_scaled)"
-    n_zero = f"({HLL_M} - n_buckets_hit)"
-    return f"""
-WITH base AS (
-  SELECT o_orderpriority, CAST(o_custkey AS BIGINT) & 4294967295 AS h0
-  FROM orders
-),
-r1 AS (SELECT o_orderpriority,
-              (xor(h0 >> 16, h0) * 73244475) % 4294967296 AS h1 FROM base),
-r2 AS (SELECT o_orderpriority,
-              (xor(h1 >> 16, h1) * 73244475) % 4294967296 AS h2 FROM r1),
-hs AS (SELECT o_orderpriority, xor(h2 >> 16, h2) AS h FROM r2),
-regs AS (
-  SELECT o_orderpriority, h >> 23 AS bucket,
-         MAX(CASE WHEN (h & 8388607) = 0 THEN 24
-                  ELSE 23 - CAST(floor(log2(h & 8388607)) AS BIGINT)
-             END) AS reg
-  FROM hs GROUP BY o_orderpriority, bucket
-),
-prs AS (
-  SELECT DISTINCT a.o_orderpriority AS pa, b.o_orderpriority AS pb
-  FROM regs a, regs b WHERE a.o_orderpriority < b.o_orderpriority
-),
-pair_regs AS (
-  SELECT pa, pb, bucket, MAX(reg) AS reg FROM (
-    SELECT p.pa, p.pb, r.bucket, r.reg
-    FROM prs p JOIN regs r ON r.o_orderpriority = p.pa
-    UNION ALL
-    SELECT p.pa, p.pb, r.bucket, r.reg
-    FROM prs p JOIN regs r ON r.o_orderpriority = p.pb
-  ) GROUP BY pa, pb, bucket
-),
-ents AS (
-  SELECT o_orderpriority AS ent, bucket, reg FROM regs
-  UNION ALL
-  SELECT pa || '|' || pb AS ent, bucket, reg FROM pair_regs
-),
-summ AS (
-  SELECT ent, COUNT(*) AS n_buckets_hit,
-         SUM(CAST(1 AS BIGINT) << CAST(24 - reg AS INT)) AS harmonic_hit
-  FROM ents GROUP BY ent
-),
-est AS (
-  SELECT ent,
-         CAST(harmonic_hit + ({HLL_M} - n_buckets_hit) * 16777216 AS BIGINT)
-           AS harmonic_scaled,
-         n_buckets_hit
-  FROM summ
-),
-estv AS (
-  SELECT ent,
-         CAST(CASE WHEN {n_zero} > 0 AND ({raw}) <= {HLL_LC_THRESHOLD}
-                   THEN ({lc_lit})[greatest({n_zero}, 1)]
-                   ELSE ({raw}) END AS BIGINT) AS hll
-  FROM est
-),
-ov AS (
-  SELECT x.o_orderpriority AS pa, y.o_orderpriority AS pb,
-         CAST(COUNT(DISTINCT x.o_custkey) AS BIGINT) AS exact_overlap
-  FROM (SELECT DISTINCT o_orderpriority, o_custkey FROM orders) x
-  JOIN (SELECT DISTINCT o_orderpriority, o_custkey FROM orders) y
-    USING (o_custkey)
-  WHERE x.o_orderpriority < y.o_orderpriority
-  GROUP BY 1, 2
-)
-SELECT p.pa AS pri_a, p.pb AS pri_b,
-       CAST(COALESCE(o.exact_overlap, 0) AS BIGINT) AS exact_overlap,
-       ea.hll AS hll_a, eb.hll AS hll_b, eu.hll AS hll_union,
-       CAST(ea.hll + eb.hll - eu.hll AS BIGINT) AS hll_overlap
-FROM prs p
-JOIN estv ea ON ea.ent = p.pa
-JOIN estv eb ON eb.ent = p.pb
-JOIN estv eu ON eu.ent = p.pa || '|' || p.pb
-LEFT JOIN ov o ON o.pa = p.pa AND o.pb = p.pb
-"""
-
-
-HLL_INTERSECT_ORACLE = _hll_intersect_oracle()
 
 
 def test_hll_intersect_duckdb_oracle_parity_and_sanity(spark, sf_dir):
@@ -2589,36 +2429,6 @@ def test_hll_intersect_duckdb_oracle_parity_and_sanity(spark, sf_dir):
 
 # ------------------------------------------------- netpbm (r11 cand)
 
-NETPBM_ORACLE = """
-WITH base AS (
-  SELECT doc_id AS media_id,
-         3 + doc_id % 6 AS w,
-         2 + doc_id % 5 AS h,
-         doc_id % 4 AS variant,
-         (doc_id * 37) % 256 AS r,
-         (doc_id * 53) % 256 AS g,
-         (doc_id * 71) % 256 AS b,
-         (doc_id * 29) % 256 AS gray
-  FROM documents WHERE doc_id % 11 <> 0
-)
-SELECT media_id, 'true' AS ok,
-       CASE variant WHEN 0 THEN 'P6' WHEN 1 THEN 'P3'
-                    WHEN 2 THEN 'P5' ELSE 'P2' END AS fmt,
-       CAST(w AS BIGINT) AS width,
-       CAST(h AS BIGINT) AS height,
-       CAST(255 AS BIGINT) AS maxval,
-       CAST(CASE WHEN variant IN (0, 1) THEN w * h * (r + g + b)
-                 ELSE w * h * gray END AS BIGINT) AS px_sum,
-       CASE WHEN variant IN (0, 1)
-            THEN md5(repeat(printf('%02x%02x%02x', r, g, b),
-                            CAST(w * h AS INT)))
-            ELSE md5(repeat(printf('%02x', gray), CAST(w * h AS INT)))
-       END AS raster_md5
-FROM base
-UNION ALL
-SELECT doc_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL
-FROM documents WHERE doc_id % 11 = 0
-"""
 
 
 def test_netpbm_codec_roundtrip_and_grammar():
@@ -2684,27 +2494,6 @@ def test_netpbm_duckdb_oracle_parity(spark, sf_dir):
 
 # ---------------------------------------------- audio dispatch (r11 cand)
 
-AUDIO_PROBE_ORACLE = """
-WITH base AS (
-  SELECT doc_id AS media_id,
-         doc_id % 7 AS v,
-         200 + (doc_id % 5) * 40 AS n,
-         8000 * (1 + doc_id % 2) AS rate
-  FROM documents WHERE doc_id % 11 <> 0
-)
-SELECT media_id, 'true' AS ok,
-       CASE WHEN v <= 3 THEN 'wav' ELSE 'au' END AS container,
-       CASE v WHEN 0 THEN 'pcm16' WHEN 1 THEN 'mulaw' WHEN 2 THEN 'alaw'
-              WHEN 3 THEN 'ima-adpcm' WHEN 4 THEN 'mulaw'
-              WHEN 5 THEN 'alaw' ELSE 'pcm16' END AS codec,
-       CAST(rate AS BIGINT) AS sample_rate,
-       CAST(1 AS BIGINT) AS n_channels,
-       CAST(n AS BIGINT) AS n_samples
-FROM base
-UNION ALL
-SELECT doc_id, 'false', 'flac', NULL, NULL, NULL, NULL
-FROM documents WHERE doc_id % 11 = 0
-"""
 
 
 def test_au_container_roundtrip_and_rejection():
