@@ -609,3 +609,51 @@ def q_hll_intersect(orders: DataFrame) -> DataFrame:
         .cast("long")
         .alias("hll_overlap"),
     )
+
+
+def q_hll_timeline(events: DataFrame) -> DataFrame:
+    """r11-candidate query: TIME-ROLLED cardinality — distinct users
+    per DAY via HLL register files, with the MONTH level computed by
+    cell-wise MAX over the stored day registers (NOT a rescan: the
+    operational pattern where per-day sketches persist and any
+    coarser period folds for free — the temporal twin of
+    q_hll_rollup's 'ALL' fold). Exact distinct counts ride along per
+    level; every estimate is the shared exact-integer estimator, so
+    DuckDB replays both levels bit-for-bit.
+
+    Scale: ONE data-sized pass builds the day registers; the month
+    fold and all estimates operate on ≤ m·days rows. Day buckets are
+    wall-clock date strings via date_trunc (tz-stable, the
+    q_date_buckets convention)."""
+    day = F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    regs_day = hll_registers(
+        events.select(day.alias("period"), "user_id"), "period", "user_id"
+    )
+    regs_month = (
+        regs_day.withColumn("period", F.substring("period", 1, 7))
+        .groupBy("period", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est = hll_estimate(regs_day, "period").withColumn(
+        "level", F.lit("day")
+    ).unionByName(
+        hll_estimate(regs_month, "period").withColumn("level", F.lit("month"))
+    )
+    exact = (
+        events.groupBy(day.alias("period"))
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .withColumn("level", F.lit("day"))
+        .unionByName(
+            events.groupBy(
+                F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM")
+                .alias("period")
+            )
+            .agg(F.countDistinct("user_id").alias("exact_users"))
+            .withColumn("level", F.lit("month"))
+        )
+    )
+    return exact.join(est, ["period", "level"]).select(
+        "period", "level", "exact_users", "m", "n_buckets_hit",
+        "sum_reg", "max_reg", "harmonic_scaled",
+        F.col("hll_customers").alias("hll_users"),
+    )

@@ -2549,3 +2549,106 @@ def test_audio_probe_duckdb_oracle_parity(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n = _duck_parity(q_audio_probe(docs), AUDIO_PROBE_ORACLE, sf_dir)
     assert n > 0
+
+
+# --------------------------------------------- HLL timeline (r11 cand)
+
+
+def _hll_timeline_oracle() -> str:
+    """Generated DuckDB oracle for q_hll_timeline: the register
+    pipeline applied to a day-labeled and a month-labeled copy of
+    events — which equals the Spark side's MAX-fold of stored day
+    registers by the rollup law."""
+    from node_js_etl_processor_spark.operators.sketch import (
+        _HLL_EST_NUM,
+        HLL_LC_THRESHOLD,
+        HLL_M,
+        hll_lc_table,
+    )
+
+    lc_lit = "[" + ",".join(str(v) for v in hll_lc_table()) + "]"
+    raw = f"{_HLL_EST_NUM} // (1000000 * e.harmonic_scaled)"
+    n_zero = f"({HLL_M} - e.n_buckets_hit)"
+    return f"""
+WITH src AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS period,
+         'day' AS level, user_id
+  FROM events
+  UNION ALL
+  SELECT strftime(date_trunc('day', ts), '%Y-%m'), 'month', user_id
+  FROM events
+),
+base AS (
+  SELECT period, level, CAST(user_id AS BIGINT) & 4294967295 AS h0 FROM src
+),
+r1 AS (SELECT period, level,
+              (xor(h0 >> 16, h0) * 73244475) % 4294967296 AS h1 FROM base),
+r2 AS (SELECT period, level,
+              (xor(h1 >> 16, h1) * 73244475) % 4294967296 AS h2 FROM r1),
+hs AS (SELECT period, level, xor(h2 >> 16, h2) AS h FROM r2),
+regs AS (
+  SELECT period, level, h >> 23 AS bucket,
+         MAX(CASE WHEN (h & 8388607) = 0 THEN 24
+                  ELSE 23 - CAST(floor(log2(h & 8388607)) AS BIGINT)
+             END) AS reg
+  FROM hs GROUP BY period, level, bucket
+),
+summ AS (
+  SELECT period, level,
+         COUNT(*) AS n_buckets_hit,
+         SUM(reg) AS sum_reg,
+         MAX(reg) AS max_reg,
+         SUM(CAST(1 AS BIGINT) << CAST(24 - reg AS INT)) AS harmonic_hit
+  FROM regs GROUP BY period, level
+),
+est AS (
+  SELECT period, level,
+         CAST(n_buckets_hit AS BIGINT) AS n_buckets_hit,
+         CAST(sum_reg AS BIGINT) AS sum_reg,
+         CAST(max_reg AS BIGINT) AS max_reg,
+         CAST(harmonic_hit
+              + ({HLL_M} - n_buckets_hit) * 16777216 AS BIGINT)
+           AS harmonic_scaled
+  FROM summ
+),
+exact AS (
+  SELECT period, level,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM src GROUP BY period, level
+)
+SELECT e.period, e.level, x.exact_users,
+       CAST({HLL_M} AS BIGINT) AS m,
+       e.n_buckets_hit, e.sum_reg, e.max_reg, e.harmonic_scaled,
+       CAST(CASE WHEN {n_zero} > 0 AND ({raw}) <= {HLL_LC_THRESHOLD}
+                 THEN ({lc_lit})[greatest({n_zero}, 1)]
+                 ELSE ({raw}) END AS BIGINT) AS hll_users
+FROM est e JOIN exact x USING (period, level)
+"""
+
+
+HLL_TIMELINE_ORACLE = _hll_timeline_oracle()
+
+
+def test_hll_timeline_duckdb_oracle_parity_and_rollup_law(spark, sf_dir):
+    """r11 candidate dry run: q_hll_timeline vs the two-level DuckDB
+    replay over events (the oracle recomputes the month level from
+    scratch; the Spark side folds stored day registers — equality IS
+    the temporal rollup law). Plus: day and month rows both present,
+    and month exact ≥ any of its days' exacts."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.sketch import q_hll_timeline
+
+    events = load_table(spark, sf_dir, "events")
+    rows = q_hll_timeline(events).collect()
+    days = [r for r in rows if r["level"] == "day"]
+    months = [r for r in rows if r["level"] == "month"]
+    assert days and months
+    for m in months:
+        day_max = max(
+            (d["exact_users"] for d in days
+             if d["period"].startswith(m["period"])), default=0
+        )
+        assert m["exact_users"] >= day_max
+    n = _duck_parity(q_hll_timeline(events), HLL_TIMELINE_ORACLE, sf_dir,
+                     tables=("events",))
+    assert n == len(rows)
