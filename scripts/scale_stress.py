@@ -613,6 +613,17 @@ def main() -> None:
         lambda: q_audio_probe(docs1),
         lambda: q_audio_probe(docs10),
     )
+    from node_js_etl_processor_spark.operators.sketch import q_hll_timeline
+    from node_js_etl_processor_spark.operators.tiff import q_tiff_features
+
+    queries["q_hll_timeline"] = (
+        lambda: q_hll_timeline(ev1),
+        lambda: q_hll_timeline(ev10),
+    )
+    queries["q_tiff_features"] = (
+        lambda: q_tiff_features(docs1),
+        lambda: q_tiff_features(docs10),
+    )
 
     if args.only:
         unknown = set(args.only) - set(queries) - {

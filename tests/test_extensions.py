@@ -2652,3 +2652,91 @@ def test_hll_timeline_duckdb_oracle_parity_and_rollup_law(spark, sf_dir):
     n = _duck_parity(q_hll_timeline(events), HLL_TIMELINE_ORACLE, sf_dir,
                      tables=("events",))
     assert n == len(rows)
+
+
+# --------------------------------------------------- TIFF (r11 cand)
+
+TIFF_ORACLE = """
+WITH base AS (
+  SELECT doc_id AS media_id,
+         3 + doc_id % 6 AS w,
+         2 + doc_id % 5 AS h,
+         doc_id % 4 AS variant,
+         (doc_id * 37) % 256 AS r,
+         (doc_id * 53) % 256 AS g,
+         (doc_id * 71) % 256 AS b,
+         (doc_id * 29) % 256 AS gray
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT media_id, 'true' AS ok,
+       CASE WHEN variant IN (0, 2) THEN 'II' ELSE 'MM' END AS byte_order,
+       CASE WHEN variant IN (0, 1) THEN 'rgb' ELSE 'gray' END AS fmt,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(CASE WHEN variant IN (0, 1) THEN 1
+                 ELSE (h + 1) // 2 END AS BIGINT) AS n_strips,
+       CAST(CASE WHEN variant IN (0, 1) THEN w * h * (r + g + b)
+                 ELSE w * h * gray END AS BIGINT) AS px_sum,
+       CASE WHEN variant IN (0, 1)
+            THEN md5(repeat(printf('%02x%02x%02x', r, g, b),
+                            CAST(w * h AS INT)))
+            ELSE md5(repeat(printf('%02x', gray), CAST(w * h AS INT)))
+       END AS raster_md5
+FROM base
+UNION ALL
+SELECT doc_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+def test_tiff_codec_roundtrip_both_orders_and_strips():
+    """Both byte orders roundtrip arbitrary RGB and gray rasters,
+    single- and multi-strip (offset tables behind the inline-4-byte
+    boundary); malformed headers, bad magic, out-of-bounds IFDs and
+    foreign payloads raise DecodeUnavailable."""
+    import numpy as np
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable as DU,
+        encode_bmp,
+    )
+    from node_js_etl_processor_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    rng = np.random.RandomState(9)
+    color = rng.randint(0, 256, (6, 5, 3)).astype(np.uint8)
+    gray = rng.randint(0, 256, (7, 8)).astype(np.uint8)
+    for order in ("II", "MM"):
+        for px, rps, want_strips in (
+            (color, None, 1), (gray, None, 1), (color, 2, 3), (gray, 3, 3)
+        ):
+            arr, got_order, n_strips = decode_tiff(
+                encode_tiff(px, order, rows_per_strip=rps)
+            )
+            assert (got_order, n_strips) == (order, want_strips)
+            assert (arr == px).all()
+    for bad in (
+        encode_bmp(np.zeros((2, 2, 3), np.uint8)),
+        b"II*\x00",
+        b"MM\x00\x2a\xff\xff\xff\xff",
+        b"II\x2a\x00\x08\x00\x00\x00\xff\xff",  # IFD past the end
+        None,
+    ):
+        with _pytest.raises(DU):
+            decode_tiff(bad)
+
+
+def test_tiff_duckdb_oracle_parity(spark, sf_dir):
+    """r11 candidate dry run: q_tiff_features vs the closed-form
+    oracle — both endiannesses, strip segmentation (ceil(h/2) strips
+    on the gray variants), exact pixel sums, raster digests and
+    netpbm rejection, the driver's exact compare."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.tiff import q_tiff_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_tiff_features(docs), TIFF_ORACLE, sf_dir)
+    assert n > 0
