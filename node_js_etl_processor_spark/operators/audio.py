@@ -312,6 +312,23 @@ def encode_wav_adpcm(samples: "object", sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _wav_fact_samples(payload: bytes) -> "int | None":
+    """Re-walk a validated RIFF payload for its ``fact`` chunk sample
+    count (None when absent). Shared by the ADPCM decoder and the
+    format probe — the walk (including word-aligned chunk stepping)
+    must not drift between them; later fact chunks win, matching the
+    original inline walks."""
+    n_total = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        ctype = payload[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        if ctype == b"fact" and clen >= 4:
+            (n_total,) = struct.unpack_from("<I", payload, pos + 8)
+        pos += 8 + clen + (clen % 2)
+    return n_total
+
+
 def decode_wav_adpcm(payload: bytes) -> "tuple[object, int]":
     """Decode a WAV tag-0x11 mono IMA-ADPCM payload into ((n,) int16
     array, rate). Any other flavor raises DecodeUnavailable. The
@@ -328,14 +345,7 @@ def decode_wav_adpcm(payload: bytes) -> "tuple[object, int]":
     if align < 5:
         raise DecodeUnavailable("corrupt ADPCM block align")
     # fact chunk: re-walk for it (parse_wav_chunks keeps fmt/data only)
-    n_total = None
-    pos = 12
-    while pos + 8 <= len(payload):
-        ctype = payload[pos : pos + 4]
-        (clen,) = struct.unpack_from("<I", payload, pos + 4)
-        if ctype == b"fact" and clen >= 4:
-            (n_total,) = struct.unpack_from("<I", payload, pos + 8)
-        pos += 8 + clen + (clen % 2)
+    n_total = _wav_fact_samples(payload)
     samples_per_block = (align - 4) * 2 + 1
     out = []
     for b0 in range(0, len(data), align):
@@ -721,11 +731,15 @@ def probe_audio(payload: bytes) -> "tuple[str, str, int, int, int]":
     distributed probe below, which reports the recognized container
     on the ok=false row."""
     if payload is not None and payload[:4] == b".snd":
+        if len(payload) < 24:
+            raise DecodeUnavailable("truncated AU header")
         off, dsize, enc, rate, ch = struct.unpack(">IIIII", payload[4:24])
         name = {AU_ENC_MULAW: "mulaw", AU_ENC_ALAW: "alaw",
                 AU_ENC_PCM16: "pcm16"}.get(enc)
-        if name is None or off < 24 or ch < 1 or rate <= 0:
-            raise DecodeUnavailable(f"unsupported AU encoding {enc}")
+        if name is None or off < 24 or off > len(payload) or ch < 1 or rate <= 0:
+            raise DecodeUnavailable(
+                f"unsupported or corrupt AU header (enc={enc}, off={off})"
+            )
         nbytes = min(dsize, len(payload) - off) if dsize != 0xFFFFFFFF else (
             len(payload) - off
         )
@@ -733,20 +747,18 @@ def probe_audio(payload: bytes) -> "tuple[str, str, int, int, int]":
         return "au", name, rate, ch, samp
     fmt, data = parse_wav_chunks(payload)  # raises for junk
     tag, ch, rate, _br, align, bits = fmt
+    if ch < 1 or rate <= 0:
+        raise DecodeUnavailable(f"corrupt WAV fmt (ch={ch}, rate={rate})")
     if tag == WAVE_TAG_PCM and bits == 16:
         return "wav", "pcm16", rate, ch, len(data) // (2 * ch)
     if tag in (WAVE_TAG_MULAW, WAVE_TAG_ALAW) and bits == 8:
         name = "mulaw" if tag == WAVE_TAG_MULAW else "alaw"
         return "wav", name, rate, ch, len(data) // ch
     if tag == WAVE_TAG_IMA_ADPCM and bits == 4 and ch == 1:
+        if align < 5:
+            raise DecodeUnavailable("corrupt ADPCM block align")
         # sample count from the fact chunk (authoritative for ADPCM)
-        pos, n_total = 12, None
-        while pos + 8 <= len(payload):
-            ctype = payload[pos : pos + 4]
-            (clen,) = struct.unpack_from("<I", payload, pos + 4)
-            if ctype == b"fact" and clen >= 4:
-                (n_total,) = struct.unpack_from("<I", payload, pos + 8)
-            pos += 8 + clen + (clen % 2)
+        n_total = _wav_fact_samples(payload)
         if n_total is None:
             spb = (align - 4) * 2 + 1
             n_total = (len(data) // align) * spb

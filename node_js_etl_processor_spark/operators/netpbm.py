@@ -55,10 +55,11 @@ def _header_tokens(payload: bytes, n_tokens: int) -> "tuple[list[int], int]":
             j += 1
         if j == i:
             raise DecodeUnavailable("truncated netpbm header")
-        try:
-            toks.append(int(payload[i:j]))
-        except ValueError as e:
-            raise DecodeUnavailable("non-decimal netpbm header token") from e
+        tok = payload[i:j]
+        if not tok.isdigit():  # spec: plain ASCII decimal — int()'s
+            # leniency ('+', '-', '_' separators) must not leak in
+            raise DecodeUnavailable("non-decimal netpbm header token")
+        toks.append(int(tok))
         i = j
     if i >= n or payload[i] not in _WS:
         raise DecodeUnavailable("netpbm header not followed by whitespace")
@@ -106,10 +107,10 @@ def decode_netpbm(payload: bytes) -> "tuple[object, str, int]":
                 j = i
                 while j < n and payload[j] not in _WS and payload[j : j + 1] != b"#":
                     j += 1
-                try:
-                    vals.append(int(payload[i:j]))
-                except ValueError as e:
-                    raise DecodeUnavailable("non-decimal netpbm sample") from e
+                tok = payload[i:j]
+                if not tok.isdigit():
+                    raise DecodeUnavailable("non-decimal netpbm sample")
+                vals.append(int(tok))
                 i = j
         if len(vals) < nsamp:
             raise DecodeUnavailable("truncated netpbm ascii raster")

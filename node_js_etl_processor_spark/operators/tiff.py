@@ -52,6 +52,8 @@ def _read_values(payload: bytes, eo: str, typ: int, count: int, raw: bytes):
     size = _TYPE_SIZES.get(typ)
     if size is None:
         raise DecodeUnavailable(f"unsupported TIFF entry type {typ}")
+    if count < 1:
+        raise DecodeUnavailable("empty TIFF entry value list")
     total = size * count
     if total <= 4:
         buf = raw[:total]

@@ -2740,3 +2740,49 @@ def test_tiff_duckdb_oracle_parity(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n = _duck_parity(q_tiff_features(docs), TIFF_ORACLE, sf_dir)
     assert n > 0
+
+
+def test_probe_and_codec_malformed_header_hardening():
+    """Regression pins for the second self-review pass: every
+    malformed-header shape that previously leaked a raw struct/
+    ZeroDivision/IndexError (or silently succeeded) must land as
+    DecodeUnavailable — the distributed passes catch exactly that."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.operators.audio import probe_audio
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable as DU,
+    )
+    from node_js_etl_processor_spark.operators.netpbm import decode_netpbm
+    from node_js_etl_processor_spark.operators.tiff import decode_tiff
+
+    # probe_audio: truncated AU header (was struct.error)
+    with _pytest.raises(DU):
+        probe_audio(b".snd" + bytes(8))
+    # probe_audio: AU data offset past the payload (was ok=true with
+    # NEGATIVE n_samples)
+    with _pytest.raises(DU):
+        probe_audio(
+            b".snd" + _struct.pack(">IIIII", 1000, 0xFFFFFFFE, 1, 8000, 1)
+        )
+    # probe_audio: WAV declaring zero channels (was ZeroDivisionError)
+    fmt = _struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    body = (b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", 4) + bytes(4))
+    with _pytest.raises(DU):
+        probe_audio(b"RIFF" + _struct.pack("<I", len(body)) + body)
+    # decode_tiff: IFD entry with count=0 (was IndexError)
+    ifd = (
+        _struct.pack("<H", 1)
+        + _struct.pack("<HHI", 256, 4, 0) + bytes(4)
+        + _struct.pack("<I", 0)
+    )
+    with _pytest.raises(DU):
+        decode_tiff(b"II" + _struct.pack("<HI", 42, 8) + ifd)
+    # decode_netpbm: int()-leniency tokens must NOT parse ('+3', '2_0')
+    with _pytest.raises(DU):
+        decode_netpbm(b"P5\n+3 2 255\n" + bytes(6))
+    with _pytest.raises(DU):
+        decode_netpbm(b"P5\n3 2_0 255\n" + bytes(60))

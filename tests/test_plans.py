@@ -285,9 +285,9 @@ def test_no_declared_query_uses_nested_loop_or_cartesian(spark, sf_dir):
     group_lattice_ok = {"q_hll_intersect"}
     offenders = []
     for name, fn in entrymod.queries().items():
-        plan = plan_text(fn(spark, sf_dir), "simple")
         if name in group_lattice_ok:
             continue
+        plan = plan_text(fn(spark, sf_dir), "simple")
         if "CartesianProduct" in plan or (
             "BroadcastNestedLoopJoin" in plan and name not in scalar_fanout_ok
         ):
