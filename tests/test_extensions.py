@@ -2786,3 +2786,27 @@ def test_probe_and_codec_malformed_header_hardening():
         decode_netpbm(b"P5\n+3 2 255\n" + bytes(6))
     with _pytest.raises(DU):
         decode_netpbm(b"P5\n3 2_0 255\n" + bytes(60))
+
+
+def test_gif_allocation_bomb_refused():
+    """Regression pin (found by adversarial fuzz): a 20-byte payload
+    declaring a 35852x29309 logical screen made decode_gif allocate a
+    ~3 GB canvas before validating any frame data — an executor
+    memory/time bomb. The decoder now refuses rasters the payload's
+    LZW data could not possibly fill (> 16384 pixels per payload
+    byte), instantly and as DecodeUnavailable; real media (where
+    pixels ≪ bytes · 16384) is unaffected."""
+    import time
+
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.operators.gif import decode_gif
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable as DU,
+    )
+
+    bomb = b"GIF89a\x0c\x8c}rG4,\xd8\x10\x0f/ow\r"
+    t0 = time.time()
+    with _pytest.raises(DU):
+        decode_gif(bomb)
+    assert time.time() - t0 < 0.5

@@ -556,3 +556,128 @@ def test_hdr_bucket_bounds_property(vals):
             assert width * 32 <= lb  # relative width ≤ 1/32
         else:
             assert lb == v  # exact buckets below 2^6
+
+
+_CODEC_ENTRY_POINTS = None
+
+
+def _codec_entry_points():
+    """Every binary-decode entry point the media kernels call, each of
+    which must be a TOTAL function over bytes: return a decode or
+    raise DecodeUnavailable — any other exception would kill a whole
+    executor task instead of yielding one ok=false row."""
+    global _CODEC_ENTRY_POINTS
+    if _CODEC_ENTRY_POINTS is None:
+        from node_js_etl_processor_spark.operators.audio import (
+            decode_au,
+            decode_wav_adpcm,
+            decode_wav_g711,
+            probe_audio,
+        )
+        from node_js_etl_processor_spark.operators.gif import decode_gif
+        from node_js_etl_processor_spark.operators.multimodal import (
+            decode_avi_frames,
+            decode_bmp,
+            decode_png,
+            decode_wav,
+        )
+        from node_js_etl_processor_spark.operators.netpbm import decode_netpbm
+        from node_js_etl_processor_spark.operators.tiff import decode_tiff
+
+        _CODEC_ENTRY_POINTS = {
+            "wav": decode_wav,
+            "g711": decode_wav_g711,
+            "adpcm": decode_wav_adpcm,
+            "au": decode_au,
+            "probe": probe_audio,
+            "bmp": decode_bmp,
+            "png": decode_png,
+            "gif": decode_gif,
+            "avi": decode_avi_frames,
+            "netpbm": decode_netpbm,
+            "tiff": decode_tiff,
+        }
+    return _CODEC_ENTRY_POINTS
+
+
+_MAGIC_PREFIXES = [
+    b"", b"RIFF", b"RIFF\x10\x00\x00\x00WAVE", b".snd", b"II\x2a\x00",
+    b"MM\x00\x2a", b"P5\n", b"P6 ", b"BM", b"\x89PNG\r\n\x1a\n",
+    b"GIF89a", b"fLaC",
+]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    prefix=st.sampled_from(_MAGIC_PREFIXES),
+    body=st.binary(max_size=64),
+)
+def test_codec_decoders_are_total_on_arbitrary_bytes(prefix, body):
+    """Fuzz every decoder with magic-prefixed random bytes (the
+    adversarial corner: headers that LOOK right long enough to reach
+    the struct-unpack paths). The only acceptable outcomes are a
+    successful decode or DecodeUnavailable."""
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable,
+    )
+
+    payload = prefix + body
+    for name, dec in _codec_entry_points().items():
+        try:
+            dec(payload)
+        except DecodeUnavailable:
+            pass
+        except Exception as e:  # noqa: BLE001 — the assertion IS the catch
+            raise AssertionError(
+                f"{name} leaked {type(e).__name__} on {payload[:24]!r}..."
+            ) from e
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    kind=st.sampled_from(["g711", "adpcm", "au", "netpbm", "tiff"]),
+    n_flips=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_codec_decoders_survive_bit_flips_of_valid_payloads(kind, n_flips, seed):
+    """Mutation fuzz: corrupt VALID payloads (random byte overwrites,
+    including length-truncating header fields) — decoders must still
+    decode or refuse cleanly. This is the exact failure class both
+    self-review passes found by hand (struct.error on truncated
+    headers, IndexError on count=0 IFD entries); here hypothesis
+    hunts it mechanically."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.audio import (
+        encode_au,
+        encode_wav_adpcm,
+        encode_wav_g711,
+    )
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable,
+    )
+    from node_js_etl_processor_spark.operators.netpbm import encode_netpbm
+    from node_js_etl_processor_spark.operators.tiff import encode_tiff
+
+    rng = np.random.RandomState(seed)
+    sig = (rng.randint(-9000, 9000, 120)).astype(np.int16)
+    px = rng.randint(0, 256, (4, 5, 3)).astype(np.uint8)
+    base = {
+        "g711": lambda: encode_wav_g711(sig, 8000, "mulaw"),
+        "adpcm": lambda: encode_wav_adpcm(sig, 8000),
+        "au": lambda: encode_au(sig, 8000, 1),
+        "netpbm": lambda: encode_netpbm(px, "P6"),
+        "tiff": lambda: encode_tiff(px, "MM", rows_per_strip=2),
+    }[kind]()
+    buf = bytearray(base)
+    for _ in range(n_flips):
+        buf[rng.randint(0, len(buf))] = rng.randint(0, 256)
+    payload = bytes(buf[: rng.randint(8, len(buf) + 1)])  # + truncation
+    dec = _codec_entry_points()[
+        {"g711": "g711", "adpcm": "adpcm", "au": "au",
+         "netpbm": "netpbm", "tiff": "tiff"}[kind]
+    ]
+    try:
+        dec(payload)
+    except DecodeUnavailable:
+        pass
