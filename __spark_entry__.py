@@ -7,12 +7,10 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 116 queries (count as of the r10 continuation — 103 from r9, the
-three r10 declarations q_bpe_pairs / q_gif_frames / q_link_graph,
-the mid-r10 declarations q_token_budget / q_video_frames, and the
-continuation declarations q_audio_g711 / q_audio_adpcm /
-q_hll_distinct / q_hdr_quantiles / q_hll_rollup / q_hll_intersect /
-q_netpbm_features / q_audio_probe; grep ``def queries`` below for
+ALL 118 queries (count as of r12 — the 116 carried from r10 plus the
+two r12 declarations q_hll_timeline / q_tiff_features, both built and
+pytest-oracle-verified in r10 and declared here per the r11 verdict;
+grep ``def queries`` below for
 the authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -53,6 +51,7 @@ from node_js_etl_processor_spark.operators.audio import (
     q_audio_probe,
 )
 from node_js_etl_processor_spark.operators.netpbm import q_netpbm_features
+from node_js_etl_processor_spark.operators.tiff import q_tiff_features
 from node_js_etl_processor_spark.operators.multimodal import (
     q_audio_features,
     q_binary_meta,
@@ -87,107 +86,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FULLVERIFY_r{N}.json (scripts/full_verify.py; same per-query
     shape as CORRECTNESS, ALL registered queries at sf0.01).
 
-    r10 rotation — exactly the r9 docstring's commitment and the r9
-    verdict's top ask: the three NAMED r10-MUST deferrals
-    (q_union_sources, q_count_by_source, q_agg_pricing — last driver
-    row r7) lead the window, followed by the three r10 DECLARATIONS
-    (q_bpe_pairs, q_gif_frames, q_link_graph — operators + DuckDB
-    oracles built and pytest-verified in r9, entering the window on
-    declaration per the rotation rule), then the mid-r10
-    declarations (operators + oracles built and pytest-verified
-    earlier in r10), then the remaining r8-green queries that fill
-    the window to 50. The 50 r9-green queries rotate OUT. The
-    displaced r8-green queries are explicitly DEFERRED to r11 rather
-    than silently dropped — sixteen of them: q_window_rank_funcs,
+    r12 rotation — round 11 produced no rotation (the r11 window was
+    byte-identical to r10's), so the sixteen deferrals scheduled for
+    r11 are now OVERDUE: their last driver row is r8. Per the r11
+    verdict's item 1 they LEAD this window (q_window_rank_funcs,
     q_window_lag, q_null_safe_join, q_argmax_agg, q_semi_exists,
     q_grouping_sets, q_set_ops, q_cube, q_scalar_math,
     q_string_funcs, q_date_buckets, q_json_props, q_stats_agg,
-    q_distinct_agg, q_unpivot, q_collect_agg (the full list is the
-    registry's deferral tail) — chosen because
-    they are single-shuffle relational/scalar forms unchanged since
-    their declaring round (lowest drift risk).
+    q_distinct_agg, q_unpivot, q_collect_agg), followed by the two
+    r12 DECLARATIONS (q_hll_timeline, q_tiff_features — operators +
+    DuckDB oracles built and pytest-verified in r10, entering the
+    window on declaration per the rotation rule), then the 32 oldest
+    r9-green queries (registry order) that fill the window to 50.
+    The 18 r9-green queries that don't fit are the NAMED r13
+    deferrals rather than silently dropped: q_text_langid,
+    q_text_quality, q_token_count, q_fingerprint,
+    q_winnow_fingerprint, q_corpus_pipeline, q_binary_meta,
+    q_dedup_docs, q_dedup_ngram, q_redact_pii, q_gopher_rules,
+    q_lm_perplexity, q_pq_encode, q_pq_topk, q_ivfpq_topk,
+    q_weighted_sample, q_curation_pipeline, q_dedup_clusters.
+    r13 MUST window those first, then fill with the oldest
+    r11-green queries; the overflow becomes the named r14 deferrals.
 
-    r11 MUST window the named deferrals first, then fill with the
-    oldest r9-green queries; the r9-green queries that don't fit
-    become the named r12 deferrals. Honest rotation math: with a
-    50-slot driver window and >100 registered queries, a full sweep
-    takes ceil(N/50) = 3 rounds, so the invariant is: every
-    registered query has a driver CORRECTNESS row within the last 3
-    rounds (named deferrals are the explicit schedule for the
-    overflow), and ALL queries are swept by the committed
-    FULLVERIFY_r{N}.json on the final tree EVERY round."""
+    Honest rotation math: with a 50-slot driver window and 118
+    registered queries, a full sweep takes ceil(118/50) = 3 rounds,
+    so the invariant is: every registered query has a driver
+    CORRECTNESS row within the last 3 rounds (named deferrals are
+    the explicit schedule for the overflow), and ALL queries are
+    swept by the committed FULLVERIFY_r{N}.json on the final tree
+    EVERY round. The r11 skip means the 18 r13 deferrals sit at an
+    r9 row until r13 — acknowledged debt, covered in the interim by
+    FULLVERIFY_r12.json on this exact tree."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
-        # The three NAMED r10-MUST deferrals lead (last driver row r7;
-        # q_agg_pricing additionally runs every round as the entry()
-        # smoke query)
-        "q_union_sources": _q(["customer"], relational.q_union_sources),
-        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
-        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
-        # The three r10 declarations (operators + DuckDB oracles built
-        # and pytest-verified in r9 — tests/test_extensions.py)
-        "q_bpe_pairs": _q(
-            ["documents"], lambda docs: bpe.bpe_top_pairs(docs, k=20)
-        ),
-        "q_gif_frames": _q(["documents"], q_gif_frames),
-        "q_link_graph": _q(["documents"], graph.q_link_graph),
-        # r10-continuation declarations (operators + DuckDB oracles
-        # built and pytest-verified earlier this round; entering the
-        # window on declaration per the rotation rule)
-        "q_token_budget": _q(["documents"], bpe.q_token_budget),
-        "q_video_frames": _q(["documents"], q_video_frames),
-        "q_audio_g711": _q(["documents"], q_audio_g711),
-        "q_audio_adpcm": _q(["documents"], q_audio_adpcm),
-        "q_hll_distinct": _q(["orders"], sketch.q_hll_distinct),
-        "q_hdr_quantiles": _q(["lineitem"], sketch.q_hdr_quantiles),
-        "q_hll_rollup": _q(["orders"], sketch.q_hll_rollup),
-        "q_hll_intersect": _q(["orders"], sketch.q_hll_intersect),
-        "q_netpbm_features": _q(["documents"], q_netpbm_features),
-        "q_audio_probe": _q(["documents"], q_audio_probe),
-        # 34 of the 50 queries whose latest green row is r8 (the
-        # others are the named r11 deferrals at the bottom of this
-        # registry)
-        "q_filter_required": _q(["orders"], relational.q_filter_required),
-        "q_clean_project": _q(["customer"], relational.q_clean_project),
-        "q_array_transform": _q(["part"], relational.q_array_transform),
-        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
-        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
-        "q_range_join": _q(["events"], temporal.q_range_join),
-        "q_window_range": _q(["events"], temporal.q_window_range),
-        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
-        "q_explode_words": _q(["part"], relational.q_explode_words),
-        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
-        "q_asof_join": _q(["events"], temporal.q_asof_join),
-        "q_sessionize": _q(["events"], sessionize.q_sessionize),
-        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
-        "q_media_resize": _q(["documents"], q_media_resize),
-        "q_frame_sample": _q(["documents"], q_frame_sample),
-        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
-        "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
-        "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
-        "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
-        "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
-        "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
-        "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
-        "q_bm25": _q(["documents"], text.q_bm25),
-        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
-        "q_multimodal_features": _q(["documents"], q_multimodal_features),
-        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
-        "q_url_dedup": _q(["documents"], text.q_url_dedup),
-        "q_semantic_decontaminate": _q(
-            ["embeddings"], similarity.q_semantic_decontaminate
-        ),
-        "q_audio_features": _q(["documents"], q_audio_features),
-        "q_scd2": _q(["orders"], relational.q_scd2),
-        "q_fuzzy_match": _q(["customer"], dedup.q_fuzzy_match),
-        "q_tfidf": _q(["documents"], text.q_tfidf),
-        "q_gap_fill": _q(["events"], temporal.q_gap_fill),
-        "q_countmin": _q(["orders"], sketch.q_countmin),
-        # ---- oracle-paired but outside the 50-entry driver window ----
-        # The 50 r9-green queries rotate OUT (their CORRECTNESS_r09
-        # rows are one cycle old — within the invariant); all remain
-        # under the local parity gate and the committed FULLVERIFY
-        # artifact every round.
+        # The sixteen OVERDUE deferrals lead (last driver row r8;
+        # scheduled for r11, which shipped no rotation — see the
+        # docstring).
+        "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
+        "q_window_lag": _q(["events"], relational.q_window_lag),
+        "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
+        "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
+        "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
+        "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
+        "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
+        "q_cube": _q(["orders"], relational.q_cube),
+        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
+        "q_string_funcs": _q(["part"], relational.q_string_funcs),
+        "q_date_buckets": _q(["events"], relational.q_date_buckets),
+        "q_json_props": _q(["events"], relational.q_json_props),
+        "q_stats_agg": _q(["customer"], relational.q_stats_agg),
+        "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
+        "q_unpivot": _q(["orders"], relational.q_unpivot),
+        "q_collect_agg": _q(["orders"], relational.q_collect_agg),
+        # The two r12 declarations (operators + DuckDB oracles built
+        # and pytest-verified in r10 — tests/test_extensions.py;
+        # entering the window on declaration per the rotation rule)
+        "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
+        "q_tiff_features": _q(["documents"], q_tiff_features),
+        # The 32 oldest r9-green queries (registry order; last driver
+        # row r9 — overdue by one round because r11 didn't rotate)
         "q_pagerank": _q(
             ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
         ),
@@ -228,6 +185,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_split": _q(["documents"], text.q_stratified_split),
         "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
         "q_text_stats": _q(["documents"], text.q_text_stats),
+        # ---- oracle-paired but outside the 50-entry driver window ----
+        # First the NAMED r13 deferrals (see docstring): the 18
+        # r9-green queries the window couldn't fit. r13 MUST window
+        # these first.
         "q_text_langid": _q(["documents"], text.q_text_langid),
         "q_text_quality": _q(["documents"], text.q_text_quality),
         "q_token_count": _q(["documents"], text.q_token_count),
@@ -246,30 +207,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
         "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
-        # ---- the NAMED r11 deferrals (see docstring) ----
-        # Single-shuffle relational / scalar forms, oracle-green since
-        # their declaring round with no code change since; lowest drift
-        # risk of the r8-green set. r11 MUST window these first.
-        # q_scalar_math / q_string_funcs were displaced mid-r10 by the
-        # q_token_budget / q_video_frames declarations; q_semi_exists /
-        # q_grouping_sets / q_set_ops / q_cube by the four audio/sketch
-        # declarations later in the round.
-        "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
-        "q_window_lag": _q(["events"], relational.q_window_lag),
-        "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
-        "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
-        "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
-        "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
-        "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
-        "q_cube": _q(["orders"], relational.q_cube),
-        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
-        "q_string_funcs": _q(["part"], relational.q_string_funcs),
-        "q_date_buckets": _q(["events"], relational.q_date_buckets),
-        "q_json_props": _q(["events"], relational.q_json_props),
-        "q_stats_agg": _q(["customer"], relational.q_stats_agg),
-        "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
-        "q_unpivot": _q(["orders"], relational.q_unpivot),
-        "q_collect_agg": _q(["orders"], relational.q_collect_agg),
+        # Then the 50 r10/r11-green queries that rotate OUT (their
+        # CORRECTNESS_r11 rows are one cycle old — within the
+        # invariant); all remain under the local parity gate and the
+        # committed FULLVERIFY artifact every round. q_agg_pricing
+        # additionally runs every round as the entry() smoke query.
+        "q_union_sources": _q(["customer"], relational.q_union_sources),
+        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
+        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
+        "q_bpe_pairs": _q(
+            ["documents"], lambda docs: bpe.bpe_top_pairs(docs, k=20)
+        ),
+        "q_gif_frames": _q(["documents"], q_gif_frames),
+        "q_link_graph": _q(["documents"], graph.q_link_graph),
+        "q_token_budget": _q(["documents"], bpe.q_token_budget),
+        "q_video_frames": _q(["documents"], q_video_frames),
+        "q_audio_g711": _q(["documents"], q_audio_g711),
+        "q_audio_adpcm": _q(["documents"], q_audio_adpcm),
+        "q_hll_distinct": _q(["orders"], sketch.q_hll_distinct),
+        "q_hdr_quantiles": _q(["lineitem"], sketch.q_hdr_quantiles),
+        "q_hll_rollup": _q(["orders"], sketch.q_hll_rollup),
+        "q_hll_intersect": _q(["orders"], sketch.q_hll_intersect),
+        "q_netpbm_features": _q(["documents"], q_netpbm_features),
+        "q_audio_probe": _q(["documents"], q_audio_probe),
+        "q_filter_required": _q(["orders"], relational.q_filter_required),
+        "q_clean_project": _q(["customer"], relational.q_clean_project),
+        "q_array_transform": _q(["part"], relational.q_array_transform),
+        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
+        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
+        "q_range_join": _q(["events"], temporal.q_range_join),
+        "q_window_range": _q(["events"], temporal.q_window_range),
+        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
+        "q_explode_words": _q(["part"], relational.q_explode_words),
+        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
+        "q_asof_join": _q(["events"], temporal.q_asof_join),
+        "q_sessionize": _q(["events"], sessionize.q_sessionize),
+        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
+        "q_media_resize": _q(["documents"], q_media_resize),
+        "q_frame_sample": _q(["documents"], q_frame_sample),
+        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
+        "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
+        "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
+        "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
+        "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
+        "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
+        "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
+        "q_bm25": _q(["documents"], text.q_bm25),
+        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
+        "q_multimodal_features": _q(["documents"], q_multimodal_features),
+        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
+        "q_url_dedup": _q(["documents"], text.q_url_dedup),
+        "q_semantic_decontaminate": _q(
+            ["embeddings"], similarity.q_semantic_decontaminate
+        ),
+        "q_audio_features": _q(["documents"], q_audio_features),
+        "q_scd2": _q(["orders"], relational.q_scd2),
+        "q_fuzzy_match": _q(["customer"], dedup.q_fuzzy_match),
+        "q_tfidf": _q(["documents"], text.q_tfidf),
+        "q_gap_fill": _q(["events"], temporal.q_gap_fill),
+        "q_countmin": _q(["orders"], sketch.q_countmin),
     }
 
 
@@ -1184,6 +1180,115 @@ LEFT JOIN ov o ON o.pa = p.pa AND o.pb = p.pb
 
 HLL_INTERSECT_ORACLE = _hll_intersect_oracle()
 
+
+def _hll_timeline_oracle() -> str:
+    """Generated DuckDB oracle for q_hll_timeline: the register
+    pipeline applied to a day-labeled and a month-labeled copy of
+    events. The oracle recomputes the month level FROM SCRATCH while
+    the Spark side (operators/sketch.py:q_hll_timeline) folds the
+    STORED day registers with MAX — equality between the two is the
+    temporal rollup law, machine-checked by the driver."""
+    from node_js_etl_processor_spark.operators.sketch import (
+        _HLL_EST_NUM,
+        HLL_LC_THRESHOLD,
+        HLL_M,
+        hll_lc_table,
+    )
+
+    lc_lit = "[" + ",".join(str(v) for v in hll_lc_table()) + "]"
+    raw = f"{_HLL_EST_NUM} // (1000000 * e.harmonic_scaled)"
+    n_zero = f"({HLL_M} - e.n_buckets_hit)"
+    return f"""
+WITH src AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS period,
+         'day' AS level, user_id
+  FROM events
+  UNION ALL
+  SELECT strftime(date_trunc('day', ts), '%Y-%m'), 'month', user_id
+  FROM events
+),
+base AS (
+  SELECT period, level, CAST(user_id AS BIGINT) & 4294967295 AS h0 FROM src
+),
+r1 AS (SELECT period, level,
+              (xor(h0 >> 16, h0) * 73244475) % 4294967296 AS h1 FROM base),
+r2 AS (SELECT period, level,
+              (xor(h1 >> 16, h1) * 73244475) % 4294967296 AS h2 FROM r1),
+hs AS (SELECT period, level, xor(h2 >> 16, h2) AS h FROM r2),
+regs AS (
+  SELECT period, level, h >> 23 AS bucket,
+         MAX(CASE WHEN (h & 8388607) = 0 THEN 24
+                  ELSE 23 - CAST(floor(log2(h & 8388607)) AS BIGINT)
+             END) AS reg
+  FROM hs GROUP BY period, level, bucket
+),
+summ AS (
+  SELECT period, level,
+         COUNT(*) AS n_buckets_hit,
+         SUM(reg) AS sum_reg,
+         MAX(reg) AS max_reg,
+         SUM(CAST(1 AS BIGINT) << CAST(24 - reg AS INT)) AS harmonic_hit
+  FROM regs GROUP BY period, level
+),
+est AS (
+  SELECT period, level,
+         CAST(n_buckets_hit AS BIGINT) AS n_buckets_hit,
+         CAST(sum_reg AS BIGINT) AS sum_reg,
+         CAST(max_reg AS BIGINT) AS max_reg,
+         CAST(harmonic_hit
+              + ({HLL_M} - n_buckets_hit) * 16777216 AS BIGINT)
+           AS harmonic_scaled
+  FROM summ
+),
+exact AS (
+  SELECT period, level,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+  FROM src GROUP BY period, level
+)
+SELECT e.period, e.level, x.exact_users,
+       CAST({HLL_M} AS BIGINT) AS m,
+       e.n_buckets_hit, e.sum_reg, e.max_reg, e.harmonic_scaled,
+       CAST(CASE WHEN {n_zero} > 0 AND ({raw}) <= {HLL_LC_THRESHOLD}
+                 THEN ({lc_lit})[greatest({n_zero}, 1)]
+                 ELSE ({raw}) END AS BIGINT) AS hll_users
+FROM est e JOIN exact x USING (period, level)
+"""
+
+
+HLL_TIMELINE_ORACLE = _hll_timeline_oracle()
+
+TIFF_ORACLE = """
+WITH base AS (
+  SELECT doc_id AS media_id,
+         3 + doc_id % 6 AS w,
+         2 + doc_id % 5 AS h,
+         doc_id % 4 AS variant,
+         (doc_id * 37) % 256 AS r,
+         (doc_id * 53) % 256 AS g,
+         (doc_id * 71) % 256 AS b,
+         (doc_id * 29) % 256 AS gray
+  FROM documents WHERE doc_id % 11 <> 0
+)
+SELECT media_id, 'true' AS ok,
+       CASE WHEN variant IN (0, 2) THEN 'II' ELSE 'MM' END AS byte_order,
+       CASE WHEN variant IN (0, 1) THEN 'rgb' ELSE 'gray' END AS fmt,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(CASE WHEN variant IN (0, 1) THEN 1
+                 ELSE (h + 1) // 2 END AS BIGINT) AS n_strips,
+       CAST(CASE WHEN variant IN (0, 1) THEN w * h * (r + g + b)
+                 ELSE w * h * gray END AS BIGINT) AS px_sum,
+       CASE WHEN variant IN (0, 1)
+            THEN md5(repeat(printf('%02x%02x%02x', r, g, b),
+                            CAST(w * h AS INT)))
+            ELSE md5(repeat(printf('%02x', gray), CAST(w * h AS INT)))
+       END AS raster_md5
+FROM base
+UNION ALL
+SELECT doc_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM documents WHERE doc_id % 11 = 0
+"""
+
 NETPBM_ORACLE = """
 WITH base AS (
   SELECT doc_id AS media_id,
@@ -1260,6 +1365,8 @@ def oracle_sql() -> dict[str, str]:
         "q_hll_intersect": HLL_INTERSECT_ORACLE,
         "q_netpbm_features": NETPBM_ORACLE,
         "q_audio_probe": AUDIO_PROBE_ORACLE,
+        "q_hll_timeline": HLL_TIMELINE_ORACLE,
+        "q_tiff_features": TIFF_ORACLE,
         "q_filter_required": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
             FROM orders

@@ -1847,8 +1847,10 @@ from __spark_entry__ import (  # single source of truth: the driver compares the
     HLL_INTERSECT_ORACLE,
     HLL_ORACLE,
     HLL_ROLLUP_ORACLE,
+    HLL_TIMELINE_ORACLE,
     LINK_GRAPH_ORACLE,
     NETPBM_ORACLE,
+    TIFF_ORACLE,
     TOKEN_BUDGET_ORACLE,
     VIDEO_FRAMES_ORACLE,
 )
@@ -2551,86 +2553,14 @@ def test_audio_probe_duckdb_oracle_parity(spark, sf_dir):
     assert n > 0
 
 
-# --------------------------------------------- HLL timeline (r11 cand)
-
-
-def _hll_timeline_oracle() -> str:
-    """Generated DuckDB oracle for q_hll_timeline: the register
-    pipeline applied to a day-labeled and a month-labeled copy of
-    events — which equals the Spark side's MAX-fold of stored day
-    registers by the rollup law."""
-    from node_js_etl_processor_spark.operators.sketch import (
-        _HLL_EST_NUM,
-        HLL_LC_THRESHOLD,
-        HLL_M,
-        hll_lc_table,
-    )
-
-    lc_lit = "[" + ",".join(str(v) for v in hll_lc_table()) + "]"
-    raw = f"{_HLL_EST_NUM} // (1000000 * e.harmonic_scaled)"
-    n_zero = f"({HLL_M} - e.n_buckets_hit)"
-    return f"""
-WITH src AS (
-  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS period,
-         'day' AS level, user_id
-  FROM events
-  UNION ALL
-  SELECT strftime(date_trunc('day', ts), '%Y-%m'), 'month', user_id
-  FROM events
-),
-base AS (
-  SELECT period, level, CAST(user_id AS BIGINT) & 4294967295 AS h0 FROM src
-),
-r1 AS (SELECT period, level,
-              (xor(h0 >> 16, h0) * 73244475) % 4294967296 AS h1 FROM base),
-r2 AS (SELECT period, level,
-              (xor(h1 >> 16, h1) * 73244475) % 4294967296 AS h2 FROM r1),
-hs AS (SELECT period, level, xor(h2 >> 16, h2) AS h FROM r2),
-regs AS (
-  SELECT period, level, h >> 23 AS bucket,
-         MAX(CASE WHEN (h & 8388607) = 0 THEN 24
-                  ELSE 23 - CAST(floor(log2(h & 8388607)) AS BIGINT)
-             END) AS reg
-  FROM hs GROUP BY period, level, bucket
-),
-summ AS (
-  SELECT period, level,
-         COUNT(*) AS n_buckets_hit,
-         SUM(reg) AS sum_reg,
-         MAX(reg) AS max_reg,
-         SUM(CAST(1 AS BIGINT) << CAST(24 - reg AS INT)) AS harmonic_hit
-  FROM regs GROUP BY period, level
-),
-est AS (
-  SELECT period, level,
-         CAST(n_buckets_hit AS BIGINT) AS n_buckets_hit,
-         CAST(sum_reg AS BIGINT) AS sum_reg,
-         CAST(max_reg AS BIGINT) AS max_reg,
-         CAST(harmonic_hit
-              + ({HLL_M} - n_buckets_hit) * 16777216 AS BIGINT)
-           AS harmonic_scaled
-  FROM summ
-),
-exact AS (
-  SELECT period, level,
-         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
-  FROM src GROUP BY period, level
-)
-SELECT e.period, e.level, x.exact_users,
-       CAST({HLL_M} AS BIGINT) AS m,
-       e.n_buckets_hit, e.sum_reg, e.max_reg, e.harmonic_scaled,
-       CAST(CASE WHEN {n_zero} > 0 AND ({raw}) <= {HLL_LC_THRESHOLD}
-                 THEN ({lc_lit})[greatest({n_zero}, 1)]
-                 ELSE ({raw}) END AS BIGINT) AS hll_users
-FROM est e JOIN exact x USING (period, level)
-"""
-
-
-HLL_TIMELINE_ORACLE = _hll_timeline_oracle()
+# --------------------------------------------- HLL timeline (r12 decl)
+# HLL_TIMELINE_ORACLE moved to __spark_entry__.py on declaration
+# (r12) — imported above, single source of truth.
 
 
 def test_hll_timeline_duckdb_oracle_parity_and_rollup_law(spark, sf_dir):
-    """r11 candidate dry run: q_hll_timeline vs the two-level DuckDB
+    """DECLARED r12 (oracle imported from __spark_entry__, the same
+    SQL the driver runs): q_hll_timeline vs the two-level DuckDB
     replay over events (the oracle recomputes the month level from
     scratch; the Spark side folds stored day registers — equality IS
     the temporal rollup law). Plus: day and month rows both present,
@@ -2654,39 +2584,9 @@ def test_hll_timeline_duckdb_oracle_parity_and_rollup_law(spark, sf_dir):
     assert n == len(rows)
 
 
-# --------------------------------------------------- TIFF (r11 cand)
-
-TIFF_ORACLE = """
-WITH base AS (
-  SELECT doc_id AS media_id,
-         3 + doc_id % 6 AS w,
-         2 + doc_id % 5 AS h,
-         doc_id % 4 AS variant,
-         (doc_id * 37) % 256 AS r,
-         (doc_id * 53) % 256 AS g,
-         (doc_id * 71) % 256 AS b,
-         (doc_id * 29) % 256 AS gray
-  FROM documents WHERE doc_id % 11 <> 0
-)
-SELECT media_id, 'true' AS ok,
-       CASE WHEN variant IN (0, 2) THEN 'II' ELSE 'MM' END AS byte_order,
-       CASE WHEN variant IN (0, 1) THEN 'rgb' ELSE 'gray' END AS fmt,
-       CAST(w AS BIGINT) AS width,
-       CAST(h AS BIGINT) AS height,
-       CAST(CASE WHEN variant IN (0, 1) THEN 1
-                 ELSE (h + 1) // 2 END AS BIGINT) AS n_strips,
-       CAST(CASE WHEN variant IN (0, 1) THEN w * h * (r + g + b)
-                 ELSE w * h * gray END AS BIGINT) AS px_sum,
-       CASE WHEN variant IN (0, 1)
-            THEN md5(repeat(printf('%02x%02x%02x', r, g, b),
-                            CAST(w * h AS INT)))
-            ELSE md5(repeat(printf('%02x', gray), CAST(w * h AS INT)))
-       END AS raster_md5
-FROM base
-UNION ALL
-SELECT doc_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL, NULL
-FROM documents WHERE doc_id % 11 = 0
-"""
+# --------------------------------------------------- TIFF (r12 decl)
+# TIFF_ORACLE moved to __spark_entry__.py on declaration (r12) —
+# imported above, single source of truth.
 
 
 def test_tiff_codec_roundtrip_both_orders_and_strips():
@@ -2730,7 +2630,8 @@ def test_tiff_codec_roundtrip_both_orders_and_strips():
 
 
 def test_tiff_duckdb_oracle_parity(spark, sf_dir):
-    """r11 candidate dry run: q_tiff_features vs the closed-form
+    """DECLARED r12 (oracle imported from __spark_entry__, the same
+    SQL the driver runs): q_tiff_features vs the closed-form
     oracle — both endiannesses, strip segmentation (ceil(h/2) strips
     on the gray variants), exact pixel sums, raster digests and
     netpbm rejection, the driver's exact compare."""
