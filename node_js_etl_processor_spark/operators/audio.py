@@ -272,30 +272,139 @@ def adpcm_decode_stream(codes: "object", pred: int = 0, idx: int = 0):
     return out, (pred, idx)
 
 
-def encode_wav_adpcm(samples: "object", sample_rate: int) -> bytes:
-    """Encode a mono int16 array as a WAV tag-0x11 IMA-ADPCM file.
-    Blocks are independent (predictor = first sample, step index reset
-    to 0 — the seekability property block formats exist for); the last
-    block is zero-nibble padded and a ``fact`` chunk records the true
-    sample count for the decoder to truncate to."""
+def adpcm_encode_blocks(samples: "object", preds: "object") -> "object":
+    """Vectorized IMA encoder over a (B, K) matrix of per-block
+    samples (the samples AFTER each block's header sample) with
+    per-block initial predictors (step index 0, the WAV tag-0x11
+    block anchor). Blocks are independent state machines, so nibble
+    position i of ALL blocks advances in one numpy step — B·K scalar
+    Python iterations become K vector iterations (the r11 verdict's
+    ask; at a 500-row Arrow batch that is ~1000 lockstep lanes).
+    Bit-identical to ``adpcm_encode_stream`` by construction (same
+    published tables, same quantizer branch structure) — pinned by
+    tests/test_extensions.py's lockstep-vs-stream property.
+    Returns a (B, K) uint8 code matrix."""
     import numpy as np
 
-    arr = np.asarray(samples, dtype=np.int16).reshape(-1)
+    x = np.asarray(samples, dtype=np.int64)
+    if x.size == 0:
+        return np.zeros(x.shape, dtype=np.uint8)
+    steps_t = np.asarray(ADPCM_STEPS, dtype=np.int64)
+    index_t = np.asarray(ADPCM_INDEX, dtype=np.int64)
+    b, k = x.shape
+    pred = np.asarray(preds, dtype=np.int64).copy()
+    idx = np.zeros(b, dtype=np.int64)
+    codes = np.empty((b, k), dtype=np.uint8)
+    for i in range(k):
+        step = steps_t[idx]
+        diff = x[:, i] - pred
+        sign = diff < 0
+        diff = np.abs(diff)
+        vpdiff = step >> 3
+        c4 = diff >= step
+        diff -= np.where(c4, step, 0)
+        vpdiff += np.where(c4, step, 0)
+        half = step >> 1
+        c2 = diff >= half
+        diff -= np.where(c2, half, 0)
+        vpdiff += np.where(c2, half, 0)
+        quarter = step >> 2
+        c1 = diff >= quarter
+        vpdiff += np.where(c1, quarter, 0)
+        low = c4 * 4 + c2 * 2 + c1 * 1
+        pred = np.where(sign, pred - vpdiff, pred + vpdiff)
+        np.clip(pred, -32768, 32767, out=pred)
+        idx = np.clip(idx + index_t[low], 0, 88)
+        codes[:, i] = low + sign * 8
+    return codes
+
+
+def adpcm_decode_blocks(
+    codes: "object", preds: "object", idxs: "object"
+) -> "object":
+    """Vectorized IMA decoder over a (B, K) code matrix with
+    per-block initial (predictor, step index) — the lockstep inverse
+    of ``adpcm_encode_blocks`` (see there for the scale rationale).
+    Returns a (B, K) int16 sample matrix."""
+    import numpy as np
+
+    c = np.asarray(codes, dtype=np.int64)
+    if c.size == 0:
+        return np.zeros(c.shape, dtype=np.int16)
+    steps_t = np.asarray(ADPCM_STEPS, dtype=np.int64)
+    index_t = np.asarray(ADPCM_INDEX, dtype=np.int64)
+    b, k = c.shape
+    pred = np.asarray(preds, dtype=np.int64).copy()
+    idx = np.asarray(idxs, dtype=np.int64).copy()
+    out = np.empty((b, k), dtype=np.int16)
+    for i in range(k):
+        code = c[:, i]
+        step = steps_t[idx]
+        vpdiff = (
+            (step >> 3)
+            + np.where(code & 4, step, 0)
+            + np.where(code & 2, step >> 1, 0)
+            + np.where(code & 1, step >> 2, 0)
+        )
+        pred = np.where(code & 8, pred - vpdiff, pred + vpdiff)
+        np.clip(pred, -32768, 32767, out=pred)
+        idx = np.clip(idx + index_t[code & 7], 0, 88)
+        out[:, i] = pred
+    return out
+
+
+def _adpcm_block_inputs(arr: "object") -> "tuple[object, object, object]":
+    """Split a mono int16 signal into tag-0x11 block-encode inputs:
+    (preds (B,), samples (B, 504) int64 zero-padded, valid (B,) code
+    counts). Block b's header carries its first sample verbatim; the
+    remaining samples quantize forward. Rows from many signals can be
+    concatenated and fed to ``adpcm_encode_blocks`` in one lockstep
+    call — that is exactly what the synth batch pass does."""
+    import numpy as np
+
+    k = ADPCM_SAMPLES_PER_BLOCK - 1
     n = arr.shape[0]
-    if n == 0:
-        raise ValueError("ADPCM encode needs at least one sample")
-    blocks = []
-    for b0 in range(0, n, ADPCM_SAMPLES_PER_BLOCK):
-        chunk = arr[b0 : b0 + ADPCM_SAMPLES_PER_BLOCK]
-        pred, idx = int(chunk[0]), 0
-        header = struct.pack("<hBB", pred, idx, 0)
-        codes, _ = adpcm_encode_stream(chunk[1:], pred, idx)
-        codes += [0] * (ADPCM_SAMPLES_PER_BLOCK - 1 - len(codes))
-        body = bytearray()
-        for lo, hi in zip(codes[0::2], codes[1::2]):
-            body.append((hi << 4) | lo)  # WAV: first sample in LOW nibble
-        blocks.append(header + bytes(body))
-    data = b"".join(blocks)
+    nb = (n + ADPCM_SAMPLES_PER_BLOCK - 1) // ADPCM_SAMPLES_PER_BLOCK
+    preds = np.empty(nb, dtype=np.int64)
+    valid = np.empty(nb, dtype=np.int64)
+    mat = np.zeros((nb, k), dtype=np.int64)
+    for bi in range(nb):
+        chunk = arr[
+            bi * ADPCM_SAMPLES_PER_BLOCK : (bi + 1) * ADPCM_SAMPLES_PER_BLOCK
+        ]
+        preds[bi] = int(chunk[0])
+        v = chunk.shape[0] - 1
+        valid[bi] = v
+        mat[bi, :v] = chunk[1:]
+    return preds, mat, valid
+
+
+def _adpcm_pack_blocks(
+    codes: "object", preds: "object", valid: "object"
+) -> "list[bytes]":
+    """(B, 504) code matrix → 256-byte block blobs (4-byte header +
+    low-nibble-first packed body). Codes at positions >= each block's
+    valid count are zeroed first — the WAV padding convention is to
+    pad CODES, never to encode the padding samples, and because the
+    state machine only flows forward the overwrite cannot disturb the
+    valid prefix."""
+    import numpy as np
+
+    k = codes.shape[1]
+    c = codes.astype(np.uint8).copy()
+    c[np.arange(k)[None, :] >= valid[:, None]] = 0
+    body = (c[:, 1::2] << 4) | c[:, 0::2]  # WAV: first sample in LOW nibble
+    return [
+        struct.pack("<hBB", int(preds[bi]), 0, 0) + body[bi].tobytes()
+        for bi in range(c.shape[0])
+    ]
+
+
+def _adpcm_riff(data: bytes, n: int, sample_rate: int) -> bytes:
+    """Wrap packed tag-0x11 block data as a RIFF/WAVE file: extended
+    fmt chunk (block align 256, 505 samples/block) plus the ``fact``
+    chunk the spec requires for compressed formats (true sample count
+    — the decoder truncates the zero-padded last block to it)."""
     byte_rate = (sample_rate * ADPCM_BLOCK_ALIGN) // ADPCM_SAMPLES_PER_BLOCK
     fmt = struct.pack(
         "<HHIIHHHH",
@@ -310,6 +419,27 @@ def encode_wav_adpcm(samples: "object", sample_rate: int) -> bytes:
         + b"data" + struct.pack("<I", len(data)) + data
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_adpcm(samples: "object", sample_rate: int) -> bytes:
+    """Encode a mono int16 array as a WAV tag-0x11 IMA-ADPCM file.
+    Blocks are independent (predictor = first sample, step index reset
+    to 0 — the seekability property block formats exist for); the last
+    block is zero-nibble padded and a ``fact`` chunk records the true
+    sample count for the decoder to truncate to. Since r12 the
+    quantizer runs through the lockstep ``adpcm_encode_blocks`` kernel
+    (this signal's blocks as the lanes)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16).reshape(-1)
+    n = arr.shape[0]
+    if n == 0:
+        raise ValueError("ADPCM encode needs at least one sample")
+    preds, mat, valid = _adpcm_block_inputs(arr)
+    codes = adpcm_encode_blocks(mat, preds)
+    return _adpcm_riff(
+        b"".join(_adpcm_pack_blocks(codes, preds, valid)), n, sample_rate
+    )
 
 
 def _wav_fact_samples(payload: bytes) -> "int | None":
