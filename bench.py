@@ -31,6 +31,22 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
 
+def _only() -> "set[str] | None":
+    """Optional --only=name1,name2 (or --only name1,name2) filter:
+    time just those queries, solo in a fresh session — the
+    instrumentation form the perf-watch artifacts use. The driver
+    invokes bench.py with no args, so the default full sweep is
+    unchanged; with a filter, bench_out.json is NOT overwritten (the
+    committed artifact stays the full sweep)."""
+    args = sys.argv[1:]
+    for i, a in enumerate(args):
+        if a.startswith("--only="):
+            return {s for s in a.split("=", 1)[1].split(",") if s}
+        if a == "--only" and i + 1 < len(args):
+            return {s for s in args[i + 1].split(",") if s}
+    return None
+
+
 def main() -> None:
     from node_js_etl_processor_spark.session import get_spark
 
@@ -42,9 +58,12 @@ def main() -> None:
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else None
 
+    only = _only()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, fn in entrymod.queries().items():
+        if only is not None and name not in only:
+            continue
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
         runs = []
         for _ in range(RUNS):
@@ -73,9 +92,12 @@ def main() -> None:
     # stdout line carries medians only (compact, parseable), and the
     # FULL result — spread included — is written to bench_out.json
     # next to this script so it survives as a committed artifact.
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
-    with open(out_path, "w") as f:
-        json.dump(full, f, indent=1)
+    if only is None:
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+        )
+        with open(out_path, "w") as f:
+            json.dump(full, f, indent=1)
     print(
         json.dumps(
             {

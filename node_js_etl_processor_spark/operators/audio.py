@@ -281,9 +281,10 @@ def adpcm_encode_blocks(samples: "object", preds: "object") -> "object":
     Python iterations become K vector iterations (the r11 verdict's
     ask; at a 500-row Arrow batch that is ~1000 lockstep lanes).
     Bit-identical to ``adpcm_encode_stream`` by construction (same
-    published tables, same quantizer branch structure) — pinned by
-    tests/test_extensions.py's lockstep-vs-stream property.
-    Returns a (B, K) uint8 code matrix."""
+    published tables, same quantizer branch structure) — pinned
+    directly by tests/test_extensions.py::
+    test_adpcm_block_kernels_lockstep_vs_stream over random (B, K)
+    matrices. Returns a (B, K) uint8 code matrix."""
     import numpy as np
 
     x = np.asarray(samples, dtype=np.int64)
@@ -325,7 +326,12 @@ def adpcm_decode_blocks(
     """Vectorized IMA decoder over a (B, K) code matrix with
     per-block initial (predictor, step index) — the lockstep inverse
     of ``adpcm_encode_blocks`` (see there for the scale rationale).
-    Returns a (B, K) int16 sample matrix."""
+    This is the production decode path: ``decode_wav_adpcm`` and the
+    cross-payload ``decode_wav_adpcm_batch`` both route through it.
+    Pinned directly by tests/test_extensions.py::
+    test_adpcm_block_kernels_lockstep_vs_stream over random (B, K)
+    code matrices with random initial states. Returns a (B, K) int16
+    sample matrix."""
     import numpy as np
 
     c = np.asarray(codes, dtype=np.int64)
@@ -359,7 +365,8 @@ def _adpcm_block_inputs(arr: "object") -> "tuple[object, object, object]":
     counts). Block b's header carries its first sample verbatim; the
     remaining samples quantize forward. Rows from many signals can be
     concatenated and fed to ``adpcm_encode_blocks`` in one lockstep
-    call — that is exactly what the synth batch pass does."""
+    call — ``encode_wav_adpcm_batch`` does exactly that, and the
+    ADPCM synth Arrow kernel routes whole batches through it."""
     import numpy as np
 
     k = ADPCM_SAMPLES_PER_BLOCK - 1
@@ -442,6 +449,41 @@ def encode_wav_adpcm(samples: "object", sample_rate: int) -> bytes:
     )
 
 
+def encode_wav_adpcm_batch(signals: "object", sample_rate: int) -> "list[bytes]":
+    """Cross-signal lockstep encode: the block rows of MANY signals
+    are concatenated into ONE ``adpcm_encode_blocks`` call (a 500-row
+    Arrow batch of ~2-block signals becomes ~1000 lanes advancing
+    together), then packed back per signal. Blocks are independent
+    state machines, so the result is byte-identical to mapping
+    ``encode_wav_adpcm`` over the signals — pinned by
+    tests/test_extensions.py::test_adpcm_batch_matches_per_signal.
+    Returns one WAV payload per input signal."""
+    import numpy as np
+
+    arrs = [np.asarray(s, dtype=np.int16).reshape(-1) for s in signals]
+    if any(a.shape[0] == 0 for a in arrs):
+        raise ValueError("ADPCM encode needs at least one sample")
+    if not arrs:
+        return []
+    inputs = [_adpcm_block_inputs(a) for a in arrs]
+    codes = adpcm_encode_blocks(
+        np.vstack([mat for _, mat, _ in inputs]),
+        np.concatenate([preds for preds, _, _ in inputs]),
+    )
+    out, off = [], 0
+    for arr, (preds, _mat, valid) in zip(arrs, inputs):
+        nb = preds.shape[0]
+        out.append(
+            _adpcm_riff(
+                b"".join(_adpcm_pack_blocks(codes[off : off + nb], preds, valid)),
+                arr.shape[0],
+                sample_rate,
+            )
+        )
+        off += nb
+    return out
+
+
 def _wav_fact_samples(payload: bytes) -> "int | None":
     """Re-walk a validated RIFF payload for its ``fact`` chunk sample
     count (None when absent). Shared by the ADPCM decoder and the
@@ -459,11 +501,15 @@ def _wav_fact_samples(payload: bytes) -> "int | None":
     return n_total
 
 
-def decode_wav_adpcm(payload: bytes) -> "tuple[object, int]":
-    """Decode a WAV tag-0x11 mono IMA-ADPCM payload into ((n,) int16
-    array, rate). Any other flavor raises DecodeUnavailable. The
-    ``fact`` chunk (required by the spec for compressed formats)
-    truncates the zero-padded last block."""
+def _adpcm_parse_blocks(payload: bytes):
+    """Parse a WAV tag-0x11 mono IMA-ADPCM payload into decode-kernel
+    inputs: (preds (B,), idxs (B,), codes (B, K) int64, counts (B,)
+    valid code counts, rate, fact-chunk total or None). All structure
+    validation lives here (flavor, block align, truncated header,
+    step-index range) so the single-payload and cross-payload batch
+    decoders cannot drift; any malformed structure raises
+    DecodeUnavailable. Nibble unpacking is one vectorized pass (WAV
+    packs the earlier sample in the LOW nibble)."""
     import numpy as np
 
     fmt, data = parse_wav_chunks(payload)
@@ -476,26 +522,116 @@ def decode_wav_adpcm(payload: bytes) -> "tuple[object, int]":
         raise DecodeUnavailable("corrupt ADPCM block align")
     # fact chunk: re-walk for it (parse_wav_chunks keeps fmt/data only)
     n_total = _wav_fact_samples(payload)
-    samples_per_block = (align - 4) * 2 + 1
-    out = []
-    for b0 in range(0, len(data), align):
-        block = data[b0 : b0 + align]
-        if len(block) < 4:
-            raise DecodeUnavailable("truncated ADPCM block")
-        pred, idx, _ = struct.unpack_from("<hBB", block, 0)
-        if idx > 88:
-            raise DecodeUnavailable("corrupt ADPCM step index")
-        out.append(pred)
-        codes = []
-        for byte in block[4:]:
-            codes.append(byte & 0x0F)
-            codes.append(byte >> 4)
-        dec, _ = adpcm_decode_stream(codes[: samples_per_block - 1], pred, idx)
-        out.extend(dec)
-    arr = np.asarray(out, dtype=np.int16)
+    k = (align - 4) * 2
+    nb = (len(data) + align - 1) // align
+    if nb == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, np.zeros((0, k), dtype=np.int64), z, rate, n_total
+    last_len = len(data) - (nb - 1) * align
+    if last_len < 4:
+        raise DecodeUnavailable("truncated ADPCM block")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    pad = nb * align - len(data)
+    if pad:
+        buf = np.concatenate([buf, np.zeros(pad, dtype=np.uint8)])
+    blocks = buf.reshape(nb, align)
+    preds = (
+        np.ascontiguousarray(blocks[:, 0:2])
+        .view(np.dtype("<i2"))[:, 0]
+        .astype(np.int64)
+    )
+    idxs = blocks[:, 2].astype(np.int64)
+    if (idxs > 88).any():
+        raise DecodeUnavailable("corrupt ADPCM step index")
+    body = blocks[:, 4:].astype(np.int64)
+    codes = np.empty((nb, k), dtype=np.int64)
+    codes[:, 0::2] = body & 0x0F
+    codes[:, 1::2] = body >> 4
+    counts = np.full(nb, k, dtype=np.int64)
+    counts[-1] = min(k, (last_len - 4) * 2)
+    return preds, idxs, codes, counts, rate, n_total
+
+
+def _adpcm_assemble(
+    preds: "object", dec: "object", counts: "object", n_total: "int | None"
+) -> "object":
+    """Interleave block headers (emitted verbatim) with each block's
+    valid decoded prefix, in block order, then truncate to the fact
+    count. Row-major boolean masking preserves the [header, samples…]
+    per-block layout without a Python loop."""
+    import numpy as np
+
+    b = preds.shape[0]
+    k = dec.shape[1] if dec.ndim == 2 else 0
+    full = np.empty((b, k + 1), dtype=np.int16)
+    full[:, 0] = preds.astype(np.int16)
+    full[:, 1:] = dec
+    vm = np.empty((b, k + 1), dtype=bool)
+    vm[:, 0] = True
+    vm[:, 1:] = np.arange(k)[None, :] < np.asarray(counts)[:, None]
+    arr = full[vm]
     if n_total is not None:
         arr = arr[:n_total]
-    return arr, rate
+    return arr
+
+
+def decode_wav_adpcm(payload: bytes) -> "tuple[object, int]":
+    """Decode a WAV tag-0x11 mono IMA-ADPCM payload into ((n,) int16
+    array, rate). Any other flavor raises DecodeUnavailable. The
+    ``fact`` chunk (required by the spec for compressed formats)
+    truncates the zero-padded last block. Since r13 this runs the
+    payload's blocks as lanes through the lockstep
+    ``adpcm_decode_blocks`` kernel (the inverse of the encode side's
+    r12 rewiring) — the per-sample Python loop only survives in
+    ``adpcm_decode_stream`` as the test pin."""
+    preds, idxs, codes, counts, rate, n_total = _adpcm_parse_blocks(payload)
+    dec = adpcm_decode_blocks(codes, preds, idxs)
+    return _adpcm_assemble(preds, dec, counts, n_total), rate
+
+
+def decode_wav_adpcm_batch(payloads: "object") -> "list[object]":
+    """Cross-payload lockstep decode — the inverse of
+    ``encode_wav_adpcm_batch``: every parseable payload's block rows
+    are concatenated into ONE ``adpcm_decode_blocks`` call (~1000
+    lanes at a 500-row Arrow batch), then reassembled per payload.
+    Per-payload error isolation is preserved: entries are either
+    (samples, rate) tuples or the DecodeUnavailable instance that
+    payload raised — sample-identical to mapping ``decode_wav_adpcm``
+    (pinned by tests/test_extensions.py::
+    test_adpcm_batch_matches_per_signal). Payloads with different
+    block aligns decode together; shorter blocks are zero-padded to
+    the widest K and masked off by their valid counts."""
+    import numpy as np
+
+    results: "list[object]" = [None] * len(payloads)
+    parsed = []
+    for i, payload in enumerate(payloads):
+        try:
+            parsed.append((i, _adpcm_parse_blocks(payload)))
+        except DecodeUnavailable as exc:
+            results[i] = exc
+    if not parsed:
+        return results
+    kmax = max(t[2].shape[1] for _, t in parsed)
+    mats, preds_l, idxs_l = [], [], []
+    for _, (preds, idxs, codes, _counts, _rate, _n) in parsed:
+        if codes.shape[1] < kmax:
+            codes = np.pad(codes, ((0, 0), (0, kmax - codes.shape[1])))
+        mats.append(codes)
+        preds_l.append(preds)
+        idxs_l.append(idxs)
+    dec = adpcm_decode_blocks(
+        np.vstack(mats), np.concatenate(preds_l), np.concatenate(idxs_l)
+    )
+    off = 0
+    for i, (preds, _idxs, _codes, counts, rate, n_total) in parsed:
+        nb = preds.shape[0]
+        results[i] = (
+            _adpcm_assemble(preds, dec[off : off + nb], counts, n_total),
+            rate,
+        )
+        off += nb
+    return results
 
 
 # ----------------------------------------------------- distributed operators
@@ -654,6 +790,11 @@ def synth_adpcm_media(documents: DataFrame) -> DataFrame:
             rows = {k: [] for k in (
                 "media_id", "modality", "mime", "payload", "sha256", "n_bytes",
             )}
+            # Two passes: collect every ADPCM signal in the batch, then
+            # quantize them all in ONE cross-signal lockstep call
+            # (encode_wav_adpcm_batch — the whole batch's blocks as
+            # lanes), then fill payloads back positionally.
+            signals, signal_rows = [], []
             for did in pdf["doc_id"]:
                 did = int(did)
                 rows["media_id"].append(did)
@@ -674,9 +815,13 @@ def synth_adpcm_media(documents: DataFrame) -> DataFrame:
                 n = 300 + (did % 4) * 120
                 i = np.arange(n)
                 sign = np.where((i // period) % 2 == 0, 1, -1)
-                rows["payload"].append(
-                    encode_wav_adpcm((sign * amp).astype(np.int16), 8000)
-                )
+                signals.append((sign * amp).astype(np.int16))
+                signal_rows.append(len(rows["payload"]))
+                rows["payload"].append(None)
+            for pos, payload in zip(
+                signal_rows, encode_wav_adpcm_batch(signals, 8000)
+            ):
+                rows["payload"][pos] = payload
             yield pd.DataFrame(rows)
 
     return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
@@ -699,24 +844,31 @@ def audio_adpcm_features(media: DataFrame) -> DataFrame:
                 "media_id", "ok", "sample_rate", "n_samples",
                 "sum_decoded", "peak_pos", "peak_neg",
             )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            # One cross-payload lockstep decode for the whole Arrow
+            # batch; per-payload DecodeUnavailable isolation survives
+            # as error entries in the result list.
+            decoded = decode_wav_adpcm_batch(
+                [
+                    bytes(p) if p is not None else None
+                    for p in pdf["payload"]
+                ]
+            )
+            for mid, res in zip(pdf["media_id"], decoded):
                 out["media_id"].append(mid)
-                try:
-                    arr, rate = decode_wav_adpcm(
-                        bytes(payload) if payload is not None else None
-                    )
-                    flat = arr.astype(np.int64)
-                    out["ok"].append("true")
-                    out["sample_rate"].append(rate)
-                    out["n_samples"].append(int(flat.shape[0]))
-                    out["sum_decoded"].append(int(flat.sum()))
-                    out["peak_pos"].append(int(flat.max()) if flat.size else 0)
-                    out["peak_neg"].append(int(flat.min()) if flat.size else 0)
-                except DecodeUnavailable:
+                if isinstance(res, DecodeUnavailable):
                     out["ok"].append("false")
                     for k in ("sample_rate", "n_samples", "sum_decoded",
                               "peak_pos", "peak_neg"):
                         out[k].append(None)
+                    continue
+                arr, rate = res
+                flat = arr.astype(np.int64)
+                out["ok"].append("true")
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(int(flat.shape[0]))
+                out["sum_decoded"].append(int(flat.sum()))
+                out["peak_pos"].append(int(flat.max()) if flat.size else 0)
+                out["peak_neg"].append(int(flat.min()) if flat.size else 0)
             yield pd.DataFrame(out)
 
     return spread(media).mapInPandas(run, ADPCM_FEATURE_SCHEMA)

@@ -2146,6 +2146,92 @@ def test_adpcm_codec_matches_audioop():
     assert (np.asarray(dec, np.int16) == ref_dec[: len(dec)]).all()
 
 
+def test_adpcm_block_kernels_lockstep_vs_stream():
+    """The lockstep (blocks-as-lanes) numpy kernels pinned directly
+    against the scalar stream loops over random (B, K) matrices —
+    encode with random per-block predictors (index 0, the WAV tag-0x11
+    anchor) AND decode with random per-block (predictor, step index)
+    states. This is the property the kernel docstrings cite: blocks
+    are independent state machines, so vectorizing across them is
+    bit-exact by construction."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.audio import (
+        adpcm_decode_blocks,
+        adpcm_decode_stream,
+        adpcm_encode_blocks,
+        adpcm_encode_stream,
+    )
+
+    rng = np.random.RandomState(23)
+    for _ in range(8):
+        b = int(rng.randint(1, 40))
+        k = int(rng.randint(1, 160))
+        mat = rng.randint(-32768, 32768, (b, k))
+        preds = rng.randint(-32768, 32768, b)
+        codes = adpcm_encode_blocks(mat, preds)
+        idxs = rng.randint(0, 89, b)
+        cm = rng.randint(0, 16, (b, k))
+        dec = adpcm_decode_blocks(cm, preds, idxs)
+        for bi in range(b):
+            sc, _ = adpcm_encode_stream(mat[bi], int(preds[bi]), 0)
+            assert list(codes[bi]) == sc
+            sd, _ = adpcm_decode_stream(list(cm[bi]), int(preds[bi]), int(idxs[bi]))
+            assert list(dec[bi]) == sd
+    # degenerate shapes stay total
+    assert adpcm_encode_blocks(np.zeros((0, 5)), np.zeros(0)).shape == (0, 5)
+    assert adpcm_decode_blocks(np.zeros((0, 5)), np.zeros(0), np.zeros(0)).shape == (0, 5)
+
+
+def test_adpcm_batch_matches_per_signal():
+    """The cross-signal batch paths (one kernel call per Arrow batch,
+    ~1000 lanes) are byte-/sample-identical to mapping the per-signal
+    functions: encode_wav_adpcm_batch == [encode_wav_adpcm(s)], and
+    decode_wav_adpcm_batch == [decode_wav_adpcm(p)] with per-payload
+    DecodeUnavailable isolation (junk, None, truncated, and
+    wrong-flavor payloads surface as error entries without poisoning
+    their neighbors)."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.audio import (
+        decode_wav_adpcm,
+        decode_wav_adpcm_batch,
+        encode_wav_adpcm,
+        encode_wav_adpcm_batch,
+        encode_wav_g711,
+    )
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable as DU,
+    )
+
+    rng = np.random.RandomState(31)
+    sigs = [
+        rng.randint(-32768, 32768, n).astype(np.int16)
+        for n in (1, 2, 504, 505, 506, 1009, 1010, 1337)
+    ]
+    batch = encode_wav_adpcm_batch(sigs, 8000)
+    assert batch == [encode_wav_adpcm(s, 8000) for s in sigs]
+    assert encode_wav_adpcm_batch([], 8000) == []
+    with pytest.raises(ValueError):
+        encode_wav_adpcm_batch([sigs[0], np.zeros(0, np.int16)], 8000)
+    payloads = [
+        batch[0], b"junk", None, batch[4], batch[0][:30],
+        encode_wav_g711(sigs[2], 8000, "mulaw"), batch[7],
+    ]
+    res = decode_wav_adpcm_batch(payloads)
+    for i, p in enumerate(payloads):
+        try:
+            exp_arr, exp_rate = decode_wav_adpcm(p)
+        except DU:
+            assert isinstance(res[i], DU)
+            continue
+        arr, rate = res[i]
+        assert rate == exp_rate and np.array_equal(arr, exp_arr)
+    assert decode_wav_adpcm_batch([b"junk", None]) and all(
+        isinstance(r, DU) for r in decode_wav_adpcm_batch([b"junk", None])
+    )
+
+
 def test_adpcm_wav_roundtrip_blocks_and_rejection():
     """Tag-0x11 container: multi-block encode/decode equals the
     per-block state-machine replay, fact-chunk truncation trims the
