@@ -86,27 +86,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FULLVERIFY_r{N}.json (scripts/full_verify.py; same per-query
     shape as CORRECTNESS, ALL registered queries at sf0.01).
 
-    r12 rotation — round 11 produced no rotation (the r11 window was
-    byte-identical to r10's), so the sixteen deferrals scheduled for
-    r11 are now OVERDUE: their last driver row is r8. Per the r11
-    verdict's item 1 they LEAD this window (q_window_rank_funcs,
-    q_window_lag, q_null_safe_join, q_argmax_agg, q_semi_exists,
-    q_grouping_sets, q_set_ops, q_cube, q_scalar_math,
-    q_string_funcs, q_date_buckets, q_json_props, q_stats_agg,
-    q_distinct_agg, q_unpivot, q_collect_agg), followed by the two
-    r12 DECLARATIONS (q_hll_timeline, q_tiff_features — operators +
-    DuckDB oracles built and pytest-verified in r10, entering the
-    window on declaration per the rotation rule), then the 32 oldest
-    r9-green queries (registry order) that fill the window to 50.
-    The 18 r9-green queries that don't fit are the NAMED r13
-    deferrals rather than silently dropped: q_text_langid,
-    q_text_quality, q_token_count, q_fingerprint,
-    q_winnow_fingerprint, q_corpus_pipeline, q_binary_meta,
-    q_dedup_docs, q_dedup_ngram, q_redact_pii, q_gopher_rules,
-    q_lm_perplexity, q_pq_encode, q_pq_topk, q_ivfpq_topk,
-    q_weighted_sample, q_curation_pipeline, q_dedup_clusters.
-    r13 MUST window those first, then fill with the oldest
-    r11-green queries; the overflow becomes the named r14 deferrals.
+    r13 rotation — exactly as the r12 docstring scheduled it: the 18
+    NAMED r13 deferrals lead (q_text_langid, q_text_quality,
+    q_token_count, q_fingerprint, q_winnow_fingerprint,
+    q_corpus_pipeline, q_binary_meta, q_dedup_docs, q_dedup_ngram,
+    q_redact_pii, q_gopher_rules, q_lm_perplexity, q_pq_encode,
+    q_pq_topk, q_ivfpq_topk, q_weighted_sample, q_curation_pipeline,
+    q_dedup_clusters — last driver row r9), then the 32 oldest
+    r11-green queries (registry order) fill the window to 50. That
+    fill span contains every query whose code changed in r13
+    (q_audio_g711 / q_audio_adpcm / q_audio_probe — the ADPCM
+    lockstep-decode + cross-row batch rewiring), so rotation rule #2
+    ("changed code ⇒ in window") holds; scripts/check_rotation.py now
+    enforces that rule MECHANICALLY against the git diff and
+    tests/test_rotation.py exercises it. The 18 r11-green queries
+    that don't fit are the NAMED r14 deferrals rather than silently
+    dropped: q_dedup_embedding, q_similarity_ann, q_similarity_ivf,
+    q_chunk_documents, q_pack_chunks, q_chunk_pack_pipeline, q_bm25,
+    q_dedup_minhash, q_multimodal_features, q_dedup_simhash,
+    q_url_dedup, q_semantic_decontaminate, q_audio_features, q_scd2,
+    q_fuzzy_match, q_tfidf, q_gap_fill, q_countmin. r14 MUST window
+    those first, then fill with the oldest r12-green queries; the
+    overflow becomes the named r15 deferrals.
 
     Honest rotation math: with a 50-slot driver window and 118
     registered queries, a full sweep takes ceil(118/50) = 3 rounds,
@@ -114,14 +115,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     CORRECTNESS row within the last 3 rounds (named deferrals are
     the explicit schedule for the overflow), and ALL queries are
     swept by the committed FULLVERIFY_r{N}.json on the final tree
-    EVERY round. The r11 skip means the 18 r13 deferrals sit at an
-    r9 row until r13 — acknowledged debt, covered in the interim by
-    FULLVERIFY_r12.json on this exact tree."""
+    EVERY round."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
-        # The sixteen OVERDUE deferrals lead (last driver row r8;
-        # scheduled for r11, which shipped no rotation — see the
-        # docstring).
+        # The 18 NAMED r13 deferrals lead (last driver row r9 —
+        # scheduled in the r12 docstring; the r12 verdict's item 1).
+        "q_text_langid": _q(["documents"], text.q_text_langid),
+        "q_text_quality": _q(["documents"], text.q_text_quality),
+        "q_token_count": _q(["documents"], text.q_token_count),
+        "q_fingerprint": _q(["documents"], text.q_fingerprint),
+        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
+        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
+        "q_binary_meta": _q(["documents"], q_binary_meta),
+        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
+        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
+        "q_redact_pii": _q(["documents"], text.q_redact_pii),
+        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
+        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
+        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
+        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
+        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
+        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
+        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
+        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
+        # Then the 32 oldest r11-green queries (registry order) that
+        # fill the window to 50. This span includes ALL queries whose
+        # code changed in r13 (q_audio_g711 / q_audio_adpcm /
+        # q_audio_probe — the ADPCM lockstep decode + cross-row batch
+        # rewiring in operators/audio.py), satisfying rotation rule #2
+        # mechanically (scripts/check_rotation.py enforces it).
+        "q_union_sources": _q(["customer"], relational.q_union_sources),
+        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
+        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
+        "q_bpe_pairs": _q(
+            ["documents"], lambda docs: bpe.bpe_top_pairs(docs, k=20)
+        ),
+        "q_gif_frames": _q(["documents"], q_gif_frames),
+        "q_link_graph": _q(["documents"], graph.q_link_graph),
+        "q_token_budget": _q(["documents"], bpe.q_token_budget),
+        "q_video_frames": _q(["documents"], q_video_frames),
+        "q_audio_g711": _q(["documents"], q_audio_g711),
+        "q_audio_adpcm": _q(["documents"], q_audio_adpcm),
+        "q_hll_distinct": _q(["orders"], sketch.q_hll_distinct),
+        "q_hdr_quantiles": _q(["lineitem"], sketch.q_hdr_quantiles),
+        "q_hll_rollup": _q(["orders"], sketch.q_hll_rollup),
+        "q_hll_intersect": _q(["orders"], sketch.q_hll_intersect),
+        "q_netpbm_features": _q(["documents"], q_netpbm_features),
+        "q_audio_probe": _q(["documents"], q_audio_probe),
+        "q_filter_required": _q(["orders"], relational.q_filter_required),
+        "q_clean_project": _q(["customer"], relational.q_clean_project),
+        "q_array_transform": _q(["part"], relational.q_array_transform),
+        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
+        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
+        "q_range_join": _q(["events"], temporal.q_range_join),
+        "q_window_range": _q(["events"], temporal.q_window_range),
+        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
+        "q_explode_words": _q(["part"], relational.q_explode_words),
+        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
+        "q_asof_join": _q(["events"], temporal.q_asof_join),
+        "q_sessionize": _q(["events"], sessionize.q_sessionize),
+        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
+        "q_media_resize": _q(["documents"], q_media_resize),
+        "q_frame_sample": _q(["documents"], q_frame_sample),
+        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
+        # ---- oracle-paired but outside the 50-entry driver window ----
+        # First the NAMED r14 deferrals (see docstring): the 18
+        # r11-green queries the window couldn't fit. r14 MUST window
+        # these first.
+        "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
+        "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
+        "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
+        "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
+        "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
+        "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
+        "q_bm25": _q(["documents"], text.q_bm25),
+        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
+        "q_multimodal_features": _q(["documents"], q_multimodal_features),
+        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
+        "q_url_dedup": _q(["documents"], text.q_url_dedup),
+        "q_semantic_decontaminate": _q(
+            ["embeddings"], similarity.q_semantic_decontaminate
+        ),
+        "q_audio_features": _q(["documents"], q_audio_features),
+        "q_scd2": _q(["orders"], relational.q_scd2),
+        "q_fuzzy_match": _q(["customer"], dedup.q_fuzzy_match),
+        "q_tfidf": _q(["documents"], text.q_tfidf),
+        "q_gap_fill": _q(["events"], temporal.q_gap_fill),
+        "q_countmin": _q(["orders"], sketch.q_countmin),
+        # Then the 50 r12-green queries that rotate OUT (their
+        # CORRECTNESS_r12 rows are one cycle old — within the
+        # invariant); all remain under the local parity gate and the
+        # committed FULLVERIFY artifact every round. q_agg_pricing
+        # additionally runs every round as the entry() smoke query.
         "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
         "q_window_lag": _q(["events"], relational.q_window_lag),
         "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
@@ -138,13 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
         "q_unpivot": _q(["orders"], relational.q_unpivot),
         "q_collect_agg": _q(["orders"], relational.q_collect_agg),
-        # The two r12 declarations (operators + DuckDB oracles built
-        # and pytest-verified in r10 — tests/test_extensions.py;
-        # entering the window on declaration per the rotation rule)
         "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
         "q_tiff_features": _q(["documents"], q_tiff_features),
-        # The 32 oldest r9-green queries (registry order; last driver
-        # row r9 — overdue by one round because r11 didn't rotate)
         "q_pagerank": _q(
             ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
         ),
@@ -185,87 +265,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_split": _q(["documents"], text.q_stratified_split),
         "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
         "q_text_stats": _q(["documents"], text.q_text_stats),
-        # ---- oracle-paired but outside the 50-entry driver window ----
-        # First the NAMED r13 deferrals (see docstring): the 18
-        # r9-green queries the window couldn't fit. r13 MUST window
-        # these first.
-        "q_text_langid": _q(["documents"], text.q_text_langid),
-        "q_text_quality": _q(["documents"], text.q_text_quality),
-        "q_token_count": _q(["documents"], text.q_token_count),
-        "q_fingerprint": _q(["documents"], text.q_fingerprint),
-        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
-        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
-        "q_binary_meta": _q(["documents"], q_binary_meta),
-        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
-        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
-        "q_redact_pii": _q(["documents"], text.q_redact_pii),
-        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
-        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
-        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
-        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
-        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
-        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
-        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
-        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
-        # Then the 50 r10/r11-green queries that rotate OUT (their
-        # CORRECTNESS_r11 rows are one cycle old — within the
-        # invariant); all remain under the local parity gate and the
-        # committed FULLVERIFY artifact every round. q_agg_pricing
-        # additionally runs every round as the entry() smoke query.
-        "q_union_sources": _q(["customer"], relational.q_union_sources),
-        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
-        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
-        "q_bpe_pairs": _q(
-            ["documents"], lambda docs: bpe.bpe_top_pairs(docs, k=20)
-        ),
-        "q_gif_frames": _q(["documents"], q_gif_frames),
-        "q_link_graph": _q(["documents"], graph.q_link_graph),
-        "q_token_budget": _q(["documents"], bpe.q_token_budget),
-        "q_video_frames": _q(["documents"], q_video_frames),
-        "q_audio_g711": _q(["documents"], q_audio_g711),
-        "q_audio_adpcm": _q(["documents"], q_audio_adpcm),
-        "q_hll_distinct": _q(["orders"], sketch.q_hll_distinct),
-        "q_hdr_quantiles": _q(["lineitem"], sketch.q_hdr_quantiles),
-        "q_hll_rollup": _q(["orders"], sketch.q_hll_rollup),
-        "q_hll_intersect": _q(["orders"], sketch.q_hll_intersect),
-        "q_netpbm_features": _q(["documents"], q_netpbm_features),
-        "q_audio_probe": _q(["documents"], q_audio_probe),
-        "q_filter_required": _q(["orders"], relational.q_filter_required),
-        "q_clean_project": _q(["customer"], relational.q_clean_project),
-        "q_array_transform": _q(["part"], relational.q_array_transform),
-        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
-        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
-        "q_range_join": _q(["events"], temporal.q_range_join),
-        "q_window_range": _q(["events"], temporal.q_window_range),
-        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
-        "q_explode_words": _q(["part"], relational.q_explode_words),
-        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
-        "q_asof_join": _q(["events"], temporal.q_asof_join),
-        "q_sessionize": _q(["events"], sessionize.q_sessionize),
-        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
-        "q_media_resize": _q(["documents"], q_media_resize),
-        "q_frame_sample": _q(["documents"], q_frame_sample),
-        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
-        "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
-        "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
-        "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
-        "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
-        "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
-        "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
-        "q_bm25": _q(["documents"], text.q_bm25),
-        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
-        "q_multimodal_features": _q(["documents"], q_multimodal_features),
-        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
-        "q_url_dedup": _q(["documents"], text.q_url_dedup),
-        "q_semantic_decontaminate": _q(
-            ["embeddings"], similarity.q_semantic_decontaminate
-        ),
-        "q_audio_features": _q(["documents"], q_audio_features),
-        "q_scd2": _q(["orders"], relational.q_scd2),
-        "q_fuzzy_match": _q(["customer"], dedup.q_fuzzy_match),
-        "q_tfidf": _q(["documents"], text.q_tfidf),
-        "q_gap_fill": _q(["events"], temporal.q_gap_fill),
-        "q_countmin": _q(["orders"], sketch.q_countmin),
     }
 
 

@@ -1,0 +1,204 @@
+"""Mechanical enforcement of rotation rule #2: any query whose code
+changed this round MUST be inside the driver's 50-entry CORRECTNESS
+window.
+
+The r12 verdict's "What's wrong #1": the rule lived only in prose and
+was violated the first round after being re-affirmed (encode_wav_adpcm
+was rewritten while q_audio_adpcm / q_audio_probe sat out of window).
+This script makes the rule a check that runs in CI (tests/
+test_rotation.py) and before round-close commits:
+
+1. Diff base: the most recent driver round-marker commit
+   (``round N: verdict...``) — i.e., everything this round changed —
+   overridable with --base.
+2. Changed engine modules: the diffed ``.py`` files under
+   ``node_js_etl_processor_spark/`` (worktree included, so it catches
+   uncommitted edits too).
+3. Affected queries: every registry entry whose DEFINING module (via
+   closure introspection of the ``_q`` wrapper) transitively imports a
+   changed module. Transitivity is computed over the package's own
+   import graph, so a change to a shared helper module (e.g.
+   operators/multimodal.py's parse_wav_chunks, used by the audio
+   decoders) correctly flags the downstream query families, not just
+   the module that textually contains the query function.
+4. FAIL (exit 1) if any affected query is outside the window.
+
+A change to a truly global module (catalog.py / session.py) flags all
+118 queries — more than the window holds. That is the rule working as
+intended: such a change alters every plan, and the failure forces an
+explicit decision recorded with --waive (each waiver names a module
+and is printed into the output so the round artifacts show it was
+deliberate, not forgotten).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PKG = "node_js_etl_processor_spark"
+WINDOW = 50
+
+
+def round_marker_base() -> str:
+    """Most recent driver round-marker commit — the round boundary."""
+    out = subprocess.run(
+        ["git", "log", "--grep", r"^round [0-9]\+: verdict", "-n", "1",
+         "--format=%H"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    if not out:
+        raise SystemExit("no round-marker commit found; pass --base")
+    return out
+
+
+def changed_pkg_modules(base: str) -> "set[str]":
+    """Package-relative module names changed between base and the
+    working tree (committed + uncommitted)."""
+    out = subprocess.run(
+        ["git", "diff", "--name-only", base, "--"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.splitlines()
+    mods = set()
+    for path in out:
+        if path.startswith(PKG + "/") and path.endswith(".py"):
+            mods.add(path[len(PKG) + 1 : -3].replace("/", "."))
+    return mods
+
+
+def package_import_graph() -> "dict[str, set[str]]":
+    """module -> set of package-internal modules it imports (direct),
+    built from the AST so string literals can't fool it."""
+    graph: "dict[str, set[str]]" = {}
+    pkg_root = os.path.join(REPO, PKG)
+    for dirpath, _dirs, files in os.walk(pkg_root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            rel = os.path.relpath(path, pkg_root)[:-3].replace(os.sep, ".")
+            deps: "set[str]" = set()
+            tree = ast.parse(open(path).read())
+            for node in ast.walk(tree):
+                if isinstance(node, ast.ImportFrom) and node.module:
+                    if node.module.startswith(PKG):
+                        base_mod = node.module[len(PKG) + 1 :] or ""
+                        for alias in node.names:
+                            # `from pkg.operators import audio` form
+                            cand = (base_mod + "." if base_mod else "") + alias.name
+                            deps.add(cand)
+                        if base_mod:
+                            deps.add(base_mod)
+                    elif node.level:  # relative import inside the pkg
+                        prefix = rel.rsplit(".", node.level)[0] if "." in rel else ""
+                        base_mod = (
+                            (prefix + "." if prefix else "") + node.module
+                            if node.module
+                            else prefix
+                        )
+                        deps.add(base_mod)
+                        for alias in node.names:
+                            deps.add(
+                                (base_mod + "." if base_mod else "") + alias.name
+                            )
+                elif isinstance(node, ast.Import):
+                    for alias in node.names:
+                        if alias.name.startswith(PKG + "."):
+                            deps.add(alias.name[len(PKG) + 1 :])
+            graph[rel] = deps
+    # keep only names that are real package modules
+    valid = set(graph)
+    for mod in graph:
+        graph[mod] = {d for d in graph[mod] if d in valid}
+    return graph
+
+
+def transitive_deps(graph: "dict[str, set[str]]", mod: str) -> "set[str]":
+    seen, stack = {mod}, [mod]
+    while stack:
+        for dep in graph.get(stack.pop(), ()):
+            if dep not in seen:
+                seen.add(dep)
+                stack.append(dep)
+    return seen
+
+
+def query_defining_modules() -> "dict[str, str]":
+    """query name -> package-relative module of its implementation
+    callable, extracted from the registry itself (the _q closure), so
+    the mapping can never drift from what the driver actually runs."""
+    import __spark_entry__ as entrymod
+
+    out = {}
+    for name, wrapped in entrymod.queries().items():
+        fn = wrapped
+        if getattr(wrapped, "__closure__", None):
+            for cell in wrapped.__closure__:
+                if callable(cell.cell_contents):
+                    fn = cell.cell_contents
+        mod = fn.__module__
+        if mod.startswith(PKG + "."):
+            out[name] = mod[len(PKG) + 1 :]
+        else:
+            out[name] = mod  # defined in __spark_entry__ itself
+    return out
+
+
+def affected_queries(
+    changed: "set[str]",
+    defining: "dict[str, str]",
+    graph: "dict[str, set[str]]",
+) -> "set[str]":
+    return {
+        name
+        for name, mod in defining.items()
+        if mod in graph and transitive_deps(graph, mod) & changed
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default=None, help="diff base commit")
+    ap.add_argument(
+        "--waive", action="append", default=[],
+        help="changed module to exclude (deliberate, recorded in output)",
+    )
+    args = ap.parse_args()
+
+    base = args.base or round_marker_base()
+    changed = changed_pkg_modules(base)
+    for w in args.waive:
+        changed.discard(w)
+        print(f"WAIVED: {w}")
+    if not changed:
+        print(f"OK: no engine modules changed since {base[:12]}")
+        return 0
+
+    import __spark_entry__ as entrymod
+
+    window = list(entrymod.queries())[:WINDOW]
+    defining = query_defining_modules()
+    graph = package_import_graph()
+    affected = affected_queries(changed, defining, graph)
+    out_of_window = sorted(affected - set(window))
+
+    print(f"base: {base[:12]}")
+    print(f"changed engine modules: {sorted(changed)}")
+    print(f"affected queries: {len(affected)}")
+    if out_of_window:
+        print("FAIL: changed-code queries OUTSIDE the driver window:")
+        for name in out_of_window:
+            print(f"  {name}  (defined in {defining[name]})")
+        return 1
+    print("OK: every changed-code query is inside the driver window")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
