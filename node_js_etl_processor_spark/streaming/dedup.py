@@ -85,14 +85,14 @@ def url_frontier_stream(
     )
 
 
-def exact_dedup_ingest_stream(
-    docs_stream: DataFrame,
-    store_path: str,
-    out_path: str,
-    checkpoint: str,
-):
-    """The ingest loop of ``sources/dedup_store.py`` as a STREAM (r8):
-    per micro-batch, ``dedup_exact_delta`` drops every doc whose text
+def exact_dedup_applier(store_path: str, out_path: str, checkpoint: str):
+    """The per-batch body of ``exact_dedup_ingest_stream`` as a
+    reusable applier callable — idempotent per (checkpoint, batch_id)
+    via the markers protocol, so the composed ingest-day loop
+    (``streaming/ingest_day.py``) can run it alongside the other
+    store tiers inside ONE foreachBatch.
+
+    Per micro-batch, ``dedup_exact_delta`` drops every doc whose text
     fingerprint is already in the store (or duplicated within the
     batch — min-doc_id keeper), appends the survivors to ``out_path``
     and their fingerprints to the store. The store IS the cross-batch
@@ -124,18 +124,19 @@ def exact_dedup_ingest_stream(
         cleanup_staging,
         mark_batch_applied,
         marker_id,
+        read_batch_output,
         recover_partial,
         stage_and_publish,
         store_has_data,
     )
 
-    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+    def _ingest(batch_df: DataFrame, batch_id: int) -> "DataFrame | None":
         spark = batch_df.sparkSession
         tag = marker_id(checkpoint, batch_id)
         if batch_already_applied(store_path, checkpoint, batch_id):
             cleanup_staging(store_path, tag)  # crash-after-mark GC
             cleanup_staging(out_path, tag)
-            return
+            return read_batch_output(spark, out_path, tag)
         recover_partial(store_path, tag)
         recover_partial(out_path, tag)
         if not store_has_data(store_path):
@@ -159,17 +160,34 @@ def exact_dedup_ingest_stream(
         mark_batch_applied(store_path, checkpoint, batch_id)
         cleanup_staging(store_path, tag)
         cleanup_staging(out_path, tag)
+        return survivors
 
+    return _ingest
+
+
+def exact_dedup_ingest_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+):
+    """The ingest loop of ``sources/dedup_store.py`` as a STREAM (r8):
+    see ``exact_dedup_applier`` for the per-batch semantics and the
+    exactly-once protocol. Returns the started query (availableNow —
+    the same drain-the-source twin as every refresh here). Batch
+    equivalence is test-pinned: streamed batches == q_dedup_docs
+    keepers when arrival order matches doc_id order."""
     return (
-        docs_stream.writeStream.foreachBatch(_ingest)
+        docs_stream.writeStream.foreachBatch(
+            exact_dedup_applier(store_path, out_path, checkpoint)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
 
 
-def near_dup_ingest_stream(
-    docs_stream: DataFrame,
+def near_dup_applier(
     store_dir: str,
     out_path: str,
     checkpoint: str,
@@ -177,7 +195,8 @@ def near_dup_ingest_stream(
     num_hashes: int = 32,
     bands: int = 8,
 ):
-    """Near-duplicate ingest as a stream (r8) — the minhash twin of
+    """The per-batch body of ``near_dup_ingest_stream`` as a reusable
+    applier (for the composed ingest-day loop) — the minhash twin of
     ``exact_dedup_ingest_stream``: per micro-batch, LSH candidates
     against the stored band postings (``dedup_minhash_delta`` — only
     the batch is hashed) are VERIFIED in signature space (estimated
@@ -210,6 +229,7 @@ def near_dup_ingest_stream(
         cleanup_staging,
         mark_batch_applied,
         marker_id,
+        read_batch_output,
         recover_partial,
         stage_and_publish,
         store_has_data,
@@ -218,7 +238,7 @@ def near_dup_ingest_stream(
     post_path = os.path.join(store_dir, "postings")
     sigs_path = os.path.join(store_dir, "sigs")
 
-    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+    def _ingest(batch_df: DataFrame, batch_id: int) -> "DataFrame | None":
         spark = batch_df.sparkSession
         tag = marker_id(checkpoint, batch_id)
         # replay guard (r9; staged publish r10): re-appending a
@@ -230,7 +250,7 @@ def near_dup_ingest_stream(
         if batch_already_applied(store_dir, checkpoint, batch_id):
             cleanup_staging(store_dir, tag)
             cleanup_staging(out_path, tag)
-            return
+            return read_batch_output(spark, out_path, tag)
         recover_partial(store_dir, tag)
         recover_partial(out_path, tag)
         batch_df = batch_df.localCheckpoint(eager=True)
@@ -296,9 +316,143 @@ def near_dup_ingest_stream(
         mark_batch_applied(store_dir, checkpoint, batch_id)
         cleanup_staging(store_dir, tag)
         cleanup_staging(out_path, tag)
+        return survivors
 
+    return _ingest
+
+
+def near_dup_ingest_stream(
+    docs_stream: DataFrame,
+    store_dir: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+):
+    """Near-duplicate ingest as a stream (r8): see
+    ``near_dup_applier`` for the per-batch semantics, keeper rule and
+    exactly-once protocol. Returns the started query (availableNow)."""
     return (
-        docs_stream.writeStream.foreachBatch(_ingest)
+        docs_stream.writeStream.foreachBatch(
+            near_dup_applier(
+                store_dir, out_path, checkpoint, threshold, num_hashes, bands
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def simhash_applier(
+    store_dir: str,
+    out_path: str,
+    checkpoint: str,
+    max_hamming: int = 3,
+):
+    """SimHash near-dup ingest applier (r13 — completes the streamed
+    dedup trio for the composed ingest-day loop): per batch, the
+    stored band postings are probed with the SAME 4x16-bit banding +
+    Hamming verify as ``sources.dedup_store.dedup_simhash_delta``
+    (only the batch is hashed — the numpy signature kernel runs once;
+    the store side never re-reads text), a doc is dropped if a
+    verified pair links it to anything seen earlier or to a
+    smaller-doc_id batch mate, survivors land in ``out_path`` and the
+    WHOLE batch's postings append (seen, not just kept — the minhash
+    loop's contract). Exactly-once via the same staged-publish +
+    marker protocol as ``near_dup_applier``."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        simhash_band_postings_from_sigs,
+        simhash_signatures_numpy,
+    )
+    from .markers import (
+        batch_already_applied,
+        cleanup_staging,
+        mark_batch_applied,
+        marker_id,
+        read_batch_output,
+        recover_partial,
+        stage_and_publish,
+        store_has_data,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> "DataFrame | None":
+        spark = batch_df.sparkSession
+        tag = marker_id(checkpoint, batch_id)
+        if batch_already_applied(store_dir, checkpoint, batch_id):
+            cleanup_staging(store_dir, tag)
+            cleanup_staging(out_path, tag)
+            return read_batch_output(spark, out_path, tag)
+        recover_partial(store_dir, tag)
+        recover_partial(out_path, tag)
+        batch_df = batch_df.localCheckpoint(eager=True)
+        sigs = simhash_signatures_numpy(
+            batch_df, drop_tokenless=True
+        ).localCheckpoint(eager=True)
+        post = simhash_band_postings_from_sigs(sigs)
+        a, b = post.alias("a"), post.alias("b")
+        new_new = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .filter(
+                F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+                <= max_hamming
+            )
+            .select(F.col("b.doc_id").alias("doc_id"))
+        )
+        losers = new_new
+        if store_has_data(store_dir):
+            store = spark.read.parquet(store_dir)
+            new_old = (
+                store.join(
+                    F.broadcast(
+                        post.withColumnRenamed("doc_id", "new_id")
+                        .withColumnRenamed("sig", "new_sig")
+                    ),
+                    ["band", "chunk"],
+                )
+                .filter(F.col("new_id") != F.col("doc_id"))
+                .filter(
+                    F.bit_count(F.col("new_sig").bitwiseXOR(F.col("sig")))
+                    <= max_hamming
+                )
+                .select(F.col("new_id").alias("doc_id"))
+            )
+            losers = losers.unionByName(new_old)
+        survivors = batch_df.join(
+            losers.distinct(), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+        stage_and_publish(out_path, tag, {"": (survivors, None)})
+        stage_and_publish(store_dir, tag, {"": (post, "band")})
+        mark_batch_applied(store_dir, checkpoint, batch_id)
+        cleanup_staging(store_dir, tag)
+        cleanup_staging(out_path, tag)
+        return survivors
+
+    return _ingest
+
+
+def simhash_ingest_stream(
+    docs_stream: DataFrame,
+    store_dir: str,
+    out_path: str,
+    checkpoint: str,
+    max_hamming: int = 3,
+):
+    """SimHash near-dup ingest as a stream: see ``simhash_applier``
+    for the per-batch semantics. Returns the started query
+    (availableNow)."""
+    return (
+        docs_stream.writeStream.foreachBatch(
+            simhash_applier(store_dir, out_path, checkpoint, max_hamming)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
@@ -357,8 +511,7 @@ def countmin_ingest_stream(
     )
 
 
-def embedding_ingest_stream(
-    embs_stream: DataFrame,
+def embedding_applier(
     store_dir: str,
     out_path: str,
     checkpoint: str,
@@ -366,7 +519,8 @@ def embedding_ingest_stream(
     n_planes: int = 8,
     n_cells: int = 8,
 ):
-    """Embedding near-dup ingest as a stream (r9) — the SRP twin of
+    """The per-batch body of ``embedding_ingest_stream`` as a reusable
+    applier (for the composed ingest-day loop) — the SRP twin of
     ``near_dup_ingest_stream``, closing the embedding tier's loop:
     per micro-batch, ``dedup_embedding_delta`` probes the batch
     against the stored ``by_sig`` layout (drop sigs partition-prune
@@ -400,19 +554,20 @@ def embedding_ingest_stream(
         cleanup_staging,
         mark_batch_applied,
         marker_id,
+        read_batch_output,
         record_bootstrap,
         recover_partial,
         stage_and_publish,
         store_has_data,
     )
 
-    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+    def _ingest(batch_df: DataFrame, batch_id: int) -> "DataFrame | None":
         spark = batch_df.sparkSession
         tag = marker_id(checkpoint, batch_id)
         if batch_already_applied(store_dir, checkpoint, batch_id):
             cleanup_staging(store_dir, tag)
             cleanup_staging(out_path, tag)
-            return
+            return read_batch_output(spark, out_path, tag)
         if batch_df.isEmpty():
             return
         recover_partial(store_dir, tag)
@@ -450,9 +605,29 @@ def embedding_ingest_stream(
         mark_batch_applied(store_dir, checkpoint, batch_id)
         cleanup_staging(store_dir, tag)
         cleanup_staging(out_path, tag)
+        return survivors
 
+    return _ingest
+
+
+def embedding_ingest_stream(
+    embs_stream: DataFrame,
+    store_dir: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.30,
+    n_planes: int = 8,
+    n_cells: int = 8,
+):
+    """Embedding near-dup ingest as a stream (r9): see
+    ``embedding_applier`` for the per-batch semantics, keeper rule and
+    exactly-once protocol. Returns the started query (availableNow)."""
     return (
-        embs_stream.writeStream.foreachBatch(_ingest)
+        embs_stream.writeStream.foreachBatch(
+            embedding_applier(
+                store_dir, out_path, checkpoint, threshold, n_planes, n_cells
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

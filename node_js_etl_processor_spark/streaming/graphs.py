@@ -38,16 +38,15 @@ from .markers import (
 )
 
 
-def link_graph_ingest_stream(
-    docs_stream: DataFrame,
+def link_graph_applier(
     store_path: str,
     checkpoint: str,
     compact_every: int = 0,
 ):
-    """Maintain the edge store from a document stream: first batch
+    """The per-batch body of ``link_graph_ingest_stream`` as a
+    reusable applier (for the composed ingest-day loop): first batch
     bootstraps generation 0, later batches append their partials;
-    ``compact_every=N`` folds the log every N batches (0 = never).
-    availableNow trigger; returns the started query."""
+    ``compact_every=N`` folds the log every N batches (0 = never)."""
     from ..sources.graph_store import (
         append_edge_store,
         compact_edge_store,
@@ -91,8 +90,22 @@ def link_graph_ingest_stream(
         ):
             compact_edge_store(batch_df.sparkSession, store_path)
 
+    return _ingest
+
+
+def link_graph_ingest_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    compact_every: int = 0,
+):
+    """Maintain the edge store from a document stream: see
+    ``link_graph_applier`` for the per-batch semantics. availableNow
+    trigger; returns the started query."""
     return (
-        docs_stream.writeStream.foreachBatch(_ingest)
+        docs_stream.writeStream.foreachBatch(
+            link_graph_applier(store_path, checkpoint, compact_every)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -38,18 +38,13 @@ from .markers import (
 )
 
 
-def bm25_index_stream(
-    docs_stream: DataFrame,
-    index_path: str,
-    checkpoint: str,
-):
-    """Maintain a BM25 postings index from a document stream: the
-    first batch bootstraps the layout, every later batch appends its
-    postings + df/stats partials; re-delivered batches recover per the
-    markers protocol. availableNow trigger — the same
-    drain-the-source twin as every ingest loop here. Returns the
-    started query. Upstream must feed docs whose doc_ids are new to
-    the index (the dedup ingest loops' output contract)."""
+def bm25_applier(index_path: str, checkpoint: str):
+    """The per-batch body of ``bm25_index_stream`` as a reusable
+    applier (for the composed ingest-day loop): first batch
+    bootstraps the layout, every later batch appends its postings +
+    df/stats partials; re-delivered batches recover per the markers
+    protocol. Upstream must feed docs whose doc_ids are new to the
+    index (the dedup ingest loops' output contract)."""
     from ..sources.bm25_index import append_bm25_index, write_bm25_index
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
@@ -70,8 +65,20 @@ def bm25_index_stream(
         mark_batch_applied(index_path, checkpoint, batch_id)
         cleanup_staging(index_path, tag)
 
+    return _ingest
+
+
+def bm25_index_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+):
+    """Maintain a BM25 postings index from a document stream: see
+    ``bm25_applier`` for the per-batch semantics and the exactly-once
+    protocol. availableNow trigger — the same drain-the-source twin
+    as every ingest loop here. Returns the started query."""
     return (
-        docs_stream.writeStream.foreachBatch(_ingest)
+        docs_stream.writeStream.foreachBatch(bm25_applier(index_path, checkpoint))
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

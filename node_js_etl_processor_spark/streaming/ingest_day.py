@@ -1,0 +1,154 @@
+"""The composed "ingest day": ONE foreachBatch session running a
+multiplexed crawl-drop feed through EVERY store tier the engine
+maintains — the end-to-end composition the individual ingest loops
+(streaming/dedup.py, indexing.py, graphs.py, sketches.py,
+warehouse.py) were built for, exercised as a single pipeline instead
+of eight isolated streams.
+
+Feed contract: each micro-batch is one "drop" — a union-schema frame
+carrying crawl documents (``kind='doc'``: doc_id, text, lang, source,
+n_chars) and warehouse CDC facts (``kind='order'``: o_orderkey,
+o_custkey, o_orderstatus, o_orderdate) side by side, the shape a
+multiplexed ingest topic delivers. Document drops must arrive in
+doc_id order and CDC drops in per-key (o_orderdate, o_orderkey)
+order — the same contracts the individual loops inherit.
+
+Per batch, the document lane runs the curation chain
+
+    exact fingerprint dedup → minhash near-dup → simhash near-dup
+
+with each tier's survivors feeding the next (the store-backed keeper
+rules — drop against anything SEEN, not just kept), then the final
+survivors feed the derived stores:
+
+    BM25 postings index, link-graph edge store,
+    HLL (distinct doc_ids per lang) and HDR (n_chars quantiles per
+    lang) sketch stores,
+
+while the exact-survivors' embeddings (joined from the embedding
+lookup — the stand-in for an embedding service) maintain the ANN
+layout + embedding near-dup tier, and the CDC lane merges into the
+SCD2 dimension store.
+
+Exactly-once composition: every tier keeps its OWN (checkpoint,
+batch_id) marker, so a crash mid-batch — after some tiers committed,
+before others — re-delivers the batch and each tier either no-ops
+(marker hit) or recovers + re-applies. The one piece the composition
+adds over the individual loops: a tier whose marker is hit cannot
+recompute its survivors (its store now contains the batch's own rows,
+which would flip every keeper decision), so the dedup appliers return
+the batch's PUBLISHED survivors (``markers.read_batch_output`` — the
+batch-tagged files in the live output tree), which is exactly what the
+original run handed downstream. tests/test_ingest_day.py pins the
+whole composition — including a mid-chain injected crash — against
+the one-shot batch rebuild of every store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: the multiplexed feed's column split
+DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+ORDER_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+
+
+def ingest_day_applier(
+    paths: "dict[str, str]",
+    checkpoint: str,
+    embeddings: DataFrame,
+):
+    """Build the composed per-batch applier. ``paths`` names every
+    store root: fp_store/fp_out, mh_store/mh_out, sh_store/sh_out,
+    ann_store/ann_out, bm25, edges, hll, hdr, scd2. ``embeddings``
+    is the static (vec_id, embedding) lookup joined to the exact
+    survivors' doc_ids (vec_id == doc_id in the fixture corpus)."""
+    from ..operators.sketch import hdr_sketch, hll_registers
+    from .dedup import (
+        embedding_applier,
+        exact_dedup_applier,
+        near_dup_applier,
+        simhash_applier,
+    )
+    from .graphs import link_graph_applier
+    from .indexing import bm25_applier
+    from .sketches import sketch_merge_applier
+    from .warehouse import scd2_applier
+
+    exact = exact_dedup_applier(paths["fp_store"], paths["fp_out"], checkpoint)
+    near = near_dup_applier(paths["mh_store"], paths["mh_out"], checkpoint)
+    sim = simhash_applier(paths["sh_store"], paths["sh_out"], checkpoint)
+    emb = embedding_applier(paths["ann_store"], paths["ann_out"], checkpoint)
+    bm25 = bm25_applier(paths["bm25"], checkpoint)
+    edges = link_graph_applier(paths["edges"], checkpoint)
+    hll = sketch_merge_applier(
+        paths["hll"],
+        checkpoint,
+        build_batch=lambda b: hll_registers(b, "lang", "doc_id"),
+        merge_keys=("lang", "bucket"),
+        merge_agg=lambda: F.max("reg").alias("reg"),
+    )
+    hdr = sketch_merge_applier(
+        paths["hdr"],
+        checkpoint,
+        build_batch=lambda b: hdr_sketch(b, "lang", "n_chars"),
+        merge_keys=("lang", "idx"),
+        merge_agg=lambda: F.sum("cnt").cast("bigint").alias("cnt"),
+    )
+    scd2 = scd2_applier(paths["scd2"], checkpoint)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.localCheckpoint(eager=True)
+        docs = batch_df.filter(F.col("kind") == "doc").select(*DOC_COLS)
+        cdc = batch_df.filter(F.col("kind") == "order").select(*ORDER_COLS)
+
+        # document lane: the chained curation tiers — each applier is
+        # individually idempotent, and a marker-hit tier returns its
+        # published survivors so the chain survives re-delivery
+        s_exact = exact(docs, batch_id)
+        if s_exact is None:
+            s_exact = docs.limit(0)
+        s_near = near(s_exact, batch_id)
+        if s_near is None:
+            s_near = s_exact.limit(0)
+        s_sim = sim(s_near, batch_id)
+        if s_sim is None:
+            s_sim = s_near.limit(0)
+
+        # embedding tier off the exact survivors (near/sim text dedup
+        # and embedding near-dup are parallel curation axes)
+        batch_embs = embeddings.join(
+            s_exact.select(F.col("doc_id").alias("vec_id")), "vec_id"
+        )
+        emb(batch_embs, batch_id)
+
+        # derived stores off the final text-dedup survivors
+        bm25(s_sim, batch_id)
+        edges(s_sim, batch_id)
+        hll(s_sim, batch_id)
+        hdr(s_sim, batch_id)
+
+        # warehouse lane
+        scd2(cdc, batch_id)
+
+    return _ingest
+
+
+def ingest_day_stream(
+    feed_stream: DataFrame,
+    paths: "dict[str, str]",
+    checkpoint: str,
+    embeddings: DataFrame,
+):
+    """The composed ingest day as ONE started stream (availableNow):
+    see ``ingest_day_applier`` for the tier graph and the exactly-once
+    composition argument."""
+    return (
+        feed_stream.writeStream.foreachBatch(
+            ingest_day_applier(paths, checkpoint, embeddings)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

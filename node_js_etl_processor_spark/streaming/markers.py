@@ -355,6 +355,26 @@ def cleanup_staging(root: str, tag: str) -> None:
     _delete(_staging_root(root, tag))
 
 
+def read_batch_output(spark, root: str, tag: str):
+    """Read back exactly the files batch ``tag`` published at the
+    ROOT of an output directory (the ``""`` subpath of
+    ``stage_and_publish`` — the survivor outputs of the dedup ingest
+    loops). This is what lets a COMPOSED ingest loop re-deliver a
+    batch whose early tiers already committed: the tier's survivors
+    cannot be recomputed (the store now contains the batch's own
+    rows, which would flip every keeper decision), but they are
+    sitting in the live tree under their batch-tagged names. Returns
+    None when the batch published no files (empty survivors)."""
+    files = [
+        posixpath.join(root, name)
+        for name, is_dir in _listdir(root)
+        if not is_dir and name.startswith(f"{tag}-") and name.endswith(".parquet")
+    ]
+    if not files:
+        return None
+    return spark.read.parquet(*files)
+
+
 def recover_all_partial(root: str) -> "list[str]":
     """Recover EVERY tag with a staging tree under ``root`` — the
     repair sweep for crashed AD-HOC appends (``append_bm25_index`` /

@@ -37,15 +37,16 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 
 
-def sketch_merge_ingest_stream(
-    items_stream: DataFrame,
+def sketch_merge_applier(
     store_path: str,
     checkpoint: str,
     build_batch: Callable[[DataFrame], DataFrame],
     merge_keys: Sequence[str],
     merge_agg: Callable[[], Column],
 ):
-    """The generic versioned-pointer merge loop. ``build_batch`` maps
+    """The per-batch body of ``sketch_merge_ingest_stream`` as a
+    reusable applier (for the composed ingest-day loop).
+    ``build_batch`` maps
     a micro-batch to its sketch rows; the stored and batch sketches
     union and re-aggregate by ``merge_keys`` with ``merge_agg()`` (a
     fresh aggregate Column per call — MAX for HLL, SUM for counts).
@@ -92,8 +93,27 @@ def sketch_merge_ingest_stream(
         mark_batch_applied(meta_path, checkpoint, batch_id)
         gc_versions(store_path, keep=vname)
 
+    return _ingest
+
+
+def sketch_merge_ingest_stream(
+    items_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    build_batch: Callable[[DataFrame], DataFrame],
+    merge_keys: Sequence[str],
+    merge_agg: Callable[[], Column],
+):
+    """The generic versioned-pointer merge loop as a stream: see
+    ``sketch_merge_applier`` for the per-batch protocol (replay guard
+    → pointer self-check → merge → new version dir → atomic pointer
+    switch → marker → GC). Returns the started query (availableNow)."""
     return (
-        items_stream.writeStream.foreachBatch(_ingest)
+        items_stream.writeStream.foreachBatch(
+            sketch_merge_applier(
+                store_path, checkpoint, build_batch, merge_keys, merge_agg
+            )
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -20,18 +20,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def scd2_cdc_stream(
-    facts_stream: DataFrame,
+def scd2_applier(
     store_path: str,
     checkpoint: str,
     n_buckets: int = 32,
 ):
-    """Apply an orders-shaped CDC stream to the stored dimension: the
-    first batch bootstraps the store (full build — the batch is the
-    whole known history at that point), every later batch merges via
-    ``scd2_apply_delta`` (touched buckets only). availableNow trigger —
-    the same drain-the-source twin as every ingest loop here. Returns
-    the started query.
+    """The per-batch body of ``scd2_cdc_stream`` as a reusable applier
+    (for the composed ingest-day loop): the first batch bootstraps
+    the store (full build — the batch is the whole known history at
+    that point), every later batch merges via ``scd2_apply_delta``
+    (touched buckets only).
 
     The CDC contract is inherited: arrival order must respect the
     per-key (o_orderdate, o_orderkey) order, the standard assumption
@@ -100,8 +98,23 @@ def scd2_cdc_stream(
             )
         mark_batch_applied(meta_path, checkpoint, batch_id)
 
+    return _apply
+
+
+def scd2_cdc_stream(
+    facts_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    n_buckets: int = 32,
+):
+    """Apply an orders-shaped CDC stream to the stored dimension: see
+    ``scd2_applier`` for the per-batch semantics and the exactly-once
+    protocol. availableNow trigger — the same drain-the-source twin
+    as every ingest loop here. Returns the started query."""
     return (
-        facts_stream.writeStream.foreachBatch(_apply)
+        facts_stream.writeStream.foreachBatch(
+            scd2_applier(store_path, checkpoint, n_buckets)
+        )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
