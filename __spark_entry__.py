@@ -92,19 +92,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_corpus_pipeline, q_binary_meta, q_dedup_docs, q_dedup_ngram,
     q_redact_pii, q_gopher_rules, q_lm_perplexity, q_pq_encode,
     q_pq_topk, q_ivfpq_topk, q_weighted_sample, q_curation_pipeline,
-    q_dedup_clusters — last driver row r9), then the 32 oldest
-    r11-green queries (registry order) fill the window to 50. That
-    fill span contains every query whose code changed in r13
-    (q_audio_g711 / q_audio_adpcm / q_audio_probe — the ADPCM
-    lockstep-decode + cross-row batch rewiring), so rotation rule #2
-    ("changed code ⇒ in window") holds; scripts/check_rotation.py now
-    enforces that rule MECHANICALLY against the git diff and
-    tests/test_rotation.py exercises it. The 18 r11-green queries
-    that don't fit are the NAMED r14 deferrals rather than silently
-    dropped: q_dedup_embedding, q_similarity_ann, q_similarity_ivf,
-    q_chunk_documents, q_pack_chunks, q_chunk_pack_pipeline, q_bm25,
-    q_dedup_minhash, q_multimodal_features, q_dedup_simhash,
-    q_url_dedup, q_semantic_decontaminate, q_audio_features, q_scd2,
+    q_dedup_clusters — last driver row r9), then 29 of the oldest
+    r11-green queries (registry order) and the r13 CHANGED-CODE set:
+    the ADPCM lockstep-decode + cross-row batch rewiring touched
+    q_audio_g711 / q_audio_adpcm / q_audio_probe (inside the fill
+    span), and the shared media-harness extraction
+    (operators/media_harness.py) touched q_tiff_features,
+    q_audio_features and q_multimodal_features, which were pulled
+    into the window displacing three unchanged fill entries. Rotation
+    rule #2 ("changed code ⇒ in window") is now enforced MECHANICALLY:
+    scripts/check_rotation.py diffs engine modules since the round
+    marker, resolves queries via the registry's own closures and the
+    package import graph, and fails on any out-of-window hit;
+    tests/test_rotation.py runs it against the live tree every pytest
+    run. The 19 r11-green queries that don't fit are the NAMED r14
+    deferrals rather than silently dropped: q_sessionize,
+    q_decontaminate_hashed, q_similarity_topk, q_dedup_embedding,
+    q_similarity_ann, q_similarity_ivf, q_chunk_documents,
+    q_pack_chunks, q_chunk_pack_pipeline, q_bm25, q_dedup_minhash,
+    q_dedup_simhash, q_url_dedup, q_semantic_decontaminate, q_scd2,
     q_fuzzy_match, q_tfidf, q_gap_fill, q_countmin. r14 MUST window
     those first, then fill with the oldest r12-green queries; the
     overflow becomes the named r15 deferrals.
@@ -138,12 +144,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
         "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
-        # Then the 32 oldest r11-green queries (registry order) that
-        # fill the window to 50. This span includes ALL queries whose
-        # code changed in r13 (q_audio_g711 / q_audio_adpcm /
-        # q_audio_probe — the ADPCM lockstep decode + cross-row batch
-        # rewiring in operators/audio.py), satisfying rotation rule #2
-        # mechanically (scripts/check_rotation.py enforces it).
+        # Then 29 of the oldest r11-green queries (registry order)
+        # and, closing the window, the three r13 CHANGED-CODE pulls
+        # (q_tiff_features / q_audio_features / q_multimodal_features
+        # — the shared media-harness rewiring touched their modules;
+        # scripts/check_rotation.py flagged them and three unchanged
+        # fill entries moved to the r14 deferrals to make room). The
+        # ADPCM rewiring's queries (q_audio_g711/q_audio_adpcm/
+        # q_audio_probe) sit in the fill span below.
         "q_union_sources": _q(["customer"], relational.q_union_sources),
         "q_count_by_source": _q(["orders"], relational.q_count_by_source),
         "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
@@ -173,15 +181,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_explode_words": _q(["part"], relational.q_explode_words),
         "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
         "q_asof_join": _q(["events"], temporal.q_asof_join),
-        "q_sessionize": _q(["events"], sessionize.q_sessionize),
-        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
         "q_media_resize": _q(["documents"], q_media_resize),
         "q_frame_sample": _q(["documents"], q_frame_sample),
-        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
+        "q_tiff_features": _q(["documents"], q_tiff_features),
+        "q_audio_features": _q(["documents"], q_audio_features),
+        "q_multimodal_features": _q(["documents"], q_multimodal_features),
         # ---- oracle-paired but outside the 50-entry driver window ----
-        # First the NAMED r14 deferrals (see docstring): the 18
-        # r11-green queries the window couldn't fit. r14 MUST window
-        # these first.
+        # First the NAMED r14 deferrals (see docstring): r14 MUST
+        # window these first.
+        "q_sessionize": _q(["events"], sessionize.q_sessionize),
+        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
+        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
         "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
         "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
         "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
@@ -190,19 +200,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
         "q_bm25": _q(["documents"], text.q_bm25),
         "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
-        "q_multimodal_features": _q(["documents"], q_multimodal_features),
         "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
         "q_url_dedup": _q(["documents"], text.q_url_dedup),
         "q_semantic_decontaminate": _q(
             ["embeddings"], similarity.q_semantic_decontaminate
         ),
-        "q_audio_features": _q(["documents"], q_audio_features),
         "q_scd2": _q(["orders"], relational.q_scd2),
         "q_fuzzy_match": _q(["customer"], dedup.q_fuzzy_match),
         "q_tfidf": _q(["documents"], text.q_tfidf),
         "q_gap_fill": _q(["events"], temporal.q_gap_fill),
         "q_countmin": _q(["orders"], sketch.q_countmin),
-        # Then the 50 r12-green queries that rotate OUT (their
+        # Then the r12-green queries that rotate OUT (their
         # CORRECTNESS_r12 rows are one cycle old — within the
         # invariant); all remain under the local parity gate and the
         # committed FULLVERIFY artifact every round. q_agg_pricing
@@ -224,7 +232,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_unpivot": _q(["orders"], relational.q_unpivot),
         "q_collect_agg": _q(["orders"], relational.q_collect_agg),
         "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
-        "q_tiff_features": _q(["documents"], q_tiff_features),
         "q_pagerank": _q(
             ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
         ),

@@ -43,7 +43,6 @@ from pyspark.sql.types import (
 )
 
 from node_js_etl_processor_spark.operators.multimodal import (
-    MEDIA_SCHEMA,
     DecodeUnavailable,
     encode_wav,
     parse_wav_chunks,
@@ -665,49 +664,34 @@ def synth_g711_media(documents: DataFrame) -> DataFrame:
     decoded statistic is closed-form in doc_id via the published
     segment/mantissa arithmetic — which is what lets a SQL oracle
     check the distributed compand→decode roundtrip exactly."""
-    import pandas as pd
+    import numpy as np
 
-    from node_js_etl_processor_spark.catalog import spread
+    from .media_harness import per_doc, synth_media
 
-    def run(batches):
-        import numpy as np
+    bad_fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
+    # RIFF content size = "WAVE" + fmt chunk + data chunk, computed
+    # (a wrong literal here would quietly turn the flavor-rejection
+    # lane into a junk-rejection lane if the walker ever honors it)
+    bad_body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    )
+    bad = b"RIFF" + struct.pack("<I", len(bad_body)) + bad_body
 
-        bad_fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)
-        # RIFF content size = "WAVE" + fmt chunk + data chunk, computed
-        # (a wrong literal here would quietly turn the flavor-rejection
-        # lane into a junk-rejection lane if the walker ever honors it)
-        bad_body = (
-            b"WAVE"
-            + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
-            + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
-        )
-        bad = b"RIFF" + struct.pack("<I", len(bad_body)) + bad_body
-        for pdf in batches:
-            rows = {k: [] for k in (
-                "media_id", "modality", "mime", "payload", "sha256", "n_bytes",
-            )}
-            for did in pdf["doc_id"]:
-                did = int(did)
-                rows["media_id"].append(did)
-                rows["modality"].append("audio")
-                rows["sha256"].append(None)
-                rows["n_bytes"].append(None)
-                if did % 11 == 0:
-                    rows["mime"].append("audio/wav")
-                    rows["payload"].append(bad)
-                    continue
-                law = "mulaw" if did % 2 == 0 else "alaw"
-                rows["mime"].append(f"audio/wav;codec={law}")
-                amp = 1000 + (did % 20) * 500
-                period = 2 + did % 7
-                n = 400 + (did % 5) * 80
-                i = np.arange(n)
-                sign = np.where((i // period) % 2 == 0, 1, -1)
-                samples = (sign * amp).astype(np.int16)
-                rows["payload"].append(encode_wav_g711(samples, 8000, law))
-            yield pd.DataFrame(rows)
+    def make_row(did: int):
+        if did % 11 == 0:
+            return "audio/wav", bad
+        law = "mulaw" if did % 2 == 0 else "alaw"
+        amp = 1000 + (did % 20) * 500
+        period = 2 + did % 7
+        n = 400 + (did % 5) * 80
+        i = np.arange(n)
+        sign = np.where((i // period) % 2 == 0, 1, -1)
+        samples = (sign * amp).astype(np.int16)
+        return f"audio/wav;codec={law}", encode_wav_g711(samples, 8000, law)
 
-    return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    return synth_media(documents, per_doc(make_row), "audio")
 
 
 def audio_g711_features(media: DataFrame) -> DataFrame:
@@ -717,42 +701,26 @@ def audio_g711_features(media: DataFrame) -> DataFrame:
     silence/clipping triage features, kept integral so an oracle can
     match them exactly). Unsupported flavors and corrupt payloads
     surface as ok=false rows."""
-    import pandas as pd
+    import numpy as np
 
-    from node_js_etl_processor_spark.catalog import spread
+    from .media_harness import media_features
 
-    def run(batches):
-        import numpy as np
+    def extract(payload):
+        arr, rate, law = decode_wav_g711(payload)
+        flat = arr.astype(np.int64).reshape(-1)
+        return [
+            {
+                "law": law,
+                "sample_rate": rate,
+                "n_samples": arr.shape[0],
+                "peak_pos": int(flat.max()) if flat.size else 0,
+                "peak_neg": int(flat.min()) if flat.size else 0,
+                "sum_samples": int(flat.sum()),
+                "sum_abs": int(np.abs(flat).sum()),
+            }
+        ]
 
-        for pdf in batches:
-            out = {k: [] for k in (
-                "media_id", "ok", "law", "sample_rate", "n_samples",
-                "peak_pos", "peak_neg", "sum_samples", "sum_abs",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                out["media_id"].append(mid)
-                try:
-                    arr, rate, law = decode_wav_g711(
-                        bytes(payload) if payload is not None else None
-                    )
-                    flat = arr.astype(np.int64).reshape(-1)
-                    out["ok"].append("true")
-                    out["law"].append(law)
-                    out["sample_rate"].append(rate)
-                    out["n_samples"].append(arr.shape[0])
-                    out["peak_pos"].append(int(flat.max()) if flat.size else 0)
-                    out["peak_neg"].append(int(flat.min()) if flat.size else 0)
-                    out["sum_samples"].append(int(flat.sum()))
-                    out["sum_abs"].append(int(np.abs(flat).sum()))
-                except DecodeUnavailable:
-                    out["ok"].append("false")
-                    out["law"].append(None)
-                    for k in ("sample_rate", "n_samples", "peak_pos",
-                              "peak_neg", "sum_samples", "sum_abs"):
-                        out[k].append(None)
-            yield pd.DataFrame(out)
-
-    return spread(media).mapInPandas(run, G711_FEATURE_SCHEMA)
+    return media_features(media, G711_FEATURE_SCHEMA, extract)
 
 
 ADPCM_FEATURE_SCHEMA = StructType(
@@ -779,99 +747,77 @@ def synth_adpcm_media(documents: DataFrame) -> DataFrame:
     rejection under the gate. ADPCM is stateful, so the features are
     NOT closed-form — the SQL oracle replays the full encoder/decoder
     state machine as a recursive CTE over the published step tables."""
-    import pandas as pd
+    import numpy as np
 
-    from node_js_etl_processor_spark.catalog import spread
+    from .media_harness import synth_media
 
-    def run(batches):
-        import numpy as np
+    bad = encode_wav_g711(np.full(16, 1000, dtype=np.int16), 8000, "mulaw")
 
-        for pdf in batches:
-            rows = {k: [] for k in (
-                "media_id", "modality", "mime", "payload", "sha256", "n_bytes",
-            )}
-            # Two passes: collect every ADPCM signal in the batch, then
-            # quantize them all in ONE cross-signal lockstep call
-            # (encode_wav_adpcm_batch — the whole batch's blocks as
-            # lanes), then fill payloads back positionally.
-            signals, signal_rows = [], []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                rows["media_id"].append(did)
-                rows["modality"].append("audio")
-                rows["sha256"].append(None)
-                rows["n_bytes"].append(None)
-                if did % 11 == 0:
-                    rows["mime"].append("audio/wav;codec=mulaw")
-                    rows["payload"].append(
-                        encode_wav_g711(
-                            np.full(16, 1000, dtype=np.int16), 8000, "mulaw"
-                        )
-                    )
-                    continue
-                rows["mime"].append("audio/wav;codec=ima-adpcm")
-                amp = 600 + (did % 25) * 400
-                period = 2 + did % 6
-                n = 300 + (did % 4) * 120
-                i = np.arange(n)
-                sign = np.where((i // period) % 2 == 0, 1, -1)
-                signals.append((sign * amp).astype(np.int16))
-                signal_rows.append(len(rows["payload"]))
-                rows["payload"].append(None)
-            for pos, payload in zip(
-                signal_rows, encode_wav_adpcm_batch(signals, 8000)
-            ):
-                rows["payload"][pos] = payload
-            yield pd.DataFrame(rows)
+    def make_rows(doc_ids):
+        # Two passes: collect every ADPCM signal in the batch, then
+        # quantize them all in ONE cross-signal lockstep call
+        # (encode_wav_adpcm_batch — the whole batch's blocks as
+        # lanes), then fill payloads back positionally.
+        mimes, payloads, signals, signal_pos = [], [], [], []
+        for did in doc_ids:
+            if did % 11 == 0:
+                mimes.append("audio/wav;codec=mulaw")
+                payloads.append(bad)
+                continue
+            mimes.append("audio/wav;codec=ima-adpcm")
+            amp = 600 + (did % 25) * 400
+            period = 2 + did % 6
+            n = 300 + (did % 4) * 120
+            i = np.arange(n)
+            sign = np.where((i // period) % 2 == 0, 1, -1)
+            signals.append((sign * amp).astype(np.int16))
+            signal_pos.append(len(payloads))
+            payloads.append(None)
+        for pos, payload in zip(
+            signal_pos, encode_wav_adpcm_batch(signals, 8000)
+        ):
+            payloads[pos] = payload
+        return mimes, payloads
 
-    return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    return synth_media(documents, make_rows, "audio")
 
 
 def audio_adpcm_features(media: DataFrame) -> DataFrame:
     """Distributed IMA-ADPCM feature pass: decode tag-0x11 payloads
     through the REAL block decoder and emit exact-integer statistics
     of the reconstructed signal (payload-only — no side knowledge of
-    the source wave). Unsupported flavors surface as ok=false rows."""
-    import pandas as pd
+    the source wave). Unsupported flavors surface as ok=false rows.
+    The whole Arrow batch decodes in ONE cross-payload lockstep call
+    (``decode_wav_adpcm_batch``); per-payload DecodeUnavailable
+    isolation survives as error entries in the result list."""
+    import numpy as np
 
-    from node_js_etl_processor_spark.catalog import spread
+    from .media_harness import media_features
 
-    def run(batches):
-        import numpy as np
-
-        for pdf in batches:
-            out = {k: [] for k in (
-                "media_id", "ok", "sample_rate", "n_samples",
-                "sum_decoded", "peak_pos", "peak_neg",
-            )}
-            # One cross-payload lockstep decode for the whole Arrow
-            # batch; per-payload DecodeUnavailable isolation survives
-            # as error entries in the result list.
-            decoded = decode_wav_adpcm_batch(
+    def extract_batch(payloads):
+        results = []
+        for res in decode_wav_adpcm_batch(payloads):
+            if isinstance(res, DecodeUnavailable):
+                results.append(res)
+                continue
+            arr, rate = res
+            flat = arr.astype(np.int64)
+            results.append(
                 [
-                    bytes(p) if p is not None else None
-                    for p in pdf["payload"]
+                    {
+                        "sample_rate": rate,
+                        "n_samples": int(flat.shape[0]),
+                        "sum_decoded": int(flat.sum()),
+                        "peak_pos": int(flat.max()) if flat.size else 0,
+                        "peak_neg": int(flat.min()) if flat.size else 0,
+                    }
                 ]
             )
-            for mid, res in zip(pdf["media_id"], decoded):
-                out["media_id"].append(mid)
-                if isinstance(res, DecodeUnavailable):
-                    out["ok"].append("false")
-                    for k in ("sample_rate", "n_samples", "sum_decoded",
-                              "peak_pos", "peak_neg"):
-                        out[k].append(None)
-                    continue
-                arr, rate = res
-                flat = arr.astype(np.int64)
-                out["ok"].append("true")
-                out["sample_rate"].append(rate)
-                out["n_samples"].append(int(flat.shape[0]))
-                out["sum_decoded"].append(int(flat.sum()))
-                out["peak_pos"].append(int(flat.max()) if flat.size else 0)
-                out["peak_neg"].append(int(flat.min()) if flat.size else 0)
-            yield pd.DataFrame(out)
+        return results
 
-    return spread(media).mapInPandas(run, ADPCM_FEATURE_SCHEMA)
+    return media_features(
+        media, ADPCM_FEATURE_SCHEMA, extract_batch=extract_batch
+    )
 
 
 def q_audio_adpcm(documents: DataFrame) -> DataFrame:
@@ -1056,52 +1002,34 @@ def synth_mixed_audio_media(documents: DataFrame) -> DataFrame:
     payload — a RECOGNIZED-but-undecodable format, so the probe's
     honest boundary (report the container, refuse the decode) is
     under the oracle gate."""
-    import pandas as pd
+    import numpy as np
 
-    from node_js_etl_processor_spark.catalog import spread
+    from .media_harness import per_doc, synth_media
 
-    def run(batches):
-        import numpy as np
+    def make_row(did: int):
+        if did % 11 == 0:
+            return "audio/flac", b"fLaC\x00\x00\x00\x22" + bytes(16)
+        n = 200 + (did % 5) * 40
+        rate = 8000 * (1 + did % 2)
+        amp = 900 + (did % 10) * 300
+        i = np.arange(n)
+        sig = (np.where((i // 3) % 2 == 0, 1, -1) * amp).astype(np.int16)
+        v = did % 7
+        if v == 0:
+            return "audio/wav", encode_wav(sig, rate)
+        if v == 1:
+            return "audio/wav", encode_wav_g711(sig, rate, "mulaw")
+        if v == 2:
+            return "audio/wav", encode_wav_g711(sig, rate, "alaw")
+        if v == 3:
+            return "audio/wav", encode_wav_adpcm(sig, rate)
+        if v == 4:
+            return "audio/basic", encode_au(sig, rate, AU_ENC_MULAW)
+        if v == 5:
+            return "audio/basic", encode_au(sig, rate, AU_ENC_ALAW)
+        return "audio/basic", encode_au(sig, rate, AU_ENC_PCM16)
 
-        for pdf in batches:
-            rows = {k: [] for k in (
-                "media_id", "modality", "mime", "payload", "sha256", "n_bytes",
-            )}
-            for did in pdf["doc_id"]:
-                did = int(did)
-                rows["media_id"].append(did)
-                rows["modality"].append("audio")
-                rows["sha256"].append(None)
-                rows["n_bytes"].append(None)
-                if did % 11 == 0:
-                    rows["mime"].append("audio/flac")
-                    rows["payload"].append(b"fLaC\x00\x00\x00\x22" + bytes(16))
-                    continue
-                n = 200 + (did % 5) * 40
-                rate = 8000 * (1 + did % 2)
-                amp = 900 + (did % 10) * 300
-                i = np.arange(n)
-                sig = (np.where((i // 3) % 2 == 0, 1, -1) * amp).astype(np.int16)
-                v = did % 7
-                if v == 0:
-                    payload, mime = encode_wav(sig, rate), "audio/wav"
-                elif v == 1:
-                    payload, mime = encode_wav_g711(sig, rate, "mulaw"), "audio/wav"
-                elif v == 2:
-                    payload, mime = encode_wav_g711(sig, rate, "alaw"), "audio/wav"
-                elif v == 3:
-                    payload, mime = encode_wav_adpcm(sig, rate), "audio/wav"
-                elif v == 4:
-                    payload, mime = encode_au(sig, rate, AU_ENC_MULAW), "audio/basic"
-                elif v == 5:
-                    payload, mime = encode_au(sig, rate, AU_ENC_ALAW), "audio/basic"
-                else:
-                    payload, mime = encode_au(sig, rate, AU_ENC_PCM16), "audio/basic"
-                rows["mime"].append(mime)
-                rows["payload"].append(payload)
-            yield pd.DataFrame(rows)
-
-    return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    return synth_media(documents, per_doc(make_row), "audio")
 
 
 def audio_probe_features(media: DataFrame) -> DataFrame:
@@ -1110,45 +1038,29 @@ def audio_probe_features(media: DataFrame) -> DataFrame:
     undecodable magics (FLAC/OGG/MP3) surface as ok=false WITH the
     container named — the triage a 100 TB audio lake runs before
     routing payloads to format-specific decode passes."""
-    import pandas as pd
+    from .media_harness import media_features
 
-    from node_js_etl_processor_spark.catalog import spread
+    def extract(payload):
+        b = payload if payload is not None else b""
+        known = next(
+            (name for magic, name in _KNOWN_UNSUPPORTED if b.startswith(magic)),
+            None,
+        )
+        if known is not None:
+            # recognized-but-refused: ok=false WITH the container named
+            return [{"ok": "false", "container": known}]
+        cont, codec, rate, ch, n = probe_audio(b)
+        return [
+            {
+                "container": cont,
+                "codec": codec,
+                "sample_rate": rate,
+                "n_channels": ch,
+                "n_samples": n,
+            }
+        ]
 
-    def run(batches):
-        for pdf in batches:
-            out = {k: [] for k in (
-                "media_id", "ok", "container", "codec",
-                "sample_rate", "n_channels", "n_samples",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                out["media_id"].append(mid)
-                b = bytes(payload) if payload is not None else b""
-                known = next(
-                    (name for magic, name in _KNOWN_UNSUPPORTED
-                     if b.startswith(magic)), None
-                )
-                if known is not None:
-                    out["ok"].append("false")
-                    out["container"].append(known)
-                    for k in ("codec", "sample_rate", "n_channels", "n_samples"):
-                        out[k].append(None)
-                    continue
-                try:
-                    cont, codec, rate, ch, n = probe_audio(b)
-                    out["ok"].append("true")
-                    out["container"].append(cont)
-                    out["codec"].append(codec)
-                    out["sample_rate"].append(rate)
-                    out["n_channels"].append(ch)
-                    out["n_samples"].append(n)
-                except DecodeUnavailable:
-                    out["ok"].append("false")
-                    for k in ("container", "codec", "sample_rate",
-                              "n_channels", "n_samples"):
-                        out[k].append(None)
-            yield pd.DataFrame(out)
-
-    return spread(media).mapInPandas(run, AUDIO_PROBE_SCHEMA)
+    return media_features(media, AUDIO_PROBE_SCHEMA, extract)
 
 
 def q_audio_probe(documents: DataFrame) -> DataFrame:

@@ -563,9 +563,10 @@ def sample_gif_frames(media: DataFrame, step: int = FRAME_STEP) -> DataFrame:
     blobs are never exploded Spark-side."""
     import hashlib
 
-    import pandas as pd
-
-    from node_js_etl_processor_spark.catalog import spread
+    from node_js_etl_processor_spark.operators.gif import decode_gif_frames
+    from node_js_etl_processor_spark.operators.media_harness import (
+        media_features,
+    )
 
     schema = StructType(
         [
@@ -580,40 +581,23 @@ def sample_gif_frames(media: DataFrame, step: int = FRAME_STEP) -> DataFrame:
         ]
     )
 
-    def run(batches):
-        from node_js_etl_processor_spark.operators.gif import decode_gif_frames
+    def extract(payload):
+        frames, delays = decode_gif_frames(payload)
+        return [
+            {
+                "frame_no": f,
+                "n_frames": len(frames),
+                "height": frames[f].shape[0],
+                "width": frames[f].shape[1],
+                "delay_cs": delays[f],
+                "frame_md5": hashlib.md5(
+                    frames[f].tobytes().hex().encode()
+                ).hexdigest(),
+            }
+            for f in range(0, len(frames), step)
+        ]
 
-        cols = (
-            "media_id", "ok", "frame_no", "n_frames",
-            "width", "height", "delay_cs", "frame_md5",
-        )
-        for pdf in batches:
-            out = {k: [] for k in cols}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                try:
-                    frames, delays = decode_gif_frames(
-                        bytes(payload) if payload is not None else None
-                    )
-                except DecodeUnavailable:
-                    out["media_id"].append(mid)
-                    out["ok"].append("false")
-                    for k in cols[2:]:
-                        out[k].append(None)
-                    continue
-                for f in range(0, len(frames), step):
-                    out["media_id"].append(mid)
-                    out["ok"].append("true")
-                    out["frame_no"].append(f)
-                    out["n_frames"].append(len(frames))
-                    out["height"].append(frames[f].shape[0])
-                    out["width"].append(frames[f].shape[1])
-                    out["delay_cs"].append(delays[f])
-                    out["frame_md5"].append(
-                        hashlib.md5(frames[f].tobytes().hex().encode()).hexdigest()
-                    )
-            yield pd.DataFrame(out)
-
-    return spread(media).mapInPandas(run, schema)
+    return media_features(media, schema, extract)
 
 
 def q_media_resize(documents: DataFrame) -> DataFrame:
@@ -761,9 +745,11 @@ def audio_features_wav(media: DataFrame) -> DataFrame:
     gate filters on — silence/clipping detection). Non-WAV or corrupt
     payloads surface as ok=false rows (one skippable record each),
     never executor errors."""
-    import pandas as pd
+    import numpy as np
 
-    from node_js_etl_processor_spark.catalog import spread
+    from node_js_etl_processor_spark.operators.media_harness import (
+        media_features,
+    )
 
     schema = StructType(
         [
@@ -777,33 +763,20 @@ def audio_features_wav(media: DataFrame) -> DataFrame:
         ]
     )
 
-    def run(batches):
-        import numpy as np
+    def extract(payload):
+        arr, rate = decode_wav(payload)
+        mono = arr.astype(np.float64).mean(axis=1)
+        return [
+            {
+                "sample_rate": rate,
+                "n_channels": arr.shape[1],
+                "duration_ms": int(arr.shape[0] * 1000 / rate),
+                "rms": f"{float(np.sqrt(np.mean(mono ** 2))):.4f}",
+                "peak": int(np.abs(arr).max()) if arr.size else 0,
+            }
+        ]
 
-        for pdf in batches:
-            out = {k: [] for k in (
-                "media_id", "ok", "sample_rate", "n_channels",
-                "duration_ms", "rms", "peak",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                out["media_id"].append(mid)
-                try:
-                    arr, rate = decode_wav(bytes(payload) if payload is not None else None)
-                    mono = arr.astype(np.float64).mean(axis=1)
-                    out["ok"].append("true")
-                    out["sample_rate"].append(rate)
-                    out["n_channels"].append(arr.shape[1])
-                    out["duration_ms"].append(int(arr.shape[0] * 1000 / rate))
-                    out["rms"].append(f"{float(np.sqrt(np.mean(mono ** 2))):.4f}")
-                    out["peak"].append(int(np.abs(arr).max()) if arr.size else 0)
-                except DecodeUnavailable:
-                    out["ok"].append("false")
-                    for k in ("sample_rate", "n_channels", "duration_ms", "peak"):
-                        out[k].append(None)
-                    out["rms"].append(None)
-            yield pd.DataFrame(out)
-
-    return spread(media).mapInPandas(run, schema)
+    return media_features(media, schema, extract)
 
 
 def synth_wav_media(documents: DataFrame) -> DataFrame:
@@ -818,42 +791,30 @@ def synth_wav_media(documents: DataFrame) -> DataFrame:
     the same gate. Because a square wave's samples are all ±amplitude,
     its duration/RMS/peak are closed-form in doc_id — which is what
     lets a SQL oracle check the distributed encode→decode roundtrip."""
-    import pandas as pd
+    import numpy as np
 
-    from node_js_etl_processor_spark.catalog import spread
+    from node_js_etl_processor_spark.operators.media_harness import (
+        per_doc,
+        synth_media,
+    )
 
-    def run(batches):
-        import numpy as np
+    def make_row(did: int):
+        if did % 11 == 0:
+            return "audio/wav", b"ID3\x04not-a-wav-payload"
+        amp = 1000 + (did % 20) * 500
+        period = 2 + did % 7
+        n = 800 + (did % 5) * 160
+        rate = 8000 if did % 2 == 0 else 16000
+        i = np.arange(n)
+        sign = np.where((i // period) % 2 == 0, 1, -1)
+        ch0 = (sign * amp).astype(np.int16)
+        if did % 2 == 1:
+            arr = np.stack([ch0, (sign * (amp // 2)).astype(np.int16)], axis=1)
+        else:
+            arr = ch0
+        return "audio/wav", encode_wav(arr, rate)
 
-        for pdf in batches:
-            rows = {k: [] for k in (
-                "media_id", "modality", "mime", "payload", "sha256", "n_bytes",
-            )}
-            for did in pdf["doc_id"]:
-                did = int(did)
-                rows["media_id"].append(did)
-                rows["modality"].append("audio")
-                rows["mime"].append("audio/wav")
-                rows["sha256"].append(None)
-                rows["n_bytes"].append(None)
-                if did % 11 == 0:
-                    rows["payload"].append(b"ID3\x04not-a-wav-payload")
-                    continue
-                amp = 1000 + (did % 20) * 500
-                period = 2 + did % 7
-                n = 800 + (did % 5) * 160
-                rate = 8000 if did % 2 == 0 else 16000
-                i = np.arange(n)
-                sign = np.where((i // period) % 2 == 0, 1, -1)
-                ch0 = (sign * amp).astype(np.int16)
-                if did % 2 == 1:
-                    arr = np.stack([ch0, (sign * (amp // 2)).astype(np.int16)], axis=1)
-                else:
-                    arr = ch0
-                rows["payload"].append(encode_wav(arr, rate))
-            yield pd.DataFrame(rows)
-
-    return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    return synth_media(documents, per_doc(make_row), "audio")
 
 
 def synth_gif_media(documents: DataFrame) -> DataFrame:
@@ -869,47 +830,35 @@ def synth_gif_media(documents: DataFrame) -> DataFrame:
     delay and raster digest closed-form in doc_id — the property that
     lets a SQL oracle check the distributed encode→decode→sample loop
     (md5 of a repeated 3-byte pattern)."""
-    import pandas as pd
+    import numpy as np
 
-    from node_js_etl_processor_spark.catalog import spread
     from node_js_etl_processor_spark.operators.gif import encode_gif
+    from node_js_etl_processor_spark.operators.media_harness import (
+        per_doc,
+        synth_media,
+    )
 
-    def run(batches):
-        import numpy as np
+    def make_row(did: int):
+        if did % 11 == 0:
+            return "image/gif", b"GIF89a\x00\x00truncated"
+        w, h = 4 + did % 5, 3 + did % 4
+        frames = [
+            np.full(
+                (h, w, 3),
+                (
+                    (did * 37 + f * 11) % 256,
+                    (did * 53 + f * 29) % 256,
+                    (did * 71 + f * 13) % 256,
+                ),
+                dtype=np.uint8,
+            )
+            for f in range(1 + did % 3)
+        ]
+        return "image/gif", encode_gif(
+            frames, delays=[2 * f for f in range(len(frames))]
+        )
 
-        for pdf in batches:
-            rows = {k: [] for k in (
-                "media_id", "modality", "mime", "payload", "sha256", "n_bytes",
-            )}
-            for did in pdf["doc_id"]:
-                did = int(did)
-                rows["media_id"].append(did)
-                rows["modality"].append("image")
-                rows["mime"].append("image/gif")
-                rows["sha256"].append(None)
-                rows["n_bytes"].append(None)
-                if did % 11 == 0:
-                    rows["payload"].append(b"GIF89a\x00\x00truncated")
-                    continue
-                w, h = 4 + did % 5, 3 + did % 4
-                frames = [
-                    np.full(
-                        (h, w, 3),
-                        (
-                            (did * 37 + f * 11) % 256,
-                            (did * 53 + f * 29) % 256,
-                            (did * 71 + f * 13) % 256,
-                        ),
-                        dtype=np.uint8,
-                    )
-                    for f in range(1 + did % 3)
-                ]
-                rows["payload"].append(
-                    encode_gif(frames, delays=[2 * f for f in range(len(frames))])
-                )
-            yield pd.DataFrame(rows)
-
-    return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    return synth_media(documents, per_doc(make_row), "image")
 
 
 def q_gif_frames(documents: DataFrame) -> DataFrame:
@@ -1106,38 +1055,24 @@ def synth_video_media(documents: DataFrame) -> DataFrame:
     keeps every sampled frame's raster digest closed-form in doc_id
     for the SQL oracle despite JPEG being lossy in general. Every
     doc_id % 13 == 0 row carries a corrupt RIFF payload instead."""
-    import pandas as pd
+    import numpy as np
 
-    from node_js_etl_processor_spark.catalog import spread
+    from node_js_etl_processor_spark.operators.media_harness import (
+        per_doc,
+        synth_media,
+    )
 
-    def run(batches):
-        import numpy as np
+    def make_row(did: int):
+        if did % 13 == 0:
+            return "video/avi", b"RIFF\x08\x00\x00\x00AVI corrupt"
+        w, h = 6 + did % 7, 5 + did % 5
+        frames = [
+            np.full((h, w, 3), (did * 37 + f * 29) % 256, dtype=np.uint8)
+            for f in range(1 + did % 4)
+        ]
+        return "video/avi", encode_avi_mjpeg(frames, fps=4 + did % 4)
 
-        for pdf in batches:
-            rows = {k: [] for k in (
-                "media_id", "modality", "mime", "payload", "sha256", "n_bytes",
-            )}
-            for did in pdf["doc_id"]:
-                did = int(did)
-                rows["media_id"].append(did)
-                rows["modality"].append("video")
-                rows["mime"].append("video/avi")
-                rows["sha256"].append(None)
-                rows["n_bytes"].append(None)
-                if did % 13 == 0:
-                    rows["payload"].append(b"RIFF\x08\x00\x00\x00AVI corrupt")
-                    continue
-                w, h = 6 + did % 7, 5 + did % 5
-                frames = [
-                    np.full((h, w, 3), (did * 37 + f * 29) % 256, dtype=np.uint8)
-                    for f in range(1 + did % 4)
-                ]
-                rows["payload"].append(
-                    encode_avi_mjpeg(frames, fps=4 + did % 4)
-                )
-            yield pd.DataFrame(rows)
-
-    return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    return synth_media(documents, per_doc(make_row), "video")
 
 
 def sample_video_frames(media: DataFrame, step: int = FRAME_STEP) -> DataFrame:
@@ -1152,9 +1087,9 @@ def sample_video_frames(media: DataFrame, step: int = FRAME_STEP) -> DataFrame:
     exploded Spark-side."""
     import hashlib
 
-    import pandas as pd
-
-    from node_js_etl_processor_spark.catalog import spread
+    from node_js_etl_processor_spark.operators.media_harness import (
+        media_features,
+    )
 
     schema = StructType(
         [
@@ -1169,38 +1104,23 @@ def sample_video_frames(media: DataFrame, step: int = FRAME_STEP) -> DataFrame:
         ]
     )
 
-    def run(batches):
-        cols = (
-            "media_id", "ok", "frame_no", "n_frames",
-            "width", "height", "usec_per_frame", "frame_md5",
-        )
-        for pdf in batches:
-            out = {k: [] for k in cols}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                try:
-                    frames, upf = decode_avi_frames(
-                        bytes(payload) if payload is not None else None
-                    )
-                except DecodeUnavailable:
-                    out["media_id"].append(mid)
-                    out["ok"].append("false")
-                    for k in cols[2:]:
-                        out[k].append(None)
-                    continue
-                for f in range(0, len(frames), step):
-                    out["media_id"].append(mid)
-                    out["ok"].append("true")
-                    out["frame_no"].append(f)
-                    out["n_frames"].append(len(frames))
-                    out["height"].append(frames[f].shape[0])
-                    out["width"].append(frames[f].shape[1])
-                    out["usec_per_frame"].append(upf)
-                    out["frame_md5"].append(
-                        hashlib.md5(frames[f].tobytes().hex().encode()).hexdigest()
-                    )
-            yield pd.DataFrame(out)
+    def extract(payload):
+        frames, upf = decode_avi_frames(payload)
+        return [
+            {
+                "frame_no": f,
+                "n_frames": len(frames),
+                "height": frames[f].shape[0],
+                "width": frames[f].shape[1],
+                "usec_per_frame": upf,
+                "frame_md5": hashlib.md5(
+                    frames[f].tobytes().hex().encode()
+                ).hexdigest(),
+            }
+            for f in range(0, len(frames), step)
+        ]
 
-    return spread(media).mapInPandas(run, schema)
+    return media_features(media, schema, extract)
 
 
 def q_video_frames(documents: DataFrame) -> DataFrame:

@@ -171,50 +171,34 @@ def synth_netpbm_media(documents: DataFrame) -> DataFrame:
     part naive readers break on). Every doc_id%11==0 row carries a
     REAL BMP payload instead — foreign-format rejection under the
     gate."""
-    import pandas as pd
+    import numpy as np
 
-    from node_js_etl_processor_spark.catalog import spread
+    from node_js_etl_processor_spark.operators.media_harness import (
+        per_doc,
+        synth_media,
+    )
     from node_js_etl_processor_spark.operators.multimodal import encode_bmp
 
-    def run(batches):
-        import numpy as np
+    def make_row(did: int):
+        w, h = 3 + did % 6, 2 + did % 5
+        if did % 11 == 0:
+            return "image/bmp", encode_bmp(np.zeros((h, w, 3), dtype=np.uint8))
+        magic = ("P6", "P3", "P5", "P2")[did % 4]
+        mime = (
+            "image/x-portable-pixmap" if magic in ("P3", "P6")
+            else "image/x-portable-graymap"
+        )
+        if magic in ("P3", "P6"):
+            px = np.full(
+                (h, w, 3),
+                ((did * 37) % 256, (did * 53) % 256, (did * 71) % 256),
+                dtype=np.uint8,
+            )
+        else:
+            px = np.full((h, w), (did * 29) % 256, dtype=np.uint8)
+        return mime, encode_netpbm(px, magic, comment=f"doc {did}")
 
-        for pdf in batches:
-            rows = {k: [] for k in (
-                "media_id", "modality", "mime", "payload", "sha256", "n_bytes",
-            )}
-            for did in pdf["doc_id"]:
-                did = int(did)
-                rows["media_id"].append(did)
-                rows["modality"].append("image")
-                rows["sha256"].append(None)
-                rows["n_bytes"].append(None)
-                w, h = 3 + did % 6, 2 + did % 5
-                if did % 11 == 0:
-                    rows["mime"].append("image/bmp")
-                    rows["payload"].append(
-                        encode_bmp(np.zeros((h, w, 3), dtype=np.uint8))
-                    )
-                    continue
-                magic = ("P6", "P3", "P5", "P2")[did % 4]
-                rows["mime"].append(
-                    "image/x-portable-pixmap" if magic in ("P3", "P6")
-                    else "image/x-portable-graymap"
-                )
-                if magic in ("P3", "P6"):
-                    px = np.full(
-                        (h, w, 3),
-                        ((did * 37) % 256, (did * 53) % 256, (did * 71) % 256),
-                        dtype=np.uint8,
-                    )
-                else:
-                    px = np.full((h, w), (did * 29) % 256, dtype=np.uint8)
-                rows["payload"].append(
-                    encode_netpbm(px, magic, comment=f"doc {did}")
-                )
-            yield pd.DataFrame(rows)
-
-    return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    return synth_media(documents, per_doc(make_row), "image")
 
 
 def netpbm_features(media: DataFrame) -> DataFrame:
@@ -223,46 +207,30 @@ def netpbm_features(media: DataFrame) -> DataFrame:
     raster digest (md5 of the HEX-ENCODED sample bytes — the same
     convention as the GIF/video families, so the oracle rebuilds it
     as md5(repeat(printf('%02x…'), n)))."""
-    import pandas as pd
+    import hashlib
 
-    from node_js_etl_processor_spark.catalog import spread
+    import numpy as np
 
-    def run(batches):
-        import hashlib
+    from node_js_etl_processor_spark.operators.media_harness import (
+        media_features,
+    )
 
-        import numpy as np
+    def extract(payload):
+        arr, magic, maxval = decode_netpbm(payload)
+        return [
+            {
+                "fmt": magic,
+                "height": int(arr.shape[0]),
+                "width": int(arr.shape[1]),
+                "maxval": maxval,
+                "px_sum": int(arr.astype(np.int64).sum()),
+                "raster_md5": hashlib.md5(
+                    arr.reshape(-1).tobytes().hex().encode()
+                ).hexdigest(),
+            }
+        ]
 
-        for pdf in batches:
-            out = {k: [] for k in (
-                "media_id", "ok", "fmt", "width", "height", "maxval",
-                "px_sum", "raster_md5",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                out["media_id"].append(mid)
-                try:
-                    arr, magic, maxval = decode_netpbm(
-                        bytes(payload) if payload is not None else None
-                    )
-                    out["ok"].append("true")
-                    out["fmt"].append(magic)
-                    out["height"].append(int(arr.shape[0]))
-                    out["width"].append(int(arr.shape[1]))
-                    out["maxval"].append(maxval)
-                    out["px_sum"].append(int(arr.astype(np.int64).sum()))
-                    out["raster_md5"].append(
-                        hashlib.md5(
-                            arr.reshape(-1).tobytes().hex().encode()
-                        ).hexdigest()
-                    )
-                except DecodeUnavailable:
-                    out["ok"].append("false")
-                    out["fmt"].append(None)
-                    for k in ("width", "height", "maxval", "px_sum"):
-                        out[k].append(None)
-                    out["raster_md5"].append(None)
-            yield pd.DataFrame(out)
-
-    return spread(media).mapInPandas(run, NETPBM_FEATURE_SCHEMA)
+    return media_features(media, NETPBM_FEATURE_SCHEMA, extract)
 
 
 def q_netpbm_features(documents: DataFrame) -> DataFrame:

@@ -254,97 +254,65 @@ def synth_tiff_media(documents: DataFrame) -> DataFrame:
     encoded through the REAL ``encode_tiff``. Every doc_id%11==0 row
     carries a REAL netpbm payload instead — foreign-format rejection
     under the gate."""
-    import pandas as pd
+    import numpy as np
 
-    from node_js_etl_processor_spark.catalog import spread
+    from node_js_etl_processor_spark.operators.media_harness import (
+        per_doc,
+        synth_media,
+    )
     from node_js_etl_processor_spark.operators.netpbm import encode_netpbm
 
-    def run(batches):
-        import numpy as np
+    def make_row(did: int):
+        w, h = 3 + did % 6, 2 + did % 5
+        if did % 11 == 0:
+            return (
+                "image/x-portable-graymap",
+                encode_netpbm(np.zeros((h, w), np.uint8), "P5"),
+            )
+        v = did % 4
+        order = "II" if v in (0, 2) else "MM"
+        if v in (0, 1):
+            px = np.full(
+                (h, w, 3),
+                ((did * 37) % 256, (did * 53) % 256, (did * 71) % 256),
+                dtype=np.uint8,
+            )
+            return "image/tiff", encode_tiff(px, order)
+        px = np.full((h, w), (did * 29) % 256, dtype=np.uint8)
+        return "image/tiff", encode_tiff(px, order, rows_per_strip=2)
 
-        for pdf in batches:
-            rows = {k: [] for k in (
-                "media_id", "modality", "mime", "payload", "sha256", "n_bytes",
-            )}
-            for did in pdf["doc_id"]:
-                did = int(did)
-                rows["media_id"].append(did)
-                rows["modality"].append("image")
-                rows["sha256"].append(None)
-                rows["n_bytes"].append(None)
-                w, h = 3 + did % 6, 2 + did % 5
-                if did % 11 == 0:
-                    rows["mime"].append("image/x-portable-graymap")
-                    rows["payload"].append(
-                        encode_netpbm(np.zeros((h, w), np.uint8), "P5")
-                    )
-                    continue
-                rows["mime"].append("image/tiff")
-                v = did % 4
-                order = "II" if v in (0, 2) else "MM"
-                if v in (0, 1):
-                    px = np.full(
-                        (h, w, 3),
-                        ((did * 37) % 256, (did * 53) % 256, (did * 71) % 256),
-                        dtype=np.uint8,
-                    )
-                    rows["payload"].append(encode_tiff(px, order))
-                else:
-                    px = np.full((h, w), (did * 29) % 256, dtype=np.uint8)
-                    rows["payload"].append(
-                        encode_tiff(px, order, rows_per_strip=2)
-                    )
-            yield pd.DataFrame(rows)
-
-    return spread(documents).select("doc_id").mapInPandas(run, MEDIA_SCHEMA)
+    return synth_media(documents, per_doc(make_row), "image")
 
 
 def tiff_features(media: DataFrame) -> DataFrame:
     """Distributed TIFF feature pass: real IFD walk + strip reassembly
     per payload, exact pixel sums and hex-md5 raster digests (the
     GIF/video/netpbm convention)."""
-    import pandas as pd
+    import hashlib
 
-    from node_js_etl_processor_spark.catalog import spread
+    import numpy as np
 
-    def run(batches):
-        import hashlib
+    from node_js_etl_processor_spark.operators.media_harness import (
+        media_features,
+    )
 
-        import numpy as np
+    def extract(payload):
+        arr, order, n_strips = decode_tiff(payload)
+        return [
+            {
+                "byte_order": order,
+                "fmt": "rgb" if arr.ndim == 3 else "gray",
+                "height": int(arr.shape[0]),
+                "width": int(arr.shape[1]),
+                "n_strips": n_strips,
+                "px_sum": int(arr.astype(np.int64).sum()),
+                "raster_md5": hashlib.md5(
+                    arr.reshape(-1).tobytes().hex().encode()
+                ).hexdigest(),
+            }
+        ]
 
-        for pdf in batches:
-            out = {k: [] for k in (
-                "media_id", "ok", "byte_order", "fmt", "width", "height",
-                "n_strips", "px_sum", "raster_md5",
-            )}
-            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                out["media_id"].append(mid)
-                try:
-                    arr, order, n_strips = decode_tiff(
-                        bytes(payload) if payload is not None else None
-                    )
-                    out["ok"].append("true")
-                    out["byte_order"].append(order)
-                    out["fmt"].append("rgb" if arr.ndim == 3 else "gray")
-                    out["height"].append(int(arr.shape[0]))
-                    out["width"].append(int(arr.shape[1]))
-                    out["n_strips"].append(n_strips)
-                    out["px_sum"].append(int(arr.astype(np.int64).sum()))
-                    out["raster_md5"].append(
-                        hashlib.md5(
-                            arr.reshape(-1).tobytes().hex().encode()
-                        ).hexdigest()
-                    )
-                except DecodeUnavailable:
-                    out["ok"].append("false")
-                    out["byte_order"].append(None)
-                    out["fmt"].append(None)
-                    for k in ("width", "height", "n_strips", "px_sum"):
-                        out[k].append(None)
-                    out["raster_md5"].append(None)
-            yield pd.DataFrame(out)
-
-    return spread(media).mapInPandas(run, TIFF_FEATURE_SCHEMA)
+    return media_features(media, TIFF_FEATURE_SCHEMA, extract)
 
 
 def q_tiff_features(documents: DataFrame) -> DataFrame:

@@ -624,6 +624,14 @@ def main() -> None:
         lambda: q_tiff_features(docs1),
         lambda: q_tiff_features(docs10),
     )
+    # r13 families: the perf-watch quartet's missing member (winnowing
+    # fingerprints: shingle explode → window-min select — one keyed
+    # exchange over the exploded frame, so the ratio should track the
+    # exploded row count linearly)
+    queries["q_winnow_fingerprint"] = (
+        lambda: text.q_winnow_fingerprint(docs1),
+        lambda: text.q_winnow_fingerprint(docs10),
+    )
 
     if args.only:
         unknown = set(args.only) - set(queries) - {
