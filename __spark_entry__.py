@@ -7,9 +7,9 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 118 queries (count as of r12 — the 116 carried from r10 plus the
-two r12 declarations q_hll_timeline / q_tiff_features, both built and
-pytest-oracle-verified in r10 and declared here per the r11 verdict;
+ALL 119 queries (count as of r13 — the 118 carried from r12 plus the
+r13 declaration q_audio_flac, whose subset FLAC codec, oracle and
+lossless/corruption tests all land in r13;
 grep ``def queries`` below for
 the authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
@@ -51,6 +51,7 @@ from node_js_etl_processor_spark.operators.audio import (
     q_audio_probe,
 )
 from node_js_etl_processor_spark.operators.netpbm import q_netpbm_features
+from node_js_etl_processor_spark.operators.flac import q_audio_flac
 from node_js_etl_processor_spark.operators.tiff import q_tiff_features
 from node_js_etl_processor_spark.operators.multimodal import (
     q_audio_features,
@@ -99,14 +100,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     span), and the shared media-harness extraction
     (operators/media_harness.py) touched q_tiff_features,
     q_audio_features and q_multimodal_features, which were pulled
-    into the window displacing three unchanged fill entries. Rotation
+    into the window displacing three unchanged fill entries. The r13
+    DECLARATION q_audio_flac closes the window (new queries enter on
+    declaration, displacing the unchanged q_asof_join). Rotation
     rule #2 ("changed code ⇒ in window") is now enforced MECHANICALLY:
     scripts/check_rotation.py diffs engine modules since the round
     marker, resolves queries via the registry's own closures and the
     package import graph, and fails on any out-of-window hit;
     tests/test_rotation.py runs it against the live tree every pytest
-    run. The 19 r11-green queries that don't fit are the NAMED r14
-    deferrals rather than silently dropped: q_sessionize,
+    run. The 20 r11-green queries that don't fit are the NAMED r14
+    deferrals rather than silently dropped: q_asof_join, q_sessionize,
     q_decontaminate_hashed, q_similarity_topk, q_dedup_embedding,
     q_similarity_ann, q_similarity_ivf, q_chunk_documents,
     q_pack_chunks, q_chunk_pack_pipeline, q_bm25, q_dedup_minhash,
@@ -115,8 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     those first, then fill with the oldest r12-green queries; the
     overflow becomes the named r15 deferrals.
 
-    Honest rotation math: with a 50-slot driver window and 118
-    registered queries, a full sweep takes ceil(118/50) = 3 rounds,
+    Honest rotation math: with a 50-slot driver window and 119
+    registered queries, a full sweep takes ceil(119/50) = 3 rounds,
     so the invariant is: every registered query has a driver
     CORRECTNESS row within the last 3 rounds (named deferrals are
     the explicit schedule for the overflow), and ALL queries are
@@ -180,15 +183,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
         "q_explode_words": _q(["part"], relational.q_explode_words),
         "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
-        "q_asof_join": _q(["events"], temporal.q_asof_join),
         "q_media_resize": _q(["documents"], q_media_resize),
         "q_frame_sample": _q(["documents"], q_frame_sample),
         "q_tiff_features": _q(["documents"], q_tiff_features),
         "q_audio_features": _q(["documents"], q_audio_features),
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
+        # The r13 DECLARATION (operator + DuckDB oracle + lossless
+        # roundtrip/corruption tests land together this round; enters
+        # the window on declaration per the rotation rule, displacing
+        # the unchanged q_asof_join into the r14 deferrals)
+        "q_audio_flac": _q(["documents"], q_audio_flac),
         # ---- oracle-paired but outside the 50-entry driver window ----
         # First the NAMED r14 deferrals (see docstring): r14 MUST
         # window these first.
+        "q_asof_join": _q(["events"], temporal.q_asof_join),
         "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
         "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
@@ -910,6 +918,40 @@ FROM documents WHERE doc_id % 11 = 0
 
 ADPCM_ORACLE = _adpcm_oracle()
 
+# q_audio_flac: FLAC is LOSSLESS and the decoder verifies the
+# STREAMINFO md5 per payload, so — unlike ADPCM's recursive-CTE state
+# replay — the oracle just recomputes the square wave's statistics
+# closed-form from doc_id (the G.711 oracle's shape minus the
+# companding arithmetic). n_frames pins the 256-sample framing.
+FLAC_ORACLE = """
+WITH base AS (
+  SELECT doc_id AS media_id,
+         700 + (doc_id % 22) * 350 AS amp,
+         2 + doc_id % 6 AS period,
+         300 + (doc_id % 4) * 160 AS n,
+         CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate
+  FROM documents WHERE doc_id % 11 <> 0
+),
+stats AS (
+  SELECT media_id, amp, n, rate,
+         (n // (2 * period)) * period
+           + least(n % (2 * period), period) AS n_pos
+  FROM base
+)
+SELECT media_id, 'true' AS ok,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST((n + 255) // 256 AS BIGINT) AS n_frames,
+       CAST(amp AS BIGINT) AS peak_pos,
+       CAST(-amp AS BIGINT) AS peak_neg,
+       CAST((2 * n_pos - n) * amp AS BIGINT) AS sum_samples,
+       CAST(n * amp AS BIGINT) AS sum_abs
+FROM stats
+UNION ALL
+SELECT doc_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM documents WHERE doc_id % 11 = 0
+"""
+
 def _hll_oracle() -> str:
     """Generated DuckDB oracle for q_hll_distinct: replays the WHOLE
     sketch — the two-round multiply-xorshift hash (constants shared
@@ -1364,6 +1406,7 @@ def oracle_sql() -> dict[str, str]:
         "q_token_budget": TOKEN_BUDGET_ORACLE,
         "q_video_frames": VIDEO_FRAMES_ORACLE,
         "q_audio_g711": G711_ORACLE,
+        "q_audio_flac": FLAC_ORACLE,
         "q_audio_adpcm": ADPCM_ORACLE,
         "q_hll_distinct": HLL_ORACLE,
         "q_hdr_quantiles": HDR_ORACLE,

@@ -953,11 +953,19 @@ def probe_audio(payload: bytes) -> "tuple[str, str, int, int, int]":
     """Identify an audio payload WITHOUT fully decoding samples:
     returns (container, codec, rate, channels, n_samples). Dispatch
     covers every container/codec pair the engine decodes (WAV
-    PCM/μ-law/A-law/IMA-ADPCM, AU μ-law/A-law/PCM16); recognized-but-
-    undecodable formats (FLAC/OGG/MP3) and junk raise
-    DecodeUnavailable — but with the distinction preserved by the
-    distributed probe below, which reports the recognized container
-    on the ok=false row."""
+    PCM/μ-law/A-law/IMA-ADPCM, AU μ-law/A-law/PCM16, and — since
+    r13 — FLAC via its STREAMINFO block, ``operators/flac.py``);
+    recognized-but-undecodable formats (OGG/MP3, and structurally
+    invalid FLAC) and junk raise DecodeUnavailable — but with the
+    distinction preserved by the distributed probe below, which
+    reports the recognized container on the ok=false row."""
+    if payload is not None and payload[:4] == b"fLaC":
+        from node_js_etl_processor_spark.operators.flac import (
+            parse_flac_streaminfo,
+        )
+
+        rate, ch, _bits, total = parse_flac_streaminfo(payload)
+        return "flac", "flac", rate, ch, total
     if payload is not None and payload[:4] == b".snd":
         if len(payload) < 24:
             raise DecodeUnavailable("truncated AU header")
@@ -998,10 +1006,11 @@ def synth_mixed_audio_media(documents: DataFrame) -> DataFrame:
     """Deterministic MIXED-FORMAT audio payloads: doc_id%7 selects
     among the seven decodable container/codec pairs (WAV PCM, WAV
     μ-law, WAV A-law, WAV IMA-ADPCM, AU μ-law, AU A-law, AU PCM16),
-    all real encoders; every doc_id%11==0 row carries a FLAC-magic
-    payload — a RECOGNIZED-but-undecodable format, so the probe's
-    honest boundary (report the container, refuse the decode) is
-    under the oracle gate."""
+    all real encoders; every doc_id%11==0 row carries a TRUNCATED
+    FLAC header — a recognized container that is structurally
+    undecodable (valid subset FLAC decodes via ``operators/flac.py``
+    since r13), so the probe's honest boundary (report the container,
+    refuse the decode) stays under the oracle gate."""
     import numpy as np
 
     from .media_harness import per_doc, synth_media
@@ -1035,21 +1044,25 @@ def synth_mixed_audio_media(documents: DataFrame) -> DataFrame:
 def audio_probe_features(media: DataFrame) -> DataFrame:
     """Distributed format dispatch: probe every payload's container/
     codec/geometry without decoding samples. Recognized-but-
-    undecodable magics (FLAC/OGG/MP3) surface as ok=false WITH the
-    container named — the triage a 100 TB audio lake runs before
-    routing payloads to format-specific decode passes."""
+    undecodable magics (OGG/MP3, plus structurally invalid FLAC —
+    valid subset FLAC probes fully since r13) surface as ok=false
+    WITH the container named — the triage a 100 TB audio lake runs
+    before routing payloads to format-specific decode passes."""
     from .media_harness import media_features
 
     def extract(payload):
         b = payload if payload is not None else b""
-        known = next(
-            (name for magic, name in _KNOWN_UNSUPPORTED if b.startswith(magic)),
-            None,
-        )
-        if known is not None:
-            # recognized-but-refused: ok=false WITH the container named
-            return [{"ok": "false", "container": known}]
-        cont, codec, rate, ch, n = probe_audio(b)
+        try:
+            cont, codec, rate, ch, n = probe_audio(b)
+        except DecodeUnavailable:
+            known = next(
+                (name for magic, name in _KNOWN_UNSUPPORTED if b.startswith(magic)),
+                None,
+            )
+            if known is not None:
+                # recognized-but-refused: ok=false WITH the container named
+                return [{"ok": "false", "container": known}]
+            raise
         return [
             {
                 "container": cont,

@@ -60,9 +60,15 @@ def round_marker_base() -> str:
 
 def changed_pkg_modules(base: str) -> "set[str]":
     """Package-relative module names changed between base and the
-    working tree (committed + uncommitted)."""
+    working tree — committed, uncommitted, AND untracked (a brand-new
+    module is invisible to `git diff` but its queries changed from
+    nonexistent to existing, the strongest reason to window them)."""
     out = subprocess.run(
         ["git", "diff", "--name-only", base, "--"],
+        cwd=REPO, capture_output=True, text=True, check=True,
+    ).stdout.splitlines()
+    out += subprocess.run(
+        ["git", "ls-files", "--others", "--exclude-standard"],
         cwd=REPO, capture_output=True, text=True, check=True,
     ).stdout.splitlines()
     mods = set()

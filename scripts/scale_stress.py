@@ -632,6 +632,15 @@ def main() -> None:
         lambda: text.q_winnow_fingerprint(docs1),
         lambda: text.q_winnow_fingerprint(docs10),
     )
+    # r13 declaration: the FLAC family (bit-level Python codec — the
+    # honest per-payload band; embarrassingly parallel, so the 10x
+    # ratio should stay near the ADPCM/probe band)
+    from node_js_etl_processor_spark.operators.flac import q_audio_flac
+
+    queries["q_audio_flac"] = (
+        lambda: q_audio_flac(docs1),
+        lambda: q_audio_flac(docs10),
+    )
 
     if args.only:
         unknown = set(args.only) - set(queries) - {

@@ -1841,6 +1841,7 @@ from __spark_entry__ import (  # single source of truth: the driver compares the
     ADPCM_ORACLE,
     AUDIO_PROBE_ORACLE,
     BPE_PAIRS_ORACLE,
+    FLAC_ORACLE,
     G711_ORACLE,
     GIF_FRAMES_ORACLE,
     HDR_ORACLE,
@@ -2272,6 +2273,68 @@ def test_adpcm_wav_roundtrip_blocks_and_rejection():
                 b"RIFFjunk"):
         with pytest.raises(DU):
             decode_wav_adpcm(bad)
+
+
+def test_flac_roundtrip_is_lossless_and_md5_verified():
+    """FLAC subset codec (r13): encode→decode is bit-exact across the
+    subframe forms the encoder chooses (constant blocks, random
+    verbatim-ish noise, smooth fixed-predictor signals, single-sample
+    and block-boundary lengths) — and the decoder PROVES losslessness
+    per payload against the STREAMINFO md5 of the raw audio. Smooth
+    signals must actually compress (the fixed predictors earning
+    their keep); corrupting any byte of header, frame, residual or
+    md5 must raise DecodeUnavailable, never return wrong samples."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.flac import (
+        decode_flac,
+        encode_flac,
+        parse_flac_streaminfo,
+    )
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable as DU,
+    )
+
+    rng = np.random.RandomState(41)
+    sigs = [
+        np.zeros(1, np.int16),
+        np.full(600, -123, np.int16),
+        rng.randint(-32768, 32768, 255).astype(np.int16),
+        rng.randint(-32768, 32768, 256).astype(np.int16),
+        rng.randint(-32768, 32768, 257).astype(np.int16),
+        rng.randint(-32768, 32768, 1337).astype(np.int16),
+        (np.sin(np.linspace(0, 50, 2000)) * 20000).astype(np.int16),
+        np.where(np.arange(700) % 6 < 3, 1050, -1050).astype(np.int16),
+    ]
+    for sig in sigs:
+        payload = encode_flac(sig, 16000)
+        out, rate = decode_flac(payload)
+        assert rate == 16000 and np.array_equal(out, sig)
+    smooth = sigs[6]
+    assert len(encode_flac(smooth, 8000)) < 0.5 * 2 * len(smooth)
+    rate, ch, bits, total = parse_flac_streaminfo(encode_flac(sigs[5], 8000))
+    assert (rate, ch, bits, total) == (8000, 1, 16, 1337)
+    base = bytearray(encode_flac(sigs[5], 8000))
+    for pos in range(4, len(base), 61):
+        bad = bytearray(base)
+        bad[pos] ^= 0x20
+        with pytest.raises(DU):
+            decode_flac(bytes(bad))
+
+
+def test_audio_flac_duckdb_oracle_parity(spark, sf_dir):
+    """r13 declaration gate: q_audio_flac vs its closed-form DuckDB
+    oracle (the driver's exact compare). FLAC is lossless and the
+    decoder md5-verifies each payload, so the oracle recomputes every
+    statistic from the square-wave parameters directly — framing is
+    pinned via n_frames, and the corrupt lane is a real G.711 WAV, so
+    cross-flavor rejection is under the gate too."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.flac import q_audio_flac
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_audio_flac(docs), FLAC_ORACLE, sf_dir)
+    assert n > 0
 
 
 def test_audio_adpcm_duckdb_oracle_parity(spark, sf_dir):

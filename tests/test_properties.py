@@ -574,6 +574,10 @@ def _codec_entry_points():
             decode_wav_g711,
             probe_audio,
         )
+        from node_js_etl_processor_spark.operators.flac import (
+            decode_flac,
+            parse_flac_streaminfo,
+        )
         from node_js_etl_processor_spark.operators.gif import decode_gif
         from node_js_etl_processor_spark.operators.multimodal import (
             decode_avi_frames,
@@ -596,6 +600,8 @@ def _codec_entry_points():
             "avi": decode_avi_frames,
             "netpbm": decode_netpbm,
             "tiff": decode_tiff,
+            "flac": decode_flac,
+            "flac_probe": parse_flac_streaminfo,
         }
     return _CODEC_ENTRY_POINTS
 
@@ -635,7 +641,7 @@ def test_codec_decoders_are_total_on_arbitrary_bytes(prefix, body):
 
 @settings(max_examples=60, deadline=None)
 @given(
-    kind=st.sampled_from(["g711", "adpcm", "au", "netpbm", "tiff"]),
+    kind=st.sampled_from(["g711", "adpcm", "au", "netpbm", "tiff", "flac"]),
     n_flips=st.integers(min_value=1, max_value=6),
     seed=st.integers(min_value=0, max_value=10_000),
 )
@@ -668,6 +674,9 @@ def test_codec_decoders_survive_bit_flips_of_valid_payloads(kind, n_flips, seed)
         "au": lambda: encode_au(sig, 8000, 1),
         "netpbm": lambda: encode_netpbm(px, "P6"),
         "tiff": lambda: encode_tiff(px, "MM", rows_per_strip=2),
+        "flac": lambda: __import__(
+            "node_js_etl_processor_spark.operators.flac", fromlist=["encode_flac"]
+        ).encode_flac(sig, 8000),
     }[kind]()
     buf = bytearray(base)
     for _ in range(n_flips):
@@ -675,7 +684,7 @@ def test_codec_decoders_survive_bit_flips_of_valid_payloads(kind, n_flips, seed)
     payload = bytes(buf[: rng.randint(8, len(buf) + 1)])  # + truncation
     dec = _codec_entry_points()[
         {"g711": "g711", "adpcm": "adpcm", "au": "au",
-         "netpbm": "netpbm", "tiff": "tiff"}[kind]
+         "netpbm": "netpbm", "tiff": "tiff", "flac": "flac"}[kind]
     ]
     try:
         dec(payload)
