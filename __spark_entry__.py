@@ -100,21 +100,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     span), and the shared media-harness extraction
     (operators/media_harness.py) touched q_tiff_features,
     q_audio_features and q_multimodal_features, which were pulled
-    into the window displacing three unchanged fill entries. The r13
-    DECLARATION q_audio_flac closes the window (new queries enter on
-    declaration, displacing the unchanged q_asof_join). Rotation
-    rule #2 ("changed code ⇒ in window") is now enforced MECHANICALLY:
-    scripts/check_rotation.py diffs engine modules since the round
-    marker, resolves queries via the registry's own closures and the
-    package import graph, and fails on any out-of-window hit;
+    into the window displacing unchanged fill entries. The r13
+    DECLARATION q_audio_flac also enters on declaration, and the
+    corrected transitive import graph (the r13 in-round code review
+    found level-2 relative imports were dropped) additionally pulled
+    q_countmin / q_bloom / q_hll_timeline / q_hybrid_search — their
+    modules import the refactored streaming.markers/sketches.
+    Rotation rule #2 ("changed code ⇒ in window") is now enforced
+    MECHANICALLY: scripts/check_rotation.py diffs engine modules
+    (committed + uncommitted + untracked) since the round marker,
+    resolves queries via the registry's own closures and the package
+    import graph, and fails on any out-of-window hit;
     tests/test_rotation.py runs it against the live tree every pytest
-    run. The 20 r11-green queries that don't fit are the NAMED r14
-    deferrals rather than silently dropped: q_asof_join, q_sessionize,
+    run. The 23 queries that don't fit are the NAMED r14 deferrals
+    rather than silently dropped: q_window_range, q_scalar_subquery,
+    q_explode_words, q_join_enrich, q_asof_join, q_sessionize,
     q_decontaminate_hashed, q_similarity_topk, q_dedup_embedding,
     q_similarity_ann, q_similarity_ivf, q_chunk_documents,
     q_pack_chunks, q_chunk_pack_pipeline, q_bm25, q_dedup_minhash,
     q_dedup_simhash, q_url_dedup, q_semantic_decontaminate, q_scd2,
-    q_fuzzy_match, q_tfidf, q_gap_fill, q_countmin. r14 MUST window
+    q_fuzzy_match, q_tfidf, q_gap_fill. r14 MUST window
     those first, then fill with the oldest r12-green queries; the
     overflow becomes the named r15 deferrals.
 
@@ -147,14 +152,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
         "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
         "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
-        # Then 29 of the oldest r11-green queries (registry order)
-        # and, closing the window, the three r13 CHANGED-CODE pulls
-        # (q_tiff_features / q_audio_features / q_multimodal_features
-        # — the shared media-harness rewiring touched their modules;
-        # scripts/check_rotation.py flagged them and three unchanged
-        # fill entries moved to the r14 deferrals to make room). The
-        # ADPCM rewiring's queries (q_audio_g711/q_audio_adpcm/
-        # q_audio_probe) sit in the fill span below.
+        # Then the oldest r11-green fill plus every r13 CHANGED-CODE
+        # query scripts/check_rotation.py flags (ADPCM rewiring, the
+        # shared media harness, and — via the corrected transitive
+        # import graph — the sketch/retrieval families that import the
+        # refactored streaming.markers/sketches), plus the r13
+        # declaration q_audio_flac. Displaced unchanged fill entries
+        # are named r14 deferrals below.
         "q_union_sources": _q(["customer"], relational.q_union_sources),
         "q_count_by_source": _q(["orders"], relational.q_count_by_source),
         "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
@@ -179,23 +183,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
         "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
         "q_range_join": _q(["events"], temporal.q_range_join),
-        "q_window_range": _q(["events"], temporal.q_window_range),
-        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
-        "q_explode_words": _q(["part"], relational.q_explode_words),
-        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
         "q_media_resize": _q(["documents"], q_media_resize),
         "q_frame_sample": _q(["documents"], q_frame_sample),
         "q_tiff_features": _q(["documents"], q_tiff_features),
         "q_audio_features": _q(["documents"], q_audio_features),
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
-        # The r13 DECLARATION (operator + DuckDB oracle + lossless
-        # roundtrip/corruption tests land together this round; enters
-        # the window on declaration per the rotation rule, displacing
-        # the unchanged q_asof_join into the r14 deferrals)
         "q_audio_flac": _q(["documents"], q_audio_flac),
+        "q_countmin": _q(["orders"], sketch.q_countmin),
+        "q_bloom": _q(["orders"], sketch.q_bloom),
+        "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
+        "q_hybrid_search": _q(
+            ["documents", "embeddings"], retrieval.q_hybrid_search
+        ),
         # ---- oracle-paired but outside the 50-entry driver window ----
         # First the NAMED r14 deferrals (see docstring): r14 MUST
         # window these first.
+        "q_window_range": _q(["events"], temporal.q_window_range),
+        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
+        "q_explode_words": _q(["part"], relational.q_explode_words),
+        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
         "q_asof_join": _q(["events"], temporal.q_asof_join),
         "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
@@ -217,7 +223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_match": _q(["customer"], dedup.q_fuzzy_match),
         "q_tfidf": _q(["documents"], text.q_tfidf),
         "q_gap_fill": _q(["events"], temporal.q_gap_fill),
-        "q_countmin": _q(["orders"], sketch.q_countmin),
         # Then the r12-green queries that rotate OUT (their
         # CORRECTNESS_r12 rows are one cycle old — within the
         # invariant); all remain under the local parity gate and the
@@ -239,22 +244,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
         "q_unpivot": _q(["orders"], relational.q_unpivot),
         "q_collect_agg": _q(["orders"], relational.q_collect_agg),
-        "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
         "q_pagerank": _q(
             ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
         ),
         "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
         "q_retention": _q(["events"], temporal.q_retention),
         "q_funnel": _q(["events"], sessionize.q_funnel),
-        "q_bloom": _q(["orders"], sketch.q_bloom),
         "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
         "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
         "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
         "q_html_extract": _q(["documents"], text.q_html_extract),
         "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
-        "q_hybrid_search": _q(
-            ["documents", "embeddings"], retrieval.q_hybrid_search
-        ),
         "q_semi_anti": _q(["customer", "orders"], relational.q_semi_anti),
         "q_rollup": _q(["orders"], relational.q_rollup),
         "q_window_topk": _q(["customer"], relational.q_window_topk),

@@ -448,7 +448,9 @@ def encode_wav_adpcm(samples: "object", sample_rate: int) -> bytes:
     )
 
 
-def encode_wav_adpcm_batch(signals: "object", sample_rate: int) -> "list[bytes]":
+def encode_wav_adpcm_batch(
+    signals: "object", sample_rate: "int | list[int]"
+) -> "list[bytes]":
     """Cross-signal lockstep encode: the block rows of MANY signals
     are concatenated into ONE ``adpcm_encode_blocks`` call (a 500-row
     Arrow batch of ~2-block signals becomes ~1000 lanes advancing
@@ -456,7 +458,10 @@ def encode_wav_adpcm_batch(signals: "object", sample_rate: int) -> "list[bytes]"
     state machines, so the result is byte-identical to mapping
     ``encode_wav_adpcm`` over the signals — pinned by
     tests/test_extensions.py::test_adpcm_batch_matches_per_signal.
-    Returns one WAV payload per input signal."""
+    ``sample_rate`` is one rate for all signals or a per-signal list
+    (the rate only shapes the RIFF header, never the quantizer, so
+    mixed-rate batches still share the one lockstep call). Returns
+    one WAV payload per input signal."""
     import numpy as np
 
     arrs = [np.asarray(s, dtype=np.int16).reshape(-1) for s in signals]
@@ -464,19 +469,26 @@ def encode_wav_adpcm_batch(signals: "object", sample_rate: int) -> "list[bytes]"
         raise ValueError("ADPCM encode needs at least one sample")
     if not arrs:
         return []
+    rates = (
+        list(sample_rate)
+        if isinstance(sample_rate, (list, tuple))
+        else [sample_rate] * len(arrs)
+    )
+    if len(rates) != len(arrs):
+        raise ValueError("one sample rate per signal required")
     inputs = [_adpcm_block_inputs(a) for a in arrs]
     codes = adpcm_encode_blocks(
         np.vstack([mat for _, mat, _ in inputs]),
         np.concatenate([preds for preds, _, _ in inputs]),
     )
     out, off = [], 0
-    for arr, (preds, _mat, valid) in zip(arrs, inputs):
+    for arr, rate, (preds, _mat, valid) in zip(arrs, rates, inputs):
         nb = preds.shape[0]
         out.append(
             _adpcm_riff(
                 b"".join(_adpcm_pack_blocks(codes[off : off + nb], preds, valid)),
                 arr.shape[0],
-                sample_rate,
+                rate,
             )
         )
         off += nb
@@ -1013,32 +1025,58 @@ def synth_mixed_audio_media(documents: DataFrame) -> DataFrame:
     refuse the decode) stays under the oracle gate."""
     import numpy as np
 
-    from .media_harness import per_doc, synth_media
+    from .media_harness import synth_media
 
-    def make_row(did: int):
-        if did % 11 == 0:
-            return "audio/flac", b"fLaC\x00\x00\x00\x22" + bytes(16)
-        n = 200 + (did % 5) * 40
-        rate = 8000 * (1 + did % 2)
-        amp = 900 + (did % 10) * 300
-        i = np.arange(n)
-        sig = (np.where((i // 3) % 2 == 0, 1, -1) * amp).astype(np.int16)
-        v = did % 7
-        if v == 0:
-            return "audio/wav", encode_wav(sig, rate)
-        if v == 1:
-            return "audio/wav", encode_wav_g711(sig, rate, "mulaw")
-        if v == 2:
-            return "audio/wav", encode_wav_g711(sig, rate, "alaw")
-        if v == 3:
-            return "audio/wav", encode_wav_adpcm(sig, rate)
-        if v == 4:
-            return "audio/basic", encode_au(sig, rate, AU_ENC_MULAW)
-        if v == 5:
-            return "audio/basic", encode_au(sig, rate, AU_ENC_ALAW)
-        return "audio/basic", encode_au(sig, rate, AU_ENC_PCM16)
+    def make_rows(doc_ids):
+        # whole-batch form so the ADPCM lane (v == 3) can run ONE
+        # cross-signal lockstep encode — per-signal lockstep on a
+        # single ~1-block lane is SLOWER than the old scalar loop
+        # (503 numpy steps over 1-lane arrays), which the r13 10x
+        # stress surfaced as a 5.2x probe ratio
+        mimes, payloads = [], []
+        adpcm_sigs, adpcm_rates, adpcm_pos = [], [], []
+        for did in doc_ids:
+            if did % 11 == 0:
+                mimes.append("audio/flac")
+                payloads.append(b"fLaC\x00\x00\x00\x22" + bytes(16))
+                continue
+            n = 200 + (did % 5) * 40
+            rate = 8000 * (1 + did % 2)
+            amp = 900 + (did % 10) * 300
+            i = np.arange(n)
+            sig = (np.where((i // 3) % 2 == 0, 1, -1) * amp).astype(np.int16)
+            v = did % 7
+            if v == 0:
+                mimes.append("audio/wav")
+                payloads.append(encode_wav(sig, rate))
+            elif v == 1:
+                mimes.append("audio/wav")
+                payloads.append(encode_wav_g711(sig, rate, "mulaw"))
+            elif v == 2:
+                mimes.append("audio/wav")
+                payloads.append(encode_wav_g711(sig, rate, "alaw"))
+            elif v == 3:
+                mimes.append("audio/wav")
+                adpcm_sigs.append(sig)
+                adpcm_rates.append(rate)
+                adpcm_pos.append(len(payloads))
+                payloads.append(None)
+            elif v == 4:
+                mimes.append("audio/basic")
+                payloads.append(encode_au(sig, rate, AU_ENC_MULAW))
+            elif v == 5:
+                mimes.append("audio/basic")
+                payloads.append(encode_au(sig, rate, AU_ENC_ALAW))
+            else:
+                mimes.append("audio/basic")
+                payloads.append(encode_au(sig, rate, AU_ENC_PCM16))
+        for pos, payload in zip(
+            adpcm_pos, encode_wav_adpcm_batch(adpcm_sigs, adpcm_rates)
+        ):
+            payloads[pos] = payload
+        return mimes, payloads
 
-    return synth_media(documents, per_doc(make_row), "audio")
+    return synth_media(documents, make_rows, "audio")
 
 
 def audio_probe_features(media: DataFrame) -> DataFrame:

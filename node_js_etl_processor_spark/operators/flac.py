@@ -76,16 +76,11 @@ class _BitWriter:
     def write(self, value: int, nbits: int) -> None:
         self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
         self.nbits += nbits
-        while self.nbits >= 8:
-            self.nbits -= 8
-            self.buf.append((self.acc >> self.nbits) & 0xFF)
-        self.acc &= (1 << self.nbits) - 1
-
-    def write_unary(self, q: int) -> None:
-        while q >= 32:
-            self.write(0, 32)
-            q -= 32
-        self.write(1, q + 1)  # q zeros then a 1
+        nbytes = self.nbits >> 3
+        if nbytes:
+            self.nbits -= nbytes << 3
+            self.buf += (self.acc >> self.nbits).to_bytes(nbytes, "big")
+            self.acc &= (1 << self.nbits) - 1
 
     def align(self) -> None:
         if self.nbits:
@@ -131,6 +126,87 @@ class _BitReader:
         self.pos = (self.pos + 7) & ~7
 
 
+def _read_rice_block(br: _BitReader, cnt: int, param: int):
+    """Decode ``cnt`` Rice codes at parameter ``param`` from the
+    reader — the decode hot path: unpack a bounded window of the
+    bitstream ONCE, walk the precomputed 1-bit index list (one cheap
+    Python step per CODE, not per bit), then gather every code's low
+    bits with one fancy-index pass. The window grows geometrically if
+    a pathological run outsizes the initial estimate, so cost stays
+    linear in bits actually consumed, never in the stream tail."""
+    import numpy as np
+
+    if cnt == 0:
+        return np.zeros(0, dtype=np.int64)
+    avail = len(br.data) * 8 - br.pos
+    if avail <= 0:
+        raise DecodeUnavailable("truncated FLAC bitstream")
+    need = min(cnt * (param + 2) + 4096, avail)
+    while True:
+        byte0 = br.pos >> 3
+        off = br.pos & 7
+        nbytes = (off + need + 7) >> 3
+        window = np.unpackbits(
+            np.frombuffer(br.data, dtype=np.uint8, offset=byte0, count=nbytes)
+        )[off : off + need]
+        ones = np.flatnonzero(window)
+        q = np.empty(cnt, dtype=np.int64)
+        tpos = np.empty(cnt, dtype=np.int64)
+        pos = 0
+        oi = 0
+        ok = True
+        try:
+            for i in range(cnt):
+                while ones[oi] < pos:
+                    oi += 1
+                t = int(ones[oi])
+                oi += 1
+                q[i] = t - pos
+                tpos[i] = t
+                pos = t + 1 + param
+        except IndexError:
+            ok = False
+        if ok and pos <= need:
+            break
+        if need >= avail:
+            raise DecodeUnavailable("truncated FLAC bitstream")
+        need = min(need * 4, avail)
+    if param:
+        idx = tpos[:, None] + 1 + np.arange(param)[None, :]
+        lowbits = window[idx].astype(np.int64)
+        low = np.zeros(cnt, dtype=np.int64)
+        for k in range(param):
+            low = (low << 1) | lowbits[:, k]
+        u = (q << param) | low
+    else:
+        u = q
+    br.pos += int(pos)
+    return (u >> 1) ^ -(u & 1)
+
+
+def _read_fixed_width_block(br: _BitReader, cnt: int, width: int):
+    """Decode ``cnt`` two's complement ``width``-bit residuals (the
+    Rice escape form) in one unpack + strided gather."""
+    import numpy as np
+
+    if cnt == 0 or width == 0:
+        return np.zeros(cnt, dtype=np.int64)
+    total = cnt * width
+    if br.pos + total > len(br.data) * 8:
+        raise DecodeUnavailable("truncated FLAC bitstream")
+    byte0 = br.pos >> 3
+    off = br.pos & 7
+    nbytes = (off + total + 7) >> 3
+    bits = np.unpackbits(
+        np.frombuffer(br.data, dtype=np.uint8, offset=byte0, count=nbytes)
+    )[off : off + total].astype(np.int64)
+    w = np.zeros(cnt, dtype=np.int64)
+    for k in range(width):
+        w = (w << 1) | bits[k::width]
+    br.pos += total
+    return np.where(w >= (1 << (width - 1)), w - (1 << width), w)
+
+
 def _utf8_code(n: int) -> bytes:
     """The spec's UTF-8-style coded number (frame numbers here are
     small, but encode the general multi-byte form anyway)."""
@@ -169,28 +245,85 @@ def _read_utf8_code(br: _BitReader) -> int:
     return n
 
 
-def _zigzag(r: int) -> int:
-    return (r << 1) if r >= 0 else ((-r << 1) - 1)
+def _zigzag_vec(resid):
+    import numpy as np
+
+    r = np.asarray(resid, dtype=np.int64)
+    return np.where(r >= 0, r << 1, ((-r) << 1) - 1)
+
+
+def _raw_bits(resid) -> int:
+    """Two's-complement width used by the escape code: 1 + the max
+    magnitude bit length (frexp exponent — exact for these integer
+    ranges), matching int.bit_length() + 1 per residual."""
+    import numpy as np
+
+    r = np.asarray(resid, dtype=np.int64)
+    if r.size == 0:
+        return 1
+    a = np.abs(r).astype(np.float64)
+    bl = np.where(a > 0, np.frexp(a)[1], 0)
+    return min(int(bl.max()) + 1, 31)
 
 
 def _best_rice_param(resid) -> "tuple[int, int]":
     """(param or -1 for escape, bit cost) minimizing the partition's
-    size; escape cost = 5 + n·bits for the widest residual."""
+    size; escape cost = 5 + n·bits for the widest residual. One numpy
+    reduction per candidate parameter — no per-residual Python."""
     n = len(resid)
-    zz = [_zigzag(int(r)) for r in resid]
+    u = _zigzag_vec(resid)
     best_param, best_cost = -2, None
     for param in range(15):
-        cost = sum((u >> param) + 1 + param for u in zz)
+        cost = int((u >> param).sum()) + n * (param + 1)
         if best_cost is None or cost < best_cost:
             best_param, best_cost = param, cost
-        if cost > (best_cost or 0) * 4 and param > 8:
-            break
-    raw_bits = max((int(r).bit_length() + 1 for r in resid), default=1)
-    raw_bits = min(raw_bits, 31)
-    esc_cost = 5 + n * raw_bits
+    rb = _raw_bits(resid)
+    esc_cost = 5 + n * rb
     if best_cost is None or esc_cost < best_cost:
         return -1, esc_cost
     return best_param, best_cost
+
+
+def _pack_rice(resid, param: int) -> "tuple[int, int]":
+    """(big-int value, bit length) of the Rice coding of a residual
+    vector, assembled as ONE numpy bit array (a terminator scatter
+    plus ``param`` low-bit scatters) instead of per-sample Python bit
+    writes — the encode hot path."""
+    import numpy as np
+
+    u = _zigzag_vec(resid)
+    if u.size == 0:
+        return 0, 0
+    q = u >> param
+    lens = q + 1 + param
+    total = int(lens.sum())
+    starts = np.zeros(u.shape[0], dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    bits = np.zeros(total, dtype=np.uint8)
+    bits[starts + q] = 1
+    for k in range(param):
+        bits[starts + q + 1 + k] = (u >> (param - 1 - k)) & 1
+    value = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return value >> ((-total) % 8), total
+
+
+def _pack_fixed_width(values, width: int) -> int:
+    """Big-int of ``values`` written MSB-first at a fixed two's
+    complement ``width`` each — vectorized verbatim/warmup/escape
+    writer."""
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0 or width == 0:
+        return 0
+    u = (v & ((1 << width) - 1)).astype(np.uint64)
+    bits = np.zeros(v.shape[0] * width, dtype=np.uint8)
+    for k in range(width):
+        bits[k::width] = ((u >> np.uint64(width - 1 - k)) & np.uint64(1)).astype(
+            np.uint8
+        )
+    total = v.shape[0] * width
+    return int.from_bytes(np.packbits(bits).tobytes(), "big") >> ((-total) % 8)
 
 
 def encode_flac(samples: "object", sample_rate: int) -> bytes:
@@ -243,31 +376,23 @@ def encode_flac(samples: "object", sample_rate: int) -> bytes:
             best = min(cands, key=lambda c: c[0]) if cands else None
             if best is None or cost_verb <= best[0]:
                 bw.write(0b0_000001_0, 8)  # VERBATIM
-                for s in block:
-                    bw.write(int(s) & 0xFFFF, 16)
+                bw.write(_pack_fixed_width(block, 16), 16 * bs)
             else:
                 _cost, order, resid, param = best
                 bw.write((0b001000 | order) << 1, 8)  # FIXED, wasted=0
-                for s in block[:order]:
-                    bw.write(int(s) & 0xFFFF, 16)
-                resid = resid  # k-th diff has length bs - order
+                if order:
+                    bw.write(_pack_fixed_width(block[:order], 16), 16 * order)
                 bw.write(0b00, 2)  # 4-bit rice method
                 bw.write(0, 4)  # partition order 0
                 if param < 0:
-                    raw_bits = max(
-                        (int(r).bit_length() + 1 for r in resid), default=1
-                    )
-                    raw_bits = min(raw_bits, 31)
+                    rb = _raw_bits(resid)
                     bw.write(0b1111, 4)
-                    bw.write(raw_bits, 5)
-                    for r in resid:
-                        bw.write(int(r) & ((1 << raw_bits) - 1), raw_bits)
+                    bw.write(rb, 5)
+                    bw.write(_pack_fixed_width(resid, rb), rb * len(resid))
                 else:
                     bw.write(param, 4)
-                    for r in resid:
-                        u = _zigzag(int(r))
-                        bw.write_unary(u >> param)
-                        bw.write(u & ((1 << param) - 1), param)
+                    value, total = _pack_rice(resid, param)
+                    bw.write(value, total)
         bw.align()
         body = bytes(header) + bw.bytes()
         frames.append(body + struct.pack(">H", _crc16(body)))
@@ -316,8 +441,11 @@ def parse_flac_streaminfo(payload: bytes) -> "tuple[int, int, int, int]":
     return rate, ch, bits, total
 
 
-def decode_flac(payload: bytes) -> "tuple[object, int]":
-    """Decode a subset FLAC stream into ((n,) int16 array, rate).
+def decode_flac(payload: bytes) -> "tuple[object, int, int]":
+    """Decode a subset FLAC stream into ((n,) int16 array, rate,
+    n_frames) — the frame count is COUNTED during the walk, not
+    derived from any assumed block size, so it is honest for
+    conforming external streams with non-256 fixed block sizes too.
     Verifies frame sync, header CRC-8, frame CRC-16 and the final
     STREAMINFO md5 of the decoded audio; anything outside the subset
     (LPC, stereo, non-16-bit) or structurally invalid raises
@@ -347,6 +475,7 @@ def decode_flac(payload: bytes) -> "tuple[object, int]":
 
     out = np.empty(total, dtype=np.int16)
     got = 0
+    n_frames = 0
     while got < total:
         frame_start = pos * 8
         br = _BitReader(payload)
@@ -402,6 +531,8 @@ def decode_flac(payload: bytes) -> "tuple[object, int]":
         wasted = 0
         if br.read(1):  # wasted-bits flag: unary count follows
             wasted = br.read_unary() + 1
+        if wasted >= 16:
+            raise DecodeUnavailable("FLAC wasted bits exceed sample size")
         # the subframe decodes in the (bps - wasted)-bit domain; the
         # left shift by the wasted-bit count applies AFTER prediction
         eff = 16 - wasted
@@ -411,23 +542,12 @@ def decode_flac(payload: bytes) -> "tuple[object, int]":
                 val -= 1 << eff
             block = np.full(bs, val, dtype=np.int64)
         elif stype == 1:
-            vals = np.empty(bs, dtype=np.int64)
-            for i in range(bs):
-                v = br.read(eff)
-                if v >= 1 << (eff - 1):
-                    v -= 1 << eff
-                vals[i] = v
-            block = vals
+            block = _read_fixed_width_block(br, bs, eff)
         elif 8 <= stype <= 12:
             order = stype - 8
             if order > bs:
                 raise DecodeUnavailable("FLAC fixed order exceeds block size")
-            warm = []
-            for _ in range(order):
-                v = br.read(eff)
-                if v >= 1 << (eff - 1):
-                    v -= 1 << eff
-                warm.append(v)
+            warm = _read_fixed_width_block(br, order, eff)
             method = br.read(2)
             if method not in (0, 1):
                 raise DecodeUnavailable("reserved FLAC residual method")
@@ -446,18 +566,10 @@ def decode_flac(payload: bytes) -> "tuple[object, int]":
                 param = br.read(pbits)
                 if param == escape:
                     raw = br.read(5)
-                    for _ in range(cnt):
-                        v = br.read(raw) if raw else 0
-                        if raw and v >= 1 << (raw - 1):
-                            v -= 1 << raw
-                        resid[idx] = v
-                        idx += 1
+                    resid[idx : idx + cnt] = _read_fixed_width_block(br, cnt, raw)
                 else:
-                    for _ in range(cnt):
-                        q = br.read_unary()
-                        u = (q << param) | (br.read(param) if param else 0)
-                        resid[idx] = (u >> 1) ^ -(u & 1)
-                        idx += 1
+                    resid[idx : idx + cnt] = _read_rice_block(br, cnt, param)
+                idx += cnt
             block = np.empty(bs, dtype=np.int64)
             block[:order] = warm
             coeffs = _FIXED_COEFFS[order]
@@ -480,11 +592,12 @@ def decode_flac(payload: bytes) -> "tuple[object, int]":
             raise DecodeUnavailable("FLAC decoded sample out of 16-bit range")
         out[got : got + bs] = block.astype(np.int16)
         got += bs
+        n_frames += 1
         pos = br.pos // 8
 
     if hashlib.md5(out.astype("<i2").tobytes()).digest() != md5_expect:
         raise DecodeUnavailable("FLAC audio md5 mismatch")
-    return out, rate
+    return out, rate, n_frames
 
 
 # ----------------------------------------------------- distributed family
@@ -551,13 +664,13 @@ def audio_flac_features(media: DataFrame) -> DataFrame:
     )
 
     def extract(payload):
-        arr, rate = decode_flac(payload)
+        arr, rate, n_frames = decode_flac(payload)
         flat = arr.astype(np.int64)
         return [
             {
                 "sample_rate": rate,
                 "n_samples": int(flat.shape[0]),
-                "n_frames": (int(flat.shape[0]) + FLAC_BLOCK - 1) // FLAC_BLOCK,
+                "n_frames": n_frames,
                 "peak_pos": int(flat.max()) if flat.size else 0,
                 "peak_neg": int(flat.min()) if flat.size else 0,
                 "sum_samples": int(flat.sum()),

@@ -102,13 +102,20 @@ def package_import_graph() -> "dict[str, set[str]]":
                         if base_mod:
                             deps.add(base_mod)
                     elif node.level:  # relative import inside the pkg
-                        prefix = rel.rsplit(".", node.level)[0] if "." in rel else ""
-                        base_mod = (
-                            (prefix + "." if prefix else "") + node.module
-                            if node.module
-                            else prefix
+                        # level 1 = the module's own package, each
+                        # further level strips one package segment.
+                        # rel's last segment is the module itself, so
+                        # the module's package = rel.split(".")[:-1];
+                        # a level that climbs past the pkg root
+                        # resolves to the root ("").
+                        parts = rel.split(".")[:-1]
+                        strip = node.level - 1
+                        parts = parts[: max(0, len(parts) - strip)]
+                        base_mod = ".".join(
+                            parts + (node.module.split(".") if node.module else [])
                         )
-                        deps.add(base_mod)
+                        if base_mod:
+                            deps.add(base_mod)
                         for alias in node.names:
                             deps.add(
                                 (base_mod + "." if base_mod else "") + alias.name

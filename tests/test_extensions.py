@@ -2213,6 +2213,14 @@ def test_adpcm_batch_matches_per_signal():
     batch = encode_wav_adpcm_batch(sigs, 8000)
     assert batch == [encode_wav_adpcm(s, 8000) for s in sigs]
     assert encode_wav_adpcm_batch([], 8000) == []
+    # per-signal rates (the mixed-audio synth's form): rate shapes only
+    # the RIFF header, so mixed-rate batches still match per-signal
+    rates = [8000 if i % 2 == 0 else 16000 for i in range(len(sigs))]
+    assert encode_wav_adpcm_batch(sigs, rates) == [
+        encode_wav_adpcm(s, r) for s, r in zip(sigs, rates)
+    ]
+    with pytest.raises(ValueError):
+        encode_wav_adpcm_batch(sigs, rates[:-1])
     with pytest.raises(ValueError):
         encode_wav_adpcm_batch([sigs[0], np.zeros(0, np.int16)], 8000)
     payloads = [
@@ -2308,8 +2316,9 @@ def test_flac_roundtrip_is_lossless_and_md5_verified():
     ]
     for sig in sigs:
         payload = encode_flac(sig, 16000)
-        out, rate = decode_flac(payload)
+        out, rate, n_frames = decode_flac(payload)
         assert rate == 16000 and np.array_equal(out, sig)
+        assert n_frames == (len(sig) + 255) // 256
     smooth = sigs[6]
     assert len(encode_flac(smooth, 8000)) < 0.5 * 2 * len(smooth)
     rate, ch, bits, total = parse_flac_streaminfo(encode_flac(sigs[5], 8000))

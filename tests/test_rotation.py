@@ -5,11 +5,13 @@ these tests pin its pieces and run the real check against the live
 git tree, so a round that edits an operator module without windowing
 its queries fails pytest, not just the judge's review."""
 
+import os
 import subprocess
 import sys
 
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/scripts")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 import check_rotation as cr  # noqa: E402
 
@@ -57,6 +59,6 @@ def test_live_tree_rotation_rule_holds():
     self-enforcing — if it fails, rotate the window, don't skip it."""
     proc = subprocess.run(
         [sys.executable, "scripts/check_rotation.py"],
-        cwd="/root/repo", capture_output=True, text=True,
+        cwd=REPO, capture_output=True, text=True,
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
