@@ -7,9 +7,11 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 119 queries (count as of r13 — the 118 carried from r12 plus the
-r13 declaration q_audio_flac, whose subset FLAC codec, oracle and
-lossless/corruption tests all land in r13;
+ALL 121 queries (count as of r13 — the 118 carried from r12 plus the
+three r13 declarations: q_audio_flac (subset FLAC codec),
+q_heavy_hitters (exact top-k via Misra-Gries candidates) and
+q_image_dedup (dHash perceptual image near-dup), each with codec/
+sketch, oracle and tests landing in-round;
 grep ``def queries`` below for
 the authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
@@ -37,6 +39,8 @@ from node_js_etl_processor_spark.operators import (
     bpe,
     dedup,
     graph,
+    heavy,
+    phash,
     relational,
     retrieval,
     sessionize,
@@ -100,20 +104,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     span), and the shared media-harness extraction
     (operators/media_harness.py) touched q_tiff_features,
     q_audio_features and q_multimodal_features, which were pulled
-    into the window displacing unchanged fill entries. The r13
-    DECLARATION q_audio_flac also enters on declaration, and the
-    corrected transitive import graph (the r13 in-round code review
-    found level-2 relative imports were dropped) additionally pulled
-    q_countmin / q_bloom / q_hll_timeline / q_hybrid_search — their
-    modules import the refactored streaming.markers/sketches.
+    into the window displacing unchanged fill entries. The three r13
+    DECLARATIONS (q_audio_flac, q_heavy_hitters, q_image_dedup) also
+    enter on declaration, and the corrected transitive import graph
+    (the r13 in-round code review found level-2 relative imports were
+    dropped) additionally pulled q_countmin / q_bloom /
+    q_hll_timeline / q_hybrid_search — their modules import the
+    refactored streaming.markers/sketches.
     Rotation rule #2 ("changed code ⇒ in window") is now enforced
     MECHANICALLY: scripts/check_rotation.py diffs engine modules
     (committed + uncommitted + untracked) since the round marker,
     resolves queries via the registry's own closures and the package
     import graph, and fails on any out-of-window hit;
     tests/test_rotation.py runs it against the live tree every pytest
-    run. The 23 queries that don't fit are the NAMED r14 deferrals
-    rather than silently dropped: q_window_range, q_scalar_subquery,
+    run. The 25 queries that don't fit are the NAMED r14 deferrals
+    rather than silently dropped: q_dedup_upsert, q_range_join,
+    q_window_range, q_scalar_subquery,
     q_explode_words, q_join_enrich, q_asof_join, q_sessionize,
     q_decontaminate_hashed, q_similarity_topk, q_dedup_embedding,
     q_similarity_ann, q_similarity_ivf, q_chunk_documents,
@@ -123,8 +129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     those first, then fill with the oldest r12-green queries; the
     overflow becomes the named r15 deferrals.
 
-    Honest rotation math: with a 50-slot driver window and 119
-    registered queries, a full sweep takes ceil(119/50) = 3 rounds,
+    Honest rotation math: with a 50-slot driver window and 121
+    registered queries, a full sweep takes ceil(121/50) = 3 rounds,
     so the invariant is: every registered query has a driver
     CORRECTNESS row within the last 3 rounds (named deferrals are
     the explicit schedule for the overflow), and ALL queries are
@@ -181,14 +187,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clean_project": _q(["customer"], relational.q_clean_project),
         "q_array_transform": _q(["part"], relational.q_array_transform),
         "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
-        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
-        "q_range_join": _q(["events"], temporal.q_range_join),
         "q_media_resize": _q(["documents"], q_media_resize),
         "q_frame_sample": _q(["documents"], q_frame_sample),
         "q_tiff_features": _q(["documents"], q_tiff_features),
         "q_audio_features": _q(["documents"], q_audio_features),
         "q_multimodal_features": _q(["documents"], q_multimodal_features),
         "q_audio_flac": _q(["documents"], q_audio_flac),
+        # The other two r13 DECLARATIONS (each in its own module so
+        # the rotation checker scopes them): exact top-k via
+        # Misra-Gries candidates, and dHash image near-dup
+        "q_heavy_hitters": _q(["orders"], heavy.q_heavy_hitters),
+        "q_image_dedup": _q(["documents"], phash.q_image_dedup),
         "q_countmin": _q(["orders"], sketch.q_countmin),
         "q_bloom": _q(["orders"], sketch.q_bloom),
         "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
@@ -198,6 +207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- oracle-paired but outside the 50-entry driver window ----
         # First the NAMED r14 deferrals (see docstring): r14 MUST
         # window these first.
+        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
+        "q_range_join": _q(["events"], temporal.q_range_join),
         "q_window_range": _q(["events"], temporal.q_window_range),
         "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
         "q_explode_words": _q(["part"], relational.q_explode_words),
@@ -952,6 +963,62 @@ SELECT doc_id, 'false', NULL, NULL, NULL, NULL, NULL, NULL, NULL
 FROM documents WHERE doc_id % 11 = 0
 """
 
+# q_heavy_hitters: the Misra-Gries candidate path is an EXECUTION
+# strategy with an exact-verify pass, so the oracle is the plain
+# exact top-k — the sketch must be invisible in the result.
+HEAVY_HITTERS_ORACLE = """
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders GROUP BY o_custkey
+ORDER BY cnt DESC, o_custkey ASC LIMIT 10
+"""
+
+# q_image_dedup: recompute every dHash bit from the synth's sawtooth
+# arithmetic — same nearest-neighbor sampling indices (source col
+# 2x / row 2y for the 18×16 → 9×8 downscale), same horizontal
+# comparison, same row-major MSB-first byte packing — then replay the
+# perceptual grouping (count + min-keeper per 64-bit key). Brightness
+# (c) and amplitude (amp) never appear: dHash compares neighbors, so
+# the oracle's independence from them IS the invariance claim.
+IMAGE_DEDUP_ORACLE = """
+WITH base AS (
+  SELECT doc_id, 1 + (doc_id // 3) % 5 AS a, (doc_id // 3) % 4 AS b,
+         3 + (doc_id // 3) % 6 AS p
+  FROM documents WHERE doc_id % 11 <> 0
+),
+bits AS (
+  SELECT base.doc_id, y.y AS y8, x.x AS x8,
+         CASE WHEN
+           (CASE WHEN ((a * (2*(x.x+1)) + b * (2*y.y)) % p) * 2 < p
+                 THEN 1 ELSE 0 END)
+           >
+           (CASE WHEN ((a * (2*x.x) + b * (2*y.y)) % p) * 2 < p
+                 THEN 1 ELSE 0 END)
+         THEN 1 ELSE 0 END AS bit
+  FROM base, range(8) y(y), range(8) x(x)
+),
+rowbytes AS (
+  SELECT doc_id, y8, CAST(sum(bit * (1 << (7 - x8))) AS INT) AS byte
+  FROM bits GROUP BY doc_id, y8
+),
+hashes AS (
+  SELECT doc_id, string_agg(printf('%02x', byte), '' ORDER BY y8) AS dhash
+  FROM rowbytes GROUP BY doc_id
+),
+grouped AS (
+  SELECT doc_id AS media_id, 'true' AS ok, dhash,
+         CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same,
+         CAST(MIN(doc_id) OVER (PARTITION BY dhash) AS BIGINT) AS keeper
+  FROM hashes
+)
+SELECT media_id, ok, dhash, n_same, keeper,
+       CASE WHEN media_id <> keeper THEN 'true' ELSE 'false' END AS is_dup
+FROM grouped
+UNION ALL
+SELECT doc_id, 'false', NULL, NULL, NULL, NULL
+FROM documents WHERE doc_id % 11 = 0
+"""
+
 def _hll_oracle() -> str:
     """Generated DuckDB oracle for q_hll_distinct: replays the WHOLE
     sketch — the two-round multiply-xorshift hash (constants shared
@@ -1407,6 +1474,8 @@ def oracle_sql() -> dict[str, str]:
         "q_video_frames": VIDEO_FRAMES_ORACLE,
         "q_audio_g711": G711_ORACLE,
         "q_audio_flac": FLAC_ORACLE,
+        "q_heavy_hitters": HEAVY_HITTERS_ORACLE,
+        "q_image_dedup": IMAGE_DEDUP_ORACLE,
         "q_audio_adpcm": ADPCM_ORACLE,
         "q_hll_distinct": HLL_ORACLE,
         "q_hdr_quantiles": HDR_ORACLE,

@@ -632,14 +632,28 @@ def main() -> None:
         lambda: text.q_winnow_fingerprint(docs1),
         lambda: text.q_winnow_fingerprint(docs10),
     )
-    # r13 declaration: the FLAC family (bit-level Python codec — the
+    # r13 declarations: the FLAC family (bit-level Python codec — the
     # honest per-payload band; embarrassingly parallel, so the 10x
-    # ratio should stay near the ADPCM/probe band)
+    # ratio should stay near the ADPCM/probe band), Misra-Gries exact
+    # top-k (partials are capacity-bounded per partition, so the 10x
+    # point pays the scan + a parameter-sized merge — the countmin
+    # band), and dHash image near-dup (one Arrow decode pass + one
+    # 8-byte-key exchange — the vectorized-media band)
     from node_js_etl_processor_spark.operators.flac import q_audio_flac
+    from node_js_etl_processor_spark.operators.heavy import q_heavy_hitters
+    from node_js_etl_processor_spark.operators.phash import q_image_dedup
 
     queries["q_audio_flac"] = (
         lambda: q_audio_flac(docs1),
         lambda: q_audio_flac(docs10),
+    )
+    queries["q_heavy_hitters"] = (
+        lambda: q_heavy_hitters(orders1),
+        lambda: q_heavy_hitters(orders10),
+    )
+    queries["q_image_dedup"] = (
+        lambda: q_image_dedup(docs1),
+        lambda: q_image_dedup(docs10),
     )
 
     if args.only:

@@ -1843,6 +1843,8 @@ from __spark_entry__ import (  # single source of truth: the driver compares the
     BPE_PAIRS_ORACLE,
     FLAC_ORACLE,
     G711_ORACLE,
+    HEAVY_HITTERS_ORACLE,
+    IMAGE_DEDUP_ORACLE,
     GIF_FRAMES_ORACLE,
     HDR_ORACLE,
     HLL_INTERSECT_ORACLE,
@@ -2281,6 +2283,101 @@ def test_adpcm_wav_roundtrip_blocks_and_rejection():
                 b"RIFFjunk"):
         with pytest.raises(DU):
             decode_wav_adpcm(bad)
+
+
+def test_heavy_hitters_duckdb_oracle_parity(spark, sf_dir):
+    """r13 declaration gate: q_heavy_hitters vs the plain exact top-k
+    SQL (the driver's exact compare). The Misra-Gries candidate path
+    must be invisible in the result — candidates, the broadcast
+    recount and the guarantee validation are execution strategy."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.heavy import q_heavy_hitters
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = _duck_parity(
+        q_heavy_hitters(orders), HEAVY_HITTERS_ORACLE, sf_dir, tables=("orders",)
+    )
+    assert n > 0
+
+
+def test_heavy_hitters_mg_guarantee_and_fallback():
+    """The Misra-Gries machinery itself: (a) partial summaries are
+    capacity-bounded and underestimate true counts by ≤ N/(cap+1);
+    (b) with a capacity so small the guarantee cannot hold, the
+    validation check falls back to the exact groupBy and the result
+    is STILL the exact top-k — correctness never rides on the sketch."""
+    import numpy as np
+    import pandas as pd
+
+    from node_js_etl_processor_spark.operators.heavy import (
+        heavy_hitters_topk,
+        mg_partials,
+    )
+    from node_js_etl_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="tests", master="local[8]")
+    rng = np.random.RandomState(5)
+    # zipf-ish: a few heavy keys over a long uniform tail
+    keys = np.concatenate(
+        [np.repeat(np.arange(5), 400), rng.randint(100, 3000, 4000)]
+    )
+    rng.shuffle(keys)
+    df = spark.createDataFrame(pd.DataFrame({"k": keys.astype(np.int64)}))
+    n = len(keys)
+    parts = mg_partials(df, "k", capacity=64).toPandas()
+    exact = pd.Series(keys).value_counts()
+    merged = parts.groupby("key")["mg_count"].sum()
+    assert (merged.index.value_counts() <= 1).all()
+    # underestimate property + the merged decrement bound: each
+    # partition decrements at most partition_n/(cap+1) times, and the
+    # per-partition flooring adds at most one per partition
+    for key, mg in merged.items():
+        assert mg <= exact[key]
+        assert exact[key] - mg <= n // 65 + 8
+    top = heavy_hitters_topk(df, "k", k=5, capacity=64).toPandas()
+    want = sorted(
+        ((int(c), -int(k)) for k, c in exact.items()), reverse=True
+    )[:5]
+    got = [(int(r["cnt"]), -int(r["k"])) for _i, r in top.iterrows()]
+    assert got == want
+    # tiny capacity: guarantee unprovable -> exact fallback, same result
+    top2 = heavy_hitters_topk(df, "k", k=5, capacity=2).toPandas()
+    got2 = [(int(r["cnt"]), -int(r["k"])) for _i, r in top2.iterrows()]
+    assert got2 == want
+
+
+def test_image_dedup_duckdb_oracle_parity(spark, sf_dir):
+    """r13 declaration gate: q_image_dedup vs the closed-form dHash
+    replay (every bit recomputed from the sawtooth arithmetic in SQL,
+    grouping replayed). Planted trios collide under brightness and
+    amplitude shifts — the invariance claim is under the oracle."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.phash import q_image_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_image_dedup(docs), IMAGE_DEDUP_ORACLE, sf_dir)
+    assert n > 0
+
+
+def test_dhash_invariance_and_discrimination():
+    """dHash unit surface: brightness shift and contrast rescale keep
+    the hash; a different pattern changes it; color rasters gray-mean
+    first; the planted trios in the synth collide by construction."""
+    import numpy as np
+
+    from node_js_etl_processor_spark.operators.phash import dhash_hex
+
+    y, x = np.mgrid[0:16, 0:18]
+    base = np.where(((2 * x + 3 * y) % 5) * 2 < 5, 120, 0).astype(np.uint8)
+    assert dhash_hex(base) == dhash_hex((base + 40).astype(np.uint8))
+    assert dhash_hex(base) == dhash_hex(
+        np.where(base > 0, 200, 30).astype(np.uint8)
+    )
+    other = np.where(((1 * x + 0 * y) % 7) * 2 < 7, 120, 0).astype(np.uint8)
+    assert dhash_hex(base) != dhash_hex(other)
+    color = np.stack([base, base, base], axis=2)
+    assert dhash_hex(color) == dhash_hex(base)
+    assert len(dhash_hex(base)) == 16
 
 
 def test_flac_roundtrip_is_lossless_and_md5_verified():
