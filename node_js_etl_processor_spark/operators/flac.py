@@ -561,7 +561,10 @@ def decode_flac(payload: bytes) -> "tuple[object, int, int]":
                 cnt = bs >> porder
                 if part == 0:
                     cnt -= order
-                if idx + cnt > nres:
+                if cnt < 0 or idx + cnt > nres:
+                    # first-partition count goes negative when the
+                    # predictor order exceeds blocksize >> porder — a
+                    # structurally invalid stream, not an executor error
                     raise DecodeUnavailable("FLAC partition overruns block")
                 param = br.read(pbits)
                 if param == escape:

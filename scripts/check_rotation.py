@@ -92,8 +92,8 @@ def package_import_graph() -> "dict[str, set[str]]":
             deps: "set[str]" = set()
             tree = ast.parse(open(path).read())
             for node in ast.walk(tree):
-                if isinstance(node, ast.ImportFrom) and node.module:
-                    if node.module.startswith(PKG):
+                if isinstance(node, ast.ImportFrom):
+                    if node.module and node.module.startswith(PKG):
                         base_mod = node.module[len(PKG) + 1 :] or ""
                         for alias in node.names:
                             # `from pkg.operators import audio` form
