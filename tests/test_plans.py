@@ -685,3 +685,52 @@ def test_hdr_sketch_one_data_sized_shuffle(spark, sf_dir):
     read_schema = full.split("ReadSchema")[1].split("\n")[0]
     assert "l_extendedprice" in read_schema and "l_returnflag" in read_schema
     assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_image_dedup_single_key_exchange_no_payload_past_decode(spark, sf_dir):
+    """r13: the perceptual image dedup's only exchange is the 8-byte
+    dhash window partitioning — pixels and payloads never shuffle.
+    The chained synth→decode passes are Arrow kernels (two
+    MapInPandas lanes plus the ok/rejected split), and no join
+    appears anywhere: the grouping is window functions over the key."""
+    from node_js_etl_processor_spark.operators.phash import q_image_dedup
+
+    df = q_image_dedup(load_table(spark, sf_dir, "documents"))
+    plan = plan_text(df, "simple")
+    assert "Join" not in plan
+    # the only hash exchanges are dhash-keyed (window partitioning);
+    # payload columns never appear in an Exchange line
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "dhash" in line and "payload" not in line
+
+
+def test_heavy_hitters_certified_path_broadcasts_candidates(spark):
+    """r13: on data where the Misra-Gries guarantee certifies (skewed
+    keys), the exact recount joins the base table against the
+    BROADCAST candidate set — the full-key-space shuffle never
+    happens; and the merged-summary frame the candidates come from is
+    parameter-sized by construction (≤ (capacity+1)·partitions rows).
+    The uncertified path (near-uniform fixtures) is the documented
+    plain exact groupBy — pinned implicitly by the oracle-parity test
+    running against the real orders fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from node_js_etl_processor_spark.operators.heavy import heavy_hitters_topk
+
+    rng = np.random.RandomState(9)
+    keys = np.concatenate(
+        [np.repeat(np.arange(5), 500), rng.randint(100, 2000, 3000)]
+    )
+    rng.shuffle(keys)
+    df = spark.createDataFrame(pd.DataFrame({"k": keys.astype(np.int64)}))
+    out = heavy_hitters_topk(df, "k", k=5, capacity=64)
+    plan = plan_text(out)
+    assert "BroadcastHashJoin" in plan  # certified: candidates broadcast
+    # and the result is still the exact top-5
+    got = [(int(r["cnt"]), int(r["k"])) for r in out.collect()]
+    exact = pd.Series(keys).value_counts()
+    want = sorted(((int(c), int(k)) for k, c in exact.items()),
+                  key=lambda t: (-t[0], t[1]))[:5]
+    assert got == want
