@@ -7,10 +7,11 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 121 queries (count as of r13 — the 118 carried from r12 plus the
-three r13 declarations: q_audio_flac (subset FLAC codec),
-q_heavy_hitters (exact top-k via Misra-Gries candidates) and
-q_image_dedup (dHash perceptual image near-dup), each with codec/
+ALL 122 queries (count as of r13 — the 118 carried from r12 plus the
+four r13 declarations: q_audio_flac (subset FLAC codec),
+q_heavy_hitters (exact top-k via Misra-Gries candidates),
+q_image_dedup (dHash perceptual image dedup) and q_image_neardup
+(banded Hamming-tolerant image near-dup pairs), each with codec/
 sketch, oracle and tests landing in-round;
 grep ``def queries`` below for
 the authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
@@ -104,9 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     span), and the shared media-harness extraction
     (operators/media_harness.py) touched q_tiff_features,
     q_audio_features and q_multimodal_features, which were pulled
-    into the window displacing unchanged fill entries. The three r13
-    DECLARATIONS (q_audio_flac, q_heavy_hitters, q_image_dedup) also
-    enter on declaration, and the corrected transitive import graph
+    into the window displacing unchanged fill entries. The four r13
+    DECLARATIONS (q_audio_flac, q_heavy_hitters, q_image_dedup,
+    q_image_neardup) also enter on declaration, and the corrected transitive import graph
     (the r13 in-round code review found level-2 relative imports were
     dropped) additionally pulled q_countmin / q_bloom /
     q_hll_timeline / q_hybrid_search — their modules import the
@@ -117,8 +118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     resolves queries via the registry's own closures and the package
     import graph, and fails on any out-of-window hit;
     tests/test_rotation.py runs it against the live tree every pytest
-    run. The 25 queries that don't fit are the NAMED r14 deferrals
-    rather than silently dropped: q_dedup_upsert, q_range_join,
+    run. The 26 queries that don't fit are the NAMED r14 deferrals
+    rather than silently dropped: q_csv_export_shape, q_dedup_upsert,
+    q_range_join,
     q_window_range, q_scalar_subquery,
     q_explode_words, q_join_enrich, q_asof_join, q_sessionize,
     q_decontaminate_hashed, q_similarity_topk, q_dedup_embedding,
@@ -129,8 +131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     those first, then fill with the oldest r12-green queries; the
     overflow becomes the named r15 deferrals.
 
-    Honest rotation math: with a 50-slot driver window and 121
-    registered queries, a full sweep takes ceil(121/50) = 3 rounds,
+    Honest rotation math: with a 50-slot driver window and 122
+    registered queries, a full sweep takes ceil(122/50) = 3 rounds,
     so the invariant is: every registered query has a driver
     CORRECTNESS row within the last 3 rounds (named deferrals are
     the explicit schedule for the overflow), and ALL queries are
@@ -186,7 +188,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_filter_required": _q(["orders"], relational.q_filter_required),
         "q_clean_project": _q(["customer"], relational.q_clean_project),
         "q_array_transform": _q(["part"], relational.q_array_transform),
-        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
         "q_media_resize": _q(["documents"], q_media_resize),
         "q_frame_sample": _q(["documents"], q_frame_sample),
         "q_tiff_features": _q(["documents"], q_tiff_features),
@@ -198,6 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Misra-Gries candidates, and dHash image near-dup
         "q_heavy_hitters": _q(["orders"], heavy.q_heavy_hitters),
         "q_image_dedup": _q(["documents"], phash.q_image_dedup),
+        "q_image_neardup": _q(["documents"], phash.q_image_neardup),
         "q_countmin": _q(["orders"], sketch.q_countmin),
         "q_bloom": _q(["orders"], sketch.q_bloom),
         "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
@@ -207,6 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- oracle-paired but outside the 50-entry driver window ----
         # First the NAMED r14 deferrals (see docstring): r14 MUST
         # window these first.
+        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
         "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
         "q_range_join": _q(["events"], temporal.q_range_join),
         "q_window_range": _q(["events"], temporal.q_window_range),
@@ -982,14 +985,18 @@ ORDER BY cnt DESC, o_custkey ASC LIMIT 10
 # the oracle's independence from them IS the invariance claim.
 IMAGE_DEDUP_ORACLE = """
 WITH base AS (
-  SELECT doc_id, 1 + (doc_id // 3) % 5 AS a, (doc_id // 3) % 4 AS b,
-         3 + (doc_id // 3) % 6 AS p
+  SELECT doc_id, 1 + (doc_id // 3) % 23 AS a, (doc_id // 3) % 19 AS b,
+         3 + (doc_id // 3) % 17 AS p
   FROM documents WHERE doc_id % 11 <> 0
 ),
+-- member doc_id%3==2 inverts source pixel (16,14), which is sampled
+-- only as the RIGHT operand of bit (7,7) — the planted Hamming-1
+-- near miss (see synth_phash_media)
 bits AS (
   SELECT base.doc_id, y.y AS y8, x.x AS x8,
          CASE WHEN
-           (CASE WHEN ((a * (2*(x.x+1)) + b * (2*y.y)) % p) * 2 < p
+           (CASE WHEN (((a * (2*(x.x+1)) + b * (2*y.y)) % p) * 2 < p)
+                      <> (doc_id % 3 = 2 AND x.x = 7 AND y.y = 7)
                  THEN 1 ELSE 0 END)
            >
            (CASE WHEN ((a * (2*x.x) + b * (2*y.y)) % p) * 2 < p
@@ -1017,6 +1024,62 @@ FROM grouped
 UNION ALL
 SELECT doc_id, 'false', NULL, NULL, NULL, NULL
 FROM documents WHERE doc_id % 11 = 0
+"""
+
+# q_image_neardup: same closed-form hash replay, then the 4×16 band
+# split, the band equi-join (complete for Hamming ≤ 3 by pigeonhole)
+# and the exact popcount verify — the blocking's completeness is
+# cross-checked against an engine that computes the same pairs.
+IMAGE_NEARDUP_ORACLE = """
+WITH base AS (
+  SELECT doc_id, 1 + (doc_id // 3) % 23 AS a, (doc_id // 3) % 19 AS b,
+         3 + (doc_id // 3) % 17 AS p
+  FROM documents WHERE doc_id % 11 <> 0
+),
+bits AS (
+  SELECT base.doc_id, y.y AS y8, x.x AS x8,
+         CASE WHEN
+           (CASE WHEN (((a * (2*(x.x+1)) + b * (2*y.y)) % p) * 2 < p)
+                      <> (doc_id % 3 = 2 AND x.x = 7 AND y.y = 7)
+                 THEN 1 ELSE 0 END)
+           >
+           (CASE WHEN ((a * (2*x.x) + b * (2*y.y)) % p) * 2 < p
+                 THEN 1 ELSE 0 END)
+         THEN 1 ELSE 0 END AS bit
+  FROM base, range(8) y(y), range(8) x(x)
+),
+rowbytes AS (
+  SELECT doc_id, y8, CAST(sum(bit * (1 << (7 - x8))) AS INT) AS byte
+  FROM bits GROUP BY doc_id, y8
+),
+bands AS (
+  SELECT doc_id, y8 // 2 AS band,
+         CAST(sum(CASE WHEN y8 % 2 = 0 THEN byte * 256 ELSE byte END)
+              AS BIGINT) AS val
+  FROM rowbytes GROUP BY doc_id, y8 // 2
+),
+hashes4 AS (
+  SELECT doc_id,
+         max(CASE WHEN band = 0 THEN val END) AS h0,
+         max(CASE WHEN band = 1 THEN val END) AS h1,
+         max(CASE WHEN band = 2 THEN val END) AS h2,
+         max(CASE WHEN band = 3 THEN val END) AS h3
+  FROM bands GROUP BY doc_id
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(xa.h0, xb.h0)) + bit_count(xor(xa.h1, xb.h1))
+          + bit_count(xor(xa.h2, xb.h2)) + bit_count(xor(xa.h3, xb.h3))
+          AS BIGINT) AS hamming
+FROM cand
+JOIN hashes4 xa ON xa.doc_id = id_a
+JOIN hashes4 xb ON xb.doc_id = id_b
+WHERE bit_count(xor(xa.h0, xb.h0)) + bit_count(xor(xa.h1, xb.h1))
+    + bit_count(xor(xa.h2, xb.h2)) + bit_count(xor(xa.h3, xb.h3)) <= 3
 """
 
 def _hll_oracle() -> str:
@@ -1476,6 +1539,7 @@ def oracle_sql() -> dict[str, str]:
         "q_audio_flac": FLAC_ORACLE,
         "q_heavy_hitters": HEAVY_HITTERS_ORACLE,
         "q_image_dedup": IMAGE_DEDUP_ORACLE,
+        "q_image_neardup": IMAGE_NEARDUP_ORACLE,
         "q_audio_adpcm": ADPCM_ORACLE,
         "q_hll_distinct": HLL_ORACLE,
         "q_hdr_quantiles": HDR_ORACLE,

@@ -71,11 +71,19 @@ def synth_phash_media(documents: DataFrame) -> DataFrame:
     sawtooth (px = c + amp where ((a·x + b·y) mod p)·2 < p, else c)
     with per-member brightness c = 10·(doc_id%3) and amplitude
     amp = 120 + 25·(doc_id%3) — dHash compares neighbors, so members
-    collide by construction while distinct patterns (a = 1 + g%5,
-    b = g%4, p = 3 + g%6) generally do not. Every doc_id%11==0 row
-    carries a REAL TIFF payload instead — foreign-format rejection
-    under the gate. Values stay ≤ 255, so the SQL oracle recomputes
-    pixels with plain integer arithmetic (no wraparound cases)."""
+    collide by construction while distinct patterns (a = 1 + g%23,
+    b = g%19, p = 3 + g%17 — 7429 combinations, so dup-group sizes
+    stay bounded as the corpus grows and pair counts scale linearly)
+    generally do not. Member doc_id%3 == 2
+    additionally INVERTS the single source pixel (x=16, y=14) — that
+    pixel is sampled only as the right operand of bit (7, 7), so the
+    member's dHash sits at Hamming distance EXACTLY ≤ 1 from its
+    trio: the planted near-miss the banded Hamming matcher
+    (``q_image_neardup``) exists to find and plain equality grouping
+    must NOT merge. Every doc_id%11==0 row carries a REAL TIFF
+    payload instead — foreign-format rejection under the gate. Values
+    stay ≤ 255, so the SQL oracle recomputes pixels with plain
+    integer arithmetic (no wraparound cases)."""
     import numpy as np
 
     from node_js_etl_processor_spark.operators.media_harness import (
@@ -91,11 +99,13 @@ def synth_phash_media(documents: DataFrame) -> DataFrame:
                 np.zeros((4, 5), dtype=np.uint8), "II"
             )
         g = did // 3
-        a, b, p = 1 + g % 5, g % 4, 3 + g % 6
+        a, b, p = 1 + g % 23, g % 19, 3 + g % 17
         c = 10 * (did % 3)
         amp = 120 + 25 * (did % 3)
         y, x = np.mgrid[0:PHASH_H, 0:PHASH_W]
         high = ((a * x + b * y) % p) * 2 < p
+        if did % 3 == 2:
+            high[14, 16] = ~high[14, 16]
         px = (c + np.where(high, amp, 0)).astype(np.uint8)
         return "image/x-portable-graymap", encode_netpbm(px, "P5")
 
@@ -143,6 +153,89 @@ def image_near_dup_groups(hashed: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("is_dup"),
     )
     return grouped.unionByName(rejected)
+
+
+def _band_cols(prefix: str = "") -> "list":
+    """The four 16-bit band integers of a dhash hex string — the
+    simhash banding (4×16) applied to the perceptual key."""
+    return [
+        F.conv(F.substring(F.col(f"{prefix}dhash"), 1 + 4 * b, 4), 16, 10)
+        .cast("bigint")
+        .alias(f"{prefix}h{b}")
+        for b in range(4)
+    ]
+
+
+def image_near_dup_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Hamming-tolerant image near-dup pairs over the dHash keys —
+    the simhash LSH argument on a perceptual hash: split each 64-bit
+    key into 4×16-bit bands; any pair within Hamming ≤ 3 must agree
+    on at least one whole band (pigeonhole), so the band equi-join is
+    COMPLETE for the threshold and never compares all pairs. Collided
+    candidates verify with the exact popcount over the band XORs.
+    Emits (id_a < id_b, hamming) distinct verified pairs.
+
+    Scale: the only exchanges are the (band, value)-keyed self-join —
+    2-byte keys, never pixels — exactly the text-simhash shape."""
+    ok = hashed.filter(F.col("ok") == "true").select(
+        F.col("media_id"), *_band_cols()
+    )
+    bands = ok.select(
+        "media_id",
+        *[F.col(f"h{b}") for b in range(4)],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).cast("int").alias("band"),
+                        F.col(f"h{b}").alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("cell"),
+    ).select("media_id", "h0", "h1", "h2", "h3", "cell.band", "cell.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.h{i}").bitwiseXOR(F.col(f"b.h{i}"))
+        )
+        for i in range(4)
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def q_image_neardup(documents: DataFrame) -> DataFrame:
+    """r13 declared query: Hamming-tolerant image near-dup — the loop
+    ``synth_phash_media`` → ``image_dhash`` → ``image_near_dup_pairs``.
+    The synth's trios plant BOTH cases: members 0/1 collide exactly
+    (hamming 0) and member 2 sits at hamming ≤ 1 (one inverted source
+    pixel that only bit (7,7) samples) — found by the banded matcher,
+    invisible to plain equality grouping (q_image_dedup keeps them
+    apart; this query joins them). The DuckDB oracle recomputes the
+    hashes closed-form, splits the same 4×16 bands, replays the
+    band join + popcount verify — completeness of the pigeonhole
+    blocking is cross-checked, not assumed.
+
+    Scale: one Arrow decode pass, then 2-byte-key band self-join —
+    the text-simhash plan on perceptual keys."""
+    return image_near_dup_pairs(image_dhash(synth_phash_media(documents))).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_image_dedup(documents: DataFrame) -> DataFrame:

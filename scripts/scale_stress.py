@@ -655,6 +655,12 @@ def main() -> None:
         lambda: q_image_dedup(docs1),
         lambda: q_image_dedup(docs10),
     )
+    from node_js_etl_processor_spark.operators.phash import q_image_neardup
+
+    queries["q_image_neardup"] = (
+        lambda: q_image_neardup(docs1),
+        lambda: q_image_neardup(docs10),
+    )
 
     if args.only:
         unknown = set(args.only) - set(queries) - {

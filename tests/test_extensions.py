@@ -1845,6 +1845,7 @@ from __spark_entry__ import (  # single source of truth: the driver compares the
     G711_ORACLE,
     HEAVY_HITTERS_ORACLE,
     IMAGE_DEDUP_ORACLE,
+    IMAGE_NEARDUP_ORACLE,
     GIF_FRAMES_ORACLE,
     HDR_ORACLE,
     HLL_INTERSECT_ORACLE,
@@ -2357,6 +2358,45 @@ def test_image_dedup_duckdb_oracle_parity(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     n = _duck_parity(q_image_dedup(docs), IMAGE_DEDUP_ORACLE, sf_dir)
     assert n > 0
+
+
+def test_image_neardup_duckdb_oracle_parity_and_planted_pairs(spark, sf_dir):
+    """r13 declaration gate: q_image_neardup vs the closed-form band
+    join + popcount replay (the driver's exact compare) — the
+    pigeonhole completeness of the 4×16 banding is cross-checked, not
+    assumed. The synth's planted Hamming-1 member (one inverted
+    source pixel, sampled only by bit (7,7)) must appear in the pairs
+    while plain equality grouping (q_image_dedup) keeps it apart."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.phash import (
+        q_image_dedup,
+        q_image_neardup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_image_neardup(docs), IMAGE_NEARDUP_ORACLE, sf_dir)
+    assert n > 0
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in q_image_neardup(docs).collect()
+    }
+    hams = set(pairs.values())
+    assert 0 in hams and 1 in hams  # exact trios AND planted near-misses
+    # a specific planted trio: members 3g/3g+1 collide exactly; member
+    # 3g+2 sits at hamming <= 1 of both (pick a trio clear of the %11
+    # rejection lane)
+    g0 = 3 * 5
+    assert pairs.get((g0, g0 + 1)) == 0
+    assert pairs.get((g0, g0 + 2)) in (0, 1)
+    # equality grouping must NOT merge the hamming-1 member when the
+    # inversion actually flipped bit (7,7)
+    if pairs[(g0, g0 + 2)] == 1:
+        groups = {
+            r["media_id"]: r["keeper"]
+            for r in q_image_dedup(docs).collect()
+            if r["media_id"] in (g0, g0 + 1, g0 + 2)
+        }
+        assert groups[g0] == groups[g0 + 1] and groups[g0 + 2] != groups[g0]
 
 
 def test_dhash_invariance_and_discrimination():
