@@ -7,12 +7,12 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 122 queries (count as of r13 — the 118 carried from r12 plus the
-four r13 declarations: q_audio_flac (subset FLAC codec),
-q_heavy_hitters (exact top-k via Misra-Gries candidates),
-q_image_dedup (dHash perceptual image dedup) and q_image_neardup
-(banded Hamming-tolerant image near-dup pairs), each with codec/
-sketch, oracle and tests landing in-round;
+ALL 124 queries (count as of r14 — the 122 carried from r13 plus the
+two r14 declarations: q_heavy_hitters_skewed (the Misra-Gries
+CERTIFIED sketch path under the oracle gate via a closed-form skewed
+key) and q_image_probe (headers-only image format dispatch across
+netpbm/BMP/PNG/JPEG/GIF/TIFF with recognized refusals), each with
+dispatch table, oracle and tests landing in-round;
 grep ``def queries`` below for
 the authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
@@ -57,6 +57,7 @@ from node_js_etl_processor_spark.operators.audio import (
 )
 from node_js_etl_processor_spark.operators.netpbm import q_netpbm_features
 from node_js_etl_processor_spark.operators.flac import q_audio_flac
+from node_js_etl_processor_spark.operators.image_probe import q_image_probe
 from node_js_etl_processor_spark.operators.tiff import q_tiff_features
 from node_js_etl_processor_spark.operators.multimodal import (
     q_audio_features,
@@ -92,47 +93,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FULLVERIFY_r{N}.json (scripts/full_verify.py; same per-query
     shape as CORRECTNESS, ALL registered queries at sf0.01).
 
-    r13 rotation — exactly as the r12 docstring scheduled it: the 18
-    NAMED r13 deferrals lead (q_text_langid, q_text_quality,
-    q_token_count, q_fingerprint, q_winnow_fingerprint,
-    q_corpus_pipeline, q_binary_meta, q_dedup_docs, q_dedup_ngram,
-    q_redact_pii, q_gopher_rules, q_lm_perplexity, q_pq_encode,
-    q_pq_topk, q_ivfpq_topk, q_weighted_sample, q_curation_pipeline,
-    q_dedup_clusters — last driver row r9), then 29 of the oldest
-    r11-green queries (registry order) and the r13 CHANGED-CODE set:
-    the ADPCM lockstep-decode + cross-row batch rewiring touched
-    q_audio_g711 / q_audio_adpcm / q_audio_probe (inside the fill
-    span), and the shared media-harness extraction
-    (operators/media_harness.py) touched q_tiff_features,
-    q_audio_features and q_multimodal_features, which were pulled
-    into the window displacing unchanged fill entries. The four r13
-    DECLARATIONS (q_audio_flac, q_heavy_hitters, q_image_dedup,
-    q_image_neardup) also enter on declaration, and the corrected transitive import graph
-    (the r13 in-round code review found level-2 relative imports were
-    dropped) additionally pulled q_countmin / q_bloom /
-    q_hll_timeline / q_hybrid_search — their modules import the
-    refactored streaming.markers/sketches.
-    Rotation rule #2 ("changed code ⇒ in window") is now enforced
+    r14 rotation — exactly as the r13 docstring scheduled it: the 26
+    NAMED r14 deferrals lead (q_csv_export_shape, q_dedup_upsert,
+    q_range_join, q_window_range, q_scalar_subquery, q_explode_words,
+    q_join_enrich, q_asof_join, q_sessionize, q_decontaminate_hashed,
+    q_similarity_topk, q_dedup_embedding, q_similarity_ann,
+    q_similarity_ivf, q_chunk_documents, q_pack_chunks,
+    q_chunk_pack_pipeline, q_bm25, q_dedup_minhash, q_dedup_simhash,
+    q_url_dedup, q_semantic_decontaminate, q_scd2, q_fuzzy_match,
+    q_tfidf, q_gap_fill — last driver row r12), then the r14
+    CHANGED-CODE set scripts/check_rotation.py flags: q_heavy_hitters
+    (the advice item's up-front key normalization in operators/
+    heavy.py), q_image_dedup and q_image_neardup (mixed-format synth
+    + decode_raster dispatch + key_cap in operators/phash.py). The
+    two r14 DECLARATIONS enter on declaration: q_heavy_hitters_skewed
+    (the Misra-Gries CERTIFIED path under the oracle gate, via a
+    closed-form skewed key) and q_image_probe (headers-only image
+    format dispatch across netpbm/BMP/PNG/JPEG/GIF/TIFF with
+    recognized refusals, operators/image_probe.py). The remaining 19
+    slots fill with the oldest r12-green queries in registry order
+    (q_window_rank_funcs … q_retention).
+    Rotation rule #2 ("changed code ⇒ in window") is enforced
     MECHANICALLY: scripts/check_rotation.py diffs engine modules
     (committed + uncommitted + untracked) since the round marker,
     resolves queries via the registry's own closures and the package
     import graph, and fails on any out-of-window hit;
     tests/test_rotation.py runs it against the live tree every pytest
-    run. The 26 queries that don't fit are the NAMED r14 deferrals
-    rather than silently dropped: q_csv_export_shape, q_dedup_upsert,
-    q_range_join,
-    q_window_range, q_scalar_subquery,
-    q_explode_words, q_join_enrich, q_asof_join, q_sessionize,
-    q_decontaminate_hashed, q_similarity_topk, q_dedup_embedding,
-    q_similarity_ann, q_similarity_ivf, q_chunk_documents,
-    q_pack_chunks, q_chunk_pack_pipeline, q_bm25, q_dedup_minhash,
-    q_dedup_simhash, q_url_dedup, q_semantic_decontaminate, q_scd2,
-    q_fuzzy_match, q_tfidf, q_gap_fill. r14 MUST window
-    those first, then fill with the oldest r12-green queries; the
-    overflow becomes the named r15 deferrals.
+    run. The 27 r12-green queries that don't fit are the NAMED r15
+    deferrals rather than silently dropped (their r12 driver rows are
+    two cycles old, so r15 MUST window them first or break the
+    3-round invariant): q_funnel, q_embedding_pool,
+    q_lm_bigram_perplexity, q_ivfpq_rescore, q_html_extract,
+    q_corpus_stats, q_semi_anti, q_rollup, q_window_topk,
+    q_sort_limit, q_region_supplier, q_pivot, q_shipping_priority,
+    q_percentiles, q_sample_hash, q_hypertable_rollup,
+    q_approx_distinct, q_repetition_rules, q_decontaminate,
+    q_source_mix, q_semdedup, q_c4_rules, q_span_dedup,
+    q_quality_classifier, q_stratified_split, q_kmeans_step,
+    q_text_stats. r15 MUST window those first, then fill with the
+    oldest r13-green queries (q_text_langid … q_hybrid_search, which
+    carry r13 rows); the overflow becomes the named r16 deferrals.
 
-    Honest rotation math: with a 50-slot driver window and 122
-    registered queries, a full sweep takes ceil(122/50) = 3 rounds,
+    Honest rotation math: with a 50-slot driver window and 124
+    registered queries, a full sweep takes ceil(124/50) = 3 rounds,
     so the invariant is: every registered query has a driver
     CORRECTNESS row within the last 3 rounds (named deferrals are
     the explicit schedule for the overflow), and ALL queries are
@@ -140,75 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     EVERY round."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
-        # The 18 NAMED r13 deferrals lead (last driver row r9 —
-        # scheduled in the r12 docstring; the r12 verdict's item 1).
-        "q_text_langid": _q(["documents"], text.q_text_langid),
-        "q_text_quality": _q(["documents"], text.q_text_quality),
-        "q_token_count": _q(["documents"], text.q_token_count),
-        "q_fingerprint": _q(["documents"], text.q_fingerprint),
-        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
-        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
-        "q_binary_meta": _q(["documents"], q_binary_meta),
-        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
-        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
-        "q_redact_pii": _q(["documents"], text.q_redact_pii),
-        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
-        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
-        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
-        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
-        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
-        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
-        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
-        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
-        # Then the oldest r11-green fill plus every r13 CHANGED-CODE
-        # query scripts/check_rotation.py flags (ADPCM rewiring, the
-        # shared media harness, and — via the corrected transitive
-        # import graph — the sketch/retrieval families that import the
-        # refactored streaming.markers/sketches), plus the r13
-        # declaration q_audio_flac. Displaced unchanged fill entries
-        # are named r14 deferrals below.
-        "q_union_sources": _q(["customer"], relational.q_union_sources),
-        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
-        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
-        "q_bpe_pairs": _q(
-            ["documents"], lambda docs: bpe.bpe_top_pairs(docs, k=20)
-        ),
-        "q_gif_frames": _q(["documents"], q_gif_frames),
-        "q_link_graph": _q(["documents"], graph.q_link_graph),
-        "q_token_budget": _q(["documents"], bpe.q_token_budget),
-        "q_video_frames": _q(["documents"], q_video_frames),
-        "q_audio_g711": _q(["documents"], q_audio_g711),
-        "q_audio_adpcm": _q(["documents"], q_audio_adpcm),
-        "q_hll_distinct": _q(["orders"], sketch.q_hll_distinct),
-        "q_hdr_quantiles": _q(["lineitem"], sketch.q_hdr_quantiles),
-        "q_hll_rollup": _q(["orders"], sketch.q_hll_rollup),
-        "q_hll_intersect": _q(["orders"], sketch.q_hll_intersect),
-        "q_netpbm_features": _q(["documents"], q_netpbm_features),
-        "q_audio_probe": _q(["documents"], q_audio_probe),
-        "q_filter_required": _q(["orders"], relational.q_filter_required),
-        "q_clean_project": _q(["customer"], relational.q_clean_project),
-        "q_array_transform": _q(["part"], relational.q_array_transform),
-        "q_media_resize": _q(["documents"], q_media_resize),
-        "q_frame_sample": _q(["documents"], q_frame_sample),
-        "q_tiff_features": _q(["documents"], q_tiff_features),
-        "q_audio_features": _q(["documents"], q_audio_features),
-        "q_multimodal_features": _q(["documents"], q_multimodal_features),
-        "q_audio_flac": _q(["documents"], q_audio_flac),
-        # The other two r13 DECLARATIONS (each in its own module so
-        # the rotation checker scopes them): exact top-k via
-        # Misra-Gries candidates, and dHash image near-dup
-        "q_heavy_hitters": _q(["orders"], heavy.q_heavy_hitters),
-        "q_image_dedup": _q(["documents"], phash.q_image_dedup),
-        "q_image_neardup": _q(["documents"], phash.q_image_neardup),
-        "q_countmin": _q(["orders"], sketch.q_countmin),
-        "q_bloom": _q(["orders"], sketch.q_bloom),
-        "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
-        "q_hybrid_search": _q(
-            ["documents", "embeddings"], retrieval.q_hybrid_search
-        ),
-        # ---- oracle-paired but outside the 50-entry driver window ----
-        # First the NAMED r14 deferrals (see docstring): r14 MUST
-        # window these first.
+        # The 26 NAMED r14 deferrals lead (last driver row r12 —
+        # scheduled in the r13 docstring; the r13 verdict's item 1).
         "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
         "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
         "q_range_join": _q(["events"], temporal.q_range_join),
@@ -237,11 +173,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_match": _q(["customer"], dedup.q_fuzzy_match),
         "q_tfidf": _q(["documents"], text.q_tfidf),
         "q_gap_fill": _q(["events"], temporal.q_gap_fill),
-        # Then the r12-green queries that rotate OUT (their
-        # CORRECTNESS_r12 rows are one cycle old — within the
-        # invariant); all remain under the local parity gate and the
-        # committed FULLVERIFY artifact every round. q_agg_pricing
-        # additionally runs every round as the entry() smoke query.
+        # The r14 CHANGED-CODE set (check_rotation-flagged: heavy.py
+        # key normalization; phash.py mixed-format dispatch + key_cap)
+        # and the two r14 DECLARATIONS, entering on declaration.
+        "q_heavy_hitters": _q(["orders"], heavy.q_heavy_hitters),
+        "q_heavy_hitters_skewed": _q(["orders"], heavy.q_heavy_hitters_skewed),
+        "q_image_probe": _q(["documents"], q_image_probe),
+        "q_image_dedup": _q(["documents"], phash.q_image_dedup),
+        "q_image_neardup": _q(["documents"], phash.q_image_neardup),
+        # Then the oldest r12-green fill (registry order, 19 slots).
         "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
         "q_window_lag": _q(["events"], relational.q_window_lag),
         "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
@@ -263,6 +203,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
         "q_retention": _q(["events"], temporal.q_retention),
+        # ---- oracle-paired but outside the 50-entry driver window ----
+        # First the 27 NAMED r15 deferrals (r12-green, two cycles old
+        # by r15 — see docstring): r15 MUST window these first.
         "q_funnel": _q(["events"], sessionize.q_funnel),
         "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
         "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
@@ -294,6 +237,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_split": _q(["documents"], text.q_stratified_split),
         "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
         "q_text_stats": _q(["documents"], text.q_text_stats),
+        # Then the r13-green queries that rotate OUT this round (their
+        # CORRECTNESS_r13 rows are one cycle old — within the
+        # invariant); all remain under the local parity gate and the
+        # committed FULLVERIFY artifact every round. q_agg_pricing
+        # additionally runs every round as the entry() smoke query.
+        "q_text_langid": _q(["documents"], text.q_text_langid),
+        "q_text_quality": _q(["documents"], text.q_text_quality),
+        "q_token_count": _q(["documents"], text.q_token_count),
+        "q_fingerprint": _q(["documents"], text.q_fingerprint),
+        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
+        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
+        "q_binary_meta": _q(["documents"], q_binary_meta),
+        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
+        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
+        "q_redact_pii": _q(["documents"], text.q_redact_pii),
+        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
+        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
+        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
+        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
+        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
+        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
+        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
+        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
+        "q_union_sources": _q(["customer"], relational.q_union_sources),
+        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
+        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
+        "q_bpe_pairs": _q(
+            ["documents"], lambda docs: bpe.bpe_top_pairs(docs, k=20)
+        ),
+        "q_gif_frames": _q(["documents"], q_gif_frames),
+        "q_link_graph": _q(["documents"], graph.q_link_graph),
+        "q_token_budget": _q(["documents"], bpe.q_token_budget),
+        "q_video_frames": _q(["documents"], q_video_frames),
+        "q_audio_g711": _q(["documents"], q_audio_g711),
+        "q_audio_adpcm": _q(["documents"], q_audio_adpcm),
+        "q_hll_distinct": _q(["orders"], sketch.q_hll_distinct),
+        "q_hdr_quantiles": _q(["lineitem"], sketch.q_hdr_quantiles),
+        "q_hll_rollup": _q(["orders"], sketch.q_hll_rollup),
+        "q_hll_intersect": _q(["orders"], sketch.q_hll_intersect),
+        "q_netpbm_features": _q(["documents"], q_netpbm_features),
+        "q_audio_probe": _q(["documents"], q_audio_probe),
+        "q_filter_required": _q(["orders"], relational.q_filter_required),
+        "q_clean_project": _q(["customer"], relational.q_clean_project),
+        "q_array_transform": _q(["part"], relational.q_array_transform),
+        "q_media_resize": _q(["documents"], q_media_resize),
+        "q_frame_sample": _q(["documents"], q_frame_sample),
+        "q_tiff_features": _q(["documents"], q_tiff_features),
+        "q_audio_features": _q(["documents"], q_audio_features),
+        "q_multimodal_features": _q(["documents"], q_multimodal_features),
+        "q_audio_flac": _q(["documents"], q_audio_flac),
+        "q_countmin": _q(["orders"], sketch.q_countmin),
+        "q_bloom": _q(["orders"], sketch.q_bloom),
+        "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
+        "q_hybrid_search": _q(
+            ["documents", "embeddings"], retrieval.q_hybrid_search
+        ),
     }
 
 
@@ -968,12 +967,69 @@ FROM documents WHERE doc_id % 11 = 0
 
 # q_heavy_hitters: the Misra-Gries candidate path is an EXECUTION
 # strategy with an exact-verify pass, so the oracle is the plain
-# exact top-k — the sketch must be invisible in the result.
+# exact top-k — the sketch must be invisible in the result. The
+# WHERE mirrors the engine's r14 up-front key normalization (cast to
+# long, drop nulls) so both branches AND the oracle see one key set.
 HEAVY_HITTERS_ORACLE = """
 SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
        CAST(COUNT(*) AS BIGINT) AS cnt
-FROM orders GROUP BY o_custkey
+FROM orders WHERE o_custkey IS NOT NULL
+GROUP BY o_custkey
 ORDER BY cnt DESC, o_custkey ASC LIMIT 10
+"""
+
+# q_heavy_hitters_skewed: the CERTIFIED Misra-Gries branch (the r13
+# verdict's item 3) — the skewed key derivation is one closed-form
+# CASE, and the oracle stays the plain exact top-k over it: whether
+# the engine took the certified sketch→broadcast-recount path (it
+# does on this derivation — asserted in tests via heavy_hitters_plan)
+# or the exact fallback must be invisible in the result.
+HEAVY_HITTERS_SKEWED_ORACLE = """
+SELECT CAST(CASE WHEN o_orderkey % 4 <> 0 THEN o_orderkey % 16
+            ELSE o_orderkey END AS BIGINT) AS key,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders WHERE o_orderkey IS NOT NULL
+GROUP BY 1
+ORDER BY cnt DESC, key ASC LIMIT 10
+"""
+
+# q_image_probe: the image dispatch table replayed closed-form — every
+# container/flavor/geometry column is integer arithmetic in doc_id
+# (the synth's lane selection and w/h moduli), and the WebP /
+# progressive-JPEG lanes are the recognized-refusal rows (ok=false
+# WITH the container named). Lane precedence matches the synth:
+# %11==0 (webp) before %13==1 (progressive jpeg) before %8 formats.
+IMAGE_PROBE_ORACLE = """
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 1 THEN 'false'
+       ELSE 'true' END AS ok,
+  CASE WHEN doc_id % 11 = 0 THEN 'webp'
+       WHEN doc_id % 13 = 1 THEN 'jpeg'
+       WHEN doc_id % 8 IN (0, 1, 2) THEN 'netpbm'
+       WHEN doc_id % 8 = 3 THEN 'bmp'
+       WHEN doc_id % 8 = 4 THEN 'png'
+       WHEN doc_id % 8 = 5 THEN 'gif'
+       ELSE 'tiff' END AS container,
+  CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 1 THEN NULL
+       WHEN doc_id % 8 = 0 THEN 'P5'
+       WHEN doc_id % 8 = 1 THEN 'P6'
+       WHEN doc_id % 8 = 2 THEN 'P2'
+       WHEN doc_id % 8 = 3 THEN 'bgr24'
+       WHEN doc_id % 8 = 4 THEN 'rgb8'
+       WHEN doc_id % 8 = 5 THEN '89a'
+       WHEN doc_id % 8 = 6 THEN 'II'
+       ELSE 'MM' END AS flavor,
+  CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 1 THEN NULL
+       ELSE CAST(6 + doc_id % 5 AS BIGINT) END AS width,
+  CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 1 THEN NULL
+       ELSE CAST(4 + doc_id % 4 AS BIGINT) END AS height,
+  CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 1 THEN NULL
+       WHEN doc_id % 8 IN (0, 2, 6) THEN CAST(1 AS BIGINT)
+       ELSE CAST(3 AS BIGINT) END AS n_channels,
+  CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 1 THEN NULL
+       ELSE CAST(8 AS BIGINT) END AS bit_depth
+FROM documents
+ORDER BY media_id
 """
 
 # q_image_dedup: recompute every dHash bit from the synth's sawtooth
@@ -1538,6 +1594,8 @@ def oracle_sql() -> dict[str, str]:
         "q_audio_g711": G711_ORACLE,
         "q_audio_flac": FLAC_ORACLE,
         "q_heavy_hitters": HEAVY_HITTERS_ORACLE,
+        "q_heavy_hitters_skewed": HEAVY_HITTERS_SKEWED_ORACLE,
+        "q_image_probe": IMAGE_PROBE_ORACLE,
         "q_image_dedup": IMAGE_DEDUP_ORACLE,
         "q_image_neardup": IMAGE_NEARDUP_ORACLE,
         "q_audio_adpcm": ADPCM_ORACLE,

@@ -74,15 +74,20 @@ def mg_partials(df: DataFrame, key_col: str, capacity: int = MG_CAPACITY) -> Dat
             }
         )
 
-    return spread(df).select(F.col(key_col).cast("long").alias(key_col)).mapInPandas(
-        run, schema
-    )
+    return spread(df).select(
+        F.col(key_col).try_cast("long").alias(key_col)
+    ).mapInPandas(run, schema)
 
 
-def heavy_hitters_topk(
+def heavy_hitters_plan(
     df: DataFrame, key_col: str, k: int = 10, capacity: int = MG_CAPACITY
-) -> DataFrame:
-    """EXACT top-k heavy hitters, sketch-first:
+) -> "tuple[DataFrame, bool]":
+    """``heavy_hitters_topk`` with the branch decision EXPOSED:
+    returns ``(result, certified)`` so tests (and the skewed declared
+    query's in-test assertion) can pin WHICH execution strategy ran —
+    the result itself is branch-invariant by construction.
+
+    EXACT top-k heavy hitters, sketch-first:
 
     1. Misra-Gries partials per partition (ONE pass, zero shuffles;
        the same pass carries the partition row counts),
@@ -105,10 +110,24 @@ def heavy_hitters_topk(
     plus a pushed broadcast filter; the uncertified path pays one MG
     pass over the scan before the exact groupBy — the honest cost of
     not knowing the skew a priori. The driver-side collects are the
-    k merged counters and one N scalar."""
+    k merged counters and one N scalar.
+
+    Key normalization happens ONCE, up front, for BOTH paths (r14,
+    the r13 advice item): the key is cast to long and nulls (original
+    OR produced by a failed cast) are filtered before either branch.
+    Previously the MG pass could never certify NULL or a
+    non-long-castable key — ``try_cast("long")`` nulls them and pandas
+    ``value_counts()`` drops nulls — while the uncertified fallback
+    grouped the RAW column, so the same data could answer differently
+    depending on which branch ran. Normalizing first restores the
+    'sketch is an execution strategy, never a semantics change'
+    contract; the oracle carries the matching CAST + IS NOT NULL."""
     if k < 1:
         raise ValueError("heavy_hitters_topk needs k >= 1")
     spark = df.sparkSession
+    df = df.select(F.col(key_col).try_cast("long").alias(key_col)).filter(
+        F.col(key_col).isNotNull()
+    )
     partials = mg_partials(df, key_col, capacity).localCheckpoint(eager=True)
     n_total = partials.filter(F.col("key").isNull()).agg(
         F.sum("mg_count")
@@ -133,10 +152,62 @@ def heavy_hitters_topk(
         )
     else:
         exact = df.groupBy(key_col).agg(F.count("*").cast("bigint").alias("cnt"))
-    return (
+    result = (
         exact.orderBy(F.col("cnt").desc(), F.col(key_col).asc())
         .limit(k)
         .select(F.col(key_col).cast("long").alias(key_col), "cnt")
+    )
+    return result, certified
+
+
+def heavy_hitters_topk(
+    df: DataFrame, key_col: str, k: int = 10, capacity: int = MG_CAPACITY
+) -> DataFrame:
+    """EXACT top-k heavy hitters — ``heavy_hitters_plan`` with the
+    branch flag discarded (the public operator form)."""
+    return heavy_hitters_plan(df, key_col, k, capacity)[0]
+
+
+#: Misra-Gries capacity for the SKEWED declared query — small enough
+#: that real counter evictions happen at every test SF (uniques per
+#: partition exceed 64 from sf0.001 up), yet the planted heavy keys
+#: clear the N/(cap+1) certification bound with wide margin.
+SKEW_CAPACITY = 64
+
+
+def skewed_order_keys(orders: DataFrame) -> DataFrame:
+    """Closed-form Zipf-ish key derivation from ``o_orderkey`` (the
+    media-synth discipline, applied to skew): three quarters of the
+    rows collapse onto the 12 residues mod 16 that are not ≡0 (mod 4)
+    — each carrying ≈3N/64 ≈ N/21 of the mass, far above the
+    SKEW_CAPACITY certification bound N/65 — while every fourth row
+    keeps its unique o_orderkey as a long tail that forces real MG
+    counter evictions (uniques per partition > capacity at every test
+    SF). o_orderkey is contiguous in the fixtures, so the heavy-key
+    counts are closed-form and the DuckDB oracle derives the SAME key
+    with one CASE expression."""
+    return orders.select(
+        F.when(
+            F.col("o_orderkey") % 4 != 0, F.col("o_orderkey") % 16
+        )
+        .otherwise(F.col("o_orderkey"))
+        .cast("long")
+        .alias("key")
+    )
+
+
+def q_heavy_hitters_skewed(orders: DataFrame) -> DataFrame:
+    """r14 declared query (the r13 verdict's item 3): exact top-10
+    over a GENUINELY SKEWED key so the Misra-Gries CERTIFIED branch —
+    per-partition summaries with real evictions → parameter-sized
+    merge → guarantee check PASSES → broadcast-filtered exact recount,
+    the actual 100 TB scale path — gets a DuckDB row instead of only a
+    unit pin. The companion test asserts ``heavy_hitters_plan``
+    returns certified=True on this derivation at test SF; the oracle
+    is still the plain CASE + GROUP BY/ORDER BY/LIMIT — the sketch
+    stays invisible in the result, only the branch changes."""
+    return heavy_hitters_topk(
+        skewed_order_keys(orders), "key", k=10, capacity=SKEW_CAPACITY
     )
 
 

@@ -80,24 +80,42 @@ def synth_phash_media(documents: DataFrame) -> DataFrame:
     member's dHash sits at Hamming distance EXACTLY ≤ 1 from its
     trio: the planted near-miss the banded Hamming matcher
     (``q_image_neardup``) exists to find and plain equality grouping
-    must NOT merge. Every doc_id%11==0 row carries a REAL TIFF
-    payload instead — foreign-format rejection under the gate. Values
-    stay ≤ 255, so the SQL oracle recomputes pixels with plain
-    integer arithmetic (no wraparound cases)."""
+    must NOT merge.
+
+    MIXED FORMATS (r14, the r13 verdict's item 2): each trio member
+    encodes its raster in a DIFFERENT lossless container —
+    FORMATS[(g + member) % 5] over P5 netpbm, PNG rgb8, BMP bgr24,
+    TIFF gray and GIF89a, rotating with the group — so the planted
+    collisions are CROSS-FORMAT: the dedup loop must decode through
+    the ``image_probe.decode_raster`` dispatch (not assume one
+    container) to see that a netpbm image and its PNG re-encode are
+    the same picture. Color containers carry the gray value
+    replicated across channels (mean-to-gray restores it exactly);
+    the GIF lane's rasters have ≤2 distinct colors by construction
+    (sawtooth c / c+amp), inside the encoder's palette bound. Every
+    doc_id%11==0 row carries a WebP RIFF header instead — a
+    recognized container with NO decoder (TIFF, the old foreign lane,
+    decodes through the dispatch now), so rejection stays under the
+    gate. Values stay ≤ 255, so the SQL oracle recomputes pixels with
+    plain integer arithmetic (no wraparound cases) — the oracle is
+    FORMAT-BLIND because every lane decodes losslessly back to the
+    same closed-form raster."""
     import numpy as np
 
     from node_js_etl_processor_spark.operators.media_harness import (
         per_doc,
         synth_media,
     )
+    from node_js_etl_processor_spark.operators.multimodal import (
+        encode_bmp,
+        encode_png,
+    )
     from node_js_etl_processor_spark.operators.netpbm import encode_netpbm
     from node_js_etl_processor_spark.operators.tiff import encode_tiff
 
     def make_row(did: int):
         if did % 11 == 0:
-            return "image/tiff", encode_tiff(
-                np.zeros((4, 5), dtype=np.uint8), "II"
-            )
+            return "image/webp", b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(8)
         g = did // 3
         a, b, p = 1 + g % 23, g % 19, 3 + g % 17
         c = 10 * (did % 3)
@@ -107,22 +125,35 @@ def synth_phash_media(documents: DataFrame) -> DataFrame:
         if did % 3 == 2:
             high[14, 16] = ~high[14, 16]
         px = (c + np.where(high, amp, 0)).astype(np.uint8)
-        return "image/x-portable-graymap", encode_netpbm(px, "P5")
+        rgb = np.stack([px, px, px], axis=2)
+        fmt = (g + did % 3) % 5
+        if fmt == 0:
+            return "image/x-portable-graymap", encode_netpbm(px, "P5")
+        if fmt == 1:
+            return "image/png", encode_png(rgb)
+        if fmt == 2:
+            return "image/bmp", encode_bmp(rgb)
+        if fmt == 3:
+            return "image/tiff", encode_tiff(px, "II")
+        from node_js_etl_processor_spark.operators.gif import encode_gif
+
+        return "image/gif", encode_gif(rgb)
 
     return synth_media(documents, per_doc(make_row), "image")
 
 
 def image_dhash(media: DataFrame) -> DataFrame:
-    """Decode → resize → dHash in one Arrow pass (netpbm payloads;
-    foreign/corrupt rows isolate as ok=false)."""
+    """Decode → resize → dHash in one Arrow pass, through the
+    ``image_probe.decode_raster`` format dispatch (r14) — netpbm,
+    BMP, PNG, JPEG, GIF and TIFF payloads all hash; unsupported
+    containers and corrupt rows isolate as ok=false."""
+    from node_js_etl_processor_spark.operators.image_probe import decode_raster
     from node_js_etl_processor_spark.operators.media_harness import (
         media_features,
     )
-    from node_js_etl_processor_spark.operators.netpbm import decode_netpbm
 
     def extract(payload):
-        arr, _magic, _maxval = decode_netpbm(payload)
-        return [{"dhash": dhash_hex(arr)}]
+        return [{"dhash": dhash_hex(decode_raster(payload))}]
 
     return media_features(media, DHASH_SCHEMA, extract)
 
@@ -166,7 +197,9 @@ def _band_cols(prefix: str = "") -> "list":
     ]
 
 
-def image_near_dup_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
+def image_near_dup_pairs(
+    hashed: DataFrame, max_hamming: int = 3, key_cap: "int | None" = None
+) -> DataFrame:
     """Hamming-tolerant image near-dup pairs over the dHash keys —
     the simhash LSH argument on a perceptual hash: split each 64-bit
     key into 4×16-bit bands; any pair within Hamming ≤ 3 must agree
@@ -176,7 +209,21 @@ def image_near_dup_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
     Emits (id_a < id_b, hamming) distinct verified pairs.
 
     Scale: the only exchanges are the (band, value)-keyed self-join —
-    2-byte keys, never pixels — exactly the text-simhash shape."""
+    2-byte keys, never pixels — exactly the text-simhash shape.
+
+    ``key_cap`` (r14, the r13 verdict's item 5 — the ``q_fuzzy_match``
+    posting-cap discipline): opt-in; default None = exact. A REAL
+    templated image corpus (logos, memes, watermarked stills) can put
+    g images on ONE 16-bit band value and pay g² candidates at that
+    key; with a cap, postings for any (band, value) shared by more
+    than ``key_cap`` images are dropped BEFORE the self-join, so the
+    candidate count is bounded by 4·key_cap per image. A pair dropped
+    at one hot band is still found through any other ≤cap shared band,
+    so recall degrades gracefully instead of the stage dying — but a
+    group of identical hashes saturating ALL FOUR bands is deliberate
+    exact-dup territory (route it through ``image_near_dup_groups``'s
+    equality grouping first). Exactness requires the default; the
+    declared oracle query runs exact."""
     ok = hashed.filter(F.col("ok") == "true").select(
         F.col("media_id"), *_band_cols()
     )
@@ -195,6 +242,16 @@ def image_near_dup_pairs(hashed: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("cell"),
     ).select("media_id", "h0", "h1", "h2", "h3", "cell.band", "cell.val")
+    if key_cap is not None:
+        hot = (
+            bands.groupBy("band", "val")
+            .agg(F.count("*").alias("n_postings"))
+            .filter(F.col("n_postings") > key_cap)
+            .select("band", "val")
+        )
+        # no broadcast hint: hot-key count is data-dependent (up to
+        # 4n/key_cap rows) — AQE picks the strategy, as in q_fuzzy_match
+        bands = bands.join(hot, ["band", "val"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     hamming = sum(
         F.bit_count(

@@ -568,10 +568,19 @@ def embedding_applier(
             cleanup_staging(store_dir, tag)
             cleanup_staging(out_path, tag)
             return read_batch_output(spark, out_path, tag)
-        if batch_df.isEmpty():
-            return
         recover_partial(store_dir, tag)
         recover_partial(out_path, tag)
+        if batch_df.isEmpty():
+            # r14 (advice item): empty batches still run recovery and
+            # still COMMIT — publish empty survivors and mark applied,
+            # like the sibling appliers. Short-circuiting before the
+            # marker left the tier unmarked (reprocessed on every
+            # redelivery) and skipped recovery of a crashed earlier
+            # non-empty attempt's staged partials for this tag.
+            stage_and_publish(out_path, tag, {"": (batch_df, None)})
+            mark_batch_applied(store_dir, checkpoint, batch_id)
+            cleanup_staging(out_path, tag)
+            return batch_df
         if not store_has_data(store_dir, "by_sig") or bootstrap_pending(
             store_dir, checkpoint, batch_id
         ):

@@ -152,9 +152,28 @@ def query_defining_modules() -> "dict[str, str]":
     for name, wrapped in entrymod.queries().items():
         fn = wrapped
         if getattr(wrapped, "__closure__", None):
-            for cell in wrapped.__closure__:
-                if callable(cell.cell_contents):
-                    fn = cell.cell_contents
+            # r14 (advice item): resolve the cell BY NAME (`fn` is the
+            # _q parameter holding the implementation callable), not
+            # "last callable cell" — a second captured callable would
+            # silently misattribute the query's module and under-flag.
+            freevars = wrapped.__code__.co_freevars
+            by_name = dict(zip(freevars, wrapped.__closure__))
+            if "fn" in by_name and callable(by_name["fn"].cell_contents):
+                fn = by_name["fn"].cell_contents
+            else:
+                cands = [
+                    c.cell_contents
+                    for c in wrapped.__closure__
+                    if callable(c.cell_contents)
+                ]
+                if len(cands) != 1:
+                    raise SystemExit(
+                        f"check_rotation: cannot resolve implementation "
+                        f"callable for query {name!r}: no 'fn' freevar and "
+                        f"{len(cands)} callable cells — fix the registry "
+                        f"wrapper or this resolver"
+                    )
+                fn = cands[0]
         mod = fn.__module__
         if mod.startswith(PKG + "."):
             out[name] = mod[len(PKG) + 1 :]

@@ -3006,3 +3006,241 @@ def test_gif_allocation_bomb_refused():
     with _pytest.raises(DU):
         decode_gif(bomb)
     assert time.time() - t0 < 0.5
+
+
+# --------------------------------------------------------------- r14
+
+
+def test_heavy_hitters_skewed_certified_oracle_parity(spark, sf_dir):
+    """r14 declaration gate (the r13 verdict's item 3): the Misra-
+    Gries CERTIFIED path — per-partition summaries with real counter
+    evictions, parameter-sized merge, guarantee check PASSES,
+    broadcast-filtered exact recount — under the DuckDB oracle, not
+    just a unit pin. The skewed key is closed-form in o_orderkey
+    (12 heavy residues carrying 3/4 of the mass + a unique tail), so
+    the oracle is one CASE + GROUP BY/ORDER BY/LIMIT. The certified
+    branch being TAKEN is asserted via heavy_hitters_plan on the same
+    derivation."""
+    from __spark_entry__ import HEAVY_HITTERS_SKEWED_ORACLE
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.heavy import (
+        SKEW_CAPACITY,
+        heavy_hitters_plan,
+        q_heavy_hitters_skewed,
+        skewed_order_keys,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = _duck_parity(
+        q_heavy_hitters_skewed(orders),
+        HEAVY_HITTERS_SKEWED_ORACLE,
+        sf_dir,
+        tables=("orders",),
+    )
+    assert n == 10
+    _res, certified = heavy_hitters_plan(
+        skewed_order_keys(orders), "key", k=10, capacity=SKEW_CAPACITY
+    )
+    assert certified is True
+    # ... and the partials stay capacity-bounded per partition (the
+    # parameter-sized-merge claim; the eviction dynamics themselves
+    # are pinned by test_heavy_hitters_mg_guarantee_and_fallback)
+    from node_js_etl_processor_spark.operators.heavy import mg_partials
+
+    partials = mg_partials(skewed_order_keys(orders), "key", capacity=SKEW_CAPACITY)
+    parts = partials.toPandas()
+    per_part = parts[parts["key"].notna()]
+    n_parts = partials.rdd.getNumPartitions()
+    assert len(per_part) <= (SKEW_CAPACITY + 1) * n_parts
+    # (the honest can't-certify fallback is pinned on tiny-capacity
+    # data in test_heavy_hitters_mg_guarantee_and_fallback; at tiny SF
+    # the near-uniform fixture certifies trivially — threshold
+    # N/(cap+1) rounds to 0 — so no fixture-based branch assertion
+    # here)
+
+
+def test_heavy_hitters_null_and_noncastable_keys_consistent(spark):
+    """r14 advice item: NULL (and non-long-castable) keys must be
+    invisible in BOTH execution branches — previously the MG pass
+    could never certify NULL while the fallback groupBy counted it as
+    a group, making the sketch visible. Both branches now normalize
+    the key up front: cast to long, drop nulls."""
+    from node_js_etl_processor_spark.operators.heavy import heavy_hitters_plan
+
+    # frequent NULL + skewed real keys -> certified branch on a key
+    # set where NULL would have dominated
+    keys = [None] * 500 + [1] * 300 + [2] * 200 + list(range(100, 400))
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    res_cert, cert = heavy_hitters_plan(df, "k", k=2, capacity=64)
+    rows_cert = [(r["k"], r["cnt"]) for r in res_cert.collect()]
+    # tiny capacity forces the fallback on the same data
+    res_fb, cert_fb = heavy_hitters_plan(df, "k", k=2, capacity=1)
+    rows_fb = [(r["k"], r["cnt"]) for r in res_fb.collect()]
+    assert rows_cert == rows_fb == [(1, 300), (2, 200)]
+    assert cert is True and cert_fb is False
+    # non-long-castable keys drop consistently too (cast first)
+    df2 = spark.createDataFrame(
+        [(k,) for k in ["7"] * 5 + ["x"] * 9 + ["3"] * 2], "k string"
+    )
+    got = [
+        (r["k"], r["cnt"])
+        for r in heavy_hitters_plan(df2, "k", k=3, capacity=2048)[0].collect()
+    ]
+    assert got == [(7, 5), (3, 2)]
+
+
+def test_image_probe_duckdb_oracle_parity(spark, sf_dir):
+    """r14 declaration gate (the r13 verdict's item 2): q_image_probe
+    vs the closed-form dispatch replay — container/flavor/geometry
+    per lane, with the WebP and progressive-JPEG rows surfacing as
+    ok=false WITH the container named."""
+    from __spark_entry__ import IMAGE_PROBE_ORACLE
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.image_probe import q_image_probe
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_image_probe(docs), IMAGE_PROBE_ORACLE, sf_dir)
+    assert n > 0
+
+
+def test_probe_image_dispatch_and_refusals():
+    """probe_image: every encoder roundtrips to its own (container,
+    flavor, geometry) WITHOUT pixel decode; recognized-but-refused
+    flavors raise DecodeUnavailable but name their container through
+    _recognized_image_container; junk is not recognized at all."""
+    import struct as _struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.operators.gif import encode_gif
+    from node_js_etl_processor_spark.operators.image_probe import (
+        _recognized_image_container,
+        probe_image,
+    )
+    from node_js_etl_processor_spark.operators.jpeg import encode_jpeg_baseline
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable as DU,
+        encode_bmp,
+        encode_png,
+    )
+    from node_js_etl_processor_spark.operators.netpbm import encode_netpbm
+    from node_js_etl_processor_spark.operators.tiff import encode_tiff
+
+    gray = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    rgb = np.stack([gray, gray, gray], axis=2)
+    two_tone = np.where(rgb >= 16, 200, 40).astype(np.uint8)
+    cases = [
+        (encode_netpbm(gray, "P5"), ("netpbm", "P5", 7, 5, 1, 8)),
+        (encode_netpbm(rgb, "P6"), ("netpbm", "P6", 7, 5, 3, 8)),
+        (encode_netpbm(gray, "P2"), ("netpbm", "P2", 7, 5, 1, 8)),
+        (encode_bmp(rgb), ("bmp", "bgr24", 7, 5, 3, 8)),
+        (encode_png(rgb), ("png", "rgb8", 7, 5, 3, 8)),
+        (encode_gif(two_tone), ("gif", "89a", 7, 5, 3, 8)),
+        (encode_tiff(gray, "II"), ("tiff", "II", 7, 5, 1, 8)),
+        (encode_tiff(rgb, "MM"), ("tiff", "MM", 7, 5, 3, 8)),
+        (encode_jpeg_baseline(rgb), ("jpeg", "baseline", 7, 5, 3, 8)),
+    ]
+    for payload, want in cases:
+        assert probe_image(payload) == want
+    # recognized refusals: container named, probe refuses
+    refusals = [
+        (b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(8), "webp"),
+        (b"P1\n3 2\n" + b"0 1 0 1 0 1\n", "netpbm"),
+        (b"P4\n8 2\n" + bytes(2), "netpbm"),
+        # progressive JPEG: SOI + SOF2
+        (
+            b"\xff\xd8\xff\xc2"
+            + _struct.pack(">H", 2 + 6 + 9)
+            + _struct.pack(">BHHB", 8, 8, 8, 3)
+            + bytes(9),
+            "jpeg",
+        ),
+    ]
+    for payload, container in refusals:
+        with _pytest.raises(DU):
+            probe_image(payload)
+        assert _recognized_image_container(payload) == container
+    # interlaced PNG: flip the IHDR interlace byte of a real encode
+    png = bytearray(encode_png(rgb))
+    ihdr_at = png.index(b"IHDR")
+    png[ihdr_at + 4 + 12] = 1  # interlace flag inside IHDR data
+    with _pytest.raises(DU):
+        probe_image(bytes(png))
+    assert _recognized_image_container(bytes(png)) == "png"
+    # junk: not recognized at all
+    assert _recognized_image_container(b"\x00\x01junkjunk") is None
+    with _pytest.raises(DU):
+        probe_image(b"\x00\x01junkjunk")
+
+
+def test_decode_raster_dispatch_cross_format_identity():
+    """decode_raster: the SAME picture encoded in all five lossless
+    containers decodes to pixel-identical rasters (gray or gray
+    replicated to RGB) — the property the mixed-format dedup synth
+    rides; JPEG (lossy) routes but is not pixel-pinned."""
+    import numpy as np
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.operators.gif import encode_gif
+    from node_js_etl_processor_spark.operators.image_probe import decode_raster
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable as DU,
+        encode_bmp,
+        encode_png,
+    )
+    from node_js_etl_processor_spark.operators.netpbm import encode_netpbm
+    from node_js_etl_processor_spark.operators.tiff import encode_tiff
+
+    gray = np.where((np.arange(48).reshape(6, 8) % 5) < 2, 40, 200).astype(
+        np.uint8
+    )
+    rgb = np.stack([gray, gray, gray], axis=2)
+    assert np.array_equal(decode_raster(encode_netpbm(gray, "P5")), gray)
+    assert np.array_equal(decode_raster(encode_tiff(gray, "II")), gray)
+    for payload in (encode_png(rgb), encode_bmp(rgb), encode_gif(rgb)):
+        assert np.array_equal(decode_raster(payload), rgb)
+    with _pytest.raises(DU):
+        decode_raster(b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(8))
+    with _pytest.raises(DU):
+        decode_raster(None)
+
+
+def test_image_neardup_key_cap_graceful(spark):
+    """r14 (the r13 verdict's item 5): the dHash band join's hot-key
+    posting cap. Adversarial templated corpus — many images sharing
+    ONE 16-bit band value (band 0) while differing elsewhere — would
+    pay g^2 candidates at that key; with key_cap the hot key's
+    postings drop and pairs are still found through the remaining <=
+    cap bands (graceful recall), while the exact default is
+    unchanged on non-adversarial data."""
+    import pandas as pd
+
+    from node_js_etl_processor_spark.operators.phash import (
+        image_near_dup_pairs,
+    )
+
+    # 40 hashes sharing band 0 (0xaaaa) and band 1 (0x1111); bands
+    # 2/3 differ pairwise by > 3 bits except one planted near pair
+    rows = []
+    for i in range(40):
+        tail = f"{(i * 2654435761) & 0xFFFFFFFF:08x}"
+        rows.append({"media_id": i, "ok": "true", "dhash": "aaaa1111" + tail})
+    # planted: 100/101 differ ONLY in band 3's lowest bit
+    rows.append({"media_id": 100, "ok": "true", "dhash": "aaaa11112222000%d" % 0})
+    rows.append({"media_id": 101, "ok": "true", "dhash": "aaaa11112222000%d" % 1})
+    hashed = spark.createDataFrame(pd.DataFrame(rows))
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in image_near_dup_pairs(hashed).collect()
+    }
+    assert (100, 101) in exact
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in image_near_dup_pairs(hashed, key_cap=8).collect()
+    }
+    # the planted pair survives the cap through bands 2 and 3
+    # (only 2 postings at ('2222', band 2) etc -- far under cap)
+    assert (100, 101) in capped
+    # capped output is a subset of exact (cap only ever drops)
+    assert capped <= exact
