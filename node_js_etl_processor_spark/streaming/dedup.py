@@ -641,3 +641,99 @@ def embedding_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def image_dedup_applier(store_path: str, out_path: str, checkpoint: str):
+    """The MEDIA lane of the ingest day (r14, the r13 verdict's item
+    6): store-backed dHash perceptual image dedup — the exact-dedup
+    store shape (``exact_dedup_applier``) applied to the perceptual
+    key, so image dedup is INCREMENTAL and crash-pinned like every
+    other tier instead of a batch-only operator.
+
+    Per micro-batch of media rows (media_id, payload): hash every
+    payload through the decode_raster format dispatch
+    (``operators.phash.image_dhash`` — netpbm/BMP/PNG/JPEG/GIF/TIFF),
+    drop any image whose dHash is already in the store (or duplicated
+    within the batch — min-media_id keeper), pass decode-refused rows
+    through untouched (an undecodable payload is not dedupable — same
+    ok=false isolation as the batch query), publish the surviving
+    MEDIA ROWS to ``out_path`` and the keepers' dHashes to the store.
+    The store IS the cross-batch perceptual-dedup state: 8-byte keys
+    on disk, never pixels — the q_image_dedup keeper rule ('drop if
+    the perceptual key was SEEN'), streamed.
+
+    Exactly-once: the full markers protocol (batch-tagged staged
+    renames, partial recovery BEFORE the store probe, marker-hit
+    read-back of published survivors) — identical to the text tiers,
+    which is what lets the composed ingest-day loop chain it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from ..operators.phash import image_dhash
+    from .markers import (
+        batch_already_applied,
+        cleanup_staging,
+        mark_batch_applied,
+        marker_id,
+        read_batch_output,
+        recover_partial,
+        stage_and_publish,
+        store_has_data,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> "DataFrame | None":
+        spark = batch_df.sparkSession
+        tag = marker_id(checkpoint, batch_id)
+        if batch_already_applied(store_path, checkpoint, batch_id):
+            cleanup_staging(store_path, tag)
+            cleanup_staging(out_path, tag)
+            return read_batch_output(spark, out_path, tag)
+        recover_partial(store_path, tag)
+        recover_partial(out_path, tag)
+        hashed = image_dhash(batch_df).localCheckpoint(eager=True)
+        ok = hashed.filter(F.col("ok") == "true").select("media_id", "dhash")
+        if store_has_data(store_path):
+            seen = spark.read.parquet(store_path)
+            ok = ok.join(seen.select("dhash"), "dhash", "left_anti")
+        w = Window.partitionBy("dhash").orderBy(F.col("media_id").asc())
+        keepers = (
+            ok.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("media_id", "dhash")
+        )
+        refused = hashed.filter(F.col("ok") != "true").select("media_id")
+        survivors = batch_df.join(
+            keepers.select("media_id").unionByName(refused), "media_id"
+        ).localCheckpoint(eager=True)
+        stage_and_publish(out_path, tag, {"": (survivors, None)})
+        new_keys = keepers.select("dhash").distinct()
+        stage_and_publish(store_path, tag, {"": (new_keys, None)})
+        mark_batch_applied(store_path, checkpoint, batch_id)
+        cleanup_staging(store_path, tag)
+        cleanup_staging(out_path, tag)
+        return survivors
+
+    return _ingest
+
+
+def image_dedup_ingest_stream(
+    media_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+):
+    """Perceptual image dedup as a standalone STREAM: see
+    ``image_dedup_applier`` for the per-batch semantics, keeper rule
+    and exactly-once protocol. Returns the started query (availableNow
+    — the same drain-the-source twin as every refresh here). Batch
+    equivalence is test-pinned: streamed survivors == the batch
+    q_image_dedup keepers (+ ok=false pass-through rows) when arrival
+    order matches media_id order."""
+    return (
+        media_stream.writeStream.foreachBatch(
+            image_dedup_applier(store_path, out_path, checkpoint)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -7,11 +7,13 @@ of eight isolated streams.
 
 Feed contract: each micro-batch is one "drop" — a union-schema frame
 carrying crawl documents (``kind='doc'``: doc_id, text, lang, source,
-n_chars) and warehouse CDC facts (``kind='order'``: o_orderkey,
-o_custkey, o_orderstatus, o_orderdate) side by side, the shape a
+n_chars), warehouse CDC facts (``kind='order'``: o_orderkey,
+o_custkey, o_orderstatus, o_orderdate) and — since r14 — media blobs
+(``kind='image'``: media_id, payload_b64) side by side, the shape a
 multiplexed ingest topic delivers. Document drops must arrive in
-doc_id order and CDC drops in per-key (o_orderdate, o_orderkey)
-order — the same contracts the individual loops inherit.
+doc_id order, CDC drops in per-key (o_orderdate, o_orderkey) order
+and media drops in media_id order — the same contracts the
+individual loops inherit.
 
 Per batch, the document lane runs the curation chain
 
@@ -27,8 +29,10 @@ survivors feed the derived stores:
 
 while the exact-survivors' embeddings (joined from the embedding
 lookup — the stand-in for an embedding service) maintain the ANN
-layout + embedding near-dup tier, and the CDC lane merges into the
-SCD2 dimension store.
+layout + embedding near-dup tier, the media lane dedups images
+against the dHash postings store (``image_dedup_applier`` — the
+exact-dedup store shape on the perceptual key), and the CDC lane
+merges into the SCD2 dimension store.
 
 Exactly-once composition: every tier keeps its OWN (checkpoint,
 batch_id) marker, so a crash mid-batch — after some tiers committed,
@@ -49,9 +53,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: the multiplexed feed's column split
+#: the multiplexed feed's column split. Media payloads ride the feed
+#: base64-encoded (``payload_b64`` — JSON drops cannot carry raw
+#: binary); the media lane decodes at ingest.
 DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
 ORDER_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+MEDIA_COLS = ("media_id", "payload_b64")
 
 
 def ingest_day_applier(
@@ -61,13 +68,16 @@ def ingest_day_applier(
 ):
     """Build the composed per-batch applier. ``paths`` names every
     store root: fp_store/fp_out, mh_store/mh_out, sh_store/sh_out,
-    ann_store/ann_out, bm25, edges, hll, hdr, scd2. ``embeddings``
-    is the static (vec_id, embedding) lookup joined to the exact
-    survivors' doc_ids (vec_id == doc_id in the fixture corpus)."""
+    ann_store/ann_out, img_store/img_out, bm25, edges, hll, hdr,
+    scd2. ``embeddings`` is the static (vec_id, embedding) lookup
+    joined to the exact survivors' doc_ids (vec_id == doc_id in the
+    fixture corpus). The media lane (r14) is optional: omit
+    img_store/img_out from ``paths`` to run a text+CDC-only day."""
     from ..operators.sketch import hdr_sketch, hll_registers
     from .dedup import (
         embedding_applier,
         exact_dedup_applier,
+        image_dedup_applier,
         near_dup_applier,
         simhash_applier,
     )
@@ -97,6 +107,11 @@ def ingest_day_applier(
         merge_agg=lambda: F.sum("cnt").cast("bigint").alias("cnt"),
     )
     scd2 = scd2_applier(paths["scd2"], checkpoint)
+    img = (
+        image_dedup_applier(paths["img_store"], paths["img_out"], checkpoint)
+        if "img_store" in paths
+        else None
+    )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.localCheckpoint(eager=True)
@@ -122,6 +137,18 @@ def ingest_day_applier(
             s_exact.select(F.col("doc_id").alias("vec_id")), "vec_id"
         )
         emb(batch_embs, batch_id)
+
+        # media lane (r14): perceptual dHash dedup against the
+        # img_store postings tier — a parallel curation axis like the
+        # embedding tier, placed BEFORE the derived stores so a crash
+        # there exercises this tier's marker-hit read-back on
+        # redelivery (the composed test pins it)
+        if img is not None:
+            media = batch_df.filter(F.col("kind") == "image").select(
+                F.col("media_id"),
+                F.unbase64(F.col("payload_b64")).alias("payload"),
+            )
+            img(media, batch_id)
 
         # derived stores off the final text-dedup survivors
         bm25(s_sim, batch_id)

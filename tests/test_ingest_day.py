@@ -22,7 +22,7 @@ from node_js_etl_processor_spark.catalog import load_table
 FEED_SCHEMA = (
     "kind string, doc_id long, text string, lang string, source string, "
     "n_chars long, o_orderkey long, o_custkey long, o_orderstatus string, "
-    "o_orderdate date"
+    "o_orderdate date, media_id long, payload_b64 string"
 )
 SPLIT1, SPLIT2 = "1997-01-01", "1999-06-01"
 DOC_SPLITS = (170, 340)
@@ -33,14 +33,16 @@ def _null(name: str, typ: str):
     return F.lit(None).cast(typ).alias(name)
 
 
-def _write_drop(docs, orders, dst: str, mtime: int) -> None:
-    """One multiplexed drop: doc rows + CDC rows in one json file with
+def _write_drop(docs, orders, media, dst: str, mtime: int) -> None:
+    """One multiplexed drop: doc rows + CDC rows + media rows (r14 —
+    payloads base64-encoded for the json wire) in one json file with
     a controlled mtime (the file source orders batches by timestamp)."""
     feed = docs.select(
         F.lit("doc").alias("kind"),
         "doc_id", "text", "lang", "source", "n_chars",
         _null("o_orderkey", "long"), _null("o_custkey", "long"),
         _null("o_orderstatus", "string"), _null("o_orderdate", "date"),
+        _null("media_id", "long"), _null("payload_b64", "string"),
     ).unionByName(
         orders.select(
             F.lit("order").alias("kind"),
@@ -49,6 +51,18 @@ def _write_drop(docs, orders, dst: str, mtime: int) -> None:
             _null("n_chars", "long"),
             "o_orderkey", "o_custkey", "o_orderstatus",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            _null("media_id", "long"), _null("payload_b64", "string"),
+        )
+    ).unionByName(
+        media.select(
+            F.lit("image").alias("kind"),
+            _null("doc_id", "long"), _null("text", "string"),
+            _null("lang", "string"), _null("source", "string"),
+            _null("n_chars", "long"),
+            _null("o_orderkey", "long"), _null("o_custkey", "long"),
+            _null("o_orderstatus", "string"), _null("o_orderdate", "date"),
+            "media_id",
+            F.base64(F.col("payload")).alias("payload_b64"),
         )
     )
     feed.coalesce(1).write.json(dst)
@@ -61,8 +75,8 @@ def _store_paths(tmp_path) -> dict:
         k: str(tmp_path / k)
         for k in (
             "fp_store", "fp_out", "mh_store", "mh_out", "sh_store",
-            "sh_out", "ann_store", "ann_out", "bm25", "edges", "hll",
-            "hdr", "scd2",
+            "sh_out", "ann_store", "ann_out", "img_store", "img_out",
+            "bm25", "edges", "hll", "hdr", "scd2",
         )
     }
 
@@ -110,6 +124,11 @@ def test_ingest_day_with_midchain_crash_equals_one_shot(
     from node_js_etl_processor_spark.streaming.ingest_day import ingest_day_stream
     from node_js_etl_processor_spark.streaming.sketches import read_sketch_store
 
+    from node_js_etl_processor_spark.operators.phash import (
+        image_dhash,
+        synth_phash_media,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
@@ -117,6 +136,13 @@ def test_ingest_day_with_midchain_crash_equals_one_shot(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate"
     )
     embs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # media lane feed (r14): the mixed-format perceptual-dedup synth
+    # (planted cross-format trios + WebP refusals), media_id == doc_id
+    media = (
+        synth_phash_media(load_table(spark, sf_dir, "documents"))
+        .select("media_id", "payload")
+        .localCheckpoint(eager=True)
+    )
 
     landing = tmp_path / "landing"
     landing.mkdir()
@@ -134,8 +160,16 @@ def test_ingest_day_with_midchain_crash_equals_one_shot(
         ),
         orders.filter(F.col("o_orderdate") >= SPLIT2),
     )
-    for i, (d, o) in enumerate(zip(doc_slices, cdc_slices)):
-        _write_drop(d, o, str(landing / f"drop{i}"), mtime=1_000_000 + i * 1000)
+    media_slices = (
+        media.filter(F.col("media_id") < DOC_SPLITS[0]),
+        media.filter(
+            (F.col("media_id") >= DOC_SPLITS[0])
+            & (F.col("media_id") < DOC_SPLITS[1])
+        ),
+        media.filter(F.col("media_id") >= DOC_SPLITS[1]),
+    )
+    for i, (d, o, m) in enumerate(zip(doc_slices, cdc_slices, media_slices)):
+        _write_drop(d, o, m, str(landing / f"drop{i}"), mtime=1_000_000 + i * 1000)
 
     paths = _store_paths(tmp_path)
     ckpt = str(tmp_path / "ckpt")
@@ -199,6 +233,29 @@ def test_ingest_day_with_midchain_crash_equals_one_shot(
     assert _ids(spark.read.parquet(paths["ann_out"]), "vec_id") == _ids(
         embedding_near_dup_keepers(e_embs), "vec_id"
     )
+    # media lane (r14): streamed survivors == the one-shot perceptual
+    # keepers (min-media_id per dHash group) + refused pass-throughs,
+    # and the dHash store holds every ok key SEEN — arrival in
+    # media_id order makes the stream decision-identical to the batch
+    from pyspark.sql.window import Window as _Window
+
+    hashed_all = image_dhash(media).localCheckpoint(eager=True)
+    ok_all = hashed_all.filter(F.col("ok") == "true")
+    w_img = _Window.partitionBy("dhash")
+    img_keep = ok_all.withColumn(
+        "_min", F.min("media_id").over(w_img)
+    ).filter(F.col("media_id") == F.col("_min"))
+    want_img = _ids(img_keep, "media_id") | _ids(
+        hashed_all.filter(F.col("ok") != "true"), "media_id"
+    )
+    got_img = _ids(spark.read.parquet(paths["img_out"]), "media_id")
+    assert got_img == want_img and len(got_img) > 0
+    assert _rows(spark.read.parquet(paths["img_store"])) == _rows(
+        ok_all.select("dhash").distinct()
+    )
+    # the planted trios actually deduped across drops: survivors are
+    # a strict subset of the ok rows
+    assert len(got_img) < media.count()
 
     # stores equal their one-shot builds
     assert _rows(spark.read.parquet(paths["fp_store"])) == _rows(

@@ -691,3 +691,73 @@ def test_ingest_loops_skip_replayed_batches(spark, sf_dir, tmp_path):
     assert os.path.isdir(f"{idx}/postings")
     assert batch_already_applied(idx, ckpt2, 0)
     assert spark.read.parquet(f"{idx}/postings").count() > 0
+
+
+def test_image_dedup_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
+    """r14: the perceptual-image-dedup ingest loop as a stream (the
+    ingest day's media lane standalone) — three media_id-ordered
+    parquet drops of the mixed-format synth must keep EXACTLY the
+    batch perceptual keepers (min-media_id per dHash group) plus the
+    decode-refused pass-throughs, with cross-batch perceptual
+    duplicates (trios straddling drop boundaries, re-landed rows)
+    dropped via the dHash store; the store must end at one key per
+    distinct dHash seen."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.phash import (
+        image_dhash,
+        synth_phash_media,
+    )
+    from node_js_etl_processor_spark.streaming.dedup import (
+        image_dedup_ingest_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = (
+        synth_phash_media(docs)
+        .select("media_id", "payload")
+        .localCheckpoint(eager=True)
+    )
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "kept")
+    store = str(tmp_path / "dhash_store")
+    ckpt = str(tmp_path / "ckpt")
+
+    # three media_id-ordered drops; re-land slice 1 inside drop 3 so a
+    # CROSS-batch exact re-delivery exists on top of the straddling
+    # trios (splits off %3 boundaries on purpose)
+    media.filter("media_id < 100").coalesce(1).write.parquet(str(src / "b1"))
+    media.filter("media_id >= 100 AND media_id < 250").coalesce(1).write.parquet(
+        str(src / "b2")
+    )
+    media.filter("media_id >= 250 OR media_id < 30").coalesce(1).write.parquet(
+        str(src / "b3")
+    )
+
+    schema = "media_id long, payload binary"
+    for batch in ("b1", "b2", "b3"):
+        q = image_dedup_ingest_stream(
+            spark.readStream.schema(schema).parquet(str(src / batch)),
+            store,
+            out,
+            ckpt + batch,
+        )
+        q.awaitTermination(120)
+
+    hashed = image_dhash(media).localCheckpoint(eager=True)
+    ok = hashed.filter(F.col("ok") == "true")
+    w = Window.partitionBy("dhash")
+    keep = ok.withColumn("_min", F.min("media_id").over(w)).filter(
+        F.col("media_id") == F.col("_min")
+    )
+    want = {r["media_id"] for r in keep.collect()} | {
+        r["media_id"] for r in hashed.filter(F.col("ok") != "true").collect()
+    }
+    got = {r["media_id"] for r in spark.read.parquet(out).collect()}
+    assert got == want and len(got) > 0
+    assert spark.read.parquet(store).count() == ok.select(
+        "dhash"
+    ).distinct().count()
