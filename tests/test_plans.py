@@ -734,3 +734,25 @@ def test_heavy_hitters_certified_path_broadcasts_candidates(spark):
     want = sorted(((int(c), int(k)) for k, c in exact.items()),
                   key=lambda t: (-t[0], t[1]))[:5]
     assert got == want
+
+
+def test_setsim_join_plan_no_cartesian_and_filters_in_join(spark, sf_dir):
+    """r14: the exact set-similarity join's scale claims — no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere (the
+    candidate step is a token equi-join, the verify step joins packed
+    digest arrays by rep id), and the positional + length filters
+    ride the candidate join's condition (candidates die inside the
+    join, not in a post-shuffle filter)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.setsim import q_setsim_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = q_setsim_join(docs)
+    plan = plan_text(q)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate join carries the length filter (greatest/least on
+    # the two set sizes) inside its join condition
+    joined = [l for l in plan.splitlines() if "Join" in l and "greatest" in l]
+    assert joined, "length/positional filters not in the join condition"
+    assert q.count() > 0
