@@ -7,15 +7,17 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 125 queries (count as of r14 — the 122 carried from r13 plus the
-three r14 declarations: q_heavy_hitters_skewed (the Misra-Gries
+ALL 126 queries (count as of r14 — the 122 carried from r13 plus the
+four r14 declarations: q_heavy_hitters_skewed (the Misra-Gries
 CERTIFIED sketch path under the oracle gate via a closed-form skewed
 key), q_image_probe (headers-only image format dispatch across
-netpbm/BMP/PNG/JPEG/GIF/TIFF with recognized refusals) and
+netpbm/BMP/PNG/JPEG/GIF/TIFF with recognized refusals),
 q_setsim_join (exact Jaccard set-similarity self-join via
-AllPairs/PPJoin prefix filtering, brute-force oracle), each with
-dispatch table / filter lemma, oracle and tests landing in-round;
-grep ``def queries`` below for
+AllPairs/PPJoin prefix filtering, brute-force oracle) and
+q_containment_decon (asymmetric containment decontamination — one
+aggregate row per eval-set representative, brute-force oracle), each
+with dispatch table / filter lemma, oracle and tests landing
+in-round; grep ``def queries`` below for
 the authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -114,21 +116,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     path under the oracle gate, via a closed-form skewed key),
     q_image_probe (headers-only image format dispatch across
     netpbm/BMP/PNG/JPEG/GIF/TIFF with recognized refusals,
-    operators/image_probe.py) and q_setsim_join (exact Jaccard
-    self-join via prefix filtering, operators/setsim.py). The
-    remaining 18 slots fill with the oldest r12-green queries in
-    registry order (q_window_rank_funcs … q_kl_divergence).
+    operators/image_probe.py), q_setsim_join (exact Jaccard
+    self-join via prefix filtering, operators/setsim.py) and
+    q_containment_decon (asymmetric containment decontamination over
+    the same machinery — one aggregate row per eval representative).
+    The remaining 17 slots fill with the oldest r12-green queries in
+    registry order (q_window_rank_funcs … q_pagerank).
     Rotation rule #2 ("changed code ⇒ in window") is enforced
     MECHANICALLY: scripts/check_rotation.py diffs engine modules
     (committed + uncommitted + untracked) since the round marker,
     resolves queries via the registry's own closures and the package
     import graph, and fails on any out-of-window hit;
     tests/test_rotation.py runs it against the live tree every pytest
-    run. The 28 r12-green queries that don't fit are the NAMED r15
+    run. The 29 r12-green queries that don't fit are the NAMED r15
     deferrals rather than silently dropped (their r12 driver rows are
     two cycles old, so r15 MUST window them first or break the
-    3-round invariant): q_retention (displaced from the fill span by
-    the q_setsim_join declaration), q_funnel, q_embedding_pool,
+    3-round invariant): q_kl_divergence and q_retention (displaced
+    from the fill span by the q_containment_decon / q_setsim_join
+    declarations), q_funnel, q_embedding_pool,
     q_lm_bigram_perplexity, q_ivfpq_rescore, q_html_extract,
     q_corpus_stats, q_semi_anti, q_rollup, q_window_topk,
     q_sort_limit, q_region_supplier, q_pivot, q_shipping_priority,
@@ -140,8 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     oldest r13-green queries (q_text_langid … q_hybrid_search, which
     carry r13 rows); the overflow becomes the named r16 deferrals.
 
-    Honest rotation math: with a 50-slot driver window and 125
-    registered queries, a full sweep takes ceil(125/50) = 3 rounds,
+    Honest rotation math: with a 50-slot driver window and 126
+    registered queries, a full sweep takes ceil(126/50) = 3 rounds,
     so the invariant is: every registered query has a driver
     CORRECTNESS row within the last 3 rounds (named deferrals are
     the explicit schedule for the overflow), and ALL queries are
@@ -188,7 +193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_image_dedup": _q(["documents"], phash.q_image_dedup),
         "q_image_neardup": _q(["documents"], phash.q_image_neardup),
         "q_setsim_join": _q(["documents"], setsim.q_setsim_join),
-        # Then the oldest r12-green fill (registry order, 19 slots).
+        "q_containment_decon": _q(["documents"], setsim.q_containment_decon),
+        # Then the oldest r12-green fill (registry order, 18 slots).
         "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
         "q_window_lag": _q(["events"], relational.q_window_lag),
         "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
@@ -208,12 +214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": _q(
             ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
         ),
-        "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
         # ---- oracle-paired but outside the 50-entry driver window ----
-        # First the 28 NAMED r15 deferrals (r12-green, two cycles old
+        # First the 29 NAMED r15 deferrals (r12-green, two cycles old
         # by r15 — see docstring): r15 MUST window these first.
-        # q_retention was displaced from the fill span by the
-        # q_setsim_join declaration and leads the deferrals.
+        # q_kl_divergence and q_retention were displaced from the fill
+        # span by the q_containment_decon / q_setsim_join declarations
+        # and lead the deferrals.
+        "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
         "q_retention": _q(["events"], temporal.q_retention),
         "q_funnel": _q(["events"], sessionize.q_funnel),
         "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
@@ -1094,6 +1101,67 @@ WHERE 20 * inter >= 19 * (sa.sz + sb.sz - inter)
 ORDER BY doc_a, doc_b
 """
 
+# q_containment_decon: both sides collapse exactly as the engine
+# does (md5 set digests, min-id representatives), then the probe ×
+# train token join runs BRUTE-FORCE (no prefix filter) in the same
+# 60-bit digest space and aggregates per probe — the asymmetric
+# prefix lemma's completeness is cross-checked probe for probe.
+# Clean probes emit with n_contaminated = 0 / first_hit NULL.
+CONTAINMENT_ORACLE = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS token
+  FROM documents
+),
+ptok AS (SELECT * FROM tok WHERE doc_id % 10 = 0),
+ttok AS (SELECT * FROM tok WHERE doc_id % 10 <> 0),
+psets AS (
+  SELECT doc_id, md5(string_agg(token, chr(10) ORDER BY token)) AS set_key
+  FROM ptok GROUP BY doc_id
+),
+preps AS (
+  SELECT set_key, MIN(doc_id) AS doc_id, CAST(COUNT(*) AS BIGINT) AS group_n
+  FROM psets GROUP BY set_key
+),
+prtok AS (
+  SELECT r.doc_id, r.group_n,
+         CAST(('0x' || substring(md5(t.token), 1, 15)) AS BIGINT) AS h
+  FROM ptok t JOIN preps r ON t.doc_id = r.doc_id
+),
+psz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS sz, MIN(group_n) AS group_n
+  FROM prtok GROUP BY doc_id
+),
+tsets AS (
+  SELECT doc_id, md5(string_agg(token, chr(10) ORDER BY token)) AS set_key
+  FROM ttok GROUP BY doc_id
+),
+treps AS (SELECT set_key, MIN(doc_id) AS doc_id FROM tsets GROUP BY set_key),
+trtok AS (
+  SELECT r.doc_id,
+         CAST(('0x' || substring(md5(t.token), 1, 15)) AS BIGINT) AS h
+  FROM ttok t JOIN treps r ON t.doc_id = r.doc_id
+),
+inter AS (
+  SELECT a.doc_id AS probe_id, b.doc_id AS train_id,
+         CAST(count(DISTINCT a.h) AS BIGINT) AS inter
+  FROM prtok a JOIN trtok b ON a.h = b.h GROUP BY 1, 2
+),
+hits AS (
+  SELECT probe_id, CAST(count(*) AS BIGINT) AS n_contaminated,
+         CAST(MIN(i.train_id) AS BIGINT) AS first_hit
+  FROM inter i JOIN psz ON psz.doc_id = i.probe_id
+  WHERE 20 * inter >= 19 * psz.sz
+  GROUP BY probe_id
+)
+SELECT p.doc_id AS probe_id, p.sz, p.group_n,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       h.first_hit
+FROM psz p LEFT JOIN hits h ON h.probe_id = p.doc_id
+ORDER BY probe_id
+"""
+
 # q_image_dedup: recompute every dHash bit from the synth's sawtooth
 # arithmetic — same nearest-neighbor sampling indices (source col
 # 2x / row 2y for the 18×16 → 9×8 downscale), same horizontal
@@ -1659,6 +1727,7 @@ def oracle_sql() -> dict[str, str]:
         "q_heavy_hitters_skewed": HEAVY_HITTERS_SKEWED_ORACLE,
         "q_image_probe": IMAGE_PROBE_ORACLE,
         "q_setsim_join": SETSIM_ORACLE,
+        "q_containment_decon": CONTAINMENT_ORACLE,
         "q_image_dedup": IMAGE_DEDUP_ORACLE,
         "q_image_neardup": IMAGE_NEARDUP_ORACLE,
         "q_audio_adpcm": ADPCM_ORACLE,

@@ -179,8 +179,9 @@ def skewed_order_keys(orders: DataFrame) -> DataFrame:
     """Closed-form Zipf-ish key derivation from ``o_orderkey`` (the
     media-synth discipline, applied to skew): three quarters of the
     rows collapse onto the 12 residues mod 16 that are not ≡0 (mod 4)
-    — each carrying ≈3N/64 ≈ N/21 of the mass, far above the
-    SKEW_CAPACITY certification bound N/65 — while every fourth row
+    — each carrying ≈N/16 of the mass (every key ≡ r (mod 16) with
+    r ∉ 4Z maps to key r), far above the SKEW_CAPACITY certification
+    bound N/65 — while every fourth row
     keeps its unique o_orderkey as a long tail that forces real MG
     counter evictions (uniques per partition > capacity at every test
     SF). o_orderkey is contiguous in the fixtures, so the heavy-key

@@ -43,6 +43,11 @@ IMAGE_PROBE_SCHEMA = StructType(
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+#: the recognized-but-refused WebP fixture every synth and test
+#: shares — a minimal RIFF container whose fourCC the probe names
+#: (ok=false, container='webp') but no decoder accepts
+WEBP_STUB = b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(8)
+
 
 def _recognized_image_container(payload: bytes) -> "str | None":
     """Name the container of a payload the probe REFUSED — the honest
@@ -285,7 +290,7 @@ def synth_mixed_image_media(documents: DataFrame) -> DataFrame:
 
     def make_row(did: int):
         if did % 11 == 0:
-            return "image/webp", b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(8)
+            return "image/webp", WEBP_STUB
         if did % 13 == 1:
             # SOI + minimal SOF2 segment: a structurally recognizable
             # progressive JPEG the probe must refuse BY NAME

@@ -122,7 +122,11 @@ def synth_phash_media(documents: DataFrame) -> DataFrame:
 
     def make_row(did: int):
         if did % 11 == 0:
-            return "image/webp", b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(8)
+            from node_js_etl_processor_spark.operators.image_probe import (
+                WEBP_STUB,
+            )
+
+            return "image/webp", WEBP_STUB
         g = did // 3
         a, b, p = 1 + g % 23, g % 19, 3 + g % 17
         c = 10 * (did % 3)

@@ -235,3 +235,146 @@ def q_setsim_join(documents: DataFrame) -> DataFrame:
     — is cross-checked pair for pair, and every column is an integer
     so the compare is exact."""
     return setsim_join(documents).orderBy("doc_a", "doc_b")
+
+
+def containment_decon(
+    probes: DataFrame,
+    train: DataFrame,
+    c_num: int = SETSIM_T_NUM,
+    c_den: int = SETSIM_T_DEN,
+) -> DataFrame:
+    """Per-PROBE containment summary against a training corpus — the
+    decontamination form of the similarity join: an eval item whose
+    token set is ≥ c contained in some training document
+    (|A∩B| ≥ ⌈c·|A|⌉) is contaminated, and what a 100 TB pipeline
+    needs per eval item is the AGGREGATE (is it contained anywhere,
+    how often, earliest offender), never the dense pair list — on a
+    templated corpus the pair count is quadratic (measured 30k+
+    full-containment rep pairs at sf0.1) while this output is one row
+    per probe representative.
+
+    Same machinery as ``setsim_join``, asymmetric: both sides
+    collapse to exact-set representatives; each probe keeps only its
+    first |A| − ⌈c·|A|⌉ + 1 tokens in the TRAIN-side rarity order
+    (a train set with overlap ≥ ⌈c·|A|⌉ must share one of them —
+    the asymmetric prefix lemma: missing all of them caps the
+    overlap at ⌈c·|A|⌉ − 1; tokens absent from train sort FIRST with
+    df 0, maximally selective); candidates probe the train postings
+    of those rare tokens only, and verify by digest-array
+    intersection. Emits EVERY probe rep (n_contaminated = 0 rows
+    included — the gate needs the clean list too):
+    (probe_id, sz, group_n, n_contaminated, first_hit)."""
+    if not (0 < c_num <= c_den):
+        raise ValueError("containment_decon needs 0 < c_num/c_den <= 1")
+    p_sets = packed_sets(probes)
+    p_reps = (
+        p_sets.join(exact_set_reps(p_sets), ["set_key", "doc_id"])
+        .select(
+            "doc_id",
+            "toks",
+            F.transform("toks", _tok_digest).alias("toks_h"),
+            "sz",
+            "group_n",
+        )
+        .localCheckpoint(eager=True)
+    )
+    t_sets = packed_sets(train)
+    t_reps = (
+        t_sets.join(exact_set_reps(t_sets), ["set_key", "doc_id"])
+        .select(
+            "doc_id",
+            "toks",
+            F.transform("toks", _tok_digest).alias("toks_h"),
+            "sz",
+        )
+        .localCheckpoint(eager=True)
+    )
+    t_tok = t_reps.select("doc_id", F.explode("toks").alias("token"))
+    t_df = t_tok.groupBy("token").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    # probe tokens in TRAIN-df order (absent-from-train tokens get df
+    # 0 and sort first — maximally selective)
+    p_tokens = (
+        p_reps.select("doc_id", "sz", F.explode("toks").alias("token"))
+        .join(t_df, "token", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("token").asc()
+                )
+            ),
+        )
+    )
+    prefix_len = F.col("sz") - F.floor(
+        (F.col("sz") * c_num + (c_den - 1)) / c_den
+    ).cast("long") + F.lit(1)
+    p_prefix = p_tokens.filter(F.col("rank") <= prefix_len).select(
+        F.col("doc_id").alias("probe_id"), "token"
+    )
+    cand = (
+        p_prefix.join(
+            t_tok.select(F.col("doc_id").alias("train_id"), "token"), "token"
+        )
+        .select("probe_id", "train_id")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            p_reps.select(
+                F.col("doc_id").alias("probe_id"),
+                F.col("toks_h").alias("toks_p"),
+                F.col("sz").alias("sz_p"),
+            ),
+            "probe_id",
+        )
+        .join(
+            t_reps.select(
+                F.col("doc_id").alias("train_id"),
+                F.col("toks_h").alias("toks_t"),
+            ),
+            "train_id",
+        )
+        .withColumn(
+            "inter",
+            F.size(F.array_intersect("toks_p", "toks_t")).cast("bigint"),
+        )
+        .filter(F.col("inter") * c_den >= F.col("sz_p") * c_num)
+    )
+    hits = verified.groupBy("probe_id").agg(
+        F.count("*").cast("bigint").alias("n_contaminated"),
+        F.min("train_id").cast("bigint").alias("first_hit"),
+    )
+    return (
+        p_reps.select(
+            F.col("doc_id").alias("probe_id"), "sz", "group_n"
+        )
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            "sz",
+            "group_n",
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            "first_hit",
+        )
+    )
+
+
+def q_containment_decon(documents: DataFrame) -> DataFrame:
+    """r14 declared query: containment decontamination at c ≥ 19/20 —
+    ``containment_decon`` with the documents fixture split into an
+    eval slice (doc_id % 10 == 0, the probes) and a training corpus
+    (the rest). One row per probe representative, contaminated or
+    not. The DuckDB oracle replays both collapses, then BRUTE-FORCES
+    the probe×train token join with NO prefix filter and aggregates
+    identically — the asymmetric prefix lemma's completeness is
+    cross-checked probe for probe, and every output column is an
+    integer (first_hit NULL on clean probes)."""
+    return containment_decon(
+        documents.filter(F.col("doc_id") % 10 == 0),
+        documents.filter(F.col("doc_id") % 10 != 0),
+    ).orderBy("probe_id")

@@ -655,12 +655,19 @@ def image_dedup_applier(store_path: str, out_path: str, checkpoint: str):
     (``operators.phash.image_dhash`` — netpbm/BMP/PNG/JPEG/GIF/TIFF),
     drop any image whose dHash is already in the store (or duplicated
     within the batch — min-media_id keeper), pass decode-refused rows
-    through untouched (an undecodable payload is not dedupable — same
-    ok=false isolation as the batch query), publish the surviving
-    MEDIA ROWS to ``out_path`` and the keepers' dHashes to the store.
-    The store IS the cross-batch perceptual-dedup state: 8-byte keys
-    on disk, never pixels — the q_image_dedup keeper rule ('drop if
-    the perceptual key was SEEN'), streamed.
+    through ONCE (an undecodable payload is not perceptually
+    dedupable — same ok=false isolation as the batch query — but a
+    re-landed refused row must not re-emit, so refused rows key the
+    store by IDENTITY: their media_id), publish the surviving MEDIA
+    ROWS to ``out_path`` and the new keys to the store. The store IS
+    the cross-batch dedup state — one (kind, key) schema holding both
+    the perceptual keys (kind='dhash') and the refused identities
+    (kind='refused'); 8–16-byte keys on disk, never pixels — the
+    q_image_dedup keeper rule ('drop if the perceptual key was
+    SEEN'), streamed, with the refused lane held to the same
+    exactly-once OUTPUT contract as the text tiers (the r14 in-round
+    code review caught the original pass-through re-emitting refused
+    rows on cross-batch re-delivery).
 
     Exactly-once: the full markers protocol (batch-tagged staged
     renames, partial recovery BEFORE the store probe, marker-hit
@@ -692,21 +699,43 @@ def image_dedup_applier(store_path: str, out_path: str, checkpoint: str):
         recover_partial(out_path, tag)
         hashed = image_dhash(batch_df).localCheckpoint(eager=True)
         ok = hashed.filter(F.col("ok") == "true").select("media_id", "dhash")
+        refused = hashed.filter(F.col("ok") != "true").select(
+            "media_id", F.col("media_id").cast("string").alias("key")
+        )
         if store_has_data(store_path):
             seen = spark.read.parquet(store_path)
-            ok = ok.join(seen.select("dhash"), "dhash", "left_anti")
+            ok = ok.join(
+                seen.filter(F.col("kind") == "dhash").select(
+                    F.col("key").alias("dhash")
+                ),
+                "dhash",
+                "left_anti",
+            )
+            refused = refused.join(
+                seen.filter(F.col("kind") == "refused").select("key"),
+                "key",
+                "left_anti",
+            )
         w = Window.partitionBy("dhash").orderBy(F.col("media_id").asc())
         keepers = (
             ok.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("media_id", "dhash")
         )
-        refused = hashed.filter(F.col("ok") != "true").select("media_id")
         survivors = batch_df.join(
-            keepers.select("media_id").unionByName(refused), "media_id"
+            keepers.select("media_id").unionByName(refused.select("media_id")),
+            "media_id",
         ).localCheckpoint(eager=True)
         stage_and_publish(out_path, tag, {"": (survivors, None)})
-        new_keys = keepers.select("dhash").distinct()
+        new_keys = (
+            keepers.select(
+                F.lit("dhash").alias("kind"), F.col("dhash").alias("key")
+            )
+            .distinct()
+            .unionByName(
+                refused.select(F.lit("refused").alias("kind"), "key")
+            )
+        )
         stage_and_publish(store_path, tag, {"": (new_keys, None)})
         mark_batch_applied(store_path, checkpoint, batch_id)
         cleanup_staging(store_path, tag)

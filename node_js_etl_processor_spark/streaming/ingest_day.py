@@ -107,9 +107,16 @@ def ingest_day_applier(
         merge_agg=lambda: F.sum("cnt").cast("bigint").alias("cnt"),
     )
     scd2 = scd2_applier(paths["scd2"], checkpoint)
+    img_keys = {"img_store", "img_out"} & set(paths)
+    if len(img_keys) == 1:
+        raise ValueError(
+            "ingest_day_applier: the media lane needs BOTH img_store and "
+            f"img_out in paths (got only {img_keys.pop()!r}) — omit both "
+            "for a text+CDC-only day"
+        )
     img = (
         image_dedup_applier(paths["img_store"], paths["img_out"], checkpoint)
-        if "img_store" in paths
+        if img_keys
         else None
     )
 
@@ -144,9 +151,13 @@ def ingest_day_applier(
         # there exercises this tier's marker-hit read-back on
         # redelivery (the composed test pins it)
         if img is not None:
-            media = batch_df.filter(F.col("kind") == "image").select(
-                F.col("media_id"),
-                F.unbase64(F.col("payload_b64")).alias("payload"),
+            media = (
+                batch_df.filter(F.col("kind") == "image")
+                .select(*MEDIA_COLS)
+                .select(
+                    "media_id",
+                    F.unbase64(F.col("payload_b64")).alias("payload"),
+                )
             )
             img(media, batch_id)
 

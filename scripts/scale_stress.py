@@ -662,6 +662,74 @@ def main() -> None:
         lambda: q_image_neardup(docs10),
     )
 
+    # ---- r14 operators: image format dispatch probe (headers-only
+    # Arrow pass), the Misra-Gries CERTIFIED path (skewed keys so the
+    # sketch->broadcast-recount branch runs at both scales), the exact
+    # set-similarity join (collapse + prefix join + digest verify —
+    # replica token prefixes keep the near-dup structure linear), and
+    # the dHash band join under an ADVERSARIAL templated corpus with
+    # the hot-key cap engaged (the q_fuzzy_match_capped discipline on
+    # the perceptual key: every hash shares bands 0 and 1, so the
+    # uncapped join would be quadratic in corpus size — the capped
+    # family must stay ~linear instead, which is the whole claim)
+    from node_js_etl_processor_spark.operators.heavy import (
+        q_heavy_hitters_skewed,
+    )
+    from node_js_etl_processor_spark.operators.image_probe import q_image_probe
+    from node_js_etl_processor_spark.operators.phash import image_near_dup_pairs
+    from node_js_etl_processor_spark.operators.setsim import q_setsim_join
+
+    queries["q_image_probe"] = (
+        lambda: q_image_probe(docs1),
+        lambda: q_image_probe(docs10),
+    )
+    queries["q_heavy_hitters_skewed"] = (
+        lambda: q_heavy_hitters_skewed(orders1),
+        lambda: q_heavy_hitters_skewed(orders10),
+    )
+    queries["q_setsim_join"] = (
+        lambda: q_setsim_join(docs1),
+        lambda: q_setsim_join(docs10),
+    )
+    from node_js_etl_processor_spark.operators.setsim import (
+        q_containment_decon,
+    )
+
+    queries["q_containment_decon"] = (
+        lambda: q_containment_decon(docs1),
+        lambda: q_containment_decon(docs10),
+    )
+
+    def _adversarial_hashed(n):
+        # n hashes all sharing band 0 (0xaaaa) and band 1 (0x1111) —
+        # the templated-logo shape the r13 verdict asked the cap to
+        # survive; bands 2/3 spread by a Knuth multiplier of id//2, so
+        # ids 2k/2k+1 are TRUE exact-hash pairs findable through the
+        # uncapped bands 2/3 (n/2 pairs — linear ground truth the
+        # capped join must still emit while the hot bands drop)
+        return spark.range(n).select(
+            F.col("id").alias("media_id"),
+            F.lit("true").alias("ok"),
+            F.concat(
+                F.lit("aaaa1111"),
+                F.lpad(
+                    F.lower(
+                        F.hex(
+                            ((F.col("id") / 2).cast("long") * 2654435761)
+                            % F.lit(4294967296)
+                        )
+                    ),
+                    8,
+                    "0",
+                ),
+            ).alias("dhash"),
+        )
+
+    queries["image_neardup_capped_adversarial"] = (
+        lambda: image_near_dup_pairs(_adversarial_hashed(5000), key_cap=64),
+        lambda: image_near_dup_pairs(_adversarial_hashed(50000), key_cap=64),
+    )
+
     if args.only:
         unknown = set(args.only) - set(queries) - {
             "edge_append_fixed_batch", "edge_compaction"

@@ -3115,6 +3115,7 @@ def test_probe_image_dispatch_and_refusals():
 
     from node_js_etl_processor_spark.operators.gif import encode_gif
     from node_js_etl_processor_spark.operators.image_probe import (
+        WEBP_STUB,
         _recognized_image_container,
         probe_image,
     )
@@ -3145,7 +3146,7 @@ def test_probe_image_dispatch_and_refusals():
         assert probe_image(payload) == want
     # recognized refusals: container named, probe refuses
     refusals = [
-        (b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(8), "webp"),
+        (WEBP_STUB, "webp"),
         (b"P1\n3 2\n" + b"0 1 0 1 0 1\n", "netpbm"),
         (b"P4\n8 2\n" + bytes(2), "netpbm"),
         # progressive JPEG: SOI + SOF2
@@ -3183,7 +3184,10 @@ def test_decode_raster_dispatch_cross_format_identity():
     import pytest as _pytest
 
     from node_js_etl_processor_spark.operators.gif import encode_gif
-    from node_js_etl_processor_spark.operators.image_probe import decode_raster
+    from node_js_etl_processor_spark.operators.image_probe import (
+        WEBP_STUB,
+        decode_raster,
+    )
     from node_js_etl_processor_spark.operators.multimodal import (
         DecodeUnavailable as DU,
         encode_bmp,
@@ -3201,7 +3205,7 @@ def test_decode_raster_dispatch_cross_format_identity():
     for payload in (encode_png(rgb), encode_bmp(rgb), encode_gif(rgb)):
         assert np.array_equal(decode_raster(payload), rgb)
     with _pytest.raises(DU):
-        decode_raster(b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(8))
+        decode_raster(WEBP_STUB)
     with _pytest.raises(DU):
         decode_raster(None)
 
@@ -3297,3 +3301,66 @@ def test_setsim_join_handpinned_and_rare_first(spark):
     }
     # the ONLY distinct-set pair at J >= 0.6, with both group sizes
     assert got == {(0, 2): (3, 5, 2, 1)}
+
+
+def test_containment_decon_duckdb_oracle_parity(spark, sf_dir):
+    """r14 declaration gate: q_containment_decon (asymmetric prefix-
+    filtered containment) vs the brute-force probe×train token join —
+    the asymmetric prefix lemma's completeness cross-checked probe
+    for probe, clean probes included."""
+    from __spark_entry__ import CONTAINMENT_ORACLE
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.setsim import (
+        q_containment_decon,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_containment_decon(docs), CONTAINMENT_ORACLE, sf_dir)
+    assert n > 0
+
+
+def test_containment_decon_handpinned(spark):
+    """containment_decon semantics on hand-computed sets: a probe
+    fully inside a train doc is contaminated at c=3/5 and 1/1; a probe
+    sharing 3 of its 5 tokens clears 3/5 but not 4/5; a CLEAN probe
+    (no shared rare tokens) emits n_contaminated=0 / first_hit NULL;
+    exact-dup probes collapse (group_n); and containment is
+    ASYMMETRIC — a train doc containing the probe counts even though
+    the probe covers almost none of the train doc."""
+    from node_js_etl_processor_spark.operators.setsim import containment_decon
+
+    probes = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma"),                 # subset of train 100
+            (10, "alpha beta gamma"),                # exact dup of probe 0
+            (20, "alpha beta delta epsilon zeta"),   # 3/5 in train 100
+            (30, "qq ww ee rr"),                     # clean
+        ],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta many other words here indeed"),
+            (101, "totally different content"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["probe_id"]: (
+            r["sz"], r["group_n"], r["n_contaminated"], r["first_hit"]
+        )
+        for r in containment_decon(probes, train, 3, 5).collect()
+    }
+    # probes 0/10 collapse to rep 0 with group_n 2; fully contained
+    assert rows[0] == (3, 2, 1, 100)
+    assert 10 not in rows
+    # 3 of 5 tokens (alpha beta delta) in train 100 -> J_c = 3/5 >= 3/5
+    assert rows[20] == (5, 1, 1, 100)
+    # clean probe: emitted with zero hits and NULL first_hit
+    assert rows[30] == (4, 1, 0, None)
+    # at c=4/5 the 3/5 probe is clean, the subset probe still hits
+    rows45 = {
+        r["probe_id"]: r["n_contaminated"]
+        for r in containment_decon(probes, train, 4, 5).collect()
+    }
+    assert rows45 == {0: 1, 20: 0, 30: 0}

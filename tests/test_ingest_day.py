@@ -250,9 +250,16 @@ def test_ingest_day_with_midchain_crash_equals_one_shot(
     )
     got_img = _ids(spark.read.parquet(paths["img_out"]), "media_id")
     assert got_img == want_img and len(got_img) > 0
-    assert _rows(spark.read.parquet(paths["img_store"])) == _rows(
-        ok_all.select("dhash").distinct()
-    )
+    img_store = spark.read.parquet(paths["img_store"])
+    assert _rows(
+        img_store.filter(F.col("kind") == "dhash").select("key")
+    ) == _rows(ok_all.select(F.col("dhash").alias("key")).distinct())
+    assert _ids(
+        img_store.filter(F.col("kind") == "refused").select(
+            F.col("key").cast("long").alias("media_id")
+        ),
+        "media_id",
+    ) == _ids(hashed_all.filter(F.col("ok") != "true"), "media_id")
     # the planted trios actually deduped across drops: survivors are
     # a strict subset of the ok rows
     assert len(got_img) < media.count()

@@ -756,8 +756,15 @@ def test_image_dedup_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
     want = {r["media_id"] for r in keep.collect()} | {
         r["media_id"] for r in hashed.filter(F.col("ok") != "true").collect()
     }
-    got = {r["media_id"] for r in spark.read.parquet(out).collect()}
-    assert got == want and len(got) > 0
-    assert spark.read.parquet(store).count() == ok.select(
-        "dhash"
-    ).distinct().count()
+    out_rows = [r["media_id"] for r in spark.read.parquet(out).collect()]
+    assert set(out_rows) == want and len(out_rows) > 0
+    # exactly-once OUTPUT even for refused rows: the re-landed
+    # media_id<30 slice contains refused rows (%11==0), which must
+    # NOT re-emit (they key the store by identity) — so no media_id
+    # appears twice (the r14 in-round code-review fix)
+    assert len(out_rows) == len(set(out_rows))
+    store_df = spark.read.parquet(store)
+    n_dhash = store_df.filter(F.col("kind") == "dhash").count()
+    n_refused = store_df.filter(F.col("kind") == "refused").count()
+    assert n_dhash == ok.select("dhash").distinct().count()
+    assert n_refused == hashed.filter(F.col("ok") != "true").count()
