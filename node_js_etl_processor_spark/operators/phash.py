@@ -113,6 +113,7 @@ def synth_phash_media(documents: DataFrame) -> DataFrame:
         per_doc,
         synth_media,
     )
+    from node_js_etl_processor_spark.operators.image_probe import WEBP_STUB
     from node_js_etl_processor_spark.operators.multimodal import (
         encode_bmp,
         encode_png,
@@ -122,10 +123,6 @@ def synth_phash_media(documents: DataFrame) -> DataFrame:
 
     def make_row(did: int):
         if did % 11 == 0:
-            from node_js_etl_processor_spark.operators.image_probe import (
-                WEBP_STUB,
-            )
-
             return "image/webp", WEBP_STUB
         g = did // 3
         a, b, p = 1 + g % 23, g % 19, 3 + g % 17

@@ -46,9 +46,23 @@ emitted column is an integer (intersection/union/group sizes), so
 the DuckDB oracle — the same collapse, then a brute-force token
 self-join with NO prefix/positional filter, deliberately a different
 algorithm, intersecting the SAME digest space — compares bit-for-bit
-with no float rounding anywhere (a digest collision is identical on
-both sides and cancels). The filtering's COMPLETENESS is therefore
-cross-checked against an engine that never prunes.
+with no float rounding anywhere. The filtering's COMPLETENESS is
+therefore cross-checked against an engine that never prunes.
+
+Digest-collision fine print (the r14 in-round review's precision
+pass): a WITHIN-candidate collision is identical on both sides and
+cancels; the one structure that is NOT covered is a CROSS-token
+collision between a probe-only and a train-only token lifting a
+pair's digest-space intersection over the threshold while the
+token-space prefixes share nothing — there the engine (token-space
+candidates) and the oracle (digest-space brute force) could diverge.
+That needs two distinct ~10-char tokens agreeing on 60 bits of md5
+inside one candidate corpus: ~2⁻⁶⁰ per token pair, below the md5
+set-digest collision risk the collapse itself already accepts. Both
+operators' exactness claims are therefore 'exact in the 60-bit
+digest space, with token-space candidate generation whose
+completeness margin exceeds the digest space's own collision
+budget'.
 
 Parity note: the reference engine (reference server.js:1-301) has no
 similarity-join surface; this extends SURVEY.md §2b's dedup family.
@@ -116,6 +130,35 @@ def exact_set_reps(sets: DataFrame) -> DataFrame:
     )
 
 
+def _rep_sets(documents: DataFrame) -> DataFrame:
+    """Collapse + pack in one step: one CHECKPOINTED row per distinct
+    token set — (doc_id = min-id representative, toks sorted token
+    array, toks_h digest array, sz, group_n). The shared stage both
+    the symmetric join and the containment decon build on."""
+    sets = packed_sets(documents)
+    return (
+        sets.join(exact_set_reps(sets), ["set_key", "doc_id"])
+        .select(
+            "doc_id",
+            "toks",
+            F.transform("toks", _tok_digest).alias("toks_h"),
+            "sz",
+            "group_n",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _prefix_len(t_num: int, t_den: int):
+    """Prefix size |x| − ⌈t·|x|⌉ + 1 as a Column over ``sz`` —
+    integer ceil via (t_num·sz + t_den − 1) div t_den (values stay
+    far below 2^53, so the double floor is exact; everything compared
+    afterwards is integer)."""
+    return F.col("sz") - F.floor(
+        (F.col("sz") * t_num + (t_den - 1)) / t_den
+    ).cast("long") + F.lit(1)
+
+
 def setsim_join(
     documents: DataFrame,
     t_num: int = SETSIM_T_NUM,
@@ -132,19 +175,7 @@ def setsim_join(
     avoided, still fully reconstructible from the output."""
     if not (0 < t_num <= t_den):
         raise ValueError("setsim_join needs 0 < t_num/t_den <= 1")
-    sets = packed_sets(documents)
-    reps = exact_set_reps(sets)
-    rep_sets = (
-        sets.join(reps, ["set_key", "doc_id"])
-        .select(
-            "doc_id",
-            "toks",
-            F.transform("toks", _tok_digest).alias("toks_h"),
-            "sz",
-            "group_n",
-        )
-        .localCheckpoint(eager=True)
-    )
+    rep_sets = _rep_sets(documents)
     rtok = rep_sets.select(
         "doc_id", "sz", "group_n", F.explode("toks").alias("token")
     )
@@ -159,12 +190,7 @@ def setsim_join(
             )
         ),
     )
-    # integer ceil(t*sz): values stay far below 2^53, so the double
-    # floor is exact; everything compared afterwards is integer
-    prefix_len = F.col("sz") - F.floor(
-        (F.col("sz") * t_num + (t_den - 1)) / t_den
-    ).cast("long") + F.lit(1)
-    prefix = ranked.filter(F.col("rank") <= prefix_len).select(
+    prefix = ranked.filter(F.col("rank") <= _prefix_len(t_num, t_den)).select(
         "doc_id", "token", "rank", "sz", "group_n"
     )
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -261,34 +287,17 @@ def containment_decon(
     overlap at ⌈c·|A|⌉ − 1; tokens absent from train sort FIRST with
     df 0, maximally selective); candidates probe the train postings
     of those rare tokens only, and verify by digest-array
-    intersection. Emits EVERY probe rep (n_contaminated = 0 rows
-    included — the gate needs the clean list too):
-    (probe_id, sz, group_n, n_contaminated, first_hit)."""
+    intersection. Emits EVERY probe rep with a nonempty token set
+    (n_contaminated = 0 rows included — the gate needs the clean list
+    too): (probe_id, sz, group_n, n_contaminated, first_hit). A probe
+    whose text tokenizes to ZERO tokens has no token set and is
+    excluded (containment of the empty set is vacuously true in
+    every document, so neither 'clean' nor 'contaminated' is an
+    honest answer) — the oracle excludes it identically."""
     if not (0 < c_num <= c_den):
         raise ValueError("containment_decon needs 0 < c_num/c_den <= 1")
-    p_sets = packed_sets(probes)
-    p_reps = (
-        p_sets.join(exact_set_reps(p_sets), ["set_key", "doc_id"])
-        .select(
-            "doc_id",
-            "toks",
-            F.transform("toks", _tok_digest).alias("toks_h"),
-            "sz",
-            "group_n",
-        )
-        .localCheckpoint(eager=True)
-    )
-    t_sets = packed_sets(train)
-    t_reps = (
-        t_sets.join(exact_set_reps(t_sets), ["set_key", "doc_id"])
-        .select(
-            "doc_id",
-            "toks",
-            F.transform("toks", _tok_digest).alias("toks_h"),
-            "sz",
-        )
-        .localCheckpoint(eager=True)
-    )
+    p_reps = _rep_sets(probes)
+    t_reps = _rep_sets(train)
     t_tok = t_reps.select("doc_id", F.explode("toks").alias("token"))
     t_df = t_tok.groupBy("token").agg(
         F.count("*").cast("bigint").alias("df")
@@ -308,10 +317,7 @@ def containment_decon(
             ),
         )
     )
-    prefix_len = F.col("sz") - F.floor(
-        (F.col("sz") * c_num + (c_den - 1)) / c_den
-    ).cast("long") + F.lit(1)
-    p_prefix = p_tokens.filter(F.col("rank") <= prefix_len).select(
+    p_prefix = p_tokens.filter(F.col("rank") <= _prefix_len(c_num, c_den)).select(
         F.col("doc_id").alias("probe_id"), "token"
     )
     cand = (

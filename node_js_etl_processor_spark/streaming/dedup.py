@@ -697,6 +697,11 @@ def image_dedup_applier(store_path: str, out_path: str, checkpoint: str):
             return read_batch_output(spark, out_path, tag)
         recover_partial(store_path, tag)
         recover_partial(out_path, tag)
+        # identity dedup FIRST: an at-least-once source can repeat a
+        # media_id inside one drop; without this both lanes would
+        # double-emit through the final media_id join (the keeper
+        # window only collapses the hash frame, not the batch rows)
+        batch_df = batch_df.dropDuplicates(["media_id"])
         hashed = image_dhash(batch_df).localCheckpoint(eager=True)
         ok = hashed.filter(F.col("ok") == "true").select("media_id", "dhash")
         refused = hashed.filter(F.col("ok") != "true").select(

@@ -728,8 +728,12 @@ def test_image_dedup_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
 
     # three media_id-ordered drops; re-land slice 1 inside drop 3 so a
     # CROSS-batch exact re-delivery exists on top of the straddling
-    # trios (splits off %3 boundaries on purpose)
-    media.filter("media_id < 100").coalesce(1).write.parquet(str(src / "b1"))
+    # trios (splits off %3 boundaries on purpose); drop 1 additionally
+    # repeats media_id<15 WITHIN the batch (at-least-once sources can
+    # duplicate inside one drop — both lanes must emit each id once)
+    media.filter("media_id < 100").unionByName(
+        media.filter("media_id < 15")
+    ).coalesce(1).write.parquet(str(src / "b1"))
     media.filter("media_id >= 100 AND media_id < 250").coalesce(1).write.parquet(
         str(src / "b2")
     )
