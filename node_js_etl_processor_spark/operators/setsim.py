@@ -130,12 +130,12 @@ def exact_set_reps(sets: DataFrame) -> DataFrame:
     )
 
 
-def _rep_sets(documents: DataFrame) -> DataFrame:
-    """Collapse + pack in one step: one CHECKPOINTED row per distinct
-    token set — (doc_id = min-id representative, toks sorted token
-    array, toks_h digest array, sz, group_n). The shared stage both
-    the symmetric join and the containment decon build on."""
-    sets = packed_sets(documents)
+def _pack_reps(sets: DataFrame) -> DataFrame:
+    """Collapse a ``packed_sets`` frame to its representatives: one
+    CHECKPOINTED row per distinct token set — (doc_id = min-id
+    representative, toks sorted token array, toks_h digest array, sz,
+    group_n). The shared stage both the symmetric join and the
+    containment decon build on."""
     return (
         sets.join(exact_set_reps(sets), ["set_key", "doc_id"])
         .select(
@@ -147,6 +147,11 @@ def _rep_sets(documents: DataFrame) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+
+
+def _rep_sets(documents: DataFrame) -> DataFrame:
+    """Tokenize + collapse + pack: ``_pack_reps(packed_sets(docs))``."""
+    return _pack_reps(packed_sets(documents))
 
 
 def _prefix_len(t_num: int, t_den: int):
@@ -194,6 +199,23 @@ def setsim_join(
         "doc_id", "token", "rank", "sz", "group_n"
     )
     a, b = prefix.alias("a"), prefix.alias("b")
+    # asymmetric probe/index prefixes (Xiao et al. 2008 §3): process
+    # pairs in size-canonical order (index side a = smaller set, ties
+    # by doc_id). The minimum common element w of a qualifying pair
+    # lies in BOTH the probe prefix of b (|b| − ⌈t·|b|⌉ + 1, the base
+    # frame) and the shorter INDEX prefix of a
+    # (|a| − ⌈2t/(1+t)·|a|⌉ + 1 — since |b| ≥ |a|, the required
+    # overlap α ≥ ⌈2t/(1+t)·|a|⌉, and prefixes are downward-closed),
+    # so the equi-join stays complete while the index side shrinks to
+    # ~1 token at t = 19/20. Integer ceil, as everywhere.
+    index_prefix_ok = F.col("a.rank") <= F.col("a.sz") - F.floor(
+        (F.col("a.sz") * (2 * t_num) + (t_num + t_den - 1))
+        / (t_num + t_den)
+    ).cast("long") + F.lit(1)
+    size_canonical = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
     # positional filter: a shared prefix token at positions (i, j)
     # bounds the overlap by 1 + min(sx-i, sy-j); J >= t needs overlap
     # * (t_num+t_den) >= t_num * (sx+sy) — integer form of the PPJoin
@@ -204,22 +226,41 @@ def setsim_join(
             F.col("a.sz") - F.col("a.rank"), F.col("b.sz") - F.col("b.rank")
         )
     ) * (t_num + t_den) >= t_num * (F.col("a.sz") + F.col("b.sz"))
-    cand = a.join(
-        b,
-        (F.col("a.token") == F.col("b.token"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & (
-            F.greatest(F.col("a.sz"), F.col("b.sz")) * t_num
-            <= F.least(F.col("a.sz"), F.col("b.sz")) * t_den
+    pair = F.when(
+        F.col("a.doc_id") < F.col("b.doc_id"),
+        F.struct(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+            F.col("a.group_n").alias("group_a"),
+            F.col("b.group_n").alias("group_b"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.col("b.doc_id").alias("doc_a"),
+            F.col("a.doc_id").alias("doc_b"),
+            F.col("b.sz").alias("sz_a"),
+            F.col("a.sz").alias("sz_b"),
+            F.col("b.group_n").alias("group_a"),
+            F.col("a.group_n").alias("group_b"),
         )
-        & positional_ok,
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.sz").alias("sz_a"),
-        F.col("b.sz").alias("sz_b"),
-        F.col("a.group_n").alias("group_a"),
-        F.col("b.group_n").alias("group_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & size_canonical
+            & index_prefix_ok
+            & (
+                F.greatest(F.col("a.sz"), F.col("b.sz")) * t_num
+                <= F.least(F.col("a.sz"), F.col("b.sz")) * t_den
+            )
+            & positional_ok,
+        )
+        .select(pair.alias("p"))
+        .select("p.*")
     )
     # verify WITHOUT row explosion: join each side's packed array
     # back and count the intersection inside codegen — one row per
@@ -296,8 +337,17 @@ def containment_decon(
     honest answer) — the oracle excludes it identically."""
     if not (0 < c_num <= c_den):
         raise ValueError("containment_decon needs 0 < c_num/c_den <= 1")
-    p_reps = _rep_sets(probes)
-    t_reps = _rep_sets(train)
+    return _containment_from_reps(
+        _rep_sets(probes), _rep_sets(train), c_num, c_den
+    )
+
+
+def _containment_from_reps(
+    p_reps: DataFrame, t_reps: DataFrame, c_num: int, c_den: int
+) -> DataFrame:
+    """``containment_decon`` from pre-packed representative frames —
+    the split point that lets a caller holding ONE corpus tokenize it
+    once and route slices to both sides (``q_containment_decon``)."""
     t_tok = t_reps.select("doc_id", F.explode("toks").alias("token"))
     t_df = t_tok.groupBy("token").agg(
         F.count("*").cast("bigint").alias("df")
@@ -320,6 +370,10 @@ def containment_decon(
     p_prefix = p_tokens.filter(F.col("rank") <= _prefix_len(c_num, c_den)).select(
         F.col("doc_id").alias("probe_id"), "token"
     )
+    # distinct BEFORE verify: measured faster than verifying raw
+    # duplicates + countDistinct in the aggregate (5.3 s vs 6.9 s per
+    # bench-shaped run at sf0.1) — the dedup shuffle pays for itself
+    # by shrinking the array-intersect frame
     cand = (
         p_prefix.join(
             t_tok.select(F.col("doc_id").alias("train_id"), "token"), "token"
@@ -379,8 +433,14 @@ def q_containment_decon(documents: DataFrame) -> DataFrame:
     the probe×train token join with NO prefix filter and aggregates
     identically — the asymmetric prefix lemma's completeness is
     cross-checked probe for probe, and every output column is an
-    integer (first_hit NULL on clean probes)."""
-    return containment_decon(
-        documents.filter(F.col("doc_id") % 10 == 0),
-        documents.filter(F.col("doc_id") % 10 != 0),
+    integer (first_hit NULL on clean probes). The corpus tokenizes
+    ONCE (one ``packed_sets`` scan, checkpointed) and the eval/train
+    split happens on the 5000-row sets frame, not on the raw text —
+    both sides' collapses reuse the same pass."""
+    sets = packed_sets(documents).localCheckpoint(eager=True)
+    return _containment_from_reps(
+        _pack_reps(sets.filter(F.col("doc_id") % 10 == 0)),
+        _pack_reps(sets.filter(F.col("doc_id") % 10 != 0)),
+        SETSIM_T_NUM,
+        SETSIM_T_DEN,
     ).orderBy("probe_id")
