@@ -756,3 +756,11 @@ def test_setsim_join_plan_no_cartesian_and_filters_in_join(spark, sf_dir):
     joined = [l for l in plan.splitlines() if "Join" in l and "greatest" in l]
     assert joined, "length/positional filters not in the join condition"
     assert q.count() > 0
+    # the asymmetric containment variant: same no-cartesian claims
+    from node_js_etl_processor_spark.operators.setsim import (
+        q_containment_decon,
+    )
+
+    plan2 = plan_text(q_containment_decon(docs))
+    assert "CartesianProduct" not in plan2
+    assert "BroadcastNestedLoopJoin" not in plan2
