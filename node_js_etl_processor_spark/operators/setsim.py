@@ -154,14 +154,16 @@ def _rep_sets(documents: DataFrame) -> DataFrame:
     return _pack_reps(packed_sets(documents))
 
 
-def _prefix_len(t_num: int, t_den: int):
-    """Prefix size |x| − ⌈t·|x|⌉ + 1 as a Column over ``sz`` —
+def _prefix_len(t_num: int, t_den: int, sz=None):
+    """Prefix size |x| − ⌈t·|x|⌉ + 1 as a Column over ``sz`` (default
+    the plain ``sz`` column; pass an aliased column in self-joins) —
     integer ceil via (t_num·sz + t_den − 1) div t_den (values stay
     far below 2^53, so the double floor is exact; everything compared
     afterwards is integer)."""
-    return F.col("sz") - F.floor(
-        (F.col("sz") * t_num + (t_den - 1)) / t_den
-    ).cast("long") + F.lit(1)
+    sz = F.col("sz") if sz is None else sz
+    return sz - F.floor((sz * t_num + (t_den - 1)) / t_den).cast(
+        "long"
+    ) + F.lit(1)
 
 
 def setsim_join(
@@ -208,10 +210,9 @@ def setsim_join(
     # overlap α ≥ ⌈2t/(1+t)·|a|⌉, and prefixes are downward-closed),
     # so the equi-join stays complete while the index side shrinks to
     # ~1 token at t = 19/20. Integer ceil, as everywhere.
-    index_prefix_ok = F.col("a.rank") <= F.col("a.sz") - F.floor(
-        (F.col("a.sz") * (2 * t_num) + (t_num + t_den - 1))
-        / (t_num + t_den)
-    ).cast("long") + F.lit(1)
+    index_prefix_ok = F.col("a.rank") <= _prefix_len(
+        2 * t_num, t_num + t_den, F.col("a.sz")
+    )
     size_canonical = (F.col("a.sz") < F.col("b.sz")) | (
         (F.col("a.sz") == F.col("b.sz"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))

@@ -700,8 +700,14 @@ def image_dedup_applier(store_path: str, out_path: str, checkpoint: str):
         # identity dedup FIRST: an at-least-once source can repeat a
         # media_id inside one drop; without this both lanes would
         # double-emit through the final media_id join (the keeper
-        # window only collapses the hash frame, not the batch rows)
-        batch_df = batch_df.dropDuplicates(["media_id"])
+        # window only collapses the hash frame, not the batch rows).
+        # The survivor per id is DETERMINISTIC (max payload hash, not
+        # dropDuplicates' arbitrary row) so a crash-replay of the same
+        # unmarked batch republishes byte-identical output even if the
+        # source violated the identical-payload contract.
+        batch_df = batch_df.groupBy("media_id").agg(
+            F.max_by("payload", F.xxhash64("payload")).alias("payload")
+        )
         hashed = image_dhash(batch_df).localCheckpoint(eager=True)
         ok = hashed.filter(F.col("ok") == "true").select("media_id", "dhash")
         refused = hashed.filter(F.col("ok") != "true").select(
