@@ -98,55 +98,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FULLVERIFY_r{N}.json (scripts/full_verify.py; same per-query
     shape as CORRECTNESS, ALL registered queries at sf0.01).
 
-    r14 rotation — exactly as the r13 docstring scheduled it: the 26
-    NAMED r14 deferrals lead (q_csv_export_shape, q_dedup_upsert,
-    q_range_join, q_window_range, q_scalar_subquery, q_explode_words,
-    q_join_enrich, q_asof_join, q_sessionize, q_decontaminate_hashed,
-    q_similarity_topk, q_dedup_embedding, q_similarity_ann,
-    q_similarity_ivf, q_chunk_documents, q_pack_chunks,
-    q_chunk_pack_pipeline, q_bm25, q_dedup_minhash, q_dedup_simhash,
-    q_url_dedup, q_semantic_decontaminate, q_scd2, q_fuzzy_match,
-    q_tfidf, q_gap_fill — last driver row r12), then the r14
-    CHANGED-CODE set scripts/check_rotation.py flags: q_heavy_hitters
-    (the advice item's up-front key normalization in operators/
-    heavy.py), q_image_dedup and q_image_neardup (mixed-format +
-    2x-thumbnail synth + decode_raster dispatch + key_cap in
-    operators/phash.py). The three r14 DECLARATIONS enter on
-    declaration: q_heavy_hitters_skewed (the Misra-Gries CERTIFIED
-    path under the oracle gate, via a closed-form skewed key),
-    q_image_probe (headers-only image format dispatch across
-    netpbm/BMP/PNG/JPEG/GIF/TIFF with recognized refusals,
-    operators/image_probe.py), q_setsim_join (exact Jaccard
-    self-join via prefix filtering, operators/setsim.py) and
-    q_containment_decon (asymmetric containment decontamination over
-    the same machinery — one aggregate row per eval representative).
-    The remaining 17 slots fill with the oldest r12-green queries in
-    registry order (q_window_rank_funcs … q_pagerank).
-    Rotation rule #2 ("changed code ⇒ in window") is enforced
-    MECHANICALLY: scripts/check_rotation.py diffs engine modules
-    (committed + uncommitted + untracked) since the round marker,
-    resolves queries via the registry's own closures and the package
-    import graph, and fails on any out-of-window hit;
-    tests/test_rotation.py runs it against the live tree every pytest
-    run. The 29 r12-green queries that don't fit are the NAMED r15
-    deferrals rather than silently dropped (their r12 driver rows are
-    two cycles old, so r15 MUST window them first or break the
-    3-round invariant): q_kl_divergence and q_retention (displaced
-    from the fill span by the q_containment_decon / q_setsim_join
-    declarations), q_funnel, q_embedding_pool,
-    q_lm_bigram_perplexity, q_ivfpq_rescore, q_html_extract,
-    q_corpus_stats, q_semi_anti, q_rollup, q_window_topk,
-    q_sort_limit, q_region_supplier, q_pivot, q_shipping_priority,
-    q_percentiles, q_sample_hash, q_hypertable_rollup,
-    q_approx_distinct, q_repetition_rules, q_decontaminate,
-    q_source_mix, q_semdedup, q_c4_rules, q_span_dedup,
-    q_quality_classifier, q_stratified_split, q_kmeans_step,
-    q_text_stats. r15 MUST window those first, then fill with the
-    oldest r13-green queries (q_text_langid … q_hybrid_search, which
-    carry r13 rows); the overflow becomes the named r16 deferrals.
+    r15 rotation — exactly as the r14 docstring scheduled it: the 29
+    NAMED r15 deferrals lead (q_kl_divergence … q_text_stats — last
+    driver row r12, two cycles old, so the 3-round invariant makes
+    them mandatory this round). Then the r15 CHANGED-CODE set
+    scripts/check_rotation.py flags — 18 queries, because the two
+    r14-advice fixes touch operators/image_probe.py and
+    operators/jpeg.py (JPEG spec fill-byte skip in BOTH the
+    headers-only probe walk and decode_jpeg's marker walk, ITU T.81
+    B.1.1.2) and operators/setsim.py (digest-justification docstring
+    reword), and jpeg.py cascades through the package import graph to
+    the whole raster/audio media family: q_image_probe, q_image_dedup,
+    q_image_neardup, q_setsim_join, q_containment_decon, q_gif_frames,
+    q_video_frames, q_media_resize, q_frame_sample, q_binary_meta,
+    q_multimodal_features, q_audio_features, q_audio_probe,
+    q_audio_g711, q_audio_adpcm, q_audio_flac, q_netpbm_features,
+    q_tiff_features. (13 of those carried r13 rows, so windowing them
+    here also retires most of the r16 backlog early.) The r15
+    DECLARATIONS enter on declaration and take the remaining 3 slots:
+    q_kmv_distinct (KMV/bottom-k theta sketch distinct + exact set
+    algebra, operators/kmv.py), q_interval_coverage (per-key overlap
+    merge into islands + covered duration, operators/intervals.py)
+    and q_skyline (2-D Pareto frontier via the sort + running-min
+    window form, operators/skyline.py).
 
-    Honest rotation math: with a 50-slot driver window and 126
-    registered queries, a full sweep takes ceil(126/50) = 3 rounds,
+    29 + 18 + 3 = 50: there are NO fill slots this round. The 45
+    r14-green queries that rotate out (q_csv_export_shape …
+    q_pagerank) carry fresh r14 rows. The 31 r13-green queries that
+    do not fit, PLUS the three r13-green queries the declarations
+    displaced (q_text_langid, q_text_quality, q_token_count), are the
+    NAMED r16 deferrals — their r13 rows expire at r16, so r16 MUST
+    window all 34 first: q_text_langid, q_text_quality,
+    q_token_count, q_fingerprint, q_winnow_fingerprint,
+    q_corpus_pipeline, q_dedup_docs, q_dedup_ngram, q_redact_pii,
+    q_gopher_rules, q_lm_perplexity, q_pq_encode, q_pq_topk,
+    q_ivfpq_topk, q_weighted_sample, q_curation_pipeline,
+    q_dedup_clusters, q_union_sources, q_count_by_source,
+    q_agg_pricing, q_bpe_pairs, q_link_graph, q_token_budget,
+    q_hll_distinct, q_hdr_quantiles, q_hll_rollup, q_hll_intersect,
+    q_filter_required, q_clean_project, q_array_transform, q_countmin,
+    q_bloom, q_hll_timeline, q_hybrid_search; then r16's own
+    changed-code set and declarations fill the rest (34 + 16 slots —
+    room for the usual 3-4 declarations plus a small changed set).
+    Rotation rule #2 ("changed code ⇒ in window") remains MECHANICAL:
+    scripts/check_rotation.py + tests/test_rotation.py on every
+    pytest run.
+
+    Honest rotation math: with a 50-slot driver window and 129
+    registered queries, a full sweep takes ceil(129/50) = 3 rounds,
     so the invariant is: every registered query has a driver
     CORRECTNESS row within the last 3 rounds (named deferrals are
     the explicit schedule for the overflow), and ALL queries are
@@ -154,72 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     EVERY round."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
-        # The 26 NAMED r14 deferrals lead (last driver row r12 —
-        # scheduled in the r13 docstring; the r13 verdict's item 1).
-        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
-        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
-        "q_range_join": _q(["events"], temporal.q_range_join),
-        "q_window_range": _q(["events"], temporal.q_window_range),
-        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
-        "q_explode_words": _q(["part"], relational.q_explode_words),
-        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
-        "q_asof_join": _q(["events"], temporal.q_asof_join),
-        "q_sessionize": _q(["events"], sessionize.q_sessionize),
-        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
-        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
-        "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
-        "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
-        "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
-        "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
-        "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
-        "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
-        "q_bm25": _q(["documents"], text.q_bm25),
-        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
-        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
-        "q_url_dedup": _q(["documents"], text.q_url_dedup),
-        "q_semantic_decontaminate": _q(
-            ["embeddings"], similarity.q_semantic_decontaminate
-        ),
-        "q_scd2": _q(["orders"], relational.q_scd2),
-        "q_fuzzy_match": _q(["customer"], dedup.q_fuzzy_match),
-        "q_tfidf": _q(["documents"], text.q_tfidf),
-        "q_gap_fill": _q(["events"], temporal.q_gap_fill),
-        # The r14 CHANGED-CODE set (check_rotation-flagged: heavy.py
-        # key normalization; phash.py mixed-format dispatch + key_cap)
-        # and the two r14 DECLARATIONS, entering on declaration.
-        "q_heavy_hitters": _q(["orders"], heavy.q_heavy_hitters),
-        "q_heavy_hitters_skewed": _q(["orders"], heavy.q_heavy_hitters_skewed),
-        "q_image_probe": _q(["documents"], q_image_probe),
-        "q_image_dedup": _q(["documents"], phash.q_image_dedup),
-        "q_image_neardup": _q(["documents"], phash.q_image_neardup),
-        "q_setsim_join": _q(["documents"], setsim.q_setsim_join),
-        "q_containment_decon": _q(["documents"], setsim.q_containment_decon),
-        # Then the oldest r12-green fill (registry order, 18 slots).
-        "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
-        "q_window_lag": _q(["events"], relational.q_window_lag),
-        "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
-        "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
-        "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
-        "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
-        "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
-        "q_cube": _q(["orders"], relational.q_cube),
-        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
-        "q_string_funcs": _q(["part"], relational.q_string_funcs),
-        "q_date_buckets": _q(["events"], relational.q_date_buckets),
-        "q_json_props": _q(["events"], relational.q_json_props),
-        "q_stats_agg": _q(["customer"], relational.q_stats_agg),
-        "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
-        "q_unpivot": _q(["orders"], relational.q_unpivot),
-        "q_collect_agg": _q(["orders"], relational.q_collect_agg),
-        "q_pagerank": _q(
-            ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
-        ),
-        # ---- oracle-paired but outside the 50-entry driver window ----
-        # First the 29 NAMED r15 deferrals (r12-green, two cycles old
-        # by r15 — see docstring): r15 MUST window these first.
-        # q_kl_divergence and q_retention were displaced from the fill
-        # span by the q_containment_decon / q_setsim_join declarations
-        # and lead the deferrals.
+        # The 29 NAMED r15 deferrals lead (last driver row r12 —
+        # scheduled in the r14 docstring).
         "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
         "q_retention": _q(["events"], temporal.q_retention),
         "q_funnel": _q(["events"], sessionize.q_funnel),
@@ -253,18 +188,94 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_split": _q(["documents"], text.q_stratified_split),
         "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
         "q_text_stats": _q(["documents"], text.q_text_stats),
-        # Then the r13-green queries that rotate OUT this round (their
-        # CORRECTNESS_r13 rows are one cycle old — within the
-        # invariant); all remain under the local parity gate and the
-        # committed FULLVERIFY artifact every round. q_agg_pricing
-        # additionally runs every round as the entry() smoke query.
+        # The r15 CHANGED-CODE set (check_rotation-flagged: the two
+        # advice fixes in image_probe.py / jpeg.py / setsim.py; jpeg
+        # cascades via the import graph to the whole media family).
+        "q_image_probe": _q(["documents"], q_image_probe),
+        "q_image_dedup": _q(["documents"], phash.q_image_dedup),
+        "q_image_neardup": _q(["documents"], phash.q_image_neardup),
+        "q_setsim_join": _q(["documents"], setsim.q_setsim_join),
+        "q_containment_decon": _q(["documents"], setsim.q_containment_decon),
+        "q_gif_frames": _q(["documents"], q_gif_frames),
+        "q_video_frames": _q(["documents"], q_video_frames),
+        "q_media_resize": _q(["documents"], q_media_resize),
+        "q_frame_sample": _q(["documents"], q_frame_sample),
+        "q_binary_meta": _q(["documents"], q_binary_meta),
+        "q_multimodal_features": _q(["documents"], q_multimodal_features),
+        "q_audio_features": _q(["documents"], q_audio_features),
+        "q_audio_probe": _q(["documents"], q_audio_probe),
+        "q_audio_g711": _q(["documents"], q_audio_g711),
+        "q_audio_adpcm": _q(["documents"], q_audio_adpcm),
+        "q_audio_flac": _q(["documents"], q_audio_flac),
+        "q_netpbm_features": _q(["documents"], q_netpbm_features),
+        "q_tiff_features": _q(["documents"], q_tiff_features),
+        # The r15 DECLARATION slots (entering on declaration; until
+        # each lands, the oldest r13-green queries hold the slot so
+        # every intermediate commit keeps a full valid window).
         "q_text_langid": _q(["documents"], text.q_text_langid),
         "q_text_quality": _q(["documents"], text.q_text_quality),
         "q_token_count": _q(["documents"], text.q_token_count),
+        # ---- oracle-paired but outside the 50-entry driver window ----
+        # First the 45 r14-green queries rotating out (fresh r14 rows).
+        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
+        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
+        "q_range_join": _q(["events"], temporal.q_range_join),
+        "q_window_range": _q(["events"], temporal.q_window_range),
+        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
+        "q_explode_words": _q(["part"], relational.q_explode_words),
+        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
+        "q_asof_join": _q(["events"], temporal.q_asof_join),
+        "q_sessionize": _q(["events"], sessionize.q_sessionize),
+        "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
+        "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
+        "q_dedup_embedding": _q(["embeddings"], similarity.q_dedup_embedding),
+        "q_similarity_ann": _q(["embeddings"], similarity.q_similarity_ann),
+        "q_similarity_ivf": _q(["embeddings"], similarity.q_similarity_ivf),
+        "q_chunk_documents": _q(["documents"], text.q_chunk_documents),
+        "q_pack_chunks": _q(["documents"], text.q_pack_chunks),
+        "q_chunk_pack_pipeline": _q(["documents"], text.q_chunk_pack_pipeline),
+        "q_bm25": _q(["documents"], text.q_bm25),
+        "q_dedup_minhash": _q(["documents"], dedup.q_dedup_minhash),
+        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
+        "q_url_dedup": _q(["documents"], text.q_url_dedup),
+        "q_semantic_decontaminate": _q(
+            ["embeddings"], similarity.q_semantic_decontaminate
+        ),
+        "q_scd2": _q(["orders"], relational.q_scd2),
+        "q_fuzzy_match": _q(["customer"], dedup.q_fuzzy_match),
+        "q_tfidf": _q(["documents"], text.q_tfidf),
+        "q_gap_fill": _q(["events"], temporal.q_gap_fill),
+        "q_heavy_hitters": _q(["orders"], heavy.q_heavy_hitters),
+        "q_heavy_hitters_skewed": _q(["orders"], heavy.q_heavy_hitters_skewed),
+        "q_window_rank_funcs": _q(["customer"], relational.q_window_rank_funcs),
+        "q_window_lag": _q(["events"], relational.q_window_lag),
+        "q_null_safe_join": _q(["customer"], relational.q_null_safe_join),
+        "q_argmax_agg": _q(["customer"], relational.q_argmax_agg),
+        "q_semi_exists": _q(["customer", "orders"], relational.q_semi_exists),
+        "q_grouping_sets": _q(["orders"], relational.q_grouping_sets),
+        "q_set_ops": _q(["customer", "orders"], relational.q_set_ops),
+        "q_cube": _q(["orders"], relational.q_cube),
+        "q_scalar_math": _q(["lineitem"], relational.q_scalar_math),
+        "q_string_funcs": _q(["part"], relational.q_string_funcs),
+        "q_date_buckets": _q(["events"], relational.q_date_buckets),
+        "q_json_props": _q(["events"], relational.q_json_props),
+        "q_stats_agg": _q(["customer"], relational.q_stats_agg),
+        "q_distinct_agg": _q(["orders"], relational.q_distinct_agg),
+        "q_unpivot": _q(["orders"], relational.q_unpivot),
+        "q_collect_agg": _q(["orders"], relational.q_collect_agg),
+        "q_pagerank": _q(
+            ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
+        ),
+        # Then the 31 r13-green queries that did not fit — together
+        # with the three declaration-displaced queries above they are
+        # the NAMED r16 deferrals (r13 rows expire at r16; see the
+        # docstring schedule). All remain under the local parity gate
+        # and the committed FULLVERIFY artifact every round;
+        # q_agg_pricing additionally runs every round as the entry()
+        # smoke query.
         "q_fingerprint": _q(["documents"], text.q_fingerprint),
         "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
         "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
-        "q_binary_meta": _q(["documents"], q_binary_meta),
         "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
         "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
         "q_redact_pii": _q(["documents"], text.q_redact_pii),
@@ -282,27 +293,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_pairs": _q(
             ["documents"], lambda docs: bpe.bpe_top_pairs(docs, k=20)
         ),
-        "q_gif_frames": _q(["documents"], q_gif_frames),
         "q_link_graph": _q(["documents"], graph.q_link_graph),
         "q_token_budget": _q(["documents"], bpe.q_token_budget),
-        "q_video_frames": _q(["documents"], q_video_frames),
-        "q_audio_g711": _q(["documents"], q_audio_g711),
-        "q_audio_adpcm": _q(["documents"], q_audio_adpcm),
         "q_hll_distinct": _q(["orders"], sketch.q_hll_distinct),
         "q_hdr_quantiles": _q(["lineitem"], sketch.q_hdr_quantiles),
         "q_hll_rollup": _q(["orders"], sketch.q_hll_rollup),
         "q_hll_intersect": _q(["orders"], sketch.q_hll_intersect),
-        "q_netpbm_features": _q(["documents"], q_netpbm_features),
-        "q_audio_probe": _q(["documents"], q_audio_probe),
         "q_filter_required": _q(["orders"], relational.q_filter_required),
         "q_clean_project": _q(["customer"], relational.q_clean_project),
         "q_array_transform": _q(["part"], relational.q_array_transform),
-        "q_media_resize": _q(["documents"], q_media_resize),
-        "q_frame_sample": _q(["documents"], q_frame_sample),
-        "q_tiff_features": _q(["documents"], q_tiff_features),
-        "q_audio_features": _q(["documents"], q_audio_features),
-        "q_multimodal_features": _q(["documents"], q_multimodal_features),
-        "q_audio_flac": _q(["documents"], q_audio_flac),
         "q_countmin": _q(["orders"], sketch.q_countmin),
         "q_bloom": _q(["orders"], sketch.q_bloom),
         "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),

@@ -158,6 +158,14 @@ def _probe_jpeg(b: bytes) -> "tuple[str, str, int, int, int, int]":
     while pos + 4 <= n:
         if b[pos] != 0xFF:
             raise DecodeUnavailable("JPEG marker expected")
+        # spec-legal fill bytes: any marker may be preceded by extra
+        # 0xFF bytes (ITU T.81 B.1.1.2) — consume them before reading
+        # the marker id (r14 advice item; decode_jpeg applies the same
+        # rule so probe and decoder keep one acceptance boundary)
+        while pos + 1 < n and b[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break  # trailing fill/truncation → "ended without SOF"
         m = b[pos + 1]
         pos += 2
         if m == 0xD9 or m == 0xDA:

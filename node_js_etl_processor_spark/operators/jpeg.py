@@ -181,6 +181,13 @@ def decode_jpeg(payload: bytes) -> "object":
         while pos < n:
             if payload[pos] != 0xFF:
                 raise DecodeUnavailable("marker expected")
+            # spec-legal fill bytes (ITU T.81 B.1.1.2): extra 0xFF
+            # bytes may precede any marker — consume them so a padded
+            # baseline JPEG decodes (same rule as _probe_jpeg's walk)
+            while pos + 1 < n and payload[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 1 >= n:
+                raise DecodeUnavailable("truncated JPEG marker")
             m = payload[pos + 1]
             pos += 2
             if m == 0xD9:

@@ -100,9 +100,14 @@ def packed_sets(documents: DataFrame) -> DataFrame:
     sf0.1, ~8 shuffles-worth heavier than the distinct sets) never
     cross the wire; a ``distinct()`` before the groupBy would shuffle
     them all once extra. The digest (md5 over the sorted tokens,
-    newline-joined) keeps the collapse shuffle at 16 bytes/doc; both
-    engines sort by raw UTF-8 byte order, so the digest is
-    cross-engine deterministic."""
+    newline-joined) keeps the collapse shuffle at 16 bytes/doc. The
+    digest need only be deterministic and injective per token set
+    WITHIN each engine — the collapse equality classes it induces are
+    sort-order-invariant, and the oracle never compares digest values
+    across engines. (Cross-engine byte-order agreement does NOT hold
+    in general: Spark compares strings by UTF-16 code units, DuckDB
+    by UTF-8 bytes, and the two orders diverge for
+    supplementary-plane code points — r14 advice item.)"""
     return (
         documents.select(
             "doc_id",

@@ -3175,6 +3175,47 @@ def test_probe_image_dispatch_and_refusals():
         probe_image(b"\x00\x01junkjunk")
 
 
+def test_probe_and_decode_jpeg_skip_fill_bytes():
+    """r15 (the r14 advice item): spec-legal 0xFF fill bytes before a
+    marker (ITU T.81 B.1.1.2) must be consumed by BOTH the headers-only
+    probe and decode_jpeg — a padded real-world baseline JPEG probes
+    and decodes identically to the unpadded encode; all-fill tails
+    refuse with DecodeUnavailable, never a struct/index error."""
+    import numpy as np
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.operators.image_probe import (
+        decode_raster,
+        probe_image,
+    )
+    from node_js_etl_processor_spark.operators.jpeg import encode_jpeg_baseline
+    from node_js_etl_processor_spark.operators.multimodal import (
+        DecodeUnavailable as DU,
+    )
+
+    gray = np.arange(35, dtype=np.uint8).reshape(5, 7)
+    rgb = np.stack([gray, gray, gray], axis=2)
+    base = encode_jpeg_baseline(rgb)
+    want = probe_image(base)
+    pixels = decode_raster(base)
+    # one fill byte after SOI, three fill bytes, and a fill run right
+    # before the SOF0 marker (header section — precedes the scan)
+    sof_at = base.index(b"\xff\xc0")
+    padded_variants = [
+        base[:2] + b"\xff" + base[2:],
+        base[:2] + b"\xff\xff\xff" + base[2:],
+        base[:sof_at] + b"\xff\xff" + base[sof_at:],
+    ]
+    for padded in padded_variants:
+        assert probe_image(padded) == want
+        assert np.array_equal(decode_raster(padded), pixels)
+    # trailing fill bytes with no marker id: clean refusal both paths
+    for junk in (b"\xff\xd8" + b"\xff" * 5, base[:2] + b"\xff"):
+        for fn in (probe_image, decode_raster):
+            with _pytest.raises(DU):
+                fn(junk)
+
+
 def test_decode_raster_dispatch_cross_format_identity():
     """decode_raster: the SAME picture encoded in all five lossless
     containers decodes to pixel-identical rasters (gray or gray
