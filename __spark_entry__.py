@@ -7,16 +7,16 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 126 queries (count as of r14 — the 122 carried from r13 plus the
-four r14 declarations: q_heavy_hitters_skewed (the Misra-Gries
-CERTIFIED sketch path under the oracle gate via a closed-form skewed
-key), q_image_probe (headers-only image format dispatch across
-netpbm/BMP/PNG/JPEG/GIF/TIFF with recognized refusals),
-q_setsim_join (exact Jaccard set-similarity self-join via
-AllPairs/PPJoin prefix filtering, brute-force oracle) and
-q_containment_decon (asymmetric containment decontamination — one
-aggregate row per eval-set representative, brute-force oracle), each
-with dispatch table / filter lemma, oracle and tests landing
+ALL 129 queries (count as of r15 — the 126 carried from r14 plus the
+three r15 declarations: q_kmv_distinct (KMV / bottom-k theta sketch
+distinct estimation with EXACT theta set algebra — union and
+intersection rows — in pure BIGINT arithmetic the oracle rebuilds
+bit-for-bit, operators/kmv.py), q_interval_coverage (per-key
+sweep-line interval union into maximal islands over integer epoch
+micros, operators/intervals.py) and q_skyline (2-D Pareto frontier
+via the per-size prune + running-max rewrite, checked against a
+BRUTE-FORCE dominance anti-join oracle, operators/skyline.py), each
+with estimator / sweep / dominance lemma, oracle and tests landing
 in-round; grep ``def queries`` below for
 the authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
@@ -45,12 +45,15 @@ from node_js_etl_processor_spark.operators import (
     dedup,
     graph,
     heavy,
+    intervals,
+    kmv,
     phash,
     relational,
     retrieval,
     sessionize,
     setsim,
     similarity,
+    skyline,
     sketch,
     temporal,
     text,
@@ -209,12 +212,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_audio_flac": _q(["documents"], q_audio_flac),
         "q_netpbm_features": _q(["documents"], q_netpbm_features),
         "q_tiff_features": _q(["documents"], q_tiff_features),
-        # The r15 DECLARATION slots (entering on declaration; until
-        # each lands, the oldest r13-green queries hold the slot so
-        # every intermediate commit keeps a full valid window).
-        "q_text_langid": _q(["documents"], text.q_text_langid),
-        "q_text_quality": _q(["documents"], text.q_text_quality),
-        "q_token_count": _q(["documents"], text.q_token_count),
+        # The r15 DECLARATIONS (entering on declaration): the KMV /
+        # theta sketch with exact set algebra, the per-key interval
+        # union (gaps-and-islands coverage), and the 2-D Pareto
+        # skyline via the prune + running-max rewrite with a
+        # brute-force dominance oracle.
+        "q_kmv_distinct": _q(["orders"], kmv.q_kmv_distinct),
+        "q_interval_coverage": _q(["events"], intervals.q_interval_coverage),
+        "q_skyline": _q(["part"], skyline.q_skyline),
         # ---- oracle-paired but outside the 50-entry driver window ----
         # First the 45 r14-green queries rotating out (fresh r14 rows).
         "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
@@ -273,6 +278,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the committed FULLVERIFY artifact every round;
         # q_agg_pricing additionally runs every round as the entry()
         # smoke query.
+        "q_text_langid": _q(["documents"], text.q_text_langid),
+        "q_text_quality": _q(["documents"], text.q_text_quality),
+        "q_token_count": _q(["documents"], text.q_token_count),
         "q_fingerprint": _q(["documents"], text.q_fingerprint),
         "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
         "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
@@ -1706,6 +1714,120 @@ FROM documents WHERE doc_id % 11 = 0
 """
 
 
+# q_kmv_distinct: the oracle rebuilds every sketch bit-for-bit — the
+# 48-bit md5 hash space, per-group bottom-64 ranks, thetas, the
+# integer (n·2^48 div theta) estimator, and BOTH theta-algebra rows
+# (union / intersection clamped to min theta). All BIGINT arithmetic:
+# no float tolerance anywhere (operators/kmv.py).
+KMV_ORACLE = """
+    WITH hc AS (
+      SELECT DISTINCT o_orderstatus AS g,
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM orders
+    ), rc AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hc
+    ), skc AS (SELECT * FROM rc WHERE rn <= 64),
+    thc AS (
+      SELECT g, CAST(CASE WHEN max(rn) = 64 THEN max(h)
+                          ELSE 281474976710656 END AS BIGINT) AS theta
+      FROM skc GROUP BY g
+    ), entc AS (
+      SELECT s.g, s.h FROM skc s JOIN thc t USING (g) WHERE s.h < t.theta
+    ), hp AS (
+      SELECT DISTINCT o_orderstatus AS g,
+             ('0x' || substr(md5(CAST(o_orderpriority AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM orders
+    ), rp AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hp
+    ), skp AS (SELECT * FROM rp WHERE rn <= 64),
+    thp AS (
+      SELECT g, CAST(CASE WHEN max(rn) = 64 THEN max(h)
+                          ELSE 281474976710656 END AS BIGINT) AS theta
+      FROM skp GROUP BY g
+    ), entp AS (
+      SELECT s.g, s.h FROM skp s JOIN thp t USING (g) WHERE s.h < t.theta
+    ), thu AS (
+      SELECT CAST(min(theta) AS BIGINT) AS theta FROM thc WHERE g IN ('F', 'O')
+    ), uh AS (
+      SELECT DISTINCT h FROM entc WHERE g IN ('F', 'O')
+    ), un AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM uh, thu WHERE uh.h < thu.theta
+    ), ix AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM entc a JOIN entc b ON a.h = b.h, thu
+      WHERE a.g = 'F' AND b.g = 'O' AND a.h < thu.theta
+    )
+    SELECT 'cust:' || e.g AS set_name,
+           CAST(count(*) AS BIGINT) AS n_entries,
+           t.theta AS theta,
+           CAST(count(*) AS BIGINT) * 281474976710656
+             // greatest(t.theta, 1) AS est_distinct
+    FROM entc e JOIN thc t USING (g) GROUP BY e.g, t.theta
+    UNION ALL
+    SELECT 'prio:' || e.g, CAST(count(*) AS BIGINT), t.theta,
+           CAST(count(*) AS BIGINT) * 281474976710656 // greatest(t.theta, 1)
+    FROM entp e JOIN thp t USING (g) GROUP BY e.g, t.theta
+    UNION ALL
+    SELECT 'cust:F|O', un.n, thu.theta,
+           un.n * 281474976710656 // greatest(thu.theta, 1)
+    FROM un, thu
+    UNION ALL
+    SELECT 'cust:F&O', ix.n, thu.theta,
+           ix.n * 281474976710656 // greatest(thu.theta, 1)
+    FROM ix, thu
+"""
+
+# q_interval_coverage: the oracle replays the sweep-line island scan
+# with DuckDB's own window functions over identical integer epoch
+# microseconds (operators/intervals.py).
+INTERVAL_COVERAGE_ORACLE = """
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 1000000 AS e_us
+      FROM events
+    ), fl AS (
+      SELECT user_id, event_id, s_us, e_us,
+             CASE WHEN max(e_us) OVER w IS NULL OR s_us > max(e_us) OVER w
+                  THEN 1 ELSE 0 END AS opens
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s_us, e_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), isl AS (
+      SELECT user_id, s_us, e_us,
+             sum(opens) OVER (PARTITION BY user_id
+                              ORDER BY s_us, e_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+      FROM fl
+    )
+    SELECT user_id,
+           CAST(min(s_us) AS BIGINT) AS island_start_us,
+           CAST(max(e_us) AS BIGINT) AS island_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(e_us) - min(s_us) AS BIGINT) AS span_us
+    FROM isl GROUP BY user_id, island
+"""
+
+# q_skyline: BRUTE-FORCE dominance anti-join — deliberately NOT the
+# engine's prune + running-max rewrite, so the rewrite itself is what
+# the oracle checks (operators/skyline.py).
+SKYLINE_ORACLE = """
+    WITH pairs AS (
+      SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(min(p_partkey) AS BIGINT) AS min_partkey
+      FROM part GROUP BY 1, 2
+    )
+    SELECT p.price_cents, p.p_size, p.n_parts, p.min_partkey
+    FROM pairs p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pairs q
+      WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+        AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from node_js_etl_processor_spark.operators.similarity import (
         _pq_residual_codebooks,
@@ -1725,6 +1847,9 @@ def oracle_sql() -> dict[str, str]:
         "q_heavy_hitters": HEAVY_HITTERS_ORACLE,
         "q_heavy_hitters_skewed": HEAVY_HITTERS_SKEWED_ORACLE,
         "q_image_probe": IMAGE_PROBE_ORACLE,
+        "q_kmv_distinct": KMV_ORACLE,
+        "q_interval_coverage": INTERVAL_COVERAGE_ORACLE,
+        "q_skyline": SKYLINE_ORACLE,
         "q_setsim_join": SETSIM_ORACLE,
         "q_containment_decon": CONTAINMENT_ORACLE,
         "q_image_dedup": IMAGE_DEDUP_ORACLE,

@@ -3405,3 +3405,257 @@ def test_containment_decon_handpinned(spark):
         for r in containment_decon(probes, train, 4, 5).collect()
     }
     assert rows45 == {0: 1, 20: 0, 30: 0}
+
+
+# ---------------------------------------------------------------------------
+# r15 declarations: KMV theta sketch, interval coverage, skyline
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_bottom_k_matches_naive_and_exact_branch(spark):
+    """kmv_bottom_k: the salted two-phase form returns EXACTLY the k
+    smallest distinct hashes per group (equal to the naive global
+    sort), and an unsaturated sketch yields theta = 2^48 with an
+    exact estimate."""
+    from pyspark.sql import functions as F
+
+    from node_js_etl_processor_spark.operators.kmv import (
+        KMV_SCALE,
+        kmv_bottom_k,
+        kmv_entries,
+        kmv_hash,
+        kmv_sketch,
+        kmv_theta,
+    )
+
+    # deterministic pseudo-random keys: 600 distinct in group a,
+    # 17 distinct (< k) in group b
+    rows = [("a", f"key-{i * 7919 % 6007}") for i in range(600)] + [
+        ("b", f"kb-{i}") for i in range(17)
+    ]
+    df = spark.createDataFrame(rows, "g string, key string")
+    hashed = df.select("g", kmv_hash(F.col("key")).alias("h")).distinct()
+    got = {
+        (r["g"], r["rn"]): r["h"]
+        for r in kmv_bottom_k(hashed, 64).collect()
+    }
+    naive = {}
+    for grp in ("a", "b"):
+        hs = sorted(
+            r["h"] for r in hashed.filter(F.col("g") == grp).collect()
+        )[:64]
+        for i, h in enumerate(hs):
+            naive[(grp, i + 1)] = h
+    assert got == naive
+    # unsaturated group b: theta = full space, estimate exact
+    sk = kmv_sketch(df, "g", "key", 64)
+    th = {r["g"]: r["theta"] for r in kmv_theta(sk, 64).collect()}
+    assert th["b"] == KMV_SCALE
+    ents = kmv_entries(sk, kmv_theta(sk, 64))
+    n_b = ents.filter(F.col("g") == "b").count()
+    assert n_b == 17  # all hashes retained -> est = 17 exactly
+    # saturated group a: theta is the 64th smallest, 63 entries kept
+    assert th["a"] == naive[("a", 64)]
+    assert ents.filter(F.col("g") == "a").count() == 63
+
+
+def test_kmv_estimator_accuracy_and_algebra(spark, sf_dir):
+    """q_kmv_distinct vs ground truth on the fixture: saturated
+    estimates land within the k=64 error band (±40 % is ~3σ), the
+    unsaturated prio rows are EXACT, and the theta-algebra rows
+    bracket sanely (intersection ≤ union; union ≤ |F|+|O| scale)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.kmv import q_kmv_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = {r["set_name"]: r for r in q_kmv_distinct(orders).collect()}
+    truth = {
+        r["o_orderstatus"]: r["d"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    prio_truth = {
+        r["o_orderstatus"]: r["d"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_orderpriority").alias("d"))
+        .collect()
+    }
+    for st, true_d in truth.items():
+        est = got[f"cust:{st}"]["est_distinct"]
+        assert abs(est / true_d - 1) < 0.40, (st, est, true_d)
+    for st, true_d in prio_truth.items():
+        assert got[f"prio:{st}"]["est_distinct"] == true_d  # exact branch
+    union = got["cust:F|O"]["est_distinct"]
+    inter = got["cust:F&O"]["est_distinct"]
+    true_union = (
+        orders.filter(F.col("o_orderstatus").isin("F", "O"))
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert inter <= union
+    assert abs(union / true_union - 1) < 0.40, (union, true_union)
+    # inclusion-exclusion consistency of the THETA estimates: the
+    # intersection estimator uses the same clamped hash sets, so
+    # est(F) + est(O) - est(F|O) tracks est(F&O) loosely
+    assert inter > 0
+
+
+def test_kmv_small_sets_algebra_exact(spark):
+    """When both operand sketches are unsaturated, theta stays 2^48
+    and the union / intersection estimates are EXACT set sizes."""
+    from pyspark.sql import functions as F
+
+    from node_js_etl_processor_spark.operators.kmv import (
+        KMV_SCALE,
+        kmv_entries,
+        kmv_sketch,
+        kmv_theta,
+    )
+
+    rows = [("F", f"u{i}") for i in range(20)] + [
+        ("O", f"u{i}") for i in range(12, 40)
+    ]
+    df = spark.createDataFrame(rows, "g string, key string")
+    sk = kmv_sketch(df, "g", "key", 64)
+    th = kmv_theta(sk, 64)
+    ent = kmv_entries(sk, th)
+    ent_f = ent.filter(F.col("g") == "F").select("h")
+    ent_o = ent.filter(F.col("g") == "O").select("h")
+    assert {r["theta"] for r in th.collect()} == {KMV_SCALE}
+    assert ent_f.union(ent_o).distinct().count() == 40  # |F ∪ O| exact
+    assert ent_f.join(ent_o, "h").count() == 8  # |F ∩ O| = {12..19}
+
+
+def test_merge_intervals_islands_exact(spark):
+    """merge_intervals on hand-built intervals: overlap merges,
+    TOUCHING (s == running max e) merges, nesting collapses, gaps
+    split; per-user islands are disjoint and n_events sums to the
+    input row count."""
+    from node_js_etl_processor_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    rows = [
+        # user 1: [0,10) ∪ [5,20) ∪ [20,30) touch-merge; [40,50) apart
+        (1, 100, 0, 10),
+        (1, 101, 5, 20),
+        (1, 102, 20, 30),
+        (1, 103, 40, 50),
+        # user 2: nested [0,100) ⊃ [10,20) — one island, 2 events
+        (2, 200, 0, 100),
+        (2, 201, 10, 20),
+        # user 3: equal (s, e) duplicates merge into one island
+        (3, 300, 7, 9),
+        (3, 301, 7, 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, s_us long, e_us long"
+    )
+    got = {
+        (r["user_id"], r["island_start_us"]): (
+            r["island_end_us"], r["n_events"], r["span_us"]
+        )
+        for r in merge_intervals(df).collect()
+    }
+    assert got == {
+        (1, 0): (30, 3, 30),
+        (1, 40): (50, 1, 10),
+        (2, 0): (100, 2, 100),
+        (3, 7): (9, 2, 2),
+    }
+
+
+def test_interval_coverage_invariants(spark, sf_dir):
+    """q_interval_coverage on the fixture: per-user islands are
+    pairwise disjoint and strictly ordered, every span is positive,
+    and n_events sums to the event count."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.intervals import (
+        q_interval_coverage,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    rows = q_interval_coverage(events).collect()
+    assert sum(r["n_events"] for r in rows) == events.count()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["island_start_us"], r["island_end_us"])
+        )
+        assert r["span_us"] == r["island_end_us"] - r["island_start_us"]
+        assert r["span_us"] > 0
+    for islands in by_user.values():
+        islands.sort()
+        for (s1, e1), (s2, e2) in zip(islands, islands[1:]):
+            assert s2 > e1  # strictly disjoint — touching would merge
+
+
+def test_skyline_matches_bruteforce(spark):
+    """q_skyline == the quadratic dominance filter on deterministic
+    pseudo-random parts, including duplicate (price, size) pairs and
+    same-price ties."""
+    from node_js_etl_processor_spark.operators.skyline import q_skyline
+
+    rows = []
+    x = 41
+    for pk in range(300):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        price = 1.0 + (x % 9000) / 100.0
+        size = 1 + (x >> 8) % 50
+        rows.append((pk, "n", "b", "t", size, price))
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    got = {
+        (r["price_cents"], r["p_size"]): (r["n_parts"], r["min_partkey"])
+        for r in q_skyline(df).collect()
+    }
+    # brute force over distinct pairs
+    pairs = {}
+    for pk, _, _, _, size, price in rows:
+        key = (round(price * 100), size)
+        n, mn = pairs.get(key, (0, pk))
+        pairs[key] = (n + 1, min(mn, pk))
+    want = {
+        p: v
+        for p, v in pairs.items()
+        if not any(
+            q[0] <= p[0] and q[1] >= p[1] and q != p for q in pairs
+        )
+    }
+    assert got == want
+    assert len(got) >= 2  # non-degenerate frontier
+
+
+def test_skyline_tie_and_duplicate_semantics(spark):
+    """Same-price ties keep only the max size; duplicate pairs
+    aggregate into one skyline row with their count; a universal
+    dominator collapses the frontier to one row."""
+    from node_js_etl_processor_spark.operators.skyline import q_skyline
+
+    mk = lambda pk, size, price: (pk, "n", "b", "t", size, price)
+    schema = (
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double"
+    )
+    # two parts at the same pair (5.00, 10), one bigger same-price,
+    # one strictly dominated
+    df = spark.createDataFrame(
+        [mk(1, 10, 5.0), mk(2, 10, 5.0), mk(3, 20, 5.0), mk(4, 5, 9.0)],
+        schema,
+    )
+    got = {
+        (r["price_cents"], r["p_size"]): (r["n_parts"], r["min_partkey"])
+        for r in q_skyline(df).collect()
+    }
+    assert got == {(500, 20): (1, 3)}
+    # dominator at (min price, max size) leaves exactly one row
+    df2 = spark.createDataFrame(
+        [mk(1, 50, 1.0), mk(2, 10, 2.0), mk(3, 50, 2.0)], schema
+    )
+    got2 = q_skyline(df2).collect()
+    assert len(got2) == 1 and got2[0]["min_partkey"] == 1

@@ -764,3 +764,72 @@ def test_setsim_join_plan_no_cartesian_and_filters_in_join(spark, sf_dir):
     plan2 = plan_text(q_containment_decon(docs))
     assert "CartesianProduct" not in plan2
     assert "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_interval_coverage_single_keyed_exchange(spark, sf_dir):
+    """q_interval_coverage: the sweep-line windows and the island
+    aggregation all reuse ONE hashpartitioning(user_id) exchange —
+    the groupBy's (user_id, island) clustering is satisfied by the
+    window's user_id partitioning, so Catalyst inserts no second
+    shuffle and no global sort ever appears."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.intervals import (
+        q_interval_coverage,
+    )
+
+    plan = plan_text(q_interval_coverage(load_table(spark, sf_dir, "events")))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_skyline_pruned_before_single_partition(spark, sf_dir):
+    """q_skyline: no self-join anywhere (the quadratic dominance
+    form is rewritten away — no SortMergeJoin/Cartesian/BNLJ); the
+    only SinglePartition exchange is the FINAL window over the
+    per-size pruned survivors (bounded by the size domain), after
+    two keyed exchanges (pair collapse, per-size window)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.skyline import q_skyline
+
+    plan = plan_text(q_skyline(load_table(spark, sf_dir, "part")))
+    for join in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
+        assert join not in plan
+    assert plan.count("Arguments: SinglePartition") == 1
+    assert "hashpartitioning(p_size" in plan
+    assert "hashpartitioning(price_cents" in plan
+    # pair collapse is partial+final (map-side combine pre-shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_kmv_sketch_two_phase_bottom_k_plan(spark, sf_dir):
+    """kmv_sketch: the corpus-sized work is the distinct (keyed,
+    partially aggregated map-side) plus the SALTED pre-window — the
+    final per-group window sorts only pre-pruned survivors. No
+    single-partition exchange appears anywhere in the sketch build."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.kmv import kmv_sketch
+
+    plan = plan_text(
+        kmv_sketch(load_table(spark, sf_dir, "orders"), "o_orderstatus", "o_custkey")
+    )
+    assert "SinglePartition" not in plan
+    # salted phase partitions by (g, h % SALTS): the % shows up in
+    # the exchange's hashpartitioning arguments
+    assert "% 16" in plan
+    # distinct has map-side partial aggregation
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_kmv_query_materializes_sketch_once(spark, sf_dir):
+    """q_kmv_distinct: the sketch is localCheckpoint-ed, so the plan
+    of the 8-row result reads the materialized k-row RDD — the
+    corpus scan does NOT appear once per algebra branch."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.kmv import q_kmv_distinct
+
+    df = q_kmv_distinct(load_table(spark, sf_dir, "orders"))
+    plan = plan_text(df, "simple")
+    assert "ExistingRDD" in plan
+    assert "parquet" not in plan  # no re-scan downstream of the sketch
