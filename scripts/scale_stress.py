@@ -159,6 +159,20 @@ def multiply_events(ev: DataFrame, replicas: int) -> DataFrame:
     )
 
 
+def multiply_part(part: DataFrame, replicas: int) -> DataFrame:
+    """Replica i offsets p_partkey ONLY — (price, size) pairs repeat,
+    so the skyline's pair-collapse stage absorbs the whole multiplier
+    (that IS the scale claim: corpus-sized input, pair-domain-sized
+    everything after)."""
+    out = part.select("*", _rep(replicas))
+    return out.select(
+        (F.col("p_partkey") + F.col("rep").cast("bigint") * REPLICA_KEY).alias(
+            "p_partkey"
+        ),
+        *[c for c in part.columns if c != "p_partkey"],
+    )
+
+
 def skew_sources(docs: DataFrame) -> DataFrame:
     """Reassign 50% of documents (even doc_id) to one hot source."""
     return docs.withColumn(
@@ -728,6 +742,35 @@ def main() -> None:
     queries["image_neardup_capped_adversarial"] = (
         lambda: image_near_dup_pairs(_adversarial_hashed(5000), key_cap=64),
         lambda: image_near_dup_pairs(_adversarial_hashed(50000), key_cap=64),
+    )
+
+    # ---- r15 declarations: kmv / intervals / skyline ----
+    from node_js_etl_processor_spark.operators import intervals, kmv, skyline
+
+    part1 = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    part_path = os.path.join(tmp, "part_10x")
+    multiply_part(part1, args.replicas).repartition(32).write.parquet(part_path)
+    part10 = spark.read.parquet(part_path)
+
+    queries["q_kmv_distinct"] = (
+        # custkeys are KEPT by multiply_orders, so the sketch output is
+        # identical at 10x — the stress measures the corpus-sized
+        # distinct + salted bottom-k build, which is the only part
+        # that scales.
+        lambda: kmv.q_kmv_distinct(orders1),
+        lambda: kmv.q_kmv_distinct(orders10),
+    )
+    queries["q_interval_coverage"] = (
+        # multiply_events keeps user_id: each user's stream gets 10x
+        # denser, so islands MERGE (rows grow sub-linearly) while the
+        # per-user window sorts 10x more rows — the honest worst case
+        # for the sweep.
+        lambda: intervals.q_interval_coverage(ev1),
+        lambda: intervals.q_interval_coverage(ev10),
+    )
+    queries["q_skyline"] = (
+        lambda: skyline.q_skyline(part1),
+        lambda: skyline.q_skyline(part10),
     )
 
     if args.only:
