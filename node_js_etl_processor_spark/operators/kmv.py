@@ -233,3 +233,88 @@ def q_kmv_distinct(orders: DataFrame) -> DataFrame:
         .unionByName(algebra(union_n, "cust:F|O"))
         .unionByName(algebra(inter_n, "cust:F&O"))
     )
+
+
+def q_kmv_difference(orders: DataFrame) -> DataFrame:
+    """r16 declaration CANDIDATE (built + pytest-oracle-verified in
+    r15; enters the registry when a window slot opens): theta
+    set-DIFFERENCE over the same customer sketches — |F \\ O| and
+    |O \\ F| estimated by clamping both operand sketches to
+    theta_u = min(theta_F, theta_O) and counting retained F-hashes
+    with no O-partner (and vice versa), then the same
+    ``n · 2^48 div theta_u`` integer estimator. Completes the
+    theta-sketch algebra (union / intersection shipped in
+    q_kmv_distinct): A \\ B is the piece inclusion-exclusion cannot
+    deliver without compounding two subtraction errors.
+
+    Output rows: ``cust:F-O`` and ``cust:O-F`` with the same
+    (set_name, n_entries, theta, est_distinct) schema as
+    q_kmv_distinct. All arithmetic BIGINT; the oracle rebuilds both
+    rows bit-for-bit.
+    """
+    sk = kmv_sketch(orders, "o_orderstatus", "o_custkey").localCheckpoint()
+    th = kmv_theta(sk)
+    ent = kmv_entries(sk, th)
+    ent_f = ent.filter(F.col("g") == "F").select("h")
+    ent_o = ent.filter(F.col("g") == "O").select("h")
+    th_u = (
+        th.filter(F.col("g").isin("F", "O"))
+        .agg(F.min("theta").cast("long").alias("theta"))
+    )
+
+    def diff(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
+        n = (
+            a.join(b, "h", "left_anti")
+            .crossJoin(th_u)
+            .filter(F.col("h") < F.col("theta"))
+            .agg(F.count("*").cast("long").alias("n_entries"))
+        )
+        return n.crossJoin(th_u).select(
+            F.lit(name).alias("set_name"),
+            "n_entries",
+            "theta",
+            _estimate(),
+        )
+
+    return diff(ent_f, ent_o, "cust:F-O").unionByName(
+        diff(ent_o, ent_f, "cust:O-F")
+    )
+
+
+#: the DuckDB twin for q_kmv_difference, staged here until the r16
+#: registry wiring — r15 tests run it through the driver's compare
+KMV_DIFFERENCE_ORACLE = """
+    WITH hc AS (
+      SELECT DISTINCT o_orderstatus AS g,
+             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM orders
+    ), rc AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hc
+    ), skc AS (SELECT * FROM rc WHERE rn <= 64),
+    thc AS (
+      SELECT g, CAST(CASE WHEN max(rn) = 64 THEN max(h)
+                          ELSE 281474976710656 END AS BIGINT) AS theta
+      FROM skc GROUP BY g
+    ), entc AS (
+      SELECT s.g, s.h FROM skc s JOIN thc t USING (g) WHERE s.h < t.theta
+    ), thu AS (
+      SELECT CAST(min(theta) AS BIGINT) AS theta FROM thc WHERE g IN ('F', 'O')
+    ), fo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM entc a, thu
+      WHERE a.g = 'F' AND a.h < thu.theta
+        AND NOT EXISTS (SELECT 1 FROM entc b WHERE b.g = 'O' AND b.h = a.h)
+    ), of AS (
+      SELECT CAST(count(*) AS BIGINT) AS n
+      FROM entc a, thu
+      WHERE a.g = 'O' AND a.h < thu.theta
+        AND NOT EXISTS (SELECT 1 FROM entc b WHERE b.g = 'F' AND b.h = a.h)
+    )
+    SELECT 'cust:F-O' AS set_name, fo.n AS n_entries, thu.theta AS theta,
+           fo.n * 281474976710656 // greatest(thu.theta, 1) AS est_distinct
+    FROM fo, thu
+    UNION ALL
+    SELECT 'cust:O-F', of.n, thu.theta,
+           of.n * 281474976710656 // greatest(thu.theta, 1)
+    FROM of, thu
+"""

@@ -3659,3 +3659,146 @@ def test_skyline_tie_and_duplicate_semantics(spark):
     )
     got2 = q_skyline(df2).collect()
     assert len(got2) == 1 and got2[0]["min_partkey"] == 1
+
+
+# ---------------------------------------------------------------------------
+# r16 declaration candidates, pre-verified in r15: kmv difference,
+# PMI collocations, last-touch attribution
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_difference_duckdb_parity(spark, sf_dir):
+    """r16 candidate gate: q_kmv_difference vs its staged oracle via
+    the driver's exact compare — theta set-difference rows rebuilt
+    bit-for-bit."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.kmv import (
+        KMV_DIFFERENCE_ORACLE,
+        q_kmv_difference,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = _duck_parity(
+        q_kmv_difference(orders), KMV_DIFFERENCE_ORACLE, sf_dir,
+        tables=("orders",),
+    )
+    assert n == 2
+
+
+def test_kmv_difference_sanity(spark, sf_dir):
+    """Difference estimates are non-negative, bounded by the operand
+    estimate, and the two directions plus the intersection roughly
+    reassemble the union (same clamped hash space ⇒ the identity
+    n(F-O) + n(O-F) + n(F&O) = n(F|O) holds EXACTLY on counts)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.kmv import (
+        q_kmv_difference,
+        q_kmv_distinct,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    diff = {r["set_name"]: r for r in q_kmv_difference(orders).collect()}
+    dist = {r["set_name"]: r for r in q_kmv_distinct(orders).collect()}
+    assert set(diff) == {"cust:F-O", "cust:O-F"}
+    # identical clamped space: counts are additive exactly
+    assert (
+        diff["cust:F-O"]["n_entries"]
+        + diff["cust:O-F"]["n_entries"]
+        + dist["cust:F&O"]["n_entries"]
+        == dist["cust:F|O"]["n_entries"]
+    )
+    assert diff["cust:F-O"]["theta"] == dist["cust:F|O"]["theta"]
+    for r in diff.values():
+        assert 0 <= r["n_entries"] <= 64
+        assert r["est_distinct"] >= 0
+
+
+def test_pmi_collocations_duckdb_parity_and_semantics(spark, sf_dir):
+    """r16 candidate gate: q_pmi_collocations vs its staged oracle;
+    plus the exact-integer gate semantics on a hand corpus — a bigram
+    at independence (lift == 1) is EXCLUDED (strict >), a repeated
+    collocation passes, and min_count prunes."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.colloc import (
+        PMI_COLLOCATIONS_ORACLE,
+        q_pmi_collocations,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_pmi_collocations(docs), PMI_COLLOCATIONS_ORACLE, sf_dir)
+    assert n > 0  # the fixture corpus has real collocations
+    # hand corpus: "aa bb" always together (strong collocation);
+    # build a doc set where "cc dd" sits exactly at independence
+    rows = [(i, "aa bb", "s", "en") for i in range(30)]
+    hand = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+    got = q_pmi_collocations(hand, min_count=20).collect()
+    # N = 60, M = 30, n_xy = 30, n_x = n_y = 30:
+    # lift = 30·60² / (30·30·30) = 4 > 1 → kept
+    assert [(r["w1"], r["w2"], r["n_xy"]) for r in got] == [("aa", "bb", 30)]
+    # at exact independence the strict gate drops the bigram:
+    # one doc "x x x ... x" gives lift = n_xy·N²/(M·n_x·n_y) with
+    # n_xy = M and n_x = n_y = N → lift = N²·M/(M·N²) = 1 exactly
+    hand2 = spark.createDataFrame(
+        [(1, " ".join(["x"] * 25), "s", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    assert q_pmi_collocations(hand2, min_count=20).count() == 0
+
+
+def test_attribution_duckdb_parity_and_semantics(spark, sf_dir):
+    """r16 candidate gate: q_attribution vs its staged oracle; plus
+    hand-stream semantics — credit goes to the most recent touch,
+    purchases and errors never receive credit, the 7-day lookback
+    nulls stale touches, and n_touches_7d counts the range frame."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.attribution import (
+        ATTRIBUTION_ORACLE,
+        LOOKBACK_US,
+        q_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n = _duck_parity(
+        q_attribution(events), ATTRIBUTION_ORACLE, sf_dir, tables=("events",)
+    )
+    assert n > 0
+    # hand stream (timestamps in seconds for readability)
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    day = 86400
+    rows = [
+        # user 1: click then view then purchase → credit to the VIEW
+        (1, 10, sec(0), "click", 1.0, "{}"),
+        (2, 10, sec(5), "view", 1.0, "{}"),
+        (3, 10, sec(9), "purchase", 1.0, "{}"),
+        # user 1: second purchase right after — still credits the view
+        # (purchases are not touches), n_touches unchanged
+        (4, 10, sec(10), "purchase", 1.0, "{}"),
+        # user 2: touch 8 days before purchase → OUT of lookback
+        (5, 20, sec(0), "click", 1.0, "{}"),
+        (6, 20, sec(8 * day), "purchase", 1.0, "{}"),
+        # user 3: error events never get credit
+        (7, 30, sec(0), "error", 1.0, "{}"),
+        (8, 30, sec(1), "purchase", 1.0, "{}"),
+    ]
+    hand = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    got = {r["purchase_event_id"]: r for r in q_attribution(hand).collect()}
+    assert set(got) == {3, 4, 6, 8}
+    assert got[3]["touch_event_id"] == 2 and got[3]["touch_type"] == "view"
+    assert got[3]["gap_us"] == 4_000_000 and got[3]["n_touches_7d"] == 2
+    assert got[4]["touch_event_id"] == 2 and got[4]["n_touches_7d"] == 2
+    assert got[6]["touch_event_id"] is None and got[6]["gap_us"] is None
+    assert got[6]["n_touches_7d"] == 0  # 8 days out of the range frame
+    assert got[8]["touch_event_id"] is None and got[8]["n_touches_7d"] == 0
+    assert all(
+        r["gap_us"] is None or 0 < r["gap_us"] <= LOOKBACK_US
+        for r in got.values()
+    )
