@@ -127,6 +127,21 @@ def _estimate() -> Column:
     ).alias("est_distinct")
 
 
+def kmv_estimates(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(g, n_entries, theta, est_distinct) for every group of a
+    (g, h, rn) sketch — the shared read path used by the batch query
+    and by the streamed sketch store (streaming/sketches.py's
+    kmv_ingest_stream)."""
+    th = kmv_theta(sketch, k)
+    return (
+        kmv_entries(sketch, th)
+        .groupBy("g")
+        .agg(F.count("*").cast("long").alias("n_entries"))
+        .join(th, "g")
+        .select("g", "n_entries", "theta", _estimate())
+    )
+
+
 def q_kmv_distinct(orders: DataFrame) -> DataFrame:
     """Declared query: KMV distinct-count sketches with set algebra
     over orders.
@@ -183,19 +198,7 @@ def q_kmv_distinct(orders: DataFrame) -> DataFrame:
     sk = kmv_bottom_k(hashed).localCheckpoint()
     th_c = kmv_theta(sk)
     ent_c = kmv_entries(sk, th_c)
-
-    def singles(ent: DataFrame, th: DataFrame) -> DataFrame:
-        return (
-            ent.groupBy("g")
-            .agg(F.count("*").cast("long").alias("n_entries"))
-            .join(th, "g")
-            .select(
-                F.col("g").alias("set_name"),
-                "n_entries",
-                "theta",
-                _estimate(),
-            )
-        )
+    singles_df = kmv_estimates(sk).withColumnRenamed("g", "set_name")
 
     # theta-union / intersection of the F and O customer sketches:
     # every frame below is ≤ k rows — the joins are broadcast-sized
@@ -229,7 +232,7 @@ def q_kmv_distinct(orders: DataFrame) -> DataFrame:
         )
 
     return (
-        singles(ent_c, th_c)
+        singles_df
         .unionByName(algebra(union_n, "cust:F|O"))
         .unionByName(algebra(inter_n, "cust:F&O"))
     )

@@ -69,7 +69,7 @@ def ingest_day_applier(
     """Build the composed per-batch applier. ``paths`` names every
     store root: fp_store/fp_out, mh_store/mh_out, sh_store/sh_out,
     ann_store/ann_out, img_store/img_out, bm25, edges, hll, hdr,
-    scd2. ``embeddings`` is the static (vec_id, embedding) lookup
+    kmv, scd2. ``embeddings`` is the static (vec_id, embedding) lookup
     joined to the exact survivors' doc_ids (vec_id == doc_id in the
     fixture corpus). The media lane (r14) is optional: omit
     img_store/img_out from ``paths`` to run a text+CDC-only day."""
@@ -106,6 +106,14 @@ def ingest_day_applier(
         merge_keys=("lang", "idx"),
         merge_agg=lambda: F.sum("cnt").cast("bigint").alias("cnt"),
     )
+    # r15: the theta-sketch tier — per-source distinct doc_ids as a
+    # packed KMV bottom-k store (streaming/theta.py: the generic merge
+    # loop with the union-then-bottom-k law as a per-GROUP aggregate),
+    # so the day's stores can answer SET-ALGEBRA cardinality questions
+    # (sources' overlap / difference) that the HLL tier cannot
+    from .theta import kmv_merge_applier
+
+    kmv = kmv_merge_applier(paths["kmv"], checkpoint, "source", "doc_id")
     scd2 = scd2_applier(paths["scd2"], checkpoint)
     img_keys = {"img_store", "img_out"} & set(paths)
     if len(img_keys) == 1:
@@ -166,6 +174,7 @@ def ingest_day_applier(
         edges(s_sim, batch_id)
         hll(s_sim, batch_id)
         hdr(s_sim, batch_id)
+        kmv(s_sim, batch_id)
 
         # warehouse lane
         scd2(cdc, batch_id)

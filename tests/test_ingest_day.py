@@ -76,7 +76,7 @@ def _store_paths(tmp_path) -> dict:
         for k in (
             "fp_store", "fp_out", "mh_store", "mh_out", "sh_store",
             "sh_out", "ann_store", "ann_out", "img_store", "img_out",
-            "bm25", "edges", "hll", "hdr", "scd2",
+            "bm25", "edges", "hll", "hdr", "kmv", "scd2",
         )
     }
 
@@ -312,5 +312,24 @@ def test_ingest_day_with_midchain_crash_equals_one_shot(
     )
     assert _rows(read_sketch_store(spark, paths["hdr"])) == _rows(
         hdr_sketch(s_docs, "lang", "n_chars")
+    )
+    # r15: the theta-sketch tier — streamed (g, h) store equals the
+    # one-shot KMV sketch of the day's survivors, and the estimates
+    # read path composes on top unchanged
+    from node_js_etl_processor_spark.operators.kmv import (
+        kmv_estimates,
+        kmv_sketch,
+    )
+    from node_js_etl_processor_spark.streaming.theta import (
+        _pack,
+        read_kmv_sketch,
+    )
+
+    want_sk = kmv_sketch(s_docs, "source", "doc_id")
+    assert _rows(read_sketch_store(spark, paths["kmv"])) == _rows(
+        _pack(want_sk)
+    )
+    assert _rows(kmv_estimates(read_kmv_sketch(spark, paths["kmv"]))) == _rows(
+        kmv_estimates(want_sk)
     )
     assert _rows(read_scd2_store(spark, paths["scd2"])) == _rows(q_scd2(orders))

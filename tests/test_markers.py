@@ -661,7 +661,7 @@ def test_scd2_stream_refuses_legacy_flat_store(spark, sf_dir, tmp_path):
         q.awaitTermination(120)
 
 
-@pytest.mark.parametrize("family", ["hll", "hdr"])
+@pytest.mark.parametrize("family", ["hll", "hdr", "kmv"])
 @pytest.mark.parametrize("crash_point", ["before_pointer", "after_pointer"])
 def test_sketch_streams_exactly_once_across_merge_crash(
     spark, sf_dir, tmp_path, monkeypatch, family, crash_point
@@ -678,10 +678,15 @@ def test_sketch_streams_exactly_once_across_merge_crash(
         hdr_sketch,
         hll_registers,
     )
+    from node_js_etl_processor_spark.operators.kmv import kmv_sketch
     from node_js_etl_processor_spark.streaming.sketches import (
         hdr_ingest_stream,
         hll_ingest_stream,
         read_sketch_store,
+    )
+    from node_js_etl_processor_spark.streaming.theta import (
+        kmv_ingest_stream,
+        read_kmv_sketch,
     )
 
     store = str(tmp_path / f"{family}_store")
@@ -691,6 +696,10 @@ def test_sketch_streams_exactly_once_across_merge_crash(
         stream = spark.readStream.schema(schema).json(str(src / batch_dir))
         if family == "hll":
             return hll_ingest_stream(
+                stream, "o_orderkey", "o_custkey", store, str(tmp_path / ck)
+            )
+        if family == "kmv":
+            return kmv_ingest_stream(
                 stream, "o_orderkey", "o_custkey", store, str(tmp_path / ck)
             )
         stream = stream.withColumn("v", F.col("o_custkey") + 1)
@@ -729,9 +738,14 @@ def test_sketch_streams_exactly_once_across_merge_crash(
     q = start("b2", "ck2")
     q.awaitTermination(120)
 
-    got = read_sketch_store(spark, store)
+    if family == "kmv":
+        got = read_kmv_sketch(spark, store)
+    else:
+        got = read_sketch_store(spark, store)
     if family == "hll":
         want = hll_registers(base, "o_orderkey", "o_custkey")
+    elif family == "kmv":
+        want = kmv_sketch(base, "o_orderkey", "o_custkey")
     else:
         want = hdr_sketch(
             base.withColumn("v", F.col("o_custkey") + 1), "o_orderkey", "v"

@@ -275,8 +275,13 @@ def test_no_declared_query_uses_nested_loop_or_cartesian(spark, sf_dir):
     # query must stay keyed.
     # queries whose only BroadcastNestedLoopJoin is a 1-row scalar
     # fan-out (corpus stats / N) — a broadcast of a parameter, not a
-    # pair scan (q_tfidf's n_docs cross join joined the set in r8)
-    scalar_fanout_ok = {"q_bm25", "q_hybrid_search", "q_tfidf"}
+    # pair scan (q_tfidf's n_docs cross join joined the set in r8).
+    # q_kmv_distinct (r15) joined: its theta-algebra crossJoins fan
+    # the 1-row min-theta / entry-count aggregates across ≤ k-row
+    # sketch frames — every BNLJ operand is parameter-sized by
+    # construction (the sketch is localCheckpoint-ed at ≤ k rows per
+    # group), pinned by test_kmv_query_materializes_sketch_once.
+    scalar_fanout_ok = {"q_bm25", "q_hybrid_search", "q_tfidf", "q_kmv_distinct"}
     # q_hll_intersect expands the PAIR LATTICE of group labels - a
     # cross join of two aggregated frames of at most #groups rows
     # (5x5 here, groups^2 at scale, never data-sized); its
