@@ -758,3 +758,124 @@ def test_image_probe_total_under_corruption_sweep():
                     fn(base[:cut])
                 except DecodeUnavailable:
                     pass
+
+
+# ---------------------------------------------------------------------------
+# r15: interval-union and skyline properties vs pure-python models
+# ---------------------------------------------------------------------------
+
+
+def _model_islands(iv):
+    """Reference interval union: per key, sort by (s, e), sweep."""
+    by_key = {}
+    for key, _eid, s, e in iv:
+        by_key.setdefault(key, []).append((s, e))
+    out = []
+    for key, spans in by_key.items():
+        spans.sort()
+        cur_s, cur_e, n = None, None, 0
+        for s, e in spans:
+            if cur_s is None or s > cur_e:
+                if cur_s is not None:
+                    out.append((key, cur_s, cur_e, n, cur_e - cur_s))
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        if cur_s is not None:
+            out.append((key, cur_s, cur_e, n, cur_e - cur_s))
+    return sorted(out)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # key: force collisions
+            st.integers(min_value=0, max_value=10**6),  # event_id
+            st.integers(min_value=0, max_value=100),  # start
+            st.integers(min_value=0, max_value=60),  # duration
+        ),
+        max_size=25,
+    )
+)
+def test_merge_intervals_matches_python_sweep(spark, iv):
+    """merge_intervals == the pure-python sweep on arbitrary
+    overlapping / nested / touching / duplicate intervals, including
+    zero-length ones."""
+    from node_js_etl_processor_spark.operators.intervals import (
+        merge_intervals,
+    )
+
+    rows = [
+        (key, i, s, s + d) for i, (key, _eid, s, d) in enumerate(iv)
+    ]
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, s_us long, e_us long"
+    )
+    got = sorted(
+        (
+            r["user_id"],
+            r["island_start_us"],
+            r["island_end_us"],
+            r["n_events"],
+            r["span_us"],
+        )
+        for r in merge_intervals(df).collect()
+    )
+    assert got == _model_islands(rows)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=20),  # price (small: ties)
+            st.integers(min_value=1, max_value=8),  # size (small: ties)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_skyline_matches_python_dominance(spark, pts):
+    """q_skyline == the quadratic python dominance filter under heavy
+    tie/duplicate pressure (tiny domains force equal prices, equal
+    sizes, and exact duplicate pairs)."""
+    from node_js_etl_processor_spark.operators.skyline import q_skyline
+
+    rows = [
+        (pk, "n", "b", "t", size, price / 100.0)
+        for pk, (price, size) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    got = sorted(
+        (r["price_cents"], r["p_size"], r["n_parts"], r["min_partkey"])
+        for r in q_skyline(df).collect()
+    )
+    pairs = {}
+    for pk, (price, size) in enumerate(pts):
+        n, mn = pairs.get((price, size), (0, pk))
+        pairs[(price, size)] = (n + 1, min(mn, pk))
+    want = sorted(
+        (p, sz, n, mn)
+        for (p, sz), (n, mn) in pairs.items()
+        if not any(
+            q[0] <= p and q[1] >= sz and (q[0] < p or q[1] > sz)
+            for q in pairs
+        )
+    )
+    assert got == want
