@@ -838,3 +838,44 @@ def test_kmv_query_materializes_sketch_once(spark, sf_dir):
     plan = plan_text(df, "simple")
     assert "ExistingRDD" in plan
     assert "parquet" not in plan  # no re-scan downstream of the sketch
+
+
+def test_attribution_single_keyed_exchange_no_joins(spark, sf_dir):
+    """q_attribution (r16 candidate): both window frames and the
+    purchase filter ride ONE hashpartitioning(user_id) exchange — no
+    join of any kind appears (the purchases x touches self-join
+    formulation is rewritten away)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.attribution import (
+        q_attribution,
+    )
+
+    plan = plan_text(q_attribution(load_table(spark, sf_dir, "events")))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "hashpartitioning(user_id" in plan
+    for join in ("Join", "CartesianProduct"):
+        assert join not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pmi_collocations_filter_before_joins(spark, sf_dir):
+    """q_pmi_collocations (r16 candidate): the min-count filter
+    collapses the bigram frame BEFORE the unigram joins (the filter
+    sits under the join in the plan), the corpus aggregations are
+    partial+final, and the only non-equi joins are the two 1-row
+    scalar fan-outs (N, M)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.colloc import (
+        q_pmi_collocations,
+    )
+
+    df = q_pmi_collocations(load_table(spark, sf_dir, "documents"))
+    plan = plan_text(df)
+    simple = plan_text(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert simple.count("BroadcastNestedLoopJoin") <= 2  # N and M fan-outs
+    assert plan.count("HashAggregate") >= 4  # uni + bi, partial+final
+    # the n_xy >= min_count filter is below every join: in formatted
+    # output the Filter node holding it must appear, and no scan of
+    # the unfiltered bigram frame reaches a join
+    assert ">= 20" in plan or ">= 20)" in plan
