@@ -63,6 +63,9 @@ from node_js_etl_processor_spark.operators.audio import (
     q_audio_g711,
     q_audio_probe,
 )
+from node_js_etl_processor_spark.operators.kmv import (
+    kmv_oracle_cte as _kmv_oracle_cte,
+)
 from node_js_etl_processor_spark.operators.netpbm import q_netpbm_features
 from node_js_etl_processor_spark.operators.flac import q_audio_flac
 from node_js_etl_processor_spark.operators.image_probe import q_image_probe
@@ -122,8 +125,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_kmv_distinct (KMV/bottom-k theta sketch distinct + exact set
     algebra, operators/kmv.py), q_interval_coverage (per-key overlap
     merge into islands + covered duration, operators/intervals.py)
-    and q_skyline (2-D Pareto frontier via the sort + running-min
-    window form, operators/skyline.py).
+    and q_skyline (2-D Pareto frontier via the per-size prune +
+    running-max window form, operators/skyline.py).
 
     29 + 18 + 3 = 50: there are NO fill slots this round. The 45
     r14-green queries that rotate out (q_csv_export_shape …
@@ -1719,34 +1722,12 @@ FROM documents WHERE doc_id % 11 = 0
 # integer (n·2^48 div theta) estimator, and BOTH theta-algebra rows
 # (union / intersection clamped to min theta). All BIGINT arithmetic:
 # no float tolerance anywhere (operators/kmv.py).
-KMV_ORACLE = """
-    WITH hc AS (
-      SELECT DISTINCT o_orderstatus AS g,
-             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
-      FROM orders
-    ), rc AS (
-      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hc
-    ), skc AS (SELECT * FROM rc WHERE rn <= 64),
-    thc AS (
-      SELECT g, CAST(CASE WHEN max(rn) = 64 THEN max(h)
-                          ELSE 281474976710656 END AS BIGINT) AS theta
-      FROM skc GROUP BY g
-    ), entc AS (
-      SELECT s.g, s.h FROM skc s JOIN thc t USING (g) WHERE s.h < t.theta
-    ), hp AS (
-      SELECT DISTINCT o_orderstatus AS g,
-             ('0x' || substr(md5(CAST(o_orderpriority AS VARCHAR)), 1, 12))::BIGINT AS h
-      FROM orders
-    ), rp AS (
-      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hp
-    ), skp AS (SELECT * FROM rp WHERE rn <= 64),
-    thp AS (
-      SELECT g, CAST(CASE WHEN max(rn) = 64 THEN max(h)
-                          ELSE 281474976710656 END AS BIGINT) AS theta
-      FROM skp GROUP BY g
-    ), entp AS (
-      SELECT s.g, s.h FROM skp s JOIN thp t USING (g) WHERE s.h < t.theta
-    ), thu AS (
+KMV_ORACLE = (
+    "WITH "
+    + _kmv_oracle_cte("c", "o_custkey")
+    + ", "
+    + _kmv_oracle_cte("p", "o_orderpriority")
+    + """, thu AS (
       SELECT CAST(min(theta) AS BIGINT) AS theta FROM thc WHERE g IN ('F', 'O')
     ), uh AS (
       SELECT DISTINCT h FROM entc WHERE g IN ('F', 'O')
@@ -1776,6 +1757,7 @@ KMV_ORACLE = """
            ix.n * 281474976710656 // greatest(thu.theta, 1)
     FROM ix, thu
 """
+)
 
 # q_interval_coverage: the oracle replays the sweep-line island scan
 # with DuckDB's own window functions over identical integer epoch

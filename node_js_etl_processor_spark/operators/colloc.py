@@ -19,11 +19,13 @@ Determinism contract: the emitted columns are the PURE-INTEGER
 sufficient statistics (n_xy, n_x, n_y, n_tokens, n_bigrams) — PMI
 itself is a log of a rational and is left to the consumer, so the
 oracle compare never rounds a float. The PMI > 0 gate is evaluated as
-the EXACT cross-multiplication ``n_xy·N² > M·n_x·n_y`` in 128-bit
-integer arithmetic (Spark DECIMAL(38,0) — (12,0)·(12,0)·(12,0) lands
-exactly on precision 38; DuckDB HUGEINT), so the boundary can never
-flip on a float ulp even at corpus scale (n_xy·N² < 10^38 holds past
-10^12 tokens).
+the EXACT cross-multiplication ``n_xy·N² > M·n_x·n_y`` in wide
+fixed-point arithmetic: Spark DECIMAL(38,0) operands (the product's
+declared precision caps at 38, but the VALUES stay exact while
+n_xy·N² < 10^38 — corpora past 10^12 tokens — and under Spark 4's
+default ANSI mode a genuine value overflow raises instead of
+silently nulling the gate) vs DuckDB HUGEINT, so the boundary can
+never flip on a float ulp.
 
 Scale shape: two corpus-sized keyed aggregations (unigram counts,
 bigram counts — both map-side combined), two scalar totals, then the
@@ -66,7 +68,7 @@ def q_pmi_collocations(documents: DataFrame, min_count: int = MIN_COUNT) -> Data
         F.count("*").cast("long").alias("n_xy")
     )
     n_bi = bi.agg(F.count("*").cast("long").alias("n_bigrams"))
-    dec = lambda c: F.col(c).cast("decimal(12,0)")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")
     return (
         bcnt.filter(F.col("n_xy") >= min_count)
         .join(ucnt.withColumnRenamed("w", "w1").withColumnRenamed("n", "n_x"), "w1")

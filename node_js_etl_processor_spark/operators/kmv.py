@@ -88,9 +88,15 @@ def kmv_bottom_k(hashed: DataFrame, k: int = KMV_K) -> DataFrame:
 
 def kmv_sketch(df: DataFrame, grp_col: str, key_col: str, k: int = KMV_K) -> DataFrame:
     """Per-group KMV sketch: the k smallest distinct 48-bit hashes of
-    ``key_col`` within each ``grp_col`` group, ranked ascending."""
+    ``key_col`` within each ``grp_col`` group, ranked ascending.
+
+    NULL keys are dropped up front (the r14 heavy.py lesson applied
+    proactively): md5(NULL) is NULL, and a NULL hash would sort FIRST
+    in Spark's ascending window but LAST under DuckDB's default —
+    cardinality sketches count non-null keys, in both engines."""
     hashed = (
         df.select(F.col(grp_col).alias("g"), kmv_hash(F.col(key_col)).alias("h"))
+        .filter(F.col("h").isNotNull())
         .distinct()
     )
     return kmv_bottom_k(hashed, k)
@@ -127,14 +133,21 @@ def _estimate() -> Column:
     ).alias("est_distinct")
 
 
-def kmv_estimates(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+def kmv_estimates(
+    sketch: DataFrame,
+    k: int = KMV_K,
+    theta: "DataFrame | None" = None,
+    entries: "DataFrame | None" = None,
+) -> DataFrame:
     """(g, n_entries, theta, est_distinct) for every group of a
     (g, h, rn) sketch — the shared read path used by the batch query
-    and by the streamed sketch store (streaming/sketches.py's
-    kmv_ingest_stream)."""
-    th = kmv_theta(sketch, k)
+    and by the streamed sketch store (streaming/theta.py). Callers
+    that already derived the theta / entries frames pass them in so
+    the plan does not rebuild the window subtrees."""
+    th = kmv_theta(sketch, k) if theta is None else theta
+    ent = kmv_entries(sketch, th) if entries is None else entries
     return (
-        kmv_entries(sketch, th)
+        ent
         .groupBy("g")
         .agg(F.count("*").cast("long").alias("n_entries"))
         .join(th, "g")
@@ -188,6 +201,7 @@ def q_kmv_distinct(orders: DataFrame) -> DataFrame:
             ).alias("x")
         )
         .select("x.g", "x.h")
+        .filter(F.col("h").isNotNull())  # same null-key rule as kmv_sketch
         .distinct()
     )
     # localCheckpoint: the sketch IS the synopsis — k rows per group.
@@ -198,7 +212,9 @@ def q_kmv_distinct(orders: DataFrame) -> DataFrame:
     sk = kmv_bottom_k(hashed).localCheckpoint()
     th_c = kmv_theta(sk)
     ent_c = kmv_entries(sk, th_c)
-    singles_df = kmv_estimates(sk).withColumnRenamed("g", "set_name")
+    singles_df = kmv_estimates(sk, theta=th_c, entries=ent_c).withColumnRenamed(
+        "g", "set_name"
+    )
 
     # theta-union / intersection of the F and O customer sketches:
     # every frame below is ≤ k rows — the joins are broadcast-sized
@@ -284,23 +300,33 @@ def q_kmv_difference(orders: DataFrame) -> DataFrame:
     )
 
 
-#: the DuckDB twin for q_kmv_difference, staged here until the r16
-#: registry wiring — r15 tests run it through the driver's compare
-KMV_DIFFERENCE_ORACLE = """
-    WITH hc AS (
+def kmv_oracle_cte(tag: str, key_sql: str) -> str:
+    """The DuckDB sketch-rebuild CTE chain for one key family —
+    hashes → ranks → bottom-64 → theta → entries, with the SAME
+    null-key drop as the engine (md5(NULL) would rank NULLS LAST in
+    DuckDB but FIRST in Spark's ascending window). Shared by every
+    KMV oracle so the sketch definition lives in exactly one place."""
+    return f"""h{tag} AS (
       SELECT DISTINCT o_orderstatus AS g,
-             ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
-      FROM orders
-    ), rc AS (
-      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hc
-    ), skc AS (SELECT * FROM rc WHERE rn <= 64),
-    thc AS (
+             ('0x' || substr(md5(CAST({key_sql} AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM orders WHERE {key_sql} IS NOT NULL
+    ), r{tag} AS (
+      SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM h{tag}
+    ), sk{tag} AS (SELECT * FROM r{tag} WHERE rn <= 64),
+    th{tag} AS (
       SELECT g, CAST(CASE WHEN max(rn) = 64 THEN max(h)
                           ELSE 281474976710656 END AS BIGINT) AS theta
-      FROM skc GROUP BY g
-    ), entc AS (
-      SELECT s.g, s.h FROM skc s JOIN thc t USING (g) WHERE s.h < t.theta
-    ), thu AS (
+      FROM sk{tag} GROUP BY g
+    ), ent{tag} AS (
+      SELECT s.g, s.h FROM sk{tag} s JOIN th{tag} t USING (g)
+      WHERE s.h < t.theta
+    )"""
+
+
+#: the DuckDB twin for q_kmv_difference, staged here until the r16
+#: registry wiring — r15 tests run it through the driver's compare
+KMV_DIFFERENCE_ORACLE = "WITH " + kmv_oracle_cte("c", "o_custkey") + """, thu AS (
       SELECT CAST(min(theta) AS BIGINT) AS theta FROM thc WHERE g IN ('F', 'O')
     ), fo AS (
       SELECT CAST(count(*) AS BIGINT) AS n

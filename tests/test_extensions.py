@@ -3784,6 +3784,13 @@ def test_attribution_duckdb_parity_and_semantics(spark, sf_dir):
         # user 3: error events never get credit
         (7, 30, sec(0), "error", 1.0, "{}"),
         (8, 30, sec(1), "purchase", 1.0, "{}"),
+        # user 4: a touch at the SAME timestamp as the purchase is a
+        # RANGE peer — excluded from both credit and count; the
+        # strictly earlier click gets the credit (the r15 review's
+        # equal-ts consistency fix)
+        (9, 40, sec(0), "click", 1.0, "{}"),
+        (10, 40, sec(5), "click", 1.0, "{}"),
+        (11, 40, sec(5), "purchase", 1.0, "{}"),
     ]
     hand = spark.createDataFrame(
         rows,
@@ -3791,13 +3798,15 @@ def test_attribution_duckdb_parity_and_semantics(spark, sf_dir):
         " value double, props string",
     )
     got = {r["purchase_event_id"]: r for r in q_attribution(hand).collect()}
-    assert set(got) == {3, 4, 6, 8}
+    assert set(got) == {3, 4, 6, 8, 11}
     assert got[3]["touch_event_id"] == 2 and got[3]["touch_type"] == "view"
     assert got[3]["gap_us"] == 4_000_000 and got[3]["n_touches_7d"] == 2
     assert got[4]["touch_event_id"] == 2 and got[4]["n_touches_7d"] == 2
     assert got[6]["touch_event_id"] is None and got[6]["gap_us"] is None
     assert got[6]["n_touches_7d"] == 0  # 8 days out of the range frame
     assert got[8]["touch_event_id"] is None and got[8]["n_touches_7d"] == 0
+    assert got[11]["touch_event_id"] == 9 and got[11]["gap_us"] == 5_000_000
+    assert got[11]["n_touches_7d"] == 1  # the equal-ts click is a peer
     assert all(
         r["gap_us"] is None or 0 < r["gap_us"] <= LOOKBACK_US
         for r in got.values()
