@@ -3811,3 +3811,39 @@ def test_attribution_duckdb_parity_and_semantics(spark, sf_dir):
         r["gap_us"] is None or 0 < r["gap_us"] <= LOOKBACK_US
         for r in got.values()
     )
+
+
+def test_itemset_pairs_duckdb_parity_and_semantics(spark, sf_dir):
+    """r16 candidate gate: q_itemset_pairs vs its staged oracle; plus
+    hand-basket semantics — unordered pairs from distinct part sets,
+    support threshold, exact per-part and total counts."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.basket import (
+        ITEMSET_PAIRS_ORACLE,
+        q_itemset_pairs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = _duck_parity(
+        q_itemset_pairs(li), ITEMSET_PAIRS_ORACLE, sf_dir,
+        tables=("lineitem",),
+    )
+    assert n > 0  # the fixture has real co-ordered pairs
+    # hand baskets: orders {1: (10,20,30)}, {2: (10,20)}, {3: (10,20)},
+    # {4: (30, 30 dup, 40)} — duplicates collapse, (10,20) support 3,
+    # (10,30)/(20,30) support 1 (pruned), (30,40) support 1 (pruned)
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 20), (3, 10),
+        (4, 30), (4, 30), (4, 40),
+    ]
+    hand = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = [tuple(r) for r in q_itemset_pairs(hand, min_support=2).collect()]
+    assert got == [(10, 20, 3, 3, 3, 4)]
+    # support 1 keeps everything: 4 distinct pairs
+    all_pairs = q_itemset_pairs(hand, min_support=1).collect()
+    assert {(r["part_a"], r["part_b"]) for r in all_pairs} == {
+        (10, 20), (10, 30), (20, 30), (30, 40)
+    }
+    assert all(r["n_baskets"] == 4 for r in all_pairs)

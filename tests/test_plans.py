@@ -879,3 +879,20 @@ def test_pmi_collocations_filter_before_joins(spark, sf_dir):
     # output the Filter node holding it must appear, and no scan of
     # the unfiltered bigram frame reaches a join
     assert ">= 20" in plan or ">= 20)" in plan
+
+
+def test_itemset_pairs_support_filter_before_joins(spark, sf_dir):
+    """q_itemset_pairs (r16 candidate): the min-support filter
+    collapses the pair frame below the vocabulary joins, both corpus
+    aggregations are partial+final, and the only non-equi join is the
+    1-row n_baskets fan-out."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.basket import q_itemset_pairs
+
+    df = q_itemset_pairs(load_table(spark, sf_dir, "lineitem"))
+    plan = plan_text(df)
+    simple = plan_text(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert simple.count("BroadcastNestedLoopJoin") <= 1
+    assert plan.count("HashAggregate") >= 4
+    assert ">= 2" in plan  # the support filter node exists pre-join
