@@ -354,7 +354,9 @@ def _containment_from_reps(
     """``containment_decon`` from pre-packed representative frames —
     the split point that lets a caller holding ONE corpus tokenize it
     once and route slices to both sides (``q_containment_decon``)."""
-    t_tok = t_reps.select("doc_id", F.explode("toks").alias("token"))
+    t_tok = t_reps.select(
+        "doc_id", F.col("sz").alias("sz_t"), F.explode("toks").alias("token")
+    )
     t_df = t_tok.groupBy("token").agg(
         F.count("*").cast("bigint").alias("df")
     )
@@ -374,16 +376,25 @@ def _containment_from_reps(
         )
     )
     p_prefix = p_tokens.filter(F.col("rank") <= _prefix_len(c_num, c_den)).select(
-        F.col("doc_id").alias("probe_id"), "token"
+        F.col("doc_id").alias("probe_id"),
+        "token",
+        "sz",
     )
     # distinct BEFORE verify: measured faster than verifying raw
     # duplicates + countDistinct in the aggregate (5.3 s vs 6.9 s per
     # bench-shaped run at sf0.1) — the dedup shuffle pays for itself
-    # by shrinking the array-intersect frame
+    # by shrinking the array-intersect frame.
+    # Length filter IN the candidate join (r15: the asymmetric form of
+    # the PPJoin length filter): |A∩B| ≤ |B|, so a train set with
+    # sz_t·den < sz·num can never reach ⌈c·|A|⌉ overlap — lossless,
+    # and it prunes a measured 42% of candidates at sf0.1 BEFORE the
+    # distinct shuffle and the digest-array verify.
     cand = (
         p_prefix.join(
-            t_tok.select(F.col("doc_id").alias("train_id"), "token"), "token"
+            t_tok.select(F.col("doc_id").alias("train_id"), "sz_t", "token"),
+            "token",
         )
+        .filter(F.col("sz_t") * c_den >= F.col("sz") * c_num)
         .select("probe_id", "train_id")
         .distinct()
     )
