@@ -3847,3 +3847,54 @@ def test_itemset_pairs_duckdb_parity_and_semantics(spark, sf_dir):
         (10, 20), (10, 30), (20, 30), (30, 40)
     }
     assert all(r["n_baskets"] == 4 for r in all_pairs)
+
+
+def test_snm_pairs_duckdb_parity_and_semantics(spark, sf_dir):
+    """r16 candidate gate: q_snm_pairs vs its staged oracle (the
+    distributed rank+offset rewrite vs a global ROW_NUMBER); plus
+    global_rank correctness and hand semantics — window-local pairs
+    only, each emitted once, Levenshtein-gated."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.snm import (
+        SNM_PAIRS_ORACLE,
+        global_rank,
+        q_snm_pairs,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    n = _duck_parity(
+        q_snm_pairs(cust), SNM_PAIRS_ORACLE, sf_dir, tables=("customer",)
+    )
+    assert n > 0
+    # global_rank == the single-window rank, boundary-independent
+    ranked = {
+        (r["c_custkey"]): r["rn"]
+        for r in global_rank(
+            cust.select("c_custkey", F.lower(F.trim("c_name")).alias("k")),
+            ["k", "c_custkey"],
+        ).collect()
+    }
+    want = {
+        r["c_custkey"]: i + 1
+        for i, r in enumerate(
+            cust.select("c_custkey", F.lower(F.trim("c_name")).alias("k"))
+            .orderBy("k", "c_custkey")
+            .collect()
+        )
+    }
+    assert ranked == want
+    # hand corpus: "anna", "anne", "annex", "bob", "zed" (w=5 covers
+    # all pairs here; dist gate keeps only the close ones)
+    rows = [(1, "anna"), (2, "anne"), (3, "annex"), (4, "bob"), (5, "zed")]
+    hand = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    got = {
+        (r["custkey_a"], r["custkey_b"]): r["dist"]
+        for r in q_snm_pairs(hand).collect()
+    }
+    assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 1}
+    # window=1 restricts to adjacent-only: (anna,anne), (anne,annex)
+    got_w1 = {
+        (r["custkey_a"], r["custkey_b"])
+        for r in q_snm_pairs(hand, window=1).collect()
+    }
+    assert got_w1 == {(1, 2), (2, 3)}

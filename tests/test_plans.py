@@ -896,3 +896,25 @@ def test_itemset_pairs_support_filter_before_joins(spark, sf_dir):
     assert simple.count("BroadcastNestedLoopJoin") <= 1
     assert plan.count("HashAggregate") >= 4
     assert ">= 2" in plan  # the support filter node exists pre-join
+
+
+def test_snm_rank_never_single_partitions_the_corpus(spark, sf_dir):
+    """q_snm_pairs (r16 candidate): the global rank is the
+    range-repartition + local window + broadcast offsets rewrite —
+    the only single-partition window in the plan is the ≤32-row
+    offsets frame, the offsets join is a broadcast, and neighbor
+    pairs come from an equi-join on rank (no nested loop)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.snm import q_snm_pairs
+
+    df = q_snm_pairs(load_table(spark, sf_dir, "customer"))
+    plan = plan_text(df)
+    simple = plan_text(df, "simple")
+    # the ranked subtree feeds BOTH join sides, so its ≤32-row offsets
+    # window (the only single-partition stage) appears once per side;
+    # AQE dedupes the identical subtrees via ReusedExchange at runtime
+    assert 1 <= plan.count("Arguments: SinglePartition") <= 2
+    assert "rangepartitioning" in plan  # the distributed rank
+    assert "BroadcastHashJoin" in simple  # offsets join never shuffles
+    assert "BroadcastNestedLoopJoin" not in simple
+    assert "CartesianProduct" not in simple
