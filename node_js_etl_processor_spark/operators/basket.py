@@ -38,9 +38,15 @@ MIN_SUPPORT = 2
 
 def order_baskets(lineitem: DataFrame) -> DataFrame:
     """(l_orderkey, parts) — each order's sorted DISTINCT part set.
-    collect_set is bounded by basket size, never corpus-sized."""
-    return lineitem.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    collect_set is bounded by basket size, never corpus-sized. NULL
+    part keys are dropped EXPLICITLY (Spark's collect_set would drop
+    them silently while DuckDB's list(DISTINCT) keeps a NULL member —
+    the r15 review's cross-engine null-drop class; the oracle carries
+    the same WHERE)."""
+    return (
+        lineitem.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
 
 
@@ -64,7 +70,10 @@ def q_itemset_pairs(
     """Declared-query candidate: co-ordered part pairs with support ≥
     min_support and their exact counting statistics
     (part_a, part_b, n_both, n_a, n_b, n_baskets)."""
-    baskets = order_baskets(lineitem)
+    # localCheckpoint: baskets feed THREE consumers (pairs, per-part
+    # counts, the total) — without it the corpus aggregation re-runs
+    # per branch (the r15 review's double-built-subtree class)
+    baskets = order_baskets(lineitem).localCheckpoint(eager=True)
     pairs = basket_pairs(baskets)
     support = (
         pairs.groupBy("a", "b")
@@ -106,7 +115,7 @@ def q_itemset_pairs(
 ITEMSET_PAIRS_ORACLE = """
     WITH b AS (
       SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
-      FROM lineitem GROUP BY 1
+      FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
     ), p AS (
       SELECT parts[i.g] AS a, parts[j.g] AS b
       FROM b,

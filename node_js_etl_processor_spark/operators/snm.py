@@ -10,12 +10,18 @@ and the signature blockers (minhash/simhash): SNM trades recall
 guarantees for a hard candidate budget of n·w pairs, the right deal
 when the sort key clusters true duplicates.
 
-Verification is exact Levenshtein ≤ max_dist on the normalized key —
-both engines implement the classic unit-cost edit distance with
-identical integer results (spot-pinned in tests), so every emitted
-column is an exact integer and the DuckDB oracle (a global
-ROW_NUMBER + self-join on rank distance — deliberately the
-single-machine formulation) compares bit-for-bit.
+Verification is exact Levenshtein ≤ max_dist on the normalized key.
+Edit-distance UNITS differ across engines on non-ASCII text — Spark
+counts code-point edits, DuckDB counts BYTE edits (verified: 'café'
+vs 'cafe' is 1 vs 2) — so the operator restricts itself to ASCII
+keys EXPLICITLY, with the same predicate in both engines
+(char length == byte length: Spark length = octet_length, DuckDB
+length = strlen). Within that domain the distances are identical
+integers (spot-pinned in tests), every emitted column is exact, and
+the DuckDB oracle (a global ROW_NUMBER + self-join on rank distance
+— deliberately the single-machine formulation) compares bit-for-bit.
+A non-ASCII corpus needs a transliteration pass first; silently
+mixing edit-distance units would be worse than refusing.
 
 Scale shape — the distributed GLOBAL RANKING pattern: a global
 ``row_number() OVER (ORDER BY …)`` is a one-task plan, so the rank
@@ -78,12 +84,14 @@ def q_snm_pairs(
     (lower(trim(c_name)), c_custkey) order whose normalized keys are
     within ``max_dist`` edits. custkey_a precedes custkey_b in the
     sort order, so each pair is emitted exactly once."""
-    s = global_rank(
-        customer.select(
-            "c_custkey", F.lower(F.trim(F.col("c_name"))).alias("k")
-        ),
-        ["k", "c_custkey"],
-    )
+    if window < 1:
+        raise ValueError("q_snm_pairs needs window >= 1 (F.sequence"
+                         " auto-decrements when start > stop, which"
+                         " would emit self-pairs)")
+    keyed = customer.select(
+        "c_custkey", F.lower(F.trim(F.col("c_name"))).alias("k")
+    ).filter(F.length("k") == F.octet_length("k"))  # ASCII-only domain
+    s = global_rank(keyed, ["k", "c_custkey"])
     a = s.select(
         F.col("c_custkey").alias("custkey_a"),
         F.col("k").alias("ka"),
@@ -109,11 +117,14 @@ def q_snm_pairs(
 #: a rank-distance self-join), cross-checking the distributed
 #: rank+offset rewrite
 SNM_PAIRS_ORACLE = """
-    WITH s AS (
-      SELECT c_custkey, lower(trim(c_name)) AS k,
-             row_number() OVER (ORDER BY lower(trim(c_name)), c_custkey)
-               AS rn
+    WITH keyed AS (
+      SELECT c_custkey, lower(trim(c_name)) AS k
       FROM customer
+      WHERE length(lower(trim(c_name))) = strlen(lower(trim(c_name)))
+    ), s AS (
+      SELECT c_custkey, k,
+             row_number() OVER (ORDER BY k, c_custkey) AS rn
+      FROM keyed
     )
     SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
            CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist

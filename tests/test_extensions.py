@@ -3898,3 +3898,34 @@ def test_snm_pairs_duckdb_parity_and_semantics(spark, sf_dir):
         for r in q_snm_pairs(hand, window=1).collect()
     }
     assert got_w1 == {(1, 2), (2, 3)}
+
+
+def test_snm_ascii_domain_and_window_guard(spark):
+    """The r15 second-review fixes pinned: non-ASCII keys are excluded
+    from BOTH engines with the same char-length == byte-length
+    predicate (Spark and DuckDB disagree on edit-distance UNITS for
+    multi-byte text — code points vs bytes), and window < 1 raises
+    instead of emitting self-pairs via F.sequence auto-decrement."""
+    import duckdb
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.operators.snm import q_snm_pairs
+
+    rows = [(1, "anna"), (2, "anne"), (3, "café"), (4, "cafe")]
+    hand = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    got = {
+        (r["custkey_a"], r["custkey_b"]) for r in q_snm_pairs(hand).collect()
+    }
+    # café is excluded (non-ASCII); cafe pairs with nothing within 2
+    # of the remaining keys except... anna/anne at dist 1; cafe-anna
+    # dist 4, cafe-anne dist 4 — so exactly the anna/anne pair
+    assert got == {(1, 2)}
+    # the engines genuinely disagree on units for the excluded row —
+    # the reason the domain restriction exists
+    duck_d = duckdb.sql("SELECT levenshtein('café', 'cafe')").fetchone()[0]
+    spark_d = (
+        spark.sql("SELECT levenshtein('café', 'cafe') AS d").first()["d"]
+    )
+    assert spark_d == 1 and duck_d == 2
+    with _pytest.raises(ValueError, match="window >= 1"):
+        q_snm_pairs(hand, window=0)
