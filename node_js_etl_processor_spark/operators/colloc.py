@@ -42,9 +42,15 @@ from pyspark.sql import functions as F
 #: default support threshold for a candidate collocation
 MIN_COUNT = 20
 
-_TOKS = F.filter(
-    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
-)
+def _toks():
+    """The corpus tokenization as a Column — built LAZILY: a
+    module-level Column literal would require an active SparkContext
+    at import time (Spark 4's classic-mode F.col asserts one), which
+    breaks any consumer that imports operators before building its
+    session."""
+    return F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
 
 
 def q_pmi_collocations(documents: DataFrame, min_count: int = MIN_COUNT) -> DataFrame:
@@ -52,7 +58,7 @@ def q_pmi_collocations(documents: DataFrame, min_count: int = MIN_COUNT) -> Data
     (w1, w2) bigram with n_xy ≥ min_count and positive PMI, carrying
     the integer sufficient statistics (n_xy, n_x, n_y, n_tokens,
     n_bigrams)."""
-    toks = documents.select(_TOKS.alias("ts"))
+    toks = documents.select(_toks().alias("ts"))
     uni = toks.select(F.explode("ts").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").cast("long").alias("n"))
     n_tok = uni.agg(F.count("*").cast("long").alias("n_tokens"))
