@@ -139,3 +139,32 @@ def test_partitioned_fetch_scale_path(spark):
     parsed = parse_universities_payloads(payloads)
     assert parsed.count() == 2 * len(FIXTURE_BY_COUNTRY["Costa Rica"])
     assert "state-province" in parsed.columns
+
+
+def test_every_module_imports_without_spark_session():
+    """r15 (caught live in the colloc candidate): a module-level
+    Column literal requires an active SparkContext at import time
+    under Spark 4's classic mode, so a consumer importing operators
+    before building its session would crash. Every package module
+    must import in a bare interpreter with NO session — run in a
+    subprocess because the test session would mask the defect."""
+    import pathlib
+    import subprocess
+    import sys
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    script = (
+        "import sys, importlib, pathlib\n"
+        f"sys.path.insert(0, {str(root)!r})\n"
+        f"pkg = pathlib.Path({str(root)!r}) / 'node_js_etl_processor_spark'\n"
+        "for p in sorted(pkg.rglob('*.py')):\n"
+        "    mod = str(p.relative_to(pkg.parent))[:-3].replace('/', '.')\n"
+        "    importlib.import_module(mod)\n"
+        "print('OK')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().endswith("OK")
