@@ -25,6 +25,14 @@ filter collapses the pair frame BEFORE it joins the
 vocabulary-sized per-part basket counts. The A-Priori downward-
 closure argument is exactly this plan's shape at 100 TB: the support
 filter is what keeps the joined frame candidate-sized.
+
+The quadratic corner is the BASKET SIZE: one pathological basket of
+10k distinct items pays |B|²/2 ≈ 50M pairs on its own. The
+``max_basket`` cap (the ``q_fuzzy_match`` key_cap discipline applied
+to baskets) DROPS oversized baskets outright — standard market-basket
+practice, since a mega-basket carries no per-pair signal — with the
+recall contract stated on the parameter: pair supports count only
+capped baskets. Default None = exact.
 """
 
 from __future__ import annotations
@@ -36,18 +44,26 @@ from pyspark.sql import functions as F
 MIN_SUPPORT = 2
 
 
-def order_baskets(lineitem: DataFrame) -> DataFrame:
+def order_baskets(
+    lineitem: DataFrame, max_basket: "int | None" = None
+) -> DataFrame:
     """(l_orderkey, parts) — each order's sorted DISTINCT part set.
     collect_set is bounded by basket size, never corpus-sized. NULL
     part keys are dropped EXPLICITLY (Spark's collect_set would drop
     them silently while DuckDB's list(DISTINCT) keeps a NULL member —
     the r15 review's cross-engine null-drop class; the oracle carries
-    the same WHERE)."""
-    return (
+    the same WHERE). With ``max_basket`` set, baskets LARGER than the
+    cap are dropped whole — the graceful-degradation lever for
+    templated/mega-basket corpora where the pair explode would go
+    quadratic (see the module docstring's recall contract)."""
+    baskets = (
         lineitem.filter(F.col("l_partkey").isNotNull())
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
+    if max_basket is not None:
+        baskets = baskets.filter(F.size("parts") <= max_basket)
+    return baskets
 
 
 def basket_pairs(baskets: DataFrame) -> DataFrame:
@@ -65,15 +81,20 @@ def basket_pairs(baskets: DataFrame) -> DataFrame:
 
 
 def q_itemset_pairs(
-    lineitem: DataFrame, min_support: int = MIN_SUPPORT
+    lineitem: DataFrame,
+    min_support: int = MIN_SUPPORT,
+    max_basket: "int | None" = None,
 ) -> DataFrame:
     """Declared-query candidate: co-ordered part pairs with support ≥
     min_support and their exact counting statistics
-    (part_a, part_b, n_both, n_a, n_b, n_baskets)."""
+    (part_a, part_b, n_both, n_a, n_b, n_baskets). ``max_basket``
+    opts into the mega-basket cap (default exact); when capped, every
+    statistic counts only the surviving baskets — internally
+    consistent, documented recall."""
     # localCheckpoint: baskets feed THREE consumers (pairs, per-part
     # counts, the total) — without it the corpus aggregation re-runs
     # per branch (the r15 review's double-built-subtree class)
-    baskets = order_baskets(lineitem).localCheckpoint(eager=True)
+    baskets = order_baskets(lineitem, max_basket).localCheckpoint(eager=True)
     pairs = basket_pairs(baskets)
     support = (
         pairs.groupBy("a", "b")

@@ -3929,3 +3929,28 @@ def test_snm_ascii_domain_and_window_guard(spark):
     assert spark_d == 1 and duck_d == 2
     with _pytest.raises(ValueError, match="window >= 1"):
         q_snm_pairs(hand, window=0)
+
+
+def test_itemset_pairs_mega_basket_cap(spark):
+    """The max_basket cap drops pathological baskets whole (their
+    |B|^2 pair explosion never happens) while every statistic stays
+    internally consistent over the surviving baskets; default None
+    remains exact."""
+    from node_js_etl_processor_spark.operators.basket import q_itemset_pairs
+
+    rows = [(1, p) for p in range(200)] + [  # mega-basket: 200 parts
+        (2, 10), (2, 11),
+        (3, 10), (3, 11),
+    ]
+    hand = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    capped = q_itemset_pairs(hand, min_support=2, max_basket=50)
+    got = [tuple(r) for r in capped.collect()]
+    # only baskets 2 and 3 survive: (10,11) support 2, n_a=n_b=2,
+    # n_baskets=2 (the mega-basket is excluded from the total too)
+    assert got == [(10, 11, 2, 2, 2, 2)]
+    # default: exact — the mega-basket contributes to counts
+    exact = {
+        (r["part_a"], r["part_b"]): (r["n_both"], r["n_baskets"])
+        for r in q_itemset_pairs(hand, min_support=2).collect()
+    }
+    assert exact[(10, 11)] == (3, 3)
