@@ -824,3 +824,58 @@ def test_sketch_stream_estimates_match_batch_query(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed_q == batch_q and len(streamed_q) == 5
+
+
+def test_kmv_stream_saturation_transition(spark, tmp_path):
+    """A group that is UNSATURATED after batch 1 (theta = 2^48, exact
+    estimates) and crosses k after batch 2 must land exactly on the
+    one-shot sketch — the union-then-bottom-k merge law through the
+    regime change, where a wrong merge (e.g. keeping stale ranks or
+    capping before the union) would freeze theta or lose hashes."""
+    import json
+
+    from node_js_etl_processor_spark.operators.kmv import (
+        KMV_SCALE,
+        kmv_estimates,
+        kmv_sketch,
+    )
+    from node_js_etl_processor_spark.streaming.theta import (
+        kmv_ingest_stream,
+        read_kmv_sketch,
+    )
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    b1 = [{"g": "a", "key": f"k{i}"} for i in range(40)]  # < k = 64
+    b2 = [{"g": "a", "key": f"k{i}"} for i in range(30, 140)]  # pushes past
+    (src / "b1").mkdir(); (src / "b2").mkdir()
+    (src / "b1" / "rows.json").write_text(
+        "\n".join(json.dumps(r) for r in b1)
+    )
+    (src / "b2" / "rows.json").write_text(
+        "\n".join(json.dumps(r) for r in b2)
+    )
+    store = str(tmp_path / "kmv_store")
+    schema = "g string, key string"
+    for b, ck in (("b1", "c1"), ("b2", "c2")):
+        q = kmv_ingest_stream(
+            spark.readStream.schema(schema).json(str(src / b)),
+            "g", "key", store, str(tmp_path / ck),
+        )
+        q.awaitTermination(120)
+        # after batch 1 the sketch is UNSATURATED: exact estimate 40
+        if b == "b1":
+            est1 = kmv_estimates(read_kmv_sketch(spark, store)).first()
+            assert est1["theta"] == KMV_SCALE and est1["est_distinct"] == 40
+
+    whole = spark.createDataFrame(
+        [(r["g"], r["key"]) for r in b1 + b2], schema
+    )
+    want_sk = kmv_sketch(whole, "g", "key")
+    got_sk = read_kmv_sketch(spark, store)
+    assert got_sk.exceptAll(want_sk).count() == 0
+    assert want_sk.exceptAll(got_sk).count() == 0
+    # saturated now: theta is the 64th smallest of the 140 distinct
+    est2 = kmv_estimates(got_sk).first()
+    assert est2["theta"] < KMV_SCALE and est2["n_entries"] == 63
+    assert est2["est_distinct"] == kmv_estimates(want_sk).first()["est_distinct"]
