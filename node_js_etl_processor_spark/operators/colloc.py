@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 #: default support threshold for a candidate collocation
 MIN_COUNT = 20
 
+
 def _toks():
     """The corpus tokenization as a Column — built LAZILY: a
     module-level Column literal would require an active SparkContext
@@ -58,7 +59,11 @@ def q_pmi_collocations(documents: DataFrame, min_count: int = MIN_COUNT) -> Data
     (w1, w2) bigram with n_xy ≥ min_count and positive PMI, carrying
     the integer sufficient statistics (n_xy, n_x, n_y, n_tokens,
     n_bigrams)."""
-    toks = documents.select(_toks().alias("ts"))
+    # localCheckpoint: the tokenized frame feeds FOUR consumers
+    # (unigram counts, token total, bigram counts, bigram total) —
+    # the same multi-consumer fan-out class as basket.py's baskets;
+    # without it the corpus tokenization re-runs per branch
+    toks = documents.select(_toks().alias("ts")).localCheckpoint(eager=True)
     uni = toks.select(F.explode("ts").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").cast("long").alias("n"))
     n_tok = uni.agg(F.count("*").cast("long").alias("n_tokens"))

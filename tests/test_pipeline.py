@@ -158,7 +158,7 @@ def test_every_module_imports_without_spark_session():
         f"sys.path.insert(0, {str(root)!r})\n"
         f"pkg = pathlib.Path({str(root)!r}) / 'node_js_etl_processor_spark'\n"
         "for p in sorted(pkg.rglob('*.py')):\n"
-        "    mod = str(p.relative_to(pkg.parent))[:-3].replace('/', '.')\n"
+        "    mod = '.'.join(p.relative_to(pkg.parent).with_suffix('').parts)\n"
         "    importlib.import_module(mod)\n"
         "print('OK')\n"
     )
