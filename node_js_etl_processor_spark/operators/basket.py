@@ -132,8 +132,10 @@ def q_itemset_pairs(
     )
 
 
-#: the DuckDB twin, staged here until the r16 registry wiring
-ITEMSET_PAIRS_ORACLE = """
+#: the DuckDB twin, staged here until the r16 registry wiring — the
+#: support threshold is interpolated from MIN_SUPPORT (r16 advice
+#: item) so the oracle can never drift from the engine default
+ITEMSET_PAIRS_ORACLE = f"""
     WITH b AS (
       SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS parts
       FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1
@@ -145,7 +147,7 @@ ITEMSET_PAIRS_ORACLE = """
       WHERE i.g < j.g
     ), sup AS (
       SELECT a, b, CAST(count(*) AS BIGINT) AS n_both
-      FROM p GROUP BY a, b HAVING count(*) >= 2
+      FROM p GROUP BY a, b HAVING count(*) >= {MIN_SUPPORT}
     ), per_part AS (
       SELECT part, CAST(count(*) AS BIGINT) AS n
       FROM (SELECT unnest(parts) AS part FROM b) GROUP BY part

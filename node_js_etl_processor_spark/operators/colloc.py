@@ -96,8 +96,10 @@ def q_pmi_collocations(documents: DataFrame, min_count: int = MIN_COUNT) -> Data
 
 
 #: the DuckDB twin, staged here until the r16 registry wiring — the
-#: r15 tests run it through the same compare the driver uses
-PMI_COLLOCATIONS_ORACLE = r"""
+#: r15 tests run it through the same compare the driver uses. The
+#: min-count threshold is interpolated from MIN_COUNT (r16 advice
+#: item) so the oracle can never drift from the engine default.
+PMI_COLLOCATIONS_ORACLE = rf"""
     WITH toks AS (
       SELECT list_filter(string_split_regex(lower(text), '\s+'),
                          t -> t <> '') AS ts
@@ -122,7 +124,7 @@ PMI_COLLOCATIONS_ORACLE = r"""
     FROM bcnt b
     JOIN ucnt ux ON ux.w = b.w1
     JOIN ucnt uy ON uy.w = b.w2, ntok, nbi
-    WHERE b.n_xy >= 20
+    WHERE b.n_xy >= {MIN_COUNT}
       AND CAST(b.n_xy AS HUGEINT) * ntok.n_tokens * ntok.n_tokens
           > CAST(nbi.n_bigrams AS HUGEINT) * ux.n * uy.n
 """

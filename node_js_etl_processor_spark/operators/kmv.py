@@ -146,11 +146,20 @@ def kmv_estimates(
     the plan does not rebuild the window subtrees."""
     th = kmv_theta(sketch, k) if theta is None else theta
     ent = kmv_entries(sketch, th) if entries is None else entries
+    # r16 (advice item): start from the theta frame and LEFT-join the
+    # entry counts — a group whose retained-entry set is empty (the
+    # degenerate k=1 saturated sketch, or the theta=0 corner the
+    # greatest() guard anticipates) must still yield its row with
+    # n_entries=0, since k is a caller parameter and the per-group
+    # contract is "one row per sketched group".
+    counts = ent.groupBy("g").agg(F.count("*").cast("long").alias("n_entries"))
     return (
-        ent
-        .groupBy("g")
-        .agg(F.count("*").cast("long").alias("n_entries"))
-        .join(th, "g")
+        th.join(counts, "g", "left")
+        .select(
+            "g",
+            F.coalesce("n_entries", F.lit(0).cast("long")).alias("n_entries"),
+            "theta",
+        )
         .select("g", "n_entries", "theta", _estimate())
     )
 

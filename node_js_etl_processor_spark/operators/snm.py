@@ -115,8 +115,10 @@ def q_snm_pairs(
 #: the DuckDB twin, staged here until the r16 registry wiring — the
 #: deliberately single-machine formulation (one global ROW_NUMBER +
 #: a rank-distance self-join), cross-checking the distributed
-#: rank+offset rewrite
-SNM_PAIRS_ORACLE = """
+#: rank+offset rewrite. Window and distance thresholds interpolate
+#: SNM_WINDOW / SNM_MAX_DIST (r16 advice item) so the oracle can
+#: never drift from the engine defaults.
+SNM_PAIRS_ORACLE = f"""
     WITH keyed AS (
       SELECT c_custkey, lower(trim(c_name)) AS k
       FROM customer
@@ -128,6 +130,6 @@ SNM_PAIRS_ORACLE = """
     )
     SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
            CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist
-    FROM s a JOIN s b ON b.rn BETWEEN a.rn + 1 AND a.rn + 5
-    WHERE levenshtein(a.k, b.k) <= 2
+    FROM s a JOIN s b ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNM_WINDOW}
+    WHERE levenshtein(a.k, b.k) <= {SNM_MAX_DIST}
 """

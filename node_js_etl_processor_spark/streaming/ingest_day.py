@@ -73,6 +73,23 @@ def ingest_day_applier(
     joined to the exact survivors' doc_ids (vec_id == doc_id in the
     fixture corpus). The media lane (r14) is optional: omit
     img_store/img_out from ``paths`` to run a text+CDC-only day."""
+    # r16 (advice item): validate required store roots up front with a
+    # message naming what is missing — the kmv theta lane (r15) made a
+    # bare ``paths["kmv"]`` KeyError possible for callers holding a
+    # pre-r15 path dict. Only the media lane is optional.
+    required = {
+        "fp_store", "fp_out", "mh_store", "mh_out", "sh_store", "sh_out",
+        "ann_store", "ann_out", "bm25", "edges", "hll", "hdr", "kmv",
+        "scd2",
+    }
+    missing = sorted(required - set(paths))
+    if missing:
+        raise ValueError(
+            "ingest_day_applier: paths is missing required store "
+            f"root(s) {missing} — every non-media tier needs its root "
+            "(the 'kmv' theta lane is required since r15; only "
+            "img_store/img_out are optional)"
+        )
     from ..operators.sketch import hdr_sketch, hll_registers
     from .dedup import (
         embedding_applier,

@@ -3528,6 +3528,31 @@ def test_kmv_small_sets_algebra_exact(spark):
     assert ent_f.join(ent_o, "h").count() == 8  # |F ∩ O| = {12..19}
 
 
+def test_kmv_estimates_empty_entry_group_yields_row(spark):
+    """r16 advice fix: kmv_estimates must yield a row for EVERY
+    sketched group, including one whose retained-entry set is empty —
+    the degenerate k=1 saturated sketch retains nothing (the single
+    hash IS theta, and entries are strictly below it), so the group
+    must surface as n_entries=0 / est_distinct=0 instead of silently
+    vanishing from the output."""
+    from node_js_etl_processor_spark.operators.kmv import (
+        KMV_SCALE,
+        kmv_estimates,
+        kmv_sketch,
+    )
+
+    rows = [("A", f"u{i}") for i in range(5)] + [("B", "solo")]
+    df = spark.createDataFrame(rows, "g string, key string")
+    # k=1: group A saturates (5 distinct keys → 1 retained rank, zero
+    # entries below theta); group B holds 1 key and ALSO saturates.
+    got = {r["g"]: r for r in kmv_estimates(kmv_sketch(df, "g", "key", 1), 1).collect()}
+    assert set(got) == {"A", "B"}
+    for g in ("A", "B"):
+        assert got[g]["n_entries"] == 0
+        assert got[g]["est_distinct"] == 0
+        assert 0 < got[g]["theta"] < KMV_SCALE  # saturated: theta = the kept hash
+
+
 def test_merge_intervals_islands_exact(spark):
     """merge_intervals on hand-built intervals: overlap merges,
     TOUCHING (s == running max e) merges, nesting collapses, gaps

@@ -90,6 +90,21 @@ def _rows(df) -> set:
     return {tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect()}
 
 
+def test_ingest_day_missing_store_root_named_upfront(spark, tmp_path):
+    """r16 advice fix: a caller holding a pre-r15 path dict (no 'kmv'
+    root) gets a ValueError NAMING the missing store root at applier
+    build time, not a bare KeyError mid-construction."""
+    from node_js_etl_processor_spark.streaming.ingest_day import (
+        ingest_day_applier,
+    )
+
+    paths = _store_paths(tmp_path)
+    del paths["kmv"]
+    embs = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match=r"missing required store root.*'kmv'"):
+        ingest_day_applier(paths, str(tmp_path / "ckpt"), embs)
+
+
 def test_ingest_day_with_midchain_crash_equals_one_shot(
     spark, sf_dir, tmp_path, monkeypatch
 ):
