@@ -7,17 +7,17 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 129 queries (count as of r15 — the 126 carried from r14 plus the
-three r15 declarations: q_kmv_distinct (KMV / bottom-k theta sketch
-distinct estimation with EXACT theta set algebra — union and
-intersection rows — in pure BIGINT arithmetic the oracle rebuilds
-bit-for-bit, operators/kmv.py), q_interval_coverage (per-key
-sweep-line interval union into maximal islands over integer epoch
-micros, operators/intervals.py) and q_skyline (2-D Pareto frontier
-via the per-size prune + running-max rewrite, checked against a
-BRUTE-FORCE dominance anti-join oracle, operators/skyline.py), each
-with estimator / sweep / dominance lemma, oracle and tests landing
-in-round; grep ``def queries`` below for
+ALL 134 queries (count as of r16 — the 129 carried from r15 plus the
+five r16 declarations, all pre-built and staged-oracle-verified in
+r15: q_kmv_difference (theta set-DIFFERENCE A\\B completing the KMV
+sketch algebra, operators/kmv.py), q_snm_pairs (sorted-neighborhood
+blocking with a distributed global rank, operators/snm.py),
+q_pmi_collocations (PMI>0 bigram collocations in integer sufficient
+statistics, operators/colloc.py), q_attribution (last-touch
+conversion attribution via strictly-earlier RANGE frames,
+operators/attribution.py) and q_itemset_pairs (A-Priori co-ordered
+part pairs, operators/basket.py);
+grep ``def queries`` below for
 the authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
 embedded as SQL literals, so the blocking is cross-checked, not just
@@ -41,7 +41,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from node_js_etl_processor_spark.catalog import load_table
 from node_js_etl_processor_spark.operators import (
+    attribution,
+    basket,
     bpe,
+    colloc,
     dedup,
     graph,
     heavy,
@@ -55,6 +58,7 @@ from node_js_etl_processor_spark.operators import (
     similarity,
     skyline,
     sketch,
+    snm,
     temporal,
     text,
 )
@@ -104,54 +108,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FULLVERIFY_r{N}.json (scripts/full_verify.py; same per-query
     shape as CORRECTNESS, ALL registered queries at sf0.01).
 
-    r15 rotation — exactly as the r14 docstring scheduled it: the 29
-    NAMED r15 deferrals lead (q_kl_divergence … q_text_stats — last
-    driver row r12, two cycles old, so the 3-round invariant makes
-    them mandatory this round). Then the r15 CHANGED-CODE set
-    scripts/check_rotation.py flags — 18 queries, because the two
-    r14-advice fixes touch operators/image_probe.py and
-    operators/jpeg.py (JPEG spec fill-byte skip in BOTH the
-    headers-only probe walk and decode_jpeg's marker walk, ITU T.81
-    B.1.1.2) and operators/setsim.py (digest-justification docstring
-    reword), and jpeg.py cascades through the package import graph to
-    the whole raster/audio media family: q_image_probe, q_image_dedup,
-    q_image_neardup, q_setsim_join, q_containment_decon, q_gif_frames,
-    q_video_frames, q_media_resize, q_frame_sample, q_binary_meta,
-    q_multimodal_features, q_audio_features, q_audio_probe,
-    q_audio_g711, q_audio_adpcm, q_audio_flac, q_netpbm_features,
-    q_tiff_features. (13 of those carried r13 rows, so windowing them
-    here also retires most of the r16 backlog early.) The r15
-    DECLARATIONS enter on declaration and take the remaining 3 slots:
-    q_kmv_distinct (KMV/bottom-k theta sketch distinct + exact set
-    algebra, operators/kmv.py), q_interval_coverage (per-key overlap
-    merge into islands + covered duration, operators/intervals.py)
-    and q_skyline (2-D Pareto frontier via the per-size prune +
-    running-max window form, operators/skyline.py).
+    r16 rotation — exactly as the r15 docstring scheduled it: the 34
+    NAMED r16 deferrals lead (q_text_langid … q_hybrid_search — last
+    driver row r13, two cycles old, so the 3-round invariant makes
+    them mandatory this round). Then the r16 CHANGED-CODE set
+    scripts/check_rotation.py flags — q_kmv_distinct (the r15-advice
+    kmv_estimates totality fix in operators/kmv.py), plus
+    q_setsim_join and q_containment_decon (this round's setsim.py
+    perf work). The r16 DECLARATIONS enter on declaration — the five
+    r15-staged candidates: q_kmv_difference (operators/kmv.py),
+    q_snm_pairs (operators/snm.py), q_pmi_collocations
+    (operators/colloc.py), q_attribution (operators/attribution.py),
+    q_itemset_pairs (operators/basket.py).
 
-    29 + 18 + 3 = 50: there are NO fill slots this round. The 45
-    r14-green queries that rotate out (q_csv_export_shape …
-    q_pagerank) carry fresh r14 rows. The 31 r13-green queries that
-    do not fit, PLUS the three r13-green queries the declarations
-    displaced (q_text_langid, q_text_quality, q_token_count), are the
-    NAMED r16 deferrals — their r13 rows expire at r16, so r16 MUST
-    window all 34 first: q_text_langid, q_text_quality,
-    q_token_count, q_fingerprint, q_winnow_fingerprint,
-    q_corpus_pipeline, q_dedup_docs, q_dedup_ngram, q_redact_pii,
-    q_gopher_rules, q_lm_perplexity, q_pq_encode, q_pq_topk,
-    q_ivfpq_topk, q_weighted_sample, q_curation_pipeline,
-    q_dedup_clusters, q_union_sources, q_count_by_source,
-    q_agg_pricing, q_bpe_pairs, q_link_graph, q_token_budget,
-    q_hll_distinct, q_hdr_quantiles, q_hll_rollup, q_hll_intersect,
-    q_filter_required, q_clean_project, q_array_transform, q_countmin,
-    q_bloom, q_hll_timeline, q_hybrid_search; then r16's own
-    changed-code set and declarations fill the rest (34 + 16 slots —
-    room for the usual 3-4 declarations plus a small changed set).
+    34 + 3 + 5 = 42: the remaining 8 slots are FILLS drawn from the
+    front of the r14-green set (q_csv_export_shape … q_asof_join),
+    which trims the r17 deferral list. The 37 r14-green queries that
+    do not fit are the NAMED r17 deferrals — their r14 rows expire at
+    r17, so r17 MUST window all 37 first: q_sessionize,
+    q_decontaminate_hashed, q_similarity_topk, q_dedup_embedding,
+    q_similarity_ann, q_similarity_ivf, q_chunk_documents,
+    q_pack_chunks, q_chunk_pack_pipeline, q_bm25, q_dedup_minhash,
+    q_dedup_simhash, q_url_dedup, q_semantic_decontaminate, q_scd2,
+    q_fuzzy_match, q_tfidf, q_gap_fill, q_heavy_hitters,
+    q_heavy_hitters_skewed, q_window_rank_funcs, q_window_lag,
+    q_null_safe_join, q_argmax_agg, q_semi_exists, q_grouping_sets,
+    q_set_ops, q_cube, q_scalar_math, q_string_funcs, q_date_buckets,
+    q_json_props, q_stats_agg, q_distinct_agg, q_unpivot,
+    q_collect_agg, q_pagerank; then r17's own changed-code set and
+    declarations fill the rest (37 + 13 slots). The r15-green set
+    (q_kl_divergence … q_skyline) stays fresh through r18.
     Rotation rule #2 ("changed code ⇒ in window") remains MECHANICAL:
     scripts/check_rotation.py + tests/test_rotation.py on every
     pytest run.
 
-    Honest rotation math: with a 50-slot driver window and 129
-    registered queries, a full sweep takes ceil(129/50) = 3 rounds,
+    Honest rotation math: with a 50-slot driver window and 134
+    registered queries, a full sweep takes ceil(134/50) = 3 rounds,
     so the invariant is: every registered query has a driver
     CORRECTNESS row within the last 3 rounds (named deferrals are
     the explicit schedule for the overflow), and ALL queries are
@@ -159,72 +151,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     EVERY round."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
-        # The 29 NAMED r15 deferrals lead (last driver row r12 —
-        # scheduled in the r14 docstring).
-        "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
-        "q_retention": _q(["events"], temporal.q_retention),
-        "q_funnel": _q(["events"], sessionize.q_funnel),
-        "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
-        "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
-        "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
-        "q_html_extract": _q(["documents"], text.q_html_extract),
-        "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
-        "q_semi_anti": _q(["customer", "orders"], relational.q_semi_anti),
-        "q_rollup": _q(["orders"], relational.q_rollup),
-        "q_window_topk": _q(["customer"], relational.q_window_topk),
-        "q_sort_limit": _q(["orders"], relational.q_sort_limit),
-        "q_region_supplier": _q(
-            ["supplier", "nation", "region"], relational.q_region_supplier
+        # The 34 NAMED r16 deferrals lead (last driver row r13 —
+        # scheduled in the r15 docstring).
+        "q_text_langid": _q(["documents"], text.q_text_langid),
+        "q_text_quality": _q(["documents"], text.q_text_quality),
+        "q_token_count": _q(["documents"], text.q_token_count),
+        "q_fingerprint": _q(["documents"], text.q_fingerprint),
+        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
+        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
+        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
+        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
+        "q_redact_pii": _q(["documents"], text.q_redact_pii),
+        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
+        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
+        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
+        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
+        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
+        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
+        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
+        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
+        "q_union_sources": _q(["customer"], relational.q_union_sources),
+        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
+        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
+        "q_bpe_pairs": _q(
+            ["documents"], lambda docs: bpe.bpe_top_pairs(docs, k=20)
         ),
-        "q_pivot": _q(["orders"], relational.q_pivot),
-        "q_shipping_priority": _q(
-            ["customer", "orders", "lineitem"], relational.q_shipping_priority
+        "q_link_graph": _q(["documents"], graph.q_link_graph),
+        "q_token_budget": _q(["documents"], bpe.q_token_budget),
+        "q_hll_distinct": _q(["orders"], sketch.q_hll_distinct),
+        "q_hdr_quantiles": _q(["lineitem"], sketch.q_hdr_quantiles),
+        "q_hll_rollup": _q(["orders"], sketch.q_hll_rollup),
+        "q_hll_intersect": _q(["orders"], sketch.q_hll_intersect),
+        "q_filter_required": _q(["orders"], relational.q_filter_required),
+        "q_clean_project": _q(["customer"], relational.q_clean_project),
+        "q_array_transform": _q(["part"], relational.q_array_transform),
+        "q_countmin": _q(["orders"], sketch.q_countmin),
+        "q_bloom": _q(["orders"], sketch.q_bloom),
+        "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
+        "q_hybrid_search": _q(
+            ["documents", "embeddings"], retrieval.q_hybrid_search
         ),
-        "q_percentiles": _q(["lineitem"], relational.q_percentiles),
-        "q_sample_hash": _q(["orders"], relational.q_sample_hash),
-        "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
-        "q_approx_distinct": _q(["orders"], relational.q_approx_distinct),
-        "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
-        "q_decontaminate": _q(["documents"], text.q_decontaminate),
-        "q_source_mix": _q(["documents"], text.q_source_mix),
-        "q_semdedup": _q(["embeddings"], similarity.q_semdedup),
-        "q_c4_rules": _q(["documents"], text.q_c4_rules),
-        "q_span_dedup": _q(["documents"], text.q_span_dedup),
-        "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
-        "q_stratified_split": _q(["documents"], text.q_stratified_split),
-        "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
-        "q_text_stats": _q(["documents"], text.q_text_stats),
-        # The r15 CHANGED-CODE set (check_rotation-flagged: the two
-        # advice fixes in image_probe.py / jpeg.py / setsim.py; jpeg
-        # cascades via the import graph to the whole media family).
-        "q_image_probe": _q(["documents"], q_image_probe),
-        "q_image_dedup": _q(["documents"], phash.q_image_dedup),
-        "q_image_neardup": _q(["documents"], phash.q_image_neardup),
+        # The r16 CHANGED-CODE set (check_rotation-flagged): kmv.py's
+        # advice fix windows q_kmv_distinct; the setsim.py perf work
+        # windows the PPJoin pair.
+        "q_kmv_distinct": _q(["orders"], kmv.q_kmv_distinct),
         "q_setsim_join": _q(["documents"], setsim.q_setsim_join),
         "q_containment_decon": _q(["documents"], setsim.q_containment_decon),
-        "q_gif_frames": _q(["documents"], q_gif_frames),
-        "q_video_frames": _q(["documents"], q_video_frames),
-        "q_media_resize": _q(["documents"], q_media_resize),
-        "q_frame_sample": _q(["documents"], q_frame_sample),
-        "q_binary_meta": _q(["documents"], q_binary_meta),
-        "q_multimodal_features": _q(["documents"], q_multimodal_features),
-        "q_audio_features": _q(["documents"], q_audio_features),
-        "q_audio_probe": _q(["documents"], q_audio_probe),
-        "q_audio_g711": _q(["documents"], q_audio_g711),
-        "q_audio_adpcm": _q(["documents"], q_audio_adpcm),
-        "q_audio_flac": _q(["documents"], q_audio_flac),
-        "q_netpbm_features": _q(["documents"], q_netpbm_features),
-        "q_tiff_features": _q(["documents"], q_tiff_features),
-        # The r15 DECLARATIONS (entering on declaration): the KMV /
-        # theta sketch with exact set algebra, the per-key interval
-        # union (gaps-and-islands coverage), and the 2-D Pareto
-        # skyline via the prune + running-max rewrite with a
-        # brute-force dominance oracle.
-        "q_kmv_distinct": _q(["orders"], kmv.q_kmv_distinct),
-        "q_interval_coverage": _q(["events"], intervals.q_interval_coverage),
-        "q_skyline": _q(["part"], skyline.q_skyline),
-        # ---- oracle-paired but outside the 50-entry driver window ----
-        # First the 45 r14-green queries rotating out (fresh r14 rows).
+        # The r16 DECLARATIONS (entering on declaration): the five
+        # r15-staged candidates — theta set-difference, the
+        # sorted-neighborhood blocking pass, PMI collocations,
+        # last-touch attribution, and A-Priori itemset pairs.
+        "q_kmv_difference": _q(["orders"], kmv.q_kmv_difference),
+        "q_snm_pairs": _q(["customer"], snm.q_snm_pairs),
+        "q_pmi_collocations": _q(["documents"], colloc.q_pmi_collocations),
+        "q_attribution": _q(["events"], attribution.q_attribution),
+        "q_itemset_pairs": _q(["lineitem"], basket.q_itemset_pairs),
+        # FILLS (8): drawn from the front of the r14-green set so the
+        # r17 deferral list shrinks to 37.
         "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
         "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
         "q_range_join": _q(["events"], temporal.q_range_join),
@@ -233,6 +216,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_explode_words": _q(["part"], relational.q_explode_words),
         "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
         "q_asof_join": _q(["events"], temporal.q_asof_join),
+        # ---- oracle-paired but outside the 50-entry driver window ----
+        # First the 37 remaining r14-green queries — the NAMED r17
+        # deferrals (their r14 rows expire at r17; see the docstring
+        # schedule). All remain under the local parity gate and the
+        # committed FULLVERIFY artifact every round.
         "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
         "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
@@ -274,51 +262,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": _q(
             ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
         ),
-        # Then the 31 r13-green queries that did not fit — together
-        # with the three declaration-displaced queries above they are
-        # the NAMED r16 deferrals (r13 rows expire at r16; see the
-        # docstring schedule). All remain under the local parity gate
-        # and the committed FULLVERIFY artifact every round;
-        # q_agg_pricing additionally runs every round as the entry()
-        # smoke query.
-        "q_text_langid": _q(["documents"], text.q_text_langid),
-        "q_text_quality": _q(["documents"], text.q_text_quality),
-        "q_token_count": _q(["documents"], text.q_token_count),
-        "q_fingerprint": _q(["documents"], text.q_fingerprint),
-        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
-        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
-        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
-        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
-        "q_redact_pii": _q(["documents"], text.q_redact_pii),
-        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
-        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
-        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
-        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
-        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
-        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
-        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
-        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
-        "q_union_sources": _q(["customer"], relational.q_union_sources),
-        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
-        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
-        "q_bpe_pairs": _q(
-            ["documents"], lambda docs: bpe.bpe_top_pairs(docs, k=20)
+        # Then the 47 r15-green queries (fresh r15 driver rows — they
+        # stay inside the 3-round invariant through r18). q_agg_pricing
+        # in the window above additionally runs every round as the
+        # entry() smoke query.
+        "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
+        "q_retention": _q(["events"], temporal.q_retention),
+        "q_funnel": _q(["events"], sessionize.q_funnel),
+        "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
+        "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
+        "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
+        "q_html_extract": _q(["documents"], text.q_html_extract),
+        "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
+        "q_semi_anti": _q(["customer", "orders"], relational.q_semi_anti),
+        "q_rollup": _q(["orders"], relational.q_rollup),
+        "q_window_topk": _q(["customer"], relational.q_window_topk),
+        "q_sort_limit": _q(["orders"], relational.q_sort_limit),
+        "q_region_supplier": _q(
+            ["supplier", "nation", "region"], relational.q_region_supplier
         ),
-        "q_link_graph": _q(["documents"], graph.q_link_graph),
-        "q_token_budget": _q(["documents"], bpe.q_token_budget),
-        "q_hll_distinct": _q(["orders"], sketch.q_hll_distinct),
-        "q_hdr_quantiles": _q(["lineitem"], sketch.q_hdr_quantiles),
-        "q_hll_rollup": _q(["orders"], sketch.q_hll_rollup),
-        "q_hll_intersect": _q(["orders"], sketch.q_hll_intersect),
-        "q_filter_required": _q(["orders"], relational.q_filter_required),
-        "q_clean_project": _q(["customer"], relational.q_clean_project),
-        "q_array_transform": _q(["part"], relational.q_array_transform),
-        "q_countmin": _q(["orders"], sketch.q_countmin),
-        "q_bloom": _q(["orders"], sketch.q_bloom),
-        "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
-        "q_hybrid_search": _q(
-            ["documents", "embeddings"], retrieval.q_hybrid_search
+        "q_pivot": _q(["orders"], relational.q_pivot),
+        "q_shipping_priority": _q(
+            ["customer", "orders", "lineitem"], relational.q_shipping_priority
         ),
+        "q_percentiles": _q(["lineitem"], relational.q_percentiles),
+        "q_sample_hash": _q(["orders"], relational.q_sample_hash),
+        "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
+        "q_approx_distinct": _q(["orders"], relational.q_approx_distinct),
+        "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
+        "q_decontaminate": _q(["documents"], text.q_decontaminate),
+        "q_source_mix": _q(["documents"], text.q_source_mix),
+        "q_semdedup": _q(["embeddings"], similarity.q_semdedup),
+        "q_c4_rules": _q(["documents"], text.q_c4_rules),
+        "q_span_dedup": _q(["documents"], text.q_span_dedup),
+        "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
+        "q_stratified_split": _q(["documents"], text.q_stratified_split),
+        "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
+        "q_text_stats": _q(["documents"], text.q_text_stats),
+        "q_image_probe": _q(["documents"], q_image_probe),
+        "q_image_dedup": _q(["documents"], phash.q_image_dedup),
+        "q_image_neardup": _q(["documents"], phash.q_image_neardup),
+        "q_gif_frames": _q(["documents"], q_gif_frames),
+        "q_video_frames": _q(["documents"], q_video_frames),
+        "q_media_resize": _q(["documents"], q_media_resize),
+        "q_frame_sample": _q(["documents"], q_frame_sample),
+        "q_binary_meta": _q(["documents"], q_binary_meta),
+        "q_multimodal_features": _q(["documents"], q_multimodal_features),
+        "q_audio_features": _q(["documents"], q_audio_features),
+        "q_audio_probe": _q(["documents"], q_audio_probe),
+        "q_audio_g711": _q(["documents"], q_audio_g711),
+        "q_audio_adpcm": _q(["documents"], q_audio_adpcm),
+        "q_audio_flac": _q(["documents"], q_audio_flac),
+        "q_netpbm_features": _q(["documents"], q_netpbm_features),
+        "q_tiff_features": _q(["documents"], q_tiff_features),
+        "q_interval_coverage": _q(["events"], intervals.q_interval_coverage),
+        "q_skyline": _q(["part"], skyline.q_skyline),
     }
 
 
@@ -1830,6 +1828,14 @@ def oracle_sql() -> dict[str, str]:
         "q_heavy_hitters_skewed": HEAVY_HITTERS_SKEWED_ORACLE,
         "q_image_probe": IMAGE_PROBE_ORACLE,
         "q_kmv_distinct": KMV_ORACLE,
+        # r16 declarations: the staged DuckDB twins live next to their
+        # engine functions (module constants interpolating the same
+        # defaults the queries run with).
+        "q_kmv_difference": kmv.KMV_DIFFERENCE_ORACLE,
+        "q_snm_pairs": snm.SNM_PAIRS_ORACLE,
+        "q_pmi_collocations": colloc.PMI_COLLOCATIONS_ORACLE,
+        "q_attribution": attribution.ATTRIBUTION_ORACLE,
+        "q_itemset_pairs": basket.ITEMSET_PAIRS_ORACLE,
         "q_interval_coverage": INTERVAL_COVERAGE_ORACLE,
         "q_skyline": SKYLINE_ORACLE,
         "q_setsim_join": SETSIM_ORACLE,

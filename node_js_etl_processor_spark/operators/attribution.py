@@ -1,6 +1,5 @@
-"""Last-touch conversion attribution — r16 declaration CANDIDATE
-(built + pytest-oracle-verified in r15; enters the registry when a
-window slot opens): for every purchase event, the most recent
+"""Last-touch conversion attribution — DECLARED in r16
+(built + pytest-oracle-verified in r15): for every purchase event, the most recent
 click/view by the same user STRICTLY EARLIER IN TIME and within a
 7-day lookback, plus the touch count inside that lookback — the
 standard marketing-analytics credit assignment (last non-direct
@@ -43,7 +42,7 @@ TOUCH_TYPES = ("click", "view")
 
 
 def q_attribution(events: DataFrame) -> DataFrame:
-    """Declared-query candidate: last-touch attribution of every
+    """Declared query (r16): last-touch attribution of every
     purchase. Output one row per purchase:
     (purchase_event_id, user_id, purchase_us, touch_event_id,
     touch_type, gap_us, n_touches_7d) — the three touch columns are
@@ -101,10 +100,12 @@ def q_attribution(events: DataFrame) -> DataFrame:
     )
 
 
-#: the DuckDB twin, staged here until the r16 registry wiring — the
-#: struct MAX compares field by field ((t_us, event_id, event_type)),
-#: the same lexicographic order Spark applies to struct MAX
-ATTRIBUTION_ORACLE = """
+#: the DuckDB twin — the struct MAX compares field by field
+#: ((t_us, event_id, event_type)), the same lexicographic order Spark
+#: applies to struct MAX. The lookback interpolates LOOKBACK_US (the
+#: r16 advice discipline) so the oracle can never drift from the
+#: engine default.
+ATTRIBUTION_ORACLE = f"""
     WITH base AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us
       FROM events
@@ -121,15 +122,15 @@ ATTRIBUTION_ORACLE = """
                        RANGE BETWEEN UNBOUNDED PRECEDING
                        AND 1 PRECEDING),
              w_look AS (PARTITION BY user_id ORDER BY t_us
-                        RANGE BETWEEN 604800000000 PRECEDING
+                        RANGE BETWEEN {LOOKBACK_US} PRECEDING
                         AND 1 PRECEDING)
     )
     SELECT event_id AS purchase_event_id, user_id, t_us AS purchase_us,
-           CASE WHEN lt IS NOT NULL AND t_us - (lt).le_us <= 604800000000
+           CASE WHEN lt IS NOT NULL AND t_us - (lt).le_us <= {LOOKBACK_US}
                 THEN (lt).le_id END AS touch_event_id,
-           CASE WHEN lt IS NOT NULL AND t_us - (lt).le_us <= 604800000000
+           CASE WHEN lt IS NOT NULL AND t_us - (lt).le_us <= {LOOKBACK_US}
                 THEN (lt).le_type END AS touch_type,
-           CASE WHEN lt IS NOT NULL AND t_us - (lt).le_us <= 604800000000
+           CASE WHEN lt IS NOT NULL AND t_us - (lt).le_us <= {LOOKBACK_US}
                 THEN t_us - (lt).le_us END AS gap_us,
            n_touches_7d
     FROM att WHERE event_type = 'purchase'

@@ -1,6 +1,4 @@
-"""Market-basket co-occurrence — r16 declaration CANDIDATE (built +
-pytest-oracle-verified in r15; enters the registry when a window slot
-opens): the candidate-pair pass of A-Priori (Agrawal & Srikant, VLDB
+"""Market-basket co-occurrence — DECLARED in r16 (built + pytest-oracle-verified in r15): the candidate-pair pass of A-Priori (Agrawal & Srikant, VLDB
 1994, "Fast Algorithms for Mining Association Rules") over the
 orders/lineitem star — every unordered part pair co-ordered in at
 least ``min_support`` baskets, with the exact integer sufficient
@@ -85,7 +83,7 @@ def q_itemset_pairs(
     min_support: int = MIN_SUPPORT,
     max_basket: "int | None" = None,
 ) -> DataFrame:
-    """Declared-query candidate: co-ordered part pairs with support ≥
+    """Declared query (r16): co-ordered part pairs with support ≥
     min_support and their exact counting statistics
     (part_a, part_b, n_both, n_a, n_b, n_baskets). ``max_basket``
     opts into the mega-basket cap (default exact); when capped, every
@@ -132,7 +130,7 @@ def q_itemset_pairs(
     )
 
 
-#: the DuckDB twin, staged here until the r16 registry wiring — the
+#: the DuckDB twin, registry-wired in r16 — the
 #: support threshold is interpolated from MIN_SUPPORT (r16 advice
 #: item) so the oracle can never drift from the engine default
 ITEMSET_PAIRS_ORACLE = f"""

@@ -1,6 +1,4 @@
-"""PMI collocations — r16 declaration CANDIDATE (built +
-pytest-oracle-verified in r15; enters the registry when a window slot
-opens): pointwise-mutual-information bigram mining over the documents
+"""PMI collocations — DECLARED in r16 (built + pytest-oracle-verified in r15): pointwise-mutual-information bigram mining over the documents
 corpus (Church & Hanks, Computational Linguistics 1990, "Word
 Association Norms, Mutual Information, and Lexicography") — the
 standard corpus-linguistics pass a training-data pipeline runs to
@@ -95,7 +93,7 @@ def q_pmi_collocations(documents: DataFrame, min_count: int = MIN_COUNT) -> Data
     )
 
 
-#: the DuckDB twin, staged here until the r16 registry wiring — the
+#: the DuckDB twin, registry-wired in r16 — the
 #: r15 tests run it through the same compare the driver uses. The
 #: min-count threshold is interpolated from MIN_COUNT (r16 advice
 #: item) so the oracle can never drift from the engine default.

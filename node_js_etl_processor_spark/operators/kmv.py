@@ -264,8 +264,7 @@ def q_kmv_distinct(orders: DataFrame) -> DataFrame:
 
 
 def q_kmv_difference(orders: DataFrame) -> DataFrame:
-    """r16 declaration CANDIDATE (built + pytest-oracle-verified in
-    r15; enters the registry when a window slot opens): theta
+    """DECLARED in r16 (built + pytest-oracle-verified in r15): theta
     set-DIFFERENCE over the same customer sketches — |F \\ O| and
     |O \\ F| estimated by clamping both operand sketches to
     theta_u = min(theta_F, theta_O) and counting retained F-hashes
@@ -333,7 +332,7 @@ def kmv_oracle_cte(tag: str, key_sql: str) -> str:
     )"""
 
 
-#: the DuckDB twin for q_kmv_difference, staged here until the r16
+#: the DuckDB twin for q_kmv_difference, registry-wired in r16
 #: registry wiring — r15 tests run it through the driver's compare
 KMV_DIFFERENCE_ORACLE = "WITH " + kmv_oracle_cte("c", "o_custkey") + """, thu AS (
       SELECT CAST(min(theta) AS BIGINT) AS theta FROM thc WHERE g IN ('F', 'O')

@@ -1,6 +1,5 @@
-"""Sorted-neighborhood dedup blocking — r16 declaration CANDIDATE
-(built + pytest-oracle-verified in r15; enters the registry when a
-window slot opens): the classic entity-resolution blocking method
+"""Sorted-neighborhood dedup blocking — DECLARED in r16
+(built + pytest-oracle-verified in r15): the classic entity-resolution blocking method
 (Hernández & Stolfo, SIGMOD 1995, "The Merge/Purge Problem for Large
 Databases"): sort the corpus by a fuzzy key, slide a fixed window of
 w over the sorted order, and verify only window-local pairs — the
@@ -78,7 +77,7 @@ def q_snm_pairs(
     window: int = SNM_WINDOW,
     max_dist: int = SNM_MAX_DIST,
 ) -> DataFrame:
-    """Declared-query candidate: sorted-neighborhood candidate pairs
+    """Declared query (r16): sorted-neighborhood candidate pairs
     over customer names — rows (custkey_a, custkey_b, dist) for every
     pair within ``window`` positions of each other in the
     (lower(trim(c_name)), c_custkey) order whose normalized keys are
@@ -112,7 +111,7 @@ def q_snm_pairs(
     )
 
 
-#: the DuckDB twin, staged here until the r16 registry wiring — the
+#: the DuckDB twin, registry-wired in r16 — the
 #: deliberately single-machine formulation (one global ROW_NUMBER +
 #: a rank-distance self-join), cross-checking the distributed
 #: rank+offset rewrite. Window and distance thresholds interpolate

@@ -48,9 +48,9 @@ def test_affected_queries_fake_change_detects_out_of_window():
     affected = cr.affected_queries({"operators.dedup"}, defining, graph)
     assert "q_dedup_minhash" in affected and "q_dedup_docs" in affected
     window = set(list(entrymod.queries())[: cr.WINDOW])
-    # q_dedup_docs rotated out in r14 (r13-green): a dedup.py change
-    # must surface it as an out-of-window hit
-    assert "q_dedup_docs" in affected - window
+    # q_dedup_minhash rotated out in r16 (r14-green, an r17 deferral):
+    # a dedup.py change must surface it as an out-of-window hit
+    assert "q_dedup_minhash" in affected - window
 
 
 def test_live_tree_rotation_rule_holds():
