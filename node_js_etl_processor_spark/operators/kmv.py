@@ -280,12 +280,30 @@ def q_kmv_difference(orders: DataFrame) -> DataFrame:
     rows bit-for-bit.
     """
     sk = kmv_sketch(orders, "o_orderstatus", "o_custkey").localCheckpoint()
-    th = kmv_theta(sk)
-    ent = kmv_entries(sk, th)
-    ent_f = ent.filter(F.col("g") == "F").select("h")
-    ent_o = ent.filter(F.col("g") == "O").select("h")
+    return kmv_set_difference(sk, "F", "O", "cust:F-O", "cust:O-F")
+
+
+def kmv_set_difference(
+    sketch: DataFrame,
+    g_a: str,
+    g_b: str,
+    name_ab: str,
+    name_ba: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Theta set-difference over ANY (g, h, rn) sketch frame — the
+    shared algebra path used by the batch query above and by the
+    STREAMED theta store (``streaming/theta.py::read_kmv_sketch``
+    yields exactly this shape), so stored per-group sketches answer
+    difference questions without rescanning the corpus. Returns the
+    two (set_name, n_entries, theta, est_distinct) rows for A\\B and
+    B\\A clamped to theta_u = min(theta_a, theta_b)."""
+    th = kmv_theta(sketch, k)
+    ent = kmv_entries(sketch, th)
+    ent_a = ent.filter(F.col("g") == g_a).select("h")
+    ent_b = ent.filter(F.col("g") == g_b).select("h")
     th_u = (
-        th.filter(F.col("g").isin("F", "O"))
+        th.filter(F.col("g").isin(g_a, g_b))
         .agg(F.min("theta").cast("long").alias("theta"))
     )
 
@@ -303,8 +321,8 @@ def q_kmv_difference(orders: DataFrame) -> DataFrame:
             _estimate(),
         )
 
-    return diff(ent_f, ent_o, "cust:F-O").unionByName(
-        diff(ent_o, ent_f, "cust:O-F")
+    return diff(ent_a, ent_b, name_ab).unionByName(
+        diff(ent_b, ent_a, name_ba)
     )
 
 

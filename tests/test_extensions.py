@@ -3925,6 +3925,31 @@ def test_snm_pairs_duckdb_parity_and_semantics(spark, sf_dir):
     assert got_w1 == {(1, 2), (2, 3)}
 
 
+def test_snm_boundary_independence_on_declared_fixture(spark, sf_dir):
+    """r16 (VERDICT ask #3): the boundary-independence property,
+    promoted from hand rows to the DECLARED fixture — q_snm_pairs
+    over the customer table must be invariant to the INPUT partition
+    layout (1, 5 and 32 partitions), because the distributed global
+    rank (range-repartition + local row_number + broadcast offsets)
+    owns the total order; a rank that leaked partition boundaries
+    would drop or duplicate window-local pairs near every cut."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.snm import q_snm_pairs
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    results = []
+    for n_parts in (1, 5, 32):
+        got = {
+            (r["custkey_a"], r["custkey_b"], r["dist"])
+            for r in q_snm_pairs(cust.repartition(n_parts)).collect()
+        }
+        results.append(got)
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
+
+
 def test_snm_ascii_domain_and_window_guard(spark):
     """The r15 second-review fixes pinned: non-ASCII keys are excluded
     from BOTH engines with the same char-length == byte-length

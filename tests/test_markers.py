@@ -826,6 +826,49 @@ def test_sketch_stream_estimates_match_batch_query(spark, sf_dir, tmp_path):
     assert streamed_q == batch_q and len(streamed_q) == 5
 
 
+def test_kmv_store_read_answers_difference_query(spark, sf_dir, tmp_path):
+    """r16 store-read equality pin (VERDICT ask #2): the theta
+    set-DIFFERENCE computed over the STREAMED theta store — two
+    micro-batches merged under the union-then-bottom-k law, read back
+    through read_kmv_sketch — equals the batch q_kmv_difference over
+    the same orders rows EXACTLY (set_name, n_entries, theta,
+    est_distinct all BIGINT, so equality is bitwise). Stored
+    per-group sketches answer difference questions with no corpus
+    rescan."""
+    from node_js_etl_processor_spark.operators.kmv import (
+        kmv_set_difference,
+        q_kmv_difference,
+    )
+    from node_js_etl_processor_spark.streaming.theta import (
+        kmv_ingest_stream,
+        read_kmv_sketch,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = tmp_path / "landing_diff"
+    src.mkdir()
+    feed = orders.select("o_orderstatus", "o_custkey")
+    feed.filter("o_custkey % 2 = 0").coalesce(1).write.json(str(src / "b1"))
+    feed.filter("o_custkey % 2 = 1").coalesce(1).write.json(str(src / "b2"))
+    schema = "o_orderstatus string, o_custkey long"
+    store = str(tmp_path / "theta_store")
+    for b, ck in (("b1", "tc1"), ("b2", "tc2")):
+        q = kmv_ingest_stream(
+            spark.readStream.schema(schema).json(str(src / b)),
+            "o_orderstatus", "o_custkey", store, str(tmp_path / ck),
+        )
+        q.awaitTermination(120)
+
+    from_store = {
+        tuple(r)
+        for r in kmv_set_difference(
+            read_kmv_sketch(spark, store), "F", "O", "cust:F-O", "cust:O-F"
+        ).collect()
+    }
+    from_batch = {tuple(r) for r in q_kmv_difference(orders).collect()}
+    assert from_store == from_batch and len(from_store) == 2
+
+
 def test_kmv_stream_saturation_transition(spark, tmp_path):
     """A group that is UNSATURATED after batch 1 (theta = 2^48, exact
     estimates) and crosses k after batch 2 must land exactly on the
