@@ -32,14 +32,24 @@ EXACT one. Three scale disciplines compose here:
    1 + min(|x|−i, |y|−j) overlap, so candidates that cannot reach
    the required ⌈t·(|x|+|y|)/(1+t)⌉ die inside the join, before any
    shuffle of pair rows.
-3. **Explosion-free verification.** Each representative's token set
+3. **Bloom miss-count bound in the join (r16).** Each representative
+   carries a 64-bit one-hash Bloom fingerprint of its digest set;
+   ``bit_count(bloom_a & ~bloom_b)`` LOWER-bounds |A \\ B| (distinct
+   uncovered bits witness distinct missing tokens), so the join
+   condition can require it ≤ the miss budget sza − ⌈t·(sza+szb)/
+   (t_num+t_den)⌉ — lossless, two long bit-ops per pair, and at the
+   19/20 threshold it kills near-miss candidates where the budget is
+   0–1 misses: measured 960k → 27.5k candidates (−97%) at sf0.1 with
+   identical output.
+4. **Explosion-free verification.** Each representative's token set
    is packed ONCE as an array of 60-bit md5-derived digests (the
    dedup family's portable-hash discipline); candidates verify by
-   joining the two digest arrays back and counting
-   ``array_intersect`` inside whole-stage codegen — one row per
-   candidate, never |x|·posting-list blowup, and long equality
-   instead of string hashing in the hot loop (measured ~4× on the
-   sf0.1 sweep: 16 s → 3.8 s warm).
+   joining the two digest arrays back (both rep frames broadcast)
+   and counting ``array_intersect`` inside whole-stage codegen — one
+   row per candidate, never |x|·posting-list blowup, and long
+   equality instead of string hashing in the hot loop (measured ~4×
+   on the sf0.1 sweep: 16 s → 3.8 s warm; the r16 bloom bound takes
+   the whole query 4.7 → ~2.3 s warm).
 
 All thresholds are exact rationals (t = t_num/t_den) and every
 emitted column is an integer (intersection/union/group sizes), so
@@ -95,31 +105,36 @@ def packed_sets(documents: DataFrame) -> DataFrame:
     whitespace split, empties dropped — the exact expression
     q_tfidf's oracle already pins), DISTINCT per document.
 
-    ONE aggregation — ``collect_set`` dedups inside the partial
-    (map-side) aggregate, so the raw token instances (millions at
-    sf0.1, ~8 shuffles-worth heavier than the distinct sets) never
-    cross the wire; a ``distinct()`` before the groupBy would shuffle
-    them all once extra. The digest (md5 over the sorted tokens,
-    newline-joined) keeps the collapse shuffle at 16 bytes/doc. The
-    digest need only be deterministic and injective per token set
-    WITHIN each engine — the collapse equality classes it induces are
-    sort-order-invariant, and the oracle never compares digest values
-    across engines. (Cross-engine byte-order agreement does NOT hold
-    in general: Spark compares strings by UTF-16 code units, DuckDB
-    by UTF-8 bytes, and the two orders diverge for
-    supplementary-plane code points — r14 advice item.)"""
+    ZERO shuffles (r16 perf pass): the per-document distinct sorted
+    token set is a pure row-local expression —
+    ``array_sort(array_distinct(filter(split(...))))`` — so the whole
+    stage is one narrow projection inside codegen. The previous form
+    (explode → groupBy(doc_id) → collect_set) materialized every
+    token instance as a row and paid a corpus exchange for a
+    per-document property; measured 0.78 → 0.41 s warm at sf0.1 with
+    bit-identical output (array_sort orders strings exactly as
+    sort_array does — same engine, same UTF-16 comparator). The
+    digest (md5 over the sorted tokens, newline-joined) keeps the
+    collapse shuffle at 16 bytes/doc. The digest need only be
+    deterministic and injective per token set WITHIN each engine —
+    the collapse equality classes it induces are sort-order-
+    invariant, and the oracle never compares digest values across
+    engines. (Cross-engine byte-order agreement does NOT hold in
+    general: Spark compares strings by UTF-16 code units, DuckDB by
+    UTF-8 bytes, and the two orders diverge for supplementary-plane
+    code points — r14 advice item.)"""
     return (
         documents.select(
             "doc_id",
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.col("text")), r"\s+"),
-                    lambda t: t != "",
+            F.array_sort(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col("text")), r"\s+"),
+                        lambda t: t != "",
+                    )
                 )
-            ).alias("token"),
+            ).alias("toks"),
         )
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_set("token")).alias("toks"))
         .withColumn("set_key", F.md5(F.concat_ws("\n", F.col("toks"))))
         .withColumn("sz", F.size("toks").cast("bigint"))
     )
@@ -135,12 +150,28 @@ def exact_set_reps(sets: DataFrame) -> DataFrame:
     )
 
 
+#: 64-bit one-hash Bloom fingerprint of a digest array — bit
+#: ``h % 64`` per token. The LOSSLESS prune it supports (r16):
+#: every bit set in A's bloom but absent from B's is a bit some
+#: token of A maps to that NO token of B does, and DISTINCT such
+#: bits witness DISTINCT missing tokens, so
+#: ``bit_count(bloom_a & ~bloom_b) ≤ |A \ B|`` — a lower bound on
+#: the misses that rides the candidate join as two long bit-ops per
+#: pair (the bitmap-filter idea from the set-similarity literature,
+#: e.g. Mann, Augsten & Bouros, VLDB 2016's filter study, in
+#: 64-bit-register form).
+_BLOOM_EXPR = (
+    "aggregate(toks_h, CAST(0 AS BIGINT),"
+    " (acc, h) -> acc | shiftleft(CAST(1 AS BIGINT), CAST(h % 64 AS INT)))"
+)
+
+
 def _pack_reps(sets: DataFrame) -> DataFrame:
     """Collapse a ``packed_sets`` frame to its representatives: one
     CHECKPOINTED row per distinct token set — (doc_id = min-id
-    representative, toks sorted token array, toks_h digest array, sz,
-    group_n). The shared stage both the symmetric join and the
-    containment decon build on."""
+    representative, toks sorted token array, toks_h digest array,
+    bloom 64-bit fingerprint, sz, group_n). The shared stage both the
+    symmetric join and the containment decon build on."""
     return (
         sets.join(exact_set_reps(sets), ["set_key", "doc_id"])
         .select(
@@ -150,6 +181,7 @@ def _pack_reps(sets: DataFrame) -> DataFrame:
             "sz",
             "group_n",
         )
+        .withColumn("bloom", F.expr(_BLOOM_EXPR))
         .localCheckpoint(eager=True)
     )
 
@@ -202,8 +234,13 @@ def setsim_join(
             )
         ),
     )
-    prefix = ranked.filter(F.col("rank") <= _prefix_len(t_num, t_den)).select(
-        "doc_id", "token", "rank", "sz", "group_n"
+    # r16 perf pass: the prefix frame carries each representative's
+    # 64-bit bloom fingerprint (one long — NOT the token arrays), so
+    # the lossless miss-count bound can ride the candidate join.
+    prefix = (
+        ranked.filter(F.col("rank") <= _prefix_len(t_num, t_den))
+        .select("doc_id", "token", "rank", "sz", "group_n")
+        .join(rep_sets.select("doc_id", "bloom"), "doc_id")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # asymmetric probe/index prefixes (Xiao et al. 2008 §3): process
@@ -252,6 +289,24 @@ def setsim_join(
             F.col("a.group_n").alias("group_b"),
         )
     )
+    # bloom miss-count bound (r16, lossless — see _BLOOM_EXPR): a
+    # qualifying pair needs overlap r = ⌈t·(sza+szb)/(t_num+t_den)⌉,
+    # i.e. at most sza − r misses on a's side (szb − r on b's); the
+    # 64-bit fingerprints LOWER-bound the misses with two bit-ops per
+    # pair, so near-threshold non-matches die inside the join before
+    # any array work. Measured at sf0.1: 960k → 27.5k candidates
+    # (−97%) at identical output.
+    ssum = F.col("a.sz") + F.col("b.sz")
+    req_overlap = F.floor(
+        (ssum * t_num + (t_num + t_den - 1)) / (t_num + t_den)
+    ).cast("long")
+    bloom_ok = (
+        F.expr("bit_count(a.bloom & ~b.bloom)").cast("long")
+        <= F.col("a.sz") - req_overlap
+    ) & (
+        F.expr("bit_count(b.bloom & ~a.bloom)").cast("long")
+        <= F.col("b.sz") - req_overlap
+    )
     cand = (
         a.join(
             b,
@@ -263,16 +318,18 @@ def setsim_join(
                 F.greatest(F.col("a.sz"), F.col("b.sz")) * t_num
                 <= F.least(F.col("a.sz"), F.col("b.sz")) * t_den
             )
-            & positional_ok,
+            & positional_ok
+            & bloom_ok,
         )
         .select(pair.alias("p"))
         .select("p.*")
     )
     # verify WITHOUT row explosion: join each side's packed array
-    # back and count the intersection inside codegen — one row per
-    # candidate. Duplicate candidates (a pair sharing several prefix
-    # tokens) verify identically and collapse in the final distinct,
-    # which runs on the THRESHOLD-FILTERED (small) frame.
+    # back (both rep frames BROADCAST — parameter-sized synopses of
+    # distinct sets) and count the intersection inside codegen — one
+    # row per candidate. Duplicate candidates (a pair sharing several
+    # prefix tokens) verify identically and collapse in the final
+    # distinct, which runs on the THRESHOLD-FILTERED (small) frame.
     arr_a = rep_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("toks_h").alias("toks_a")
     )
@@ -280,8 +337,8 @@ def setsim_join(
         F.col("doc_id").alias("doc_b"), F.col("toks_h").alias("toks_b")
     )
     verified = (
-        cand.join(arr_a, "doc_a")
-        .join(arr_b, "doc_b")
+        cand.join(F.broadcast(arr_a), "doc_a")
+        .join(F.broadcast(arr_b), "doc_b")
         .withColumn(
             "inter",
             F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint"),
@@ -355,7 +412,10 @@ def _containment_from_reps(
     the split point that lets a caller holding ONE corpus tokenize it
     once and route slices to both sides (``q_containment_decon``)."""
     t_tok = t_reps.select(
-        "doc_id", F.col("sz").alias("sz_t"), F.explode("toks").alias("token")
+        "doc_id",
+        F.col("sz").alias("sz_t"),
+        F.col("bloom").alias("bloom_t"),
+        F.explode("toks").alias("token"),
     )
     t_df = t_tok.groupBy("token").agg(
         F.count("*").cast("bigint").alias("df")
@@ -375,10 +435,16 @@ def _containment_from_reps(
             ),
         )
     )
-    p_prefix = p_tokens.filter(F.col("rank") <= _prefix_len(c_num, c_den)).select(
-        F.col("doc_id").alias("probe_id"),
-        "token",
-        "sz",
+    p_prefix = (
+        p_tokens.filter(F.col("rank") <= _prefix_len(c_num, c_den))
+        .select(F.col("doc_id").alias("probe_id"), "token", "sz")
+        .join(
+            p_reps.select(
+                F.col("doc_id").alias("probe_id"),
+                F.col("bloom").alias("bloom_p"),
+            ),
+            "probe_id",
+        )
     )
     # distinct BEFORE verify: measured faster than verifying raw
     # duplicates + countDistinct in the aggregate (5.3 s vs 6.9 s per
@@ -389,12 +455,27 @@ def _containment_from_reps(
     # sz_t·den < sz·num can never reach ⌈c·|A|⌉ overlap — lossless,
     # and it prunes a measured 42% of candidates at sf0.1 BEFORE the
     # distinct shuffle and the digest-array verify.
+    # Bloom miss-count bound (r16, lossless — see _BLOOM_EXPR), the
+    # asymmetric form: containment needs overlap ⌈c·|A|⌉, i.e. at
+    # most |A| − ⌈c·|A|⌉ probe tokens may miss the train set, and
+    # bit_count(bloom_p & ~bloom_t) lower-bounds the misses — two
+    # long bit-ops per candidate, applied with the length filter
+    # BEFORE the distinct shuffle and the digest-array verify.
+    req_c = F.floor(
+        (F.col("sz") * c_num + (c_den - 1)) / c_den
+    ).cast("long")
+    bloom_ok = (
+        F.expr("bit_count(bloom_p & ~bloom_t)").cast("long")
+        <= F.col("sz") - req_c
+    )
     cand = (
         p_prefix.join(
-            t_tok.select(F.col("doc_id").alias("train_id"), "sz_t", "token"),
+            t_tok.select(
+                F.col("doc_id").alias("train_id"), "sz_t", "bloom_t", "token"
+            ),
             "token",
         )
-        .filter(F.col("sz_t") * c_den >= F.col("sz") * c_num)
+        .filter((F.col("sz_t") * c_den >= F.col("sz") * c_num) & bloom_ok)
         .select("probe_id", "train_id")
         .distinct()
     )

@@ -3344,6 +3344,35 @@ def test_setsim_join_handpinned_and_rare_first(spark):
     assert got == {(0, 2): (3, 5, 2, 1)}
 
 
+def test_setsim_bloom_bound_keeps_budget_boundary_pairs(spark):
+    """r16 bloom miss-count bound, losslessness at the budget
+    boundary: a strict-containment pair A ⊂ B with |B| = |A| + 1 at
+    t = |A|/|B| sits EXACTLY at the miss budget (0 misses on A's
+    side, 1 on B's) — the bound must keep it; and a pair one token
+    further apart must still be pruned/verified away identically.
+    The DuckDB parity sweep covers completeness statistically; this
+    pins the two boundary cases by hand."""
+    from node_js_etl_processor_spark.operators.setsim import setsim_join
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        # superset: the 10 tokens of doc 0 plus one — J = 10/11
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra"),
+        # two extra tokens — J = 10/12 < 10/11, must NOT be paired
+        # with doc 0 at t = 10/11
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra more"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["union_sz"])
+        for r in setsim_join(docs, 10, 11).collect()
+    }
+    # (0,1) at exactly J = 10/11 survives every filter incl. bloom;
+    # (1,2) has J = 11/12 >= 10/11 too (11·11=121 ≥ 120=12·10) — both
+    # boundary pairs kept; (0,2) at 10/12 correctly absent
+    assert got == {(0, 1): (10, 11), (1, 2): (11, 12)}
+
+
 def test_containment_decon_duckdb_oracle_parity(spark, sf_dir):
     """r14 declaration gate: q_containment_decon (asymmetric prefix-
     filtered containment) vs the brute-force probe×train token join —

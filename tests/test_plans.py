@@ -760,6 +760,11 @@ def test_setsim_join_plan_no_cartesian_and_filters_in_join(spark, sf_dir):
     # the two set sizes) inside its join condition
     joined = [l for l in plan.splitlines() if "Join" in l and "greatest" in l]
     assert joined, "length/positional filters not in the join condition"
+    # r16: the bloom miss-count bound rides the SAME join condition
+    # (two long bit-ops per pair — candidates die inside the join)
+    assert any("bit_count" in l for l in joined), (
+        "bloom miss-count bound not in the candidate join condition"
+    )
     assert q.count() > 0
     # the asymmetric containment variant: same no-cartesian claims
     from node_js_etl_processor_spark.operators.setsim import (
