@@ -7,16 +7,18 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 134 queries (count as of r16 — the 129 carried from r15 plus the
-five r16 declarations, all pre-built and staged-oracle-verified in
-r15: q_kmv_difference (theta set-DIFFERENCE A\\B completing the KMV
+ALL 135 queries (count as of r16 — the 129 carried from r15, the
+five r16 declarations pre-built and staged-oracle-verified in r15: q_kmv_difference (theta set-DIFFERENCE A\\B completing the KMV
 sketch algebra, operators/kmv.py), q_snm_pairs (sorted-neighborhood
 blocking with a distributed global rank, operators/snm.py),
 q_pmi_collocations (PMI>0 bigram collocations in integer sufficient
 statistics, operators/colloc.py), q_attribution (last-touch
 conversion attribution via strictly-earlier RANGE frames,
 operators/attribution.py) and q_itemset_pairs (A-Priori co-ordered
-part pairs, operators/basket.py);
+part pairs, operators/basket.py), plus the genuinely-new r16 family
+q_span_extents (ExactSubstr-style duplicated-SPAN extents — Lee et
+al. 2022 re-expressed as shingle postings + a sweep-line island
+merge, operators/spans.py);
 grep ``def queries`` below for
 the authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
@@ -59,6 +61,7 @@ from node_js_etl_processor_spark.operators import (
     skyline,
     sketch,
     snm,
+    spans,
     temporal,
     text,
 )
@@ -119,13 +122,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r15-staged candidates: q_kmv_difference (operators/kmv.py),
     q_snm_pairs (operators/snm.py), q_pmi_collocations
     (operators/colloc.py), q_attribution (operators/attribution.py),
-    q_itemset_pairs (operators/basket.py).
+    q_itemset_pairs (operators/basket.py), and the in-round
+    q_span_extents (operators/spans.py — duplicated-span extents).
 
-    34 + 3 + 5 = 42: the remaining 8 slots are FILLS drawn from the
-    front of the r14-green set (q_csv_export_shape … q_asof_join),
-    which trims the r17 deferral list. The 37 r14-green queries that
+    34 + 3 + 6 = 43: the remaining 7 slots are FILLS drawn from the
+    front of the r14-green set (q_csv_export_shape … q_join_enrich),
+    which trims the r17 deferral list. The 38 r14-green queries that
     do not fit are the NAMED r17 deferrals — their r14 rows expire at
-    r17, so r17 MUST window all 37 first: q_sessionize,
+    r17, so r17 MUST window all 38 first: q_asof_join, q_sessionize,
     q_decontaminate_hashed, q_similarity_topk, q_dedup_embedding,
     q_similarity_ann, q_similarity_ivf, q_chunk_documents,
     q_pack_chunks, q_chunk_pack_pipeline, q_bm25, q_dedup_minhash,
@@ -136,14 +140,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_set_ops, q_cube, q_scalar_math, q_string_funcs, q_date_buckets,
     q_json_props, q_stats_agg, q_distinct_agg, q_unpivot,
     q_collect_agg, q_pagerank; then r17's own changed-code set and
-    declarations fill the rest (37 + 13 slots). The r15-green set
+    declarations fill the rest (38 + 12 slots). The r15-green set
     (q_kl_divergence … q_skyline) stays fresh through r18.
     Rotation rule #2 ("changed code ⇒ in window") remains MECHANICAL:
     scripts/check_rotation.py + tests/test_rotation.py on every
     pytest run.
 
-    Honest rotation math: with a 50-slot driver window and 134
-    registered queries, a full sweep takes ceil(134/50) = 3 rounds,
+    Honest rotation math: with a 50-slot driver window and 135
+    registered queries, a full sweep takes ceil(135/50) = 3 rounds,
     so the invariant is: every registered query has a driver
     CORRECTNESS row within the last 3 rounds (named deferrals are
     the explicit schedule for the overflow), and ALL queries are
@@ -206,8 +210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pmi_collocations": _q(["documents"], colloc.q_pmi_collocations),
         "q_attribution": _q(["events"], attribution.q_attribution),
         "q_itemset_pairs": _q(["lineitem"], basket.q_itemset_pairs),
-        # FILLS (8): drawn from the front of the r14-green set so the
-        # r17 deferral list shrinks to 37.
+        "q_span_extents": _q(["documents"], spans.q_span_extents),
+        # FILLS (7): drawn from the front of the r14-green set so the
+        # r17 deferral list shrinks to 38.
         "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
         "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
         "q_range_join": _q(["events"], temporal.q_range_join),
@@ -215,12 +220,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
         "q_explode_words": _q(["part"], relational.q_explode_words),
         "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
-        "q_asof_join": _q(["events"], temporal.q_asof_join),
         # ---- oracle-paired but outside the 50-entry driver window ----
-        # First the 37 remaining r14-green queries — the NAMED r17
+        # First the 38 remaining r14-green queries — the NAMED r17
         # deferrals (their r14 rows expire at r17; see the docstring
         # schedule). All remain under the local parity gate and the
         # committed FULLVERIFY artifact every round.
+        "q_asof_join": _q(["events"], temporal.q_asof_join),
         "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
         "q_similarity_topk": _q(["embeddings"], similarity.q_similarity_topk),
@@ -1836,6 +1841,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pmi_collocations": colloc.PMI_COLLOCATIONS_ORACLE,
         "q_attribution": attribution.ATTRIBUTION_ORACLE,
         "q_itemset_pairs": basket.ITEMSET_PAIRS_ORACLE,
+        "q_span_extents": spans.SPAN_EXTENTS_ORACLE,
         "q_interval_coverage": INTERVAL_COVERAGE_ORACLE,
         "q_skyline": SKYLINE_ORACLE,
         "q_setsim_join": SETSIM_ORACLE,

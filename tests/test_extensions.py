@@ -3954,6 +3954,97 @@ def test_snm_pairs_duckdb_parity_and_semantics(spark, sf_dir):
     assert got_w1 == {(1, 2), (2, 3)}
 
 
+def test_span_extents_duckdb_parity(spark, sf_dir):
+    """r16 declaration gate: q_span_extents vs its DuckDB twin — the
+    shingle hashes, corpus-wide duplication gate and sweep-line merge
+    rebuilt over identical integer positions, every column BIGINT."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.spans import (
+        SPAN_EXTENTS_ORACLE,
+        q_span_extents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_span_extents(docs), SPAN_EXTENTS_ORACLE, sf_dir)
+    assert n > 0
+
+
+def test_span_extents_hand_semantics(spark):
+    """Extent correctness on a hand corpus at w=4: (1) a shared run
+    longer than w yields ONE merged extent covering the whole run in
+    both docs; (2) WITHIN-doc repetition of a shingle duplicates both
+    occurrences (self-repetition counts, as in Lee et al.); (3) a doc
+    with no duplicated shingle emits nothing; (4) touching spans
+    merge (no zero-gap split); (5) docs shorter than w emit nothing."""
+    from node_js_etl_processor_spark.operators.spans import span_extents
+
+    shared = "one two three four five six"       # 6-token shared run
+    rows = [
+        (1, shared + " uniq1a uniq1b uniq1c"),
+        (2, "pre2a pre2b " + shared),
+        # doc 3: 'rep ra rb rc' twice with a unique separator — the
+        # 4-token shingle (rep ra rb rc) occurs twice WITHIN the doc
+        (3, "rep ra rb rc sepX rep ra rb rc"),
+        (4, "all unique tokens here nothing shared at all"),
+        (5, "too short"),                          # < w tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["start_tok"]): (
+            r["end_tok"], r["n_shingles"], r["span_len"]
+        )
+        for r in span_extents(docs, 4).collect()
+    }
+    # doc 1: duplicated shingle positions 1..3 (the three 4-shingles
+    # inside the shared 6-token run) -> one extent [1, 7)
+    # doc 2: same run at offset 2 -> positions 3..5 -> extent [3, 9)
+    # doc 3: (rep ra rb rc) at positions 1 and 6 -> spans [1,5) and
+    # [6,10): 6 > 5 opens a new island -> TWO extents
+    assert got == {
+        (1, 1): (7, 3, 6),
+        (2, 3): (9, 3, 6),
+        (3, 1): (5, 1, 4),
+        (3, 6): (10, 1, 4),
+    }
+    # touching spans merge: positions 1 and 5 with w=4 -> [1,5) and
+    # [5,9) share the boundary token index 5 exclusive/inclusive —
+    # the intervals convention merges them into [1, 9)
+    t_rows = [
+        (10, "a b c d e f g h padX"),
+        (11, "a b c d sep e f g h"),
+    ]
+    # doc 10: shingles (a b c d) at 1 and (e f g h) at 5 both occur
+    # in doc 11 (positions 1 and 6) -> doc 10 extents [1,5) vs [5,9)
+    # touch and MERGE into [1, 9)
+    t_docs = spark.createDataFrame(t_rows, "doc_id long, text string")
+    t_got = {
+        (r["doc_id"], r["start_tok"]): (r["end_tok"], r["n_shingles"])
+        for r in span_extents(t_docs, 4).collect()
+    }
+    assert t_got[(10, 1)] == (9, 2)      # merged touching extent
+    assert t_got[(11, 1)] == (5, 1) and t_got[(11, 6)] == (10, 1)
+
+
+def test_span_extents_short_doc_and_width_guard(spark):
+    """w < 1 raises; an all-short corpus yields an EMPTY frame (the
+    r15 F.sequence auto-decrement lesson: sequence(1, 0) must never
+    reach slice())."""
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.operators.spans import (
+        shingle_positions,
+        span_extents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "just three tokens"), (2, "two tokens")],
+        "doc_id long, text string",
+    )
+    assert span_extents(docs, 25).count() == 0
+    with _pytest.raises(ValueError, match="w >= 1"):
+        shingle_positions(docs, 0)
+
+
 def test_snm_boundary_independence_on_declared_fixture(spark, sf_dir):
     """r16 (VERDICT ask #3): the boundary-independence property,
     promoted from hand rows to the DECLARED fixture — q_snm_pairs

@@ -794,6 +794,26 @@ def test_interval_coverage_single_keyed_exchange(spark, sf_dir):
     assert "rangepartitioning" not in plan
 
 
+def test_span_extents_two_keyed_exchanges_no_joins(spark, sf_dir):
+    """q_span_extents: NO joins anywhere (the duplication gate is a
+    count window over the hash, not a groupBy + join-back), exactly
+    TWO keyed exchanges — hash (duplication window) and doc_id (the
+    sweep windows + island groupBy share one, the q_interval_coverage
+    subset-clustering discipline) — and no global sort or single
+    partition ever appears."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.spans import q_span_extents
+
+    plan = plan_text(q_span_extents(load_table(spark, sf_dir, "documents")))
+    for join in ("Join", "CartesianProduct", "BroadcastNestedLoop"):
+        assert join not in plan
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "hashpartitioning(h" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "SinglePartition" not in plan
+    assert "rangepartitioning" not in plan
+
+
 def test_skyline_pruned_before_single_partition(spark, sf_dir):
     """q_skyline: no self-join anywhere (the quadratic dominance
     form is rewritten away — no SortMergeJoin/Cartesian/BNLJ); the
