@@ -31,8 +31,10 @@ while the exact-survivors' embeddings (joined from the embedding
 lookup — the stand-in for an embedding service) maintain the ANN
 layout + embedding near-dup tier, the media lane dedups images
 against the dHash postings store (``image_dedup_applier`` — the
-exact-dedup store shape on the perceptual key), and the CDC lane
-merges into the SCD2 dimension store.
+exact-dedup store shape on the perceptual key), the set-key lane
+(r16, ``streaming/setkey.py``) maintains the setsim family's
+template-collapse representative store off the raw doc feed, and the
+CDC lane merges into the SCD2 dimension store.
 
 Exactly-once composition: every tier keeps its OWN (checkpoint,
 batch_id) marker, so a crash mid-batch — after some tiers committed,
@@ -69,7 +71,7 @@ def ingest_day_applier(
     """Build the composed per-batch applier. ``paths`` names every
     store root: fp_store/fp_out, mh_store/mh_out, sh_store/sh_out,
     ann_store/ann_out, img_store/img_out, bm25, edges, hll, hdr,
-    kmv, scd2. ``embeddings`` is the static (vec_id, embedding) lookup
+    kmv, setkey_store/setkey_out, scd2. ``embeddings`` is the static (vec_id, embedding) lookup
     joined to the exact survivors' doc_ids (vec_id == doc_id in the
     fixture corpus). The media lane (r14) is optional: omit
     img_store/img_out from ``paths`` to run a text+CDC-only day."""
@@ -80,7 +82,7 @@ def ingest_day_applier(
     required = {
         "fp_store", "fp_out", "mh_store", "mh_out", "sh_store", "sh_out",
         "ann_store", "ann_out", "bm25", "edges", "hll", "hdr", "kmv",
-        "scd2",
+        "setkey_store", "setkey_out", "scd2",
     }
     missing = sorted(required - set(paths))
     if missing:
@@ -131,6 +133,15 @@ def ingest_day_applier(
     from .theta import kmv_merge_applier
 
     kmv = kmv_merge_applier(paths["kmv"], checkpoint, "source", "doc_id")
+    # r16: the set-key collapse tier — the setsim family's template
+    # collapse (exact_set_reps) maintained incrementally, a parallel
+    # curation axis off the raw doc lane (a doc whose DISTINCT token
+    # set was seen — reordered or re-whitespaced — is dropped)
+    from .setkey import set_collapse_applier
+
+    setk = set_collapse_applier(
+        paths["setkey_store"], paths["setkey_out"], checkpoint
+    )
     scd2 = scd2_applier(paths["scd2"], checkpoint)
     img_keys = {"img_store", "img_out"} & set(paths)
     if len(img_keys) == 1:
@@ -169,6 +180,12 @@ def ingest_day_applier(
             s_exact.select(F.col("doc_id").alias("vec_id")), "vec_id"
         )
         emb(batch_embs, batch_id)
+
+        # set-key collapse tier (r16) — a parallel curation axis off
+        # the RAW doc lane: it maintains the setsim template-collapse
+        # representative store for the whole feed, independent of the
+        # fingerprint chain's keeper decisions
+        setk(docs, batch_id)
 
         # media lane (r14): perceptual dHash dedup against the
         # img_store postings tier — a parallel curation axis like the

@@ -76,7 +76,8 @@ def _store_paths(tmp_path) -> dict:
         for k in (
             "fp_store", "fp_out", "mh_store", "mh_out", "sh_store",
             "sh_out", "ann_store", "ann_out", "img_store", "img_out",
-            "bm25", "edges", "hll", "hdr", "kmv", "scd2",
+            "bm25", "edges", "hll", "hdr", "kmv", "setkey_store",
+            "setkey_out", "scd2",
         )
     }
 
@@ -346,5 +347,23 @@ def test_ingest_day_with_midchain_crash_equals_one_shot(
     )
     assert _rows(kmv_estimates(read_kmv_sketch(spark, paths["kmv"]))) == _rows(
         kmv_estimates(want_sk)
+    )
+    # r16: the set-key collapse tier — streamed survivors equal the
+    # one-shot template-collapse representatives (min doc_id per
+    # DISTINCT token set; doc_id-ordered drops make the stream
+    # decision-identical), and the store holds every distinct set_key
+    from node_js_etl_processor_spark.operators.setsim import (
+        exact_set_reps,
+        packed_sets,
+    )
+
+    sets_all = packed_sets(docs)
+    reps_all = exact_set_reps(sets_all)
+    got_sk = _ids(spark.read.parquet(paths["setkey_out"]), "doc_id")
+    assert got_sk == _ids(reps_all, "doc_id") and len(got_sk) > 0
+    # the collapse actually collapsed something (templated corpus)
+    assert len(got_sk) < docs.count()
+    assert _rows(spark.read.parquet(paths["setkey_store"])) == _rows(
+        sets_all.select("set_key").distinct()
     )
     assert _rows(read_scd2_store(spark, paths["scd2"])) == _rows(q_scd2(orders))
