@@ -297,8 +297,24 @@ def kmv_set_difference(
     yields exactly this shape), so stored per-group sketches answer
     difference questions without rescanning the corpus. Returns the
     two (set_name, n_entries, theta, est_distinct) rows for A\\B and
-    B\\A clamped to theta_u = min(theta_a, theta_b)."""
+    B\\A clamped to theta_u = min(theta_a, theta_b).
+
+    Raises if either group is ABSENT from the sketch frame (r16
+    review #3): silently treating a typo'd or not-yet-ingested group
+    as the empty set would emit plausible-looking rows asserting it
+    is a strict subset of the other. The check collects the ≤ 2
+    filtered theta rows — parameter-sized by construction."""
     th = kmv_theta(sketch, k)
+    present = {
+        r["g"] for r in th.filter(F.col("g").isin(g_a, g_b)).collect()
+    }
+    absent = sorted({g_a, g_b} - present)
+    if absent:
+        raise ValueError(
+            f"kmv_set_difference: group(s) {absent} absent from the "
+            "sketch frame — difference against a nonexistent sketch is "
+            "not the empty-set difference"
+        )
     ent = kmv_entries(sketch, th)
     ent_a = ent.filter(F.col("g") == g_a).select("h")
     ent_b = ent.filter(F.col("g") == g_b).select("h")

@@ -137,6 +137,12 @@ def packed_sets(documents: DataFrame) -> DataFrame:
         )
         .withColumn("set_key", F.md5(F.concat_ws("\n", F.col("toks"))))
         .withColumn("sz", F.size("toks").cast("bigint"))
+        # zero-token documents have no token SET: the old explode →
+        # groupBy form dropped them structurally (explode of [] emits
+        # no rows), and the containment contract + its oracle exclude
+        # them — keep the row-local form semantics IDENTICAL (r16
+        # review #1)
+        .filter(F.col("sz") > 0)
     )
 
 
@@ -221,7 +227,7 @@ def setsim_join(
         raise ValueError("setsim_join needs 0 < t_num/t_den <= 1")
     rep_sets = _rep_sets(documents)
     rtok = rep_sets.select(
-        "doc_id", "sz", "group_n", F.explode("toks").alias("token")
+        "doc_id", "sz", "group_n", "bloom", F.explode("toks").alias("token")
     )
     df_tok = rtok.groupBy("token").agg(
         F.count("*").cast("bigint").alias("df")
@@ -235,12 +241,11 @@ def setsim_join(
         ),
     )
     # r16 perf pass: the prefix frame carries each representative's
-    # 64-bit bloom fingerprint (one long — NOT the token arrays), so
-    # the lossless miss-count bound can ride the candidate join.
-    prefix = (
-        ranked.filter(F.col("rank") <= _prefix_len(t_num, t_den))
-        .select("doc_id", "token", "rank", "sz", "group_n")
-        .join(rep_sets.select("doc_id", "bloom"), "doc_id")
+    # 64-bit bloom fingerprint (one long, projected straight through
+    # rtok — NOT an extra join; r16 review #4), so the lossless
+    # miss-count bound can ride the candidate join.
+    prefix = ranked.filter(F.col("rank") <= _prefix_len(t_num, t_den)).select(
+        "doc_id", "token", "rank", "sz", "group_n", "bloom"
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     # asymmetric probe/index prefixes (Xiao et al. 2008 §3): process
@@ -325,9 +330,12 @@ def setsim_join(
         .select("p.*")
     )
     # verify WITHOUT row explosion: join each side's packed array
-    # back (both rep frames BROADCAST — parameter-sized synopses of
-    # distinct sets) and count the intersection inside codegen — one
-    # row per candidate. Duplicate candidates (a pair sharing several
+    # back and count the intersection inside codegen — one row per
+    # candidate. NO forced broadcast: the rep frames are
+    # corpus-of-distinct-sets-sized, so AQE must stay free to pick
+    # shuffle vs broadcast by measured size (r16 review #2 — a forced
+    # broadcast would hit Spark's broadcast-table limit at the 100 TB
+    # design point). Duplicate candidates (a pair sharing several
     # prefix tokens) verify identically and collapse in the final
     # distinct, which runs on the THRESHOLD-FILTERED (small) frame.
     arr_a = rep_sets.select(
@@ -337,8 +345,8 @@ def setsim_join(
         F.col("doc_id").alias("doc_b"), F.col("toks_h").alias("toks_b")
     )
     verified = (
-        cand.join(F.broadcast(arr_a), "doc_a")
-        .join(F.broadcast(arr_b), "doc_b")
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
         .withColumn(
             "inter",
             F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint"),
@@ -423,7 +431,12 @@ def _containment_from_reps(
     # probe tokens in TRAIN-df order (absent-from-train tokens get df
     # 0 and sort first — maximally selective)
     p_tokens = (
-        p_reps.select("doc_id", "sz", F.explode("toks").alias("token"))
+        p_reps.select(
+            "doc_id",
+            "sz",
+            F.col("bloom").alias("bloom_p"),
+            F.explode("toks").alias("token"),
+        )
         .join(t_df, "token", "left")
         .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
         .withColumn(
@@ -435,16 +448,10 @@ def _containment_from_reps(
             ),
         )
     )
-    p_prefix = (
-        p_tokens.filter(F.col("rank") <= _prefix_len(c_num, c_den))
-        .select(F.col("doc_id").alias("probe_id"), "token", "sz")
-        .join(
-            p_reps.select(
-                F.col("doc_id").alias("probe_id"),
-                F.col("bloom").alias("bloom_p"),
-            ),
-            "probe_id",
-        )
+    # bloom_p rides the projection from p_reps (no extra join — r16
+    # review #4)
+    p_prefix = p_tokens.filter(F.col("rank") <= _prefix_len(c_num, c_den)).select(
+        F.col("doc_id").alias("probe_id"), "token", "sz", "bloom_p"
     )
     # distinct BEFORE verify: measured faster than verifying raw
     # duplicates + countDistinct in the aggregate (5.3 s vs 6.9 s per

@@ -25,8 +25,12 @@ Semantics (per width w):
     empties dropped — POSITIONAL (duplicates kept, order kept),
     unlike the set-similarity family's distinct sets;
   * shingle at position i (1-based): tokens[i .. i+w-1], hashed as
-    md5 over the newline-joined tokens (the portable digest both
-    engines rebuild byte-for-byte);
+    the first 15 hex chars of md5 over the newline-joined tokens
+    packed into a BIGINT (the dedup family's 60-bit portable-digest
+    discipline — an 8-byte shuffle key instead of a 32-char hex
+    VARCHAR on the corpus-sized exchange; a 60-bit collision merges
+    two duplication classes with probability ~n²/2⁶¹, the same budget
+    every other digest-keyed operator here accepts);
   * a position is DUPLICATED if its shingle hash occurs ≥ 2 times
     corpus-wide — across documents or within one (self-repetition is
     duplication too, as in the paper);
@@ -41,7 +45,7 @@ per maximal extent, end exclusive, span_len = end_tok − start_tok,
 n_shingles = duplicated positions inside the extent. All BIGINT.
 
 Scale shape: ONE corpus-sized projection explodes (doc_id, pos,
-16-byte shingle hash); the duplication test is a COUNT window over
+8-byte shingle digest); the duplication test is a COUNT window over
 hash (first keyed exchange, map-side partial-free but linear); the
 island merge reuses ONE hashpartitioning(doc_id) exchange for both
 sweep windows AND the final (doc_id, island) groupBy (subset
@@ -66,11 +70,12 @@ SPAN_W = 25
 
 def shingle_positions(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
     """(doc_id, pos, h): every w-token shingle of every document —
-    pos 1-based, h = md5 hex over the newline-joined tokens. The
-    position range is guarded with ``if(size >= w, sequence(...),
-    array())`` because Spark's ``sequence(1, 0)`` auto-DECREMENTS
-    into [1, 0] instead of yielding an empty range (the r15
-    F.sequence lesson, pinned in tests)."""
+    pos 1-based, h = the 60-bit md5-derived BIGINT digest of the
+    newline-joined tokens (see the module docstring). The position
+    range is guarded with ``if(size >= w, sequence(...), array())``
+    because Spark's ``sequence(1, 0)`` auto-DECREMENTS into [1, 0]
+    instead of yielding an empty range (the r15 F.sequence lesson,
+    pinned in tests)."""
     if w < 1:
         raise ValueError("shingle_positions needs w >= 1")
     ts = documents.select(
@@ -85,7 +90,8 @@ def shingle_positions(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
             f"explode(transform("
             f" if(size(ts) >= {w}, sequence(1, size(ts) - {w} + 1), array()),"
             f" i -> struct(CAST(i AS BIGINT) AS pos,"
-            f" md5(array_join(slice(ts, i, {w}), char(10))) AS h)))"
+            f" CAST(conv(substring(md5(array_join(slice(ts, i, {w}),"
+            f" char(10))), 1, 15), 16, 10) AS BIGINT) AS h)))"
         ).alias("x"),
     ).select("doc_id", "x.pos", "x.h")
 
@@ -150,7 +156,8 @@ SPAN_EXTENTS_ORACLE = rf"""
       FROM documents
     ), sh AS (
       SELECT doc_id, CAST(i.g AS BIGINT) AS pos,
-             md5(array_to_string(ts[i.g:i.g + {SPAN_W} - 1], chr(10))) AS h
+             ('0x' || substr(md5(array_to_string(ts[i.g:i.g + {SPAN_W} - 1],
+                                                 chr(10))), 1, 15))::BIGINT AS h
       FROM toks, UNNEST(generate_series(1, len(ts) - {SPAN_W} + 1)) i(g)
       WHERE len(ts) >= {SPAN_W}
     ), dup AS (

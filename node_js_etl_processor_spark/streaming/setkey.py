@@ -80,7 +80,9 @@ def set_collapse_applier(store_path: str, out_path: str, checkpoint: str):
         )
         survivors = kept.drop("set_key")
         stage_and_publish(out_path, tag, {"": (survivors, None)})
-        keys = kept.select("set_key").distinct()
+        # kept is unique per set_key by construction (row_number()==1
+        # over the set_key window) — no distinct needed
+        keys = kept.select("set_key")
         stage_and_publish(store_path, tag, {"": (keys, None)})
         mark_batch_applied(store_path, checkpoint, batch_id)
         cleanup_staging(store_path, tag)

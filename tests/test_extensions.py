@@ -3344,6 +3344,54 @@ def test_setsim_join_handpinned_and_rare_first(spark):
     assert got == {(0, 2): (3, 5, 2, 1)}
 
 
+def test_packed_sets_drops_zero_token_docs(spark):
+    """r16 review #1: the row-local packed_sets must keep the old
+    explode→groupBy semantics for zero-token documents — a
+    whitespace-only doc has NO token set and must not surface as an
+    sz=0 probe rep in containment_decon (the oracle builds probe sets
+    from unnest() and never sees it)."""
+    from node_js_etl_processor_spark.operators.setsim import (
+        containment_decon,
+        packed_sets,
+    )
+
+    rows = [
+        (0, "alpha beta gamma"),
+        (10, "   "),       # whitespace-only: zero tokens
+        (20, ""),          # empty text
+        (30, "alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert {r["doc_id"] for r in packed_sets(docs).collect()} == {0, 30}
+    got = {
+        r["probe_id"]
+        for r in containment_decon(
+            docs.filter("doc_id % 10 = 0"), docs.filter("doc_id % 10 != 0"),
+            3, 4,
+        ).collect()
+    }
+    assert got == {0, 30}  # 10 and 20 excluded, clean rows included
+
+
+def test_kmv_set_difference_raises_on_absent_group(spark):
+    """r16 review #3: differencing against a group absent from the
+    sketch frame raises loudly instead of emitting rows that assert
+    the nonexistent set is a strict subset of the other."""
+    import pytest as _pytest
+
+    from node_js_etl_processor_spark.operators.kmv import (
+        kmv_set_difference,
+        kmv_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("F", f"u{i}") for i in range(5)], "g string, key string"
+    )
+    sk = kmv_sketch(df, "g", "key")
+    with _pytest.raises(ValueError, match=r"\['O'\] absent"):
+        kmv_set_difference(sk, "F", "O", "F-O", "O-F")
+
+
 def test_setsim_bloom_bound_keeps_budget_boundary_pairs(spark):
     """r16 bloom miss-count bound, losslessness at the budget
     boundary: a strict-containment pair A ⊂ B with |B| = |A| + 1 at
