@@ -4149,6 +4149,135 @@ def test_snm_ascii_domain_and_window_guard(spark):
         q_snm_pairs(hand, window=0)
 
 
+def test_triangles_duckdb_parity_and_semantics(spark, sf_dir):
+    """r17 candidate gate: q_triangles (degree-oriented triangle
+    counting over the co-purchase graph) vs the deliberately
+    UNORIENTED brute-force 3-way-join oracle; plus hand graphs — one
+    triangle counted once at every corner, a star has none (the hub
+    never pivots), two triangles sharing an edge count 2 on the
+    shared endpoints."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.triangles import (
+        TRIANGLES_ORACLE,
+        q_triangles,
+        triangle_counts,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = _duck_parity(
+        q_triangles(li), TRIANGLES_ORACLE, sf_dir, tables=("lineitem",)
+    )
+    assert n > 0
+
+    def counts(edge_rows):
+        df = spark.createDataFrame(edge_rows, "a long, b long")
+        return {
+            r["part"]: r["n_triangles"]
+            for r in triangle_counts(df).collect()
+        }
+
+    # one triangle + a pendant: 4 participates in none
+    assert counts([(1, 2), (2, 3), (1, 3), (3, 4)]) == {1: 1, 2: 1, 3: 1}
+    # star around a hub: zero triangles -> empty output
+    assert counts([(1, 2), (1, 3), (1, 4), (1, 5)]) == {}
+    # two triangles sharing edge (2,3): shared endpoints count 2
+    assert counts([(1, 2), (2, 3), (1, 3), (2, 4), (3, 4)]) == {
+        1: 1, 2: 2, 3: 2, 4: 1
+    }
+
+
+def test_event_sequences_duckdb_parity_and_semantics(spark, sf_dir):
+    """r17 candidate gate: q_event_sequences vs its DuckDB twin; plus
+    hand sequences — contiguous trigrams only, (t_us, event_id) total
+    order ties broken by event_id, n_users counts DISTINCT users."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.seqmine import (
+        EVENT_SEQUENCES_ORACLE,
+        q_event_sequences,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    n = _duck_parity(
+        q_event_sequences(ev), EVENT_SEQUENCES_ORACLE, sf_dir,
+        tables=("events",),
+    )
+    assert n > 0
+    # hand corpus: user 1 walks a,b,c,b,c (ts ties on the last two
+    # broken by event_id); user 2 walks a,b,c — trigram (a,b,c) has
+    # n_occ=2 across TWO users, (b,c,b)/(c,b,c) one user each
+    rows = [
+        (1, 100, "a", "2024-01-01 00:00:01"),
+        (1, 101, "b", "2024-01-01 00:00:02"),
+        (1, 102, "c", "2024-01-01 00:00:03"),
+        (1, 103, "b", "2024-01-01 00:00:04"),
+        (1, 104, "c", "2024-01-01 00:00:04"),  # tie -> event_id order
+        (2, 200, "a", "2024-01-01 00:00:01"),
+        (2, 201, "b", "2024-01-01 00:00:02"),
+        (2, 202, "c", "2024-01-01 00:00:03"),
+    ]
+    from pyspark.sql import functions as _F
+
+    hand = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts string"
+    ).withColumn("ts", _F.to_timestamp("ts"))
+    got = {
+        (r["e1"], r["e2"], r["e3"]): (r["n_occ"], r["n_users"])
+        for r in q_event_sequences(hand, min_support=1).collect()
+    }
+    assert got == {
+        ("a", "b", "c"): (2, 2),
+        ("b", "c", "b"): (1, 1),
+        ("c", "b", "c"): (1, 1),
+    }
+
+
+def test_rfm_segments_duckdb_parity_and_semantics(spark, sf_dir):
+    """r17 candidate gate: q_rfm_segments vs the single-machine
+    ROW_NUMBER oracle (the distributed global rank is what's
+    checked); plus hand orders — quintiles run 0..4 ascending in
+    each metric with custkey tiebreak, metrics are exact integers."""
+    import datetime
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.rfm import q_rfm_segments
+
+    from node_js_etl_processor_spark.operators.rfm import (
+        RFM_SEGMENTS_ORACLE,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = _duck_parity(
+        q_rfm_segments(orders), RFM_SEGMENTS_ORACLE, sf_dir,
+        tables=("orders",),
+    )
+    assert n > 0
+    # five customers, one order each, strictly increasing date and
+    # price -> every segment column is exactly 0..4 in custkey order
+    rows = [
+        (k, k, "O", datetime.date(2024, 1, k), 10.0 * k)
+        for k in range(1, 6)
+    ]
+    hand = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_orderdate date, o_totalprice double",
+    )
+    got = {
+        r["custkey"]: (
+            r["r_seg"], r["f_seg"], r["m_seg"],
+            r["n_orders"], r["monetary_cents"],
+        )
+        for r in q_rfm_segments(hand).collect()
+    }
+    # r_seg/m_seg follow the strictly increasing metrics; f_seg is an
+    # all-ties column, so the (metric, custkey) total order falls
+    # back to custkey and ALSO yields k-1 — the deterministic
+    # tiebreak, not an arbitrary engine order
+    assert got == {
+        k: (k - 1, k - 1, k - 1, 1, 1000 * k) for k in range(1, 6)
+    }
+
+
 def test_itemset_pairs_mega_basket_cap(spark):
     """The max_basket cap drops pathological baskets whole (their
     |B|^2 pair explosion never happens) while every statistic stays
