@@ -8,20 +8,24 @@ Determinism contract: every metric is an exact integer — recency as
 DAYS since epoch of the latest order date, frequency as the order
 count, monetary as the cent sum (round(price·100), the skyline money
 discipline) — and each quintile is assigned by the closed form
-``seg = floor(5 · (rank − 1) / n)`` over the TOTAL order
+``seg = (5 · (rank − 1)) div n`` over the TOTAL order
 (metric, custkey), custkey breaking metric ties. No ntile(): its
-extra-row placement is engine-convention; the floor form is pure
-integer arithmetic both engines evaluate identically. Segments run
-0..4 ascending in the metric (recency 4 = most recent, frequency 4 =
-most orders, monetary 4 = highest spend).
+extra-row placement is engine-convention; the div form is TRUE
+integer division on both sides (Spark ``div``, DuckDB ``//`` —
+r16 review: ``floor(a/b)`` would be IEEE double division in both
+engines, exact only below 2^53). Segments run 0..4 ascending in the
+metric (recency 4 = most recent, frequency 4 = most orders,
+monetary 4 = highest spend).
 
 Scale shape: one keyed aggregation (orders → per-customer metrics),
 then THREE distributed global ranks — the ``operators/snm.py``
 range-repartition + local row_number + broadcast-offsets rewrite, the
 engine's only total-order pattern, reused — over the
-customer-dimension-sized metric frame (never the orders fact), plus
-one broadcast scalar (n). No single-task window ever sees the whole
-frame.
+customer-dimension-sized metric frame (never the orders fact), with
+``n`` computed ONCE driver-side from the checkpointed metric frame
+and each segment checkpointed so range sampling never re-executes
+the previous rank's lineage. No single-task window ever sees the
+whole frame.
 
 The DuckDB oracle is the deliberately single-machine form (three
 plain ROW_NUMBER windows + the same floor arithmetic), so the
@@ -51,18 +55,20 @@ def rfm_metrics(orders: DataFrame) -> DataFrame:
     )
 
 
-def _segment(metrics: DataFrame, col: str, seg: str) -> DataFrame:
+def _segment(metrics: DataFrame, col: str, seg: str, n: int) -> DataFrame:
     """Attach quintile ``seg`` for metric ``col``: the distributed
-    global rank over (col, custkey), then floor(5·(rn−1)/n)."""
+    global rank over (col, custkey), then ``(5·(rn−1)) div n`` —
+    true integer division, ``n`` a driver-side scalar computed ONCE
+    by the caller (r16 review: no per-segment count re-aggregation,
+    no crossJoin). Checkpointed so the next segment's range sampling
+    never re-executes this one's rank lineage."""
     ranked = global_rank(metrics, [col, "custkey"])
-    n = metrics.agg(F.count("*").cast("bigint").alias("_n"))
     return (
-        ranked.crossJoin(F.broadcast(n))
-        .withColumn(
-            seg,
-            F.floor(5 * (F.col("rn") - 1) / F.col("_n")).cast("bigint"),
+        ranked.withColumn(
+            seg, F.expr(f"(5 * (rn - 1)) div CAST({n} AS BIGINT)")
         )
-        .drop("rn", "_n")
+        .drop("rn")
+        .localCheckpoint(eager=True)
     )
 
 
@@ -71,9 +77,10 @@ def q_rfm_segments(orders: DataFrame) -> DataFrame:
     monetary_cents, r_seg, f_seg, m_seg) — see the module
     docstring."""
     m = rfm_metrics(orders).localCheckpoint(eager=True)
-    out = _segment(m, "recency_days", "r_seg")
-    out = _segment(out, "n_orders", "f_seg")
-    out = _segment(out, "monetary_cents", "m_seg")
+    n = m.count()  # one cheap job over the checkpointed frame
+    out = _segment(m, "recency_days", "r_seg", n)
+    out = _segment(out, "n_orders", "f_seg", n)
+    out = _segment(out, "monetary_cents", "m_seg", n)
     return out.select(
         "custkey",
         "recency_days",
@@ -106,8 +113,8 @@ RFM_SEGMENTS_ORACLE = """
       FROM m
     )
     SELECT custkey, recency_days, n_orders, monetary_cents,
-           CAST(floor(5 * (rr - 1) / n.n) AS BIGINT) AS r_seg,
-           CAST(floor(5 * (rf - 1) / n.n) AS BIGINT) AS f_seg,
-           CAST(floor(5 * (rm - 1) / n.n) AS BIGINT) AS m_seg
+           CAST((5 * (rr - 1)) // n.n AS BIGINT) AS r_seg,
+           CAST((5 * (rf - 1)) // n.n AS BIGINT) AS f_seg,
+           CAST((5 * (rm - 1)) // n.n AS BIGINT) AS m_seg
     FROM r, n
 """

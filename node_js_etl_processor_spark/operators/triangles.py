@@ -46,11 +46,17 @@ from pyspark.sql import functions as F
 from .basket import MIN_SUPPORT, order_baskets, basket_pairs
 
 
-def copurchase_edges(lineitem: DataFrame, min_support: int = MIN_SUPPORT) -> DataFrame:
+def copurchase_edges(
+    lineitem: DataFrame,
+    min_support: int = MIN_SUPPORT,
+    max_basket: "int | None" = None,
+) -> DataFrame:
     """Undirected (a, b) edges, a < b canonical: part pairs co-ordered
     in ≥ min_support baskets (the q_itemset_pairs support gate without
-    the per-part statistics)."""
-    baskets = order_baskets(lineitem)
+    the per-part statistics). ``max_basket`` passes through to the
+    mega-basket cap (r16 review: the |B|² graceful-degradation lever
+    must stay reachable from every consumer of the pair explode)."""
+    baskets = order_baskets(lineitem, max_basket)
     return (
         basket_pairs(baskets)
         .groupBy("a", "b")
@@ -65,6 +71,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     — the degree-orientation algorithm (module docstring). ``edges``
     must be duplicate-free with a < b; every id participates in the
     total order (degree, id), so orientation is deterministic."""
+    # localCheckpoint: the edge frame (corpus-sized basket build +
+    # pair explode + support agg upstream) feeds THREE consumers —
+    # both unionAll branches of the degree count and the orientation
+    # join — the repo's multi-consumer checkpoint discipline rather
+    # than relying on exchange reuse (r16 review)
+    edges = edges.localCheckpoint(eager=True)
     ends = edges.select(F.col("a").alias("v")).unionAll(
         edges.select(F.col("b").alias("v"))
     )

@@ -773,6 +773,75 @@ def main() -> None:
         lambda: skyline.q_skyline(part10),
     )
 
+    # ---- r16 declarations + the new span family ----
+    from node_js_etl_processor_spark.operators import (
+        attribution,
+        basket,
+        colloc,
+        snm,
+        spans,
+    )
+
+    queries["q_kmv_difference"] = (
+        # custkeys KEPT by multiply_orders → identical sketches at
+        # 10x; the ratio measures the corpus distinct + bottom-k build
+        lambda: kmv.q_kmv_difference(orders1),
+        lambda: kmv.q_kmv_difference(orders10),
+    )
+    queries["q_snm_pairs"] = (
+        # two-letter replica tags keep cross-replica keys at edit
+        # distance 2 and group replicas into separate sort runs, so
+        # the n·w candidate budget (and the output) stays linear
+        lambda: snm.q_snm_pairs(cust1),
+        lambda: snm.q_snm_pairs(cust10),
+    )
+    queries["q_pmi_collocations"] = (
+        # replica texts keep the bigram distribution: counts scale
+        # 10x, the PMI gate is scale-invariant (n_xy·N² vs M·n_x·n_y
+        # all pick up the same factor), so output rows stay ~fixed
+        lambda: colloc.q_pmi_collocations(docs1),
+        lambda: colloc.q_pmi_collocations(docs10),
+    )
+    queries["q_attribution"] = (
+        # user_id KEPT by multiply_events → 10x denser per-user
+        # streams through both RANGE frames — the honest worst case
+        lambda: attribution.q_attribution(ev1),
+        lambda: attribution.q_attribution(ev10),
+    )
+    queries["q_itemset_pairs"] = (
+        # multiply_lineitem replicates whole baskets: 10x baskets,
+        # same pair domain, supports scale linearly
+        lambda: basket.q_itemset_pairs(li1),
+        lambda: basket.q_itemset_pairs(li10),
+    )
+    queries["q_span_extents"] = (
+        # the only corpus-sized stages are the shingle explode and
+        # the hash-count window — both linear in token count
+        lambda: spans.q_span_extents(docs1),
+        lambda: spans.q_span_extents(docs10),
+    )
+
+    # ---- r17 candidates measured ahead of declaration ----
+    from node_js_etl_processor_spark.operators import rfm, seqmine, triangles
+
+    queries["q_triangles"] = (
+        # replicated baskets keep the edge set: the ratio measures
+        # the basket build + the support aggregation, wedges are
+        # edge-domain-sized at both points
+        lambda: triangles.q_triangles(li1),
+        lambda: triangles.q_triangles(li10),
+    )
+    queries["q_event_sequences"] = (
+        lambda: seqmine.q_event_sequences(ev1),
+        lambda: seqmine.q_event_sequences(ev10),
+    )
+    queries["q_rfm_segments"] = (
+        # o_custkey KEPT: 10x orders per customer, same customer
+        # dimension through the three global ranks
+        lambda: rfm.q_rfm_segments(orders1),
+        lambda: rfm.q_rfm_segments(orders10),
+    )
+
     if args.only:
         unknown = set(args.only) - set(queries) - {
             "edge_append_fixed_batch", "edge_compaction"
