@@ -281,7 +281,16 @@ def test_no_declared_query_uses_nested_loop_or_cartesian(spark, sf_dir):
     # sketch frames — every BNLJ operand is parameter-sized by
     # construction (the sketch is localCheckpoint-ed at ≤ k rows per
     # group), pinned by test_kmv_query_materializes_sketch_once.
-    scalar_fanout_ok = {"q_bm25", "q_hybrid_search", "q_tfidf", "q_kmv_distinct"}
+    # r16 joiners, same 1-row-aggregate class: q_kmv_difference fans
+    # the min-theta / entry-count scalars across ≤ k-row frames (the
+    # q_kmv_distinct argument verbatim); q_pmi_collocations crossJoins
+    # the n_tokens and n_bigrams corpus totals (1 row each) onto the
+    # min-count-filtered bigram frame; q_itemset_pairs crossJoins the
+    # n_baskets total (1 row) onto the support-filtered pair frame.
+    scalar_fanout_ok = {
+        "q_bm25", "q_hybrid_search", "q_tfidf", "q_kmv_distinct",
+        "q_kmv_difference", "q_pmi_collocations", "q_itemset_pairs",
+    }
     # q_hll_intersect expands the PAIR LATTICE of group labels - a
     # cross join of two aggregated frames of at most #groups rows
     # (5x5 here, groups^2 at scale, never data-sized); its
