@@ -100,7 +100,15 @@ def span_extents(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
     """Maximal duplicated-span extents per document (see the module
     docstring). Two keyed exchanges end to end: hash (duplication
     count window) and doc_id (sweep + islands groupBy)."""
-    sh = shingle_positions(documents, w)
+    return extents_from_positions(shingle_positions(documents, w), w)
+
+
+def extents_from_positions(sh: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """The post-shingling pipeline over ANY (doc_id, pos, h) frame —
+    the split point that lets the STREAMED shingle-postings store
+    (``streaming/spanstore.py``) answer extent queries without
+    re-tokenizing: ingest shingles once, read extents from the stored
+    8-byte digests."""
     # duplication gate as a COUNT window over the hash — one exchange
     # (a groupBy + join-back shape would pay the hash shuffle twice)
     dup = (

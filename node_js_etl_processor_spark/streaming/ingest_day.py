@@ -71,7 +71,8 @@ def ingest_day_applier(
     """Build the composed per-batch applier. ``paths`` names every
     store root: fp_store/fp_out, mh_store/mh_out, sh_store/sh_out,
     ann_store/ann_out, img_store/img_out, bm25, edges, hll, hdr,
-    kmv, setkey_store/setkey_out, scd2. ``embeddings`` is the static (vec_id, embedding) lookup
+    kmv, setkey_store/setkey_out, spanstore, scd2. ``embeddings``
+    is the static (vec_id, embedding) lookup
     joined to the exact survivors' doc_ids (vec_id == doc_id in the
     fixture corpus). The media lane (r14) is optional: omit
     img_store/img_out from ``paths`` to run a text+CDC-only day."""
@@ -82,7 +83,7 @@ def ingest_day_applier(
     required = {
         "fp_store", "fp_out", "mh_store", "mh_out", "sh_store", "sh_out",
         "ann_store", "ann_out", "bm25", "edges", "hll", "hdr", "kmv",
-        "setkey_store", "setkey_out", "scd2",
+        "setkey_store", "setkey_out", "spanstore", "scd2",
     }
     missing = sorted(required - set(paths))
     if missing:
@@ -142,6 +143,12 @@ def ingest_day_applier(
     setk = set_collapse_applier(
         paths["setkey_store"], paths["setkey_out"], checkpoint
     )
+    # r16: the shingle-postings tier — ExactSubstr span dedup made
+    # incremental (tokenize once at ingest; extents are a read over
+    # stored 8-byte digests, streaming/spanstore.py)
+    from .spanstore import span_postings_applier
+
+    spanp = span_postings_applier(paths["spanstore"], checkpoint)
     scd2 = scd2_applier(paths["scd2"], checkpoint)
     img_keys = {"img_store", "img_out"} & set(paths)
     if len(img_keys) == 1:
@@ -186,6 +193,11 @@ def ingest_day_applier(
         # representative store for the whole feed, independent of the
         # fingerprint chain's keeper decisions
         setk(docs, batch_id)
+
+        # shingle-postings tier (r16) — also off the RAW doc lane, so
+        # stored extents equal the batch q_span_extents over the
+        # whole corpus
+        spanp(docs, batch_id)
 
         # media lane (r14): perceptual dHash dedup against the
         # img_store postings tier — a parallel curation axis like the

@@ -77,7 +77,7 @@ def _store_paths(tmp_path) -> dict:
             "fp_store", "fp_out", "mh_store", "mh_out", "sh_store",
             "sh_out", "ann_store", "ann_out", "img_store", "img_out",
             "bm25", "edges", "hll", "hdr", "kmv", "setkey_store",
-            "setkey_out", "scd2",
+            "setkey_out", "spanstore", "scd2",
         )
     }
 
@@ -366,4 +366,13 @@ def test_ingest_day_with_midchain_crash_equals_one_shot(
     assert _rows(spark.read.parquet(paths["setkey_store"])) == _rows(
         sets_all.select("set_key").distinct()
     )
+    # r16: the shingle-postings tier — extents read from the streamed
+    # store equal the one-shot span query over the whole corpus
+    from node_js_etl_processor_spark.operators.spans import q_span_extents
+    from node_js_etl_processor_spark.streaming.spanstore import (
+        read_span_extents,
+    )
+
+    got_sp = _rows(read_span_extents(spark, paths["spanstore"]))
+    assert got_sp == _rows(q_span_extents(docs)) and len(got_sp) > 0
     assert _rows(read_scd2_store(spark, paths["scd2"])) == _rows(q_scd2(orders))
