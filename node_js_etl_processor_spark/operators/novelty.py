@@ -1,0 +1,125 @@
+"""Per-document duplication-coverage ("novelty") scoring — r17
+declaration CANDIDATE (built + staged-oracle-verified in r16): for
+every document long enough to shingle, how much of it is covered by
+corpus-duplicated w-token runs — the document-level cut/down-weight
+signal Lee et al., ACL 2022 derive from ExactSubstr matches (§5:
+train-set fraction covered by duplicated substrings), composing the
+span family (``operators/spans.py``) into the curation-score shape
+q_gopher_rules / q_quality_classifier consume.
+
+Output, one row per document with ≥ 1 shingle (clean documents
+included — a gate needs the clean list too):
+(doc_id, n_tokens, n_shingles, n_dup_shingles, dup_extent_tokens) —
+n_tokens = n_shingles + w − 1 (exact for any doc that shingles at
+all), n_dup_shingles = positions whose shingle occurs ≥ 2 times
+corpus-wide, dup_extent_tokens = Σ span_len over the document's
+MERGED extents (tokens covered by duplicated runs — overlaps counted
+once because the sweep-line merge already coalesced them). All
+BIGINT; the novelty ratio (1 − dup_extent_tokens / n_tokens) is left
+to the consumer, PMI-statistics style, so nothing floats.
+
+Scale shape: the shingle frame is built ONCE and checkpointed (three
+consumers: per-doc totals, the duplication window, the extent merge —
+the multi-consumer checkpoint discipline); the extent pipeline is the
+span family's two keyed exchanges; the final assembly is one keyed
+agg per side + a doc-keyed join. Composes with the streamed
+shingle-postings store (``streaming/spanstore.py``): pass its
+positions tree through ``novelty_from_positions`` and the score is
+incremental too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .spans import SPAN_W, extents_from_positions, shingle_positions
+
+
+def novelty_from_positions(sh: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Coverage scores over ANY (doc_id, pos, h) shingle frame — the
+    batch query and the streamed postings store share this path."""
+    sh = sh.localCheckpoint(eager=True)
+    totals = sh.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    ext = extents_from_positions(sh, w)
+    dup = ext.groupBy("doc_id").agg(
+        F.sum("n_shingles").cast("bigint").alias("n_dup_shingles"),
+        F.sum("span_len").cast("bigint").alias("dup_extent_tokens"),
+    )
+    return (
+        totals.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("n_shingles") + (w - 1)).cast("bigint").alias("n_tokens"),
+            "n_shingles",
+            F.coalesce("n_dup_shingles", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_shingles"),
+            F.coalesce("dup_extent_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("dup_extent_tokens"),
+        )
+    )
+
+
+def q_doc_novelty(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """r17 declaration CANDIDATE: per-document duplication coverage
+    (see the module docstring)."""
+    return novelty_from_positions(shingle_positions(documents, w), w)
+
+
+#: the DuckDB twin, staged until the r17 registry wiring — width
+#: interpolated from SPAN_W (the r16 advice discipline); rebuilds
+#: shingles, the duplication gate, the sweep merge AND the coverage
+#: assembly, so the composition is checked end to end
+DOC_NOVELTY_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         t -> t <> '') AS ts
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, CAST(i.g AS BIGINT) AS pos,
+             ('0x' || substr(md5(array_to_string(ts[i.g:i.g + {SPAN_W} - 1],
+                                                 chr(10))), 1, 15))::BIGINT AS h
+      FROM toks, UNNEST(generate_series(1, len(ts) - {SPAN_W} + 1)) i(g)
+      WHERE len(ts) >= {SPAN_W}
+    ), totals AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id
+    ), dupp AS (
+      SELECT doc_id, pos
+      FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY h) AS n_occ FROM sh)
+      WHERE n_occ >= 2
+    ), fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + {SPAN_W}) OVER w IS NULL
+                       OR pos > max(pos + {SPAN_W}) OVER w
+                  THEN 1 ELSE 0 END AS opens
+      FROM dupp
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), isl AS (
+      SELECT doc_id, pos,
+             sum(opens) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS island
+      FROM fl
+    ), ext AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_sh,
+             CAST(max(pos) + {SPAN_W} - min(pos) AS BIGINT) AS span_len
+      FROM isl GROUP BY doc_id, island
+    ), dup AS (
+      SELECT doc_id, CAST(sum(n_sh) AS BIGINT) AS n_dup_shingles,
+             CAST(sum(span_len) AS BIGINT) AS dup_extent_tokens
+      FROM ext GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_shingles + {SPAN_W} - 1 AS BIGINT) AS n_tokens,
+           t.n_shingles,
+           CAST(coalesce(d.n_dup_shingles, 0) AS BIGINT) AS n_dup_shingles,
+           CAST(coalesce(d.dup_extent_tokens, 0) AS BIGINT) AS dup_extent_tokens
+    FROM totals t LEFT JOIN dup d USING (doc_id)
+"""

@@ -822,7 +822,18 @@ def main() -> None:
     )
 
     # ---- r17 candidates measured ahead of declaration ----
-    from node_js_etl_processor_spark.operators import rfm, seqmine, triangles
+    from node_js_etl_processor_spark.operators import (
+        novelty,
+        rfm,
+        seqmine,
+        triangles,
+    )
+
+    queries["q_doc_novelty"] = (
+        # the span family's two linear stages + one doc-keyed join
+        lambda: novelty.q_doc_novelty(docs1),
+        lambda: novelty.q_doc_novelty(docs10),
+    )
 
     queries["q_triangles"] = (
         # replicated baskets keep the edge set: the ratio measures

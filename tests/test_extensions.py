@@ -4278,6 +4278,49 @@ def test_rfm_segments_duckdb_parity_and_semantics(spark, sf_dir):
     }
 
 
+def test_doc_novelty_duckdb_parity_and_semantics(spark, sf_dir):
+    """r17 candidate gate: q_doc_novelty vs its DuckDB twin (the full
+    shingle → duplication → sweep-merge → coverage composition); plus
+    hand semantics at w=4 — a doc fully covered by a shared run
+    reports full extent coverage, a clean doc reports zeros (and IS
+    reported), overlapping duplicated runs count merged tokens once,
+    and n_tokens = n_shingles + w − 1."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.novelty import (
+        DOC_NOVELTY_ORACLE,
+        q_doc_novelty,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(q_doc_novelty(docs), DOC_NOVELTY_ORACLE, sf_dir)
+    assert n > 0
+
+    shared = "one two three four five six"  # 6 tokens, shared run
+    rows = [
+        (1, shared),                          # fully duplicated
+        (2, "pre2a pre2b " + shared),         # suffix duplicated
+        (3, "all unique tokens right here"),  # clean, still reported
+        (4, "x"),                             # < w: no shingles, absent
+    ]
+    docs_h = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["n_shingles"],
+            r["n_dup_shingles"], r["dup_extent_tokens"],
+        )
+        for r in q_doc_novelty(docs_h, w=4).collect()
+    }
+    # doc 1: 6 tokens, 3 shingles, all duplicated (doc 2 carries the
+    # same run) -> one extent [1,7): coverage 6 = the whole doc
+    # doc 2: 8 tokens, 5 shingles, 3 duplicated -> extent [3,9): 6
+    # doc 3: clean -> zeros; doc 4: absent (no shingles)
+    assert got == {
+        1: (6, 3, 3, 6),
+        2: (8, 5, 3, 6),
+        3: (5, 2, 0, 0),
+    }
+
+
 def test_itemset_pairs_mega_basket_cap(spark):
     """The max_basket cap drops pathological baskets whole (their
     |B|^2 pair explosion never happens) while every statistic stays
