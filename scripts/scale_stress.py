@@ -834,6 +834,14 @@ def main() -> None:
         lambda: novelty.q_doc_novelty(docs1),
         lambda: novelty.q_doc_novelty(docs10),
     )
+    from node_js_etl_processor_spark.operators import robust
+
+    queries["q_robust_stats"] = (
+        # one group-keyed exchange reused by both order-statistic
+        # windows; per-group sorts see 10x rows — the window band
+        lambda: robust.q_robust_stats(orders1),
+        lambda: robust.q_robust_stats(orders10),
+    )
 
     queries["q_triangles"] = (
         # replicated baskets keep the edge set: the ratio measures

@@ -4321,6 +4321,48 @@ def test_doc_novelty_duckdb_parity_and_semantics(spark, sf_dir):
     }
 
 
+def test_robust_stats_duckdb_parity_and_semantics(spark, sf_dir):
+    """r17 candidate gate: q_robust_stats vs its DuckDB twin (no
+    quantile functions anywhere — doubled order statistics on both
+    sides); plus hand groups — odd n (middle counted twice), even n
+    (middle two summed), and the MAD against a by-hand computation."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.robust import (
+        ROBUST_STATS_ORACLE,
+        q_robust_stats,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = _duck_parity(
+        q_robust_stats(orders), ROBUST_STATS_ORACLE, sf_dir,
+        tables=("orders",),
+    )
+    assert n > 0
+    # group A (odd, prices 1,2,10): median 2 -> med2 = 4;
+    #   |x - 2| = 1,0,8 -> MAD = 1 -> d = 2|x-2| = 2,0,16, doubled
+    #   median of d = 4 = 4*MAD
+    # group B (even, prices 1,2,3,10): median 2.5 -> med2 = 5;
+    #   |x - 2.5| = 1.5,.5,.5,7.5 -> MAD = 1 -> d = |2x-5| = 3,1,1,15
+    #   sorted 1,1,3,15 -> doubled median = 1+3 = 4 = 4*MAD
+    import datetime
+
+    rows = []
+    for i, p in enumerate([1.0, 2.0, 10.0]):
+        rows.append((100 + i, 1, "A", datetime.date(2024, 1, 1), p))
+    for i, p in enumerate([1.0, 2.0, 3.0, 10.0]):
+        rows.append((200 + i, 2, "B", datetime.date(2024, 1, 1), p))
+    hand = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderpriority string,"
+        " o_orderdate date, o_totalprice double",
+    )
+    got = {
+        r["o_orderpriority"]: (r["n"], r["med2_cents"], r["mad4_cents"])
+        for r in q_robust_stats(hand).collect()
+    }
+    assert got == {"A": (3, 400, 400), "B": (4, 500, 400)}
+
+
 def test_itemset_pairs_mega_basket_cap(spark):
     """The max_basket cap drops pathological baskets whole (their
     |B|^2 pair explosion never happens) while every statistic stays
