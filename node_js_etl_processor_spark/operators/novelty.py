@@ -18,11 +18,13 @@ once because the sweep-line merge already coalesced them). All
 BIGINT; the novelty ratio (1 − dup_extent_tokens / n_tokens) is left
 to the consumer, PMI-statistics style, so nothing floats.
 
-Scale shape: the shingle frame is built ONCE and checkpointed (three
-consumers: per-doc totals, the duplication window, the extent merge —
-the multi-consumer checkpoint discipline); the extent pipeline is the
-span family's two keyed exchanges; the final assembly is one keyed
-agg per side + a doc-keyed join. Composes with the streamed
+Scale shape: the shingle frame has TWO consumers (per-doc totals and
+the duplication window — the extent merge consumes the window's
+output, not the frame), both linear re-scans; it is NOT checkpointed
+because it is corpus-sized (~one row per token) and the repo's
+checkpoint discipline is batch/parameter-sized frames only. The
+extent pipeline is the span family's two keyed exchanges; the final
+assembly is one keyed agg per side + a doc-keyed join. Composes with the streamed
 shingle-postings store (``streaming/spanstore.py``): pass its
 positions tree through ``novelty_from_positions`` and the score is
 incremental too.
@@ -38,8 +40,15 @@ from .spans import SPAN_W, extents_from_positions, shingle_positions
 
 def novelty_from_positions(sh: DataFrame, w: int = SPAN_W) -> DataFrame:
     """Coverage scores over ANY (doc_id, pos, h) shingle frame — the
-    batch query and the streamed postings store share this path."""
-    sh = sh.localCheckpoint(eager=True)
+    batch query and the streamed postings store share this path.
+
+    Deliberately NOT checkpointed (r16 third review): the frame is
+    CORPUS-sized (~one row per token), so materializing it would pin
+    corpus-scale state on executors — the repo's checkpoints are
+    batch- or parameter-sized. Its two consumers (the per-doc totals
+    and the duplication window) re-scan instead, which is a linear
+    projection over documents in the batch path and a plain parquet
+    re-read in the store path."""
     totals = sh.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_shingles")
     )

@@ -18,14 +18,19 @@ doubled median of d is ``4·MAD`` — so the emitted columns
 the compare is bitwise; the consumer divides at the end, exactly the
 PMI/lift sufficient-statistics discipline.
 
-Scale shape: ONE hashpartitioning(group) exchange reused by BOTH
-order-statistic windows (same partitioning; the second window's sort
-key d is derived, so only an in-partition re-sort happens) and both
-group-sized aggregations; the med2 join-back is a broadcast of one
-row per group. Per-group sorts are the honest order-statistic
-requirement — parallelism across groups, never a global sort. Ties
-inside the sort are broken by the row key so both engines rank
-identically.
+Scale shape (r16 third review — the first cut aggregated each median
+and joined back, which compiled to THREE group-keyed exchanges and a
+double-built window pipeline): the whole computation is now window
+expressions over ONE hashpartitioning(group) exchange — rank by
+(value, key), derive med2 as a windowed conditional sum over the
+group, compute d per-row in place, re-rank by (d, key) inside the
+same partitioning (an in-partition re-sort, no new exchange), and
+finish with one group-sized aggregation. NO joins anywhere. Per-group
+sorts are the honest order-statistic requirement — parallelism across
+groups, never a global sort. Ties inside each sort are broken by the
+row key so both engines rank identically, and NULL values are
+dropped up front (Spark windows order NULLS FIRST, DuckDB NULLS LAST
+— robust statistics are over observed values in both engines).
 """
 
 from __future__ import annotations
@@ -34,50 +39,48 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def grouped_median2(
-    df: DataFrame, grp: str, val: str, key: str, out: str
-) -> DataFrame:
-    """One row per group: (grp, n, ``out`` = doubled median of
-    ``val``) — v[lo] + v[hi] over the (val, key) order, the middle
-    value counted twice for odd n."""
-    w = Window.partitionBy(grp).orderBy(F.col(val).asc(), F.col(key).asc())
-    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count("*").over(Window.partitionBy(grp))
-    )
-    lo = F.expr("(_n + 1) div 2")
-    hi = F.expr("_n div 2 + 1")
-    return ranked.groupBy(grp).agg(
-        F.max("_n").cast("bigint").alias("n"),
-        (
-            F.sum(F.when(F.col("_rn") == lo, F.col(val)))
-            + F.sum(F.when(F.col("_rn") == hi, F.col(val)))
-        )
-        .cast("bigint")
-        .alias(out),
-    )
-
-
 def q_robust_stats(orders: DataFrame) -> DataFrame:
     """r17 declaration CANDIDATE: per-priority robust price
     statistics — (o_orderpriority, n, med2_cents, mad4_cents), all
     BIGINT (module docstring has the doubling conventions)."""
-    base = orders.select(
-        "o_orderpriority",
+    grp = "o_orderpriority"
+    base = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        grp,
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
         F.col("o_orderkey").alias("k"),
     )
-    med = grouped_median2(base, "o_orderpriority", "cents", "k", "med2_cents")
-    dev = base.join(
-        F.broadcast(med.select("o_orderpriority", "med2_cents")),
-        "o_orderpriority",
-    ).select(
-        "o_orderpriority",
-        F.abs(2 * F.col("cents") - F.col("med2_cents")).alias("d"),
-        "k",
+    w_grp = Window.partitionBy(grp)
+    w1 = w_grp.orderBy(F.col("cents").asc(), F.col("k").asc())
+    n = F.count("*").over(w_grp)
+    lo = F.expr("CAST((_n + 1) AS BIGINT) div 2")
+    hi = F.expr("CAST(_n AS BIGINT) div 2 + 1")
+    ranked = (
+        base.withColumn("_rn", F.row_number().over(w1))
+        .withColumn("_n", n)
+        .withColumn(
+            "med2_cents",
+            (
+                F.sum(F.when(F.col("_rn") == lo, F.col("cents"))).over(w_grp)
+                + F.sum(F.when(F.col("_rn") == hi, F.col("cents"))).over(
+                    w_grp
+                )
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "d", F.abs(2 * F.col("cents") - F.col("med2_cents"))
+        )
     )
-    mad = grouped_median2(dev, "o_orderpriority", "d", "k", "mad4_cents")
-    return med.join(mad.drop("n"), "o_orderpriority").select(
-        "o_orderpriority", "n", "med2_cents", "mad4_cents"
+    w2 = w_grp.orderBy(F.col("d").asc(), F.col("k").asc())
+    ranked2 = ranked.withColumn("_rn2", F.row_number().over(w2))
+    return ranked2.groupBy(grp).agg(
+        F.max("_n").cast("bigint").alias("n"),
+        F.max("med2_cents").cast("bigint").alias("med2_cents"),
+        (
+            F.sum(F.when(F.col("_rn2") == lo, F.col("d")))
+            + F.sum(F.when(F.col("_rn2") == hi, F.col("d")))
+        )
+        .cast("bigint")
+        .alias("mad4_cents"),
     )
 
 
@@ -88,7 +91,7 @@ ROBUST_STATS_ORACLE = """
       SELECT o_orderpriority,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
              o_orderkey AS k
-      FROM orders
+      FROM orders WHERE o_totalprice IS NOT NULL
     ), r1 AS (
       SELECT o_orderpriority, cents,
              row_number() OVER (PARTITION BY o_orderpriority
