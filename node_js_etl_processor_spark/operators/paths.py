@@ -1,0 +1,152 @@
+"""Multi-source k-hop BFS with shortest-path counts over the domain
+link graph — r17 declaration CANDIDATE (built + staged-oracle-
+verified in r16): bounded breadth-first reachability (the Pregel/
+Pipelined-BFS pattern — Malewicz et al., SIGMOD 2010) from a fixed
+seed set, annotating every reached domain with its hop distance AND
+the number of distinct shortest paths from the seed set (the σ_s(v)
+counts of Brandes' betweenness algorithm, J. Math. Sociology 2001 —
+the BFS DAG statistic crawl-frontier and link-spam analyses read).
+Completes the graph family: q_link_graph builds the edges,
+q_pagerank scores global centrality, this measures seed-relative
+reachability.
+
+Semantics: edges are the DISTINCT (src_domain, dst_domain) pairs of
+graph.link_graph_edges (multiplicity ignored — unweighted BFS;
+graph.py:140 builds them, and the staged oracle rebuilds the same
+edge set with the LINK_GRAPH_ORACLE construction). dist(v) = the
+minimum hop count from ANY seed (multi-source BFS), capped at
+K_HOPS; n_paths(v) = Σ over predecessors u with dist(u) = dist(v)−1
+of n_paths(u) — exact BIGINT path counting in the BFS DAG, seeds at
+(dist 0, n_paths 1). Everything is integer, so the compare is
+bitwise.
+
+Scale shape: K_HOPS unrolled rounds, each ONE keyed join (frontier ⋈
+edges on src — at scale the frontier is the small side and AQE
+broadcasts it) + ONE keyed aggregation + ONE left-anti dedup against
+the visited set. No driver-side iteration state beyond the loop
+counter, no collect anywhere; the visited frame is bounded by the
+reachable vertex set (domains — many orders of magnitude smaller
+than the document corpus that generated the edges). For deep K the
+pagerank_until localCheckpoint discipline (graph.py:192) applies
+verbatim; at the declared K=3 the unrolled lineage is shallow enough
+to leave to Catalyst.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from node_js_etl_processor_spark.operators.graph import link_graph_edges
+
+#: fixed seed domains + hop budget — interpolated into the staged
+#: oracle so engine and oracle can never drift.
+SEEDS = ("d0.example", "d7.example")
+K_HOPS = 3
+
+
+def q_bfs_hops(documents: DataFrame, k_hops: int = K_HOPS) -> DataFrame:
+    """r17 declaration CANDIDATE: (domain, dist, n_paths) for every
+    domain within k_hops of the seed set over the distinct link-graph
+    edges — exact BIGINT shortest-path counts (module docstring has
+    the BFS-DAG semantics)."""
+    edges = (
+        link_graph_edges(documents)
+        .select(F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst"))
+        .distinct()
+    )
+    spark = documents.sparkSession
+    visited = spark.createDataFrame(
+        [(s, 0, 1) for s in SEEDS], "domain string, dist int, n_paths long"
+    ).select(
+        "domain",
+        F.col("dist").cast("bigint").alias("dist"),
+        F.col("n_paths").cast("bigint").alias("n_paths"),
+    )
+    frontier = visited
+    layers = [visited]
+    for hop in range(1, k_hops + 1):
+        nxt = (
+            frontier.select(F.col("domain").alias("src"), "n_paths")
+            .join(edges, "src")
+            .groupBy("dst")
+            .agg(F.sum("n_paths").cast("bigint").alias("n_paths"))
+            .select(
+                F.col("dst").alias("domain"),
+                F.lit(hop).cast("bigint").alias("dist"),
+                "n_paths",
+            )
+            .join(visited, "domain", "left_anti")
+            .select("domain", "dist", "n_paths")
+        )
+        layers.append(nxt)
+        frontier = nxt
+        visited = visited.unionByName(nxt.select("domain", "dist", "n_paths"))
+    return reduce(lambda a, b: a.unionByName(b), layers)
+
+
+#: the DuckDB twin, staged until the r17 registry wiring — the edge
+#: CTE mirrors LINK_GRAPH_ORACLE (__spark_entry__.py) / the
+#: graph.py:140 builder: 3 deterministic hrefs per doc, escaped body,
+#: self-links dropped, then DISTINCT pairs; the BFS layers unroll to
+#: K_HOPS with NOT-IN visited guards and sum()-merged path counts.
+BFS_HOPS_ORACLE = f"""
+    WITH pages AS (
+      SELECT doc_id,
+             'd' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS src_domain,
+             '<html><body>'
+             || '<a href="https://d' || CAST((doc_id * 3) % 20 AS VARCHAR)
+               || '.example/p' || CAST(doc_id % 7 AS VARCHAR) || '">l</a>'
+             || '<a href="https://d' || CAST((doc_id * 7) % 20 AS VARCHAR)
+               || '.example/p' || CAST(doc_id % 7 AS VARCHAR) || '">l</a>'
+             || '<a href="https://d' || CAST((doc_id * 11) % 20 AS VARCHAR)
+               || '.example/p' || CAST(doc_id % 7 AS VARCHAR) || '">l</a>'
+             || '<p>' || replace(replace(replace(text, '&', '&amp;'),
+                                         '<', '&lt;'), '>', '&gt;')
+             || '</p></body></html>' AS html
+      FROM documents
+    ),
+    links AS (
+      SELECT src_domain,
+             unnest(regexp_extract_all(html, '<a href="([^"]+)">', 1)) AS url
+      FROM pages
+    ),
+    edges AS (
+      SELECT DISTINCT src_domain AS src,
+             regexp_extract(url, '^https?://([^/]+)', 1) AS dst
+      FROM links
+      WHERE src_domain <> regexp_extract(url, '^https?://([^/]+)', 1)
+    ),
+    p0 AS (
+      SELECT domain, CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS n_paths
+      FROM (VALUES {", ".join(f"('{s}')" for s in SEEDS)}) AS seeds(domain)
+    ),
+    p1 AS (
+      SELECT e.dst AS domain, CAST(1 AS BIGINT) AS dist,
+             CAST(sum(p.n_paths) AS BIGINT) AS n_paths
+      FROM p0 p JOIN edges e ON e.src = p.domain
+      WHERE e.dst NOT IN (SELECT domain FROM p0)
+      GROUP BY e.dst
+    ),
+    p2 AS (
+      SELECT e.dst AS domain, CAST(2 AS BIGINT) AS dist,
+             CAST(sum(p.n_paths) AS BIGINT) AS n_paths
+      FROM p1 p JOIN edges e ON e.src = p.domain
+      WHERE e.dst NOT IN (SELECT domain FROM p0)
+        AND e.dst NOT IN (SELECT domain FROM p1)
+      GROUP BY e.dst
+    ),
+    p3 AS (
+      SELECT e.dst AS domain, CAST(3 AS BIGINT) AS dist,
+             CAST(sum(p.n_paths) AS BIGINT) AS n_paths
+      FROM p2 p JOIN edges e ON e.src = p.domain
+      WHERE e.dst NOT IN (SELECT domain FROM p0)
+        AND e.dst NOT IN (SELECT domain FROM p1)
+        AND e.dst NOT IN (SELECT domain FROM p2)
+      GROUP BY e.dst
+    )
+    SELECT * FROM p0 UNION ALL SELECT * FROM p1
+    UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3
+"""

@@ -4386,3 +4386,232 @@ def test_itemset_pairs_mega_basket_cap(spark):
         for r in q_itemset_pairs(hand, min_support=2).collect()
     }
     assert exact[(10, 11)] == (3, 3)
+
+
+def test_sax_symbols_duckdb_parity_and_semantics(spark, sf_dir):
+    """r17 candidate gate: q_sax_symbols vs its DuckDB twin (hourly
+    PAA + rank-quantized alphabet); plus hand series — multi-event
+    frames average into one PAA mean, symbols follow the rank order,
+    the word follows TIME order, and mean ties break by frame."""
+    import datetime
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.sax import (
+        SAX_SYMBOLS_ORACLE,
+        q_sax_symbols,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n = _duck_parity(
+        q_sax_symbols(events), SAX_SYMBOLS_ORACLE, sf_dir,
+        tables=("events",),
+    )
+    assert n > 0
+    # user 1 frames: h0 mean (10+20)/2=15, h1 5, h2 40, h3 25
+    #   rank asc -> 5:a, 15:b, 25:c, 40:d; time order -> "badc"
+    # user 2: equal means (10, 10) -> frame tiebreak: h0 'a', h1 'b'
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(h, m=0):
+        return t0 + datetime.timedelta(hours=h, minutes=m)
+
+    rows = [
+        (1, at(0, 5), 1, 10.0), (2, at(0, 40), 1, 20.0),
+        (3, at(1), 1, 5.0), (4, at(2), 1, 40.0), (5, at(3), 1, 25.0),
+        (6, at(0), 2, 10.0), (7, at(1), 2, 10.0),
+    ]
+    hand = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        r["user_id"]: (r["n_frames"], r["sax_word"])
+        for r in q_sax_symbols(hand).collect()
+    }
+    assert got == {1: (4, "badc"), 2: (2, "ab")}
+
+
+def test_cusum_alarms_duckdb_parity_and_semantics(spark, sf_dir):
+    """r17 candidate gate: q_cusum_alarms vs its DuckDB twin (the
+    prefix-sum / running-min identity); plus hand streams checked
+    against the literal max(0, S+d) recursion — including a
+    below-zero reset, the identity's load-bearing case."""
+    import datetime
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.cusum import (
+        CUSUM_ALARMS_ORACLE,
+        q_cusum_alarms,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n = _duck_parity(
+        q_cusum_alarms(events), CUSUM_ALARMS_ORACLE, sf_dir,
+        tables=("events",),
+    )
+    assert n > 0
+    # user 1, K=1.00, H=3.00: x = 2,2,2,0,5,1 dollars
+    #   S = 100,200,300,200,600,600 -> alarms at events 5 and 6
+    # user 2: x = 0,5 -> S = max(0,-100)=0 then 400 -> alarm (reset
+    #   path: without the least(0, min P) clamp S2 would be 300)
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(h):
+        return t0 + datetime.timedelta(hours=h)
+
+    rows = [(i + 1, at(i), 1, x) for i, x in enumerate([2.0, 2.0, 2.0, 0.0, 5.0, 1.0])]
+    rows += [(10, at(0), 2, 0.0), (11, at(1), 2, 5.0)]
+    hand = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["x_cents"], r["s_cents"])
+        for r in q_cusum_alarms(hand, k_cents=100, h_cents=300).collect()
+    }
+    assert got == {
+        5: (1, 500, 600), 6: (1, 100, 600), 11: (2, 500, 400),
+    }
+
+
+def test_ols_trend_duckdb_parity_and_semantics(spark, sf_dir):
+    """r17 candidate gate: q_ols_trend vs its DuckDB twin (integer
+    sufficient statistics + one fixed-shape double slope); plus a
+    hand-perfect line (slope exactly 100 cents/day) and a degenerate
+    single-day group (zero denominator -> NULL slope)."""
+    import datetime
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.trend import (
+        OLS_TREND_ORACLE,
+        q_ols_trend,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    n = _duck_parity(
+        q_ols_trend(orders), OLS_TREND_ORACLE, sf_dir, tables=("orders",)
+    )
+    assert n > 0
+    d0 = datetime.date(1998, 7, 1)  # X_EPOCH -> x = 0, 1, 2
+    rows = [
+        (1, "A", d0, 1.0),
+        (2, "A", d0 + datetime.timedelta(days=1), 2.0),
+        (3, "A", d0 + datetime.timedelta(days=2), 3.0),
+        (4, "B", d0, 7.0),
+        (5, "B", d0, 9.0),
+    ]
+    hand = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, o_orderdate date,"
+        " o_totalprice double",
+    )
+    got = {
+        r["o_orderpriority"]: (
+            r["n"], r["sx"], r["sy"], r["sxx"], r["sxy"],
+            r["slope_cents_per_day"],
+        )
+        for r in q_ols_trend(hand).collect()
+    }
+    assert got["A"] == (3, 3, 600, 5, 800, 100.0)
+    assert got["B"] == (2, 0, 1600, 0, 0, None)
+
+
+def test_simpson_diversity_duckdb_parity_and_semantics(spark, sf_dir):
+    """r17 candidate gate: q_simpson_diversity vs its DuckDB twin;
+    plus hand sources — repeat counts feed Simpson's numerator,
+    hapax counting, and Yule's K as the exact rational 10^4·(Σc²−n)/n²
+    (an all-hapax source has K = 0)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.diversity import (
+        SIMPSON_DIVERSITY_ORACLE,
+        q_simpson_diversity,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(
+        q_simpson_diversity(docs), SIMPSON_DIVERSITY_ORACLE, sf_dir,
+        tables=("documents",),
+    )
+    assert n > 0
+    # A: "a a b" -> c = {a:2, b:1}: n=3, types=2, simpson=2, hapax=1,
+    #    K = 10^4 * (5 - 3) / 9 = 20000/9; B: all hapax -> K = 0
+    hand = spark.createDataFrame(
+        [(1, "a A b", "A"), (2, "   ", "A"), (3, "x", "B")],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r["source"]: (
+            r["n_tokens"], r["n_types"], r["simpson_num"], r["n_hapax"],
+            r["yule_k"],
+        )
+        for r in q_simpson_diversity(hand).collect()
+    }
+    assert got["A"][:4] == (3, 2, 2, 1)
+    assert abs(got["A"][4] - 20000.0 / 9.0) < 1e-9
+    assert got["B"] == (1, 1, 0, 1, 0.0)
+
+
+def test_bfs_hops_duckdb_parity_and_semantics(spark, sf_dir):
+    """r17 candidate gate: q_bfs_hops vs its DuckDB twin (unrolled
+    BFS layers over the link-graph edge construction); plus a hand
+    graph traced by the doc_id arithmetic — seeds at dist 0, a
+    visited vertex never reappears at a larger dist, and path counts
+    merge additively through the BFS DAG."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.paths import (
+        BFS_HOPS_ORACLE,
+        q_bfs_hops,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(
+        q_bfs_hops(docs), BFS_HOPS_ORACLE, sf_dir, tables=("documents",)
+    )
+    assert n > 0
+    # doc 7: d7 -> d1, d9, d17; doc 1: d1 -> d3, d7, d11 (d7 visited)
+    hand = spark.createDataFrame(
+        [(7, "t"), (1, "t")], "doc_id long, text string"
+    )
+    got = {
+        r["domain"]: (r["dist"], r["n_paths"])
+        for r in q_bfs_hops(hand).collect()
+    }
+    assert got == {
+        "d0.example": (0, 1), "d7.example": (0, 1),
+        "d1.example": (1, 1), "d9.example": (1, 1), "d17.example": (1, 1),
+        "d3.example": (2, 1), "d11.example": (2, 1),
+    }
+
+
+def test_equidepth_hist_duckdb_parity_and_semantics(spark, sf_dir):
+    """r17 candidate gate: q_equidepth_hist vs its DuckDB twin
+    (SQL-standard NTILE over the identical total order); plus hand
+    groups — exact equi-depth split with contiguous bounds, and an
+    all-ties group split deterministically by the key tiebreak."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.histogram import (
+        EQUIDEPTH_HIST_ORACLE,
+        q_equidepth_hist,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    n = _duck_parity(
+        q_equidepth_hist(li), EQUIDEPTH_HIST_ORACLE, sf_dir,
+        tables=("lineitem",),
+    )
+    assert n > 0
+    rows = [("A", float(p), p, 1) for p in range(1, 9)]
+    rows += [("B", 5.0, k, 1) for k in (1, 2, 3)]
+    hand = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_extendedprice double, l_orderkey long,"
+        " l_linenumber int",
+    )
+    got = {
+        (r["l_returnflag"], r["bucket"]): (r["n"], r["lo_cents"], r["hi_cents"])
+        for r in q_equidepth_hist(hand, n_buckets=4).collect()
+    }
+    assert got == {
+        ("A", 1): (2, 100, 200), ("A", 2): (2, 300, 400),
+        ("A", 3): (2, 500, 600), ("A", 4): (2, 700, 800),
+        ("B", 1): (1, 500, 500), ("B", 2): (1, 500, 500),
+        ("B", 3): (1, 500, 500),
+    }
