@@ -10,21 +10,29 @@ range boundaries a range-partitioner wants), and drift monitoring
 (compare this week's bucket bounds to last week's).
 
 Determinism contract: values are exact integer cents; bucket
-assignment is NTILE(B) over (cents, l_orderkey, l_linenumber) — both
-engines implement SQL-standard NTILE (first n mod B buckets take the
-extra row) over the identical total order, so membership can never
-be ambiguous on ties. Everything emitted (bucket, n, lo_cents,
+assignment follows SQL-standard NTILE(B) over the total order
+(cents, l_orderkey, l_linenumber) within each group — the first
+n mod B buckets take the extra row — so membership can never be
+ambiguous on ties. Everything emitted (bucket, n, lo_cents,
 hi_cents) is BIGINT; the compare is bitwise.
 
-Scale shape: one narrow projection, one window over a single
-hashpartitioning(l_returnflag) exchange with an in-partition sort,
-one keyed aggregation inside the same partitioning. The per-group
-sort is the honest order-statistic requirement (the same contract
-q_robust_stats documents); parallelism is across groups. At 100 TB
-the practical variant samples before ranking (Spark's own
-RangePartitioner does exactly this) or swaps approx_percentile's
-t-digest boundaries for the exact NTILE — same output shape, and the
-exact form stays the correctness oracle for the approximate one.
+Scale shape — the distributed GROUPED-RANK pattern: the naive
+``ntile() OVER (PARTITION BY l_returnflag ORDER BY …)`` plan has
+parallelism = #groups (3 returnflags ⇒ 3 tasks sort everything; the
+first cut measured 5.4× at the 10× stress point exactly because of
+it). Instead the rank is computed the way snm.global_rank computes
+its global order: range-repartition on the FULL (group, value, key)
+sort tuple, row_number per (partition, group), then add broadcast
+per-(partition, group) cumulative offsets (a ≤ #partitions×#groups
+row frame). Ranks are boundary-independent because the sort tuple is
+total — wherever the range partitioner cuts, local-rank + offset
+reproduces the exact in-group position. The NTILE bucket is then
+PURE ARITHMETIC on (rank, group count): with q = n div B and
+r = n mod B, bucket = ⌈…⌉ per the standard first-r-buckets-larger
+rule — no second sort, no single-task window anywhere. The final
+(group, bucket) aggregation is map-side combined. The DuckDB twin
+deliberately keeps the single-machine NTILE formulation,
+cross-checking the distributed rewrite bit-for-bit.
 """
 
 from __future__ import annotations
@@ -36,22 +44,65 @@ from pyspark.sql import functions as F
 #: oracle can never drift.
 N_BUCKETS = 8
 
+#: range-partition fan-out for the distributed grouped ranking
+#: (snm.py's _RANK_PARTS discipline).
+_RANK_PARTS = 32
 
-def q_equidepth_hist(lineitem: DataFrame, n_buckets: int = N_BUCKETS) -> DataFrame:
+
+def q_equidepth_hist(
+    lineitem: DataFrame, n_buckets: int = N_BUCKETS, parts: int = _RANK_PARTS
+) -> DataFrame:
     """r17 declaration CANDIDATE: per-returnflag equi-depth histogram
     of extended price — (l_returnflag, bucket, n, lo_cents, hi_cents),
-    all BIGINT (module docstring has the NTILE parity argument)."""
+    all BIGINT (module docstring has the NTILE-parity and
+    distributed-rank arguments)."""
     base = lineitem.filter(F.col("l_extendedprice").isNotNull()).select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         "l_orderkey",
         "l_linenumber",
     )
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("cents").asc(), F.col("l_orderkey").asc(), F.col("l_linenumber").asc()
+    ranked = base.repartitionByRange(
+        parts, "l_returnflag", "cents", "l_orderkey", "l_linenumber"
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = Window.partitionBy("pid", "l_returnflag").orderBy(
+        "cents", "l_orderkey", "l_linenumber"
+    )
+    local = ranked.withColumn("lrn", F.row_number().over(w_local))
+    counts = local.groupBy("pid", "l_returnflag").agg(
+        F.count("*").alias("cnt")
+    )
+    w_off = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+    ).select("pid", "l_returnflag", "off")
+    totals = counts.groupBy("l_returnflag").agg(
+        F.sum("cnt").cast("bigint").alias("n_grp")
+    )
+    rn = (F.col("lrn") + F.col("off")).cast("bigint")
+    with_rank = (
+        local.join(F.broadcast(offsets), ["pid", "l_returnflag"])
+        .join(F.broadcast(totals), "l_returnflag")
+        .withColumn("rn", rn)
+    )
+    # SQL-standard NTILE arithmetic: q = n div B, r = n mod B; the
+    # first r buckets hold q+1 rows. greatest(q, 1) guards the n < B
+    # case, where r = n and the second branch is never taken.
+    b = F.lit(int(n_buckets)).cast("bigint")
+    q = F.floor(F.col("n_grp") / b).cast("bigint")
+    r = (F.col("n_grp") % b).cast("bigint")
+    head = r * (q + 1)
+    bucket = F.when(
+        F.col("rn") <= head, F.floor((F.col("rn") - 1) / (q + 1)) + 1
+    ).otherwise(
+        r + F.floor((F.col("rn") - head - 1) / F.greatest(q, F.lit(1))) + 1
     )
     return (
-        base.withColumn("bucket", F.ntile(n_buckets).over(w).cast("bigint"))
+        with_rank.withColumn("bucket", bucket.cast("bigint"))
         .groupBy("l_returnflag", "bucket")
         .agg(
             F.count("*").cast("bigint").alias("n"),
@@ -61,8 +112,10 @@ def q_equidepth_hist(lineitem: DataFrame, n_buckets: int = N_BUCKETS) -> DataFra
     )
 
 
-#: the DuckDB twin, staged until the r17 registry wiring — identical
-#: total order, identical SQL-standard NTILE, identical BIGINT bounds.
+#: the DuckDB twin, staged until the r17 registry wiring — the
+#: deliberately single-machine NTILE formulation over the identical
+#: total order, cross-checking the distributed rank+arithmetic
+#: rewrite bit-for-bit.
 EQUIDEPTH_HIST_ORACLE = f"""
     WITH base AS (
       SELECT l_returnflag,

@@ -861,6 +861,56 @@ def main() -> None:
         lambda: rfm.q_rfm_segments(orders10),
     )
 
+    from node_js_etl_processor_spark.operators import (
+        cusum,
+        diversity,
+        histogram,
+        paths,
+        sax,
+        trend,
+    )
+
+    queries["q_sax_symbols"] = (
+        # user_id and ts KEPT: 10x events fold into the SAME (user,
+        # hour) PAA frames — output identical, the ratio measures the
+        # map-side-combined frame aggregation
+        lambda: sax.q_sax_symbols(ev1),
+        lambda: sax.q_sax_symbols(ev10),
+    )
+    queries["q_cusum_alarms"] = (
+        # 10x denser per-user streams through the one window sort;
+        # duplicated values accumulate the CUSUM statistic faster, so
+        # ALARM rows grow super-linearly by design — work is the
+        # linear window pass, rows_ratio reports the output effect
+        lambda: cusum.q_cusum_alarms(ev1),
+        lambda: cusum.q_cusum_alarms(ev10),
+    )
+    queries["q_ols_trend"] = (
+        # the minimal plan: one map-side-combined aggregation, 5
+        # output groups at both points
+        lambda: trend.q_ols_trend(orders1),
+        lambda: trend.q_ols_trend(orders10),
+    )
+    queries["q_simpson_diversity"] = (
+        # replica-prefixed tokens: 10x token stream AND 10x vocabulary
+        # through the (source, token) count — both aggregations linear
+        lambda: diversity.q_simpson_diversity(docs1),
+        lambda: diversity.q_simpson_diversity(docs10),
+    )
+    queries["q_bfs_hops"] = (
+        # REPLICA_KEY is divisible by 20, so replica doc_ids map to
+        # the SAME domains: identical edge set and BFS layers, the
+        # ratio measures the corpus-sized edge-build scan
+        lambda: paths.q_bfs_hops(docs1),
+        lambda: paths.q_bfs_hops(docs10),
+    )
+    queries["q_equidepth_hist"] = (
+        # 10x rows per returnflag through the per-group NTILE sort;
+        # same 3 flags x 8 buckets out
+        lambda: histogram.q_equidepth_hist(li1),
+        lambda: histogram.q_equidepth_hist(li10),
+    )
+
     if args.only:
         unknown = set(args.only) - set(queries) - {
             "edge_append_fixed_batch", "edge_compaction"

@@ -4615,3 +4615,23 @@ def test_equidepth_hist_duckdb_parity_and_semantics(spark, sf_dir):
         ("B", 1): (1, 500, 500), ("B", 2): (1, 500, 500),
         ("B", 3): (1, 500, 500),
     }
+
+
+def test_equidepth_hist_boundary_independence(spark, sf_dir):
+    """The distributed grouped rank is partition-boundary-independent
+    (the snm.global_rank property): the histogram is identical under
+    degenerate (1), small (3), and default range-partition fan-outs,
+    because local-rank + offset always reproduces the total-order
+    position regardless of where the partitioner cuts."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.histogram import (
+        q_equidepth_hist,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    ref = sorted(tuple(r) for r in q_equidepth_hist(li, parts=1).collect())
+    for parts in (3, 32):
+        got = sorted(
+            tuple(r) for r in q_equidepth_hist(li, parts=parts).collect()
+        )
+        assert got == ref, f"parts={parts} diverged"
