@@ -47,17 +47,18 @@ SEEDS = ("d0.example", "d7.example")
 K_HOPS = 3
 
 
-def q_bfs_hops(documents: DataFrame, k_hops: int = K_HOPS) -> DataFrame:
-    """r17 declaration CANDIDATE: (domain, dist, n_paths) for every
-    domain within k_hops of the seed set over the distinct link-graph
-    edges — exact BIGINT shortest-path counts (module docstring has
-    the BFS-DAG semantics)."""
-    edges = (
-        link_graph_edges(documents)
-        .select(F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst"))
-        .distinct()
-    )
-    spark = documents.sparkSession
+def bfs_hops_over_edges(edges: DataFrame, k_hops: int = K_HOPS) -> DataFrame:
+    """The BFS core over any (src, dst) edge frame — q_bfs_hops feeds
+    it the batch link extraction; ``bfs_hops_from_store`` feeds it the
+    streamed edge store, so the ingest-day graph tier answers the same
+    reachability questions as the batch operator (the theta-store
+    difference-read discipline)."""
+    # localCheckpoint: the edge frame feeds one join PER HOP, and
+    # without it each hop re-runs the upstream edge construction
+    # (the colloc.py multi-consumer fan-out discipline). The frame is
+    # domain-pair-sized — thousands of times smaller than the corpus.
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    spark = edges.sparkSession
     visited = spark.createDataFrame(
         [(s, 0, 1) for s in SEEDS], "domain string, dist int, n_paths long"
     ).select(
@@ -85,6 +86,37 @@ def q_bfs_hops(documents: DataFrame, k_hops: int = K_HOPS) -> DataFrame:
         frontier = nxt
         visited = visited.unionByName(nxt.select("domain", "dist", "n_paths"))
     return reduce(lambda a, b: a.unionByName(b), layers)
+
+
+def q_bfs_hops(documents: DataFrame, k_hops: int = K_HOPS) -> DataFrame:
+    """r17 declaration CANDIDATE: (domain, dist, n_paths) for every
+    domain within k_hops of the seed set over the distinct link-graph
+    edges — exact BIGINT shortest-path counts (module docstring has
+    the BFS-DAG semantics)."""
+    return bfs_hops_over_edges(
+        link_graph_edges(documents).select(
+            F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
+        ),
+        k_hops,
+    )
+
+
+def bfs_hops_from_store(spark, store_path: str, k_hops: int = K_HOPS) -> DataFrame:
+    """BFS reachability answered by the STREAMED link-graph edge
+    store (sources/graph_store.py — the ingest-day graph tier):
+    identical output to q_bfs_hops over the same corpus, pinned by
+    test. The store read aggregates the append log to the same
+    (src, dst) edge set the batch extraction produces; multiplicity
+    is irrelevant to the unweighted BFS, so log partials vs compacted
+    generations cannot change the answer."""
+    from node_js_etl_processor_spark.sources.graph_store import read_edge_graph
+
+    return bfs_hops_over_edges(
+        read_edge_graph(spark, store_path).select(
+            F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
+        ),
+        k_hops,
+    )
 
 
 #: the DuckDB twin, staged until the r17 registry wiring — the edge

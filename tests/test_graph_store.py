@@ -219,3 +219,32 @@ def test_ingest_stream_recovers_append_crash(
     assert _edges_set(read_edge_graph(spark, store)) == _edges_set(
         link_graph_edges(docs)
     )
+
+
+def test_bfs_hops_from_store_equals_batch(spark, sf_dir, tmp_path):
+    """The streamed edge store answers the r17-candidate BFS read
+    identically to the batch operator over the same corpus — through
+    an append AND a compaction (edge multiplicity differs between a
+    partial log and a folded generation, which must be invisible to
+    the unweighted BFS)."""
+    from node_js_etl_processor_spark.operators.paths import (
+        bfs_hops_from_store,
+        q_bfs_hops,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = str(tmp_path / "edges")
+    write_edge_store(docs.filter("doc_id % 3 != 0"), store)
+    append_edge_store(docs.filter("doc_id % 3 = 0"), store)
+
+    want = sorted(tuple(r) for r in q_bfs_hops(docs).collect())
+    got = sorted(
+        tuple(r) for r in bfs_hops_from_store(spark, store).collect()
+    )
+    assert got == want and len(want) > 0
+
+    compact_edge_store(spark, store)
+    got2 = sorted(
+        tuple(r) for r in bfs_hops_from_store(spark, store).collect()
+    )
+    assert got2 == want
