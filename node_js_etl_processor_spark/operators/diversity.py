@@ -45,16 +45,23 @@ def _toks():
     )
 
 
-def q_simpson_diversity(documents: DataFrame) -> DataFrame:
-    """r17 declaration CANDIDATE: per-source vocabulary concentration
-    — (source, n_tokens, n_types, simpson_num, n_hapax, yule_k);
-    integers exact, yule_k one fixed-shape double expression (module
-    docstring has the parity argument)."""
-    counts = (
+def vocab_counts(documents: DataFrame) -> DataFrame:
+    """Per-(source, token) counts — the diversity family's sufficient
+    statistics frame, and exactly what the incremental vocabulary
+    store (sources/vocab_store.py) maintains as SUM-mergeable
+    partials."""
+    return (
         documents.select("source", F.explode(_toks()).alias("w"))
         .groupBy("source", "w")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
+
+
+def diversity_from_counts(counts: DataFrame) -> DataFrame:
+    """The per-source reduce over a (source, w, c) vocabulary frame —
+    shared by the batch operator and the store read
+    (vocab_store.diversity_from_store), so both produce the identical
+    statistics by construction."""
     agg = counts.groupBy("source").agg(
         F.sum("c").cast("bigint").alias("n_tokens"),
         F.count("*").cast("bigint").alias("n_types"),
@@ -72,6 +79,14 @@ def q_simpson_diversity(documents: DataFrame) -> DataFrame:
     return agg.withColumn(
         "yule_k", F.lit(10_000.0) * (sum_c2 - n_d) / (n_d * n_d)
     )
+
+
+def q_simpson_diversity(documents: DataFrame) -> DataFrame:
+    """r17 declaration CANDIDATE: per-source vocabulary concentration
+    — (source, n_tokens, n_types, simpson_num, n_hapax, yule_k);
+    integers exact, yule_k one fixed-shape double expression (module
+    docstring has the parity argument)."""
+    return diversity_from_counts(vocab_counts(documents))
 
 
 #: the DuckDB twin, staged until the r17 registry wiring — identical

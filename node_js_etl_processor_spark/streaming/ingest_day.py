@@ -33,8 +33,12 @@ layout + embedding near-dup tier, the media lane dedups images
 against the dHash postings store (``image_dedup_applier`` — the
 exact-dedup store shape on the perceptual key), the set-key lane
 (r16, ``streaming/setkey.py``) maintains the setsim family's
-template-collapse representative store off the raw doc feed, and the
-CDC lane merges into the SCD2 dimension store.
+template-collapse representative store off the raw doc feed, the
+shingle-postings lane (r16, ``streaming/spanstore.py``) keeps
+ExactSubstr span-extent reads current, the vocabulary lane (r16,
+``streaming/vocab.py``) keeps the lexical-diversity statistics
+current — both also off the raw feed — and the CDC lane merges into
+the SCD2 dimension store.
 
 Exactly-once composition: every tier keeps its OWN (checkpoint,
 batch_id) marker, so a crash mid-batch — after some tiers committed,
@@ -71,7 +75,8 @@ def ingest_day_applier(
     """Build the composed per-batch applier. ``paths`` names every
     store root: fp_store/fp_out, mh_store/mh_out, sh_store/sh_out,
     ann_store/ann_out, img_store/img_out, bm25, edges, hll, hdr,
-    kmv, setkey_store/setkey_out, spanstore, scd2. ``embeddings``
+    kmv, setkey_store/setkey_out, spanstore, vocab, scd2.
+    ``embeddings``
     is the static (vec_id, embedding) lookup
     joined to the exact survivors' doc_ids (vec_id == doc_id in the
     fixture corpus). The media lane (r14) is optional: omit
@@ -83,15 +88,16 @@ def ingest_day_applier(
     required = {
         "fp_store", "fp_out", "mh_store", "mh_out", "sh_store", "sh_out",
         "ann_store", "ann_out", "bm25", "edges", "hll", "hdr", "kmv",
-        "setkey_store", "setkey_out", "spanstore", "scd2",
+        "setkey_store", "setkey_out", "spanstore", "vocab", "scd2",
     }
     missing = sorted(required - set(paths))
     if missing:
         raise ValueError(
             "ingest_day_applier: paths is missing required store "
             f"root(s) {missing} — every non-media tier needs its root "
-            "(the 'kmv' theta lane is required since r15; only "
-            "img_store/img_out are optional)"
+            "(the 'kmv' theta lane is required since r15, the 'vocab' "
+            "diversity lane since r16; only img_store/img_out are "
+            "optional)"
         )
     from ..operators.sketch import hdr_sketch, hll_registers
     from .dedup import (
@@ -149,6 +155,15 @@ def ingest_day_applier(
     from .spanstore import span_postings_applier
 
     spanp = span_postings_applier(paths["spanstore"], checkpoint)
+    # r16: the vocabulary tier — per-(source, token) SUM-mergeable
+    # count partials (sources/vocab_store.py), so lexical-diversity
+    # statistics (diversity_from_store == batch q_simpson_diversity)
+    # stay current without re-tokenizing the corpus; off the RAW doc
+    # lane like the set-key and span tiers, so the stored statistics
+    # cover the whole feed
+    from .vocab import vocab_applier
+
+    voc = vocab_applier(paths["vocab"], checkpoint)
     scd2 = scd2_applier(paths["scd2"], checkpoint)
     img_keys = {"img_store", "img_out"} & set(paths)
     if len(img_keys) == 1:
@@ -198,6 +213,10 @@ def ingest_day_applier(
         # stored extents equal the batch q_span_extents over the
         # whole corpus
         spanp(docs, batch_id)
+
+        # vocabulary tier (r16) — raw doc lane; stored diversity
+        # statistics equal batch q_simpson_diversity over the corpus
+        voc(docs, batch_id)
 
         # media lane (r14): perceptual dHash dedup against the
         # img_store postings tier — a parallel curation axis like the

@@ -77,7 +77,7 @@ def _store_paths(tmp_path) -> dict:
             "fp_store", "fp_out", "mh_store", "mh_out", "sh_store",
             "sh_out", "ann_store", "ann_out", "img_store", "img_out",
             "bm25", "edges", "hll", "hdr", "kmv", "setkey_store",
-            "setkey_out", "spanstore", "scd2",
+            "setkey_out", "spanstore", "vocab", "scd2",
         )
     }
 
@@ -375,4 +375,16 @@ def test_ingest_day_with_midchain_crash_equals_one_shot(
 
     got_sp = _rows(read_span_extents(spark, paths["spanstore"]))
     assert got_sp == _rows(q_span_extents(docs)) and len(got_sp) > 0
+    # r16: the vocabulary tier — diversity statistics read from the
+    # streamed store equal the one-shot operator over the whole corpus
+    # (raw doc lane, like the set-key and span tiers)
+    from node_js_etl_processor_spark.operators.diversity import (
+        q_simpson_diversity,
+    )
+    from node_js_etl_processor_spark.sources.vocab_store import (
+        diversity_from_store,
+    )
+
+    got_dv = _rows(diversity_from_store(spark, paths["vocab"]))
+    assert got_dv == _rows(q_simpson_diversity(docs)) and len(got_dv) > 0
     assert _rows(read_scd2_store(spark, paths["scd2"])) == _rows(q_scd2(orders))
