@@ -18,16 +18,19 @@ once because the sweep-line merge already coalesced them). All
 BIGINT; the novelty ratio (1 − dup_extent_tokens / n_tokens) is left
 to the consumer, PMI-statistics style, so nothing floats.
 
-Scale shape: the shingle frame has TWO consumers (per-doc totals and
-the duplication window — the extent merge consumes the window's
-output, not the frame), both linear re-scans; it is NOT checkpointed
-because it is corpus-sized (~one row per token) and the repo's
-checkpoint discipline is batch/parameter-sized frames only. The
-extent pipeline is the span family's two keyed exchanges; the final
-assembly is one keyed agg per side + a doc-keyed join. Composes with the streamed
-shingle-postings store (``streaming/spanstore.py``): pass its
-positions tree through ``novelty_from_positions`` and the score is
-incremental too.
+Scale shape: the batch path touches the hashed shingle frame exactly
+ONCE (the duplication window) — per-doc totals need no hashing at
+all, since a doc's shingle count is just greatest(|tokens| − w + 1,
+0), so they come straight off the token arrays (the r16 in-session
+review: the first cut re-ran the corpus-wide tokenize+md5 subtree
+for the totals branch). The corpus-sized frame is NOT checkpointed
+(the repo's checkpoint discipline is batch/parameter-sized frames
+only). The extent pipeline is the span family's two keyed exchanges;
+the final assembly is one keyed agg per side + a doc-keyed join.
+Composes with the streamed shingle-postings store
+(``streaming/spanstore.py``): pass its positions tree through
+``novelty_from_positions`` — there the totals re-scan is a plain
+parquet re-read — and the score is incremental too.
 """
 
 from __future__ import annotations
@@ -38,20 +41,10 @@ from pyspark.sql import functions as F
 from .spans import SPAN_W, extents_from_positions, shingle_positions
 
 
-def novelty_from_positions(sh: DataFrame, w: int = SPAN_W) -> DataFrame:
-    """Coverage scores over ANY (doc_id, pos, h) shingle frame — the
-    batch query and the streamed postings store share this path.
-
-    Deliberately NOT checkpointed (r16 third review): the frame is
-    CORPUS-sized (~one row per token), so materializing it would pin
-    corpus-scale state on executors — the repo's checkpoints are
-    batch- or parameter-sized. Its two consumers (the per-doc totals
-    and the duplication window) re-scan instead, which is a linear
-    projection over documents in the batch path and a plain parquet
-    re-read in the store path."""
-    totals = sh.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_shingles")
-    )
+def _coverage(totals: DataFrame, sh: DataFrame, w: int) -> DataFrame:
+    """The shared assembly: per-doc totals (doc_id, n_shingles) +
+    the duplicated-extent reduce over the shingle frame → the
+    five-column coverage row."""
     ext = extents_from_positions(sh, w)
     dup = ext.groupBy("doc_id").agg(
         F.sum("n_shingles").cast("bigint").alias("n_dup_shingles"),
@@ -73,10 +66,37 @@ def novelty_from_positions(sh: DataFrame, w: int = SPAN_W) -> DataFrame:
     )
 
 
+def novelty_from_positions(sh: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Coverage scores over ANY (doc_id, pos, h) shingle frame — the
+    streamed postings store's read path (there the totals re-scan is
+    a plain parquet re-read; the frame is deliberately NOT
+    checkpointed — the r16 third review's corpus-sized-state
+    argument)."""
+    totals = sh.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
+    return _coverage(totals, sh, w)
+
+
 def q_doc_novelty(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
     """r17 declaration CANDIDATE: per-document duplication coverage
-    (see the module docstring)."""
-    return novelty_from_positions(shingle_positions(documents, w), w)
+    (see the module docstring). Totals come straight off the token
+    arrays — greatest(|tokens| − w + 1, 0) — so the corpus-wide
+    tokenize+md5 shingle subtree runs exactly once (the duplication
+    branch), not twice."""
+    toks = documents.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+        ).alias("ts"),
+    )
+    totals = toks.select(
+        "doc_id",
+        F.greatest(F.size("ts") - (w - 1), F.lit(0))
+        .cast("bigint")
+        .alias("n_shingles"),
+    ).filter(F.col("n_shingles") >= 1)
+    return _coverage(totals, shingle_positions(documents, w), w)
 
 
 #: the DuckDB twin, staged until the r17 registry wiring — width

@@ -4351,6 +4351,10 @@ def test_robust_stats_duckdb_parity_and_semantics(spark, sf_dir):
         rows.append((100 + i, 1, "A", datetime.date(2024, 1, 1), p))
     for i, p in enumerate([1.0, 2.0, 3.0, 10.0]):
         rows.append((200 + i, 2, "B", datetime.date(2024, 1, 1), p))
+    # NULL prices must be dropped BEFORE ranking on both engines (the
+    # NULLS FIRST vs NULLS LAST order-statistic divergence the guard
+    # exists for): with this row counted, group A's median would move
+    rows.append((300, 3, "A", datetime.date(2024, 1, 1), None))
     hand = spark.createDataFrame(
         rows,
         "o_orderkey long, o_custkey long, o_orderpriority string,"
