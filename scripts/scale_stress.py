@@ -910,6 +910,14 @@ def main() -> None:
         lambda: histogram.q_equidepth_hist(li1),
         lambda: histogram.q_equidepth_hist(li10),
     )
+    from node_js_etl_processor_spark.operators import gini
+
+    queries["q_gini_concentration"] = (
+        # 10x docs per source through the one in-group rank window;
+        # same 20 source rows out
+        lambda: gini.q_gini_concentration(docs1),
+        lambda: gini.q_gini_concentration(docs10),
+    )
 
     if args.only:
         unknown = set(args.only) - set(queries) - {

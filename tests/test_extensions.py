@@ -4639,3 +4639,40 @@ def test_equidepth_hist_boundary_independence(spark, sf_dir):
             tuple(r) for r in q_equidepth_hist(li, parts=parts).collect()
         )
         assert got == ref, f"parts={parts} diverged"
+
+
+def test_gini_concentration_duckdb_parity_and_semantics(spark, sf_dir):
+    """r17 candidate gate: q_gini_concentration vs its DuckDB twin
+    (rank-weighted integer sufficient statistics); plus hand sources
+    — a uniform source has G = 0, total concentration approaches
+    (n-1)/n, and a hand-computed mixed case matches Sen's formula."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.gini import (
+        GINI_CONCENTRATION_ORACLE,
+        q_gini_concentration,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = _duck_parity(
+        q_gini_concentration(docs), GINI_CONCENTRATION_ORACLE, sf_dir,
+        tables=("documents",),
+    )
+    assert n > 0
+    # U: sizes 5,5,5 -> sum_ix = 5+10+15 = 30, G = 60/(3*15) - 4/3 = 0
+    # C: sizes 0,0,9 -> sum_ix = 27, G = 54/27 - 4/3 = 2/3 = (n-1)/n
+    # M: sizes 1,2,3 -> sum_ix = 1+4+9 = 14, G = 28/(3*6) - 4/3 = 2/9
+    rows = (
+        [(i, "t", "U", 5) for i in range(3)]
+        + [(10, "t", "C", 0), (11, "t", "C", 0), (12, "t", "C", 9)]
+        + [(20, "t", "M", 1), (21, "t", "M", 2), (22, "t", "M", 3)]
+    )
+    hand = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    got = {
+        r["source"]: (r["n"], r["sum_x"], r["sum_ix"], r["gini"])
+        for r in q_gini_concentration(hand).collect()
+    }
+    assert got["U"][:3] == (3, 15, 30) and abs(got["U"][3]) < 1e-12
+    assert got["C"][:3] == (3, 9, 27) and abs(got["C"][3] - 2 / 3) < 1e-12
+    assert got["M"][:3] == (3, 6, 14) and abs(got["M"][3] - 2 / 9) < 1e-12
