@@ -879,3 +879,171 @@ def test_skyline_matches_python_dominance(spark, pts):
         )
     )
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    streams=st.lists(
+        st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=25),
+        min_size=1,
+        max_size=3,
+    ),
+    k=st.integers(min_value=0, max_value=500),
+    h=st.integers(min_value=1, max_value=800),
+)
+def test_cusum_window_identity_matches_recursion(spark, streams, k, h):
+    """The prefix-sum/running-min window form of q_cusum_alarms IS
+    Page's recursion: for random integer-cent streams and random
+    (K, H), the alarm set equals the literal S = max(0, S + (x - K))
+    fold — the identity the operator's scale shape depends on."""
+    import datetime
+
+    from node_js_etl_processor_spark.operators.cusum import q_cusum_alarms
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    want = set()
+    for u, xs in enumerate(streams):
+        s = 0
+        for i, c in enumerate(xs):
+            eid = u * 1000 + i
+            rows.append((eid, t0 + datetime.timedelta(hours=i), u, c / 100.0))
+            s = max(0, s + (c - k))
+            if s > h:
+                want.add((u, eid, c, s))
+    hand = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {
+        (r["user_id"], r["event_id"], r["x_cents"], r["s_cents"])
+        for r in q_cusum_alarms(hand, k_cents=k, h_cents=h).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    groups=st.lists(
+        st.lists(st.integers(min_value=0, max_value=9), min_size=1, max_size=30),
+        min_size=1,
+        max_size=3,
+    ),
+    b=st.integers(min_value=1, max_value=10),
+)
+def test_equidepth_bucket_arithmetic_matches_ntile(spark, groups, b):
+    """The distributed grouped-rank + arithmetic bucket assignment of
+    q_equidepth_hist equals Spark's own ntile() window for random
+    groups (heavy ties included) and random bucket counts — the
+    SQL-standard first-r-buckets-larger law the rewrite re-derives."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from node_js_etl_processor_spark.operators.histogram import (
+        q_equidepth_hist,
+    )
+
+    rows = [
+        (chr(65 + g), float(p), g * 1000 + i, 1)
+        for g, ps in enumerate(groups)
+        for i, p in enumerate(ps)
+    ]
+    hand = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_extendedprice double, l_orderkey long,"
+        " l_linenumber int",
+    )
+    got = sorted(
+        tuple(r) for r in q_equidepth_hist(hand, n_buckets=b, parts=3).collect()
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cents").asc(), F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    ref = sorted(
+        tuple(r)
+        for r in (
+            hand.select(
+                "l_returnflag",
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("bigint")
+                .alias("cents"),
+                "l_orderkey",
+                "l_linenumber",
+            )
+            .withColumn("bucket", F.ntile(b).over(w).cast("bigint"))
+            .groupBy("l_returnflag", "bucket")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.min("cents").alias("lo_cents"),
+                F.max("cents").alias("hi_cents"),
+            )
+            .collect()
+        )
+    )
+    assert got == ref
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    frames=st.lists(
+        st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=3),
+        min_size=1,
+        max_size=12,
+    ),
+)
+def test_sax_word_matches_rank_model(spark, frames):
+    """q_sax_symbols equals a literal Python model of the rank-based
+    SAX pipeline for one user: PAA means as exact fractions, NTILE's
+    first-r-buckets-larger law over (mean, frame) order, word in time
+    order. Small-integer sums keep fraction order == double order, so
+    the model is exact."""
+    import datetime
+    from fractions import Fraction
+
+    from node_js_etl_processor_spark.operators.sax import (
+        ALPHABET,
+        q_sax_symbols,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for fi, vals in enumerate(frames):
+        for m, v in enumerate(vals):
+            rows.append(
+                (eid, t0 + datetime.timedelta(hours=fi, minutes=m), 1,
+                 float(v))
+            )
+            eid += 1
+    hand = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    # model: rank frames by (mean, index), assign ntile buckets
+    n = len(frames)
+    order = sorted(
+        range(n), key=lambda i: (Fraction(sum(frames[i]), len(frames[i])), i)
+    )
+    q, r = divmod(n, ALPHABET)
+    sym = {}
+    pos = 0
+    for bucket in range(1, ALPHABET + 1):
+        size = q + 1 if bucket <= r else q
+        for _ in range(size):
+            if pos < n:
+                sym[order[pos]] = chr(96 + bucket)
+                pos += 1
+    want = "".join(sym[i] for i in range(n))
+    row = q_sax_symbols(hand).collect()[0]
+    assert (row["n_frames"], row["sax_word"]) == (n, want)
