@@ -96,3 +96,100 @@ def running_user_profiles(events_stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_ALARM_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("ts_us", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("x_cents", LongType(), False),
+        StructField("s_cents", LongType(), False),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = StructType([StructField("s", LongType(), False)])
+
+
+def _make_cusum_update(k_cents: int, h_cents: int):
+    """Closure factory: applyInPandasWithState takes a bare function,
+    so the thresholds ride a closure (the sketch_merge_applier
+    parameterization pattern)."""
+
+    def _update(key, pdf_iter: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        (user_id,) = key
+        (s,) = state.get if state.exists else (0,)
+        out = {"ts_us": [], "event_id": [], "x_cents": [], "s_cents": []}
+        frames = [pdf for pdf in pdf_iter]
+        if not frames:  # timeout-only invocation (none under
+            # NoTimeout, but the contract allows it): nothing to fold
+            state.update((s,))
+            yield pd.DataFrame(
+                {k: [] for k in
+                 ("user_id", "ts_us", "event_id", "x_cents", "s_cents")}
+            ).astype("int64")
+            return
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        # per-user time order WITHIN the batch; ACROSS batches the
+        # feed contract (events arrive in per-user time order, the
+        # ingest-day discipline) makes the fold order total
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts_us, event_id, x in zip(
+            pdf["ts_us"].astype("int64"),
+            pdf["event_id"].astype("int64"),
+            pdf["x_cents"].astype("int64"),
+        ):
+            s = max(0, s + (int(x) - k_cents))
+            if s > h_cents:
+                out["ts_us"].append(int(ts_us))
+                out["event_id"].append(int(event_id))
+                out["x_cents"].append(int(x))
+                out["s_cents"].append(s)
+        state.update((s,))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out["event_id"]),
+                **out,
+            }
+        )
+
+    return _update
+
+
+def cusum_alarm_stream(events_stream: DataFrame, k_cents=None, h_cents=None) -> DataFrame:
+    """Per-user CUSUM change-point ALARMS over a live event stream —
+    the online twin of ``operators.cusum.q_cusum_alarms`` (Page 1954;
+    the operator docstring has the semantics): per-user state is the
+    single running statistic S (one BIGINT — O(distinct users) state
+    by construction), each micro-batch folds its rows in (ts,
+    event_id) order from the carried S, and only threshold crossings
+    are emitted. Stream == batch is test-pinned under the per-user
+    time-ordered feed contract (each user's events arrive in time
+    order across batches — the same contract every ingest lane
+    documents; within a batch the fold sorts explicitly).
+
+    Thresholds default to the batch operator's module constants so
+    the two paths can never drift."""
+    from ..functions.timeutil import epoch_us_fn
+    from ..operators.cusum import H_CENTS, K_CENTS
+    from pyspark.sql import functions as F
+
+    k = K_CENTS if k_cents is None else k_cents
+    h = H_CENTS if h_cents is None else h_cents
+    prepared = events_stream.filter(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    ).select(
+        "user_id",
+        epoch_us_fn(events_stream)("ts").alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("x_cents"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _make_cusum_update(k, h),
+        outputStructType=CUSUM_ALARM_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

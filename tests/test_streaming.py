@@ -772,3 +772,90 @@ def test_image_dedup_ingest_stream_matches_batch(spark, sf_dir, tmp_path):
     n_refused = store_df.filter(F.col("kind") == "refused").count()
     assert n_dhash == ok.select("dhash").distinct().count()
     assert n_refused == hashed.filter(F.col("ok") != "true").count()
+
+
+def test_cusum_alarm_stream_matches_batch_and_carries_state(spark, sf_dir, tmp_path):
+    """The stateful CUSUM monitor equals the batch operator over the
+    union feed (sf corpus split into two time-ordered deliveries),
+    and its per-user statistic genuinely CARRIES across batches: a
+    hand alarm fires in batch 2 only because S accumulated in batch 1
+    (a state reset would stay under threshold)."""
+    import datetime as dt
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.functions.timeutil import epoch_us_fn
+    from node_js_etl_processor_spark.operators.cusum import q_cusum_alarms
+    from node_js_etl_processor_spark.streaming.stateful import (
+        cusum_alarm_stream,
+    )
+    from pyspark.sql import functions as F
+
+    def run_stream(src, out, ckpt, **kw):
+        schema = "event_id long, ts timestamp, user_id long, value double"
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            cusum_alarm_stream(stream, **kw)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return {
+            (r["user_id"], r["ts_us"], r["event_id"], r["x_cents"], r["s_cents"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    def batch_set(df, **kw):
+        got = q_cusum_alarms(df, **kw)
+        return {
+            (r["user_id"], r["ts_us"], r["event_id"], r["x_cents"], r["s_cents"])
+            for r in got.withColumn("ts_us", epoch_us_fn(df)("ts")).drop("ts")
+            .collect()
+        }
+
+    # corpus pin: two per-user time-ordered deliveries (a global ts
+    # split preserves every user's order)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    us = epoch_us_fn(ev)("ts")
+    cut = (
+        ev.select(us.alias("_us"))
+        .agg(F.percentile("_us", F.lit(0.5)))
+        .first()[0]
+    )
+    src = tmp_path / "cu_src"
+    src.mkdir()
+    ev.filter(us <= cut).coalesce(1).write.mode("append").parquet(str(src))
+    got = run_stream(src, str(tmp_path / "o1"), str(tmp_path / "c1"))
+    ev.filter(us > cut).coalesce(1).write.mode("append").parquet(str(src))
+    got = run_stream(src, str(tmp_path / "o1"), str(tmp_path / "c1"))
+    assert got == batch_set(ev) and len(got) > 0
+
+    # hand pin: alarm exists ONLY via carried state (k=100, h=300:
+    # batch1 S = 100, 200; batch2 event x=300 -> S = 400 > 300, but a
+    # reset statistic would sit at 200)
+    t0 = dt.datetime(2024, 1, 1)
+    hand_src = tmp_path / "cu_hand"
+    hand_src.mkdir()
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    spark.createDataFrame(
+        [(1, t0, 7, 2.0), (2, t0 + dt.timedelta(hours=1), 7, 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(hand_src))
+    got_h = run_stream(
+        hand_src, str(tmp_path / "o2"), str(tmp_path / "c2"),
+        k_cents=100, h_cents=300,
+    )
+    assert got_h == set()
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(hours=2), 7, 3.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(hand_src))
+    got_h = run_stream(
+        hand_src, str(tmp_path / "o2"), str(tmp_path / "c2"),
+        k_cents=100, h_cents=300,
+    )
+    t2_us = int((t0 + dt.timedelta(hours=2)).timestamp() * 1_000_000)
+    assert got_h == {(7, t2_us, 3, 300, 400)}
