@@ -38,7 +38,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .spans import SPAN_W, extents_from_positions, shingle_positions
+from .spans import (
+    SPAN_W,
+    corpus_tokens,
+    extents_from_positions,
+    shingle_positions,
+)
 
 
 def _coverage(totals: DataFrame, sh: DataFrame, w: int) -> DataFrame:
@@ -84,18 +89,21 @@ def q_doc_novelty(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
     arrays — greatest(|tokens| − w + 1, 0) — so the corpus-wide
     tokenize+md5 shingle subtree runs exactly once (the duplication
     branch), not twice."""
-    toks = documents.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
-        ).alias("ts"),
-    )
-    totals = toks.select(
+    per_row = corpus_tokens(documents).select(
         "doc_id",
         F.greatest(F.size("ts") - (w - 1), F.lit(0))
         .cast("bigint")
-        .alias("n_shingles"),
-    ).filter(F.col("n_shingles") >= 1)
+        .alias("n_sh_row"),
+    )
+    # re-aggregate per doc_id (r16 fifth review): a repeated doc_id —
+    # a re-ingested corpus — must yield ONE totals row summing both
+    # copies' shingle counts, exactly like the old groupBy-count path
+    # and the oracle's GROUP BY doc_id
+    totals = (
+        per_row.groupBy("doc_id")
+        .agg(F.sum("n_sh_row").cast("bigint").alias("n_shingles"))
+        .filter(F.col("n_shingles") >= 1)
+    )
     return _coverage(totals, shingle_positions(documents, w), w)
 
 
@@ -103,7 +111,11 @@ def q_doc_novelty(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
 #: interpolated from SPAN_W (the r16 advice discipline); rebuilds
 #: shingles, the duplication gate, the sweep merge AND the coverage
 #: assembly, so the composition is checked end to end
-DOC_NOVELTY_ORACLE = rf"""
+def doc_novelty_oracle(w: int = SPAN_W) -> str:
+    """The DuckDB twin at any shingle width — the test gates run
+    it at hand widths (w=4) on in-memory frames as well as at the
+    declared SPAN_W."""
+    return rf"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\s+'),
@@ -111,10 +123,10 @@ DOC_NOVELTY_ORACLE = rf"""
       FROM documents
     ), sh AS (
       SELECT doc_id, CAST(i.g AS BIGINT) AS pos,
-             ('0x' || substr(md5(array_to_string(ts[i.g:i.g + {SPAN_W} - 1],
+             ('0x' || substr(md5(array_to_string(ts[i.g:i.g + {w} - 1],
                                                  chr(10))), 1, 15))::BIGINT AS h
-      FROM toks, UNNEST(generate_series(1, len(ts) - {SPAN_W} + 1)) i(g)
-      WHERE len(ts) >= {SPAN_W}
+      FROM toks, UNNEST(generate_series(1, len(ts) - {w} + 1)) i(g)
+      WHERE len(ts) >= {w}
     ), totals AS (
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM sh GROUP BY doc_id
     ), dupp AS (
@@ -123,8 +135,8 @@ DOC_NOVELTY_ORACLE = rf"""
       WHERE n_occ >= 2
     ), fl AS (
       SELECT doc_id, pos,
-             CASE WHEN max(pos + {SPAN_W}) OVER w IS NULL
-                       OR pos > max(pos + {SPAN_W}) OVER w
+             CASE WHEN max(pos + {w}) OVER w IS NULL
+                       OR pos > max(pos + {w}) OVER w
                   THEN 1 ELSE 0 END AS opens
       FROM dupp
       WINDOW w AS (PARTITION BY doc_id ORDER BY pos
@@ -138,7 +150,7 @@ DOC_NOVELTY_ORACLE = rf"""
     ), ext AS (
       SELECT doc_id,
              CAST(count(*) AS BIGINT) AS n_sh,
-             CAST(max(pos) + {SPAN_W} - min(pos) AS BIGINT) AS span_len
+             CAST(max(pos) + {w} - min(pos) AS BIGINT) AS span_len
       FROM isl GROUP BY doc_id, island
     ), dup AS (
       SELECT doc_id, CAST(sum(n_sh) AS BIGINT) AS n_dup_shingles,
@@ -146,9 +158,13 @@ DOC_NOVELTY_ORACLE = rf"""
       FROM ext GROUP BY doc_id
     )
     SELECT t.doc_id,
-           CAST(t.n_shingles + {SPAN_W} - 1 AS BIGINT) AS n_tokens,
+           CAST(t.n_shingles + {w} - 1 AS BIGINT) AS n_tokens,
            t.n_shingles,
            CAST(coalesce(d.n_dup_shingles, 0) AS BIGINT) AS n_dup_shingles,
            CAST(coalesce(d.dup_extent_tokens, 0) AS BIGINT) AS dup_extent_tokens
     FROM totals t LEFT JOIN dup d USING (doc_id)
 """
+
+
+#: the default-width twin, staged until the r17 registry wiring
+DOC_NOVELTY_ORACLE = doc_novelty_oracle(SPAN_W)

@@ -68,6 +68,20 @@ from pyspark.sql import functions as F
 SPAN_W = 25
 
 
+def corpus_tokens(documents: DataFrame) -> DataFrame:
+    """(doc_id, ts): the corpus tokenization as token ARRAYS — the
+    ONE definition the span family and its consumers (q_doc_novelty's
+    totals branch) share, so per-doc token counts can never
+    desynchronize from the shingle frame they must agree with
+    (n_tokens = n_shingles + w − 1 is an output invariant)."""
+    return documents.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+        ).alias("ts"),
+    )
+
+
 def shingle_positions(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
     """(doc_id, pos, h): every w-token shingle of every document —
     pos 1-based, h = the 60-bit md5-derived BIGINT digest of the
@@ -78,12 +92,7 @@ def shingle_positions(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
     pinned in tests)."""
     if w < 1:
         raise ValueError("shingle_positions needs w >= 1")
-    ts = documents.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
-        ).alias("ts"),
-    )
+    ts = corpus_tokens(documents)
     return ts.select(
         "doc_id",
         F.expr(

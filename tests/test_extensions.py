@@ -4319,6 +4319,29 @@ def test_doc_novelty_duckdb_parity_and_semantics(spark, sf_dir):
         2: (8, 5, 3, 6),
         3: (5, 2, 0, 0),
     }
+    # duplicate doc_id (re-ingested corpus): ONE row per doc_id with
+    # the copies' shingle counts SUMMED — cross-checked against the
+    # oracle on the same in-memory frame (r16 fifth review: the
+    # single-hash totals rewrite briefly emitted one row per copy)
+    import duckdb
+    import pandas as pd
+
+    dup_rows = [(1, shared), (1, shared), (3, "all unique tokens right here")]
+    docs_d = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    got_d = sorted(tuple(r) for r in q_doc_novelty(docs_d, w=4).collect())
+    from node_js_etl_processor_spark.operators.novelty import (
+        doc_novelty_oracle,
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(dup_rows, columns=["doc_id", "text"])
+    )
+    want_d = sorted(
+        tuple(r) for r in con.execute(doc_novelty_oracle(4)).fetchall()
+    )
+    assert got_d == want_d
+    assert [r for r in got_d if r[0] == 1][0][2] == 6  # summed copies
 
 
 def test_robust_stats_duckdb_parity_and_semantics(spark, sf_dir):
@@ -4351,7 +4374,7 @@ def test_robust_stats_duckdb_parity_and_semantics(spark, sf_dir):
         rows.append((100 + i, 1, "A", datetime.date(2024, 1, 1), p))
     for i, p in enumerate([1.0, 2.0, 3.0, 10.0]):
         rows.append((200 + i, 2, "B", datetime.date(2024, 1, 1), p))
-    # NULL prices must be dropped BEFORE ranking on both engines (the
+    # NULL prices must be dropped BEFORE ranking on BOTH engines (the
     # NULLS FIRST vs NULLS LAST order-statistic divergence the guard
     # exists for): with this row counted, group A's median would move
     rows.append((300, 3, "A", datetime.date(2024, 1, 1), None))
@@ -4365,6 +4388,28 @@ def test_robust_stats_duckdb_parity_and_semantics(spark, sf_dir):
         for r in q_robust_stats(hand).collect()
     }
     assert got == {"A": (3, 400, 400), "B": (4, 500, 400)}
+    # ...and the ORACLE drops the NULL too (r16 fifth review: the
+    # guard was pinned Spark-side only, so the oracle's WHERE could
+    # rot): run ROBUST_STATS_ORACLE on the same in-memory frame
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "orders",
+        pd.DataFrame(
+            rows,
+            columns=[
+                "o_orderkey", "o_custkey", "o_orderpriority",
+                "o_orderdate", "o_totalprice",
+            ],
+        ),
+    )
+    want_d = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(ROBUST_STATS_ORACLE).fetchall()
+    }
+    assert want_d == got
 
 
 def test_itemset_pairs_mega_basket_cap(spark):
