@@ -570,6 +570,45 @@ def main() -> None:
             results_dict["edge_compaction"] = res_cmp
             print(f"[edge_compaction] {res_cmp}", file=sys.stderr)
 
+    def _vocab_family(results_dict):
+        # the vocab lane's maintenance costs, the edge-family shape:
+        # a FIXED 500-doc append against a 1x vs 10x store must cost
+        # the same (append never reads the store); compaction folds
+        # the log and scales with stored vocabulary
+        from node_js_etl_processor_spark.sources.vocab_store import (
+            append_vocab_store,
+            compact_vocab_store,
+            write_vocab_store,
+        )
+
+        want_app = args.only is None or "vocab_append_fixed_batch" in args.only
+        want_cmp = args.only is None or "vocab_compaction" in args.only
+        res_app, res_cmp = {}, {}
+        for scale, base in (("1x", docs1), (f"{args.replicas}x", docs10)):
+            spath = os.path.join(tmp, f"vocab_{scale}")
+            write_vocab_store(base, spath)
+            ts = []
+            for _ in (1, 2):
+                t0 = time.perf_counter()
+                append_vocab_store(docs1.limit(500), spath)
+                ts.append(time.perf_counter() - t0)
+            res_app[f"sec_{scale}"] = round(statistics.median(ts), 3)
+            t0 = time.perf_counter()
+            compact_vocab_store(spark, spath)
+            res_cmp[f"sec_{scale}"] = round(time.perf_counter() - t0, 3)
+        for res in (res_app, res_cmp):
+            res["ratio"] = (
+                round(res[f"sec_{args.replicas}x"] / res["sec_1x"], 2)
+                if res["sec_1x"] > 0
+                else None
+            )
+        if want_app:
+            results_dict["vocab_append_fixed_batch"] = res_app
+            print(f"[vocab_append_fixed_batch] {res_app}", file=sys.stderr)
+        if want_cmp:
+            results_dict["vocab_compaction"] = res_cmp
+            print(f"[vocab_compaction] {res_cmp}", file=sys.stderr)
+
     # ---- r10-continuation operators: both compressed-audio loops
     # (G.711 companding is vectorized numpy per batch; ADPCM is the
     # per-row stateful nibble loop — the expensive one, measuring the
@@ -921,7 +960,8 @@ def main() -> None:
 
     if args.only:
         unknown = set(args.only) - set(queries) - {
-            "edge_append_fixed_batch", "edge_compaction"
+            "edge_append_fixed_batch", "edge_compaction",
+            "vocab_append_fixed_batch", "vocab_compaction",
         }
         if unknown:
             raise SystemExit(f"--only: unknown families {sorted(unknown)}")
@@ -947,6 +987,11 @@ def main() -> None:
         "edge_append_fixed_batch", "edge_compaction"
     } & set(args.only):
         _edge_family(results)
+
+    if args.only is None or {
+        "vocab_append_fixed_batch", "vocab_compaction"
+    } & set(args.only):
+        _vocab_family(results)
 
     scan = skew = None
     if not args.only:  # solo mode times families only
