@@ -142,6 +142,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q_collect_agg, q_pagerank; then r17's own changed-code set and
     declarations fill the rest (38 + 12 slots). The r15-green set
     (q_kl_divergence … q_skyline) stays fresh through r18.
+    TWELVE r17 declaration candidates are staged (built, staged
+    DuckDB oracle constants, pytest parity gates, stress-measured —
+    SURVEY.md §7 lists them): q_triangles, q_event_sequences,
+    q_rfm_segments, q_doc_novelty, q_robust_stats, q_sax_symbols,
+    q_cusum_alarms, q_ols_trend, q_simpson_diversity, q_bfs_hops,
+    q_equidepth_hist, q_gini_concentration. With ~12 free r17 slots
+    after the 38 deferrals, declare as many as the changed-code set
+    allows and roll the remainder to r18 — the rotation math stays
+    honest either way.
     Rotation rule #2 ("changed code ⇒ in window") remains MECHANICAL:
     scripts/check_rotation.py + tests/test_rotation.py on every
     pytest run.
