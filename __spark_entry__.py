@@ -7,18 +7,22 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 135 queries (count as of r16 — the 129 carried from r15, the
-five r16 declarations pre-built and staged-oracle-verified in r15: q_kmv_difference (theta set-DIFFERENCE A\\B completing the KMV
-sketch algebra, operators/kmv.py), q_snm_pairs (sorted-neighborhood
-blocking with a distributed global rank, operators/snm.py),
-q_pmi_collocations (PMI>0 bigram collocations in integer sufficient
-statistics, operators/colloc.py), q_attribution (last-touch
-conversion attribution via strictly-earlier RANGE frames,
-operators/attribution.py) and q_itemset_pairs (A-Priori co-ordered
-part pairs, operators/basket.py), plus the genuinely-new r16 family
-q_span_extents (ExactSubstr-style duplicated-SPAN extents — Lee et
-al. 2022 re-expressed as shingle postings + a sweep-line island
-merge, operators/spans.py);
+ALL 145 queries (count as of r17 — the 135 carried from r16 plus
+the ten r17 declarations, all pre-built and staged-oracle-verified
+in r16: q_doc_novelty (per-document duplicated-coverage scoring,
+the Lee et al. 2022 §5 cut signal, operators/novelty.py),
+q_triangles (degree-oriented exact triangle counting,
+operators/triangles.py), q_robust_stats (integer-exact per-group
+median/MAD, operators/robust.py), q_event_sequences (contiguous
+event-type trigram mining, operators/seqmine.py), q_rfm_segments
+(RFM quintile segmentation via the distributed global rank,
+operators/rfm.py), q_sax_symbols (SAX time-series symbolization,
+operators/sax.py), q_cusum_alarms (Page 1954 CUSUM change-point
+alarms, operators/cusum.py), q_ols_trend (per-group simple
+regression as integer sufficient statistics, operators/trend.py),
+q_simpson_diversity (lexical diversity in exact integer sufficient
+statistics, operators/diversity.py) and q_bfs_hops (multi-source
+k-hop BFS with shortest-path counts, operators/paths.py);
 grep ``def queries`` below for
 the authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
@@ -47,14 +51,22 @@ from node_js_etl_processor_spark.operators import (
     basket,
     bpe,
     colloc,
+    cusum,
     dedup,
+    diversity,
     graph,
     heavy,
     intervals,
     kmv,
+    novelty,
+    paths,
     phash,
     relational,
     retrieval,
+    rfm,
+    robust,
+    sax,
+    seqmine,
     sessionize,
     setsim,
     similarity,
@@ -64,6 +76,8 @@ from node_js_etl_processor_spark.operators import (
     spans,
     temporal,
     text,
+    trend,
+    triangles,
 )
 from node_js_etl_processor_spark.operators.audio import (
     q_audio_adpcm,
@@ -111,52 +125,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FULLVERIFY_r{N}.json (scripts/full_verify.py; same per-query
     shape as CORRECTNESS, ALL registered queries at sf0.01).
 
-    r16 rotation — exactly as the r15 docstring scheduled it: the 34
-    NAMED r16 deferrals lead (q_text_langid … q_hybrid_search — last
-    driver row r13, two cycles old, so the 3-round invariant makes
-    them mandatory this round). Then the r16 CHANGED-CODE set
-    scripts/check_rotation.py flags — q_kmv_distinct (the r15-advice
-    kmv_estimates totality fix in operators/kmv.py), plus
-    q_setsim_join and q_containment_decon (this round's setsim.py
-    perf work). The r16 DECLARATIONS enter on declaration — the five
-    r15-staged candidates: q_kmv_difference (operators/kmv.py),
-    q_snm_pairs (operators/snm.py), q_pmi_collocations
-    (operators/colloc.py), q_attribution (operators/attribution.py),
-    q_itemset_pairs (operators/basket.py), and the in-round
-    q_span_extents (operators/spans.py — duplicated-span extents).
+    r17 rotation — exactly as the r16 docstring scheduled it: the 38
+    NAMED r17 deferrals lead (q_asof_join … q_pagerank — last driver
+    row r14, two cycles old, so the 3-round invariant makes them
+    mandatory this round). Then the r17 CHANGED-CODE set
+    scripts/check_rotation.py flags — q_snm_pairs (operators/snm.py
+    gained the opt-in NFKD transliteration pre-pass, the r16 verdict's
+    non-ASCII hardening ask) and q_span_extents (operators/spans.py
+    gained the shared token_array helper the r16 advice asked for;
+    the other spans importers, q_doc_novelty and — via the shared
+    tokenization — q_simpson_diversity, enter as declarations, and
+    q_rfm_segments, which imports snm.global_rank, likewise). Then
+    the r17 DECLARATIONS: TEN of the twelve r16-staged candidates in
+    the r16 verdict's value order — q_doc_novelty, q_triangles,
+    q_robust_stats, q_event_sequences, q_rfm_segments, q_sax_symbols,
+    q_cusum_alarms, q_ols_trend, q_simpson_diversity, q_bfs_hops.
+    38 + 2 + 10 = 50.
 
-    34 + 3 + 6 = 43: the remaining 7 slots are FILLS drawn from the
-    front of the r14-green set (q_csv_export_shape … q_join_enrich),
-    which trims the r17 deferral list. The 38 r14-green queries that
-    do not fit are the NAMED r17 deferrals — their r14 rows expire at
-    r17, so r17 MUST window all 38 first: q_asof_join, q_sessionize,
-    q_decontaminate_hashed, q_similarity_topk, q_dedup_embedding,
-    q_similarity_ann, q_similarity_ivf, q_chunk_documents,
-    q_pack_chunks, q_chunk_pack_pipeline, q_bm25, q_dedup_minhash,
-    q_dedup_simhash, q_url_dedup, q_semantic_decontaminate, q_scd2,
-    q_fuzzy_match, q_tfidf, q_gap_fill, q_heavy_hitters,
-    q_heavy_hitters_skewed, q_window_rank_funcs, q_window_lag,
-    q_null_safe_join, q_argmax_agg, q_semi_exists, q_grouping_sets,
-    q_set_ops, q_cube, q_scalar_math, q_string_funcs, q_date_buckets,
-    q_json_props, q_stats_agg, q_distinct_agg, q_unpivot,
-    q_collect_agg, q_pagerank; then r17's own changed-code set and
-    declarations fill the rest (38 + 12 slots). The r15-green set
-    (q_kl_divergence … q_skyline) stays fresh through r18.
-    TWELVE r17 declaration candidates are staged (built, staged
-    DuckDB oracle constants, pytest parity gates, stress-measured —
-    SURVEY.md §7 lists them): q_triangles, q_event_sequences,
-    q_rfm_segments, q_doc_novelty, q_robust_stats, q_sax_symbols,
-    q_cusum_alarms, q_ols_trend, q_simpson_diversity, q_bfs_hops,
-    q_equidepth_hist, q_gini_concentration. With ~12 free r17 slots
-    after the 38 deferrals, declare as many as the changed-code set
-    allows and roll the remainder to r18 — the rotation math stays
-    honest either way.
+    REGISTRY-CAPACITY POLICY (decided r17 — the r16 verdict's
+    structural ask): the registry is HARD-CAPPED at 150 registered
+    queries, the mathematical ceiling of the 3-round invariant
+    (50-row driver window × 3 rounds). Schedule that respects it:
+    the registry is 145 after this round's ten declarations; r18
+    windows the 47 r15-green rows (q_kl_divergence … q_skyline —
+    their rows expire r18) plus the LAST TWO declarations ever,
+    q_equidepth_hist and q_gini_concentration (built, staged-oracle
+    pytest-gated since r16), leaving ONE r18 slot for changed code
+    outside the mandatory 47 — so r18 code changes must stay inside
+    the windowed modules or spend that slot. Registry then FREEZES at
+    147 (3 slack slots reserved for changed-code headroom, never for
+    declarations), and r19/r20 are DEPTH rounds: perf, stores,
+    streaming, hardening. r19's mandatory set is the r16-green rows
+    not re-windowed since (48 of the 50 — q_snm_pairs and
+    q_span_extents renew this round), leaving 2 slack; the deferred
+    colloc._toks consolidation onto spans.token_array is scheduled
+    r19, where q_pmi_collocations sits in the mandatory window for
+    free. r20 windows the 50 rows declared green this round.
+
     Rotation rule #2 ("changed code ⇒ in window") remains MECHANICAL:
     scripts/check_rotation.py + tests/test_rotation.py on every
     pytest run.
 
-    Honest rotation math: with a 50-slot driver window and 135
-    registered queries, a full sweep takes ceil(135/50) = 3 rounds,
+    Honest rotation math: with a 50-slot driver window and 145
+    registered queries, a full sweep takes ceil(145/50) = 3 rounds,
     so the invariant is: every registered query has a driver
     CORRECTNESS row within the last 3 rounds (named deferrals are
     the explicit schedule for the overflow), and ALL queries are
@@ -164,76 +175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     EVERY round."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
-        # The 34 NAMED r16 deferrals lead (last driver row r13 —
-        # scheduled in the r15 docstring).
-        "q_text_langid": _q(["documents"], text.q_text_langid),
-        "q_text_quality": _q(["documents"], text.q_text_quality),
-        "q_token_count": _q(["documents"], text.q_token_count),
-        "q_fingerprint": _q(["documents"], text.q_fingerprint),
-        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
-        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
-        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
-        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
-        "q_redact_pii": _q(["documents"], text.q_redact_pii),
-        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
-        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
-        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
-        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
-        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
-        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
-        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
-        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
-        "q_union_sources": _q(["customer"], relational.q_union_sources),
-        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
-        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
-        "q_bpe_pairs": _q(
-            ["documents"], lambda docs: bpe.bpe_top_pairs(docs, k=20)
-        ),
-        "q_link_graph": _q(["documents"], graph.q_link_graph),
-        "q_token_budget": _q(["documents"], bpe.q_token_budget),
-        "q_hll_distinct": _q(["orders"], sketch.q_hll_distinct),
-        "q_hdr_quantiles": _q(["lineitem"], sketch.q_hdr_quantiles),
-        "q_hll_rollup": _q(["orders"], sketch.q_hll_rollup),
-        "q_hll_intersect": _q(["orders"], sketch.q_hll_intersect),
-        "q_filter_required": _q(["orders"], relational.q_filter_required),
-        "q_clean_project": _q(["customer"], relational.q_clean_project),
-        "q_array_transform": _q(["part"], relational.q_array_transform),
-        "q_countmin": _q(["orders"], sketch.q_countmin),
-        "q_bloom": _q(["orders"], sketch.q_bloom),
-        "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
-        "q_hybrid_search": _q(
-            ["documents", "embeddings"], retrieval.q_hybrid_search
-        ),
-        # The r16 CHANGED-CODE set (check_rotation-flagged): kmv.py's
-        # advice fix windows q_kmv_distinct; the setsim.py perf work
-        # windows the PPJoin pair.
-        "q_kmv_distinct": _q(["orders"], kmv.q_kmv_distinct),
-        "q_setsim_join": _q(["documents"], setsim.q_setsim_join),
-        "q_containment_decon": _q(["documents"], setsim.q_containment_decon),
-        # The r16 DECLARATIONS (entering on declaration): the five
-        # r15-staged candidates — theta set-difference, the
-        # sorted-neighborhood blocking pass, PMI collocations,
-        # last-touch attribution, and A-Priori itemset pairs.
-        "q_kmv_difference": _q(["orders"], kmv.q_kmv_difference),
-        "q_snm_pairs": _q(["customer"], snm.q_snm_pairs),
-        "q_pmi_collocations": _q(["documents"], colloc.q_pmi_collocations),
-        "q_attribution": _q(["events"], attribution.q_attribution),
-        "q_itemset_pairs": _q(["lineitem"], basket.q_itemset_pairs),
-        "q_span_extents": _q(["documents"], spans.q_span_extents),
-        # FILLS (7): drawn from the front of the r14-green set so the
-        # r17 deferral list shrinks to 38.
-        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
-        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
-        "q_range_join": _q(["events"], temporal.q_range_join),
-        "q_window_range": _q(["events"], temporal.q_window_range),
-        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
-        "q_explode_words": _q(["part"], relational.q_explode_words),
-        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
-        # ---- oracle-paired but outside the 50-entry driver window ----
-        # First the 38 remaining r14-green queries — the NAMED r17
-        # deferrals (their r14 rows expire at r17; see the docstring
-        # schedule). All remain under the local parity gate and the
-        # committed FULLVERIFY artifact every round.
+        # The 38 NAMED r17 deferrals lead (last driver row r14 —
+        # scheduled in the r16 docstring; their rows expire this round).
         "q_asof_join": _q(["events"], temporal.q_asof_join),
         "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
@@ -276,10 +219,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": _q(
             ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
         ),
-        # Then the 47 r15-green queries (fresh r15 driver rows — they
-        # stay inside the 3-round invariant through r18). q_agg_pricing
-        # in the window above additionally runs every round as the
-        # entry() smoke query.
+        # r17 CHANGED-CODE set (scripts/check_rotation.py): snm.py
+        # gained the NFKD transliteration pre-pass, spans.py the shared
+        # token_array helper (r16 advice) — q_rfm_segments imports
+        # snm.global_rank and the novelty/diversity declarations import
+        # spans, all windowed below as declarations.
+        "q_snm_pairs": _q(["customer"], snm.q_snm_pairs),
+        "q_span_extents": _q(["documents"], spans.q_span_extents),
+        # r17 DECLARATIONS — the ten highest-value staged candidates
+        # (value order per the r16 verdict; q_equidepth_hist and
+        # q_gini_concentration roll to r18).
+        "q_doc_novelty": _q(["documents"], novelty.q_doc_novelty),
+        "q_triangles": _q(["lineitem"], triangles.q_triangles),
+        "q_robust_stats": _q(["orders"], robust.q_robust_stats),
+        "q_event_sequences": _q(["events"], seqmine.q_event_sequences),
+        "q_rfm_segments": _q(["orders"], rfm.q_rfm_segments),
+        "q_sax_symbols": _q(["events"], sax.q_sax_symbols),
+        "q_cusum_alarms": _q(["events"], cusum.q_cusum_alarms),
+        "q_ols_trend": _q(["orders"], trend.q_ols_trend),
+        "q_simpson_diversity": _q(["documents"], diversity.q_simpson_diversity),
+        "q_bfs_hops": _q(["documents"], paths.q_bfs_hops),
+        # ---- out-of-window: r16-green (fresh through r19) and
+        # r15-green (expire at r18) queries; ALL still swept by the
+        # committed FULLVERIFY_r{N}.json on the final tree ----
+        "q_text_langid": _q(["documents"], text.q_text_langid),
+        "q_text_quality": _q(["documents"], text.q_text_quality),
+        "q_token_count": _q(["documents"], text.q_token_count),
+        "q_fingerprint": _q(["documents"], text.q_fingerprint),
+        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
+        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
+        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
+        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
+        "q_redact_pii": _q(["documents"], text.q_redact_pii),
+        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
+        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
+        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
+        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
+        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
+        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
+        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
+        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
+        "q_union_sources": _q(["customer"], relational.q_union_sources),
+        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
+        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
+        "q_bpe_pairs": _q(
+            ["documents"], lambda docs: bpe.bpe_top_pairs(docs, k=20)
+        ),
+        "q_link_graph": _q(["documents"], graph.q_link_graph),
+        "q_token_budget": _q(["documents"], bpe.q_token_budget),
+        "q_hll_distinct": _q(["orders"], sketch.q_hll_distinct),
+        "q_hdr_quantiles": _q(["lineitem"], sketch.q_hdr_quantiles),
+        "q_hll_rollup": _q(["orders"], sketch.q_hll_rollup),
+        "q_hll_intersect": _q(["orders"], sketch.q_hll_intersect),
+        "q_filter_required": _q(["orders"], relational.q_filter_required),
+        "q_clean_project": _q(["customer"], relational.q_clean_project),
+        "q_array_transform": _q(["part"], relational.q_array_transform),
+        "q_countmin": _q(["orders"], sketch.q_countmin),
+        "q_bloom": _q(["orders"], sketch.q_bloom),
+        "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
+        "q_hybrid_search": _q(
+            ["documents", "embeddings"], retrieval.q_hybrid_search
+        ),
+        "q_kmv_distinct": _q(["orders"], kmv.q_kmv_distinct),
+        "q_setsim_join": _q(["documents"], setsim.q_setsim_join),
+        "q_containment_decon": _q(["documents"], setsim.q_containment_decon),
+        "q_kmv_difference": _q(["orders"], kmv.q_kmv_difference),
+        "q_pmi_collocations": _q(["documents"], colloc.q_pmi_collocations),
+        "q_attribution": _q(["events"], attribution.q_attribution),
+        "q_itemset_pairs": _q(["lineitem"], basket.q_itemset_pairs),
+        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
+        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
+        "q_range_join": _q(["events"], temporal.q_range_join),
+        "q_window_range": _q(["events"], temporal.q_window_range),
+        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
+        "q_explode_words": _q(["part"], relational.q_explode_words),
+        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
         "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
         "q_retention": _q(["events"], temporal.q_retention),
         "q_funnel": _q(["events"], sessionize.q_funnel),
@@ -1851,6 +1865,18 @@ def oracle_sql() -> dict[str, str]:
         "q_attribution": attribution.ATTRIBUTION_ORACLE,
         "q_itemset_pairs": basket.ITEMSET_PAIRS_ORACLE,
         "q_span_extents": spans.SPAN_EXTENTS_ORACLE,
+        # r17 declarations (same discipline — staged twins shipped
+        # with their modules in r16, registry-wired this round).
+        "q_doc_novelty": novelty.DOC_NOVELTY_ORACLE,
+        "q_triangles": triangles.TRIANGLES_ORACLE,
+        "q_robust_stats": robust.ROBUST_STATS_ORACLE,
+        "q_event_sequences": seqmine.EVENT_SEQUENCES_ORACLE,
+        "q_rfm_segments": rfm.RFM_SEGMENTS_ORACLE,
+        "q_sax_symbols": sax.SAX_SYMBOLS_ORACLE,
+        "q_cusum_alarms": cusum.CUSUM_ALARMS_ORACLE,
+        "q_ols_trend": trend.OLS_TREND_ORACLE,
+        "q_simpson_diversity": diversity.SIMPSON_DIVERSITY_ORACLE,
+        "q_bfs_hops": paths.BFS_HOPS_ORACLE,
         "q_interval_coverage": INTERVAL_COVERAGE_ORACLE,
         "q_skyline": SKYLINE_ORACLE,
         "q_setsim_join": SETSIM_ORACLE,

@@ -36,22 +36,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-
-def _toks():
-    """Corpus tokenization as a Column — lazy for the same
-    sessionless-import reason colloc.py documents."""
-    return F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
-    )
+from .spans import token_array
 
 
 def vocab_counts(documents: DataFrame) -> DataFrame:
     """Per-(source, token) counts — the diversity family's sufficient
     statistics frame, and exactly what the incremental vocabulary
     store (sources/vocab_store.py) maintains as SUM-mergeable
-    partials."""
+    partials. Tokenization is ``spans.token_array`` — the span
+    family's ONE shared definition (r16 advice: the local ``_toks``
+    copy here could silently desynchronize the vocab-store counts
+    from the span/tfidf tokenization)."""
     return (
-        documents.select("source", F.explode(_toks()).alias("w"))
+        documents.select("source", F.explode(token_array()).alias("w"))
         .groupBy("source", "w")
         .agg(F.count("*").cast("bigint").alias("c"))
     )

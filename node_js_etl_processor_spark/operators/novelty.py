@@ -35,12 +35,13 @@ parquet re-read — and the score is incremental too.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .spans import (
     SPAN_W,
     corpus_tokens,
+    extents_from_dup_positions,
     extents_from_positions,
     shingle_positions,
 )
@@ -50,7 +51,15 @@ def _coverage(totals: DataFrame, sh: DataFrame, w: int) -> DataFrame:
     """The shared assembly: per-doc totals (doc_id, n_shingles) +
     the duplicated-extent reduce over the shingle frame → the
     five-column coverage row."""
-    ext = extents_from_positions(sh, w)
+    return _coverage_from_extents(totals, extents_from_positions(sh, w), w)
+
+
+def _coverage_from_extents(
+    totals: DataFrame, ext: DataFrame, w: int
+) -> DataFrame:
+    """Assembly over an already-built extent frame — the r17 split
+    that lets the drop scorer supply extents gated against the
+    STORED corpus's counts while reusing the identical reduce."""
     dup = ext.groupBy("doc_id").agg(
         F.sum("n_shingles").cast("bigint").alias("n_dup_shingles"),
         F.sum("span_len").cast("bigint").alias("dup_extent_tokens"),
@@ -83,28 +92,82 @@ def novelty_from_positions(sh: DataFrame, w: int = SPAN_W) -> DataFrame:
     return _coverage(totals, sh, w)
 
 
-def q_doc_novelty(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
-    """r17 declaration CANDIDATE: per-document duplication coverage
-    (see the module docstring). Totals come straight off the token
-    arrays — greatest(|tokens| − w + 1, 0) — so the corpus-wide
-    tokenize+md5 shingle subtree runs exactly once (the duplication
-    branch), not twice."""
-    per_row = corpus_tokens(documents).select(
+def _drop_totals(drop_docs: DataFrame, w: int) -> DataFrame:
+    """Per-doc shingle totals straight off the token arrays —
+    greatest(|tokens| − w + 1, 0) summed per doc_id (re-ingested
+    duplicates sum, the r16 fifth-review rule) — shared by the batch
+    query and the drop scorer."""
+    per_row = corpus_tokens(drop_docs).select(
         "doc_id",
         F.greatest(F.size("ts") - (w - 1), F.lit(0))
         .cast("bigint")
         .alias("n_sh_row"),
     )
-    # re-aggregate per doc_id (r16 fifth review): a repeated doc_id —
-    # a re-ingested corpus — must yield ONE totals row summing both
-    # copies' shingle counts, exactly like the old groupBy-count path
-    # and the oracle's GROUP BY doc_id
-    totals = (
+    return (
         per_row.groupBy("doc_id")
         .agg(F.sum("n_sh_row").cast("bigint").alias("n_shingles"))
         .filter(F.col("n_shingles") >= 1)
     )
-    return _coverage(totals, shingle_positions(documents, w), w)
+
+
+def novelty_of_drop(
+    drop_docs: DataFrame, stored_positions: DataFrame, w: int = SPAN_W
+) -> DataFrame:
+    """Score a NEW drop's per-document duplication coverage against
+    an already-ingested corpus WITHOUT re-hashing the corpus — the
+    curation gate's decision input BEFORE the drop is admitted (the
+    kmv_difference-over-the-theta-store read discipline applied to
+    the span family). ``stored_positions`` is the shingle-postings
+    store's (doc_id, pos, h) tree (streaming/spanstore.py); only the
+    DROP is tokenized here.
+
+    Semantics: identical to ``q_doc_novelty(corpus ∪ drop)``
+    restricted to the drop's doc_ids — a drop position is duplicated
+    iff its digest occurs ≥ 2 times across stored corpus + drop (so
+    both corpus twins AND within-drop twins count), and extents go
+    through the very same sweep-line merge
+    (``spans.extents_from_dup_positions``). Equality is test-pinned.
+
+    Scale shape: the store is touched by ONE broadcast-semi-join
+    pass — stored postings are filtered to the drop's distinct
+    digests (batch-vocabulary-sized broadcast) and counted per
+    digest; no corpus-wide shuffle, no corpus re-read of text. The
+    drop-side work (shingle, count window, sweep) is batch-sized."""
+    sh_d = shingle_positions(drop_docs, w)
+    drop_h = sh_d.select("h").distinct()
+    stored_cnt = (
+        stored_positions.join(F.broadcast(drop_h), "h")
+        .groupBy("h")
+        .agg(F.count("*").cast("bigint").alias("n_stored"))
+    )
+    dup = (
+        sh_d.withColumn(
+            "n_drop", F.count("*").over(Window.partitionBy("h"))
+        )
+        .join(stored_cnt, "h", "left")
+        .withColumn(
+            "n_occ",
+            F.col("n_drop") + F.coalesce("n_stored", F.lit(0)),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .select("doc_id", "pos")
+    )
+    return _coverage_from_extents(
+        _drop_totals(drop_docs, w), extents_from_dup_positions(dup, w), w
+    )
+
+
+def q_doc_novelty(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Declared query (r17): per-document duplication coverage
+    (see the module docstring). Totals come straight off the token
+    arrays — greatest(|tokens| − w + 1, 0) via ``_drop_totals``,
+    which also keeps the r16 fifth-review rule (repeated doc_ids sum
+    like the oracle's GROUP BY) — so the corpus-wide tokenize+md5
+    shingle subtree runs exactly once (the duplication branch), not
+    twice."""
+    return _coverage(
+        _drop_totals(documents, w), shingle_positions(documents, w), w
+    )
 
 
 #: the DuckDB twin, staged until the r17 registry wiring — width

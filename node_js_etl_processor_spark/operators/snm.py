@@ -49,6 +49,46 @@ SNM_MAX_DIST = 2
 _RANK_PARTS = 32
 
 
+def _ascii_fold_table() -> "tuple[str, str]":
+    """The NFKD transliteration table (r16 verdict hardening ask):
+    every Latin codepoint in U+00A0–U+024F / U+1E00–U+1EFF whose NFKD
+    decomposition strips (combining marks removed) to exactly ONE
+    ASCII character, plus the lone combining marks U+0300–U+036F
+    (deleted — they carry a decomposed feed's accents). Built ONCE on
+    the driver from unicodedata — a plan-build-time constant, NOT a
+    UDF — and interpolated into BOTH engines' ``translate`` calls, so
+    the fold is bit-identical by construction regardless of either
+    engine's own normalization library. Codepoints that do not strip
+    to single ASCII (ß, æ, ¼, …) stay unfolded and are still refused
+    by the ASCII-domain gate — honest refusal, never mixed
+    edit-distance units."""
+    import unicodedata
+
+    src, dst = [], []
+    for cp in [*range(0x00A0, 0x0250), *range(0x1E00, 0x1F00)]:
+        ch = chr(cp)
+        d = unicodedata.normalize("NFKD", ch)
+        base = [c for c in d if not unicodedata.combining(c)]
+        if d != ch and len(base) == 1 and ord(base[0]) < 128:
+            src.append(ch)
+            dst.append(base[0])
+    marks = "".join(chr(cp) for cp in range(0x0300, 0x0370))
+    return "".join(src) + marks, "".join(dst)
+
+
+#: (from, to) for translate(): chars beyond len(to) are DELETED —
+#: identical semantics in Spark (o.a.s.sql.functions.translate) and
+#: DuckDB (translate), which is what makes the shared table portable
+FOLD_FROM, FOLD_TO = _ascii_fold_table()
+
+
+def ascii_fold(col):
+    """NFKD-derived ASCII fold as ONE codegen ``translate`` Column —
+    the opt-in pre-pass that satisfies the SNM ASCII-domain contract
+    by construction on accented Latin name corpora."""
+    return F.translate(col, FOLD_FROM, FOLD_TO)
+
+
 def global_rank(df: DataFrame, sort_cols: "list[str]") -> DataFrame:
     """Add ``rn`` = the row's 1-based position in the total
     (sort_cols) order, without a single-partition window over the
@@ -76,19 +116,33 @@ def q_snm_pairs(
     customer: DataFrame,
     window: int = SNM_WINDOW,
     max_dist: int = SNM_MAX_DIST,
+    transliterate: bool = False,
 ) -> DataFrame:
     """Declared query (r16): sorted-neighborhood candidate pairs
     over customer names — rows (custkey_a, custkey_b, dist) for every
     pair within ``window`` positions of each other in the
     (lower(trim(c_name)), c_custkey) order whose normalized keys are
     within ``max_dist`` edits. custkey_a precedes custkey_b in the
-    sort order, so each pair is emitted exactly once."""
+    sort order, so each pair is emitted exactly once.
+
+    ``transliterate=True`` (r17, opt-in — the r16 verdict's
+    non-ASCII hardening) runs the NFKD-derived ``ascii_fold`` before
+    the ASCII-domain gate, so accented Latin names (José, Müller)
+    enter the blocking instead of being refused; keys that still
+    contain non-ASCII after the fold (ß, CJK, …) are refused exactly
+    as before. On an already-ASCII corpus the fold is the identity,
+    so the default path's output is unchanged (equality-pinned in
+    tests)."""
     if window < 1:
         raise ValueError("q_snm_pairs needs window >= 1 (F.sequence"
                          " auto-decrements when start > stop, which"
                          " would emit self-pairs)")
+    raw_key = F.lower(F.trim(F.col("c_name")))
+    if transliterate:
+        raw_key = F.lower(ascii_fold(raw_key))  # fold may surface
+        # uppercase bases (NFKD of 'İ' etc.) — re-lower for safety
     keyed = customer.select(
-        "c_custkey", F.lower(F.trim(F.col("c_name"))).alias("k")
+        "c_custkey", raw_key.alias("k")
     ).filter(F.length("k") == F.octet_length("k"))  # ASCII-only domain
     s = global_rank(keyed, ["k", "c_custkey"])
     a = s.select(
@@ -111,17 +165,25 @@ def q_snm_pairs(
     )
 
 
-#: the DuckDB twin, registry-wired in r16 — the
-#: deliberately single-machine formulation (one global ROW_NUMBER +
-#: a rank-distance self-join), cross-checking the distributed
-#: rank+offset rewrite. Window and distance thresholds interpolate
-#: SNM_WINDOW / SNM_MAX_DIST (r16 advice item) so the oracle can
-#: never drift from the engine defaults.
-SNM_PAIRS_ORACLE = f"""
+def snm_pairs_oracle(transliterate: bool = False) -> str:
+    """The DuckDB twin — the deliberately single-machine formulation
+    (one global ROW_NUMBER + a rank-distance self-join),
+    cross-checking the distributed rank+offset rewrite. Window and
+    distance thresholds interpolate SNM_WINDOW / SNM_MAX_DIST (r16
+    advice item) so the oracle can never drift from the engine
+    defaults; ``transliterate=True`` interpolates the SAME
+    FOLD_FROM/FOLD_TO table the engine's ``ascii_fold`` applies
+    (translate() deletes unpaired from-chars in both engines), so
+    the fold is cross-checked bit-for-bit, not re-derived from the
+    oracle engine's own normalization."""
+    key = "lower(trim(c_name))"
+    if transliterate:
+        key = f"lower(translate({key}, '{FOLD_FROM}', '{FOLD_TO}'))"
+    return f"""
     WITH keyed AS (
-      SELECT c_custkey, lower(trim(c_name)) AS k
+      SELECT c_custkey, {key} AS k
       FROM customer
-      WHERE length(lower(trim(c_name))) = strlen(lower(trim(c_name)))
+      WHERE length({key}) = strlen({key})
     ), s AS (
       SELECT c_custkey, k,
              row_number() OVER (ORDER BY k, c_custkey) AS rn
@@ -132,3 +194,9 @@ SNM_PAIRS_ORACLE = f"""
     FROM s a JOIN s b ON b.rn BETWEEN a.rn + 1 AND a.rn + {SNM_WINDOW}
     WHERE levenshtein(a.k, b.k) <= {SNM_MAX_DIST}
 """
+
+
+#: the registered (default-path) twin — registry-wired in r16;
+#: byte-identical to the pre-r17 constant (transliterate stays
+#: opt-in, so the declared query's semantics are unchanged)
+SNM_PAIRS_ORACLE = snm_pairs_oracle()

@@ -68,18 +68,27 @@ from pyspark.sql import functions as F
 SPAN_W = 25
 
 
+def token_array():
+    """The corpus tokenization (lowercase, whitespace-split, empties
+    dropped) as ONE Column expression — the single definition the
+    span family, q_doc_novelty's totals branch AND the diversity /
+    vocabulary-store lane (operators/diversity.py) share, so a future
+    tokenization tweak cannot silently desynchronize the families
+    (r16 advice: diversity._toks was a textual copy of this
+    expression). Built lazily so importing the module needs no
+    active session."""
+    return F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+    )
+
+
 def corpus_tokens(documents: DataFrame) -> DataFrame:
     """(doc_id, ts): the corpus tokenization as token ARRAYS — the
     ONE definition the span family and its consumers (q_doc_novelty's
     totals branch) share, so per-doc token counts can never
     desynchronize from the shingle frame they must agree with
     (n_tokens = n_shingles + w − 1 is an output invariant)."""
-    return documents.select(
-        "doc_id",
-        F.filter(
-            F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
-        ).alias("ts"),
-    )
+    return documents.select("doc_id", token_array().alias("ts"))
 
 
 def shingle_positions(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
@@ -125,6 +134,16 @@ def extents_from_positions(sh: DataFrame, w: int = SPAN_W) -> DataFrame:
         .filter(F.col("n_occ") >= 2)
         .select("doc_id", "pos")
     )
+    return extents_from_dup_positions(dup, w)
+
+
+def extents_from_dup_positions(dup: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """The sweep-line island merge over an ALREADY-GATED (doc_id,
+    pos) duplicated-position frame — the r17 split that lets the
+    drop-scoring read path (novelty.novelty_of_drop) supply its own
+    duplication verdicts (stored-corpus counts + drop counts) and
+    reuse the IDENTICAL merge, so batch and store-read extents can
+    never diverge in the coalescing rule."""
     # sweep-line island merge on [pos, pos + w): the intervals.py
     # convention — a new island opens only when pos STRICTLY exceeds
     # the running max end, so overlapping and touching spans merge

@@ -71,6 +71,7 @@ def ingest_day_applier(
     paths: "dict[str, str]",
     checkpoint: str,
     embeddings: DataFrame,
+    compact_every: int = 0,
 ):
     """Build the composed per-batch applier. ``paths`` names every
     store root: fp_store/fp_out, mh_store/mh_out, sh_store/sh_out,
@@ -80,7 +81,15 @@ def ingest_day_applier(
     is the static (vec_id, embedding) lookup
     joined to the exact survivors' doc_ids (vec_id == doc_id in the
     fixture corpus). The media lane (r14) is optional: omit
-    img_store/img_out from ``paths`` to run a text+CDC-only day."""
+    img_store/img_out from ``paths`` to run a text+CDC-only day.
+
+    ``compact_every=N`` (r16 advice) folds the log-structured partial
+    lanes every N batches (0 = never): it reaches the VOCABULARY lane
+    — the highest-fan-out append path, O(batch vocabulary) partial
+    files per batch across 64 buckets, which previously never
+    compacted in the composed loop even though compact_vocab_store
+    exists to cap exactly that file-listing growth — and the EDGES
+    lane, whose applier shares the generation-compaction slot."""
     # r16 (advice item): validate required store roots up front with a
     # message naming what is missing — the kmv theta lane (r15) made a
     # bare ``paths["kmv"]`` KeyError possible for callers holding a
@@ -117,7 +126,7 @@ def ingest_day_applier(
     sim = simhash_applier(paths["sh_store"], paths["sh_out"], checkpoint)
     emb = embedding_applier(paths["ann_store"], paths["ann_out"], checkpoint)
     bm25 = bm25_applier(paths["bm25"], checkpoint)
-    edges = link_graph_applier(paths["edges"], checkpoint)
+    edges = link_graph_applier(paths["edges"], checkpoint, compact_every)
     hll = sketch_merge_applier(
         paths["hll"],
         checkpoint,
@@ -163,7 +172,7 @@ def ingest_day_applier(
     # cover the whole feed
     from .vocab import vocab_applier
 
-    voc = vocab_applier(paths["vocab"], checkpoint)
+    voc = vocab_applier(paths["vocab"], checkpoint, compact_every)
     scd2 = scd2_applier(paths["scd2"], checkpoint)
     img_keys = {"img_store", "img_out"} & set(paths)
     if len(img_keys) == 1:
@@ -252,13 +261,14 @@ def ingest_day_stream(
     paths: "dict[str, str]",
     checkpoint: str,
     embeddings: DataFrame,
+    compact_every: int = 0,
 ):
     """The composed ingest day as ONE started stream (availableNow):
-    see ``ingest_day_applier`` for the tier graph and the exactly-once
-    composition argument."""
+    see ``ingest_day_applier`` for the tier graph, the exactly-once
+    composition argument and the ``compact_every`` lane plumbing."""
     return (
         feed_stream.writeStream.foreachBatch(
-            ingest_day_applier(paths, checkpoint, embeddings)
+            ingest_day_applier(paths, checkpoint, embeddings, compact_every)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)

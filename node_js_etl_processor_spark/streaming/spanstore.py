@@ -81,3 +81,35 @@ def read_span_extents(
     tree, no re-tokenization. ``w`` must match the ingest width (the
     digests are w-specific)."""
     return extents_from_positions(spark.read.parquet(store_path), w)
+
+
+def read_doc_novelty(
+    spark: SparkSession, store_path: str, w: int = SPAN_W
+) -> DataFrame:
+    """Per-document duplication-coverage scores over the WHOLE
+    ingested corpus from the stored digests (r17 — the verdict's
+    store-read ask): ``novelty_from_positions`` over the postings
+    tree. Totals here are a plain parquet re-read (per-doc posting
+    counts), so nothing is ever re-tokenized; equality with the
+    batch ``q_doc_novelty`` over the union corpus is test-pinned."""
+    from ..operators.novelty import novelty_from_positions
+
+    return novelty_from_positions(spark.read.parquet(store_path), w)
+
+
+def score_drop_novelty(
+    spark: SparkSession,
+    store_path: str,
+    drop_docs: DataFrame,
+    w: int = SPAN_W,
+) -> DataFrame:
+    """Score a NEW drop's novelty against the stored corpus BEFORE
+    admitting it (r17): only the drop is tokenized; the store is
+    touched by one broadcast-semi-filtered counting pass (see
+    ``novelty.novelty_of_drop``). Equals
+    ``q_doc_novelty(corpus ∪ drop)`` restricted to the drop's
+    doc_ids — the per-document cut signal a curation gate acts on at
+    ingest time, kmv_difference-style."""
+    from ..operators.novelty import novelty_of_drop
+
+    return novelty_of_drop(drop_docs, spark.read.parquet(store_path), w)

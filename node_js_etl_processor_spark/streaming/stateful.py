@@ -108,7 +108,19 @@ CUSUM_ALARM_SCHEMA = StructType(
     ]
 )
 
-_CUSUM_STATE_SCHEMA = StructType([StructField("s", LongType(), False)])
+#: (s, last_us, last_eid): the running statistic PLUS the last-seen
+#: (ts_us, event_id) marker — r16 advice: the stream==batch
+#: equivalence rests on events arriving in per-user time order
+#: ACROSS micro-batches (within-batch order is sorted explicitly),
+#: and a silent violation would corrupt the statistic, so the
+#: contract is tracked in state and enforced loudly.
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s", LongType(), False),
+        StructField("last_us", LongType(), False),
+        StructField("last_eid", LongType(), False),
+    ]
+)
 
 
 def _make_cusum_update(k_cents: int, h_cents: int):
@@ -120,12 +132,13 @@ def _make_cusum_update(k_cents: int, h_cents: int):
         import pandas as pd
 
         (user_id,) = key
-        (s,) = state.get if state.exists else (0,)
+        had_state = state.exists
+        s, last_us, last_eid = state.get if had_state else (0, 0, 0)
         out = {"ts_us": [], "event_id": [], "x_cents": [], "s_cents": []}
         frames = [pdf for pdf in pdf_iter]
         if not frames:  # timeout-only invocation (none under
             # NoTimeout, but the contract allows it): nothing to fold
-            state.update((s,))
+            state.update((s, last_us, last_eid))
             yield pd.DataFrame(
                 {k: [] for k in
                  ("user_id", "ts_us", "event_id", "x_cents", "s_cents")}
@@ -136,6 +149,23 @@ def _make_cusum_update(k_cents: int, h_cents: int):
         # feed contract (events arrive in per-user time order, the
         # ingest-day discipline) makes the fold order total
         pdf = pdf.sort_values(["ts_us", "event_id"])
+        # enforce the cross-batch half of that contract (r16 advice):
+        # a batch whose earliest event sorts at or before the carried
+        # last-seen marker would fold out of order and silently
+        # corrupt S — fail loudly instead
+        if had_state and len(pdf):
+            first_us = int(pdf["ts_us"].iloc[0])
+            first_eid = int(pdf["event_id"].iloc[0])
+            if (first_us, first_eid) <= (last_us, last_eid):
+                raise ValueError(
+                    "cusum_alarm_stream: out-of-order delivery for "
+                    f"user {user_id}: batch event (ts_us={first_us}, "
+                    f"event_id={first_eid}) is not after the carried "
+                    f"last-seen marker (ts_us={last_us}, "
+                    f"event_id={last_eid}) — the per-user time-ordered "
+                    "feed contract is violated and the running "
+                    "statistic would be wrong"
+                )
         for ts_us, event_id, x in zip(
             pdf["ts_us"].astype("int64"),
             pdf["event_id"].astype("int64"),
@@ -147,7 +177,8 @@ def _make_cusum_update(k_cents: int, h_cents: int):
                 out["event_id"].append(int(event_id))
                 out["x_cents"].append(int(x))
                 out["s_cents"].append(s)
-        state.update((s,))
+            last_us, last_eid = int(ts_us), int(event_id)
+        state.update((s, last_us, last_eid))
         yield pd.DataFrame(
             {
                 "user_id": [user_id] * len(out["event_id"]),
@@ -168,7 +199,13 @@ def cusum_alarm_stream(events_stream: DataFrame, k_cents=None, h_cents=None) -> 
     are emitted. Stream == batch is test-pinned under the per-user
     time-ordered feed contract (each user's events arrive in time
     order across batches — the same contract every ingest lane
-    documents; within a batch the fold sorts explicitly).
+    documents; within a batch the fold sorts explicitly). The
+    cross-batch half is ENFORCED, not assumed (r16 advice): state
+    carries the last-seen (ts_us, event_id) marker per user, and a
+    batch delivering an event at or before that marker raises
+    instead of silently folding the statistic wrong. Checkpoint
+    recovery replays from the rolled-back state version, so
+    legitimate re-delivery never trips the guard.
 
     Thresholds default to the batch operator's module constants so
     the two paths can never drift."""

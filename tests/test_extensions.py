@@ -4149,6 +4149,58 @@ def test_snm_ascii_domain_and_window_guard(spark):
         q_snm_pairs(hand, window=0)
 
 
+def test_snm_transliterate_fold_identity_and_parity(spark, sf_dir):
+    """r17 hardening (r16 verdict item 7): the opt-in NFKD
+    transliteration pre-pass. (1) identity on the declared ASCII
+    corpus — transliterate=True output equals the default path's, so
+    opting in cannot change declared semantics on an ASCII feed;
+    (2) on an accented hand corpus the fold admits José/Müller rows
+    the gate previously refused and pairs them with their ASCII
+    twins; a key still non-ASCII after the fold (ß has no NFKD
+    decomposition) stays refused; (3) hand-scale DuckDB parity with
+    the SAME interpolated fold table (snm_pairs_oracle(True)) — the
+    fold is cross-checked, not re-derived per engine."""
+    import duckdb
+
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.snm import (
+        q_snm_pairs,
+        snm_pairs_oracle,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    base = {tuple(r) for r in q_snm_pairs(cust).collect()}
+    folded = {
+        tuple(r) for r in q_snm_pairs(cust, transliterate=True).collect()
+    }
+    assert folded == base and len(base) > 0
+
+    rows = [
+        (1, "jose garcia"),
+        (2, "José García"),
+        (3, "muller"),
+        (4, "Müller"),
+        (5, "straße"),
+    ]
+    hand = spark.createDataFrame(rows, "c_custkey long, c_name string")
+    got = {
+        (r["custkey_a"], r["custkey_b"], r["dist"])
+        for r in q_snm_pairs(hand, transliterate=True).collect()
+    }
+    assert got == {(1, 2, 0), (3, 4, 0)}
+    # the default path refuses every accented row (and ß stays
+    # refused on BOTH paths)
+    got_default = {
+        (r["custkey_a"], r["custkey_b"])
+        for r in q_snm_pairs(hand).collect()
+    }
+    assert got_default == set()
+    con = duckdb.connect()
+    con.register("customer", hand.toPandas())
+    drows = {tuple(r) for r in con.execute(snm_pairs_oracle(True)).fetchall()}
+    assert drows == got
+
+
 def test_triangles_duckdb_parity_and_semantics(spark, sf_dir):
     """r17 candidate gate: q_triangles (degree-oriented triangle
     counting over the co-purchase graph) vs the deliberately

@@ -859,3 +859,102 @@ def test_cusum_alarm_stream_matches_batch_and_carries_state(spark, sf_dir, tmp_p
     )
     t2_us = int((t0 + dt.timedelta(hours=2)).timestamp() * 1_000_000)
     assert got_h == {(7, t2_us, 3, 300, 400)}
+
+
+def test_cusum_alarm_stream_rejects_out_of_order_delivery(spark, tmp_path):
+    """r16 advice fix: the stream==batch equivalence rests on events
+    arriving in per-user time order ACROSS micro-batches; a violation
+    must fail loudly (the carried last-seen marker), not silently
+    corrupt the running statistic."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from node_js_etl_processor_spark.streaming.stateful import (
+        cusum_alarm_stream,
+    )
+
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    t0 = dt.datetime(2024, 1, 1)
+    src = tmp_path / "cu_bad_src"
+    src.mkdir()
+
+    def run_once(tag):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            cusum_alarm_stream(stream, k_cents=100, h_cents=300)
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # batch 1: user 7 seen up to t0+1h — commits the marker
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=1), 7, 2.0)], schema
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    run_once("b1")
+
+    # batch 2 delivers an EARLIER event for the same user: the guard
+    # must surface the contract violation with the offending marker
+    spark.createDataFrame([(2, t0, 7, 2.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    with pytest.raises(StreamingQueryException, match="out-of-order delivery"):
+        run_once("b2")
+
+
+def test_span_store_novelty_reads_equal_batch(spark, sf_dir, tmp_path):
+    """r17 (verdict item 4): the novelty read paths over the
+    shingle-postings store. (1) score_drop_novelty — a NEW drop
+    scored against the stored corpus BEFORE ingest, only the drop
+    tokenized — equals the batch q_doc_novelty over the union corpus
+    restricted to the drop's doc_ids; (2) after ingesting the drop,
+    read_doc_novelty over the store equals the batch operator over
+    the whole corpus (the dedup-store trio's store-read == batch
+    discipline on the span family)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.novelty import q_doc_novelty
+    from node_js_etl_processor_spark.streaming.spanstore import (
+        read_doc_novelty,
+        score_drop_novelty,
+        span_postings_ingest_stream,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    drop = docs.filter(F.col("doc_id") % 3 == 0)
+    src = tmp_path / "span_src"
+    src.mkdir()
+    store, ckpt = str(tmp_path / "span_store"), str(tmp_path / "span_ckpt")
+
+    def ingest(df):
+        df.coalesce(1).write.mode("append").parquet(str(src))
+        stream = spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        ).parquet(str(src))
+        q = span_postings_ingest_stream(stream, store, ckpt)
+        q.awaitTermination(300)
+
+    def rows(df):
+        cols = sorted(df.columns)
+        return {tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect()}
+
+    ingest(corpus)
+    full = q_doc_novelty(docs)
+    drop_ids = {r["doc_id"] for r in drop.select("doc_id").collect()}
+    want_drop = full.filter(F.col("doc_id").isin(drop_ids))
+    got_drop = score_drop_novelty(spark, store, drop)
+    assert rows(got_drop) == rows(want_drop) and len(rows(got_drop)) > 0
+
+    ingest(drop)
+    got_all = read_doc_novelty(spark, store)
+    assert rows(got_all) == rows(full) and len(rows(got_all)) > 0
