@@ -609,6 +609,43 @@ def main() -> None:
             results_dict["vocab_compaction"] = res_cmp
             print(f"[vocab_compaction] {res_cmp}", file=sys.stderr)
 
+    def _span_family(results_dict):
+        # r17: the novelty drop-scoring read path (spanstore.
+        # score_drop_novelty) — a FIXED drop scored against a 1x vs
+        # 10x shingle-postings store. The store is touched by one
+        # broadcast-semi-filtered counting pass, so the cost must
+        # grow with the store SCAN (bandwidth-bound), never with a
+        # store-wide shuffle — the designed band is well under the
+        # corpus multiplier
+        from node_js_etl_processor_spark.operators.novelty import (
+            novelty_of_drop,
+        )
+        from node_js_etl_processor_spark.operators.spans import (
+            shingle_positions,
+        )
+
+        drop = docs1.filter(F.col("doc_id") % 10 == 0)
+        res = {}
+        for scale, base in (("1x", docs1), (f"{args.replicas}x", docs10)):
+            spath = os.path.join(tmp, f"spanstore_{scale}")
+            shingle_positions(base).write.parquet(spath)
+            stored = spark.read.parquet(spath)
+            ts = []
+            for _ in range(args.runs):
+                t0 = time.perf_counter()
+                novelty_of_drop(drop, stored).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ts.append(time.perf_counter() - t0)
+            res[f"sec_{scale}"] = round(statistics.median(ts), 3)
+        res["ratio"] = (
+            round(res[f"sec_{args.replicas}x"] / res["sec_1x"], 2)
+            if res["sec_1x"] > 0
+            else None
+        )
+        results_dict["novelty_drop_fixed"] = res
+        print(f"[novelty_drop_fixed] {res}", file=sys.stderr)
+
     # ---- r10-continuation operators: both compressed-audio loops
     # (G.711 companding is vectorized numpy per batch; ADPCM is the
     # per-row stateful nibble loop — the expensive one, measuring the
@@ -962,6 +999,7 @@ def main() -> None:
         unknown = set(args.only) - set(queries) - {
             "edge_append_fixed_batch", "edge_compaction",
             "vocab_append_fixed_batch", "vocab_compaction",
+            "novelty_drop_fixed",
         }
         if unknown:
             raise SystemExit(f"--only: unknown families {sorted(unknown)}")
@@ -992,6 +1030,9 @@ def main() -> None:
         "vocab_append_fixed_batch", "vocab_compaction"
     } & set(args.only):
         _vocab_family(results)
+
+    if args.only is None or "novelty_drop_fixed" in args.only:
+        _span_family(results)
 
     scan = skew = None
     if not args.only:  # solo mode times families only

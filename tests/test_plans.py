@@ -952,3 +952,153 @@ def test_snm_rank_never_single_partitions_the_corpus(spark, sf_dir):
     assert "BroadcastHashJoin" in simple  # offsets join never shuffles
     assert "BroadcastNestedLoopJoin" not in simple
     assert "CartesianProduct" not in simple
+
+
+def test_doc_novelty_single_hash_subtree_three_exchanges(spark, sf_dir):
+    """q_doc_novelty (r17 declaration): the corpus tokenize+md5
+    shingle subtree appears exactly ONCE (the r16 review invariant —
+    totals come off the token arrays, not a second hash pass), the
+    keyed exchanges are the span family's h + doc_id trio (duplication
+    window, doc-keyed sweep/aggs, totals agg), and no cartesian or
+    single-partition stage exists anywhere."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.novelty import q_doc_novelty
+
+    plan = plan_text(q_doc_novelty(load_table(spark, sf_dir, "documents")))
+    assert plan.count("md5") == 1
+    assert plan.count("Arguments: hashpartitioning") == 3
+    assert "hashpartitioning(h" in plan
+    assert "hashpartitioning(doc_id" in plan
+    assert "SinglePartition" not in plan
+    for join in ("CartesianProduct", "BroadcastNestedLoop"):
+        assert join not in plan
+
+
+def test_cusum_alarms_single_keyed_exchange_no_joins(spark, sf_dir):
+    """q_cusum_alarms (r17 declaration): the prefix-sum/running-min
+    identity rides ONE hashpartitioning(user_id) exchange — both
+    windows share it — with no join of any kind and no global sort."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.cusum import q_cusum_alarms
+
+    plan = plan_text(q_cusum_alarms(load_table(spark, sf_dir, "events")))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "hashpartitioning(user_id" in plan
+    for join in ("Join", "CartesianProduct"):
+        assert join not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_robust_stats_one_exchange_mapside_combined(spark, sf_dir):
+    """q_robust_stats (r17 declaration): the doubled-order-statistic
+    rewrite holds — ONE keyed exchange (the r16 in-round review took
+    it from two), partial+final aggregation on both passes, zero
+    joins, zero single-partition stages."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.robust import q_robust_stats
+
+    plan = plan_text(q_robust_stats(load_table(spark, sf_dir, "orders")))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 4
+    for join in ("Join", "CartesianProduct"):
+        assert join not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_ols_trend_one_exchange_integer_sufficient_stats(spark, sf_dir):
+    """q_ols_trend (r17 declaration): per-group regression as
+    map-side-combined integer sufficient statistics — one keyed
+    exchange, partial+final HashAggregate, no joins."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.trend import q_ols_trend
+
+    plan = plan_text(q_ols_trend(load_table(spark, sf_dir, "orders")))
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert plan.count("HashAggregate") >= 4
+    for join in ("Join", "CartesianProduct"):
+        assert join not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_simpson_diversity_two_aggregations_no_joins(spark, sf_dir):
+    """q_simpson_diversity (r17 declaration): exactly the two keyed
+    map-side-combined aggregations the module docstring promises —
+    (source, token) counts then the per-source vocabulary reduce —
+    with no joins, no windows, no single-partition stages."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.diversity import (
+        q_simpson_diversity,
+    )
+
+    plan = plan_text(
+        q_simpson_diversity(load_table(spark, sf_dir, "documents"))
+    )
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert plan.count("HashAggregate") >= 4
+    for join in ("Join", "CartesianProduct"):
+        assert join not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_event_sequences_two_keyed_exchanges_no_joins(spark, sf_dir):
+    """q_event_sequences (r17 declaration): the per-user lead()
+    window and the trigram support rollup are the only two keyed
+    exchanges; the two-level aggregation (per-user occurrence counts
+    feeding the vocabulary-sized rollup) keeps everything
+    join-free."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.seqmine import (
+        q_event_sequences,
+    )
+
+    plan = plan_text(q_event_sequences(load_table(spark, sf_dir, "events")))
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "hashpartitioning(user_id" in plan
+    for join in ("Join", "CartesianProduct"):
+        assert join not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_sax_symbols_per_series_exchanges_no_joins(spark, sf_dir):
+    """q_sax_symbols (r17 declaration): symbolization is per-series
+    work — two user_id-keyed exchanges (the hourly bucket agg and the
+    rank window), no joins, and no single-partition stage (the
+    alphabet quantization is rank arithmetic, not a global sort)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.sax import q_sax_symbols
+
+    plan = plan_text(q_sax_symbols(load_table(spark, sf_dir, "events")))
+    assert plan.count("Arguments: hashpartitioning") == 2
+    assert "hashpartitioning(user_id" in plan
+    for join in ("Join", "CartesianProduct"):
+        assert join not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_triangles_orientation_keeps_joins_equi(spark, sf_dir):
+    """q_triangles (r17 declaration): the degree-orientation bound
+    only works if every join stays an EQUI join — no cartesian, no
+    broadcast nested loop, no single-partition stage anywhere in the
+    three-way closure."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.triangles import q_triangles
+
+    plan = plan_text(q_triangles(load_table(spark, sf_dir, "lineitem")))
+    for bad in ("CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_bfs_hops_unrolled_equi_joins_only(spark, sf_dir):
+    """q_bfs_hops (r17 declaration): the k-hop unrolled expansion is
+    all equi-joins on dst/domain — no cartesian, no nested loop, no
+    single-partition stage; frontier dedup aggregations are
+    partial+final."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.paths import q_bfs_hops
+
+    plan = plan_text(q_bfs_hops(load_table(spark, sf_dir, "documents")))
+    for bad in ("CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("HashAggregate") >= 4
