@@ -40,11 +40,17 @@ from pyspark.sql import functions as F
 X_EPOCH = "1998-07-01"
 
 
-def q_ols_trend(orders: DataFrame) -> DataFrame:
-    """r17 declaration CANDIDATE: per-priority OLS of price-in-cents
-    on day-offset — (o_orderpriority, n, sx, sy, sxx, sxy,
-    slope_cents_per_day); sums exact BIGINT, slope one fixed-shape
-    double expression (module docstring has the parity argument)."""
+#: the five SUM-mergeable statistics — the merge law the streamed
+#: store lane (streaming/sketches.py generic loop) re-aggregates by
+TREND_STAT_COLS = ("n", "sx", "sy", "sxx", "sxy")
+
+
+def trend_stats(orders: DataFrame) -> DataFrame:
+    """Per-priority integer sufficient statistics (o_orderpriority,
+    n, sx, sy, sxx, sxy) — the mergeable-partials half of the
+    regression (r17 store-lane split): partials from disjoint drops
+    SUM to the corpus statistics exactly, so the streamed store's
+    merge law is plain per-key addition."""
     base = orders.filter(
         F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
     ).select(
@@ -56,12 +62,24 @@ def q_ols_trend(orders: DataFrame) -> DataFrame:
         .alias("x"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
     )
-    agg = base.groupBy("o_orderpriority").agg(
+    return base.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),
         F.sum("y").cast("bigint").alias("sy"),
         F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+
+
+def trend_from_stats(stats: DataFrame) -> DataFrame:
+    """Finish the regression from a (possibly partial-per-drop)
+    statistics frame: SUM-merge per key, then the fixed-shape double
+    slope. On the batch path the input is already one row per key and
+    its partitioning satisfies the re-aggregation, so no second
+    exchange appears (plan-pinned); on the store path this is the
+    read that makes stream == batch exact."""
+    agg = stats.groupBy("o_orderpriority").agg(
+        *[F.sum(c).cast("bigint").alias(c) for c in TREND_STAT_COLS]
     )
     num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
         "sx"
@@ -72,6 +90,14 @@ def q_ols_trend(orders: DataFrame) -> DataFrame:
     return agg.withColumn(
         "slope_cents_per_day", num / F.nullif(den, F.lit(0.0))
     )
+
+
+def q_ols_trend(orders: DataFrame) -> DataFrame:
+    """Declared query (r17): per-priority OLS of price-in-cents
+    on day-offset — (o_orderpriority, n, sx, sy, sxx, sxy,
+    slope_cents_per_day); sums exact BIGINT, slope one fixed-shape
+    double expression (module docstring has the parity argument)."""
+    return trend_from_stats(trend_stats(orders))
 
 
 #: the DuckDB twin, staged until the r17 registry wiring — identical

@@ -922,3 +922,69 @@ def test_kmv_stream_saturation_transition(spark, tmp_path):
     est2 = kmv_estimates(got_sk).first()
     assert est2["theta"] < KMV_SCALE and est2["n_entries"] == 63
     assert est2["est_distinct"] == kmv_estimates(want_sk).first()["est_distinct"]
+
+
+@pytest.mark.parametrize("crash_point", ["before_pointer", "after_pointer"])
+def test_trend_stats_stream_exactly_once_matches_batch(
+    spark, sf_dir, tmp_path, monkeypatch, crash_point
+):
+    """r17: the OLS sufficient-statistics lane — the FIRST
+    multi-column instantiation of the generic versioned-pointer merge
+    loop — is exactly-once under both crash windows, and
+    ols_from_store equals the one-shot q_ols_trend over the union
+    feed bit-for-bit. SUM is the sharp idempotence law here exactly
+    as in the HDR family: a replayed merge would double every
+    statistic, so a crash-recovery bug cannot hide."""
+    from node_js_etl_processor_spark.operators.trend import q_ols_trend
+    from node_js_etl_processor_spark.streaming.sketches import (
+        ols_from_store,
+        ols_trend_ingest_stream,
+    )
+
+    store = str(tmp_path / "trend_store")
+    schema = (
+        "o_orderkey long, o_orderpriority string, o_totalprice double, "
+        "o_orderdate date"
+    )
+    src = tmp_path / "landing"
+    src.mkdir()
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+    )
+    base.filter("o_orderkey % 2 = 0").coalesce(1).write.json(str(src / "b1"))
+    base.filter("o_orderkey % 2 = 1").coalesce(1).write.json(str(src / "b2"))
+
+    def start(batch_dir, ck):
+        stream = spark.readStream.schema(schema).json(str(src / batch_dir))
+        return ols_trend_ingest_stream(stream, store, str(tmp_path / ck))
+
+    q = start("b1", "ck1")
+    q.awaitTermination(120)
+
+    calls: list = []
+    if crash_point == "after_pointer":
+        _crash_once(monkeypatch, markers, calls)
+    else:
+
+        def boom(*a, **k):
+            calls.append(a)
+            raise RuntimeError("injected crash before pointer switch")
+
+        monkeypatch.setattr(markers, "set_current_version", boom)
+    q = start("b2", "ck2")
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    assert calls
+    monkeypatch.undo()
+
+    q = start("b2", "ck2")
+    q.awaitTermination(120)
+
+    got = ols_from_store(spark, store)
+    want = q_ols_trend(base)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() > 0
