@@ -1047,3 +1047,31 @@ def test_sax_word_matches_rank_model(spark, frames):
     want = "".join(sym[i] for i in range(n))
     row = q_sax_symbols(hand).collect()[0]
     assert (row["n_frames"], row["sax_word"]) == (n, want)
+
+
+def test_snm_fold_table_is_the_nfkd_strip_contract():
+    """r17: the SNM transliteration table's load-bearing properties,
+    checked directly against unicodedata (the table is the ONE
+    artifact both engines interpolate, so its correctness IS the
+    cross-engine parity argument): every mapped char NFKD-strips to
+    exactly its ASCII image; the deleted tail is exactly the lone
+    combining marks; no duplicate sources; folding is idempotent
+    (the image contains no foldable char)."""
+    import unicodedata
+
+    from node_js_etl_processor_spark.operators.snm import (
+        FOLD_FROM,
+        FOLD_TO,
+    )
+
+    n_mapped = len(FOLD_TO)
+    mapped, deleted = FOLD_FROM[:n_mapped], FOLD_FROM[n_mapped:]
+    assert len(set(FOLD_FROM)) == len(FOLD_FROM)
+    for src, dst in zip(mapped, FOLD_TO):
+        d = unicodedata.normalize("NFKD", src)
+        base = [c for c in d if not unicodedata.combining(c)]
+        assert base == [dst] and ord(dst) < 128, (src, dst)
+    assert deleted == "".join(chr(cp) for cp in range(0x0300, 0x0370))
+    # idempotence: no ASCII image is itself in the fold domain, so
+    # applying the fold twice equals applying it once
+    assert not set(FOLD_TO) & set(FOLD_FROM)
