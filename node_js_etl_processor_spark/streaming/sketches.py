@@ -49,9 +49,7 @@ def sketch_merge_applier(
     ``build_batch`` maps
     a micro-batch to its sketch rows; the stored and batch sketches
     union and re-aggregate by ``merge_keys`` with ``merge_agg()`` (a
-    fresh aggregate Column — or, since r17, a SEQUENCE of aggregate
-    Columns for multi-statistic sketches like the OLS sufficient-sums
-    lane — per call; MAX for HLL, SUM for counts).
+    fresh aggregate Column per call — MAX for HLL, SUM for counts).
     Exactly-once via the markers protocol exactly as
     ``countmin_ingest_stream`` documents: replay guard → pointer
     self-check → merge → new version dir → atomic pointer switch →
@@ -82,13 +80,10 @@ def sketch_merge_applier(
         sketch = build_batch(batch_df)
         if cur is not None:
             stored = spark.read.parquet(posixpath.join(store_path, cur))
-            aggs = merge_agg()
-            if isinstance(aggs, Column):
-                aggs = [aggs]
             sketch = (
                 sketch.unionByName(stored)
                 .groupBy(*merge_keys)
-                .agg(*aggs)
+                .agg(merge_agg())
             )
         merged = sketch.localCheckpoint(eager=True)
         merged.coalesce(1).write.mode("overwrite").parquet(
@@ -189,42 +184,4 @@ def hdr_ingest_stream(
         build_batch=lambda b: hdr_sketch(b, group_col, value_col),
         merge_keys=(group_col, "idx"),
         merge_agg=lambda: F.sum("cnt").cast("bigint").alias("cnt"),
-    )
-
-
-def ols_from_store(spark: SparkSession, store_path: str) -> DataFrame:
-    """The OLS trend read path (r17): finish the regression from the
-    stored per-priority sufficient-statistic partials — identical
-    slope to the one-shot ``q_ols_trend`` over the union feed because
-    the five sums are exact BIGINTs and SUM-merge associatively
-    (test-pinned in the composed ingest day)."""
-    from ..operators.trend import trend_from_stats
-
-    return trend_from_stats(read_sketch_store(spark, store_path))
-
-
-def ols_trend_ingest_stream(
-    orders_stream: DataFrame,
-    store_path: str,
-    checkpoint: str,
-):
-    """Incremental regression (r17): maintain the per-priority OLS
-    sufficient statistics (operators/trend.py::trend_stats — five
-    exact BIGINT sums) across micro-batches by per-key SUM, the first
-    multi-column instantiation of the generic merge loop. State is
-    O(groups × 5) — the regression over an unbounded CDC stream at
-    sketch-sized cost, finished at read time by ``ols_from_store``."""
-    from pyspark.sql import functions as F
-
-    from ..operators.trend import TREND_STAT_COLS, trend_stats
-
-    return sketch_merge_ingest_stream(
-        orders_stream,
-        store_path,
-        checkpoint,
-        build_batch=trend_stats,
-        merge_keys=("o_orderpriority",),
-        merge_agg=lambda: [
-            F.sum(c).cast("bigint").alias(c) for c in TREND_STAT_COLS
-        ],
     )

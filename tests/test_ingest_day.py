@@ -210,18 +210,14 @@ def test_ingest_day_with_midchain_crash_equals_one_shot(
         return real_mark(path, checkpoint, batch_id)
 
     monkeypatch.setattr(indexing, "mark_batch_applied", boom)
-    # compact_every=2 (r16 advice): the composed loop must reach the
-    # vocab lane's compaction slot — previously never plumbed, so the
-    # highest-fan-out partial log grew without bound
-    q = ingest_day_stream(feed(), paths, ckpt, embs, compact_every=2)
-    with pytest.raises(Exception):
-        q.awaitTermination(600)
-    assert crashes, "the injected crash never fired"
-    monkeypatch.undo()
+    # count compactions across BOTH runs with a SEPARATE MonkeyPatch
+    # instance (the bm25 crash's monkeypatch.undo() must not remove
+    # the counters): the vocab lane compacts at batch 1 of the first
+    # run (its tier commits before the bm25 crash; the marker-hit
+    # replay returns early, so that is its only fold), the edges tier
+    # applies batch 1 fresh on restart and folds there
+    from _pytest.monkeypatch import MonkeyPatch
 
-    # count compactions during the restart run: batch 1's re-delivery
-    # hits the vocab marker but still reaches the (batch_id+1) % 2 == 0
-    # compaction slot; the edges tier applies batch 1 fresh and folds
     from node_js_etl_processor_spark.sources import graph_store, vocab_store
 
     folds = {"vocab": 0, "edges": 0}
@@ -238,16 +234,29 @@ def test_ingest_day_with_midchain_crash_equals_one_shot(
         folds["edges"] += 1
         return real_ce(spark_, path_)
 
-    monkeypatch.setattr(vocab_store, "compact_vocab_store", count_cv)
-    monkeypatch.setattr(graph_store, "compact_edge_store", count_ce)
+    mp_folds = MonkeyPatch()
+    mp_folds.setattr(vocab_store, "compact_vocab_store", count_cv)
+    mp_folds.setattr(graph_store, "compact_edge_store", count_ce)
 
-    # ---- restart the SAME checkpoint: drop 2 re-delivers (dedup tiers
-    # return their published survivors, BM25 recovers its partial
-    # publish and re-applies, the later tiers apply fresh), drop 3 runs
-    q = ingest_day_stream(feed(), paths, ckpt, embs, compact_every=2)
-    q.awaitTermination(600)
-    assert folds["vocab"] >= 1 and folds["edges"] >= 1, folds
-    monkeypatch.undo()
+    try:
+        # compact_every=2 (r16 advice): the composed loop must reach
+        # the vocab lane's compaction slot — previously never plumbed,
+        # so the highest-fan-out partial log grew without bound
+        q = ingest_day_stream(feed(), paths, ckpt, embs, compact_every=2)
+        with pytest.raises(Exception):
+            q.awaitTermination(600)
+        assert crashes, "the injected crash never fired"
+        monkeypatch.undo()
+
+        # ---- restart the SAME checkpoint: drop 2 re-delivers (dedup
+        # tiers return their published survivors, BM25 recovers its
+        # partial publish and re-applies, the later tiers apply
+        # fresh), drop 3 runs
+        q = ingest_day_stream(feed(), paths, ckpt, embs, compact_every=2)
+        q.awaitTermination(600)
+        assert folds["vocab"] >= 1 and folds["edges"] >= 1, folds
+    finally:
+        mp_folds.undo()
 
     # ---- one-shot rebuild of the whole day
     exact_ids = _ids(q_dedup_docs(docs), "doc_id")

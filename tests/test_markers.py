@@ -936,7 +936,7 @@ def test_trend_stats_stream_exactly_once_matches_batch(
     as in the HDR family: a replayed merge would double every
     statistic, so a crash-recovery bug cannot hide."""
     from node_js_etl_processor_spark.operators.trend import q_ols_trend
-    from node_js_etl_processor_spark.streaming.sketches import (
+    from node_js_etl_processor_spark.streaming.trendstore import (
         ols_from_store,
         ols_trend_ingest_stream,
     )
