@@ -126,14 +126,27 @@ def novelty_of_drop(
     iff its digest occurs ≥ 2 times across stored corpus + drop (so
     both corpus twins AND within-drop twins count), and extents go
     through the very same sweep-line merge
-    (``spans.extents_from_dup_positions``). Equality is test-pinned.
+    (``spans.extents_from_dup_positions``). Equality is test-pinned
+    UNDER THE INGEST PRECONDITION that the drop's doc_ids are NEW
+    (disjoint from the stored corpus — the doc_id-ordered drop
+    contract every ingest lane documents). A doc_id that ALREADY has
+    stored postings is scored from its drop-side rows only: its
+    stored twin's identical digests make every drop position
+    duplicated, so a re-delivered document scores as fully covered —
+    exactly the cut verdict a gate wants for a re-ingest — but its
+    totals do NOT sum both copies the way the batch operator's
+    repeated-doc_id rule does (behavior pinned in tests).
 
     Scale shape: the store is touched by ONE broadcast-semi-join
     pass — stored postings are filtered to the drop's distinct
     digests (batch-vocabulary-sized broadcast) and counted per
     digest; no corpus-wide shuffle, no corpus re-read of text. The
-    drop-side work (shingle, count window, sweep) is batch-sized."""
-    sh_d = shingle_positions(drop_docs, w)
+    drop-side work is batch-sized, and the drop's tokenize+md5
+    shingle subtree runs exactly ONCE (the frame is localCheckpointed
+    — batch-sized, so inside the checkpoint discipline — and feeds
+    the digest broadcast, the duplication gate AND the totals, the
+    q_doc_novelty single-hash-subtree invariant on the read path)."""
+    sh_d = shingle_positions(drop_docs, w).localCheckpoint(eager=True)
     drop_h = sh_d.select("h").distinct()
     stored_cnt = (
         stored_positions.join(F.broadcast(drop_h), "h")
@@ -152,8 +165,13 @@ def novelty_of_drop(
         .filter(F.col("n_occ") >= 2)
         .select("doc_id", "pos")
     )
+    # totals off the SAME checkpointed shingle frame (per-doc posting
+    # counts — novelty_from_positions' totals), not a re-tokenize
+    totals = sh_d.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
+    )
     return _coverage_from_extents(
-        _drop_totals(drop_docs, w), extents_from_dup_positions(dup, w), w
+        totals, extents_from_dup_positions(dup, w), w
     )
 
 

@@ -113,7 +113,11 @@ CUSUM_ALARM_SCHEMA = StructType(
 #: equivalence rests on events arriving in per-user time order
 #: ACROSS micro-batches (within-batch order is sorted explicitly),
 #: and a silent violation would corrupt the statistic, so the
-#: contract is tracked in state and enforced loudly.
+#: contract is tracked in state and enforced loudly. State schema v2
+#: (r17): resuming a checkpoint written by the v1 one-field schema
+#: fails Spark's state-store schema-compatibility check at startup —
+#: start a fresh checkpointLocation (the alarms already emitted are
+#: in the sink; the statistic rebuilds from the feed).
 _CUSUM_STATE_SCHEMA = StructType(
     [
         StructField("s", LongType(), False),
@@ -121,6 +125,12 @@ _CUSUM_STATE_SCHEMA = StructType(
         StructField("last_eid", LongType(), False),
     ]
 )
+
+#: never-seen marker: pre-1970 timestamps pass the stream's filters,
+#: so 0 is a VALID event coordinate — the sentinel must be outside
+#: the domain (LONG_MIN) for the order guard to stay exact even for
+#: state rows first created by an empty (timeout-only) invocation.
+_NEVER_SEEN = -(2**63)
 
 
 def _make_cusum_update(k_cents: int, h_cents: int):
@@ -132,8 +142,10 @@ def _make_cusum_update(k_cents: int, h_cents: int):
         import pandas as pd
 
         (user_id,) = key
-        had_state = state.exists
-        s, last_us, last_eid = state.get if had_state else (0, 0, 0)
+        if state.exists:
+            s, last_us, last_eid = state.get
+        else:
+            s, last_us, last_eid = 0, _NEVER_SEEN, _NEVER_SEEN
         out = {"ts_us": [], "event_id": [], "x_cents": [], "s_cents": []}
         frames = [pdf for pdf in pdf_iter]
         if not frames:  # timeout-only invocation (none under
@@ -152,8 +164,10 @@ def _make_cusum_update(k_cents: int, h_cents: int):
         # enforce the cross-batch half of that contract (r16 advice):
         # a batch whose earliest event sorts at or before the carried
         # last-seen marker would fold out of order and silently
-        # corrupt S — fail loudly instead
-        if had_state and len(pdf):
+        # corrupt S — fail loudly instead. The LONG_MIN sentinel (not
+        # 0 — a valid coordinate) keeps the guard exact for state rows
+        # first written by an empty invocation.
+        if last_us != _NEVER_SEEN and len(pdf):
             first_us = int(pdf["ts_us"].iloc[0])
             first_eid = int(pdf["event_id"].iloc[0])
             if (first_us, first_eid) <= (last_us, last_eid):

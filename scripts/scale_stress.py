@@ -215,6 +215,12 @@ def main() -> None:
              "skips the scan/scd2/append/skew sections",
     )
     args = ap.parse_args()
+    if args.replicas < 2:
+        # every family (and the edge/vocab/span store families in
+        # particular) keys its results as sec_1x vs sec_{replicas}x —
+        # replicas=1 silently collides the keys and reports ratio 1.0
+        raise SystemExit("--replicas must be >= 2 (sec_1x / sec_Nx "
+                         "result keys collide at 1)")
 
     from node_js_etl_processor_spark.operators import dedup, retrieval, similarity, text
     from node_js_etl_processor_spark.functions.skew import _salt, salted_count

@@ -958,3 +958,41 @@ def test_span_store_novelty_reads_equal_batch(spark, sf_dir, tmp_path):
     ingest(drop)
     got_all = read_doc_novelty(spark, store)
     assert rows(got_all) == rows(full) and len(rows(got_all)) > 0
+
+
+def test_score_drop_novelty_redelivered_doc_scores_fully_covered(
+    spark, sf_dir, tmp_path
+):
+    """r17 in-round review pin: novelty_of_drop's equality with the
+    batch operator holds under the new-doc_ids ingest precondition;
+    a doc_id that ALREADY has stored postings is scored from its
+    drop-side rows only, and its stored twin's identical digests make
+    EVERY position duplicated — a re-delivered document scores as
+    fully covered (dup_extent_tokens == n_tokens), exactly the cut
+    verdict a gate wants for a re-ingest."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.streaming.spanstore import (
+        score_drop_novelty,
+        span_postings_ingest_stream,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = tmp_path / "redeliver_src"
+    src.mkdir()
+    store, ckpt = str(tmp_path / "rd_store"), str(tmp_path / "rd_ckpt")
+    docs.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).parquet(str(src))
+    q = span_postings_ingest_stream(stream, store, ckpt)
+    q.awaitTermination(300)
+
+    redelivered = docs.limit(20)
+    got = score_drop_novelty(spark, store, redelivered).collect()
+    assert len(got) > 0
+    for r in got:
+        assert r["n_dup_shingles"] == r["n_shingles"], r
+        assert r["dup_extent_tokens"] == r["n_tokens"], r
