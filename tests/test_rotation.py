@@ -48,9 +48,12 @@ def test_affected_queries_fake_change_detects_out_of_window():
     affected = cr.affected_queries({"operators.dedup"}, defining, graph)
     assert "q_dedup_minhash" in affected and "q_dedup_docs" in affected
     window = set(list(entrymod.queries())[: cr.WINDOW])
-    # q_dedup_minhash rotated out in r16 (r14-green, an r17 deferral):
-    # a dedup.py change must surface it as an out-of-window hit
-    assert "q_dedup_minhash" in affected - window
+    # the witness must be a dedup.py query that is genuinely OUT of
+    # the CURRENT window (it changes as the window rotates):
+    # q_dedup_docs is r16-green and out of the r17 window, while
+    # q_dedup_minhash — r16's witness — rotated back IN as an r17
+    # deferral. A dedup.py change must surface the out-of-window hit.
+    assert "q_dedup_docs" in affected - window
 
 
 def test_live_tree_rotation_rule_holds():
