@@ -1102,3 +1102,45 @@ def test_bfs_hops_unrolled_equi_joins_only(spark, sf_dir):
         assert bad not in plan
     assert "SinglePartition" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_equidepth_hist_distributed_rank_no_single_partition(spark, sf_dir):
+    """q_equidepth_hist (r18-scheduled declaration, pinned ahead):
+    the distributed grouped rank — rangepartitioning for the rank,
+    broadcast joins for the per-(partition, group) offsets, and NO
+    single-partition stage anywhere (the first cut's ntile-over-
+    PARTITION BY form collapsed to 3 tasks; this pin keeps the
+    rewrite honest)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.histogram import (
+        q_equidepth_hist,
+    )
+
+    df = q_equidepth_hist(load_table(spark, sf_dir, "lineitem"))
+    plan = plan_text(df)
+    simple = plan_text(df, "simple")
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in simple
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in simple
+
+
+def test_gini_concentration_one_group_keyed_exchange(spark, sf_dir):
+    """q_gini_concentration (r18-scheduled declaration, pinned
+    ahead): one source-keyed exchange carries the in-group rank
+    window and the aggregation — no joins, no single-partition
+    stage."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.gini import (
+        q_gini_concentration,
+    )
+
+    plan = plan_text(
+        q_gini_concentration(load_table(spark, sf_dir, "documents"))
+    )
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "hashpartitioning(source" in plan
+    for join in ("Join", "CartesianProduct"):
+        assert join not in plan
+    assert "SinglePartition" not in plan
