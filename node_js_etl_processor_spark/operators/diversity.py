@@ -1,5 +1,5 @@
 """Lexical diversity / vocabulary concentration per source —
-r17 declaration CANDIDATE (built + staged-oracle-verified in r16):
+DECLARED in r17 (built + staged-oracle-verified in r16):
 the vocabulary-level dataset-card block that q_corpus_stats's
 doc-level totals cannot provide — Simpson's repeat rate (Simpson,
 Nature 1949, "Measurement of Diversity"; equivalently the Herfindahl
@@ -79,14 +79,14 @@ def diversity_from_counts(counts: DataFrame) -> DataFrame:
 
 
 def q_simpson_diversity(documents: DataFrame) -> DataFrame:
-    """r17 declaration CANDIDATE: per-source vocabulary concentration
+    """Declared query (r17): per-source vocabulary concentration
     — (source, n_tokens, n_types, simpson_num, n_hapax, yule_k);
     integers exact, yule_k one fixed-shape double expression (module
     docstring has the parity argument)."""
     return diversity_from_counts(vocab_counts(documents))
 
 
-#: the DuckDB twin, staged until the r17 registry wiring — identical
+#: the DuckDB twin, registry-wired in r17 — identical
 #: tokenization, identical integer sufficient statistics, identical
 #: fixed-shape double for Yule's K. NOTE the K expression reuses
 #: Σc² = simpson_num + n EXACTLY as the engine does (simpson_num is

@@ -1,5 +1,6 @@
-"""Per-source Gini concentration of document lengths — r17
-declaration CANDIDATE (built + staged-oracle-verified in r16): the
+"""Per-source Gini concentration of document lengths — an
+r18-SCHEDULED declaration (built + staged-oracle-verified in r16;
+the capacity policy in __spark_entry__.py holds it for r18): the
 classic inequality coefficient (Gini 1912; the rank-weighted form of
 Sen, On Economic Inequality 1973, eq. 2.8.1) applied to the corpus
 axis a data-mixing pipeline actually watches: how unequally a
@@ -44,7 +45,7 @@ from pyspark.sql import functions as F
 
 
 def q_gini_concentration(documents: DataFrame) -> DataFrame:
-    """r17 declaration CANDIDATE: per-source size-concentration
+    """r18-scheduled declaration: per-source size-concentration
     statistics — (source, n, sum_x, sum_ix, gini); integers exact,
     gini one fixed-shape double expression (module docstring has the
     parity argument)."""
@@ -72,7 +73,7 @@ def q_gini_concentration(documents: DataFrame) -> DataFrame:
     )
 
 
-#: the DuckDB twin, staged until the r17 registry wiring — identical
+#: the DuckDB twin, staged until the r18 registry wiring (capacity policy) — identical
 #: in-group rank, identical integer sufficient statistics, identical
 #: fixed-shape double for G.
 GINI_CONCENTRATION_ORACLE = """

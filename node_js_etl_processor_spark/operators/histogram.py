@@ -1,5 +1,6 @@
-"""Equi-depth histograms per group — r17 declaration CANDIDATE
-(built + staged-oracle-verified in r16): the classic database
+"""Equi-depth histograms per group — r18-SCHEDULED declaration
+(built + staged-oracle-verified in r16; the capacity policy in
+__spark_entry__.py holds it for r18): the classic database
 statistics structure (Piatetsky-Shapiro & Connell, SIGMOD 1984,
 "Accurate Estimation of the Number of Tuples Satisfying a
 Condition"; the variance-minimizing V-optimal/equi-depth line of
@@ -52,7 +53,7 @@ _RANK_PARTS = 32
 def q_equidepth_hist(
     lineitem: DataFrame, n_buckets: int = N_BUCKETS, parts: int = _RANK_PARTS
 ) -> DataFrame:
-    """r17 declaration CANDIDATE: per-returnflag equi-depth histogram
+    """r18-scheduled declaration: per-returnflag equi-depth histogram
     of extended price — (l_returnflag, bucket, n, lo_cents, hi_cents),
     all BIGINT (module docstring has the NTILE-parity and
     distributed-rank arguments)."""
@@ -112,7 +113,7 @@ def q_equidepth_hist(
     )
 
 
-#: the DuckDB twin, staged until the r17 registry wiring — the
+#: the DuckDB twin, staged until the r18 registry wiring (capacity policy) — the
 #: deliberately single-machine NTILE formulation over the identical
 #: total order, cross-checking the distributed rank+arithmetic
 #: rewrite bit-for-bit.

@@ -1,5 +1,5 @@
-"""Per-document duplication-coverage ("novelty") scoring — r17
-declaration CANDIDATE (built + staged-oracle-verified in r16): for
+"""Per-document duplication-coverage ("novelty") scoring —
+DECLARED in r17 (built + staged-oracle-verified in r16): for
 every document long enough to shingle, how much of it is covered by
 corpus-duplicated w-token runs — the document-level cut/down-weight
 signal Lee et al., ACL 2022 derive from ExactSubstr matches (§5:
@@ -188,7 +188,7 @@ def q_doc_novelty(documents: DataFrame, w: int = SPAN_W) -> DataFrame:
     )
 
 
-#: the DuckDB twin, staged until the r17 registry wiring — width
+#: the DuckDB twin, registry-wired in r17 — width
 #: interpolated from SPAN_W (the r16 advice discipline); rebuilds
 #: shingles, the duplication gate, the sweep merge AND the coverage
 #: assembly, so the composition is checked end to end
@@ -247,5 +247,5 @@ def doc_novelty_oracle(w: int = SPAN_W) -> str:
 """
 
 
-#: the default-width twin, staged until the r17 registry wiring
+#: the default-width twin, registry-wired in r17
 DOC_NOVELTY_ORACLE = doc_novelty_oracle(SPAN_W)

@@ -1,4 +1,4 @@
-"""RFM customer segmentation — r17 declaration CANDIDATE (built +
+"""RFM customer segmentation — DECLARED in r17 (built +
 staged-oracle-verified in r16): the classic recency / frequency /
 monetary quintile segmentation (Hughes, "Strategic Database
 Marketing", 1994 — the standard warehouse cohorting operator), over
@@ -73,7 +73,7 @@ def _segment(metrics: DataFrame, col: str, seg: str, n: int) -> DataFrame:
 
 
 def q_rfm_segments(orders: DataFrame) -> DataFrame:
-    """r17 declaration CANDIDATE: (custkey, recency_days, n_orders,
+    """Declared query (r17): (custkey, recency_days, n_orders,
     monetary_cents, r_seg, f_seg, m_seg) — see the module
     docstring."""
     m = rfm_metrics(orders).localCheckpoint(eager=True)
@@ -92,7 +92,7 @@ def q_rfm_segments(orders: DataFrame) -> DataFrame:
     )
 
 
-#: the DuckDB twin, staged until the r17 registry wiring — the
+#: the DuckDB twin, registry-wired in r17 — the
 #: single-machine ROW_NUMBER form, cross-checking the distributed
 #: rank rewrite on all three metrics
 RFM_SEGMENTS_ORACLE = """

@@ -1,5 +1,5 @@
 """Exact per-group robust statistics (median / MAD) in pure integer
-arithmetic — r17 declaration CANDIDATE (built + staged-oracle-
+arithmetic — DECLARED in r17 (built + staged-oracle-
 verified in r16): the robust location/scale pair (Hampel 1974; the
 MAD as the robust sigma — Leys et al. 2013's outlier-detection
 standard) that q_stats_agg's moment statistics cannot provide, and
@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 
 def q_robust_stats(orders: DataFrame) -> DataFrame:
-    """r17 declaration CANDIDATE: per-priority robust price
+    """Declared query (r17): per-priority robust price
     statistics — (o_orderpriority, n, med2_cents, mad4_cents), all
     BIGINT (module docstring has the doubling conventions)."""
     grp = "o_orderpriority"
@@ -84,7 +84,7 @@ def q_robust_stats(orders: DataFrame) -> DataFrame:
     )
 
 
-#: the DuckDB twin, staged until the r17 registry wiring — identical
+#: the DuckDB twin, registry-wired in r17 — identical
 #: doubled-order-statistic arithmetic, NO quantile functions anywhere
 ROBUST_STATS_ORACLE = """
     WITH base AS (

@@ -1,5 +1,5 @@
 """SAX symbolic aggregate approximation of event time series —
-r17 declaration CANDIDATE (built + staged-oracle-verified in r16):
+DECLARED in r17 (built + staged-oracle-verified in r16):
 the time-series-to-string discretization of Lin, Keogh, Lonardi &
 Chiu (DMKD 2003, "A Symbolic Representation of Time Series") that
 turns each user's event-value stream into a short alphabet word, so
@@ -53,7 +53,7 @@ ALPHABET = 4
 
 
 def q_sax_symbols(events: DataFrame, alphabet: int = ALPHABET) -> DataFrame:
-    """r17 declaration CANDIDATE: per-user SAX words over hourly PAA
+    """Declared query (r17): per-user SAX words over hourly PAA
     frames of ``value`` — (user_id, n_frames, sax_word); rank-based
     symbol assignment (module docstring has the exactness argument)."""
     frames = (
@@ -98,7 +98,7 @@ def q_sax_symbols(events: DataFrame, alphabet: int = ALPHABET) -> DataFrame:
     )
 
 
-#: the DuckDB twin, staged until the r17 registry wiring — identical
+#: the DuckDB twin, registry-wired in r17 — identical
 #: hourly PAA, identical single-division mean, identical NTILE rank
 #: quantization (both engines give the first n_rows % n buckets the
 #: extra row), time-ordered string_agg.

@@ -38,7 +38,7 @@ MIN_SEQ_SUPPORT = 10
 def q_event_sequences(
     events: DataFrame, min_support: int = MIN_SEQ_SUPPORT
 ) -> DataFrame:
-    """r17 declaration CANDIDATE: frequent contiguous event-type
+    """Declared query (r17): frequent contiguous event-type
     trigrams (see the module docstring)."""
     eus = epoch_us_fn(events)
     w = Window.partitionBy("user_id").orderBy(
@@ -72,7 +72,7 @@ def q_event_sequences(
     )
 
 
-#: the DuckDB twin, staged until the r17 registry wiring — support
+#: the DuckDB twin, registry-wired in r17 — support
 #: interpolated from MIN_SEQ_SUPPORT (the r16 advice discipline)
 EVENT_SEQUENCES_ORACLE = f"""
     WITH base AS (

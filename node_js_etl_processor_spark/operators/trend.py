@@ -1,5 +1,5 @@
 """Per-group OLS trend via exact integer sufficient statistics —
-r17 declaration CANDIDATE (built + staged-oracle-verified in r16):
+DECLARED in r17 (built + staged-oracle-verified in r16):
 simple linear regression of order value on order date, the
 monitoring pass a pipeline runs per segment ("is this source's
 quality/price/volume drifting, and how fast?"). The textbook
@@ -100,7 +100,7 @@ def q_ols_trend(orders: DataFrame) -> DataFrame:
     return trend_from_stats(trend_stats(orders))
 
 
-#: the DuckDB twin, staged until the r17 registry wiring — identical
+#: the DuckDB twin, registry-wired in r17 — identical
 #: integer sufficient statistics, identical fixed-shape double slope.
 OLS_TREND_ORACLE = f"""
     WITH base AS (

@@ -1,5 +1,5 @@
-"""Exact triangle counting over the co-purchase graph — r17
-declaration CANDIDATE (built + staged-oracle-verified in r16): the
+"""Exact triangle counting over the co-purchase graph —
+DECLARED in r17 (built + staged-oracle-verified in r16): the
 degree-ordered edge orientation algorithm (Schank & Wagner, WEA 2005,
 "Finding, Counting and Listing All Triangles in Large Graphs"; the
 MapReduce formulation is Suri & Vassilvitskii, WWW 2011's MR-B), the
@@ -124,14 +124,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
 
 def q_triangles(lineitem: DataFrame) -> DataFrame:
-    """r17 declaration CANDIDATE: per-part triangle participation in
+    """Declared query (r17): per-part triangle participation in
     the co-purchase graph. The oracle brute-forces the id-canonical
     3-way edge join with NO orientation — the rewrite's exactness is
     the thing checked."""
     return triangle_counts(copurchase_edges(lineitem))
 
 
-#: the DuckDB twin, staged until the r17 registry wiring — support
+#: the DuckDB twin, registry-wired in r17 — support
 #: threshold interpolated from MIN_SUPPORT (the r16 advice
 #: discipline); deliberately the UNORIENTED brute-force 3-way join
 TRIANGLES_ORACLE = f"""
