@@ -95,8 +95,12 @@ def novelty_from_positions(sh: DataFrame, w: int = SPAN_W) -> DataFrame:
 def _drop_totals(drop_docs: DataFrame, w: int) -> DataFrame:
     """Per-doc shingle totals straight off the token arrays —
     greatest(|tokens| − w + 1, 0) summed per doc_id (re-ingested
-    duplicates sum, the r16 fifth-review rule) — shared by the batch
-    query and the drop scorer."""
+    duplicates sum, the r16 fifth-review rule). Used by the BATCH
+    query only: the drop scorer reads its totals off its
+    checkpointed shingle frame instead (one hash pass) — the two
+    definitions agree because per-doc posting count ==
+    greatest(|tokens| − w + 1, 0) for every doc with ≥ 1 shingle,
+    the span family's output invariant."""
     per_row = corpus_tokens(drop_docs).select(
         "doc_id",
         F.greatest(F.size("ts") - (w - 1), F.lit(0))

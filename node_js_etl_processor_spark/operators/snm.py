@@ -175,7 +175,10 @@ def snm_pairs_oracle(transliterate: bool = False) -> str:
     FOLD_FROM/FOLD_TO table the engine's ``ascii_fold`` applies
     (translate() deletes unpaired from-chars in both engines), so
     the fold is cross-checked bit-for-bit, not re-derived from the
-    oracle engine's own normalization."""
+    oracle engine's own normalization. The DOUBLED lower —
+    lower(translate(lower(trim(..)))) — deliberately mirrors the
+    engine's post-fold re-lower (q_snm_pairs); simplify either side
+    alone and bit-parity breaks, so keep them symmetric."""
     key = "lower(trim(c_name))"
     if transliterate:
         key = f"lower(translate({key}, '{FOLD_FROM}', '{FOLD_TO}'))"

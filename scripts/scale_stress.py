@@ -630,11 +630,15 @@ def main() -> None:
             shingle_positions,
         )
 
+        # the drop's doc_ids must be NEW to the store (the operator's
+        # documented ingest precondition) — scoring already-stored ids
+        # measures the degenerate all-duplicated path, not the
+        # representative sparse-duplication gate (r17 second review)
         drop = docs1.filter(F.col("doc_id") % 10 == 0)
         res = {}
         for scale, base in (("1x", docs1), (f"{args.replicas}x", docs10)):
             spath = os.path.join(tmp, f"spanstore_{scale}")
-            shingle_positions(base).write.parquet(spath)
+            shingle_positions(base.filter(F.col("doc_id") % 10 != 0)).write.parquet(spath)
             stored = spark.read.parquet(spath)
             ts = []
             for _ in range(args.runs):
