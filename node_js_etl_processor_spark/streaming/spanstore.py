@@ -113,3 +113,113 @@ def score_drop_novelty(
     from ..operators.novelty import novelty_of_drop
 
     return novelty_of_drop(drop_docs, spark.read.parquet(store_path), w)
+
+
+def novelty_gated_ingest_applier(
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_dup_pct: int = 50,
+    w: int = SPAN_W,
+):
+    """Novelty-GATED ingestion (r17): the end-to-end "score, then
+    admit" loop the drop scorer exists for — per micro-batch, score
+    the drop's duplication coverage against the CURRENT postings
+    store (``novelty.novelty_of_drop`` — only the drop is tokenized),
+    CUT every document whose duplicated-coverage share exceeds
+    ``max_dup_pct`` percent (the Lee et al. 2022 §5 train-set cut,
+    applied at ingest time), publish the survivors to ``out_path``
+    and append ONLY the survivors' shingle postings to the store — so
+    the store grows with what was admitted, and the next drop is
+    scored against exactly the admitted corpus.
+
+    The gate is pure-integer cross-multiplication
+    (100·dup_extent_tokens > max_dup_pct·n_tokens cuts), so no float
+    boundary can flip a verdict across engines or runs. Documents too
+    short to shingle have no coverage row and are KEPT — clean by
+    construction, the q_doc_novelty output contract. Feed contract:
+    drops carry NEW doc_ids (the doc_id-ordered contract every ingest
+    lane documents — also ``novelty_of_drop``'s scoring
+    precondition).
+
+    Exactly-once: the exact_dedup_applier protocol verbatim — marker
+    hit returns the batch's PUBLISHED survivors
+    (``read_batch_output``); a re-delivery purges this tag's partial
+    publishes FIRST (``recover_partial`` on both roots), which is
+    load-bearing here: re-scoring against a store that already
+    contained the crashed attempt's postings would see every drop
+    position duplicated and wrongly cut the whole batch."""
+    from ..operators.novelty import novelty_of_drop
+    from .markers import (
+        batch_already_applied,
+        cleanup_staging,
+        mark_batch_applied,
+        marker_id,
+        read_batch_output,
+        recover_partial,
+        stage_and_publish,
+        store_has_data,
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int):
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        tag = marker_id(checkpoint, batch_id)
+        if batch_already_applied(store_path, checkpoint, batch_id):
+            cleanup_staging(store_path, tag)
+            cleanup_staging(out_path, tag)
+            return read_batch_output(spark, out_path, tag)
+        recover_partial(store_path, tag)
+        recover_partial(out_path, tag)
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if store_has_data(store_path):
+            stored = spark.read.parquet(store_path)
+        else:
+            # first drop bootstraps: scored against nothing, so only
+            # WITHIN-drop duplication can cut
+            stored = spark.createDataFrame(
+                [], "doc_id long, pos bigint, h bigint"
+            )
+        cut = (
+            novelty_of_drop(batch_df, stored, w)
+            .filter(
+                F.lit(100) * F.col("dup_extent_tokens")
+                > F.lit(max_dup_pct) * F.col("n_tokens")
+            )
+            .select("doc_id")
+        )
+        survivors = batch_df.join(cut, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        stage_and_publish(out_path, tag, {"": (survivors, None)})
+        stage_and_publish(
+            store_path, tag, {"": (shingle_positions(survivors, w), None)}
+        )
+        mark_batch_applied(store_path, checkpoint, batch_id)
+        cleanup_staging(store_path, tag)
+        cleanup_staging(out_path, tag)
+        return survivors
+
+    return _ingest
+
+
+def novelty_gated_ingest_stream(
+    docs_stream: DataFrame,
+    store_path: str,
+    out_path: str,
+    checkpoint: str,
+    max_dup_pct: int = 50,
+    w: int = SPAN_W,
+):
+    """``novelty_gated_ingest_applier`` as an availableNow stream."""
+    return (
+        docs_stream.writeStream.foreachBatch(
+            novelty_gated_ingest_applier(
+                store_path, out_path, checkpoint, max_dup_pct, w
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -996,3 +996,108 @@ def test_score_drop_novelty_redelivered_doc_scores_fully_covered(
     for r in got:
         assert r["n_dup_shingles"] == r["n_shingles"], r
         assert r["dup_extent_tokens"] == r["n_tokens"], r
+
+
+def test_novelty_gated_ingest_matches_sequential_batch_through_crash(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r17: the novelty-GATED ingestion loop — score each drop
+    against the admitted corpus's postings, cut docs over the
+    duplicated-coverage threshold, append only survivors' postings.
+    Pinned: (1) the streamed admitted set equals the sequential batch
+    simulation (drop 1 gated by q_doc_novelty — the empty-store gate
+    IS the batch operator — then drop 2 gated by novelty_of_drop
+    against drop 1's surviving postings); (2) the final store equals
+    the survivors' one-shot shingling; (3) a crash injected between
+    the batch-2 publishes and its marker recovers exactly-once — the
+    re-delivery purges the partial publish FIRST, so re-scoring never
+    sees the crashed attempt's own postings (which would wrongly cut
+    the whole batch as fully duplicated); (4) the gate actually cuts
+    (both within-drop and cross-drop)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.novelty import (
+        novelty_of_drop,
+        q_doc_novelty,
+    )
+    from node_js_etl_processor_spark.operators.spans import shingle_positions
+    from node_js_etl_processor_spark.streaming import markers
+    from node_js_etl_processor_spark.streaming.spanstore import (
+        novelty_gated_ingest_stream,
+    )
+    from pyspark.sql import functions as F
+
+    PCT = 50
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    drop1 = docs.filter(F.col("doc_id") % 3 != 0)
+    drop2 = docs.filter(F.col("doc_id") % 3 == 0)
+    src = tmp_path / "gate_src"
+    src.mkdir()
+    store, out, ckpt = (
+        str(tmp_path / "gate_store"),
+        str(tmp_path / "gate_out"),
+        str(tmp_path / "gate_ckpt"),
+    )
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        ).parquet(str(src))
+        return novelty_gated_ingest_stream(
+            stream, store, out, ckpt, max_dup_pct=PCT
+        )
+
+    def gate_cut(scores):
+        return scores.filter(
+            F.lit(100) * F.col("dup_extent_tokens")
+            > F.lit(PCT) * F.col("n_tokens")
+        ).select("doc_id")
+
+    # sequential batch simulation
+    cut1 = gate_cut(q_doc_novelty(drop1))
+    s1 = drop1.join(cut1, "doc_id", "left_anti")
+    cut2 = gate_cut(novelty_of_drop(drop2, shingle_positions(s1)))
+    s2 = drop2.join(cut2, "doc_id", "left_anti")
+    want_ids = {r["doc_id"] for r in s1.select("doc_id").collect()} | {
+        r["doc_id"] for r in s2.select("doc_id").collect()
+    }
+    n_cut1, n_cut2 = cut1.count(), cut2.count()
+    assert n_cut1 > 0 and n_cut2 > 0, (n_cut1, n_cut2)
+
+    # batch 1 clean; batch 2 crashes between publishes and marker
+    drop1.coalesce(1).write.mode("append").parquet(str(src))
+    q = run()
+    q.awaitTermination(300)
+
+    real_mark = markers.mark_batch_applied
+    crashes: list = []
+
+    def boom(path, checkpoint, batch_id):
+        if batch_id == 1:
+            crashes.append(batch_id)
+            raise RuntimeError("injected crash before gate marker")
+        return real_mark(path, checkpoint, batch_id)
+
+    monkeypatch.setattr(markers, "mark_batch_applied", boom)
+    drop2.coalesce(1).write.mode("append").parquet(str(src))
+    q = run()
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        q.awaitTermination(300)
+    assert crashes
+    monkeypatch.undo()
+
+    q = run()
+    q.awaitTermination(300)
+
+    got_ids = {r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert got_ids == want_ids and len(got_ids) > 0
+    # store == one-shot shingling of the admitted corpus (multiset)
+    survivors = docs.filter(F.col("doc_id").isin(got_ids))
+    want_store = shingle_positions(survivors)
+    got_store = spark.read.parquet(store)
+    assert got_store.exceptAll(want_store).count() == 0
+    assert want_store.exceptAll(got_store).count() == 0
