@@ -1075,3 +1075,55 @@ def test_snm_fold_table_is_the_nfkd_strip_contract():
     # idempotence: no ASCII image is itself in the fold domain, so
     # applying the fold twice equals applying it once
     assert not set(FOLD_TO) & set(FOLD_FROM)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("abcde"), max_size=12), min_size=1, max_size=5
+    ),
+    drop=st.lists(
+        st.lists(st.sampled_from("abcde"), max_size=12), min_size=1, max_size=4
+    ),
+)
+def test_novelty_of_drop_equals_union_batch_on_random_corpora(
+    spark, corpus, drop
+):
+    """Algebraic property (r17): on arbitrary generated corpora with
+    DISJOINT doc_ids (the documented ingest precondition),
+    novelty_of_drop(drop, shingles(corpus)) must equal
+    q_doc_novelty(corpus ∪ drop) restricted to the drop's doc_ids —
+    the union-gate algebra (stored counts + within-drop counts ≥ 2)
+    beyond the one fixture split the streaming test pins. Token
+    streams are tiny and adversarial: empty docs, too-short docs,
+    full-duplicate docs, partial overlaps, within-drop-only twins."""
+    from node_js_etl_processor_spark.operators.novelty import (
+        novelty_of_drop,
+        q_doc_novelty,
+    )
+    from node_js_etl_processor_spark.operators.spans import shingle_positions
+    from pyspark.sql import functions as F
+
+    W = 3
+    schema = "doc_id long, text string"
+    corpus_rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    drop_rows = [
+        (100 + i, " ".join(toks)) for i, toks in enumerate(drop)
+    ]
+    cdf = spark.createDataFrame(corpus_rows, schema)
+    ddf = spark.createDataFrame(drop_rows, schema)
+    got = sorted(
+        tuple(r) for r in novelty_of_drop(ddf, shingle_positions(cdf, W), W).collect()
+    )
+    drop_ids = [r[0] for r in drop_rows]
+    want = sorted(
+        tuple(r)
+        for r in q_doc_novelty(cdf.unionByName(ddf), W)
+        .filter(F.col("doc_id").isin(drop_ids))
+        .collect()
+    )
+    assert got == want
