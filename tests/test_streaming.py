@@ -998,8 +998,9 @@ def test_score_drop_novelty_redelivered_doc_scores_fully_covered(
         assert r["dup_extent_tokens"] == r["n_tokens"], r
 
 
+@pytest.mark.parametrize("crash_point", ["before_mark", "after_mark"])
 def test_novelty_gated_ingest_matches_sequential_batch_through_crash(
-    spark, sf_dir, tmp_path, monkeypatch
+    spark, sf_dir, tmp_path, monkeypatch, crash_point
 ):
     """r17: the novelty-GATED ingestion loop — score each drop
     against the admitted corpus's postings, cut docs over the
@@ -1066,21 +1067,37 @@ def test_novelty_gated_ingest_matches_sequential_batch_through_crash(
     n_cut1, n_cut2 = cut1.count(), cut2.count()
     assert n_cut1 > 0 and n_cut2 > 0, (n_cut1, n_cut2)
 
-    # batch 1 clean; batch 2 crashes between publishes and marker
+    # batch 1 clean; batch 2 crashes in the selected window:
+    # before_mark = publishes done, marker missing (re-delivery must
+    # purge + recompute); after_mark = marker set, stream checkpoint
+    # not advanced (re-delivery must take the marker-hit read-back
+    # path, NOT rescore against a store already holding its postings)
     drop1.coalesce(1).write.mode("append").parquet(str(src))
     q = run()
     q.awaitTermination(300)
 
     real_mark = markers.mark_batch_applied
+    real_cleanup = markers.cleanup_staging
     crashes: list = []
 
-    def boom(path, checkpoint, batch_id):
+    def boom_mark(path, checkpoint, batch_id):
         if batch_id == 1:
             crashes.append(batch_id)
             raise RuntimeError("injected crash before gate marker")
         return real_mark(path, checkpoint, batch_id)
 
-    monkeypatch.setattr(markers, "mark_batch_applied", boom)
+    def boom_cleanup(root, tag):
+        # the applier calls cleanup AFTER its marker on the live
+        # path; crash on the first post-mark cleanup of batch 1
+        if root == store and not crashes:
+            crashes.append(tag)
+            raise RuntimeError("injected crash after gate marker")
+        return real_cleanup(root, tag)
+
+    if crash_point == "before_mark":
+        monkeypatch.setattr(markers, "mark_batch_applied", boom_mark)
+    else:
+        monkeypatch.setattr(markers, "cleanup_staging", boom_cleanup)
     drop2.coalesce(1).write.mode("append").parquet(str(src))
     q = run()
     import pytest as _pytest
