@@ -1127,3 +1127,61 @@ def test_novelty_of_drop_equals_union_batch_on_random_corpora(
         .collect()
     )
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    positions=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(1, 40)),
+        min_size=1,
+        max_size=40,
+    ),
+    w=st.integers(2, 6),
+)
+def test_span_island_merge_matches_reference_interval_union(
+    spark, positions, w
+):
+    """Algebraic property (r17): spans.extents_from_dup_positions —
+    now load-bearing for THREE queries (q_span_extents, q_doc_novelty
+    and the drop scorer's gated extents) — must equal a straight
+    single-machine interval-union reference on arbitrary duplicated
+    position sets: islands are maximal and disjoint, cover exactly
+    the union of [pos, pos + w), and n_shingles counts every position
+    row (duplicates included) inside its island."""
+    from node_js_etl_processor_spark.operators.spans import (
+        extents_from_dup_positions,
+    )
+
+    dup = spark.createDataFrame(
+        [(d, p) for d, p in positions], "doc_id long, pos long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in extents_from_dup_positions(dup, w)
+        .select("doc_id", "start_tok", "end_tok", "n_shingles", "span_len")
+        .collect()
+    )
+
+    # reference: per doc, sort positions, greedily merge [p, p+w)
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for d, p in positions:
+        by_doc[d].append(p)
+    want = []
+    for d, ps in by_doc.items():
+        ps.sort()
+        start, end, n = ps[0], ps[0] + w, 1
+        for p in ps[1:]:
+            if p > end:  # strictly past the running max end -> new island
+                want.append((d, start, end, n, end - start))
+                start, end, n = p, p + w, 1
+            else:
+                end = max(end, p + w)
+                n += 1
+        want.append((d, start, end, n, end - start))
+    assert got == sorted(want)
