@@ -1185,3 +1185,58 @@ def test_span_island_merge_matches_reference_interval_union(
                 n += 1
         want.append((d, start, end, n, end - start))
     assert got == sorted(want)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+            st.integers(0, 2000),        # day offset from 1995-01-01
+            st.integers(100, 10_000_00), # price in cents
+            st.integers(0, 2),           # which partial the row lands in
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_trend_stats_merge_associative_on_random_splits(spark, rows):
+    """Algebraic property (r17): the trend store lane's merge law —
+    trend_stats over arbitrary disjoint splits, unioned and finished
+    by trend_from_stats, must equal q_ols_trend over the whole frame
+    bit-for-bit (BIGINT sums are associative; the slope is one
+    fixed-shape double over identical integers). This is the exact
+    algebra the streamed sufficient-statistics store relies on."""
+    import datetime as dt
+
+    from node_js_etl_processor_spark.operators.trend import (
+        q_ols_trend,
+        trend_from_stats,
+        trend_stats,
+    )
+
+    t0 = dt.date(1995, 1, 1)
+    schema = (
+        "o_orderpriority string, o_orderdate date, o_totalprice double"
+    )
+    parts = {0: [], 1: [], 2: []}
+    for prio, day, cents, part in rows:
+        parts[part].append(
+            (prio, t0 + dt.timedelta(days=day), cents / 100.0)
+        )
+    whole = spark.createDataFrame(sum(parts.values(), []), schema)
+    partials = [
+        trend_stats(spark.createDataFrame(p, schema))
+        for p in parts.values()
+        if p
+    ]
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.unionByName(p)
+    got = sorted(tuple(r) for r in trend_from_stats(merged).collect())
+    want = sorted(tuple(r) for r in q_ols_trend(whole).collect())
+    assert got == want and len(got) > 0
