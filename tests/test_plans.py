@@ -974,6 +974,31 @@ def test_doc_novelty_single_hash_subtree_three_exchanges(spark, sf_dir):
         assert join not in plan
 
 
+def test_novelty_of_drop_broadcast_fallback_same_rows(spark, sf_dir):
+    """novelty_of_drop (r18 changed-code row — the r17 advice fix):
+    the drop's distinct-digest frame scales with drop TOKENS, not any
+    vocabulary, so the store filter broadcasts only under
+    ``broadcast_posting_cap`` and falls back to a shuffle semi-join
+    above it. Pins (a) the default path still carries the explicit
+    broadcast hint into the physical plan, (b) the hint is ABSENT
+    from the fallback path's analyzed plan (cap=0 forces it), and
+    (c) both paths return identical rows."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.novelty import novelty_of_drop
+    from node_js_etl_processor_spark.operators.spans import shingle_positions
+
+    docs = load_table(spark, sf_dir, "documents")
+    drop = docs.filter("doc_id % 7 = 0")
+    stored = shingle_positions(docs.filter("doc_id % 7 <> 0"))
+    small = novelty_of_drop(drop, stored)
+    big = novelty_of_drop(drop, stored, broadcast_posting_cap=0)
+    assert "ResolvedHint" in plan_text(small, "extended")
+    assert "ResolvedHint" not in plan_text(big, "extended")
+    got_s = sorted(tuple(r) for r in small.collect())
+    got_b = sorted(tuple(r) for r in big.collect())
+    assert got_s == got_b and len(got_s) > 0
+
+
 def test_cusum_alarms_single_keyed_exchange_no_joins(spark, sf_dir):
     """q_cusum_alarms (r17 declaration): the prefix-sum/running-min
     identity rides ONE hashpartitioning(user_id) exchange — both
