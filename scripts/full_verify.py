@@ -24,6 +24,16 @@ to 6 places, NaN canonical, timestamps via isoformat, bytes via hex,
 then rows sorted order-insensitively with (column, value) pairs sorted
 within each row — so it is robust to column order and row order but
 sensitive to any real value drift.
+
+Artifact-staleness guard (r17 verdict "What's wrong" #1: the committed
+FULLVERIFY_r17.json described a tree 14 commits older than the round's
+final engine state): the artifact now records the exact HEAD it ran on
+under the ``"_meta"`` key, and the script REFUSES to run on a dirty
+working tree (uncommitted or untracked engine files would make the
+recorded hash a lie) unless ``--allow-dirty`` is passed — in which case
+the dirtiness is recorded into the artifact instead of hidden. The
+round-close rule this enforces mechanically: regenerate FULLVERIFY as
+the LAST commit of the round, after every engine-code change.
 """
 
 from __future__ import annotations
@@ -32,6 +42,7 @@ import argparse
 import json
 import math
 import os
+import subprocess
 import sys
 import time
 
@@ -61,14 +72,38 @@ def _multiset(cols, rows):
     )
 
 
+def _git(args: "list[str]") -> str:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    return subprocess.run(
+        ["git", *args], cwd=repo, capture_output=True, text=True, check=True
+    ).stdout.strip()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", type=int, required=True, help="round number N")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None, help="override output path")
+    ap.add_argument(
+        "--allow-dirty", action="store_true",
+        help="run despite uncommitted changes (recorded into the artifact)",
+    )
     ap.add_argument("queries", nargs="*", help="subset (default: all)")
     args = ap.parse_args()
     out_path = args.out or f"FULLVERIFY_r{args.round}.json"
+
+    head = _git(["rev-parse", "HEAD"])
+    dirty = _git(["status", "--porcelain"])
+    if dirty and not args.allow_dirty:
+        print(
+            "REFUSING: working tree is dirty — the artifact's recorded HEAD "
+            "would not describe the code that actually ran. Commit first "
+            "(the round-close rule: FULLVERIFY is the LAST commit of the "
+            "round), or pass --allow-dirty to record the dirt instead:\n"
+            + dirty,
+            file=sys.stderr,
+        )
+        return 2
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -129,11 +164,22 @@ def main() -> int:
             flush=True,
         )
 
+    # The staleness guard's receipt: the exact tree this sweep ran on.
+    # Kept under a non-query key so per-query consumers can skip it.
+    report["_meta"] = {
+        "head": head,
+        "dirty": bool(dirty),
+        "round": args.round,
+        "sf_dir": args.sf_dir,
+        "queries_swept": len(names),
+    }
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(
-        f"wrote {out_path}: {len(report) - len(failures)}/{len(report)} MATCH "
-        f"in {time.time() - t_start:.0f}s; failures: {failures or 'none'}"
+        f"wrote {out_path}: {len(names) - len(failures)}/{len(names)} MATCH "
+        f"in {time.time() - t_start:.0f}s on {head[:12]}"
+        f"{' (DIRTY TREE)' if dirty else ''}; "
+        f"failures: {failures or 'none'}"
     )
     return 1 if failures else 0
 
