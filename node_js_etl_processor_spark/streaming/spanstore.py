@@ -115,6 +115,36 @@ def score_drop_novelty(
     return novelty_of_drop(drop_docs, spark.read.parquet(store_path), w)
 
 
+def exact_twin_reps(docs: DataFrame) -> DataFrame:
+    """Keep-one collapse for within-drop EXACT twins (the r17 advice
+    fix for the novelty gate): one representative per exact-content
+    fingerprint (min doc_id — q_dedup_docs' deterministic-keeper
+    rule). Without it, two copies of never-seen content delivered in
+    ONE drop cut each other — every position of each twin is
+    duplicated by the other's identical digests — so NO copy of the
+    content survives, and the admitted corpus depends on delivery
+    batching (the same two docs split across two drops admit the
+    first). Collapsing twins BEFORE scoring removes the mutual kill:
+    the representative is scored with its twins' digests absent (so
+    genuinely novel content survives) and the non-representatives are
+    dropped as exact duplicates of an admitted doc — the keep-one
+    verdict a dedup gate owes them.
+
+    Scale: one window over the 16-byte content fingerprint, batch-
+    sized (the drop, never the store)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.text import fingerprint
+
+    w_fp = Window.partitionBy(fingerprint(F.col("text")))
+    return (
+        docs.withColumn("_rep", F.min("doc_id").over(w_fp))
+        .filter(F.col("doc_id") == F.col("_rep"))
+        .drop("_rep")
+    )
+
+
 def novelty_gated_ingest_applier(
     store_path: str,
     out_path: str,
@@ -141,6 +171,15 @@ def novelty_gated_ingest_applier(
     drops carry NEW doc_ids (the doc_id-ordered contract every ingest
     lane documents — also ``novelty_of_drop``'s scoring
     precondition).
+
+    Within-drop EXACT twins take the keep-one rule (r17 advice): the
+    drop is collapsed to one representative per exact-content
+    fingerprint (``exact_twin_reps``) BEFORE scoring, so two copies
+    of never-seen content no longer cut each other (which would admit
+    NO copy and make the admitted corpus delivery-batching-dependent);
+    the representative is scored twin-free and the other copies are
+    dropped as exact duplicates of an admitted doc. NEAR-duplication
+    within a drop still cuts through the gate itself, as before.
 
     Exactly-once: the exact_dedup_applier protocol verbatim — marker
     hit returns the batch's PUBLISHED survivors
@@ -172,7 +211,8 @@ def novelty_gated_ingest_applier(
             return read_batch_output(spark, out_path, tag)
         recover_partial(store_path, tag)
         recover_partial(out_path, tag)
-        batch_df = batch_df.localCheckpoint(eager=True)
+        # keep-one BEFORE scoring (see the docstring's twin rule)
+        batch_df = exact_twin_reps(batch_df).localCheckpoint(eager=True)
         if store_has_data(store_path):
             stored = spark.read.parquet(store_path)
         else:

@@ -221,6 +221,15 @@ def cusum_alarm_stream(events_stream: DataFrame, k_cents=None, h_cents=None) -> 
     recovery replays from the rolled-back state version, so
     legitimate re-delivery never trips the guard.
 
+    UPGRADE NOTE (state schema v1 → v2, r17): adding the last-seen
+    marker grew the per-user state from one field to three, and
+    Spark's state-store schema-compatibility check makes a v1
+    checkpoint UNRESUMABLE — startup fails loudly at query start.
+    There is no in-place migration: point the restarted query at a
+    FRESH ``checkpointLocation`` (alarms already emitted are safe in
+    the sink; the running statistic rebuilds from the feed, which
+    replays in the same per-user time order the contract guarantees).
+
     Thresholds default to the batch operator's module constants so
     the two paths can never drift."""
     from ..functions.timeutil import epoch_us_fn

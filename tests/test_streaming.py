@@ -1023,6 +1023,7 @@ def test_novelty_gated_ingest_matches_sequential_batch_through_crash(
     from node_js_etl_processor_spark.operators.spans import shingle_positions
     from node_js_etl_processor_spark.streaming import markers
     from node_js_etl_processor_spark.streaming.spanstore import (
+        exact_twin_reps,
         novelty_gated_ingest_stream,
     )
     from pyspark.sql import functions as F
@@ -1056,15 +1057,22 @@ def test_novelty_gated_ingest_matches_sequential_batch_through_crash(
             > F.lit(PCT) * F.col("n_tokens")
         ).select("doc_id")
 
-    # sequential batch simulation
-    cut1 = gate_cut(q_doc_novelty(drop1))
-    s1 = drop1.join(cut1, "doc_id", "left_anti")
-    cut2 = gate_cut(novelty_of_drop(drop2, shingle_positions(s1)))
-    s2 = drop2.join(cut2, "doc_id", "left_anti")
+    # sequential batch simulation — keep-one collapse first (the r18
+    # twin rule), then the gate, exactly like the applier
+    drop1r = exact_twin_reps(drop1)
+    drop2r = exact_twin_reps(drop2)
+    cut1 = gate_cut(q_doc_novelty(drop1r))
+    s1 = drop1r.join(cut1, "doc_id", "left_anti")
+    cut2 = gate_cut(novelty_of_drop(drop2r, shingle_positions(s1)))
+    s2 = drop2r.join(cut2, "doc_id", "left_anti")
     want_ids = {r["doc_id"] for r in s1.select("doc_id").collect()} | {
         r["doc_id"] for r in s2.select("doc_id").collect()
     }
-    n_cut1, n_cut2 = cut1.count(), cut2.count()
+    # the pipeline actually cuts in both drops: keep-one removals and
+    # gate cuts both count (exact twins now die in the collapse, not
+    # the gate; near-dup coverage still dies in the gate)
+    n_cut1 = drop1.count() - s1.count()
+    n_cut2 = drop2.count() - s2.count()
     assert n_cut1 > 0 and n_cut2 > 0, (n_cut1, n_cut2)
 
     # batch 1 clean; batch 2 crashes in the selected window:
@@ -1118,3 +1126,37 @@ def test_novelty_gated_ingest_matches_sequential_batch_through_crash(
     got_store = spark.read.parquet(store)
     assert got_store.exceptAll(want_store).count() == 0
     assert want_store.exceptAll(got_store).count() == 0
+
+
+def test_novelty_gate_keeps_one_within_drop_twin(spark, tmp_path):
+    """r18 (the r17 advice fix): two copies of NEVER-SEEN content in
+    one drop must not cut each other — exactly one survives the gate
+    (the min-doc_id representative, q_dedup_docs' keeper rule), its
+    postings enter the store, and a LATER re-delivery of the same
+    text under a fresh doc_id is cut as fully covered. Before the
+    keep-one rule both twins died, no postings landed, and the
+    re-delivery was wrongly ADMITTED — the admitted corpus depended
+    on delivery batching."""
+    from node_js_etl_processor_spark.streaming.spanstore import (
+        novelty_gated_ingest_applier,
+    )
+
+    novel = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"alt{i}" for i in range(40))
+    schema = "doc_id long, text string"
+    store, out, ckpt = (
+        str(tmp_path / "s"), str(tmp_path / "o"), str(tmp_path / "c"),
+    )
+    apply = novelty_gated_ingest_applier(store, out, ckpt, max_dup_pct=50)
+
+    drop1 = spark.createDataFrame(
+        [(11, novel), (12, novel), (13, other)], schema
+    )
+    s1 = {r["doc_id"] for r in apply(drop1, 0).select("doc_id").collect()}
+    assert s1 == {11, 13}, s1  # one twin kept, the other collapsed
+
+    # same text re-delivered later under a fresh doc_id: now the
+    # store holds doc 11's postings, so the gate cuts it
+    drop2 = spark.createDataFrame([(21, novel)], schema)
+    s2 = {r["doc_id"] for r in apply(drop2, 1).select("doc_id").collect()}
+    assert s2 == set(), s2
