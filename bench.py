@@ -13,6 +13,19 @@ Each query is timed as the MEDIAN of $SPARK_GRAFT_BENCH_RUNS (default
 3) measured runs after one untimed warm-up, so round-over-round deltas
 reflect plan changes rather than JIT/GC noise; the total is the sum of
 per-query medians.
+
+Global warm-up (r18): a fixed basket of diverse queries runs untimed
+BEFORE the sweep. The r18 watch investigation found the per-query
+warm-up alone does not isolate timings from SWEEP POSITION: the first
+~15 queries of a fresh session measured a median 1.33x their values
+from rounds where the same queries (identical code since r9, bitwise-
+identical data by the row-count proxy) sat later in the registry order
+— a JVM/codegen/Python-worker warm-up curve, decaying to 0.87x at the
+sweep tail. The basket front-loads that machinery (parquet scan,
+hash agg, window, joins, regex/string kernels, Arrow/Pandas workers)
+so a query's measurement no longer depends on where the rotation put
+it in the registry. Applies to --only runs too — that is what makes
+solo medians comparable to sweep medians.
 """
 
 from __future__ import annotations
@@ -59,9 +72,26 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     only = _only()
+    queries = entrymod.queries()
+    # Global warm-up basket (see module docstring): diverse engine
+    # machinery, untimed, fixed across rounds so the steady state every
+    # query measures from is position-independent.
+    warmup = [
+        "q_agg_pricing",        # parquet scan + partial/final hash agg
+        "q_window_lag",         # window exchange + codegen window fns
+        "q_join_enrich",        # broadcast + shuffled joins
+        "q_sessionize",         # events-table window lane
+        "q_dedup_simhash",      # regex tokenize + explode + bit kernels
+        "q_multimodal_features",  # Arrow/Pandas worker spin-up
+    ]
+    for name in warmup:
+        if name in queries:
+            queries[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in queries.items():
         if only is not None and name not in only:
             continue
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # warm
