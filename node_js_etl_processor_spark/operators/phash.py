@@ -272,21 +272,36 @@ def image_near_dup_pairs(
         )
         for i in range(4)
     ).cast("bigint")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.val") == F.col("b.val"))
+        & (F.col("a.media_id") < F.col("b.media_id"))
+    )
+    if key_cap is None:
+        # first-shared-band rule (r18): emit each candidate pair at its
+        # FIRST shared band only — bands j < the joined band must
+        # DIFFER — so every qualifying pair is generated exactly once.
+        # This kills the post-verify distinct() exchange AND the 4x
+        # duplicate candidates an exact-dup pair (all four bands equal)
+        # otherwise pays. Exact-path only: under key_cap a pair's first
+        # shared band may be a dropped hot key while a later shared
+        # band survives, so the capped path keeps every-band candidates
+        # + distinct to preserve its graceful-recall contract.
+        for j in range(3):
+            cond = cond & (
+                (F.col("a.band") <= F.lit(j))
+                | (F.col(f"a.h{j}") != F.col(f"b.h{j}"))
+            )
+    pairs = (
+        a.join(b, cond)
         .select(
             F.col("a.media_id").alias("id_a"),
             F.col("b.media_id").alias("id_b"),
             hamming.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
+    return pairs if key_cap is None else pairs.distinct()
 
 
 def q_image_neardup(documents: DataFrame) -> DataFrame:

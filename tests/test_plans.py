@@ -719,6 +719,22 @@ def test_image_dedup_single_key_exchange_no_payload_past_decode(spark, sf_dir):
             assert "dhash" in line and "payload" not in line
 
 
+def test_image_neardup_exact_path_no_distinct_aggregate(spark, sf_dir):
+    """r18: the first-shared-band rule — the exact (uncapped) band
+    self-join generates each qualifying pair exactly once (earlier
+    bands must differ), so the plan carries NO deduplicating
+    aggregate at all; pixels still never shuffle (no exchange keyed
+    on payload)."""
+    from node_js_etl_processor_spark.operators.phash import q_image_neardup
+
+    df = q_image_neardup(load_table(spark, sf_dir, "documents"))
+    plan = plan_text(df, "simple")
+    assert "HashAggregate" not in plan  # distinct() is gone
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "payload" not in line
+
+
 def test_heavy_hitters_certified_path_broadcasts_candidates(spark):
     """r13: on data where the Misra-Gries guarantee certifies (skewed
     keys), the exact recount joins the base table against the
