@@ -88,8 +88,11 @@ def ingest_day_applier(
     — the highest-fan-out append path, O(batch vocabulary) partial
     files per batch across 64 buckets, which previously never
     compacted in the composed loop even though compact_vocab_store
-    exists to cap exactly that file-listing growth — and the EDGES
-    lane, whose applier shares the generation-compaction slot."""
+    exists to cap exactly that file-listing growth — the EDGES
+    lane, whose applier shares the generation-compaction slot, and
+    (r18) the SPAN-POSTINGS lane, whose corpus-sized store takes the
+    leveled MINOR compaction (fold only the log into a sealed
+    segment, never rewrite the corpus — streaming/spanstore.py)."""
     # r16 (advice item): validate required store roots up front with a
     # message naming what is missing — the kmv theta lane (r15) made a
     # bare ``paths["kmv"]`` KeyError possible for callers holding a
@@ -163,7 +166,9 @@ def ingest_day_applier(
     # stored 8-byte digests, streaming/spanstore.py)
     from .spanstore import span_postings_applier
 
-    spanp = span_postings_applier(paths["spanstore"], checkpoint)
+    spanp = span_postings_applier(
+        paths["spanstore"], checkpoint, compact_every=compact_every
+    )
     # r16: the vocabulary tier — per-(source, token) SUM-mergeable
     # count partials (sources/vocab_store.py), so lexical-diversity
     # statistics (diversity_from_store == batch q_simpson_diversity)

@@ -23,18 +23,179 @@ Exactly-once: pure append — every batch lands via
 and a crashed publish is purged tag-first before recompute. The
 composed crash-matrix test pins streamed-store extents == the
 one-shot ``q_span_extents`` over the whole corpus.
+
+Leveled layout + minor compaction (r18): the store is CORPUS-sized,
+so the fold-into-a-fresh-generation compaction the vocab/edge stores
+use (rewrite everything each time) is the wrong cost model here —
+postings never fold (every (doc_id, pos, h) row is unique), only the
+FILE COUNT grows, one file set per ingested batch. The layout is
+therefore leveled:
+
+    <store>/log/<batchtag>-*.parquet   -- live append log (one set/batch)
+    <store>/seg_<tag>/part-*.parquet   -- sealed segments (never rewritten)
+    <store>/m_<tag>                    -- manifest: segment list + folded
+                                          log filenames
+    <store>/_CURRENT                   -- pointer to the manifest
+
+Appends stay O(batch) and never touch the manifest. A minor
+compaction folds ONLY the live log into one new sealed segment —
+cost O(new data since the last compaction), never O(store) — then
+commits atomically: write the segment, write a new manifest naming
+(old segments + new segment, folded log filenames), switch the
+pointer, THEN delete the folded log files. The read set is
+manifest segments + live log MINUS folded names, so every crash
+window converges: a crash before the pointer switch leaves an
+orphan segment (invisible — no manifest names it; the next
+compaction's GC sweeps it), a crash after the switch but before the
+deletes leaves folded log files that every reader already excludes.
+Single-writer, like every compaction in this repo: run it from the
+ingest loop's ``compact_every`` slot between batches.
 """
 
 from __future__ import annotations
+
+import posixpath
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.spans import SPAN_W, extents_from_positions, shingle_positions
 
+#: the append-log subdirectory of the leveled layout.
+_LOG = "log"
 
-def span_postings_applier(store_path: str, checkpoint: str, w: int = SPAN_W):
+#: schema of the postings rows (read path needs it for an empty log).
+_POSTING_SCHEMA = "doc_id long, pos bigint, h bigint"
+
+
+def _read_manifest(store_path: str) -> "tuple[list[str], set[str]]":
+    """(sealed segment dir names, folded log filenames) from the
+    manifest the ``_CURRENT`` pointer names; ([], set()) for a store
+    that has never compacted."""
+    from .markers import _read_text, current_version
+
+    cur = current_version(store_path)
+    if cur is None:
+        return [], set()
+    segs: "list[str]" = []
+    folded: "set[str]" = set()
+    for line in _read_text(posixpath.join(store_path, cur)).splitlines():
+        kind, _, name = line.partition(" ")
+        if kind == "seg" and name:
+            segs.append(name)
+        elif kind == "folded" and name:
+            folded.add(name)
+    return segs, folded
+
+
+def _live_log_files(store_path: str, folded: "set[str]") -> "list[str]":
+    """Absolute paths of the log files a reader may see — everything
+    in ``log/`` minus metadata and minus the manifest's folded names
+    (which exist only inside the compaction's delete crash window)."""
+    from .markers import _exists, _listdir
+
+    log_dir = posixpath.join(store_path, _LOG)
+    if not _exists(log_dir):
+        return []
+    return [
+        posixpath.join(log_dir, name)
+        for name, is_dir in _listdir(log_dir)
+        if not is_dir and not name.startswith(("_", ".")) and name not in folded
+    ]
+
+
+def read_span_store(spark: SparkSession, store_path: str) -> DataFrame:
+    """The stored postings as ONE DataFrame: manifest segments plus
+    the live append log (see the module docstring's leveled-layout
+    contract). Empty store → empty frame with the posting schema."""
+    segs, folded = _read_manifest(store_path)
+    paths = [posixpath.join(store_path, s) for s in segs]
+    paths += _live_log_files(store_path, folded)
+    if not paths:
+        return spark.createDataFrame([], _POSTING_SCHEMA)
+    return spark.read.schema(_POSTING_SCHEMA).parquet(*paths)
+
+
+def compact_span_store(
+    spark: SparkSession, store_path: str, target_files: int = 8
+) -> "tuple[int, int]":
+    """Minor compaction: fold the live append log into ONE new sealed
+    segment of ~``target_files`` files and commit it behind the
+    manifest + pointer switch (crash windows in the module docstring).
+    Returns (log files folded, total data files after). Cost is
+    O(data appended since the last compaction) — sealed segments are
+    never read or rewritten. Single-writer: call between batches."""
+    from .markers import (
+        _delete,
+        _exists,
+        _listdir,
+        _walk_files,
+        _write_text,
+        current_version,
+        set_current_version,
+    )
+
+    segs, folded = _read_manifest(store_path)
+    # Sweep leftovers of a compaction that crashed inside its delete
+    # window first — always safe once the pointer names the manifest
+    # that excludes them: folded log files readers already skip,
+    # segments and manifests nothing references.
+    cur = current_version(store_path)
+    for name in folded:
+        p = posixpath.join(store_path, _LOG, name)
+        if _exists(p):
+            _delete(p)
+    for name, is_dir in _listdir(store_path):
+        if is_dir and name.startswith("seg_") and name not in segs:
+            _delete(posixpath.join(store_path, name))
+        if not is_dir and name.startswith("m_") and name != cur:
+            _delete(posixpath.join(store_path, name))
+    log_files = _live_log_files(store_path, folded)
+    if not log_files:
+        return 0, sum(
+            len(_walk_files(posixpath.join(store_path, s))) for s in segs
+        )
+    tag = uuid.uuid4().hex[:12]
+    new_seg = f"seg_{tag}"
+    (
+        spark.read.schema(_POSTING_SCHEMA)
+        .parquet(*log_files)
+        .repartition(max(1, int(target_files)))
+        .write.mode("overwrite")
+        .parquet(posixpath.join(store_path, new_seg))
+    )
+    keep_segs = segs + [new_seg]
+    lines = [f"seg {s}" for s in keep_segs]
+    lines += [f"folded {posixpath.basename(p)}" for p in log_files]
+    manifest = f"m_{tag}"
+    _write_text(posixpath.join(store_path, manifest), "\n".join(lines))
+    set_current_version(store_path, manifest)
+    # GC, all safe AFTER the pointer switch: the folded log files
+    # (readers already exclude them), orphan segments no manifest
+    # names (crashed earlier compactions), stale manifests.
+    for p in log_files:
+        _delete(p)
+    for name, is_dir in _listdir(store_path):
+        if is_dir and name.startswith("seg_") and name not in keep_segs:
+            _delete(posixpath.join(store_path, name))
+        if not is_dir and name.startswith("m_") and name != manifest:
+            _delete(posixpath.join(store_path, name))
+    n_after = sum(
+        len(_walk_files(posixpath.join(store_path, s))) for s in keep_segs
+    ) + len(_live_log_files(store_path, set()))
+    return len(log_files), n_after
+
+
+def span_postings_applier(
+    store_path: str,
+    checkpoint: str,
+    w: int = SPAN_W,
+    compact_every: int = 0,
+):
     """Per-batch shingle-postings append as an idempotent applier
-    (see the module docstring)."""
+    (see the module docstring). ``compact_every=N`` runs the minor
+    compaction every N batches (0 = never) — AFTER the batch's marker,
+    in the single-writer slot, like every other store's loop."""
     from .markers import (
         batch_already_applied,
         cleanup_staging,
@@ -51,21 +212,27 @@ def span_postings_applier(store_path: str, checkpoint: str, w: int = SPAN_W):
             return None
         recover_partial(store_path, tag)
         sh = shingle_positions(batch_df, w)
-        stage_and_publish(store_path, tag, {"": (sh, None)})
+        stage_and_publish(store_path, tag, {_LOG: (sh, None)})
         mark_batch_applied(store_path, checkpoint, batch_id)
         cleanup_staging(store_path, tag)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_span_store(batch_df.sparkSession, store_path)
         return None
 
     return _ingest
 
 
 def span_postings_ingest_stream(
-    docs_stream: DataFrame, store_path: str, checkpoint: str, w: int = SPAN_W
+    docs_stream: DataFrame,
+    store_path: str,
+    checkpoint: str,
+    w: int = SPAN_W,
+    compact_every: int = 0,
 ):
     """``span_postings_applier`` as an availableNow stream."""
     return (
         docs_stream.writeStream.foreachBatch(
-            span_postings_applier(store_path, checkpoint, w)
+            span_postings_applier(store_path, checkpoint, w, compact_every)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
@@ -80,7 +247,7 @@ def read_span_extents(
     the stored digests — ``extents_from_positions`` over the postings
     tree, no re-tokenization. ``w`` must match the ingest width (the
     digests are w-specific)."""
-    return extents_from_positions(spark.read.parquet(store_path), w)
+    return extents_from_positions(read_span_store(spark, store_path), w)
 
 
 def read_doc_novelty(
@@ -94,7 +261,7 @@ def read_doc_novelty(
     batch ``q_doc_novelty`` over the union corpus is test-pinned."""
     from ..operators.novelty import novelty_from_positions
 
-    return novelty_from_positions(spark.read.parquet(store_path), w)
+    return novelty_from_positions(read_span_store(spark, store_path), w)
 
 
 def score_drop_novelty(
@@ -112,7 +279,7 @@ def score_drop_novelty(
     ingest time, kmv_difference-style."""
     from ..operators.novelty import novelty_of_drop
 
-    return novelty_of_drop(drop_docs, spark.read.parquet(store_path), w)
+    return novelty_of_drop(drop_docs, read_span_store(spark, store_path), w)
 
 
 def exact_twin_reps(docs: DataFrame) -> DataFrame:
@@ -151,6 +318,7 @@ def novelty_gated_ingest_applier(
     checkpoint: str,
     max_dup_pct: int = 50,
     w: int = SPAN_W,
+    compact_every: int = 0,
 ):
     """Novelty-GATED ingestion (r17): the end-to-end "score, then
     admit" loop the drop scorer exists for — per micro-batch, score
@@ -197,7 +365,6 @@ def novelty_gated_ingest_applier(
         read_batch_output,
         recover_partial,
         stage_and_publish,
-        store_has_data,
     )
 
     def _ingest(batch_df: DataFrame, batch_id: int):
@@ -213,14 +380,9 @@ def novelty_gated_ingest_applier(
         recover_partial(out_path, tag)
         # keep-one BEFORE scoring (see the docstring's twin rule)
         batch_df = exact_twin_reps(batch_df).localCheckpoint(eager=True)
-        if store_has_data(store_path):
-            stored = spark.read.parquet(store_path)
-        else:
-            # first drop bootstraps: scored against nothing, so only
-            # WITHIN-drop duplication can cut
-            stored = spark.createDataFrame(
-                [], "doc_id long, pos bigint, h bigint"
-            )
+        # first drop scores against the empty frame read_span_store
+        # returns for a fresh store: only WITHIN-drop duplication cuts
+        stored = read_span_store(spark, store_path)
         cut = (
             novelty_of_drop(batch_df, stored, w)
             .filter(
@@ -234,11 +396,13 @@ def novelty_gated_ingest_applier(
         )
         stage_and_publish(out_path, tag, {"": (survivors, None)})
         stage_and_publish(
-            store_path, tag, {"": (shingle_positions(survivors, w), None)}
+            store_path, tag, {_LOG: (shingle_positions(survivors, w), None)}
         )
         mark_batch_applied(store_path, checkpoint, batch_id)
         cleanup_staging(store_path, tag)
         cleanup_staging(out_path, tag)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            compact_span_store(spark, store_path)
         return survivors
 
     return _ingest
@@ -251,12 +415,13 @@ def novelty_gated_ingest_stream(
     checkpoint: str,
     max_dup_pct: int = 50,
     w: int = SPAN_W,
+    compact_every: int = 0,
 ):
     """``novelty_gated_ingest_applier`` as an availableNow stream."""
     return (
         docs_stream.writeStream.foreachBatch(
             novelty_gated_ingest_applier(
-                store_path, out_path, checkpoint, max_dup_pct, w
+                store_path, out_path, checkpoint, max_dup_pct, w, compact_every
             )
         )
         .option("checkpointLocation", checkpoint)

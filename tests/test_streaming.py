@@ -1025,6 +1025,7 @@ def test_novelty_gated_ingest_matches_sequential_batch_through_crash(
     from node_js_etl_processor_spark.streaming.spanstore import (
         exact_twin_reps,
         novelty_gated_ingest_stream,
+        read_span_store,
     )
     from pyspark.sql import functions as F
 
@@ -1123,7 +1124,7 @@ def test_novelty_gated_ingest_matches_sequential_batch_through_crash(
     # store == one-shot shingling of the admitted corpus (multiset)
     survivors = docs.filter(F.col("doc_id").isin(got_ids))
     want_store = shingle_positions(survivors)
-    got_store = spark.read.parquet(store)
+    got_store = read_span_store(spark, store)
     assert got_store.exceptAll(want_store).count() == 0
     assert want_store.exceptAll(got_store).count() == 0
 
@@ -1160,3 +1161,123 @@ def test_novelty_gate_keeps_one_within_drop_twin(spark, tmp_path):
     drop2 = spark.createDataFrame([(21, novel)], schema)
     s2 = {r["doc_id"] for r in apply(drop2, 1).select("doc_id").collect()}
     assert s2 == set(), s2
+
+
+def test_span_store_compaction_preserves_reads_and_caps_files(
+    spark, sf_dir, tmp_path
+):
+    """r18: the span store's leveled minor compaction — fold the live
+    append log into one sealed segment behind the manifest + pointer
+    switch. Pins: (1) the read set is IDENTICAL (multiset) to the
+    one-shot shingling before and after compaction, and after further
+    appends on top of a sealed segment; (2) the data file count drops
+    to ~target_files; (3) a compaction with nothing new to fold is a
+    no-op; (4) a second compaction folds only the post-compaction
+    log (leveled: sealed segments are never rewritten — their dirs'
+    file mtimes/identities are untouched)."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.spans import shingle_positions
+    from node_js_etl_processor_spark.streaming import markers
+    from node_js_etl_processor_spark.streaming.spanstore import (
+        compact_span_store,
+        read_span_store,
+        span_postings_applier,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    store, ckpt = str(tmp_path / "lv_store"), str(tmp_path / "lv_ckpt")
+    apply = span_postings_applier(store, ckpt)
+    parts = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    apply(parts[0], 0)
+    apply(parts[1], 1)
+
+    def multiset_equal(a, b):
+        return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    want01 = shingle_positions(parts[0].unionByName(parts[1]))
+    assert multiset_equal(read_span_store(spark, store), want01)
+    folded, after = compact_span_store(spark, store, target_files=2)
+    assert folded > 0 and after <= 2 + 1  # one sealed segment, empty log
+    assert multiset_equal(read_span_store(spark, store), want01)
+    # no-op when nothing new arrived
+    assert compact_span_store(spark, store, target_files=2)[0] == 0
+
+    seg_dirs = [
+        n for n, d in markers._listdir(store) if d and n.startswith("seg_")
+    ]
+    assert len(seg_dirs) == 1
+    sealed_files = set(markers._walk_files(f"{store}/{seg_dirs[0]}"))
+
+    apply(parts[2], 2)
+    want_all = shingle_positions(docs)
+    assert multiset_equal(read_span_store(spark, store), want_all)
+    folded2, _ = compact_span_store(spark, store, target_files=2)
+    assert folded2 > 0
+    assert multiset_equal(read_span_store(spark, store), want_all)
+    # the first sealed segment was not rewritten (leveled, not full)
+    assert set(markers._walk_files(f"{store}/{seg_dirs[0]}")) == sealed_files
+
+
+@pytest.mark.parametrize("crash_point", ["before_pointer", "in_delete_window"])
+def test_span_store_compaction_crash_matrix(
+    spark, sf_dir, tmp_path, monkeypatch, crash_point
+):
+    """r18: the compaction's two crash windows converge. Before the
+    pointer switch: the written segment + manifest are orphans nothing
+    references — readers still see the full log; the retried
+    compaction sweeps the orphans and completes. Inside the delete
+    window (pointer switched, folded log files still on disk): readers
+    exclude the folded names via the manifest so nothing double-counts,
+    and the next compaction's leftover sweep removes them."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.spans import shingle_positions
+    from node_js_etl_processor_spark.streaming import markers
+    from node_js_etl_processor_spark.streaming.spanstore import (
+        compact_span_store,
+        read_span_store,
+        span_postings_applier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).limit(200)
+    store, ckpt = str(tmp_path / "cr_store"), str(tmp_path / "cr_ckpt")
+    span_postings_applier(store, ckpt)(docs, 0)
+    want = shingle_positions(docs)
+
+    def multiset_equal(a, b):
+        return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    if crash_point == "before_pointer":
+        def boom_ptr(path, version):
+            raise RuntimeError("injected crash before pointer switch")
+        monkeypatch.setattr(markers, "set_current_version", boom_ptr)
+    else:
+        real_delete = markers._delete
+
+        def boom_del(path):
+            if f"/{'log'}/" in path:
+                raise RuntimeError("injected crash in delete window")
+            return real_delete(path)
+        monkeypatch.setattr(markers, "_delete", boom_del)
+
+    with pytest.raises(RuntimeError):
+        compact_span_store(spark, store, target_files=2)
+    # whichever window crashed, the read set is intact
+    assert multiset_equal(read_span_store(spark, store), want)
+    monkeypatch.undo()
+
+    compact_span_store(spark, store, target_files=2)
+    assert multiset_equal(read_span_store(spark, store), want)
+    # converged state: one sealed segment, one manifest, empty log
+    names = markers._listdir(store)
+    assert len([n for n, d in names if d and n.startswith("seg_")]) == 1
+    assert len([n for n, d in names if not d and n.startswith("m_")]) == 1
+    log_left = [
+        n for n, d in markers._listdir(f"{store}/log")
+        if not d and not n.startswith(("_", "."))
+    ] if markers._exists(f"{store}/log") else []
+    assert log_left == []
