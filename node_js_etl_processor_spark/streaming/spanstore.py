@@ -107,11 +107,34 @@ def _live_log_files(store_path: str, folded: "set[str]") -> "list[str]":
 def read_span_store(spark: SparkSession, store_path: str) -> DataFrame:
     """The stored postings as ONE DataFrame: manifest segments plus
     the live append log (see the module docstring's leveled-layout
-    contract). Empty store → empty frame with the posting schema."""
+    contract). A fresh/never-written store reads as an EMPTY frame
+    with the posting schema — the gated applier's bootstrap relies on
+    it. A store holding data files at its ROOT (the pre-r18 flat
+    layout) raises instead of silently reading empty: the failure is
+    a layout mismatch, not an empty corpus (the cusum_alarm_stream
+    fail-loudly precedent)."""
+    from .markers import _exists, _listdir
+
     segs, folded = _read_manifest(store_path)
     paths = [posixpath.join(store_path, s) for s in segs]
     paths += _live_log_files(store_path, folded)
     if not paths:
+        legacy = [
+            name
+            for name, is_dir in (
+                _listdir(store_path) if _exists(store_path) else []
+            )
+            if not is_dir
+            and not name.startswith(("_", ".", "m_"))
+        ]
+        if legacy:
+            raise ValueError(
+                f"span store at {store_path!r} holds root-level data "
+                f"files ({legacy[:3]}…) — the pre-r18 FLAT layout. "
+                "Re-ingest under the leveled layout (log/ + sealed "
+                "segments); reading it as empty would silently score "
+                "every drop as novel."
+            )
         return spark.createDataFrame([], _POSTING_SCHEMA)
     return spark.read.schema(_POSTING_SCHEMA).parquet(*paths)
 
@@ -151,6 +174,26 @@ def compact_span_store(
         if not is_dir and name.startswith("m_") and name != cur:
             _delete(posixpath.join(store_path, name))
     log_files = _live_log_files(store_path, folded)
+    # Never fold a batch whose publish is in flight or crashed
+    # un-recovered (r18 review): a tag with a live _staging/<tag>/
+    # _PUBLISHING manifest can still be purged by recover_partial,
+    # which deletes <tag>-* files from log/ only — sealing them into a
+    # segment would put them beyond the purge, and the re-delivered
+    # batch would then double-count its own postings.
+    staging = posixpath.join(store_path, "_staging")
+    live_tags = [
+        name
+        for name, is_dir in (_listdir(staging) if _exists(staging) else [])
+        if is_dir and _exists(posixpath.join(staging, name, "_PUBLISHING"))
+    ]
+    if live_tags:
+        log_files = [
+            p
+            for p in log_files
+            if not any(
+                posixpath.basename(p).startswith(f"{t}-") for t in live_tags
+            )
+        ]
     if not log_files:
         return 0, sum(
             len(_walk_files(posixpath.join(store_path, s))) for s in segs
@@ -296,6 +339,15 @@ def exact_twin_reps(docs: DataFrame) -> DataFrame:
     genuinely novel content survives) and the non-representatives are
     dropped as exact duplicates of an admitted doc — the keep-one
     verdict a dedup gate owes them.
+
+    The keeper rule (group by ``text.fingerprint``, keep min doc_id)
+    deliberately MIRRORS ``dedup.q_dedup_docs`` and the exact-dedup
+    applier's bootstrap rather than importing a shared helper:
+    operators/dedup.py is rotation-frozen through r20 (its queries
+    span both remaining driver windows — the registry docstring's
+    capacity math), so the consolidation would cost window slots the
+    schedule doesn't have; the three sites' agreement is pinned by
+    the gate's sequential-simulation equality test instead.
 
     Scale: one window over the 16-byte content fingerprint, batch-
     sized (the drop, never the store)."""

@@ -1221,6 +1221,82 @@ def test_span_store_compaction_preserves_reads_and_caps_files(
     assert set(markers._walk_files(f"{store}/{seg_dirs[0]}")) == sealed_files
 
 
+def test_span_store_legacy_flat_layout_raises_not_empty(spark, tmp_path):
+    """r18 review pin: a store holding data files at its ROOT (the
+    pre-r18 flat layout) must raise, not read as an empty corpus —
+    silently scoring every drop as novel is the worst failure mode a
+    dedup store can have. A genuinely fresh store still reads empty
+    (the gated bootstrap contract)."""
+    from node_js_etl_processor_spark.streaming.spanstore import (
+        read_span_store,
+    )
+
+    fresh = str(tmp_path / "fresh_store")
+    assert read_span_store(spark, fresh).count() == 0
+
+    legacy = tmp_path / "legacy_store"
+    legacy.mkdir()
+    (legacy / "abc123-00000-part.parquet").write_bytes(b"PAR1")
+    with pytest.raises(ValueError, match="FLAT layout"):
+        read_span_store(spark, str(legacy))
+
+
+def test_span_store_compaction_skips_inflight_publish(spark, sf_dir, tmp_path):
+    """r18 review pin (the real crash composition): a batch that
+    crashed AFTER renaming its log files but BEFORE its marker leaves
+    a live _staging/<tag>/_PUBLISHING manifest; compaction must NOT
+    seal those files into a segment — recover_partial purges <tag>-*
+    from log/ only, so a sealed copy would survive the purge and the
+    re-delivered batch would double-count its own postings. Pinned
+    end to end: compact with the manifest live (files stay in log,
+    other batches still fold), then recover + re-publish + compact,
+    and the final read equals the one-shot shingling exactly once."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.spans import shingle_positions
+    from node_js_etl_processor_spark.streaming import markers
+    from node_js_etl_processor_spark.streaming.spanstore import (
+        compact_span_store,
+        read_span_store,
+        span_postings_applier,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).limit(120)
+    a_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    b_docs = docs.filter(F.col("doc_id") % 2 == 1)
+    store, ckpt = str(tmp_path / "if_store"), str(tmp_path / "if_ckpt")
+    span_postings_applier(store, ckpt)(a_docs, 0)
+
+    # simulate batch 1 crashing between its last rename and its
+    # marker: publish via stage_and_publish but skip marker+cleanup
+    tag = markers.marker_id(ckpt, 1)
+    markers.stage_and_publish(
+        store, tag, {"log": (shingle_positions(b_docs), None)}
+    )
+
+    folded, _ = compact_span_store(spark, store, target_files=2)
+    assert folded > 0  # batch 0's files folded…
+    live = [
+        n for n, d in markers._listdir(f"{store}/log")
+        if not d and n.startswith(f"{tag}-")
+    ]
+    assert live, "in-flight batch's files must stay in the log"
+
+    # the stream restarts: recover, re-publish, mark — then compact
+    markers.recover_partial(store, tag)
+    markers.stage_and_publish(
+        store, tag, {"log": (shingle_positions(b_docs), None)}
+    )
+    markers.cleanup_staging(store, tag)
+    compact_span_store(spark, store, target_files=2)
+    want = shingle_positions(a_docs.unionByName(b_docs))
+    got = read_span_store(spark, store)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 @pytest.mark.parametrize("crash_point", ["before_pointer", "in_delete_window"])
 def test_span_store_compaction_crash_matrix(
     spark, sf_dir, tmp_path, monkeypatch, crash_point
