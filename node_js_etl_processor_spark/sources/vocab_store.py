@@ -154,8 +154,32 @@ def compact_vocab_store(spark: SparkSession, path: str) -> "tuple[int, int]":
     """Fold every stored partial into one aggregated file set in a
     FRESH generation, then atomically switch the pointer. Returns
     (files_before, files_after); crash-safety and the single-writer
-    rule are graph_store.compact_edge_store's argument verbatim."""
+    rule are graph_store.compact_edge_store's argument verbatim.
+
+    Crashed-append hygiene first (r18 review, the spanstore finding
+    applied here): a batch that crashed mid-publish left ``tag-*``
+    files and a live ``_staging/<tag>/_PUBLISHING`` manifest under
+    the generation. Folding those rows into the new generation would
+    put them beyond ``recover_partial``'s reach — the re-delivered
+    batch would then publish them AGAIN and the sums double-count.
+    So: a staged tag WITHOUT its applied marker is a crashed partial
+    — purge it exactly the way the re-delivery would; a staged tag
+    WITH its marker is a completed batch whose ``cleanup_staging``
+    crashed — fold its rows, drop only the stale staging tree."""
+    from node_js_etl_processor_spark.streaming.markers import (
+        _exists,
+        recover_partial,
+    )
+
     old_gen = _gen_dir(path)
+    staging = posixpath.join(old_gen, "_staging")
+    for tag, is_dir in _listdir(staging) if _exists(staging) else []:
+        if not is_dir:
+            continue
+        if _exists(posixpath.join(path, "_batches", tag)):
+            cleanup_staging(old_gen, tag)
+        else:
+            recover_partial(old_gen, tag)
     folded = (
         spark.read.parquet(old_gen)
         .groupBy("source", "w")

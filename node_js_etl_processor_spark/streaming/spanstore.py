@@ -179,13 +179,24 @@ def compact_span_store(
     # _PUBLISHING manifest can still be purged by recover_partial,
     # which deletes <tag>-* files from log/ only — sealing them into a
     # segment would put them beyond the purge, and the re-delivered
-    # batch would then double-count its own postings.
+    # batch would then double-count its own postings. A staged tag
+    # WITH its applied marker is the opposite case — a completed batch
+    # whose cleanup_staging crashed: fold its rows (they are final)
+    # and drop only the stale staging tree, so the batch cannot sit
+    # unfolded forever if the stream never re-delivers it.
+    from .markers import cleanup_staging
+
     staging = posixpath.join(store_path, "_staging")
-    live_tags = [
-        name
-        for name, is_dir in (_listdir(staging) if _exists(staging) else [])
-        if is_dir and _exists(posixpath.join(staging, name, "_PUBLISHING"))
-    ]
+    live_tags = []
+    for name, is_dir in _listdir(staging) if _exists(staging) else []:
+        if not is_dir or not _exists(
+            posixpath.join(staging, name, "_PUBLISHING")
+        ):
+            continue
+        if _exists(posixpath.join(store_path, "_batches", name)):
+            cleanup_staging(store_path, name)
+        else:
+            live_tags.append(name)
     if live_tags:
         log_files = [
             p

@@ -1296,6 +1296,26 @@ def test_span_store_compaction_skips_inflight_publish(spark, sf_dir, tmp_path):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
 
+    # the stale-staging twin: a tag WITH its applied marker (crash
+    # between marker and cleanup) is a COMPLETED batch — compaction
+    # must fold its rows and drop only the staging tree, so a batch
+    # the stream never re-delivers cannot sit unfolded forever
+    c_docs = docs.limit(0).unionByName(
+        a_docs.limit(7).withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    tag2 = markers.marker_id(ckpt, 2)
+    markers.stage_and_publish(
+        store, tag2, {"log": (shingle_positions(c_docs), None)}
+    )
+    markers.mark_batch_applied(store, ckpt, 2)
+    folded3, _ = compact_span_store(spark, store, target_files=2)
+    assert folded3 > 0  # the marked batch's files DID fold
+    assert not markers._exists(f"{store}/_staging/{tag2}")
+    want2 = want.unionByName(shingle_positions(c_docs))
+    got2 = read_span_store(spark, store)
+    assert got2.exceptAll(want2).count() == 0
+    assert want2.exceptAll(got2).count() == 0
+
 
 @pytest.mark.parametrize("crash_point", ["before_pointer", "in_delete_window"])
 def test_span_store_compaction_crash_matrix(

@@ -133,3 +133,65 @@ def test_ingest_stream_with_compaction_matches_batch(spark, sf_dir, tmp_path):
     assert _rows(diversity_from_store(spark, store)) == _rows(
         q_simpson_diversity(docs)
     )
+
+
+def test_compaction_purges_crashed_append_no_double_count(
+    spark, sf_dir, tmp_path
+):
+    """r18 review (the spanstore finding applied here): a batch that
+    crashed mid-publish (tag-* files renamed into the generation, NO
+    applied marker) must be PURGED by compaction, not folded — folding
+    would seal its rows beyond recover_partial's reach and the
+    re-delivered batch would double-count them. And the stale-staging
+    twin: a tag WITH its marker (crash between marker and
+    cleanup_staging) is a completed batch — its rows fold, only the
+    staging tree is dropped."""
+    import posixpath
+
+    from node_js_etl_processor_spark.sources.vocab_store import (
+        _batch_partials,
+        _gen_dir,
+    )
+    from node_js_etl_processor_spark.streaming import markers
+    from node_js_etl_processor_spark.streaming.vocab import vocab_applier
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter("doc_id % 3 = 0")
+    crashed = docs.filter("doc_id % 3 = 1")
+    store, ckpt = str(tmp_path / "vstore"), str(tmp_path / "vckpt")
+    apply = vocab_applier(store, ckpt, compact_every=0)
+    apply(base, 0)
+    want_base = _counts_set(vocab_counts(base))
+    assert _counts_set(read_vocab_counts(spark, store)) == want_base
+
+    # batch 1 crashes after its renames, before its marker: publish
+    # via stage_and_publish into the live generation, skip the marker
+    tag = markers.marker_id(ckpt, 1)
+    gen = _gen_dir(store)
+    markers.stage_and_publish(
+        gen, tag, {"": (_batch_partials(crashed), "bucket")}
+    )
+
+    compact_vocab_store(spark, store)
+    # the crashed partial is gone, not folded
+    assert _counts_set(read_vocab_counts(spark, store)) == want_base
+
+    # the stream restarts and re-delivers batch 1 through the applier
+    apply(crashed, 1)
+    want_all = _counts_set(vocab_counts(base.unionByName(crashed)))
+    assert _counts_set(read_vocab_counts(spark, store)) == want_all
+
+    # stale-staging twin: batch 2 completed (marker set) but its
+    # cleanup crashed — compaction folds its rows and drops the tree
+    extra = docs.filter("doc_id % 3 = 2")
+    tag2 = markers.marker_id(ckpt, 2)
+    gen2 = _gen_dir(store)
+    markers.stage_and_publish(
+        gen2, tag2, {"": (_batch_partials(extra), "bucket")}
+    )
+    markers.mark_batch_applied(store, ckpt, 2)
+    compact_vocab_store(spark, store)
+    want_full = _counts_set(vocab_counts(docs))
+    assert _counts_set(read_vocab_counts(spark, store)) == want_full
+    staging = posixpath.join(_gen_dir(store), "_staging")
+    assert not markers._exists(posixpath.join(staging, tag2))
