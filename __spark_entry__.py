@@ -149,10 +149,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r16-green rows (q_text_langid … q_join_enrich) with 2 slack;
     r20's is the 49 r17-green rows with 1 slack. Scheduled r19 work,
     all inside that window for free: the setsim.py LSH prefilter
-    (q_setsim_join / q_containment_decon are mandatory r19) and the
+    (q_setsim_join / q_containment_decon are mandatory r19), the
     colloc tokenization consolidation onto the shared spans token
     helper (q_pmi_collocations mandatory r19; touch colloc.py ONLY —
-    editing spans.py would flag q_span_extents into the slack).
+    editing spans.py would flag q_span_extents into the slack), and
+    the in-flight-publish compaction guard for sources/graph_store.py
+    (the r18 vocab/span-store fix applied to compact_edge_store:
+    q_link_graph is mandatory r19; the graph_store edit also flags
+    q_bfs_hops, spending one of the two slack slots).
     Scheduled r20 work: the diversity tokenization consolidation
     (q_simpson_diversity is mandatory r20) and the final full-tree
     artifact regeneration. dedup.py stays FROZEN through r19/r20
