@@ -1240,3 +1240,75 @@ def test_trend_stats_merge_associative_on_random_splits(spark, rows):
     got = sorted(tuple(r) for r in trend_from_stats(merged).collect())
     want = sorted(tuple(r) for r in q_ols_trend(whole).collect())
     assert got == want and len(got) > 0
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    # up to 4 distinct contents, each appearing 1-3 times, dealt into
+    # 1-3 delivery batches at random positions
+    multiplicities=st.lists(
+        st.integers(min_value=1, max_value=3), min_size=1, max_size=4
+    ),
+    batch_of=st.lists(
+        st.integers(min_value=0, max_value=2), min_size=12, max_size=12
+    ),
+)
+def test_novelty_gate_exact_twin_admission_is_batching_independent(
+    spark, tmp_path_factory, multiplicities, batch_of
+):
+    """r18 (the r17 advice's core complaint, property-pinned): with
+    pairwise token-disjoint contents (so the gate can cut only through
+    exact duplication), exactly ONE copy of every content is admitted
+    NO MATTER how its copies are dealt across delivery batches — the
+    min-doc_id representative of the earliest batch carrying that
+    content. Before the keep-one rule, two copies landing in one
+    batch cut each other and a later re-delivery was admitted
+    instead, so the admitted set depended on batching."""
+    from node_js_etl_processor_spark.streaming.spanstore import (
+        novelty_gated_ingest_applier,
+    )
+
+    W = 3
+    # content g: 8 unique tokens no other content shares → zero
+    # cross-content shingle collisions
+    texts = {
+        g: " ".join(f"g{g}tok{i}" for i in range(8))
+        for g in range(len(multiplicities))
+    }
+    copies = []  # (doc_id, content)
+    did = 0
+    for g, m in enumerate(multiplicities):
+        for _ in range(m):
+            copies.append((did, g))
+            did += 1
+    batches: "dict[int, list]" = {0: [], 1: [], 2: []}
+    for i, (doc_id, g) in enumerate(copies):
+        batches[batch_of[i % len(batch_of)]].append((doc_id, texts[g]))
+
+    store_root = tmp_path_factory.mktemp("gate_prop")
+    apply = novelty_gated_ingest_applier(
+        str(store_root / "s"), str(store_root / "o"), str(store_root / "c"),
+        max_dup_pct=50, w=W,
+    )
+    admitted = []
+    first_batch_of_content: "dict[str, int]" = {}
+    for b in range(3):
+        rows = batches[b]
+        if not rows:
+            continue
+        for _d, text in rows:
+            first_batch_of_content.setdefault(text, b)
+        out = apply(spark.createDataFrame(rows, "doc_id long, text string"), b)
+        admitted += [(r["doc_id"], r["text"]) for r in out.collect()]
+
+    # exactly one admitted copy per distinct content…
+    assert sorted(t for _d, t in admitted) == sorted(set(texts.values()))
+    # …and it is the min-doc_id copy of the earliest batch carrying it
+    for doc_id, text in admitted:
+        b = first_batch_of_content[text]
+        want = min(d for d, t in batches[b] if t == text)
+        assert doc_id == want, (doc_id, want, text)
