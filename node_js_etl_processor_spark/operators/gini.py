@@ -64,12 +64,19 @@ def q_gini_concentration(documents: DataFrame) -> DataFrame:
         F.sum(F.col("i") * F.col("x")).cast("bigint").alias("sum_ix"),
     )
     n_d = F.col("n").cast("double")
+    # sum_x = 0 (a source whose documents are ALL zero-length) would
+    # divide by zero — an ANSI-mode runtime error in the driver's
+    # plain session, NaN in DuckDB (r18 property-test finding). The
+    # coefficient is undefined there; both engines emit NULL.
     return agg.withColumn(
         "gini",
-        F.lit(2.0)
-        * F.col("sum_ix").cast("double")
-        / (n_d * F.col("sum_x").cast("double"))
-        - (n_d + F.lit(1.0)) / n_d,
+        F.when(
+            F.col("sum_x") > 0,
+            F.lit(2.0)
+            * F.col("sum_ix").cast("double")
+            / (n_d * F.col("sum_x").cast("double"))
+            - (n_d + F.lit(1.0)) / n_d,
+        ),
     )
 
 
@@ -93,8 +100,10 @@ GINI_CONCENTRATION_ORACLE = """
       FROM ranked GROUP BY source
     )
     SELECT source, n, sum_x, sum_ix,
-           2.0 * CAST(sum_ix AS DOUBLE)
-               / (CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE))
-           - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+           CASE WHEN sum_x > 0 THEN
+             2.0 * CAST(sum_ix AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(sum_x AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+           END AS gini
     FROM agg
 """

@@ -1312,3 +1312,118 @@ def test_novelty_gate_exact_twin_admission_is_batching_independent(
         b = first_batch_of_content[text]
         want = min(d for d, t in batches[b] if t == text)
         assert doc_id == want, (doc_id, want, text)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    groups=st.lists(
+        st.lists(
+            st.integers(min_value=-50, max_value=50), min_size=1, max_size=25
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    n_buckets=st.integers(min_value=1, max_value=6),
+)
+def test_equidepth_hist_matches_reference_ntile_on_random_groups(
+    spark, groups, n_buckets
+):
+    """r18 declaration, property-pinned beyond the fixture parity: on
+    arbitrary integer multisets (ties included — the total order
+    tie-breaks on the key columns), the distributed grouped-rank +
+    NTILE arithmetic reproduces the SQL-standard NTILE reference
+    computed directly in Python: first n mod B buckets hold one extra
+    row, per-bucket [lo, hi] bounds come off the sorted order."""
+    from node_js_etl_processor_spark.operators.histogram import (
+        q_equidepth_hist,
+    )
+
+    rows = []
+    key = 0
+    for g, vals in enumerate(groups):
+        for v in vals:
+            # l_extendedprice = v so cents = 100*v; unique (okey, line)
+            rows.append((str(g), float(v), key, 0))
+            key += 1
+    df = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_extendedprice double, "
+        "l_orderkey long, l_linenumber int",
+    )
+    got = {
+        (r["l_returnflag"], r["bucket"]): (r["n"], r["lo_cents"], r["hi_cents"])
+        for r in q_equidepth_hist(df, n_buckets=n_buckets).collect()
+    }
+    want = {}
+    for g, vals in enumerate(groups):
+        s = sorted(100 * v for v in vals)
+        n, q, r = len(s), len(s) // n_buckets, len(s) % n_buckets
+        pos = 0
+        for b in range(1, n_buckets + 1):
+            size = q + (1 if b <= r else 0)
+            if size == 0:
+                continue
+            chunk = s[pos : pos + size]
+            want[(str(g), b)] = (size, chunk[0], chunk[-1])
+            pos += size
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    groups=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=40), min_size=1, max_size=20
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_gini_concentration_matches_reference_on_random_groups(spark, groups):
+    """r18 declaration, property-pinned beyond the fixture parity: the
+    rank-weighted integer sufficient statistics (n, sum_x, sum_ix)
+    equal the direct Python computation over the sorted sizes on
+    arbitrary non-negative integer multisets (ties broken by doc_id,
+    which leaves sum_ix unchanged — asserted implicitly by comparing
+    against ANY sorted order), and the one fixed-shape double for G
+    matches IEEE-exactly."""
+    from node_js_etl_processor_spark.operators.gini import (
+        q_gini_concentration,
+    )
+
+    rows, did = [], 0
+    for g, vals in enumerate(groups):
+        for v in vals:
+            rows.append((str(g), v, did))
+            did += 1
+    df = spark.createDataFrame(rows, "source string, n_chars long, doc_id long")
+    got = {
+        r["source"]: (r["n"], r["sum_x"], r["sum_ix"], r["gini"])
+        for r in q_gini_concentration(df).collect()
+    }
+    for g, vals in enumerate(groups):
+        s = sorted(vals)
+        n = len(s)
+        sum_x = sum(s)
+        sum_ix = sum((i + 1) * x for i, x in enumerate(s))
+        gini = (
+            2.0 * float(sum_ix) / (float(n) * float(sum_x)) - (float(n) + 1.0) / float(n)
+            if sum_x
+            else None
+        )
+        gn, gx, gix, gg = got[str(g)]
+        assert (gn, gx, gix) == (n, sum_x, sum_ix)
+        if sum_x:
+            assert gg == gini
+        else:
+            # all-zero sizes: the coefficient is undefined — both
+            # engines emit NULL (the r18 ANSI divide-by-zero finding)
+            assert gg is None
