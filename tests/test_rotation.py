@@ -49,11 +49,12 @@ def test_affected_queries_fake_change_detects_out_of_window():
     assert "q_dedup_minhash" in affected and "q_dedup_docs" in affected
     window = set(list(entrymod.queries())[: cr.WINDOW])
     # the witness must be a dedup.py query that is genuinely OUT of
-    # the CURRENT window (it changes as the window rotates):
-    # q_dedup_docs is r16-green and out of the r17 window, while
-    # q_dedup_minhash — r16's witness — rotated back IN as an r17
-    # deferral. A dedup.py change must surface the out-of-window hit.
-    assert "q_dedup_docs" in affected - window
+    # the CURRENT window (it changes as the window rotates): in the
+    # r19 window q_dedup_docs/ngram/clusters are mandatory r16-green
+    # rows and q_dedup_simhash is the slack renewal, so the
+    # out-of-window witness is q_dedup_minhash (r17-green, fresh
+    # through r20). A dedup.py change must surface it.
+    assert "q_dedup_minhash" in affected - window
 
 
 def test_live_tree_rotation_rule_holds():
