@@ -41,7 +41,23 @@ EXACT one. Three scale disciplines compose here:
    19/20 threshold it kills near-miss candidates where the budget is
    0–1 misses: measured 960k → 27.5k candidates (−97%) at sf0.1 with
    identical output.
-4. **Explosion-free verification.** Each representative's token set
+4. **Pigeonhole signature join at high thresholds (r19).** At the
+   declared t = 19/20 the candidate join itself is the bottleneck on
+   hot-vocabulary corpora (the fixture has 31 distinct tokens, so
+   token-equality posting lists are corpus-sized). A qualifying pair
+   with min side sz has symmetric difference ≤ ⌊sz·(t_den−t_num)/
+   t_num⌋, so hash-partitioning each digest set into one-more groups
+   leaves ≥ 1 group with IDENTICAL membership (pigeonhole) — equal
+   membership ⇒ equal XOR, and candidates come from an equi-join on
+   (k, group_id, group_xor), a 64-bit content-bearing key. Lossless
+   (PartEnum's partition level — Arasu, Ganti & Kaushik, VLDB 2006 —
+   in banded-LSH form but deterministic); gated to t ≥ 9/10 where
+   the signature volume stays O(s·d/t_num) per set; the prefix +
+   positional path below keeps lower thresholds. Measured at sf0.1:
+   q_setsim_join 2.86 → 1.66 s solo-median at identical output, with
+   the df aggregation, join-back and per-doc rank window gone from
+   the plan.
+5. **Explosion-free verification.** Each representative's token set
    is packed ONCE as an array of 60-bit md5-derived digests (the
    dedup family's portable-hash discipline); candidates verify by
    joining the two digest arrays back (both rep frames broadcast)
@@ -209,6 +225,121 @@ def _prefix_len(t_num: int, t_den: int, sz=None):
     ) + F.lit(1)
 
 
+def _pigeonhole_candidates(
+    rep_sets: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """Candidate pairs via the LOSSLESS pigeonhole signature join —
+    the r19 'LSH prefilter' for HIGH thresholds (the PartEnum /
+    partition-signature idea: Arasu, Ganti & Kaushik, "Efficient
+    Exact Set-Similarity Joins", VLDB 2006, partition level; banded
+    like LSH but deterministic, so completeness is a lemma, not a
+    probability).
+
+    Lemma (all-integer): for a qualifying pair with sa = |A| ≤ |B| =
+    sb, J ≥ t = t_num/t_den forces inter ≥ r = ⌈t_num(sa+sb)/
+    (t_num+t_den)⌉, so the symmetric difference m = sa+sb−2·inter ≤
+    (sa+sb)(t_den−t_num)/(t_num+t_den) ≤ sa·(t_den−t_num)/t_num
+    (the second step uses the length filter sb ≤ sa·t_den/t_num).
+    With k(s) = ⌊s·(t_den−t_num)/t_num⌋ + 1 groups, k(sa) > m, so
+    hash-partitioning each set's token digests by ``h % k(sa)``
+    leaves AT LEAST ONE group whose membership is identical in A and
+    B — equal membership ⇒ equal XOR — and the pair survives an
+    equi-join on (k, group_id, group_xor). Candidates therefore come
+    from a 64-bit content-bearing join key instead of single-token
+    equality: on template-heavy corpora with a small hot vocabulary
+    the token equi-join's posting lists are corpus-sized (the sf0.1
+    fixture has 31 distinct tokens — Σ df² candidate pairs), while
+    group-XOR equality is selective exactly where Jaccard is not met.
+
+    Asymmetric probe/index roles keep the blow-up bounded: the probe
+    side keeps ONLY its own k(sz) rows (a qualifying pair must match
+    at k(min-side sz), and the probe is the min side under the
+    size-canonical order), while the index side emits one signature
+    row per group for EVERY k a smaller qualifying partner could
+    demand — k ∈ [k(⌈t·s⌉), k(s)], an integer range because k(·) is
+    nondecreasing. Signature volume per set is O(s·d/t_num) rows
+    with an O(s²d²/(t_num·t_den)) enumeration tail (d = t_den −
+    t_num) — economical for d/t_num ≤ 1/9, which is what the caller
+    gates on. False positives (XOR collisions, empty-group
+    agreements) are killed by the unchanged array-intersect verify;
+    the brute-force DuckDB oracle cross-checks completeness pair for
+    pair. The length filter and the bloom miss-count bound ride the
+    join condition exactly as on the prefix path."""
+    d = t_den - t_num
+    sig_expr = f"""
+      flatten(transform(
+        sequence(
+          ((sz * {t_num} + {t_den - 1}) div {t_den}) * {d} div {t_num} + 1,
+          sz * {d} div {t_num} + 1),
+        k -> transform(
+          sequence(CAST(0 AS BIGINT), k - 1),
+          g -> named_struct(
+            'k', k, 'gid', g,
+            'gdig', aggregate(
+              filter(toks_h, h -> h % k = g),
+              CAST(0 AS BIGINT), (acc, h) -> acc ^ h)))))
+    """
+    sig = rep_sets.select(
+        "doc_id",
+        "sz",
+        "group_n",
+        "bloom",
+        F.explode(F.expr(sig_expr)).alias("s"),
+    ).select("doc_id", "sz", "group_n", "bloom", "s.k", "s.gid", "s.gdig")
+    probe = sig.filter(
+        F.col("k") == F.expr(f"sz * {d} div {t_num} + 1")
+    )
+    a, b = probe.alias("a"), sig.alias("b")
+    size_canonical = (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    ssum = F.col("a.sz") + F.col("b.sz")
+    req_overlap = F.floor(
+        (ssum * t_num + (t_num + t_den - 1)) / (t_num + t_den)
+    ).cast("long")
+    bloom_ok = (
+        F.expr("bit_count(a.bloom & ~b.bloom)").cast("long")
+        <= F.col("a.sz") - req_overlap
+    ) & (
+        F.expr("bit_count(b.bloom & ~a.bloom)").cast("long")
+        <= F.col("b.sz") - req_overlap
+    )
+    pair = F.struct(
+        F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+        F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        F.col("a.sz").alias("sz_a"),
+        F.col("b.sz").alias("sz_b"),
+        F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.group_n"))
+        .otherwise(F.col("b.group_n"))
+        .alias("group_a"),
+        F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.group_n"))
+        .otherwise(F.col("a.group_n"))
+        .alias("group_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.gid") == F.col("b.gid"))
+            & (F.col("a.gdig") == F.col("b.gdig"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & size_canonical
+            & (
+                F.greatest(F.col("a.sz"), F.col("b.sz")) * t_num
+                <= F.least(F.col("a.sz"), F.col("b.sz")) * t_den
+            )
+            & bloom_ok,
+        )
+        .select(pair.alias("p"))
+        .select("p.*")
+        # a near-identical pair agrees in ~k−m of its k groups, so the
+        # join emits ~k rows per true pair — dedup BEFORE the verify
+        # joins (the frame is candidate-sized, the shuffle is tiny)
+        .distinct()
+    )
+
+
 def setsim_join(
     documents: DataFrame,
     t_num: int = SETSIM_T_NUM,
@@ -218,7 +349,17 @@ def setsim_join(
     representatives, doc_a < doc_b) with Jaccard ≥ t_num/t_den, as
     (doc_a, doc_b, inter, union_sz, group_a, group_b) — exact. See
     the module docstring for the three-stage shape (collapse →
-    prefix+positional candidate join → array-intersect verify).
+    candidate join → array-intersect verify).
+
+    Candidate generation is gated on the threshold (r19): at t ≥
+    9/10 the pigeonhole signature join (``_pigeonhole_candidates``)
+    replaces the rare-first prefix equi-join — same completeness
+    guarantee, but candidates come from a 64-bit group-XOR key
+    instead of token equality, which removes the df/rank machinery
+    (one corpus groupBy + join-back + per-doc window) and the
+    hot-token posting-list join entirely. Below 9/10 the signature
+    volume grows as s·d/t_num per set, so the proven prefix +
+    positional + bloom path keeps the job (d = t_den − t_num).
 
     group_a·group_b is the number of ORIGINAL document pairs each
     emitted row stands for — the quadratic blow-up the collapse
@@ -226,6 +367,20 @@ def setsim_join(
     if not (0 < t_num <= t_den):
         raise ValueError("setsim_join needs 0 < t_num/t_den <= 1")
     rep_sets = _rep_sets(documents)
+    if 10 * t_num >= 9 * t_den:
+        cand = _pigeonhole_candidates(rep_sets, t_num, t_den)
+    else:
+        cand = _prefix_candidates(rep_sets, t_num, t_den)
+    return _verify_candidates(rep_sets, cand, t_num, t_den)
+
+
+def _prefix_candidates(
+    rep_sets: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """Candidate pairs via the rare-first prefix equi-join with the
+    positional, length and bloom filters in the join condition — the
+    PPJoin path (module docstring §2–3), used below the pigeonhole
+    gate."""
     rtok = rep_sets.select(
         "doc_id", "sz", "group_n", "bloom", F.explode("toks").alias("token")
     )
@@ -312,7 +467,7 @@ def setsim_join(
         F.expr("bit_count(b.bloom & ~a.bloom)").cast("long")
         <= F.col("b.sz") - req_overlap
     )
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
@@ -329,15 +484,20 @@ def setsim_join(
         .select(pair.alias("p"))
         .select("p.*")
     )
-    # verify WITHOUT row explosion: join each side's packed array
-    # back and count the intersection inside codegen — one row per
-    # candidate. NO forced broadcast: the rep frames are
-    # corpus-of-distinct-sets-sized, so AQE must stay free to pick
-    # shuffle vs broadcast by measured size (r16 review #2 — a forced
-    # broadcast would hit Spark's broadcast-table limit at the 100 TB
-    # design point). Duplicate candidates (a pair sharing several
-    # prefix tokens) verify identically and collapse in the final
-    # distinct, which runs on the THRESHOLD-FILTERED (small) frame.
+
+
+def _verify_candidates(
+    rep_sets: DataFrame, cand: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """Verify candidate pairs WITHOUT row explosion: join each side's
+    packed array back and count the intersection inside codegen — one
+    row per candidate. NO forced broadcast: the rep frames are
+    corpus-of-distinct-sets-sized, so AQE must stay free to pick
+    shuffle vs broadcast by measured size (r16 review #2 — a forced
+    broadcast would hit Spark's broadcast-table limit at the 100 TB
+    design point). Duplicate candidates (a pair surviving via several
+    prefix tokens) verify identically and collapse in the final
+    distinct, which runs on the THRESHOLD-FILTERED (small) frame."""
     arr_a = rep_sets.select(
         F.col("doc_id").alias("doc_a"), F.col("toks_h").alias("toks_a")
     )

@@ -3392,6 +3392,62 @@ def test_kmv_set_difference_raises_on_absent_group(spark):
         kmv_set_difference(sk, "F", "O", "F-O", "O-F")
 
 
+def test_setsim_pigeonhole_matches_prefix_path(spark):
+    """r19 pigeonhole signature join, completeness against the proven
+    prefix path: both candidate generators are exact, so routing the
+    SAME randomized near-dup corpus through each must produce
+    identical verified output. The corpus is built adversarially for
+    the signature scheme — a tiny hot vocabulary (every prefix token
+    collides), sizes straddling the k(s) = ⌊s/19⌋+1 group-count
+    steps (18/19/20, 37/38/39 tokens), exact-twin groups for the
+    collapse, boundary pairs at exactly J = t and one token below."""
+    import itertools
+
+    from node_js_etl_processor_spark.operators.setsim import (
+        _pigeonhole_candidates,
+        _prefix_candidates,
+        _rep_sets,
+        _verify_candidates,
+    )
+
+    vocab = [f"w{i:02d}" for i in range(45)]
+    rows, did = [], 0
+
+    def add(toks, times=1):
+        nonlocal did
+        for _ in range(times):
+            rows.append((did, " ".join(toks)))
+            did += 1
+
+    # base sets at the k-step sizes, each with a 1-miss neighbor
+    # (J = (s-1)/(s+1): qualifies at 19/20 only for s >= 39) and a
+    # superset neighbor (J = s/(s+1): qualifies for s >= 19)
+    for s in (18, 19, 20, 37, 38, 39):
+        base = vocab[:s]
+        add(base, times=2)                      # exact twins collapse
+        add(base[:-1] + [vocab[s]])             # 1-out-1-in neighbor
+        add(base + [vocab[s + 1]])              # superset neighbor
+    # a clique of 4 supersets of the 39-token base — all pairwise J
+    # in {39/40, 39/41, 40/41}
+    for extra in itertools.combinations(vocab[40:44], 1):
+        add(vocab[:39] + list(extra))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for t_num, t_den in ((19, 20), (9, 10), (1, 1)):
+        reps = _rep_sets(docs)
+        via_pigeon = _verify_candidates(
+            reps, _pigeonhole_candidates(reps, t_num, t_den), t_num, t_den
+        )
+        via_prefix = _verify_candidates(
+            reps, _prefix_candidates(reps, t_num, t_den), t_num, t_den
+        )
+        got_p = sorted(tuple(r) for r in via_pigeon.collect())
+        got_x = sorted(tuple(r) for r in via_prefix.collect())
+        assert got_p == got_x, f"paths diverge at t={t_num}/{t_den}"
+        if (t_num, t_den) == (19, 20):
+            assert got_p, "expected qualifying pairs at 19/20"
+
+
 def test_setsim_bloom_bound_keeps_budget_boundary_pairs(spark):
     """r16 bloom miss-count bound, losslessness at the budget
     boundary: a strict-containment pair A ⊂ B with |B| = |A| + 1 at

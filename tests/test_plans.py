@@ -767,12 +767,17 @@ def test_heavy_hitters_certified_path_broadcasts_candidates(spark):
 
 
 def test_setsim_join_plan_no_cartesian_and_filters_in_join(spark, sf_dir):
-    """r14: the exact set-similarity join's scale claims — no
-    CartesianProduct / BroadcastNestedLoopJoin anywhere (the
-    candidate step is a token equi-join, the verify step joins packed
-    digest arrays by rep id), and the positional + length filters
-    ride the candidate join's condition (candidates die inside the
-    join, not in a post-shuffle filter)."""
+    """r14 (re-pinned r19): the exact set-similarity join's scale
+    claims — no CartesianProduct / BroadcastNestedLoopJoin anywhere
+    (the candidate step is an equi-join, the verify step joins packed
+    digest arrays by rep id), and the length + bloom filters ride the
+    candidate join's condition (candidates die inside the join, not
+    in a post-shuffle filter). At the declared 19/20 threshold the
+    r19 pigeonhole signature join generates candidates, so the df /
+    rank machinery must be GONE from the plan — no Window node, no
+    row_number, no per-token document-frequency aggregation; the
+    prefilter replaced exchanges (df groupBy, join-back, per-doc rank
+    window) and must not have added one."""
     from node_js_etl_processor_spark.catalog import load_table
     from node_js_etl_processor_spark.operators.setsim import q_setsim_join
 
@@ -784,12 +789,17 @@ def test_setsim_join_plan_no_cartesian_and_filters_in_join(spark, sf_dir):
     # the candidate join carries the length filter (greatest/least on
     # the two set sizes) inside its join condition
     joined = [l for l in plan.splitlines() if "Join" in l and "greatest" in l]
-    assert joined, "length/positional filters not in the join condition"
+    assert joined, "length filter not in the join condition"
     # r16: the bloom miss-count bound rides the SAME join condition
     # (two long bit-ops per pair — candidates die inside the join)
     assert any("bit_count" in l for l in joined), (
         "bloom miss-count bound not in the candidate join condition"
     )
+    # r19 pigeonhole path: candidates come from the (k, gid, XOR)
+    # signature equi-join — the prefix path's rank window and df agg
+    # are structurally absent at t >= 9/10
+    assert "Window" not in plan
+    assert "row_number" not in plan
     assert q.count() > 0
     # the asymmetric containment variant: same no-cartesian claims
     from node_js_etl_processor_spark.operators.setsim import (
