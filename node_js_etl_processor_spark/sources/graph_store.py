@@ -48,9 +48,11 @@ from pyspark.sql import functions as F
 from node_js_etl_processor_spark.operators.graph import link_graph_edges
 from node_js_etl_processor_spark.streaming.markers import (
     _delete,
+    _exists,
     _listdir,
     cleanup_staging,
     current_version,
+    recover_partial,
     set_current_version,
     stage_and_publish,
 )
@@ -167,8 +169,37 @@ def compact_edge_store(spark: SparkSession, path: str) -> "tuple[int, int]":
     old generation is live until the switch, and stale generations
     are GC'd on the next commit. Must not run concurrently with an
     append (single-writer — the ingest loop's ``compact_every`` slot
-    satisfies this)."""
+    satisfies this).
+
+    In-flight-publish guard (r19 — the r18 vocab/span-store
+    discipline): a batch whose ``stage_and_publish`` into this
+    generation crashed BEFORE its applied marker has some of its
+    ``<tag>-*`` files already renamed into the live tree. Folding
+    them would put them beyond ``recover_partial``'s reach — the
+    old generation (with the ``_PUBLISHING`` manifest the recovery
+    needs) is GC'd after the pointer switch, and the re-delivered
+    batch would then republish on top of its own folded rows,
+    double-counting every edge. So before reading the generation,
+    every staged tag with a live ``_PUBLISHING`` manifest but NO
+    applied marker is purged via ``recover_partial`` (its rows
+    return whole when the stream re-delivers the batch against the
+    fresh generation). A staged tag WITH its marker is a completed
+    batch whose ``cleanup_staging`` crashed — its rows are final and
+    fold normally; the stale staging tree dies with the old
+    generation's GC. A staging dir with NO manifest is a mid-stage
+    crash: nothing of it reached the live tree, so the fold is
+    already clean. A crashed AD-HOC append (random tag, no marker
+    protocol) is purged like any unmarked tag — the documented
+    ``recover_all_partial`` contract: its caller must re-run it."""
     old_gen = _gen_dir(path)
+    staging = posixpath.join(old_gen, "_staging")
+    for name, is_dir in _listdir(staging) if _exists(staging) else []:
+        if not is_dir or not _exists(
+            posixpath.join(staging, name, "_PUBLISHING")
+        ):
+            continue
+        if not _exists(posixpath.join(path, "_batches", name)):
+            recover_partial(old_gen, name)
     folded = (
         spark.read.parquet(old_gen)
         .groupBy("src_domain", "dst_domain")

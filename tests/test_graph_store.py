@@ -248,3 +248,76 @@ def test_bfs_hops_from_store_equals_batch(spark, sf_dir, tmp_path):
         tuple(r) for r in bfs_hops_from_store(spark, store).collect()
     )
     assert got2 == want
+
+
+def test_edge_store_compaction_purges_inflight_publish(
+    spark, sf_dir, tmp_path
+):
+    """r19 guard (the r18 span/vocab-store discipline applied to the
+    edge store): a batch that crashed AFTER renaming its partials
+    into the live generation but BEFORE its applied marker leaves a
+    live _staging/<tag>/_PUBLISHING manifest inside that generation.
+    Compaction must NOT fold those rows — the fold copies them into
+    an anonymous file in a FRESH generation and then GC's the old one
+    (manifest included), putting them beyond recover_partial's reach;
+    the re-delivered batch would republish on top and double-count
+    every edge it touched. The guard purges the unmarked tag before
+    the fold, the re-delivery then lands the batch exactly once, and
+    a marked-but-staging-left twin (crash between marker and cleanup)
+    still folds its rows, so a batch the stream never re-delivers
+    cannot sit unfolded forever."""
+    import posixpath
+
+    from node_js_etl_processor_spark.sources import graph_store
+    from node_js_etl_processor_spark.streaming import graphs, markers
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    a_docs = docs.filter("doc_id % 2 = 0")
+    b_docs = docs.filter("doc_id % 2 = 1")
+    store, ckpt = str(tmp_path / "edges"), str(tmp_path / "ckpt")
+    apply_batch = graphs.link_graph_applier(store, ckpt)
+    apply_batch(a_docs, 0)
+
+    # batch 1 crashes between its last rename and its marker
+    tag = markers.marker_id(ckpt, 1)
+    gen_path = posixpath.join(store, markers.current_version(store))
+    markers.stage_and_publish(
+        gen_path, tag, {"": (graph_store._batch_partials(b_docs), "bucket")}
+    )
+    # the partial rows ARE in the live generation pre-compaction
+    assert _edges_set(read_edge_graph(spark, store)) == _edges_set(
+        link_graph_edges(docs)
+    )
+
+    before, _after = compact_edge_store(spark, store)
+    # the unmarked batch's rows were purged, not folded
+    want_a = _edges_set(link_graph_edges(a_docs))
+    assert _edges_set(read_edge_graph(spark, store)) == want_a
+
+    # the stream restarts and re-delivers batch 1: exactly once
+    apply_batch(b_docs, 1)
+    want_all = _edges_set(link_graph_edges(docs))
+    assert _edges_set(read_edge_graph(spark, store)) == want_all
+    compact_edge_store(spark, store)
+    assert _edges_set(read_edge_graph(spark, store)) == want_all
+
+    # marked-but-staging-left twin: a COMPLETED batch whose
+    # cleanup_staging crashed must still fold (rows are final)
+    c_docs = a_docs.limit(9).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    tag2 = markers.marker_id(ckpt, 2)
+    gen_path2 = posixpath.join(store, markers.current_version(store))
+    markers.stage_and_publish(
+        gen_path2, tag2, {"": (graph_store._batch_partials(c_docs), "bucket")}
+    )
+    markers.mark_batch_applied(store, ckpt, 2)
+    compact_edge_store(spark, store)
+    got = {(s, d): n for s, d, n in _edges_set(read_edge_graph(spark, store))}
+    base = {(s, d): n for s, d, n in want_all}
+    extra = {(s, d): n for s, d, n in _edges_set(link_graph_edges(c_docs))}
+    assert set(got) == set(base) | set(extra)
+    for pair in got:
+        assert got[pair] == base.get(pair, 0) + extra.get(pair, 0), pair
+    # the old generation (and with it the stale staging) was GC'd
+    assert not markers._exists(posixpath.join(gen_path2, "_staging", tag2))
