@@ -47,12 +47,33 @@ SEEDS = ("d0.example", "d7.example")
 K_HOPS = 3
 
 
-def bfs_hops_over_edges(edges: DataFrame, k_hops: int = K_HOPS) -> DataFrame:
+def bfs_hops_over_edges(
+    edges: DataFrame, k_hops: int = K_HOPS, checkpoint_hops: bool = True
+) -> DataFrame:
     """The BFS core over any (src, dst) edge frame — q_bfs_hops feeds
     it the batch link extraction; ``bfs_hops_from_store`` feeds it the
     streamed edge store, so the ingest-day graph tier answers the same
     reachability questions as the batch operator (the theta-store
-    difference-read discipline)."""
+    difference-read discipline).
+
+    ``checkpoint_hops`` (r19 — the q_bfs_hops variance diagnosis):
+    each hop's frontier is eagerly localCheckpointed. Two reasons,
+    both measured. (1) Without it the final union of layers
+    RE-EVALUATES every earlier hop's subtree once per later layer —
+    the K=3 plan carried 24 join operators for the 6 the recurrence
+    defines (Catalyst does not share common subtrees across union
+    branches), tripling hop-1's work. (2) A derived frontier's size
+    is unknown at planning time, so AQE's broadcast-vs-SMJ choice for
+    the next hop's join flips run to run — the 2.1× driver/builder
+    variance the r18 verdict flagged; a checkpointed frontier has
+    EXACT size statistics, so the choice is deterministic (and, the
+    frontier being domain-bounded, lands on broadcast without an
+    unconditional ``F.broadcast`` pin that would break at web scale
+    where a frontier can exceed the broadcast table limit).
+    Checkpoint cost is one job per hop over a domain-sized frame.
+    ``False`` exposes the un-materialized recurrence so the plan
+    tests can still pin its shape (equi-joins only, partial+final
+    aggs)."""
     # localCheckpoint: the edge frame feeds one join PER HOP, and
     # without it each hop re-runs the upstream edge construction
     # (the colloc.py multi-consumer fan-out discipline). The frame is
@@ -82,6 +103,8 @@ def bfs_hops_over_edges(edges: DataFrame, k_hops: int = K_HOPS) -> DataFrame:
             .join(visited, "domain", "left_anti")
             .select("domain", "dist", "n_paths")
         )
+        if checkpoint_hops:
+            nxt = nxt.localCheckpoint(eager=True)
         layers.append(nxt)
         frontier = nxt
         visited = visited.unionByName(nxt.select("domain", "dist", "n_paths"))

@@ -1141,18 +1141,43 @@ def test_triangles_orientation_keeps_joins_equi(spark, sf_dir):
 
 
 def test_bfs_hops_unrolled_equi_joins_only(spark, sf_dir):
-    """q_bfs_hops (r17 declaration): the k-hop unrolled expansion is
-    all equi-joins on dst/domain — no cartesian, no nested loop, no
+    """q_bfs_hops (r17 declaration, re-pinned r19): the k-hop
+    recurrence (inspected via checkpoint_hops=False) is all
+    equi-joins on dst/domain — no cartesian, no nested loop, no
     single-partition stage; frontier dedup aggregations are
-    partial+final."""
+    partial+final. The DEFAULT path eagerly checkpoints each hop, so
+    its final plan must carry NO join at all — every hop executed
+    exactly once inside its checkpoint job (the r19 fix for the
+    union-of-layers re-evaluating earlier hops once per later layer,
+    and for AQE flipping the frontier join strategy on unknown
+    sizes)."""
     from node_js_etl_processor_spark.catalog import load_table
-    from node_js_etl_processor_spark.operators.paths import q_bfs_hops
+    from node_js_etl_processor_spark.operators.graph import link_graph_edges
+    from node_js_etl_processor_spark.operators.paths import (
+        bfs_hops_over_edges,
+        q_bfs_hops,
+    )
+    from pyspark.sql import functions as F
 
-    plan = plan_text(q_bfs_hops(load_table(spark, sf_dir, "documents")))
+    docs = load_table(spark, sf_dir, "documents")
+    edges = link_graph_edges(docs).select(
+        F.col("src_domain").alias("src"), F.col("dst_domain").alias("dst")
+    )
+    plan = plan_text(bfs_hops_over_edges(edges, checkpoint_hops=False))
     for bad in ("CartesianProduct", "BroadcastNestedLoop"):
         assert bad not in plan
     assert "SinglePartition" not in plan
     assert plan.count("HashAggregate") >= 4
+
+    default_plan = plan_text(q_bfs_hops(docs))
+    assert "Join" not in default_plan
+    # and the two paths agree exactly
+    got = sorted(tuple(r) for r in q_bfs_hops(docs).collect())
+    want = sorted(
+        tuple(r)
+        for r in bfs_hops_over_edges(edges, checkpoint_hops=False).collect()
+    )
+    assert got == want and got
 
 
 def test_equidepth_hist_distributed_rank_no_single_partition(spark, sf_dir):
