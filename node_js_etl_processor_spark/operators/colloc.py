@@ -37,19 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from node_js_etl_processor_spark.operators.spans import token_array
+
 #: default support threshold for a candidate collocation
 MIN_COUNT = 20
-
-
-def _toks():
-    """The corpus tokenization as a Column — built LAZILY: a
-    module-level Column literal would require an active SparkContext
-    at import time (Spark 4's classic-mode F.col asserts one), which
-    breaks any consumer that imports operators before building its
-    session."""
-    return F.filter(
-        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
-    )
 
 
 def q_pmi_collocations(documents: DataFrame, min_count: int = MIN_COUNT) -> DataFrame:
@@ -60,8 +51,14 @@ def q_pmi_collocations(documents: DataFrame, min_count: int = MIN_COUNT) -> Data
     # localCheckpoint: the tokenized frame feeds FOUR consumers
     # (unigram counts, token total, bigram counts, bigram total) —
     # the same multi-consumer fan-out class as basket.py's baskets;
-    # without it the corpus tokenization re-runs per branch
-    toks = documents.select(_toks().alias("ts")).localCheckpoint(eager=True)
+    # without it the corpus tokenization re-runs per branch.
+    # token_array is the span family's single tokenization definition
+    # (r19 consolidation — this module's _toks was a textual copy;
+    # the shared Column keeps q_pmi_collocations' bigram space
+    # aligned with the span/novelty/vocabulary lanes by construction)
+    toks = documents.select(token_array().alias("ts")).localCheckpoint(
+        eager=True
+    )
     uni = toks.select(F.explode("ts").alias("w"))
     ucnt = uni.groupBy("w").agg(F.count("*").cast("long").alias("n"))
     n_tok = uni.agg(F.count("*").cast("long").alias("n_tokens"))
