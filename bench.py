@@ -84,11 +84,15 @@ def main() -> None:
         "q_dedup_simhash",      # regex tokenize + explode + bit kernels
         "q_multimodal_features",  # Arrow/Pandas worker spin-up
     ]
+    # fail LOUDLY on a basket/registry drift (r18 advice): silently
+    # skipping a renamed basket query would quietly reintroduce the
+    # 1.33x sweep-position bias the basket exists to kill
+    missing = [name for name in warmup if name not in queries]
+    assert not missing, f"warm-up basket names not in the registry: {missing}"
     for name in warmup:
-        if name in queries:
-            queries[name](spark, SF_DIR).write.format("noop").mode(
-                "overwrite"
-            ).save()
+        queries[name](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name, fn in queries.items():

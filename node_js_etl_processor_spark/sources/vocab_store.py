@@ -174,7 +174,14 @@ def compact_vocab_store(spark: SparkSession, path: str) -> "tuple[int, int]":
     old_gen = _gen_dir(path)
     staging = posixpath.join(old_gen, "_staging")
     for tag, is_dir in _listdir(staging) if _exists(staging) else []:
-        if not is_dir:
+        # r19 (advice): require the _PUBLISHING manifest, mirroring
+        # the span/edge stores — a staging dir WITHOUT it is a
+        # mid-stage crash whose files never reached the live tree, so
+        # there is nothing to purge and the fold is already clean
+        # (the tree dies with the old generation's GC either way)
+        if not is_dir or not _exists(
+            posixpath.join(staging, tag, "_PUBLISHING")
+        ):
             continue
         if _exists(posixpath.join(path, "_batches", tag)):
             cleanup_staging(old_gen, tag)

@@ -140,14 +140,32 @@ def read_span_store(spark: SparkSession, store_path: str) -> DataFrame:
 
 
 def compact_span_store(
-    spark: SparkSession, store_path: str, target_files: int = 8
+    spark: SparkSession,
+    store_path: str,
+    target_files: int = 8,
+    max_segments: int = 16,
 ) -> "tuple[int, int]":
     """Minor compaction: fold the live append log into ONE new sealed
     segment of ~``target_files`` files and commit it behind the
     manifest + pointer switch (crash windows in the module docstring).
     Returns (log files folded, total data files after). Cost is
     O(data appended since the last compaction) — sealed segments are
-    never read or rewritten. Single-writer: call between batches."""
+    never read or rewritten. Single-writer: call between batches.
+
+    Major compaction (r19 — the r18 advice's unbounded-growth note):
+    minor-only compaction adds one sealed segment per run, so the
+    manifest and the per-read parquet path list grow linearly with
+    compaction count. When the store already holds ``max_segments``
+    sealed segments, this run FOLDS THE SEGMENTS TOO — everything
+    (segments + live log) rewrites into one fresh segment and the new
+    manifest names only it. That run costs O(store), but it happens
+    at most once per ``max_segments`` minors, so the amortized cost
+    stays O(appended data · (1 + 1/max_segments)) per fold while the
+    read path is bounded at ``max_segments`` segment dirs + the live
+    log. The commit protocol is unchanged (segment → manifest →
+    pointer → deletes), so both crash windows converge exactly as
+    for a minor run — old segments become manifest-orphans the next
+    run's sweep GCs."""
     from .markers import (
         _delete,
         _exists,
@@ -205,20 +223,24 @@ def compact_span_store(
                 posixpath.basename(p).startswith(f"{t}-") for t in live_tags
             )
         ]
-    if not log_files:
+    major = len(segs) >= max(1, int(max_segments))
+    if not log_files and not major:
         return 0, sum(
             len(_walk_files(posixpath.join(store_path, s))) for s in segs
         )
+    fold_paths = list(log_files)
+    if major:
+        fold_paths += [posixpath.join(store_path, s) for s in segs]
     tag = uuid.uuid4().hex[:12]
     new_seg = f"seg_{tag}"
     (
         spark.read.schema(_POSTING_SCHEMA)
-        .parquet(*log_files)
+        .parquet(*fold_paths)
         .repartition(max(1, int(target_files)))
         .write.mode("overwrite")
         .parquet(posixpath.join(store_path, new_seg))
     )
-    keep_segs = segs + [new_seg]
+    keep_segs = [new_seg] if major else segs + [new_seg]
     lines = [f"seg {s}" for s in keep_segs]
     lines += [f"folded {posixpath.basename(p)}" for p in log_files]
     manifest = f"m_{tag}"
@@ -263,12 +285,17 @@ def span_postings_applier(
         tag = marker_id(checkpoint, batch_id)
         if batch_already_applied(store_path, checkpoint, batch_id):
             cleanup_staging(store_path, tag)
-            return None
-        recover_partial(store_path, tag)
-        sh = shingle_positions(batch_df, w)
-        stage_and_publish(store_path, tag, {_LOG: (sh, None)})
-        mark_batch_applied(store_path, checkpoint, batch_id)
-        cleanup_staging(store_path, tag)
+        else:
+            recover_partial(store_path, tag)
+            sh = shingle_positions(batch_df, w)
+            stage_and_publish(store_path, tag, {_LOG: (sh, None)})
+            mark_batch_applied(store_path, checkpoint, batch_id)
+            cleanup_staging(store_path, tag)
+        # the compaction slot runs on marker-hit re-deliveries too
+        # (r18 advice): a replayed batch landing on a compaction
+        # boundary must not defer the fold a full cycle — compaction
+        # is single-writer-safe here because the batch's marker is
+        # committed either way
         if compact_every and (batch_id + 1) % compact_every == 0:
             compact_span_store(batch_df.sparkSession, store_path)
         return None
@@ -438,6 +465,12 @@ def novelty_gated_ingest_applier(
         if batch_already_applied(store_path, checkpoint, batch_id):
             cleanup_staging(store_path, tag)
             cleanup_staging(out_path, tag)
+            # compaction slot before the replay return (r18 advice):
+            # a boundary landing on a re-delivered batch must not
+            # defer the fold a full cycle — single-writer-safe, the
+            # marker is committed
+            if compact_every and (batch_id + 1) % compact_every == 0:
+                compact_span_store(spark, store_path)
             return read_batch_output(spark, out_path, tag)
         recover_partial(store_path, tag)
         recover_partial(out_path, tag)

@@ -1377,3 +1377,106 @@ def test_span_store_compaction_crash_matrix(
         if not d and not n.startswith(("_", "."))
     ] if markers._exists(f"{store}/log") else []
     assert log_left == []
+
+
+def test_span_store_major_compaction_bounds_segments(
+    spark, sf_dir, tmp_path
+):
+    """r19 (the r18 advice's growth note): minor-only compaction adds
+    a sealed segment per run, unbounded in compaction count. With
+    ``max_segments`` reached, a run folds segments + log into ONE
+    fresh segment: reads stay multiset-identical through the major
+    fold, the manifest's segment list collapses to one entry, the old
+    segment dirs are GC'd, and subsequent minors build on top
+    normally."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.spans import shingle_positions
+    from node_js_etl_processor_spark.streaming import markers
+    from node_js_etl_processor_spark.streaming.spanstore import (
+        _read_manifest,
+        compact_span_store,
+        read_span_store,
+        span_postings_applier,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).limit(150)
+    store, ckpt = str(tmp_path / "mj_store"), str(tmp_path / "mj_ckpt")
+    apply = span_postings_applier(store, ckpt)
+    parts = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+
+    def multiset_equal(a, b):
+        return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # two minors -> two sealed segments
+    apply(parts[0], 0)
+    compact_span_store(spark, store, target_files=2, max_segments=2)
+    apply(parts[1], 1)
+    compact_span_store(spark, store, target_files=2, max_segments=2)
+    segs, _ = _read_manifest(store)
+    assert len(segs) == 2
+    want01 = shingle_positions(parts[0].unionByName(parts[1]))
+    assert multiset_equal(read_span_store(spark, store), want01)
+
+    # third run hits max_segments: MAJOR fold, one segment remains
+    apply(parts[2], 2)
+    compact_span_store(spark, store, target_files=2, max_segments=2)
+    segs2, _ = _read_manifest(store)
+    assert len(segs2) == 1
+    assert not set(segs2) & set(segs), "major fold must mint a fresh segment"
+    for old in segs:
+        assert not markers._exists(f"{store}/{old}"), old
+    want_all = shingle_positions(docs)
+    assert multiset_equal(read_span_store(spark, store), want_all)
+
+    # a major with an EMPTY log still folds once the cap is hit, and
+    # an under-cap empty-log run stays a no-op
+    assert compact_span_store(spark, store, target_files=2, max_segments=2)[0] == 0
+    segs3, _ = _read_manifest(store)
+    assert len(segs3) == 1
+    assert multiset_equal(read_span_store(spark, store), want_all)
+
+
+def test_span_store_replayed_batch_still_compacts_on_boundary(
+    spark, sf_dir, tmp_path
+):
+    """r19 (r18 advice): a marker-hit re-delivery that lands on a
+    compact_every boundary must still run the fold — the old early
+    return deferred it a full cycle. Replay batch 1 (boundary, with
+    compact_every=2) after its marker committed: the log folds into a
+    segment and reads are unchanged."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.spans import shingle_positions
+    from node_js_etl_processor_spark.streaming.spanstore import (
+        _read_manifest,
+        read_span_store,
+        span_postings_applier,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).limit(100)
+    store, ckpt = str(tmp_path / "rb_store"), str(tmp_path / "rb_ckpt")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # no compaction configured on the first pass: both batches commit,
+    # log only, no segments
+    apply_plain = span_postings_applier(store, ckpt)
+    apply_plain(a, 0)
+    apply_plain(b, 1)
+    assert _read_manifest(store) == ([], set())
+
+    # the stream restarts WITH compact_every=2 and re-delivers batch 1
+    # (its marker is committed): the boundary fold must run
+    apply_c = span_postings_applier(store, ckpt, compact_every=2)
+    apply_c(b, 1)
+    segs, _ = _read_manifest(store)
+    assert len(segs) == 1, "replayed boundary batch must still compact"
+    want = shingle_positions(docs)
+    got = read_span_store(spark, store)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
