@@ -193,14 +193,25 @@ def _pack_reps(sets: DataFrame) -> DataFrame:
     CHECKPOINTED row per distinct token set — (doc_id = min-id
     representative, toks sorted token array, toks_h digest array,
     bloom 64-bit fingerprint, sz, group_n). The shared stage both the
-    symmetric join and the containment decon build on."""
+    symmetric join and the containment decon build on.
+
+    ONE aggregation, no join-back (r19): within a ``set_key`` group
+    every row carries the IDENTICAL sorted ``toks`` array (the key is
+    its digest), so ``first(toks)`` is deterministic-by-value and the
+    old groupBy + re-join against the sets frame collapsed into a
+    single keyed exchange."""
     return (
-        sets.join(exact_set_reps(sets), ["set_key", "doc_id"])
+        sets.groupBy("set_key")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("bigint").alias("group_n"),
+            F.first("toks").alias("toks"),
+        )
         .select(
             "doc_id",
             "toks",
             F.transform("toks", _tok_digest).alias("toks_h"),
-            "sz",
+            F.size("toks").cast("bigint").alias("sz"),
             "group_n",
         )
         .withColumn("bloom", F.expr(_BLOOM_EXPR))
