@@ -134,20 +134,39 @@ def bpe_train(
     n_merges: int = 100,
     min_pair_freq: int = 2,
     text_col: str = "text",
+    driver_vocab_cap: int = 200_000,
 ) -> "tuple[list, DataFrame]":
-    """Learn ``n_merges`` merges: per step one pair-count agg + one
-    deterministic argmax (1-row driver round-trip — n_merges of them,
-    the trainer discipline shared with kmeans_train) + one fold,
-    localCheckpointed so fold expressions never stack into a deep
-    plan. Stops early when the best pair drops under
-    ``min_pair_freq`` (merging hapax pairs memorizes noise).
+    """Learn ``n_merges`` merges. Stops early when the best pair
+    drops under ``min_pair_freq`` (merging hapax pairs memorizes
+    noise). Returns (merges, final_vocab): merges as
+    [(a, b, pair_freq)] in learned order — the artifact
+    ``bpe_encode`` applies at inference.
 
-    Returns (merges, final_vocab): merges as [(a, b, pair_freq)] in
-    learned order — the artifact ``bpe_encode`` applies at inference.
-    """
-    vocab = bpe_init_vocab(word_frequencies(documents, text_col)).localCheckpoint(
-        eager=True
-    )
+    Two execution paths behind one corpus-sized pass (r19): after
+    ``word_frequencies`` the working set is the VOCABULARY table, and
+    when it fits under ``driver_vocab_cap`` rows the merge loop runs
+    on the collected dict — what production BPE trainers do, since
+    every step is a full pass over the (tiny) vocabulary and the
+    distributed loop pays 2 scheduler round-trips per merge for
+    microseconds of work (measured: the 8-merge declared query spent
+    ~2 s of its 3.3 s on 16 vocabulary-frame jobs). The collect is
+    GATE-BOUNDED: a corpus whose distinct-word count exceeds the cap
+    (web-scale typo/URL vocabularies) takes the distributed loop —
+    per step one pair-count agg + one deterministic argmax (1-row
+    ``first()``, the kmeans_train trainer discipline) + one
+    ``aggregate``-fold merge, localCheckpointed so folds never stack.
+
+    Both paths are bit-identical by construction: same integer pair
+    sums, same (freq DESC, a ASC, b ASC) argmax (Python tuple order
+    equals Spark's UTF8 binary order on the BMP symbols in play —
+    the ``bpe_encode`` kernel already leans on this, and driver
+    ``list(word)`` splits match ``_to_symbols``'s code-unit split for
+    BMP text), same greedy left-to-right merge fold; equality is
+    test-pinned across paths."""
+    wf = word_frequencies(documents, text_col).localCheckpoint(eager=True)
+    if wf.count() <= driver_vocab_cap:
+        return _bpe_train_driver(wf, n_merges, min_pair_freq)
+    vocab = bpe_init_vocab(wf).localCheckpoint(eager=True)
     merges: list = []
     for _ in range(n_merges):
         best = (
@@ -161,6 +180,47 @@ def bpe_train(
         vocab = bpe_apply_merge(vocab, best["a"], best["b"]).localCheckpoint(
             eager=True
         )
+    return merges, vocab
+
+
+def _bpe_train_driver(
+    word_freqs: DataFrame, n_merges: int, min_pair_freq: int
+) -> "tuple[list, DataFrame]":
+    """The merge loop over a COLLECTED (word, freq) table — the
+    under-cap path of ``bpe_train`` (which owns the size gate; see
+    its docstring for the bit-identity argument). Returns the same
+    (merges, final_vocab-as-DataFrame) contract."""
+    rows = [(r["word"], r["freq"]) for r in word_freqs.collect()]
+    state = [[list(w) + [EOW], f] for w, f in rows]
+    merges: list = []
+    for _ in range(n_merges):
+        counts: dict = {}
+        for syms, f in state:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), freq = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < min_pair_freq:
+            break
+        merges.append((a, b, int(freq)))
+        for entry in state:
+            syms = entry[0]
+            out: list = []
+            for x in syms:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            entry[0] = out
+    spark = word_freqs.sparkSession
+    vocab = spark.createDataFrame(
+        [(w, st[0], st[1]) for (w, _f), st in zip(rows, state)],
+        "word string, symbols array<string>, freq bigint",
+    )
     return merges, vocab
 
 

@@ -1758,6 +1758,16 @@ def test_bpe_train_matches_reference_and_encode_agrees(spark):
     }
     assert got_vocab == ref_vocab
 
+    # r19: the vocabulary gate — driver_vocab_cap=0 forces the
+    # DISTRIBUTED loop; both paths must learn bit-identical merges
+    # and final symbol tables (the default path above took the
+    # collected-dict trainer)
+    merges_d, vocab_d = bpe_train(docs, n_merges=12, driver_vocab_cap=0)
+    assert merges_d == merges
+    assert {
+        r["word"]: tuple(r["symbols"]) for r in vocab_d.collect()
+    } == got_vocab
+
     # first-step statistics: top pair equals the reference's merge #1
     top = bpe_top_pairs(docs, k=1).first()
     assert (top["a"], top["b"], top["pair_freq"]) == ref_merges[0]
