@@ -1447,3 +1447,70 @@ def test_gini_concentration_matches_reference_on_random_groups(spark, groups):
             # all-zero sizes: the coefficient is undefined — both
             # engines emit NULL (the r18 ANSI divide-by-zero finding)
             assert gg is None
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    base_sz=st.integers(8, 26),
+    seed=st.integers(0, 2**31 - 1),
+    t=st.sampled_from([(9, 10), (19, 20)]),
+)
+def test_setsim_pigeonhole_matches_python_bruteforce(spark, base_sz, seed, t):
+    """Property (r19): the pigeonhole signature join vs a pure-Python
+    brute force — randomized corpora built as perturbations of a base
+    set (exact twins, 1-out-1-in swaps, supersets, disjoint noise),
+    so qualifying pairs, boundary pairs and the exact-twin collapse
+    all appear. Unlike the path-equality test (two Spark paths that
+    share _rep_sets), the oracle here shares NO engine code: Python
+    set algebra on the token strings."""
+    import itertools
+    import random
+
+    from node_js_etl_processor_spark.operators.setsim import setsim_join
+
+    t_num, t_den = t
+    rng = random.Random(seed)
+    vocab = [f"v{i:03d}" for i in range(60)]
+    base = vocab[:base_sz]
+    docs_tokens: "list[list[str]]" = []
+    docs_tokens.append(list(base))
+    docs_tokens.append(list(base))                      # exact twin
+    for _ in range(rng.randint(1, 4)):                  # near variants
+        kind = rng.choice(["swap", "super", "drop"])
+        v = list(base)
+        if kind == "swap":
+            v[rng.randrange(len(v))] = vocab[base_sz + rng.randrange(10)]
+        elif kind == "super":
+            v.append(vocab[base_sz + rng.randrange(10)])
+        else:
+            v.pop(rng.randrange(len(v)))
+        docs_tokens.append(v)
+    for _ in range(rng.randint(0, 2)):                  # disjoint noise
+        k = rng.randint(1, 6)
+        docs_tokens.append(rng.sample(vocab[40:], k))
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # python oracle: collapse identical sets to min-id reps, then
+    # exact Jaccard over distinct-set pairs
+    by_set: "dict[frozenset, list[int]]" = {}
+    for i, toks in enumerate(docs_tokens):
+        s = frozenset(w.lower() for w in toks if w)
+        if s:
+            by_set.setdefault(s, []).append(i)
+    reps = sorted((min(ids), s, len(ids)) for s, ids in by_set.items())
+    want = {}
+    for (ia, sa, ga), (ib, sb, gb) in itertools.combinations(reps, 2):
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if inter * t_den >= union * t_num:
+            # reps are sorted by min doc_id, so ia < ib always
+            want[(ia, ib)] = (inter, union, ga, gb)
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["inter"], r["union_sz"], r["group_a"], r["group_b"]
+        )
+        for r in setsim_join(docs, t_num, t_den).collect()
+    }
+    assert got == want
