@@ -135,6 +135,7 @@ def bpe_train(
     min_pair_freq: int = 2,
     text_col: str = "text",
     driver_vocab_cap: int = 200_000,
+    driver_vocab_char_cap: int = 2_000_000,
 ) -> "tuple[list, DataFrame]":
     """Learn ``n_merges`` merges. Stops early when the best pair
     drops under ``min_pair_freq`` (merging hapax pairs memorizes
@@ -150,8 +151,14 @@ def bpe_train(
     distributed loop pays 2 scheduler round-trips per merge for
     microseconds of work (measured: the 8-merge declared query spent
     ~2 s of its 3.3 s on 16 vocabulary-frame jobs). The collect is
-    GATE-BOUNDED: a corpus whose distinct-word count exceeds the cap
-    (web-scale typo/URL vocabularies) takes the distributed loop —
+    GATE-BOUNDED on BOTH rows and total characters
+    (``driver_vocab_cap`` / ``driver_vocab_char_cap``): a corpus
+    whose distinct-word count exceeds the row cap, OR whose words
+    are long enough that the per-character symbol state would blow
+    the driver heap anyway (150k URL-shaped 500-char words pass a
+    row-only gate but cost gigabytes of per-char Python objects plus
+    n_merges × O(total chars) interpreted passes — the r19 review's
+    finding), takes the distributed loop —
     per step one pair-count agg + one deterministic argmax (1-row
     ``first()``, the kmeans_train trainer discipline) + one
     ``aggregate``-fold merge, localCheckpointed so folds never stack.
@@ -164,7 +171,14 @@ def bpe_train(
     BMP text), same greedy left-to-right merge fold; equality is
     test-pinned across paths."""
     wf = word_frequencies(documents, text_col).localCheckpoint(eager=True)
-    if wf.count() <= driver_vocab_cap:
+    stats = wf.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("chars"),
+    ).first()
+    if (
+        stats["n"] <= driver_vocab_cap
+        and stats["chars"] <= driver_vocab_char_cap
+    ):
         return _bpe_train_driver(wf, n_merges, min_pair_freq)
     vocab = bpe_init_vocab(wf).localCheckpoint(eager=True)
     merges: list = []

@@ -236,6 +236,84 @@ def _prefix_len(t_num: int, t_den: int, sz=None):
     ) + F.lit(1)
 
 
+#: per-set size ceiling for the pigeonhole signature path: the
+#: index-side enumeration materializes O(s²·d²/(t_num·t_den)) structs
+#: in ONE row's array before explode (|K(s)| k-values × ~k groups
+#: each), so it must be bounded independently of the threshold gate —
+#: at the cap and t = 19/20 that is ~130k structs (~10 MB) per row,
+#: and beyond it the prefix path's O(s) per set wins regardless of
+#: vocabulary shape (the r19 review's size-cliff finding; same risk
+#: class as the forced-broadcast rejection in _verify_candidates).
+PIGEONHOLE_MAX_SZ = 20_000
+
+
+def _size_canonical():
+    """Size-canonical orientation for the a/b-aliased self-joins:
+    the index side a is the smaller set, ties by doc_id — shared by
+    BOTH candidate generators so the lemma-side conventions cannot
+    drift (r19 review)."""
+    return (F.col("a.sz") < F.col("b.sz")) | (
+        (F.col("a.sz") == F.col("b.sz"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+
+
+def _length_ok(t_num: int, t_den: int):
+    """PPJoin length filter over the a/b aliases: J ≥ t forces
+    t·max ≤ min."""
+    return (
+        F.greatest(F.col("a.sz"), F.col("b.sz")) * t_num
+        <= F.least(F.col("a.sz"), F.col("b.sz")) * t_den
+    )
+
+
+def _bloom_ok(t_num: int, t_den: int):
+    """Bloom miss-count bound over the a/b aliases (r16, lossless —
+    see _BLOOM_EXPR): a qualifying pair needs overlap
+    r = ⌈t·(sza+szb)/(t_num+t_den)⌉, i.e. at most sza − r misses on
+    a's side (szb − r on b's); the 64-bit fingerprints LOWER-bound
+    the misses with two long bit-ops per pair. One definition for
+    both candidate paths — the arithmetic is completeness-critical
+    and must stay in lockstep (r19 review)."""
+    ssum = F.col("a.sz") + F.col("b.sz")
+    req_overlap = F.floor(
+        (ssum * t_num + (t_num + t_den - 1)) / (t_num + t_den)
+    ).cast("long")
+    return (
+        F.expr("bit_count(a.bloom & ~b.bloom)").cast("long")
+        <= F.col("a.sz") - req_overlap
+    ) & (
+        F.expr("bit_count(b.bloom & ~a.bloom)").cast("long")
+        <= F.col("b.sz") - req_overlap
+    )
+
+
+def _canonical_pair():
+    """The (doc_a < doc_b)-oriented output struct over the a/b
+    aliases, sizes and group counts swapped with the ids — the one
+    definition both candidate generators emit."""
+    return F.when(
+        F.col("a.doc_id") < F.col("b.doc_id"),
+        F.struct(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+            F.col("a.group_n").alias("group_a"),
+            F.col("b.group_n").alias("group_b"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.col("b.doc_id").alias("doc_a"),
+            F.col("a.doc_id").alias("doc_b"),
+            F.col("b.sz").alias("sz_a"),
+            F.col("a.sz").alias("sz_b"),
+            F.col("b.group_n").alias("group_a"),
+            F.col("a.group_n").alias("group_b"),
+        )
+    )
+
+
 def _pigeonhole_candidates(
     rep_sets: DataFrame, t_num: int, t_den: int
 ) -> DataFrame:
@@ -297,37 +375,28 @@ def _pigeonhole_candidates(
         "bloom",
         F.explode(F.expr(sig_expr)).alias("s"),
     ).select("doc_id", "sz", "group_n", "bloom", "s.k", "s.gid", "s.gdig")
-    probe = sig.filter(
-        F.col("k") == F.expr(f"sz * {d} div {t_num} + 1")
-    )
+    # the PROBE side needs only its own k(sz) partition, so it gets a
+    # dedicated O(s)-per-set enumeration instead of filtering the full
+    # O(s²·d²/(t_num·t_den)) index-side flatten down to one k — the
+    # index side's enumeration runs once, inside the single join job
+    # (r19 review: no checkpoint, no double-flatten).
+    probe_expr = f"""
+      transform(
+        sequence(CAST(0 AS BIGINT), sz * {d} div {t_num}),
+        g -> named_struct(
+          'k', sz * {d} div {t_num} + 1, 'gid', g,
+          'gdig', aggregate(
+            filter(toks_h, h -> h % (sz * {d} div {t_num} + 1) = g),
+            CAST(0 AS BIGINT), (acc, h) -> acc ^ h)))
+    """
+    probe = rep_sets.select(
+        "doc_id",
+        "sz",
+        "group_n",
+        "bloom",
+        F.explode(F.expr(probe_expr)).alias("s"),
+    ).select("doc_id", "sz", "group_n", "bloom", "s.k", "s.gid", "s.gdig")
     a, b = probe.alias("a"), sig.alias("b")
-    size_canonical = (F.col("a.sz") < F.col("b.sz")) | (
-        (F.col("a.sz") == F.col("b.sz"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-    )
-    ssum = F.col("a.sz") + F.col("b.sz")
-    req_overlap = F.floor(
-        (ssum * t_num + (t_num + t_den - 1)) / (t_num + t_den)
-    ).cast("long")
-    bloom_ok = (
-        F.expr("bit_count(a.bloom & ~b.bloom)").cast("long")
-        <= F.col("a.sz") - req_overlap
-    ) & (
-        F.expr("bit_count(b.bloom & ~a.bloom)").cast("long")
-        <= F.col("b.sz") - req_overlap
-    )
-    pair = F.struct(
-        F.least("a.doc_id", "b.doc_id").alias("doc_a"),
-        F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-        F.col("a.sz").alias("sz_a"),
-        F.col("b.sz").alias("sz_b"),
-        F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("a.group_n"))
-        .otherwise(F.col("b.group_n"))
-        .alias("group_a"),
-        F.when(F.col("a.doc_id") < F.col("b.doc_id"), F.col("b.group_n"))
-        .otherwise(F.col("a.group_n"))
-        .alias("group_b"),
-    )
     return (
         a.join(
             b,
@@ -335,14 +404,11 @@ def _pigeonhole_candidates(
             & (F.col("a.gid") == F.col("b.gid"))
             & (F.col("a.gdig") == F.col("b.gdig"))
             & (F.col("a.doc_id") != F.col("b.doc_id"))
-            & size_canonical
-            & (
-                F.greatest(F.col("a.sz"), F.col("b.sz")) * t_num
-                <= F.least(F.col("a.sz"), F.col("b.sz")) * t_den
-            )
-            & bloom_ok,
+            & _size_canonical()
+            & _length_ok(t_num, t_den)
+            & _bloom_ok(t_num, t_den),
         )
-        .select(pair.alias("p"))
+        .select(_canonical_pair().alias("p"))
         .select("p.*")
         # a near-identical pair agrees in ~k−m of its k groups, so the
         # join emits ~k rows per true pair — dedup BEFORE the verify
@@ -355,6 +421,7 @@ def setsim_join(
     documents: DataFrame,
     t_num: int = SETSIM_T_NUM,
     t_den: int = SETSIM_T_DEN,
+    pigeonhole_max_sz: int = PIGEONHOLE_MAX_SZ,
 ) -> DataFrame:
     """All pairs of DISTINCT token sets (via their min-doc_id
     representatives, doc_a < doc_b) with Jaccard ≥ t_num/t_den, as
@@ -362,15 +429,20 @@ def setsim_join(
     the module docstring for the three-stage shape (collapse →
     candidate join → array-intersect verify).
 
-    Candidate generation is gated on the threshold (r19): at t ≥
-    9/10 the pigeonhole signature join (``_pigeonhole_candidates``)
+    Candidate generation is gated on the threshold AND the corpus's
+    largest set (r19): at t ≥ 9/10 with max sz ≤ pigeonhole_max_sz
+    the pigeonhole signature join (``_pigeonhole_candidates``)
     replaces the rare-first prefix equi-join — same completeness
     guarantee, but candidates come from a 64-bit group-XOR key
     instead of token equality, which removes the df/rank machinery
     (one corpus groupBy + join-back + per-doc window) and the
     hot-token posting-list join entirely. Below 9/10 the signature
-    volume grows as s·d/t_num per set, so the proven prefix +
-    positional + bloom path keeps the job (d = t_den − t_num).
+    volume grows as s·d/t_num per set; above the size cap a single
+    set's enumeration array goes quadratic (PIGEONHOLE_MAX_SZ note),
+    and both routes fall back to the proven prefix + positional +
+    bloom path. The max-sz probe is one tiny aggregation over the
+    already-checkpointed rep frame, and it must be whole-frame —
+    per-set routing would lose pairs that span the two paths.
 
     group_a·group_b is the number of ORIGINAL document pairs each
     emitted row stands for — the quadratic blow-up the collapse
@@ -378,7 +450,11 @@ def setsim_join(
     if not (0 < t_num <= t_den):
         raise ValueError("setsim_join needs 0 < t_num/t_den <= 1")
     rep_sets = _rep_sets(documents)
-    if 10 * t_num >= 9 * t_den:
+    use_pigeonhole = 10 * t_num >= 9 * t_den
+    if use_pigeonhole:
+        mx = rep_sets.agg(F.max("sz")).first()[0]
+        use_pigeonhole = (mx or 0) <= pigeonhole_max_sz
+    if use_pigeonhole:
         cand = _pigeonhole_candidates(rep_sets, t_num, t_den)
     else:
         cand = _prefix_candidates(rep_sets, t_num, t_den)
@@ -426,10 +502,6 @@ def _prefix_candidates(
     index_prefix_ok = F.col("a.rank") <= _prefix_len(
         2 * t_num, t_num + t_den, F.col("a.sz")
     )
-    size_canonical = (F.col("a.sz") < F.col("b.sz")) | (
-        (F.col("a.sz") == F.col("b.sz"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-    )
     # positional filter: a shared prefix token at positions (i, j)
     # bounds the overlap by 1 + min(sx-i, sy-j); J >= t needs overlap
     # * (t_num+t_den) >= t_num * (sx+sy) — integer form of the PPJoin
@@ -440,59 +512,23 @@ def _prefix_candidates(
             F.col("a.sz") - F.col("a.rank"), F.col("b.sz") - F.col("b.rank")
         )
     ) * (t_num + t_den) >= t_num * (F.col("a.sz") + F.col("b.sz"))
-    pair = F.when(
-        F.col("a.doc_id") < F.col("b.doc_id"),
-        F.struct(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-            F.col("a.group_n").alias("group_a"),
-            F.col("b.group_n").alias("group_b"),
-        ),
-    ).otherwise(
-        F.struct(
-            F.col("b.doc_id").alias("doc_a"),
-            F.col("a.doc_id").alias("doc_b"),
-            F.col("b.sz").alias("sz_a"),
-            F.col("a.sz").alias("sz_b"),
-            F.col("b.group_n").alias("group_a"),
-            F.col("a.group_n").alias("group_b"),
-        )
-    )
-    # bloom miss-count bound (r16, lossless — see _BLOOM_EXPR): a
-    # qualifying pair needs overlap r = ⌈t·(sza+szb)/(t_num+t_den)⌉,
-    # i.e. at most sza − r misses on a's side (szb − r on b's); the
-    # 64-bit fingerprints LOWER-bound the misses with two bit-ops per
-    # pair, so near-threshold non-matches die inside the join before
-    # any array work. Measured at sf0.1: 960k → 27.5k candidates
-    # (−97%) at identical output.
-    ssum = F.col("a.sz") + F.col("b.sz")
-    req_overlap = F.floor(
-        (ssum * t_num + (t_num + t_den - 1)) / (t_num + t_den)
-    ).cast("long")
-    bloom_ok = (
-        F.expr("bit_count(a.bloom & ~b.bloom)").cast("long")
-        <= F.col("a.sz") - req_overlap
-    ) & (
-        F.expr("bit_count(b.bloom & ~a.bloom)").cast("long")
-        <= F.col("b.sz") - req_overlap
-    )
+    # size-canonical order, length filter, bloom miss-count bound and
+    # the canonical pair struct are the SHARED helpers — one
+    # definition for both candidate paths (the bloom bound's measured
+    # effect here: 960k → 27.5k candidates, −97%, at sf0.1 with
+    # identical output).
     return (
         a.join(
             b,
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.doc_id") != F.col("b.doc_id"))
-            & size_canonical
+            & _size_canonical()
             & index_prefix_ok
-            & (
-                F.greatest(F.col("a.sz"), F.col("b.sz")) * t_num
-                <= F.least(F.col("a.sz"), F.col("b.sz")) * t_den
-            )
+            & _length_ok(t_num, t_den)
             & positional_ok
-            & bloom_ok,
+            & _bloom_ok(t_num, t_den),
         )
-        .select(pair.alias("p"))
+        .select(_canonical_pair().alias("p"))
         .select("p.*")
     )
 

@@ -801,6 +801,27 @@ def test_setsim_join_plan_no_cartesian_and_filters_in_join(spark, sf_dir):
     assert "Window" not in plan
     assert "row_number" not in plan
     assert q.count() > 0
+
+    # the still-live prefix path (t < 9/10) keeps its r14 scale
+    # claims: the POSITIONAL filter (rank arithmetic) rides the
+    # candidate join's condition, not a post-shuffle filter — output-
+    # equality tests cannot catch this regressing because the filter
+    # is output-neutral (r19 review)
+    from node_js_etl_processor_spark.operators.setsim import setsim_join
+
+    plan_lo = plan_text(setsim_join(docs, 3, 5))
+    lo_joins = [
+        l for l in plan_lo.splitlines() if "Join" in l and "rank" in l
+    ]
+    assert lo_joins, "positional/index-prefix filters not in the join"
+    assert "row_number" in plan_lo  # the rank machinery is live here
+
+    # the size gate: a corpus whose largest set exceeds
+    # pigeonhole_max_sz must fall back to the prefix path even at the
+    # declared 19/20 threshold (the signature enumeration is
+    # quadratic per set — the gate is the cliff guard)
+    plan_gated = plan_text(setsim_join(docs, 19, 20, pigeonhole_max_sz=1))
+    assert "row_number" in plan_gated
     # the asymmetric containment variant: same no-cartesian claims
     from node_js_etl_processor_spark.operators.setsim import (
         q_containment_decon,
