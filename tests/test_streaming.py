@@ -1480,3 +1480,88 @@ def test_span_store_replayed_batch_still_compacts_on_boundary(
     got = read_span_store(spark, store)
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+@pytest.mark.parametrize(
+    "crash_point", ["before_manifest", "before_pointer", "segment_gc_window"]
+)
+def test_span_store_major_compaction_crash_matrix(
+    spark, sf_dir, tmp_path, monkeypatch, crash_point
+):
+    """r19: the MAJOR fold keeps the minor fold's commit protocol, so
+    its three crash windows must converge the same way. Before the
+    manifest write: the fresh segment is an orphan nothing names.
+    Before the pointer switch: segment + manifest both orphans — the
+    entry sweep of the retry removes them (the manifest because it is
+    not what _CURRENT names, the segment because the CURRENT manifest
+    does not list it). Inside the post-switch GC window (old segments
+    partially deleted): readers resolve ONLY the new manifest's
+    segment list, so half-deleted old segments are invisible, and the
+    next run's sweep finishes the removal."""
+    from node_js_etl_processor_spark.catalog import load_table
+    from node_js_etl_processor_spark.operators.spans import shingle_positions
+    from node_js_etl_processor_spark.streaming import markers
+    from node_js_etl_processor_spark.streaming.spanstore import (
+        _read_manifest,
+        compact_span_store,
+        read_span_store,
+        span_postings_applier,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).limit(150)
+    store, ckpt = str(tmp_path / "mc_store"), str(tmp_path / "mc_ckpt")
+    apply = span_postings_applier(store, ckpt)
+    parts = [docs.filter(F.col("doc_id") % 3 == k) for k in range(3)]
+    # two minors -> two sealed segments; a third batch in the log
+    apply(parts[0], 0)
+    compact_span_store(spark, store, target_files=2, max_segments=2)
+    apply(parts[1], 1)
+    compact_span_store(spark, store, target_files=2, max_segments=2)
+    apply(parts[2], 2)
+    assert len(_read_manifest(store)[0]) == 2
+    want = shingle_positions(docs)
+
+    def multiset_equal(a, b):
+        return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    if crash_point == "before_manifest":
+        def boom_txt(path, text):
+            raise RuntimeError("injected crash before manifest write")
+        monkeypatch.setattr(markers, "_write_text", boom_txt)
+    elif crash_point == "before_pointer":
+        def boom_ptr(path, version):
+            raise RuntimeError("injected crash before pointer switch")
+        monkeypatch.setattr(markers, "set_current_version", boom_ptr)
+    else:
+        real_delete = markers._delete
+        blown = []
+
+        def boom_del(path):
+            # let the folded-log deletes through, crash on the FIRST
+            # old-segment delete — the post-switch GC window
+            if "/seg_" in path and not blown:
+                blown.append(path)
+                raise RuntimeError("injected crash in segment GC window")
+            return real_delete(path)
+        monkeypatch.setattr(markers, "_delete", boom_del)
+
+    with pytest.raises(RuntimeError):
+        compact_span_store(spark, store, target_files=2, max_segments=2)
+    # whichever window crashed, reads are intact (no loss, no double)
+    assert multiset_equal(read_span_store(spark, store), want)
+    monkeypatch.undo()
+
+    compact_span_store(spark, store, target_files=2, max_segments=2)
+    assert multiset_equal(read_span_store(spark, store), want)
+    # converged: exactly one sealed segment, one manifest, empty log
+    names = markers._listdir(store)
+    assert len([n for n, d in names if d and n.startswith("seg_")]) == 1
+    assert len([n for n, d in names if not d and n.startswith("m_")]) == 1
+    log_left = [
+        n for n, d in markers._listdir(f"{store}/log")
+        if not d and not n.startswith(("_", "."))
+    ] if markers._exists(f"{store}/log") else []
+    assert log_left == []
