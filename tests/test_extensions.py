@@ -1768,6 +1768,13 @@ def test_bpe_train_matches_reference_and_encode_agrees(spark):
         r["word"]: tuple(r["symbols"]) for r in vocab_d.collect()
     } == got_vocab
 
+    # and the CHARACTER cap trips the same fallback independently of
+    # the row cap (the r19 review's URL-vocabulary finding)
+    merges_c, _vocab_c = bpe_train(
+        docs, n_merges=12, driver_vocab_char_cap=1
+    )
+    assert merges_c == merges
+
     # first-step statistics: top pair equals the reference's merge #1
     top = bpe_top_pairs(docs, k=1).first()
     assert (top["a"], top["b"], top["pair_freq"]) == ref_merges[0]
