@@ -932,7 +932,11 @@ def test_attribution_single_keyed_exchange_no_joins(spark, sf_dir):
     )
 
     plan = plan_text(q_attribution(load_table(spark, sf_dir, "events")))
-    assert plan.count("Arguments: hashpartitioning") == 1
+    # membership + upper bound, not exact equality (r17 review note,
+    # applied to the r19-window rows): the invariant is "no EXTRA
+    # exchange", and an exact count would fail on a harmless plan
+    # improvement that removes the one keyed exchange
+    assert plan.count("Arguments: hashpartitioning") <= 1
     assert "hashpartitioning(user_id" in plan
     for join in ("Join", "CartesianProduct"):
         assert join not in plan
