@@ -746,13 +746,38 @@ def q_containment_decon(documents: DataFrame) -> DataFrame:
     identically — the asymmetric prefix lemma's completeness is
     cross-checked probe for probe, and every output column is an
     integer (first_hit NULL on clean probes). The corpus tokenizes
-    ONCE (one ``packed_sets`` scan, checkpointed) and the eval/train
-    split happens on the 5000-row sets frame, not on the raw text —
-    both sides' collapses reuse the same pass."""
-    sets = packed_sets(documents).localCheckpoint(eager=True)
+    once AND collapses once (r19): a single (side, set_key)
+    aggregation packs BOTH sides' representatives in one keyed
+    exchange and one checkpoint — collapsing per side is preserved
+    exactly (a probe and a train document with identical token sets
+    are distinct representatives, which is why the side is part of
+    the grouping key), replacing the former two _pack_reps passes
+    (two exchanges + two materializations) over the same sets
+    frame."""
+    tagged = packed_sets(documents).withColumn(
+        "side", F.col("doc_id") % 10 == 0
+    )
+    reps = (
+        tagged.groupBy("side", "set_key")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").cast("bigint").alias("group_n"),
+            F.first("toks").alias("toks"),
+        )
+        .select(
+            "side",
+            "doc_id",
+            "toks",
+            F.transform("toks", _tok_digest).alias("toks_h"),
+            F.size("toks").cast("bigint").alias("sz"),
+            "group_n",
+        )
+        .withColumn("bloom", F.expr(_BLOOM_EXPR))
+        .localCheckpoint(eager=True)
+    )
     return _containment_from_reps(
-        _pack_reps(sets.filter(F.col("doc_id") % 10 == 0)),
-        _pack_reps(sets.filter(F.col("doc_id") % 10 != 0)),
+        reps.filter(F.col("side")).drop("side"),
+        reps.filter(~F.col("side")).drop("side"),
         SETSIM_T_NUM,
         SETSIM_T_DEN,
     ).orderBy("probe_id")
