@@ -148,16 +148,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     this round), 50 r18-green rows, and the 50 r19 rows. r20's
     mandatory window is therefore the 47 remaining r17-green rows
     with 3 slack.
-    Scheduled r20 work: the diversity tokenization consolidation
-    (q_simpson_diversity is mandatory r20; touch diversity.py ONLY —
-    editing spans.py would flag q_span_extents and q_doc_novelty)
-    and the final full-tree artifact regeneration. dedup.py stays
-    FROZEN through r20 — it defines/feeds six queries split across
-    windows, more than the slack; if a fix is ever forced, record an
-    explicit check_rotation --waive in the round artifacts. jpeg.py
-    is likewise frozen (its media queries are r18-green and exceed
-    r20's slack); the ±3 roundtrip envelope is pinned test-side in
-    tests/test_properties.py with the derivation.
+    The r18-scheduled "diversity tokenization consolidation" turned
+    out ALREADY DONE — diversity.py has imported spans.token_array
+    since r16 (its own docstring records it); the real remaining
+    private copies were colloc.py's and setsim.py's, both
+    consolidated in r19 while their queries were in-window. The ONE
+    copy left is dedup.py:59, and dedup.py stays FROZEN through r20
+    (it defines/feeds six queries split across windows, more than
+    the slack; if a fix is ever forced, record an explicit
+    check_rotation --waive in the round artifacts) — so r20 is the
+    final-artifact round: full-tree regeneration, plus any depth
+    whose changed-code set fits the 47+3 window. jpeg.py is likewise
+    frozen (its media queries are r18-green and exceed r20's slack);
+    the ±3 roundtrip envelope is pinned test-side in
+    tests/test_properties.py with the derivation. NOTE for the r20
+    window author: spans.py edits now flag q_pmi_collocations,
+    q_setsim_join and q_containment_decon too (all r19-green) on top
+    of q_span_extents, q_doc_novelty, q_simpson_diversity — spans.py
+    is effectively frozen as the shared-tokenizer root.
 
     Rotation rule #2 ("changed code ⇒ in window") remains MECHANICAL:
     scripts/check_rotation.py + tests/test_rotation.py on every

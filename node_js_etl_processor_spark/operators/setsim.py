@@ -100,6 +100,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from node_js_etl_processor_spark.operators.spans import token_array
+
 #: declared threshold: Jaccard >= 19/20 (exact rational — floats
 #: never enter the prefix/length/verify arithmetic)
 SETSIM_T_NUM, SETSIM_T_DEN = 19, 20
@@ -142,14 +144,9 @@ def packed_sets(documents: DataFrame) -> DataFrame:
     return (
         documents.select(
             "doc_id",
-            F.array_sort(
-                F.array_distinct(
-                    F.filter(
-                        F.split(F.lower(F.col("text")), r"\s+"),
-                        lambda t: t != "",
-                    )
-                )
-            ).alias("toks"),
+            # token_array is the span family's single tokenization
+            # definition (r19 consolidation — this was a textual copy)
+            F.array_sort(F.array_distinct(token_array())).alias("toks"),
         )
         .withColumn("set_key", F.md5(F.concat_ws("\n", F.col("toks"))))
         .withColumn("sz", F.size("toks").cast("bigint"))
