@@ -118,23 +118,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     FULLVERIFY_r{N}.json (scripts/full_verify.py; same per-query
     shape as CORRECTNESS, ALL registered queries at sf0.01).
 
-    r19 rotation — exactly as the r18 depth-round plan scheduled it:
-    the 48 r16-green rows lead (q_text_langid … q_join_enrich — last
-    driver row r16, two cycles old, so the 3-round invariant makes
-    them mandatory this round; computed from CORRECTNESS_r16/17/18 by
-    the same last-green script the judge runs). The scheduled r19
-    edits all live inside that mandatory set for free: the setsim.py
-    LSH prefilter (q_setsim_join / q_containment_decon), the colloc
-    tokenization consolidation (q_pmi_collocations), and q_link_graph
-    for the graph-store guard. The first slack slot goes to
-    q_bfs_hops — sources/graph_store.py gained the in-flight-publish
-    compaction guard (the r18 vocab/span-store discipline applied to
-    compact_edge_store), and that edit flags q_bfs_hops as changed
-    code (scripts/check_rotation.py). The second slack slot
-    deliberately renews q_dedup_simhash (r17-green, dedup.py frozen)
-    a round early, shrinking r20's mandatory window from 49 to 48 and
-    doubling its slack for the diversity consolidation. 48 + 1 + 1 =
-    50. No declarations — the registry is FROZEN at 147.
+    r20 rotation — exactly as the r19 verdict's binding plan wrote
+    it: the 47 r17-green rows lead (q_asof_join … q_simpson_diversity
+    — last driver row r17, two cycles old, so the 3-round invariant
+    makes them mandatory this round; recomputed this session from
+    CORRECTNESS_r17/18/19 by the same last-green script the judge
+    runs, and it matches the r19 ledger slot for slot). The three
+    slack slots are all CHANGED-CODE slots (scripts/check_rotation.py):
+    q_setsim_join and q_containment_decon for the setsim.py
+    signature-enumeration rewrite (the r19 advice's per-row compute
+    cliff — group XORs now come from one hash-aggregated pass instead
+    of a per-(k, gid) filter scan), and q_token_budget for the bpe.py
+    non-BMP gate hardening (the other r19 advice item: the driver
+    path's list(word) splits code POINTS while the distributed
+    regex splits UTF-16 code units — empirically divergent on astral
+    text — so astral corpora now route to the distributed loop
+    regardless of size). The scheduled r20 perf work (q_triangles,
+    q_rfm_segments) and the consolidation check (q_simpson_diversity)
+    live inside the mandatory 47 for free. 47 + 3 = 50. No
+    declarations — the registry is FROZEN at 147.
 
     REGISTRY-CAPACITY POLICY (decided r17 — the r16 verdict's
     structural ask): the registry is HARD-CAPPED at 150 registered
@@ -143,11 +145,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the registry is 147 and FROZEN — the 3 remaining slots are
     changed-code headroom only, never declarations.
 
-    r20 PLAN (binding, updated r19): after r19 the last-green ledger
-    is 47 r17-green rows (q_bfs_hops and q_dedup_simhash both renew
-    this round), 50 r18-green rows, and the 50 r19 rows. r20's
-    mandatory window is therefore the 47 remaining r17-green rows
-    with 3 slack.
+    Ledger after r20 (for any future window author): the 47 rows
+    above + the 3 slack renew at r20; 50 rows are r18-green (their
+    invariant expires at r21) and 47 are r19-green. The r21 mandatory
+    window would be the 50 r18-green rows exactly, zero slack.
     The r18-scheduled "diversity tokenization consolidation" turned
     out ALREADY DONE — diversity.py has imported spans.token_array
     since r16 (its own docstring records it); the real remaining
@@ -180,74 +181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     EVERY round."""
     return {
         # ---- 50 oracle-paired queries inside the driver's window ----
-        # The 48 r16-green rows lead (last driver row r16 — their
-        # 3-round invariant expires this round; scheduled in the r18
-        # docstring and computed by the same last-green script).
-        "q_text_langid": _q(["documents"], text.q_text_langid),
-        "q_text_quality": _q(["documents"], text.q_text_quality),
-        "q_token_count": _q(["documents"], text.q_token_count),
-        "q_fingerprint": _q(["documents"], text.q_fingerprint),
-        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
-        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
-        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
-        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
-        "q_redact_pii": _q(["documents"], text.q_redact_pii),
-        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
-        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
-        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
-        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
-        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
-        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
-        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
-        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
-        "q_union_sources": _q(["customer"], relational.q_union_sources),
-        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
-        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
-        "q_bpe_pairs": _q(
-            ["documents"], lambda docs: bpe.bpe_top_pairs(docs, k=20)
-        ),
-        "q_link_graph": _q(["documents"], graph.q_link_graph),
-        "q_token_budget": _q(["documents"], bpe.q_token_budget),
-        "q_hll_distinct": _q(["orders"], sketch.q_hll_distinct),
-        "q_hdr_quantiles": _q(["lineitem"], sketch.q_hdr_quantiles),
-        "q_hll_rollup": _q(["orders"], sketch.q_hll_rollup),
-        "q_hll_intersect": _q(["orders"], sketch.q_hll_intersect),
-        "q_filter_required": _q(["orders"], relational.q_filter_required),
-        "q_clean_project": _q(["customer"], relational.q_clean_project),
-        "q_array_transform": _q(["part"], relational.q_array_transform),
-        "q_countmin": _q(["orders"], sketch.q_countmin),
-        "q_bloom": _q(["orders"], sketch.q_bloom),
-        "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
-        "q_hybrid_search": _q(
-            ["documents", "embeddings"], retrieval.q_hybrid_search
-        ),
-        "q_kmv_distinct": _q(["orders"], kmv.q_kmv_distinct),
-        "q_setsim_join": _q(["documents"], setsim.q_setsim_join),
-        "q_containment_decon": _q(["documents"], setsim.q_containment_decon),
-        "q_kmv_difference": _q(["orders"], kmv.q_kmv_difference),
-        "q_pmi_collocations": _q(["documents"], colloc.q_pmi_collocations),
-        "q_attribution": _q(["events"], attribution.q_attribution),
-        "q_itemset_pairs": _q(["lineitem"], basket.q_itemset_pairs),
-        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
-        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
-        "q_range_join": _q(["events"], temporal.q_range_join),
-        "q_window_range": _q(["events"], temporal.q_window_range),
-        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
-        "q_explode_words": _q(["part"], relational.q_explode_words),
-        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
-        # r19 CHANGED-CODE slot (scripts/check_rotation.py): the
-        # in-flight-publish compaction guard landed in
-        # sources/graph_store.py, which q_bfs_hops's hop loop reads
-        # through — one of the two slack slots, as scheduled.
-        "q_bfs_hops": _q(["documents"], paths.q_bfs_hops),
-        # r19 SLACK RENEWAL: the last slot deliberately renews an
-        # r17-green row early (q_dedup_simhash — the former bench
-        # watch row; dedup.py is frozen, so this is a free renewal
-        # that, with q_bfs_hops also renewing, shrinks r20's
-        # mandatory window to 47 and triples its slack).
-        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
-        # ---- out-of-window: r17-green rows (fresh through r20;
-        # q_dedup_simhash renewed above) ----
+        # The 47 r17-green rows lead (last driver row r17 — their
+        # 3-round invariant expires this round; scheduled in the r19
+        # verdict and recomputed by the same last-green script).
         "q_asof_join": _q(["events"], temporal.q_asof_join),
         "q_sessionize": _q(["events"], sessionize.q_sessionize),
         "q_decontaminate_hashed": _q(["documents"], text.q_decontaminate_hashed),
@@ -299,6 +235,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cusum_alarms": _q(["events"], cusum.q_cusum_alarms),
         "q_ols_trend": _q(["orders"], trend.q_ols_trend),
         "q_simpson_diversity": _q(["documents"], diversity.q_simpson_diversity),
+        # r20 CHANGED-CODE slots (scripts/check_rotation.py), all
+        # three slack spent on the two r19 advice items: setsim.py's
+        # pigeonhole signature enumeration moved from per-(k, gid)
+        # filter scans to one hash-aggregated pass (flags both setsim
+        # queries), and bpe.py's driver-path gate now routes astral
+        # (non-BMP) corpora to the distributed loop (flags
+        # q_token_budget).
+        "q_setsim_join": _q(["documents"], setsim.q_setsim_join),
+        "q_containment_decon": _q(["documents"], setsim.q_containment_decon),
+        "q_token_budget": _q(["documents"], bpe.q_token_budget),
         # ---- out-of-window: r18-green rows (fresh through r21) ----
         "q_kl_divergence": _q(["documents"], text.q_kl_divergence),
         "q_retention": _q(["events"], temporal.q_retention),
@@ -359,6 +305,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # operators/novelty.py gained the digest-count-thresholded
         # shuffle-semi-join fallback the r17 advice asked for.
         "q_doc_novelty": _q(["documents"], novelty.q_doc_novelty),
+        # ---- out-of-window: r19-green rows (fresh past the final
+        # round; q_setsim_join / q_containment_decon / q_token_budget
+        # renewed in the slack slots above) ----
+        "q_text_langid": _q(["documents"], text.q_text_langid),
+        "q_text_quality": _q(["documents"], text.q_text_quality),
+        "q_token_count": _q(["documents"], text.q_token_count),
+        "q_fingerprint": _q(["documents"], text.q_fingerprint),
+        "q_winnow_fingerprint": _q(["documents"], text.q_winnow_fingerprint),
+        "q_corpus_pipeline": _q(["documents"], text.q_corpus_pipeline),
+        "q_dedup_docs": _q(["documents"], dedup.q_dedup_docs),
+        "q_dedup_ngram": _q(["documents"], dedup.q_dedup_ngram),
+        "q_redact_pii": _q(["documents"], text.q_redact_pii),
+        "q_gopher_rules": _q(["documents"], text.q_gopher_rules),
+        "q_lm_perplexity": _q(["documents"], text.q_lm_perplexity),
+        "q_pq_encode": _q(["embeddings"], similarity.q_pq_encode),
+        "q_pq_topk": _q(["embeddings"], similarity.q_pq_topk),
+        "q_ivfpq_topk": _q(["embeddings"], similarity.q_ivfpq_topk),
+        "q_weighted_sample": _q(["documents"], text.q_weighted_sample),
+        "q_curation_pipeline": _q(["documents"], text.q_curation_pipeline),
+        "q_dedup_clusters": _q(["documents"], dedup.q_dedup_clusters),
+        "q_union_sources": _q(["customer"], relational.q_union_sources),
+        "q_count_by_source": _q(["orders"], relational.q_count_by_source),
+        "q_agg_pricing": _q(["lineitem"], relational.q_agg_pricing),
+        "q_bpe_pairs": _q(
+            ["documents"], lambda docs: bpe.bpe_top_pairs(docs, k=20)
+        ),
+        "q_link_graph": _q(["documents"], graph.q_link_graph),
+        "q_hll_distinct": _q(["orders"], sketch.q_hll_distinct),
+        "q_hdr_quantiles": _q(["lineitem"], sketch.q_hdr_quantiles),
+        "q_hll_rollup": _q(["orders"], sketch.q_hll_rollup),
+        "q_hll_intersect": _q(["orders"], sketch.q_hll_intersect),
+        "q_filter_required": _q(["orders"], relational.q_filter_required),
+        "q_clean_project": _q(["customer"], relational.q_clean_project),
+        "q_array_transform": _q(["part"], relational.q_array_transform),
+        "q_countmin": _q(["orders"], sketch.q_countmin),
+        "q_bloom": _q(["orders"], sketch.q_bloom),
+        "q_hll_timeline": _q(["events"], sketch.q_hll_timeline),
+        "q_hybrid_search": _q(
+            ["documents", "embeddings"], retrieval.q_hybrid_search
+        ),
+        "q_kmv_distinct": _q(["orders"], kmv.q_kmv_distinct),
+        "q_kmv_difference": _q(["orders"], kmv.q_kmv_difference),
+        "q_pmi_collocations": _q(["documents"], colloc.q_pmi_collocations),
+        "q_attribution": _q(["events"], attribution.q_attribution),
+        "q_itemset_pairs": _q(["lineitem"], basket.q_itemset_pairs),
+        "q_csv_export_shape": _q(["customer"], relational.q_csv_export_shape),
+        "q_dedup_upsert": _q(["orders"], relational.q_dedup_upsert),
+        "q_range_join": _q(["events"], temporal.q_range_join),
+        "q_window_range": _q(["events"], temporal.q_window_range),
+        "q_scalar_subquery": _q(["orders", "customer"], relational.q_scalar_subquery),
+        "q_explode_words": _q(["part"], relational.q_explode_words),
+        "q_join_enrich": _q(["orders", "customer", "nation"], relational.q_join_enrich),
+        "q_bfs_hops": _q(["documents"], paths.q_bfs_hops),
+        "q_dedup_simhash": _q(["documents"], dedup.q_dedup_simhash),
     }
 
 
