@@ -163,21 +163,39 @@ def bpe_train(
     ``first()``, the kmeans_train trainer discipline) + one
     ``aggregate``-fold merge, localCheckpointed so folds never stack.
 
-    Both paths are bit-identical by construction: same integer pair
-    sums, same (freq DESC, a ASC, b ASC) argmax (Python tuple order
-    equals Spark's UTF8 binary order on the BMP symbols in play —
-    the ``bpe_encode`` kernel already leans on this, and driver
-    ``list(word)`` splits match ``_to_symbols``'s code-unit split for
-    BMP text), same greedy left-to-right merge fold; equality is
-    test-pinned across paths."""
+    Both paths are bit-identical by construction ON BMP TEXT: same
+    integer pair sums, same (freq DESC, a ASC, b ASC) argmax (Python
+    tuple order equals Spark's UTF8 binary order on the BMP symbols
+    in play — the ``bpe_encode`` kernel already leans on this, and
+    driver ``list(word)`` splits match ``_to_symbols``'s code-unit
+    split for BMP text), same greedy left-to-right merge fold;
+    equality is test-pinned across paths. OUTSIDE the BMP the splits
+    genuinely diverge — ``_to_symbols``'s zero-width regex splits
+    between the UTF-16 surrogates of an astral code point (two
+    symbols per emoji, verified empirically) while Python's
+    ``list(word)`` yields one code-point symbol — so the gate also
+    routes ANY corpus containing supplementary-plane characters to
+    the distributed loop (the r19 advice's conservative-gate fix;
+    ``astral_words`` rides the same statistics pass). The divergence
+    itself is pinned in tests so the gate can't silently rot."""
     wf = word_frequencies(documents, text_col).localCheckpoint(eager=True)
     stats = wf.agg(
         F.count("*").alias("n"),
         F.coalesce(F.sum(F.length("word")), F.lit(0)).alias("chars"),
+        # supplementary-plane detection for the BMP routing gate (the
+        # r19 advice item): one regex scan per DISTINCT word, riding
+        # the same single pass as the size statistics
+        F.coalesce(
+            F.sum(
+                F.col("word").rlike("[\\x{10000}-\\x{10FFFF}]").cast("int")
+            ),
+            F.lit(0),
+        ).alias("astral_words"),
     ).first()
     if (
         stats["n"] <= driver_vocab_cap
         and stats["chars"] <= driver_vocab_char_cap
+        and stats["astral_words"] == 0
     ):
         return _bpe_train_driver(wf, n_merges, min_pair_freq)
     vocab = bpe_init_vocab(wf).localCheckpoint(eager=True)

@@ -1791,6 +1791,58 @@ def test_bpe_train_matches_reference_and_encode_agrees(spark):
         assert enc[did]["n_words"] == len(text.split())
 
 
+def test_bpe_astral_gate_routes_to_distributed(spark):
+    """r20 (the r19 advice item): outside the BMP the two trainer
+    paths genuinely diverge — the distributed zero-width regex split
+    breaks an astral code point into its two UTF-16 code units (which
+    surface as replacement bytes in the UTF-8 symbol space) while the
+    driver path's ``list(word)`` yields ONE code-point symbol — so a
+    sub-cap corpus containing supplementary-plane characters must
+    take the DISTRIBUTED loop. Pins (1) the routing: default-gated
+    ``bpe_train`` equals the forced-distributed run merge for merge
+    and symbol for symbol, and (2) the divergence itself — the driver
+    trainer on the same word table learns a different merge list — so
+    the gate cannot silently rot."""
+    from node_js_etl_processor_spark.operators.bpe import (
+        _bpe_train_driver,
+        bpe_train,
+        word_frequencies,
+    )
+
+    emoji = "\U0001F600"
+    texts = [
+        (1, f"{emoji}{emoji} {emoji}{emoji} ab ab ab"),
+        (2, f"{emoji}{emoji} ab cd"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    # the corpus is far under both size caps, so ONLY the astral gate
+    # can be routing here: gated == forced-distributed, bit for bit
+    merges, vocab = bpe_train(docs, n_merges=6)
+    merges_d, vocab_d = bpe_train(docs, n_merges=6, driver_vocab_cap=0)
+    assert merges == merges_d and len(merges) > 0
+    assert {
+        r["word"]: tuple(r["symbols"]) for r in vocab.collect()
+    } == {r["word"]: tuple(r["symbols"]) for r in vocab_d.collect()}
+
+    # the divergence the gate protects against, pinned: the collected
+    # driver trainer splits code POINTS and learns a different list
+    wf = word_frequencies(docs).localCheckpoint(eager=True)
+    merges_drv, _vocab_drv = _bpe_train_driver(
+        wf, n_merges=6, min_pair_freq=2
+    )
+    assert merges_drv != merges
+    # ...while a BMP-only corpus still takes (and must agree with)
+    # the driver path — the existing parity test covers this; here we
+    # just pin that the astral routing didn't break the BMP gate
+    bmp = spark.createDataFrame(
+        [(1, "low low lower ab ab")], "doc_id long, text string"
+    )
+    m_gated, _ = bpe_train(bmp, n_merges=4)
+    m_dist, _ = bpe_train(bmp, n_merges=4, driver_vocab_cap=0)
+    assert m_gated == m_dist
+
+
 def test_bpe_apply_merge_greedy_overlap(spark):
     """r9: the fold must resolve overlapping pairs leftmost —
     'aaa' + (a,a) -> [aa, a, </w>], 'aaaa' -> [aa, aa, </w>] — the
