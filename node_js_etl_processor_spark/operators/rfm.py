@@ -18,13 +18,17 @@ metric (recency 4 = most recent, frequency 4 = most orders,
 monetary 4 = highest spend).
 
 Scale shape: one keyed aggregation (orders → per-customer metrics),
-then THREE distributed global ranks — the ``operators/snm.py``
-range-repartition + local row_number + broadcast-offsets rewrite, the
-engine's only total-order pattern, reused — over the
-customer-dimension-sized metric frame (never the orders fact), with
-``n`` computed ONCE driver-side from the checkpointed metric frame
-and each segment checkpointed so range sampling never re-executes
-the previous rank's lineage. No single-task window ever sees the
+then ONE distributed global rank (r20 — previously three sequential
+ones) — the ``operators/snm.py`` range-repartition + local
+row_number + broadcast-offsets rewrite, the engine's only
+total-order pattern, reused — over the tag-union of the three
+(metric, custkey) streams, 3n rows of the customer-dimension-sized
+metric frame (never the orders fact). ``n`` is computed ONCE
+driver-side from the checkpointed metric frame; with tag leading
+the total order each tag block holds exactly n rows, so the
+per-metric rank is ``rn − tag·n`` with no per-tag recount. A
+custkey-keyed pivot agg folds the three segment columns back and
+joins the checkpointed metrics. No single-task window ever sees the
 whole frame.
 
 The DuckDB oracle is the deliberately single-machine form (three
@@ -55,33 +59,57 @@ def rfm_metrics(orders: DataFrame) -> DataFrame:
     )
 
 
-def _segment(metrics: DataFrame, col: str, seg: str, n: int) -> DataFrame:
-    """Attach quintile ``seg`` for metric ``col``: the distributed
-    global rank over (col, custkey), then ``(5·(rn−1)) div n`` —
-    true integer division, ``n`` a driver-side scalar computed ONCE
-    by the caller (r16 review: no per-segment count re-aggregation,
-    no crossJoin). Checkpointed so the next segment's range sampling
-    never re-executes this one's rank lineage."""
-    ranked = global_rank(metrics, [col, "custkey"])
-    return (
-        ranked.withColumn(
-            seg, F.expr(f"(5 * (rn - 1)) div CAST({n} AS BIGINT)")
-        )
-        .drop("rn")
-        .localCheckpoint(eager=True)
-    )
-
-
 def q_rfm_segments(orders: DataFrame) -> DataFrame:
-    """Declared query (r17): (custkey, recency_days, n_orders,
-    monetary_cents, r_seg, f_seg, m_seg) — see the module
-    docstring."""
+    """Declared query (r17; rank collapsed to ONE pass in r20):
+    (custkey, recency_days, n_orders, monetary_cents, r_seg, f_seg,
+    m_seg) — see the module docstring.
+
+    The r19 verdict's scheduled experiment: instead of three
+    sequential range-rank + checkpoint rounds (one per metric), the
+    three (metric, custkey) streams are tag-unioned and range-ranked
+    ONCE on the total order (tag, metric, custkey). Because every
+    customer appears exactly once per tag, each tag block holds
+    exactly ``n`` rows and the per-metric rank is the closed form
+    ``rn − tag·n`` — no per-tag re-count, no second sort. The three
+    exchanges + three eager checkpoint jobs become one range
+    exchange over 3n rows + one custkey-keyed pivot agg + the
+    metrics join-back (measured ~1.3× solo at sf0.1; BENCH.md r20).
+    Segment arithmetic is unchanged: ``(5·(rank−1)) div n`` in true
+    integer division, segments 0..4 ascending, custkey tiebreak."""
     m = rfm_metrics(orders).localCheckpoint(eager=True)
     n = m.count()  # one cheap job over the checkpointed frame
-    out = _segment(m, "recency_days", "r_seg", n)
-    out = _segment(out, "n_orders", "f_seg", n)
-    out = _segment(out, "monetary_cents", "m_seg", n)
-    return out.select(
+    tagged = (
+        m.select(
+            "custkey",
+            F.col("recency_days").alias("metric"),
+            F.lit(0).alias("tag"),
+        )
+        .unionAll(
+            m.select(
+                "custkey",
+                F.col("n_orders").alias("metric"),
+                F.lit(1).alias("tag"),
+            )
+        )
+        .unionAll(
+            m.select(
+                "custkey",
+                F.col("monetary_cents").alias("metric"),
+                F.lit(2).alias("tag"),
+            )
+        )
+    )
+    ranked = global_rank(tagged, ["tag", "metric", "custkey"])
+    seg = F.expr(
+        f"(5 * (rn - tag * CAST({n} AS BIGINT) - 1))"
+        f" div CAST({n} AS BIGINT)"
+    )
+    segs = ranked.groupBy("custkey").agg(
+        F.max(F.when(F.col("tag") == 0, seg)).alias("r_seg"),
+        F.max(F.when(F.col("tag") == 1, seg)).alias("f_seg"),
+        F.max(F.when(F.col("tag") == 2, seg)).alias("m_seg"),
+    )
+    return m.join(segs, "custkey").select(
         "custkey",
         "recency_days",
         "n_orders",
