@@ -113,10 +113,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.col("src").alias("t1"), F.col("dst").alias("t2")
     )
     tris = wedges.join(closing, ["t1", "t2"])
-    corners = (
-        tris.select(F.col("pivot").alias("part"))
-        .unionAll(tris.select(F.col("t1").alias("part")))
-        .unionAll(tris.select(F.col("t2").alias("part")))
+    # ONE evaluation of the wedge+closing join: the former 3-branch
+    # unionAll duplicated the whole join subtree per corner in the
+    # physical plan (r20 plan audit — Union over three
+    # BroadcastHashJoin copies); exploding the corner array emits the
+    # same 3 rows per triangle from a single join pass.
+    corners = tris.select(
+        F.explode(F.array("pivot", "t1", "t2")).alias("part")
     )
     return corners.groupBy("part").agg(
         F.count("*").cast("bigint").alias("n_triangles")
