@@ -233,14 +233,19 @@ def _prefix_len(t_num: int, t_den: int, sz=None):
     ) + F.lit(1)
 
 
-#: per-set size ceiling for the pigeonhole signature path: the
-#: index-side enumeration materializes O(s²·d²/(t_num·t_den)) structs
-#: in ONE row's array before explode (|K(s)| k-values × ~k groups
-#: each), so it must be bounded independently of the threshold gate —
-#: at the cap and t = 19/20 that is ~130k structs (~10 MB) per row,
-#: and beyond it the prefix path's O(s) per set wins regardless of
-#: vocabulary shape (the r19 review's size-cliff finding; same risk
-#: class as the forced-broadcast rejection in _verify_candidates).
+#: per-set size ceiling for the pigeonhole signature path. Since the
+#: r20 rewrite, frames whose largest set exceeds ``_SIG_EXPR_MAX_SZ``
+#: enumerate via the hash-aggregated stream (``_signature_rows``) —
+#: no single-row array materialization and no per-(k, gid) rescan,
+#: so the r19 review's ~10 MB / ~10⁹-element-op per-row cliffs are
+#: gone from the large-set regime where they lived — and the cap
+#: now bounds the total
+#: SIGNATURE VOLUME a set fans out into the candidate join:
+#: Σ_{k∈K(s)} k ≈ O(s²·d²/(t_num·t_den)) rows per set, ~130k at the
+#: cap and t = 19/20. Beyond it the prefix path's O(s)-rows-per-set
+#: generation wins regardless of vocabulary shape, so the whole-frame
+#: routing keeps the cap (same risk class as the forced-broadcast
+#: rejection in _verify_candidates).
 PIGEONHOLE_MAX_SZ = 20_000
 
 
@@ -311,8 +316,135 @@ def _canonical_pair():
     )
 
 
+#: whole-frame routing threshold between the two signature builders:
+#: frames whose LARGEST set is at most this take the projection-only
+#: expression enumeration (``_signature_rows_expr`` — zero shuffles,
+#: the right fixed-cost shape for small-vocabulary corpora like the
+#: sf fixtures, but per-set compute O(Σ_k k·s) ~ s³-ish), larger
+#: frames take the hash-aggregated builder (``_signature_rows`` —
+#: two small shuffles of fixed overhead, compute linear in the
+#: signature stream; measured 69.7 → 2.4 s at s = 10k and 479 → 3.9 s
+#: at the 20k cap, identical output). At the threshold the expression
+#: path costs ≈ 10 ms/set worst-gate — both routes are comfortably
+#: flat at the crossover, so the exact value is a constants choice.
+_SIG_EXPR_MAX_SZ = 1_000
+
+
+def _signature_rows_expr(
+    rep_sets: DataFrame, lo_sql: str, hi_sql: str
+) -> DataFrame:
+    """Projection-only signature enumeration — identical rows to
+    ``_signature_rows`` (identity test-pinned), built as one flatten
+    expression per set with a per-(k, gid) ``filter`` scan. Zero
+    shuffles, so it wins on fixed cost when every set is small; the
+    per-set compute grows ~ s³ near the size cap (the r19 advice's
+    cliff), which is why ``_pigeonhole_candidates`` routes frames by
+    their largest set (``_SIG_EXPR_MAX_SZ``)."""
+    sig_expr = f"""
+      flatten(transform(
+        sequence({lo_sql}, {hi_sql}),
+        k -> transform(
+          sequence(CAST(0 AS BIGINT), k - 1),
+          g -> named_struct(
+            'k', k, 'gid', g,
+            'gdig', aggregate(
+              filter(toks_h, h -> h % k = g),
+              CAST(0 AS BIGINT), (acc, h) -> acc ^ h)))))
+    """
+    return rep_sets.select(
+        "doc_id",
+        "sz",
+        "group_n",
+        "bloom",
+        F.explode(F.expr(sig_expr)).alias("s"),
+    ).select("doc_id", "sz", "group_n", "bloom", "s.k", "s.gid", "s.gdig")
+
+
+def _signature_rows(
+    rep_sets: DataFrame, lo_sql: str, hi_sql: str
+) -> DataFrame:
+    """(doc_id, sz, group_n, bloom, k, gid, gdig) for every k in
+    [``lo_sql``, ``hi_sql``] (Column SQL over ``sz``) and every group
+    id 0..k−1 — INCLUDING empty groups (digest 0), which are
+    completeness-critical: the pigeonhole lemma's guaranteed
+    identical group may hold no tokens at all on either side, and
+    the equi-join must still see it agree (0 = 0).
+
+    r20 (the r19 advice item): group digests come from ONE
+    hash-aggregated pass over the exploded (k, token-digest) stream —
+    O(s·|k-range|) element operations per set, map-side combined
+    before any shuffle since a set's tokens start in one row —
+    instead of the old per-(k, gid) ``filter(toks_h, ...)`` scan
+    inside a single row's flatten expression, whose compute went
+    cubic-ish near the size cap (~10⁹ element operations for ONE
+    20k-token set at t = 19/20 — a per-row latency cliff inside the
+    gated-safe region). Empty groups are reconstructed per (doc, k)
+    from the k-slot grid minus the aggregated gids; token digests
+    are 60-bit nonnegative (``_tok_digest``), so ``h % k`` always
+    lands in [0, k) and every (doc, k) keeps at least one aggregated
+    row (empty SETS are filtered out upstream by ``packed_sets``).
+    Output rows are identical to ``_signature_rows_expr``'s, set for
+    set (identity test-pinned on randomized corpora)."""
+    tok = rep_sets.select(
+        "doc_id",
+        "sz",
+        "group_n",
+        "bloom",
+        F.explode(F.expr(f"sequence({lo_sql}, {hi_sql})")).alias("k"),
+        F.col("toks_h"),
+    ).select(
+        "doc_id",
+        "sz",
+        "group_n",
+        "bloom",
+        "k",
+        F.explode("toks_h").alias("h"),
+    )
+    per_gid = tok.groupBy(
+        "doc_id", "k", F.expr("h % k").alias("gid")
+    ).agg(
+        F.expr("bit_xor(h)").alias("gdig"),
+        F.first("sz").alias("sz"),
+        F.first("group_n").alias("group_n"),
+        F.first("bloom").alias("bloom"),
+    )
+    per_k = per_gid.groupBy("doc_id", "k").agg(
+        F.first("sz").alias("sz"),
+        F.first("group_n").alias("group_n"),
+        F.first("bloom").alias("bloom"),
+        F.collect_list(F.struct("gid", "gdig")).alias("ne"),
+    )
+    return per_k.select(
+        "doc_id",
+        "sz",
+        "group_n",
+        "bloom",
+        "k",
+        F.explode(
+            F.expr(
+                "concat(ne, transform("
+                " array_except(sequence(CAST(0 AS BIGINT), k - 1),"
+                "              transform(ne, x -> x.gid)),"
+                " g -> named_struct('gid', g,"
+                "                   'gdig', CAST(0 AS BIGINT))))"
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        "sz",
+        "group_n",
+        "bloom",
+        "k",
+        F.col("s.gid").alias("gid"),
+        F.col("s.gdig").alias("gdig"),
+    )
+
+
 def _pigeonhole_candidates(
-    rep_sets: DataFrame, t_num: int, t_den: int
+    rep_sets: DataFrame,
+    t_num: int,
+    t_den: int,
+    max_sz: "int | None" = None,
 ) -> DataFrame:
     """Candidate pairs via the LOSSLESS pigeonhole signature join —
     the r19 'LSH prefilter' for HIGH thresholds (the PartEnum /
@@ -343,56 +475,37 @@ def _pigeonhole_candidates(
     size-canonical order), while the index side emits one signature
     row per group for EVERY k a smaller qualifying partner could
     demand — k ∈ [k(⌈t·s⌉), k(s)], an integer range because k(·) is
-    nondecreasing. Signature volume per set is O(s·d/t_num) rows
-    with an O(s²d²/(t_num·t_den)) enumeration tail (d = t_den −
-    t_num) — economical for d/t_num ≤ 1/9, which is what the caller
+    nondecreasing. Per-set signature volume is Σ_{k∈range} k rows;
+    enumeration COMPUTE is O(s·|range|) element ops via the
+    ``_signature_rows`` hash-aggregated builder (r20 — the old
+    per-(k, gid) filter rescan paid an extra factor of s near the
+    cap) — economical for d/t_num ≤ 1/9, which is what the caller
     gates on. False positives (XOR collisions, empty-group
     agreements) are killed by the unchanged array-intersect verify;
     the brute-force DuckDB oracle cross-checks completeness pair for
     pair. The length filter and the bloom miss-count bound ride the
     join condition exactly as on the prefix path."""
     d = t_den - t_num
-    sig_expr = f"""
-      flatten(transform(
-        sequence(
-          ((sz * {t_num} + {t_den - 1}) div {t_den}) * {d} div {t_num} + 1,
-          sz * {d} div {t_num} + 1),
-        k -> transform(
-          sequence(CAST(0 AS BIGINT), k - 1),
-          g -> named_struct(
-            'k', k, 'gid', g,
-            'gdig', aggregate(
-              filter(toks_h, h -> h % k = g),
-              CAST(0 AS BIGINT), (acc, h) -> acc ^ h)))))
-    """
-    sig = rep_sets.select(
-        "doc_id",
-        "sz",
-        "group_n",
-        "bloom",
-        F.explode(F.expr(sig_expr)).alias("s"),
-    ).select("doc_id", "sz", "group_n", "bloom", "s.k", "s.gid", "s.gdig")
-    # the PROBE side needs only its own k(sz) partition, so it gets a
-    # dedicated O(s)-per-set enumeration instead of filtering the full
-    # O(s²·d²/(t_num·t_den)) index-side flatten down to one k — the
-    # index side's enumeration runs once, inside the single join job
-    # (r19 review: no checkpoint, no double-flatten).
-    probe_expr = f"""
-      transform(
-        sequence(CAST(0 AS BIGINT), sz * {d} div {t_num}),
-        g -> named_struct(
-          'k', sz * {d} div {t_num} + 1, 'gid', g,
-          'gdig', aggregate(
-            filter(toks_h, h -> h % (sz * {d} div {t_num} + 1) = g),
-            CAST(0 AS BIGINT), (acc, h) -> acc ^ h)))
-    """
-    probe = rep_sets.select(
-        "doc_id",
-        "sz",
-        "group_n",
-        "bloom",
-        F.explode(F.expr(probe_expr)).alias("s"),
-    ).select("doc_id", "sz", "group_n", "bloom", "s.k", "s.gid", "s.gdig")
+    lo_sql = f"((sz * {t_num} + {t_den - 1}) div {t_den}) * {d} div {t_num} + 1"
+    hi_sql = f"sz * {d} div {t_num} + 1"
+    # whole-frame builder routing on the corpus's largest set
+    # (``max_sz`` is a routing HINT only — both builders emit
+    # identical rows, so correctness never depends on it; the caller
+    # passes the max it already probed, direct/test callers may omit
+    # it and pay one tiny aggregation)
+    if max_sz is None:
+        max_sz = rep_sets.agg(F.max("sz")).first()[0] or 0
+    build = (
+        _signature_rows_expr
+        if max_sz <= _SIG_EXPR_MAX_SZ
+        else _signature_rows
+    )
+    sig = build(rep_sets, lo_sql, hi_sql)
+    # the PROBE side needs only its own k(sz) partition (a qualifying
+    # pair must match at k(min-side sz), and the probe is the min
+    # side under the size-canonical order): same builder, degenerate
+    # k-range [k(sz), k(sz)].
+    probe = build(rep_sets, hi_sql, hi_sql)
     a, b = probe.alias("a"), sig.alias("b")
     return (
         a.join(
@@ -448,11 +561,12 @@ def setsim_join(
         raise ValueError("setsim_join needs 0 < t_num/t_den <= 1")
     rep_sets = _rep_sets(documents)
     use_pigeonhole = 10 * t_num >= 9 * t_den
+    mx = 0
     if use_pigeonhole:
-        mx = rep_sets.agg(F.max("sz")).first()[0]
-        use_pigeonhole = (mx or 0) <= pigeonhole_max_sz
+        mx = rep_sets.agg(F.max("sz")).first()[0] or 0
+        use_pigeonhole = mx <= pigeonhole_max_sz
     if use_pigeonhole:
-        cand = _pigeonhole_candidates(rep_sets, t_num, t_den)
+        cand = _pigeonhole_candidates(rep_sets, t_num, t_den, max_sz=mx)
     else:
         cand = _prefix_candidates(rep_sets, t_num, t_den)
     return _verify_candidates(rep_sets, cand, t_num, t_den)

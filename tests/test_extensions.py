@@ -3504,17 +3504,97 @@ def test_setsim_pigeonhole_matches_prefix_path(spark):
 
     for t_num, t_den in ((19, 20), (9, 10), (1, 1)):
         reps = _rep_sets(docs)
-        via_pigeon = _verify_candidates(
-            reps, _pigeonhole_candidates(reps, t_num, t_den), t_num, t_den
+        # r20: max_sz is a routing HINT between the two signature
+        # builders (expression vs hash-aggregated) — force EACH route
+        # end-to-end against the prefix path, so the aggregated
+        # builder's completeness (empty-group reconstruction
+        # included) is gated here too, not just row-identity-pinned
+        for forced_max in (1, 10**6):
+            via_pigeon = _verify_candidates(
+                reps,
+                _pigeonhole_candidates(
+                    reps, t_num, t_den, max_sz=forced_max
+                ),
+                t_num,
+                t_den,
+            )
+            via_prefix = _verify_candidates(
+                reps, _prefix_candidates(reps, t_num, t_den), t_num, t_den
+            )
+            got_p = sorted(tuple(r) for r in via_pigeon.collect())
+            got_x = sorted(tuple(r) for r in via_prefix.collect())
+            assert got_p == got_x, (
+                f"paths diverge at t={t_num}/{t_den}, max_sz={forced_max}"
+            )
+            if (t_num, t_den) == (19, 20):
+                assert got_p, "expected qualifying pairs at 19/20"
+
+
+def test_setsim_signature_builders_row_identity(spark):
+    """r20 (the r19 advice item): the hash-aggregated signature
+    builder must emit EXACTLY the rows of the projection-only
+    expression enumeration — empty groups (digest 0) included — for
+    both the index-side k-range and the degenerate probe range,
+    across a randomized mixed-size corpus and both gated thresholds.
+    Row identity is what makes ``max_sz`` a pure routing hint in
+    ``_pigeonhole_candidates``. One document is CRAFTED so a hash
+    group is provably empty (10 tokens whose 60-bit digests are all
+    even → gid 1 empty at k = 2), pinning that the aggregated
+    builder's grid-reconstruction branch is actually exercised, not
+    just compiled."""
+    import hashlib
+    import random
+
+    from node_js_etl_processor_spark.operators.setsim import (
+        _rep_sets,
+        _signature_rows,
+        _signature_rows_expr,
+    )
+
+    def dig(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+
+    rng = random.Random(20)
+    vocab = [f"v{i:03d}" for i in range(400)]
+    rows, did = [], 0
+    for _ in range(60):
+        s = rng.choice([3, 18, 19, 20, 40, 75, 150, 260])
+        rows.append((did, " ".join(rng.sample(vocab, s))))
+        did += 1
+    # the crafted empty-group doc: 10 even-digest tokens → at
+    # t = 9/10 its probe k is 10 div 9 + 1 = 2 and group 1 is empty
+    even = [t for i in range(10_000) if (dig(t := f"e{i}") % 2 == 0)][:10]
+    assert len(even) == 10
+    rows.append((did, " ".join(even)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    reps = _rep_sets(docs)
+
+    for t_num, t_den in ((19, 20), (9, 10)):
+        d = t_den - t_num
+        lo = (
+            f"((sz * {t_num} + {t_den - 1}) div {t_den})"
+            f" * {d} div {t_num} + 1"
         )
-        via_prefix = _verify_candidates(
-            reps, _prefix_candidates(reps, t_num, t_den), t_num, t_den
-        )
-        got_p = sorted(tuple(r) for r in via_pigeon.collect())
-        got_x = sorted(tuple(r) for r in via_prefix.collect())
-        assert got_p == got_x, f"paths diverge at t={t_num}/{t_den}"
-        if (t_num, t_den) == (19, 20):
-            assert got_p, "expected qualifying pairs at 19/20"
+        hi = f"sz * {d} div {t_num} + 1"
+        for a, b in ((lo, hi), (hi, hi)):
+            agg_rows = sorted(
+                tuple(r) for r in _signature_rows(reps, a, b).collect()
+            )
+            exp_rows = sorted(
+                tuple(r)
+                for r in _signature_rows_expr(reps, a, b).collect()
+            )
+            assert agg_rows == exp_rows and len(agg_rows) > 0, (
+                f"builders diverge at t={t_num}/{t_den}, range=({a},{b})"
+            )
+        if (t_num, t_den) == (9, 10):
+            # the crafted doc's empty group must surface as an
+            # explicit (k=2, gid=1, gdig=0) row in BOTH builders
+            probe = _signature_rows(reps, hi, hi).filter(
+                (F.col("sz") == 10) & (F.col("k") == 2)
+            )
+            got = {(r["gid"], r["gdig"]) for r in probe.collect()}
+            assert (1, 0) in got, got
 
 
 def test_setsim_bloom_bound_keeps_budget_boundary_pairs(spark):
