@@ -50,11 +50,11 @@ def test_affected_queries_fake_change_detects_out_of_window():
     window = set(list(entrymod.queries())[: cr.WINDOW])
     # the witness must be a dedup.py query that is genuinely OUT of
     # the CURRENT window (it changes as the window rotates): in the
-    # r19 window q_dedup_docs/ngram/clusters are mandatory r16-green
-    # rows and q_dedup_simhash is the slack renewal, so the
-    # out-of-window witness is q_dedup_minhash (r17-green, fresh
-    # through r20). A dedup.py change must surface it.
-    assert "q_dedup_minhash" in affected - window
+    # r20 window q_dedup_minhash and q_fuzzy_match are mandatory
+    # r17-green rows, so the out-of-window witness is q_dedup_docs
+    # (r19-green, in the tail block). A dedup.py change must
+    # surface it.
+    assert "q_dedup_docs" in affected - window
 
 
 def test_live_tree_rotation_rule_holds():
