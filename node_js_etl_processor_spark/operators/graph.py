@@ -71,14 +71,27 @@ def pagerank(
     / node asc)."""
     from pyspark.sql.window import Window
 
+    # r20-opt: materialize the aggregated edge frame once. Catalyst
+    # shares no common subtrees, so WITHOUT this the edge-build
+    # subtree (a fact-table join for the declared query) re-evaluated
+    # at every reference — 14 lineitem scans / 56 exchanges in the
+    # unrolled q_pagerank plan; the checkpointed frame is the
+    # post-aggregation edge list (entity-graph sized, ≤ |V|² rows —
+    # the same frame every iteration shuffles anyway). trans/nodes
+    # checkpoint too, exactly pagerank_until's discipline, so each
+    # unrolled iteration replans from O(V)-row in-memory frames.
+    edges = edges.localCheckpoint(eager=True)
     out = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    trans = edges.join(out, "src").select(
-        "src", "dst", (F.col("w") / F.col("outw")).alias("p")
+    trans = (
+        edges.join(out, "src")
+        .select("src", "dst", (F.col("w") / F.col("outw")).alias("p"))
+        .localCheckpoint(eager=True)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     n = nodes.count()  # node count: a parameter (entity-graph sized
     # here; the 1-row-frame lazy form lives in pagerank_until, which
@@ -89,6 +102,10 @@ def pagerank(
         raise ValueError("pagerank: empty edge set (no nodes)")
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    # (r20-opt note: explicit F.broadcast hints on ranks/contrib were
+    # measured SLOWER here — 2.4-2.9 s vs 2.0-2.4 s solo — each hint
+    # forces a driver-serialized broadcast build per iteration, while
+    # AQE's runtime conversion of these tiny joins pipelines better.)
     for _ in range(iterations):
         contrib = (
             trans.join(ranks.withColumnRenamed("node", "src"), "src")
