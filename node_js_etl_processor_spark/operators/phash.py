@@ -318,9 +318,16 @@ def q_image_neardup(documents: DataFrame) -> DataFrame:
 
     Scale: one Arrow decode pass, then 2-byte-key band self-join —
     the text-simhash plan on perceptual keys."""
-    return image_near_dup_pairs(image_dhash(synth_phash_media(documents))).orderBy(
-        "id_a", "id_b"
+    # r20-opt: materialize the decoded-hash frame once (media_id, ok,
+    # dhash — bytes per image, never pixels). The band self-join
+    # references it on BOTH sides, and without the checkpoint the
+    # whole synth-encode + Arrow-decode chain ran twice (8 MapInPandas
+    # nodes in the final plan); the streaming ingest (streaming/
+    # dedup.py) already checkpoints at exactly this point.
+    hashed = image_dhash(synth_phash_media(documents)).localCheckpoint(
+        eager=True
     )
+    return image_near_dup_pairs(hashed).orderBy("id_a", "id_b")
 
 
 def q_image_dedup(documents: DataFrame) -> DataFrame:
@@ -336,6 +343,10 @@ def q_image_dedup(documents: DataFrame) -> DataFrame:
 
     Scale: one Arrow decode pass (zero shuffles) + one 8-byte-key
     window exchange — the exact-text-dedup shape on a perceptual key."""
-    return image_near_dup_groups(image_dhash(synth_phash_media(documents))).orderBy(
-        "media_id"
+    # r20-opt: same single-decode materialization as q_image_neardup —
+    # the ok/rejected branches of image_near_dup_groups otherwise each
+    # re-run the encode+decode chain (two full Python passes).
+    hashed = image_dhash(synth_phash_media(documents)).localCheckpoint(
+        eager=True
     )
+    return image_near_dup_groups(hashed).orderBy("media_id")
