@@ -256,9 +256,14 @@ def minhash_candidates(
     band bucket is then md5 of the comma-joined row minima, which the
     DuckDB oracle reproduces verbatim.
     """
+    # r20-opt: materialize the postings once — the self-join references
+    # the frame on BOTH sides, and without this the whole tokenize +
+    # shingle + k-minhash chain ran twice (Catalyst shares no common
+    # subtrees). The frame is (band, bucket, doc_id) — bands rows of a
+    # few bytes per doc, the same thing sources/dedup_store.py persists.
     buckets = minhash_band_postings(
         documents, num_hashes, bands, shingle_n, portable=portable
-    )
+    ).localCheckpoint(eager=True)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -289,6 +294,11 @@ def q_dedup_minhash(documents: DataFrame) -> DataFrame:
     """
     documents = spread(documents)
     cands = minhash_candidates(documents, portable=True)
+    # (r20-opt note: checkpointing this shingle frame for the two
+    # verify sides was measured a wash at sf0.1 and is NOT scale-sound
+    # — it materializes corpus-sized shingle arrays, unlike the
+    # postings checkpoint inside minhash_candidates, which is a few
+    # bytes per doc. Left as two narrow passes deliberately.)
     sh = documents.select("doc_id", tokens(F.col("text")).alias("toks")).select(
         "doc_id", shingles_from_tokens(F.col("toks")).alias("sh")
     )
