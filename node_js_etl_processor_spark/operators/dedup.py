@@ -785,7 +785,10 @@ def simhash_band_postings_from_sigs(sigs: DataFrame) -> DataFrame:
 
 
 def q_fuzzy_match(
-    customer: DataFrame, max_distance: int = 1, key_cap: int | None = None
+    customer: DataFrame,
+    max_distance: int = 1,
+    key_cap: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Fuzzy entity matching via FastSS deletion-neighborhood blocking
     (Bocek et al., "Fast Similarity Search in Large Dictionaries",
@@ -857,6 +860,15 @@ def q_fuzzy_match(
             .select("klen", "khash")
         )
         keyed = keyed.join(hot, ["klen", "khash"], "left_anti")
+    # r20-opt (``materialize``, default on): checkpoint the
+    # deletion-key postings once — the self-join references the frame
+    # on both sides, so the L+1-way explode + xxhash64 chain ran twice
+    # (measured 2.20 → 1.90 s solo median at sf0.1). Fixed-width
+    # ~20 B/posting at any scale (the r9 hardening's whole point).
+    # materialize=False keeps the lazy one-plan form the plan-pin
+    # tests inspect (a checkpoint truncates the plan at an RDD scan).
+    if materialize:
+        keyed = keyed.localCheckpoint(eager=True)
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (
         a.join(

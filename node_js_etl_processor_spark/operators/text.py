@@ -1837,11 +1837,19 @@ def q_tfidf(documents: DataFrame, k: int = 5) -> DataFrame:
         spread(documents)
         .select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
     )
-    tf = toked.groupBy("doc_id", "term").agg(
-        F.count("*").cast("bigint").alias("tf")
+    # r20-opt: one tokenize+explode pass instead of three. tf is
+    # referenced by the df aggregation AND the scoring join, and
+    # n_docs re-derived the exploded frame a third time; the
+    # checkpointed (doc_id, term, tf) frame is the postings table the
+    # bm25 index stores, and n_docs = distinct doc_id over it is the
+    # same count (docs with >= 1 term) by construction.
+    tf = (
+        toked.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     dft = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
-    n_docs = toked.select("doc_id").distinct().agg(
+    n_docs = tf.select("doc_id").distinct().agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
     scored = (

@@ -575,7 +575,12 @@ def test_fuzzy_match_shuffles_hashed_keys_not_names(spark, sf_dir):
     shuffle (it joins back after the DISTINCT pair set)."""
     from node_js_etl_processor_spark.operators import dedup
 
-    df = dedup.q_fuzzy_match(load_table(spark, sf_dir, "customer"))
+    # materialize=False: the lazy one-plan form (r20-opt checkpoints
+    # the postings by default, truncating the plan at an RDD scan) —
+    # the r9 invariant is pinned on the full build plan
+    df = dedup.q_fuzzy_match(
+        load_table(spark, sf_dir, "customer"), materialize=False
+    )
     plan = plan_text(df)
     assert "xxhash64" in plan
     exchanges = [
@@ -586,6 +591,15 @@ def test_fuzzy_match_shuffles_hashed_keys_not_names(spark, sf_dir):
     # when a blocking exchange does exist it must move khash, not names
     assert blocking or "BroadcastHashJoin" in plan, plan
     assert all("c_name" not in e for e in blocking), blocking
+    # the default (materialized) form must stay name-free in every
+    # exchange too — the checkpointed postings are (custkey, slen,
+    # klen, khash) by construction
+    plan_m = plan_text(dedup.q_fuzzy_match(load_table(spark, sf_dir, "customer")))
+    m_exchanges = [
+        seg.split("\n")[0]
+        for seg in plan_m.split("Exchange hashpartitioning(")[1:]
+    ]
+    assert all("c_name" not in e for e in [x for x in m_exchanges if "khash" in x])
 
 
 def test_link_graph_one_exchange_all_codegen(spark, sf_dir):
@@ -996,13 +1010,29 @@ def test_snm_rank_never_single_partitions_the_corpus(spark, sf_dir):
     plan = plan_text(df)
     simple = plan_text(df, "simple")
     # the ranked subtree feeds BOTH join sides, so its ≤32-row offsets
-    # window (the only single-partition stage) appears once per side;
-    # AQE dedupes the identical subtrees via ReusedExchange at runtime
+    # window (the only single-partition stage) appears once per side
+    # (r20-opt: the locally-ranked frame is checkpointed, so the rank
+    # build itself — pinned below on the lazy form — runs once)
     assert 1 <= plan.count("Arguments: SinglePartition") <= 2
-    assert "rangepartitioning" in plan  # the distributed rank
-    assert "BroadcastHashJoin" in simple  # offsets join never shuffles
     assert "BroadcastNestedLoopJoin" not in simple
     assert "CartesianProduct" not in simple
+    # the rank build's shape, pinned on the un-truncated lazy form
+    # (materialize=False — a checkpoint cuts the plan at an RDD scan):
+    # range partitioning, exactly one single-partition window (the
+    # ≤32-row offsets frame), and a broadcast offsets join
+    from node_js_etl_processor_spark.operators.snm import global_rank
+
+    keyed = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.lower(F.trim(F.col("c_name"))).alias("k")
+    )
+    rank_plan = plan_text(
+        global_rank(keyed, ["k", "c_custkey"], materialize=False)
+    )
+    assert "rangepartitioning" in rank_plan  # the distributed rank
+    assert rank_plan.count("Arguments: SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan_text(
+        global_rank(keyed, ["k", "c_custkey"], materialize=False), "simple"
+    )
 
 
 def test_doc_novelty_single_hash_subtree_three_exchanges(spark, sf_dir):
