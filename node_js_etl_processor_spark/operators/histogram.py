@@ -51,7 +51,10 @@ _RANK_PARTS = 32
 
 
 def q_equidepth_hist(
-    lineitem: DataFrame, n_buckets: int = N_BUCKETS, parts: int = _RANK_PARTS
+    lineitem: DataFrame,
+    n_buckets: int = N_BUCKETS,
+    parts: int = _RANK_PARTS,
+    materialize: bool = True,
 ) -> DataFrame:
     """r18-scheduled declaration: per-returnflag equi-depth histogram
     of extended price — (l_returnflag, bucket, n, lo_cents, hi_cents),
@@ -70,6 +73,14 @@ def q_equidepth_hist(
         "cents", "l_orderkey", "l_linenumber"
     )
     local = ranked.withColumn("lrn", F.row_number().over(w_local))
+    # r20-opt (``materialize``, default on — snm.global_rank's r20
+    # discipline): the locally-ranked frame feeds the offset counts
+    # AND the final rank join, so without the checkpoint the range
+    # exchange + window sort over lineitem ran per reference (3 scans
+    # in the final plan). materialize=False keeps the lazy one-plan
+    # form the plan-pin test inspects.
+    if materialize:
+        local = local.localCheckpoint(eager=True)
     counts = local.groupBy("pid", "l_returnflag").agg(
         F.count("*").alias("cnt")
     )

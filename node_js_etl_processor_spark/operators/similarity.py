@@ -1474,13 +1474,21 @@ def semantic_decontaminate(
             6,
         ).alias("cosine"),
     ).filter(F.col("cosine") >= F.lit(threshold))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cosine").desc(), F.col("eval_id").asc()
+    # r20-opt: the per-train argmax as ONE keyed aggregation instead of
+    # a row_number window — max of the (cosine, -eval_id) struct is
+    # lexicographic, so it picks max cosine then min eval_id, exactly
+    # the window's (cosine desc, eval_id asc) first row. The window
+    # shuffled + sorted EVERY candidate row (at threshold 0.30 the
+    # banding barely prunes, so that is nearly |train|·|evals| rows);
+    # the aggregation reduces map-side to one row per (partition,
+    # vec_id) before the exchange — guide-§2.3 "aggregate, don't sort".
+    best = F.max(
+        F.struct(F.col("cosine"), (-F.col("eval_id")).alias("neg_eval"))
     )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "eval_id", F.col("cosine").alias("max_cosine"))
+    return scored.groupBy("vec_id").agg(best.alias("_b")).select(
+        "vec_id",
+        (-F.col("_b.neg_eval")).cast("long").alias("eval_id"),
+        F.col("_b.cosine").alias("max_cosine"),
     )
 
 

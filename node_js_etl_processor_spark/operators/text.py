@@ -1755,15 +1755,29 @@ def q_lm_bigram_perplexity(documents: DataFrame, buckets: int = 3) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("uc"))
     )
     total = F.sum("uc").over(Window.partitionBy()).cast("double")
+    # r20-opt: the unigram and bigram count tables are vocabulary-
+    # sized (the docstring's broadcastability argument) but were
+    # re-derived from the corpus at every reference — uniprob feeds
+    # both the bigram interpolation AND the first-token scoring, bcnt
+    # feeds both the history fold and the probability join, so the
+    # tokenize + explode chain ran 6x (6 documents scans / 30
+    # exchanges in the final plan). Checkpointing the two count
+    # tables cuts that to the 4 passes the math actually needs; the
+    # downstream joins keep their explicit broadcast hints (a
+    # checkpointed RDD has no size statistics for the planner).
     uniprob = uni.select(
         "tok", (F.col("uc").cast("double") / total).alias("p_uni")
+    ).localCheckpoint(eager=True)
+    bcnt = (
+        big.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("bc"))
+        .localCheckpoint(eager=True)
     )
-    bcnt = big.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("bc"))
     hist = bcnt.groupBy("w1").agg(F.sum("bc").cast("bigint").alias("hc"))
     # one nll per distinct bigram: λ·(bc/hc) + (1−λ)·p_uni(w2)
     bprob = (
-        bcnt.join(hist, "w1")
-        .join(uniprob.withColumnRenamed("tok", "w2"), "w2")
+        bcnt.join(F.broadcast(hist), "w1")
+        .join(F.broadcast(uniprob.withColumnRenamed("tok", "w2")), "w2")
         .select(
             "w1",
             "w2",
@@ -1790,7 +1804,13 @@ def q_lm_bigram_perplexity(documents: DataFrame, buckets: int = 3) -> DataFrame:
         F.size("toks").cast("bigint").alias("n_tokens"),
     ).join(F.broadcast(uniprob), "tok")
     per_doc = (
-        firsts.join(big_doc, "doc_id", "left")
+        # the explicit hint restores the pre-checkpoint plan: the
+        # checkpointed probability tables (r20-opt above) carry no
+        # size statistics, which otherwise demotes this doc-keyed
+        # join to sort-merge. Same caveat as the docstring's other
+        # hints — at uncapped scale drop them and let keyed shuffles
+        # take over.
+        firsts.join(F.broadcast(big_doc), "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

@@ -1247,7 +1247,12 @@ def test_equidepth_hist_distributed_rank_no_single_partition(spark, sf_dir):
         q_equidepth_hist,
     )
 
-    df = q_equidepth_hist(load_table(spark, sf_dir, "lineitem"))
+    # the rank build's shape, pinned on the un-truncated lazy form
+    # (r20-opt checkpoints the ranked frame by default, truncating
+    # the plan at an RDD scan)
+    df = q_equidepth_hist(
+        load_table(spark, sf_dir, "lineitem"), materialize=False
+    )
     plan = plan_text(df)
     simple = plan_text(df, "simple")
     assert "rangepartitioning" in plan
@@ -1255,6 +1260,13 @@ def test_equidepth_hist_distributed_rank_no_single_partition(spark, sf_dir):
     assert "BroadcastHashJoin" in simple
     for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
         assert bad not in simple
+    # the default (materialized) form keeps the same discipline
+    plan_m = plan_text(q_equidepth_hist(load_table(spark, sf_dir, "lineitem")))
+    assert "SinglePartition" not in plan_m
+    for bad in ("CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in plan_text(
+            q_equidepth_hist(load_table(spark, sf_dir, "lineitem")), "simple"
+        )
 
 
 def test_gini_concentration_one_group_keyed_exchange(spark, sf_dir):
