@@ -94,5 +94,20 @@ def spread(df: DataFrame, min_per_core_rows: int = 0) -> DataFrame:
     except Exception:  # non-file plans (e.g. streaming) — leave as-is
         return df
     if 0 < n_files < target:
+        # r20-opt: a chained operator (synth → features media kernels,
+        # spread-inside-helper compositions) may ALREADY carry an
+        # upstream spread — inputFiles() still reports the underlying
+        # parquet file, so without this gate the SECOND spread
+        # round-robins the full intermediate (encoded media payloads!)
+        # through another exchange for zero distribution gain. A
+        # same-target shuffling Repartition anywhere in the lineage
+        # means parallelism is already repaired; spread is perf-only,
+        # so skipping is always correctness-neutral.
+        try:
+            lp = df._jdf.queryExecution().logical().toString()
+        except Exception:
+            lp = ""
+        if f"Repartition {target}, true" in lp:
+            return df
         return df.repartition(target)
     return df
