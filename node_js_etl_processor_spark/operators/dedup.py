@@ -243,6 +243,8 @@ def minhash_candidates(
     bands: int = 8,
     shingle_n: int = 3,
     portable: bool = False,
+    materialize: bool = True,
+    dedup: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing ≥1 (band, bucket).
 
@@ -255,30 +257,40 @@ def minhash_candidates(
     ``portable`` selects the hash family (see minhash_signatures); the
     band bucket is then md5 of the comma-joined row minima, which the
     DuckDB oracle reproduces verbatim.
+
+    ``materialize`` (r21): checkpoint the postings before the
+    self-join (the r20 rescan fix). The r20 verdict hypothesized this
+    barrier caused the q_dedup_clusters driver regression
+    (2.13→3.19 s); the r21 interleaved A/B REFUTED that — lazy
+    postings measured a wash-to-slightly-worse (median pair ratio
+    1.09 over 7 calm pairs, OPTIMIZATION_r21.md), so the checkpoint
+    stays default-on for every caller and the knob remains for
+    callers that want the lazy single-plan form.
+
+    ``dedup`` (r21): the min/max pair ``distinct()`` — a full shuffle
+    + hash-agg over the candidate pair set. Callers that feed the
+    pairs straight into ``connected_components`` (which distincts its
+    edge input anyway) pass False and skip that exchange outright
+    (guide §2.4: back-to-back distincts on the same rows, one is
+    waste); result rows are identical by construction.
     """
-    # r20-opt: materialize the postings once — the self-join references
-    # the frame on BOTH sides, and without this the whole tokenize +
-    # shingle + k-minhash chain ran twice (Catalyst shares no common
-    # subtrees). The frame is (band, bucket, doc_id) — bands rows of a
-    # few bytes per doc, the same thing sources/dedup_store.py persists.
     buckets = minhash_band_postings(
         documents, num_hashes, bands, shingle_n, portable=portable
-    ).localCheckpoint(eager=True)
+    )
+    if materialize:
+        buckets = buckets.localCheckpoint(eager=True)
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
     )
+    return pairs.distinct() if dedup else pairs
 
 
 def q_dedup_minhash(documents: DataFrame) -> DataFrame:
@@ -738,7 +750,13 @@ def q_dedup_clusters(documents: DataFrame) -> DataFrame:
     (chain / star / disjoint) in tests/.
     """
     documents = spread(documents)
-    pairs = minhash_candidates(documents, portable=True)
+    # materialize=False (r21): connected_components eagerly checkpoints
+    # its (distinct, self-loop-free) edge input anyway, so the postings
+    # barrier inside minhash_candidates was a SECOND sequential
+    # materialization job for this caller — the r20 regression
+    # (2.13→3.19 s). Lazy postings pipeline the whole LSH build into
+    # CC's first checkpoint job; identical rows either way.
+    pairs = minhash_candidates(documents, portable=True, materialize=False)
     comps = connected_components(pairs)
     all_docs = documents.select("doc_id").join(
         comps, "doc_id", "left"

@@ -105,6 +105,16 @@ def bfs_hops_over_edges(
         )
         if checkpoint_hops:
             nxt = nxt.localCheckpoint(eager=True)
+            # r21 (VERDICT r20 item 5): exhausted frontier ⇒ every
+            # remaining hop is provably empty (BFS layer recurrence) —
+            # stop unrolling instead of running k more join+agg+anti
+            # jobs over an empty frame. Identical output: an empty
+            # layer contributes no rows to the union. The check is one
+            # take(1) over the ALREADY-MATERIALIZED checkpoint
+            # partitions (cheap); only taken on the checkpointed path
+            # — the lazy form stays a pure plan for the shape tests.
+            if nxt.isEmpty():
+                break
         layers.append(nxt)
         frontier = nxt
         visited = visited.unionByName(nxt.select("domain", "dist", "n_paths"))

@@ -12,6 +12,8 @@ the north-star extension surface.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1693,6 +1695,29 @@ def q_corpus_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+#: Input-size ceiling (bytes, parquet scan estimate) under which the
+#: bigram LM's DOC-KEYED scoring join may hint a broadcast. The hinted
+#: side is the per-doc aggregate (doc_id, bigint, double ≈ 24 B/row),
+#: corpus-cardinality — unlike the vocabulary-sized count tables it is
+#: NOT size-bounded by construction, so the hint must be gated: 1 GiB
+#: of compressed document parquet is at most a few million docs ≈ tens
+#: of MB broadcast, far inside the 8 GiB/512M-row relation cap; past
+#: the gate the planner's keyed shuffle takes over (the 100 TB form).
+#: Env-overridable so a cluster profile can retune without code edits.
+LM_DOC_BROADCAST_MAX_INPUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_LM_DOC_BCAST_MAX", str(1 << 30))
+)
+
+
+def _scan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for ``df`` (file-size based for parquet
+    scans) — plan metadata only, no job. None when unavailable."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
 def q_lm_bigram_perplexity(documents: DataFrame, buckets: int = 3) -> DataFrame:
     """Declared query: interpolated BIGRAM LM perplexity bucketing —
     one model order closer to CCNet's KenLM than ``q_lm_perplexity``:
@@ -1803,14 +1828,24 @@ def q_lm_bigram_perplexity(documents: DataFrame, buckets: int = 3) -> DataFrame:
         F.element_at("toks", 1).alias("tok"),
         F.size("toks").cast("bigint").alias("n_tokens"),
     ).join(F.broadcast(uniprob), "tok")
+    # r21 (VERDICT r20 item 3): big_doc is a PER-DOCUMENT aggregate —
+    # corpus-cardinality, not vocabulary-sized — so its broadcast hint
+    # must be bounded, not unconditional (an in-code caveat is not
+    # enforcement; at 100 TB an unconditional hint is a driver OOM).
+    # The gate reads Catalyst's file-size estimate of the documents
+    # scan (plan metadata, no job): under the ceiling the hint
+    # restores the pre-checkpoint plan (the checkpointed probability
+    # tables carry no size statistics, which otherwise demotes this
+    # doc-keyed join to sort-merge); over it the planner's keyed
+    # shuffle takes over — the scale form the docstring describes.
+    in_sz = _scan_size_bytes(documents)
+    big_doc_side = (
+        F.broadcast(big_doc)
+        if in_sz is not None and in_sz <= LM_DOC_BROADCAST_MAX_INPUT_BYTES
+        else big_doc
+    )
     per_doc = (
-        # the explicit hint restores the pre-checkpoint plan: the
-        # checkpointed probability tables (r20-opt above) carry no
-        # size statistics, which otherwise demotes this doc-keyed
-        # join to sort-merge. Same caveat as the docstring's other
-        # hints — at uncapped scale drop them and let keyed shuffles
-        # take over.
-        firsts.join(F.broadcast(big_doc), "doc_id", "left")
+        firsts.join(big_doc_side, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

@@ -29,6 +29,20 @@ intended: such a change alters every plan, and the failure forces an
 explicit decision recorded with --waive (each waiver names a module
 and is printed into the output so the round artifacts show it was
 deliberate, not forgotten).
+
+r21 (the r20 verdict's item 1 — the r20 optimizer edited catalog.py +
+7 shared modules, 84 affected queries > 50 slots, and shipped with the
+--waive escape hatch never invoked because pytest's live-tree test
+cannot pass CLI flags): waivers are now a COMMITTED ARTIFACT, the
+ROTATION_WAIVERS file at the repo root. Each line is
+``<base-commit-prefix> <module> <justification...>``; a waiver only
+applies while the diff base commit matches its recorded prefix, so a
+waiver recorded for this round EXPIRES automatically at the next
+round marker — stale waivers cannot silently carry forward. Every
+applied waiver is printed into the check output (and therefore into
+the pytest log), and the round artifacts must name the compensating
+verification (verify_subset re-proofs + the committed FULLVERIFY
+full-registry sweep).
 """
 
 from __future__ import annotations
@@ -194,6 +208,29 @@ def affected_queries(
     }
 
 
+def file_waivers(base: str, path: str | None = None) -> "dict[str, str]":
+    """Committed waivers from the ROTATION_WAIVERS file: module ->
+    justification, ONLY for lines whose recorded base-commit prefix
+    matches the current diff base (so waivers expire at the next
+    round marker instead of silently persisting)."""
+    path = path or os.path.join(REPO, "ROTATION_WAIVERS")
+    out: "dict[str, str]" = {}
+    if not os.path.exists(path):
+        return out
+    for line in open(path):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split(None, 2)
+        if len(parts) < 2:
+            continue
+        prefix, mod = parts[0], parts[1]
+        reason = parts[2] if len(parts) == 3 else ""
+        if base.startswith(prefix):
+            out[mod] = reason
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default=None, help="diff base commit")
@@ -205,6 +242,10 @@ def main() -> int:
 
     base = args.base or round_marker_base()
     changed = changed_pkg_modules(base)
+    for mod, reason in sorted(file_waivers(base).items()):
+        if mod in changed:
+            changed.discard(mod)
+            print(f"WAIVED (ROTATION_WAIVERS): {mod} — {reason}")
     for w in args.waive:
         changed.discard(w)
         print(f"WAIVED: {w}")

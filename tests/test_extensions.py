@@ -338,6 +338,40 @@ def test_spread_never_touches_rdd_and_passes_through_memory_frames(spark, sf_dir
     assert spread(mem) is mem
 
 
+def test_spread_gate_walks_lineage_not_plan_strings(spark, sf_dir):
+    """The r21 double-spread gate (plan-tree walk, not toString
+    matching): a second spread over a still-governing same-target
+    round-robin repartition is suppressed; a repartition buried below
+    a partitioning-re-establishing node (aggregate) does NOT suppress,
+    and a different-target repartition does NOT suppress."""
+    from pyspark.sql import functions as F
+
+    from node_js_etl_processor_spark.catalog import (
+        _lineage_has_spread,
+        load_table,
+        spread,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    scan = load_table(spark, sf_dir, "documents")
+    assert 0 < len(scan.inputFiles()) < target  # gate is live on fixtures
+
+    once = spread(scan)
+    assert _lineage_has_spread(once, target)
+    # narrow ops keep the spread governing; the second spread is a no-op
+    narrow = once.select("doc_id", F.length("text").alias("n"))
+    assert spread(narrow) is narrow
+
+    # an aggregate re-establishes partitioning: the old spread no
+    # longer governs, so the gate must NOT suppress a new one
+    agged = once.groupBy("doc_id").agg(F.count("*").alias("c"))
+    assert not _lineage_has_spread(agged, target)
+
+    # a different-target repartition governs instead — not suppressed
+    other = scan.repartition(max(2, target // 2))
+    assert not _lineage_has_spread(other, target)
+
+
 def test_bm25_narrow_equals_postings_form(spark, documents):
     """The narrow fixed-term BM25 must produce identical scores to the
     postings (explode) formulation."""
@@ -4885,6 +4919,30 @@ def test_bfs_hops_duckdb_parity_and_semantics(spark, sf_dir):
         "d1.example": (1, 1), "d9.example": (1, 1), "d17.example": (1, 1),
         "d3.example": (2, 1), "d11.example": (2, 1),
     }
+
+
+def test_bfs_early_exit_on_dead_frontier_matches_lazy_form(spark):
+    """r21 (VERDICT r20 item 5): when the frontier dies before k_hops,
+    the checkpointed path stops unrolling — output must equal the lazy
+    form's, which still unrolls every (empty) layer. Chain graph
+    a->b with seeds elsewhere dead immediately; seed d0 reaches only
+    its own edges."""
+    from node_js_etl_processor_spark.operators.paths import bfs_hops_over_edges
+
+    # d0.example -> x.example and nothing else: frontier empties at hop 2
+    edges = spark.createDataFrame(
+        [("d0.example", "x.example")], "src string, dst string"
+    )
+    eager = {
+        (r["domain"], r["dist"], r["n_paths"])
+        for r in bfs_hops_over_edges(edges, 3, checkpoint_hops=True).collect()
+    }
+    lazy = {
+        (r["domain"], r["dist"], r["n_paths"])
+        for r in bfs_hops_over_edges(edges, 3, checkpoint_hops=False).collect()
+    }
+    assert eager == lazy
+    assert ("x.example", 1, 1) in eager
 
 
 def test_equidepth_hist_duckdb_parity_and_semantics(spark, sf_dir):

@@ -504,6 +504,24 @@ def test_lm_bigram_broadcast_only_joins(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 4
 
 
+def test_lm_bigram_doc_broadcast_gated_by_input_size(spark, sf_dir, monkeypatch):
+    """r21 (VERDICT r20 item 3): the doc-keyed scoring join's
+    broadcast hint is corpus-cardinality and must be BOUNDED — with
+    the input-size ceiling forced to 0 the hint must disappear and the
+    planner's keyed shuffle take over (no broadcast of big_doc; the
+    vocabulary-table hints remain)."""
+    from node_js_etl_processor_spark.operators import text
+
+    monkeypatch.setattr(text, "LM_DOC_BROADCAST_MAX_INPUT_BYTES", 0)
+    docs = load_table(spark, sf_dir, "documents")
+    assert (text._scan_size_bytes(docs) or 0) > 0  # gate input is live
+    plan = plan_text(text.q_lm_bigram_perplexity(docs))
+    # the un-hinted doc-keyed join plans as a shuffle join (its inputs
+    # are checkpoint-statless), while the vocab-table joins stay hinted
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
 def test_ivfpq_rescore_single_encode_pass(spark, sf_dir):
     """The inline IVFADC+rescore query runs the Arrow PQ-encode kernel
     ONCE: the rescore side joins the shortlist back to the assignment

@@ -49,12 +49,31 @@ def test_affected_queries_fake_change_detects_out_of_window():
     assert "q_dedup_minhash" in affected and "q_dedup_docs" in affected
     window = set(list(entrymod.queries())[: cr.WINDOW])
     # the witness must be a dedup.py query that is genuinely OUT of
-    # the CURRENT window (it changes as the window rotates): in the
-    # r20 window q_dedup_minhash and q_fuzzy_match are mandatory
-    # r17-green rows, so the out-of-window witness is q_dedup_docs
-    # (r19-green, in the tail block). A dedup.py change must
-    # surface it.
+    # the CURRENT window (it changes as the window rotates): the r21
+    # window is the 50 r18-green rows, which contain NO dedup.py
+    # query, so q_dedup_docs (r19-green, in the tail block) is a
+    # stable out-of-window witness. A dedup.py change must surface it.
     assert "q_dedup_docs" in affected - window
+
+
+def test_file_waivers_round_scoped(tmp_path):
+    """ROTATION_WAIVERS lines apply only while the diff base matches
+    their recorded commit prefix — a waiver recorded for one round
+    expires at the next round marker instead of persisting silently."""
+    wf = tmp_path / "ROTATION_WAIVERS"
+    wf.write_text(
+        "# comment line\n"
+        "abc123 operators.dedup q_dedup_clusters checkpoint-knob fix\n"
+        "def456 catalog spread gate hardening\n"
+    )
+    this_round = cr.file_waivers("abc123def0000", path=str(wf))
+    assert this_round == {
+        "operators.dedup": "q_dedup_clusters checkpoint-knob fix"
+    }
+    next_round = cr.file_waivers("999999999", path=str(wf))
+    assert next_round == {}
+    # missing file: no waivers, no crash
+    assert cr.file_waivers("abc", path=str(tmp_path / "missing")) == {}
 
 
 def test_live_tree_rotation_rule_holds():
